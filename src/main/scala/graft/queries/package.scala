@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+package object queries {
+  /** A driver-runnable query: (session, sf-directory) => result frame. */
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-query context giving access to the test tables. */
+  final case class Ctx(spark: SparkSession, dir: String) {
+    def t(name: String): DataFrame = Tables.load(spark, dir, name)
+  }
+
+  /** Lift a Ctx-based query into the driver's (spark, dir) shape. */
+  def q(f: Ctx => DataFrame): Q = (s, d) => f(Ctx(s, d))
+}

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Local emulation of the driver's correctness gate.
+
+Usage: python tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet dump (written by graft.Verify),
+runs the matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB
+against views named after the parquet tables in <sfDir>, and compares:
+column names (sorted), row count, and exact values of row-sets.
+
+This is a builder-side self-check only — NOT part of the library.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    """Sort columns by name, stringify values canonically, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                vals.append(repr(v))
+            elif isinstance(v, bytes):
+                vals.append(v.hex())
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+    results = {}
+    dump_dirs = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
+    for d in dump_dirs:
+        name = os.path.basename(d)
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            results[name] = "NO_OUTPUT"
+            continue
+        got = con.execute(f"SELECT * FROM '{d}/*.parquet'")
+        got_cols = [c[0] for c in got.description]
+        got_rows = got.fetchall()
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY({len(got_rows)})"
+            continue
+        try:
+            exp = con.execute(oracle[name])
+            exp_cols = [c[0] for c in exp.description]
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE_ERROR: {e}"
+            continue
+        gc, gr = canon(got_rows, got_cols)
+        ec, er = canon(exp_rows, exp_cols)
+        if gc != ec:
+            results[name] = f"COLS_MISMATCH spark={gc} duck={ec}"
+        elif len(gr) != len(er):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(gr)} duck={len(er)}"
+        elif gr != er:
+            diffs = [(a, b) for a, b in zip(gr, er) if a != b][:3]
+            results[name] = f"VALUE_MISMATCH first_diffs={diffs}"
+        else:
+            results[name] = f"OK({len(gr)})"
+
+    for n in sorted(oracle):
+        if n not in results:
+            results[n] = "MISSING_DUMP"
+    width = max(len(n) for n in results) if results else 0
+    n_ok = sum(1 for v in results.values() if v.startswith(("OK", "ROWS_ONLY")))
+    for n in sorted(results):
+        print(f"{n:<{width}}  {results[n]}")
+    print(f"\n{n_ok}/{len(results)} passing")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
