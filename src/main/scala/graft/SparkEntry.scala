@@ -15,7 +15,8 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[(Map[String, Q], Map[String, String])] = Seq(
-    (RelationalQueries.defs, RelationalQueries.oracles)
+    (RelationalQueries.defs, RelationalQueries.oracles),
+    (NormalizeQueries.defs, NormalizeQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

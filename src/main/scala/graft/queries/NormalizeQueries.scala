@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.normalize.{Coerce, JsonIngest, NormalizeConfig, Normalizer, RootIdType}
+import graft.normalize.Flatten
+
+/** Normalize-plane operators (SURVEY.md §2.4) demonstrated on the driver
+  * tables, each with a DuckDB oracle: JSON flatten, list explode → child
+  * table with propagated root key + `_dlt_list_idx`, naming normalization,
+  * hex coercion, deterministic row ids (rows-only).
+  */
+object NormalizeQueries {
+
+  private val cfg = NormalizeConfig(loadId = "1700000000.0")
+
+  val defs: Map[String, Q] = Map(
+    // JSON string column → inferred struct → flattened `props__k`
+    "norm_flatten_json" -> q { c =>
+      val parsed = JsonIngest.parseColumn(c.t("events").select("event_id", "props"), "props")
+      Flatten(parsed).select("event_id", "props__k").orderBy("event_id")
+    },
+
+    // nested document (order + items list) → child table with
+    // _dlt_list_idx and root-key propagation
+    "norm_explode_child" -> q { c =>
+      val li = c.t("lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(struct(
+          col("l_linenumber"), col("l_quantity")))).as("items"))
+      val doc = c.t("orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"), "inner")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("items"))
+      val tables = Normalizer.normalize(doc, "orders_doc",
+        cfg.copy(propagate = Map("o_orderkey" -> "order_key")))
+      tables("orders_doc__items")
+        .select("order_key", "_dlt_list_idx", "l_linenumber", "l_quantity")
+        .orderBy("order_key", "_dlt_list_idx")
+    },
+
+    // naming convention applied to raw identifiers
+    "norm_naming" -> q { c =>
+      Flatten(c.t("region").select(
+        col("r_regionkey").as("Region Key"),
+        col("r_name").as("1Name")))
+        .orderBy("region_key")
+    },
+
+    // text→bigint coercion over '0x…' hex values round-trips p_size
+    "norm_coerce_hex" -> q { c =>
+      c.t("part")
+        .withColumn("hex_text", concat(lit("0x"), hex(col("p_size"))))
+        .select(col("p_partkey"),
+          Coerce.textToBigint(col("hex_text")).as("coerced"))
+        .orderBy("p_partkey")
+    },
+
+    // deterministic content-hash row ids (row_hash) — ids are engine
+    // internal, so rows-only check; determinism is unit-tested
+    "norm_row_hash_ids" -> q { c =>
+      val tables = Normalizer.normalize(
+        c.t("documents").select("doc_id", "lang", "source"),
+        "documents", cfg.copy(rootIdType = RootIdType.RowHash))
+      tables("documents").select("doc_id", "_dlt_id").orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "norm_flatten_json" ->
+      """SELECT event_id, CAST(props->>'k' AS BIGINT) AS props__k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "norm_explode_child" ->
+      """SELECT l_orderkey AS order_key,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_quantity) - 1 AS INT) AS _dlt_list_idx,
+        |  l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+        |ORDER BY order_key, _dlt_list_idx""".stripMargin,
+    "norm_naming" ->
+      """SELECT r_regionkey AS region_key, r_name AS _1_name
+        |FROM region ORDER BY region_key""".stripMargin,
+    "norm_coerce_hex" ->
+      """SELECT p_partkey, CAST(p_size AS BIGINT) AS coerced
+        |FROM part ORDER BY p_partkey""".stripMargin
+  )
+}
