@@ -1,0 +1,67 @@
+package graft.write
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.normalize.Ids
+
+/** A root table plus its nested child tables from one normalization pass
+  * (reference table chains, dlt/load/utils.py:20-64). Children must carry
+  * `_dlt_root_id` (root-key propagation, relational.py:359-391) — the
+  * normalizer adds it via `NormalizeConfig.propagate`. */
+final case class TableChain(
+    root: String,
+    rootStaging: DataFrame,
+    children: Map[String, DataFrame])
+
+/** Merge across a nested-table chain (reference sql_jobs.py:633-654 for
+  * delete-insert, :886-900 for upsert orphan cleanup).
+  *
+  * Root rows are merged by their configured keys; child rows follow their
+  * root: children of replaced/deleted roots are removed by `_dlt_root_id`,
+  * children of inserted roots come from staging. Statements are ordered
+  * children-first on delete, root-first on insert — same non-atomicity
+  * across tables as the reference, bounded by idempotent deterministic ids.
+  */
+object MergeChain {
+
+  def deleteInsert(store: TableStore, chain: TableChain, cfg: MergeConfig,
+                   loadId: String): Unit = {
+    val ks = (cfg.primaryKey ++ cfg.mergeKey).distinct
+    val destRoot = store.readOption(chain.root)
+    val stagedRoot = chain.rootStaging.withColumn(Ids.DltLoadId, lit(loadId))
+
+    // root ids whose rows are being replaced or hard-deleted
+    val replacedRootIds = destRoot match {
+      case None => None
+      case Some(d) =>
+        Some(d.join(stagedRoot.select(ks.map(col): _*).distinct(), ks, "left_semi")
+          .select(col(Ids.DltId).as(Ids.DltRootId)).distinct())
+    }
+    // root ids that are (re-)inserted — children of these come from staging
+    val insertedRoot = Merge.insertSet(stagedRoot, cfg)
+    val insertedRootIds = insertedRoot
+      .select(col(Ids.DltId).as(Ids.DltRootId)).distinct()
+
+    // children first on delete side, computed before committing the root
+    val childResults = chain.children.map { case (childTable, stagedChild) =>
+      val destChild = store.readOption(childTable)
+      val keptChild = (destChild, replacedRootIds) match {
+        case (None, _) => None
+        case (Some(dc), None) => Some(dc)
+        case (Some(dc), Some(ids)) => Some(dc.join(ids, Seq(Ids.DltRootId), "left_anti"))
+      }
+      val insertChild = stagedChild.join(insertedRootIds, Seq(Ids.DltRootId), "left_semi")
+      val result = keptChild match {
+        case None => insertChild
+        case Some(kc) => kc.unionByName(insertChild, allowMissingColumns = true)
+      }
+      childTable -> result
+    }
+
+    val rootResult = Merge.deleteInsert(destRoot, stagedRoot, cfg)
+
+    childResults.foreach { case (t, df) => store.overwrite(t, df) }
+    store.overwrite(chain.root, rootResult)
+  }
+}

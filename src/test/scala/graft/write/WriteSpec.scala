@@ -1,0 +1,166 @@
+package graft.write
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Merge-strategy matrix (FIXTURES.md §A3): initial load + overlapping
+  * second load → expected final table, per disposition. */
+class WriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newStore() =
+    new TableStore(Files.createTempDirectory("graft-store").toString, spark)
+
+  private def dispo(store: TableStore) = new Dispositions(store, spark)
+
+  private val load1 = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1))
+  private val load2 = Seq((2L, "b2", 2), (4L, "d", 2))
+
+  test("append accumulates rows and stamps _dlt_load_id") {
+    val store = newStore()
+    val d = dispo(store)
+    d.append("t", load1.toDF("id", "v", "ver"), "1")
+    d.append("t", load2.toDF("id", "v", "ver"), "2")
+    val out = store.read("t")
+    assert(out.count() == 5)
+    assert(out.select("_dlt_load_id").distinct().count() == 2)
+    assert(d.loadIds == Seq("1", "2"))
+  }
+
+  test("replace strategies all end with only the new load") {
+    for (s <- Seq(ReplaceStrategy.TruncateAndInsert, ReplaceStrategy.InsertFromStaging,
+      ReplaceStrategy.StagingOptimized)) {
+      val store = newStore()
+      val d = dispo(store)
+      d.replace("t", load1.toDF("id", "v", "ver"), "1", s)
+      d.replace("t", load2.toDF("id", "v", "ver"), "2", s)
+      val out = store.read("t")
+      assert(out.count() == 2, s"strategy $s")
+      assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L), s"strategy $s")
+    }
+  }
+
+  test("merge delete-insert replaces matching keys and inserts new ones") {
+    val store = newStore()
+    val d = dispo(store)
+    val cfg = MergeConfig(primaryKey = Seq("id"))
+    d.merge("t", load1.toDF("id", "v", "ver"), cfg, "1")
+    d.merge("t", load2.toDF("id", "v", "ver"), cfg, "2")
+    val out = store.read("t").orderBy("id")
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.filter($"id" === 2L).select("v").as[String].head() == "b2")
+  }
+
+  test("merge dedup keeps the highest dedup_sort row per key") {
+    val store = newStore()
+    val d = dispo(store)
+    val cfg = MergeConfig(primaryKey = Seq("id"), dedupSort = Some("ver"))
+    val staged = Seq((1L, "old", 1), (1L, "new", 9), (2L, "x", 1)).toDF("id", "v", "ver")
+    d.merge("t", staged, cfg, "1")
+    val out = store.read("t").orderBy("id")
+    assert(out.count() == 2)
+    assert(out.filter($"id" === 1L).select("v").as[String].head() == "new")
+  }
+
+  test("merge hard_delete removes keys instead of inserting") {
+    val store = newStore()
+    val d = dispo(store)
+    val cfg = MergeConfig(primaryKey = Seq("id"), hardDeleteColumn = Some("deleted"))
+    d.merge("t", Seq((1L, "a", false), (2L, "b", false)).toDF("id", "v", "deleted"), cfg, "1")
+    d.merge("t", Seq((1L, "gone", true), (3L, "c", false)).toDF("id", "v", "deleted"), cfg, "2")
+    val out = store.read("t")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    assert(!out.columns.contains("deleted"))
+  }
+
+  test("merge upsert replaces matched and inserts unmatched") {
+    val store = newStore()
+    val d = dispo(store)
+    val cfg = MergeConfig(primaryKey = Seq("id"))
+    d.merge("t", load1.toDF("id", "v", "ver"), cfg, "1", MergeStrategy.Upsert)
+    d.merge("t", load2.toDF("id", "v", "ver"), cfg, "2", MergeStrategy.Upsert)
+    val out = store.read("t")
+    assert(out.count() == 4)
+    assert(out.filter($"id" === 2L).select("v").as[String].head() == "b2")
+  }
+
+  test("merge insert-only never updates existing keys") {
+    val store = newStore()
+    val d = dispo(store)
+    val cfg = MergeConfig(primaryKey = Seq("id"))
+    d.merge("t", load1.toDF("id", "v", "ver"), cfg, "1", MergeStrategy.InsertOnly)
+    d.merge("t", load2.toDF("id", "v", "ver"), cfg, "2", MergeStrategy.InsertOnly)
+    val out = store.read("t")
+    assert(out.count() == 4)
+    assert(out.filter($"id" === 2L).select("v").as[String].head() == "b") // unchanged
+  }
+
+  test("scd2 retires changed rows and keeps history") {
+    val store = newStore()
+    val d = dispo(store)
+    val cfg = Scd2Config(trackedColumns = Seq("id", "v"), boundaryTs = "2024-01-01 00:00:00")
+    d.scd2("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), cfg, "1")
+    // second load: id=2 changed, id=1 unchanged, id=3 new
+    d.scd2("t", Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "v"),
+      cfg.copy(boundaryTs = "2024-06-01 00:00:00"), "2")
+    val out = store.read("t")
+    assert(out.count() == 4) // a-active, b-retired, B-active, c-active
+    val active = out.filter(col("_dlt_valid_to").isNull)
+    assert(active.count() == 3)
+    val retired = out.filter(col("_dlt_valid_to").isNotNull)
+    assert(retired.select("v").as[String].head() == "b")
+    assert(retired.select(date_format(col("_dlt_valid_to"),
+      "yyyy-MM-dd").as("d")).as[String].head() == "2024-06-01")
+    // unchanged row keeps original valid_from
+    assert(active.filter($"id" === 1L)
+      .select(date_format(col("_dlt_valid_from"), "yyyy-MM-dd").as("d"))
+      .as[String].head() == "2024-01-01")
+  }
+
+  test("scd2 with merge key only retires partitions present in staging") {
+    val store = newStore()
+    val d = dispo(store)
+    val cfg = Scd2Config(trackedColumns = Seq("id", "part", "v"),
+      boundaryTs = "2024-01-01 00:00:00", mergeKey = Seq("part"))
+    d.scd2("t", Seq((1L, "p1", "a"), (2L, "p2", "b")).toDF("id", "part", "v"), cfg, "1")
+    // second load only covers partition p1; p2 must stay active though absent
+    d.scd2("t", Seq((1L, "p1", "a2")).toDF("id", "part", "v"),
+      cfg.copy(boundaryTs = "2024-06-01 00:00:00"), "2")
+    val out = store.read("t")
+    val active = out.filter(col("_dlt_valid_to").isNull)
+    assert(active.filter($"part" === "p2").count() == 1)
+    assert(active.filter($"part" === "p1").select("v").as[String].head() == "a2")
+    assert(out.filter(col("_dlt_valid_to").isNotNull).count() == 1)
+  }
+
+  test("nested chain merge cascades deletes and inserts to children") {
+    val store = newStore()
+    val cfg = MergeConfig(primaryKey = Seq("k"))
+
+    def mkChain(rows: Seq[(String, String, Seq[Int])], loadId: String): TableChain = {
+      import graft.normalize.{NormalizeConfig, Normalizer, RootIdType}
+      val df = rows.toDF("k", "v", "items")
+      val tables = Normalizer.normalize(df, "root",
+        NormalizeConfig(loadId = loadId, rootIdType = RootIdType.KeyHash(Seq("k")),
+          propagate = Map("_dlt_id" -> "_dlt_root_id")))
+      TableChain("root", tables("root"), Map("root__items" -> tables("root__items")))
+    }
+
+    MergeChain.deleteInsert(store, mkChain(Seq(
+      ("a", "v1", Seq(1, 2)), ("b", "v1", Seq(3))), "1"), cfg, "1")
+    assert(store.read("root").count() == 2)
+    assert(store.read("root__items").count() == 3)
+
+    // replace a (now 3 items), keep b, add c (1 item)
+    MergeChain.deleteInsert(store, mkChain(Seq(
+      ("a", "v2", Seq(7, 8, 9)), ("c", "v1", Seq(5))), "2"), cfg, "2")
+    val root = store.read("root")
+    assert(root.count() == 3)
+    assert(root.filter($"k" === "a").select("v").as[String].head() == "v2")
+    val items = store.read("root__items")
+    assert(items.count() == 5) // 3 (a) + 1 (b) + 1 (c)
+    assert(items.select("value").as[Long].collect().sorted.toSeq == Seq(3L, 5L, 7L, 8L, 9L))
+  }
+}
