@@ -17,7 +17,8 @@ object SparkEntry {
   private val packs: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (RelationalQueries.defs, RelationalQueries.oracles),
     (NormalizeQueries.defs, NormalizeQueries.oracles),
-    (MergeQueries.defs, MergeQueries.oracles)
+    (MergeQueries.defs, MergeQueries.oracles),
+    (PlaneQueries.defs, PlaneQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

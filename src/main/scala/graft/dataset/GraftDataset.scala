@@ -1,0 +1,168 @@
+package graft.dataset
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.normalize.Ids
+import graft.schema.{Naming, SchemaRegistry, TableReference}
+import graft.write.TableStore
+
+/** The dataset/query plane (reference dlt.Dataset/dlt.Relation,
+  * dlt/dataset/dataset.py + relation.py; SURVEY.md §2.6).
+  *
+  * dlt compiles these operators to SQL via sqlglot and ships them to a
+  * destination engine; here the Relation IS a lazy DataFrame and Catalyst
+  * is the destination engine, so every method is thin delegation. The one
+  * piece of real logic is reference-chain resolution for `join`
+  * (dlt/dataset/_join.py:17-386): join conditions are derived from schema
+  * references, parent/child `_dlt_parent_id` chains, and `_dlt_root_id`
+  * chains, with joined columns prefixed `alias__col`.
+  */
+final class GraftDataset(val store: TableStore, val registry: SchemaRegistry,
+                         val spark: SparkSession) {
+
+  def table(name: String): Relation = {
+    val norm = Naming.normalizeTableName(name)
+    new Relation(store.read(norm), norm, this)
+  }
+  def apply(name: String): Relation = table(name)
+
+  /** Raw SQL passthrough (reference dataset.query, dataset.py:228-262):
+    * every stored table is exposed as a temp view. */
+  def query(sql: String): DataFrame = {
+    store.tables.foreach(t => store.read(t).createOrReplaceTempView(t))
+    spark.sql(sql)
+  }
+
+  /** UNION ALL of per-table counts (dataset.py:305-360). */
+  def rowCounts(loadId: Option[String] = None): DataFrame =
+    store.tables.filterNot(_.startsWith("_dlt"))
+      .map { t =>
+        val df = store.read(t)
+        val filtered = loadId match {
+          case Some(id) if df.columns.contains(Ids.DltLoadId) =>
+            df.filter(col(Ids.DltLoadId) === id)
+          case _ => df
+        }
+        filtered.agg(count(lit(1)).as("row_count"))
+          .withColumn("table_name", lit(t)).select("table_name", "row_count")
+      }
+      .reduce(_ unionAll _)
+
+  def loadIds: Seq[String] = store.readOption("_dlt_loads") match {
+    case None => Nil
+    case Some(df) =>
+      df.select("load_id").distinct().collect().map(_.getString(0)).sorted.toSeq
+  }
+  def latestLoadId: Option[String] = loadIds.lastOption
+}
+
+/** Lazy composable query over one table (reference Relation,
+  * dlt/dataset/relation.py:66+). */
+final class Relation(private val frame: DataFrame, val tableName: String,
+                     dataset: GraftDataset) {
+
+  private def wrap(d: DataFrame) = new Relation(d, tableName, dataset)
+
+  def df(): DataFrame = frame
+
+  def select(cols: String*): Relation = wrap(frame.select(cols.map(col): _*))
+
+  /** Typed filter ops (reference op map, relation.py:51-60). */
+  def where(column: String, op: String, value: Any): Relation = {
+    val c = col(column)
+    val cond: Column = op match {
+      case "eq" => c === lit(value)
+      case "ne" => c =!= lit(value)
+      case "gt" => c > lit(value)
+      case "lt" => c < lit(value)
+      case "gte" => c >= lit(value)
+      case "lte" => c <= lit(value)
+      case "in" => c.isin(value.asInstanceOf[Seq[Any]]: _*)
+      case "not_in" => !c.isin(value.asInstanceOf[Seq[Any]]: _*)
+      case other => throw new IllegalArgumentException(s"unknown op $other")
+    }
+    wrap(frame.filter(cond))
+  }
+  def filter(column: String, op: String, value: Any): Relation = where(column, op, value)
+  def where(sqlExpr: String): Relation = wrap(frame.filter(sqlExpr))
+
+  def orderBy(column: String, asc: Boolean = true): Relation =
+    wrap(frame.orderBy(if (asc) col(column).asc else col(column).desc))
+  def limit(n: Int): Relation = wrap(frame.limit(n))
+  def head(n: Int = 5): Array[org.apache.spark.sql.Row] = frame.head(n)
+
+  def maxOf(column: String): DataFrame = frame.agg(max(col(column)).as(column))
+  def minOf(column: String): DataFrame = frame.agg(min(col(column)).as(column))
+
+  /** Reference-driven join (relation.py:361-440, _join.py): the ON clause
+    * comes from the schema registry — declared references first, then the
+    * parent/child `_dlt_parent_id` chain, then the `_dlt_root_id` chain.
+    * Joined columns are prefixed `<alias>__<col>` (_join.py:268).
+    */
+  def join(other: String, kind: String = "inner", alias: Option[String] = None): Relation = {
+    val otherName = Naming.normalizeTableName(other)
+    val right = dataset.store.read(otherName)
+    val prefix = alias.getOrElse(otherName)
+    val prefixed = right.columns.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"${prefix}__$c"))
+
+    val cond = resolveCondition(otherName, prefix)
+    wrap(frame.join(prefixed, cond, kind))
+  }
+
+  private def resolveCondition(other: String, prefix: String): Column = {
+    val hints = dataset.registry.hints(tableName)
+    val otherHints = dataset.registry.hints(other)
+
+    def refCond(r: TableReference, flip: Boolean): Column =
+      r.columns.zip(r.referencedColumns).map { case (a, b) =>
+        if (flip) col(s"${prefix}__$a") === col(b)
+        else col(a) === col(s"${prefix}__$b")
+      }.reduce(_ && _)
+
+    hints.references.find(_.referencedTable == other).map(refCond(_, flip = false))
+      .orElse(otherHints.references.find(_.referencedTable == tableName)
+        .map(refCond(_, flip = true)))
+      .orElse {
+        // parent/child chain: child carries _dlt_parent_id
+        if (otherHints.parent.contains(tableName))
+          Some(col(Ids.DltId) === col(s"${prefix}__${Ids.DltParentId}"))
+        else if (hints.parent.contains(other))
+          Some(col(Ids.DltParentId) === col(s"${prefix}__${Ids.DltId}"))
+        else None
+      }
+      .orElse {
+        // root chain via propagated _dlt_root_id
+        val leftHasRoot = frame.columns.contains(Ids.DltRootId)
+        val rightHasRoot = dataset.store.read(other).columns.contains(Ids.DltRootId)
+        if (rightHasRoot && frame.columns.contains(Ids.DltId))
+          Some(col(Ids.DltId) === col(s"${prefix}__${Ids.DltRootId}"))
+        else if (leftHasRoot && rightHasRoot)
+          Some(col(Ids.DltRootId) === col(s"${prefix}__${Ids.DltRootId}"))
+        else None
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no reference chain between $tableName and $other — declare a TableReference"))
+  }
+
+  /** Root-chain provenance: fetch `_dlt_load_id` from the root table by
+    * walking parent links (reference relation.py:590-619). */
+  def withLoadIdCol(): Relation =
+    if (frame.columns.contains(Ids.DltLoadId)) this
+    else {
+      val hints = dataset.registry.hints(tableName)
+      val parent = hints.parent.getOrElse(throw new IllegalArgumentException(
+        s"$tableName has no _dlt_load_id and no parent chain"))
+      val root = new Relation(dataset.store.read(parent), parent, dataset).withLoadIdCol()
+      val r = root.df().select(col(Ids.DltId).as("__root_id"), col(Ids.DltLoadId))
+      wrap(frame.join(r, col(Ids.DltParentId) === col("__root_id"), "left")
+        .drop("__root_id"))
+    }
+
+  /** Filter to specific load packages (relation.py:621-647). */
+  def fromLoads(loadIds: Seq[String]): Relation = {
+    val withLid = withLoadIdCol()
+    wrap(withLid.df().filter(col(Ids.DltLoadId).isin(loadIds: _*)))
+  }
+}

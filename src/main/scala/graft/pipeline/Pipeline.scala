@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.dataset.GraftDataset
+import graft.incremental.{Incremental, StateStore}
+import graft.normalize.{NormalizeConfig, Normalizer, RootIdType}
+import graft.schema.{Contracts, Naming, SchemaRegistry, TableHints}
+import graft.write._
+
+/** A named, lazily-evaluated stream of data with table hints attached
+  * (reference DltResource, dlt/extract/resource.py:100+). The per-item
+  * transforms (dlt/extract/items_transform.py; SURVEY.md §2.3) map onto
+  * lazy DataFrame combinators — Spark's parallelism replaces the
+  * reference's pipe scheduler/FuturesPool entirely. */
+final case class Resource(
+    name: String,
+    frame: DataFrame,
+    hints: TableHints = TableHints(),
+    mergeConfig: MergeConfig = MergeConfig(),
+    scd2Config: Option[Scd2Config] = None,
+    replaceStrategy: ReplaceStrategy = ReplaceStrategy.TruncateAndInsert,
+    contract: Contracts.Contract = Contracts.Contract(),
+    incremental: Option[Incremental.Config] = None,
+    maxNesting: Int = 1000,
+    propagateRootKey: Boolean = false) {
+
+  /** MapItem (items_transform.py:103-122) — 1→1 transform. */
+  def addMap(f: DataFrame => DataFrame): Resource = copy(frame = f(frame))
+  /** FilterItem (items_transform.py:77-100). */
+  def addFilter(cond: Column): Resource = copy(frame = frame.filter(cond))
+  /** YieldMapItem (items_transform.py:125-145) — 1→N. */
+  def addYieldMap(f: DataFrame => DataFrame): Resource = copy(frame = f(frame))
+  /** LimitItem (items_transform.py:174-239). */
+  def addLimit(n: Int): Resource = copy(frame = frame.limit(n))
+
+  def withHints(h: TableHints): Resource = copy(hints = h)
+  def withMerge(cfg: MergeConfig, disposition: String = "merge"): Resource =
+    copy(mergeConfig = cfg, hints = hints.copy(writeDisposition = disposition,
+      primaryKey = cfg.primaryKey, mergeKey = cfg.mergeKey))
+  def withIncremental(cfg: Incremental.Config): Resource = copy(incremental = Some(cfg))
+}
+
+/** The pipeline orchestrator (reference pipeline.run = extract +
+  * normalize + load, dlt/pipeline/pipeline.py:639; SURVEY.md §3.1).
+  *
+  * The reference's three stages — generator extraction to disk files, a
+  * process-pool normalizer, a thread-pool loader — collapse into ONE lazy
+  * Spark plan per table: source scan → incremental window → normalize
+  * transforms → contract check → disposition commit. Catalyst owns
+  * chunking/parallelism; the load-package bookkeeping survives as
+  * `_dlt_load_id` + the `_dlt_loads` table.
+  */
+final class Pipeline(val name: String, val root: String, val spark: SparkSession) {
+
+  val store = new TableStore(root, spark)
+  val registry = new SchemaRegistry(name)
+  val states = new StateStore(s"$root/_state")
+  private val dispositions = new Dispositions(store, spark)
+
+  def dataset: GraftDataset = new GraftDataset(store, registry, spark)
+
+  def newLoadId(): String = dispositions.newLoadId()
+
+  /** Run one load package over the given resources. Returns per-resource
+    * row table names written. */
+  def run(resources: Seq[Resource], loadId: String): Map[String, Seq[String]] =
+    resources.map(r => r.name -> runOne(r, loadId)).toMap
+
+  private def runOne(r: Resource, loadId: String): Seq[String] = {
+    val tableName = Naming.normalizeTableName(r.name)
+
+    // incremental window + boundary dedup
+    val (frame, newState) = r.incremental match {
+      case None => (r.frame, None)
+      case Some(cfg) =>
+        val st = states.load(name, s"$tableName/${cfg.cursorColumn}")
+        val filtered = Incremental(r.frame, cfg, st)
+        (filtered, Some(cfg -> st))
+    }
+
+    // normalize: flatten + child tables + ids
+    val rootIdType = r.hints.writeDisposition match {
+      case "merge" if r.scd2Config.isDefined => RootIdType.RowHash
+      case "merge" if r.hints.primaryKey.nonEmpty => RootIdType.KeyHash(r.hints.primaryKey)
+      case _ => RootIdType.Random
+    }
+    val propagate =
+      if (r.propagateRootKey || r.hints.writeDisposition == "merge")
+        Map("_dlt_id" -> "_dlt_root_id")
+      else Map.empty[String, String]
+    val tables = Normalizer.normalize(frame, tableName,
+      NormalizeConfig(loadId, r.maxNesting, rootIdType, propagate))
+
+    // contract enforcement against what's already stored
+    val enforced = tables.map { case (t, df) =>
+      val gated = store.readOption(t) match {
+        case Some(existing) => Contracts.enforce(df, existing.schema, r.contract)
+        case None =>
+          if (!Contracts.allowNewTable(t, exists = false, r.contract)) null else df
+      }
+      t -> gated
+    }.filter(_._2 != null)
+
+    // load by disposition; child tables follow the chain on merge
+    val rootDf = enforced(tableName)
+    r.hints.writeDisposition match {
+      case "append" =>
+        enforced.foreach { case (t, df) => store.append(t, df) }
+        dispositions.recordLoad(loadId, name)
+      case "replace" =>
+        enforced.foreach { case (t, df) =>
+          dispositions.replace(t, df, loadId, r.replaceStrategy)
+        }
+      case "merge" if r.scd2Config.isDefined =>
+        dispositions.scd2(tableName, rootDf, r.scd2Config.get, loadId)
+      case "merge" =>
+        val children = enforced - tableName
+        if (children.isEmpty)
+          dispositions.merge(tableName, rootDf, r.mergeConfig, loadId)
+        else
+          MergeChain.deleteInsert(store, TableChain(tableName, rootDf, children),
+            r.mergeConfig, loadId)
+      case "skip" => ()
+      case other => throw new IllegalArgumentException(s"unknown disposition $other")
+    }
+
+    // register evolved schemas + advance incremental state
+    enforced.foreach { case (t, df) =>
+      registry.evolve(t, df.schema)
+      if (t == tableName) registry.register(t, registry.get(t).get._1, r.hints)
+    }
+    newState.foreach { case (cfg, st) =>
+      states.save(name, s"$tableName/${cfg.cursorColumn}",
+        Incremental.advance(frame, cfg, st))
+    }
+    enforced.keys.toSeq.sorted
+  }
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.incremental.Incremental
+import graft.pipeline.{Pipeline, Resource}
+import graft.schema.{TableHints, TableReference}
+import graft.sources.{Filesystem, Rest}
+
+/** Incremental plane (SURVEY.md §2.7), dataset/relation plane (§2.6 facade)
+  * and sources (§2.1) demonstrated end-to-end with DuckDB oracles.
+  */
+object PlaneQueries {
+
+  val defs: Map[String, Q] = Map(
+    // exactly-once across two overlapping incremental runs: the boundary
+    // row is re-delivered in batch 2 and dropped by fingerprint dedup
+    "inc_exactly_once" -> q { c =>
+      val p = new Pipeline("inc", Files.createTempDirectory("graft-inc").toString, c.spark)
+      val events = c.t("events").select("event_id", "user_id", "event_type")
+      val mid = events.agg((max(col("event_id")) / 2).cast("long")).head().getLong(0)
+      val cfg = Incremental.Config(cursorColumn = "event_id", primaryKey = Seq("event_id"))
+      def res(f: org.apache.spark.sql.Column) =
+        Resource("ev", events.filter(f)).withIncremental(cfg)
+      p.run(Seq(res(col("event_id") <= mid)), "1")
+      p.run(Seq(res(col("event_id") >= mid)), "2") // overlap at `mid`
+      p.store.read("ev").select("event_id", "user_id", "event_type").orderBy("event_id")
+    },
+
+    // relation facade: typed filter ops + select + order + limit
+    "ds_relation_ops" -> q { c =>
+      val p = new Pipeline("ds", Files.createTempDirectory("graft-ds").toString, c.spark)
+      p.run(Seq(Resource("documents", c.t("documents"))), "1")
+      p.dataset.table("documents")
+        .where("lang", "eq", "en")
+        .where("n_chars", "gte", 100)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+        .limit(100)
+        .df()
+    },
+
+    // reference-driven join: ON clause derived from the schema registry
+    "ds_reference_join" -> q { c =>
+      val p = new Pipeline("dj", Files.createTempDirectory("graft-dj").toString, c.spark)
+      p.run(Seq(Resource("customer", c.t("customer")),
+        Resource("nation", c.t("nation"))), "1")
+      p.registry.register("customer", p.store.read("customer").schema,
+        TableHints(references = Seq(
+          TableReference(Seq("c_nationkey"), "nation", Seq("n_nationkey")))))
+      p.dataset.table("customer")
+        .join("nation")
+        .select("c_custkey", "nation__n_name")
+        .orderBy("c_custkey")
+        .df()
+    },
+
+    // filesystem source: csv write + distributed read with provenance
+    "src_csv_roundtrip" -> q { c =>
+      val dir = Files.createTempDirectory("graft-csv").toString
+      c.t("region").write.option("header", "true").csv(s"$dir/region")
+      Filesystem.readCsv(c.spark, s"$dir/region")
+        .select("r_regionkey", "r_name").orderBy("r_regionkey")
+    },
+
+    // declarative REST source: offset paginator over a deterministic fake
+    // transport (zero-egress env) — pagination logic runs for real
+    "src_rest_pages" -> q { c =>
+      val transport: Rest.Transport = url => {
+        val offset = url.split("offset=").lift(1)
+          .map(_.takeWhile(_.isDigit).toInt).getOrElse(0)
+        val items = (offset until math.min(offset + 2, 5))
+          .map(i => s"""{"id":$i,"name":"item_$i"}""").mkString(",")
+        Rest.Response(s"""{"data":[$items]}""")
+      }
+      val count = (body: String) => "\"id\":".r.findAllIn(body).length
+      Rest.read(c.spark, "http://api/items?offset=0", transport,
+        Rest.Offset(limit = 2, itemCount = count), itemsPath = Some("data"))
+        .orderBy("id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "inc_exactly_once" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "ds_relation_ops" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars >= 100
+        |ORDER BY doc_id LIMIT 100""".stripMargin,
+    "ds_reference_join" ->
+      """SELECT c_custkey, n_name AS nation__n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+    "src_csv_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "src_rest_pages" ->
+      """SELECT CAST(id AS BIGINT) AS id, name FROM (VALUES (0, 'item_0'),
+        |  (1, 'item_1'), (2, 'item_2'), (3, 'item_3'), (4, 'item_4'))
+        |  AS t(id, name) ORDER BY id""".stripMargin
+  )
+}

@@ -48,6 +48,13 @@ object Naming {
   def shortenFragments(fragments: Seq[String], maxLength: Int = 127): String =
     shorten(fragments.mkString(PathSeparator), fragments.mkString(PathSeparator), maxLength)
 
+  /** Normalize a table name that may already contain `__` path separators:
+    * each fragment normalizes independently so the separator survives
+    * (plain normalizeIdentifier would collapse it). */
+  def normalizeTableName(name: String, maxLength: Int = 127): String =
+    shortenFragments(name.split(PathSeparator, -1).toSeq
+      .map(normalizeIdentifier(_, maxLength)), maxLength)
+
   /** Normalize a raw nested path: normalize each fragment, join with `__`. */
   def normalizePath(path: Seq[String], maxLength: Int = 127): String =
     shortenFragments(path.map(normalizeIdentifier(_, maxLength)), maxLength)

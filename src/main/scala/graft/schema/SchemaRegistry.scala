@@ -40,14 +40,14 @@ final class SchemaRegistry(val name: String) {
 
   def register(table: String, schema: StructType,
                hints: TableHints = TableHints()): Unit = synchronized {
-    val norm = Naming.normalizeIdentifier(table)
+    val norm = Naming.normalizeTableName(table)
     val old = versionHash
     tables = tables.updated(norm, (schema, hints))
     if (!previousHashes.headOption.contains(old)) previousHashes = old :: previousHashes
   }
 
   def get(table: String): Option[(StructType, TableHints)] =
-    tables.get(Naming.normalizeIdentifier(table))
+    tables.get(Naming.normalizeTableName(table))
   def tableNames: Seq[String] = tables.keys.toSeq
   def hints(table: String): TableHints =
     get(table).map(_._2).getOrElse(TableHints())
@@ -67,7 +67,7 @@ final class SchemaRegistry(val name: String) {
   /** Merge an incoming table schema (evolution): union of columns, existing
     * types win (variant/coercion happens upstream). Returns merged schema. */
   def evolve(table: String, incoming: StructType): StructType = synchronized {
-    val norm = Naming.normalizeIdentifier(table)
+    val norm = Naming.normalizeTableName(table)
     val merged = tables.get(norm) match {
       case None => incoming
       case Some((existing, _)) =>

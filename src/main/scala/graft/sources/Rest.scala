@@ -1,0 +1,124 @@
+package graft.sources
+
+import scala.annotation.tailrec
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Declarative REST source (reference dlt/sources/rest_api/__init__.py,
+  * config_setup.py:73-85 paginators, :87+ auth, :302-383 endpoint
+  * dependency graph).
+  *
+  * There is no Spark-native REST scan; like the reference, pagination is a
+  * driver-side loop producing batches that become distributed frames
+  * (`spark.read.json` over the collected pages). The HTTP transport is a
+  * pluggable function so the client logic is testable in a zero-egress
+  * environment and swappable for a real transport in production.
+  */
+object Rest {
+
+  /** One page fetch: URL → (body, headers). */
+  type Transport = String => Response
+  final case class Response(body: String, headers: Map[String, String] = Map.empty,
+                            status: Int = 200)
+
+  /** Paginator strategies (reference config_setup.py:73-85). Each derives
+    * the next URL from the last request, or None to stop. */
+  sealed trait Paginator {
+    def next(url: String, resp: Response, pageIndex: Int): Option[String]
+  }
+  /** single_page: no pagination. */
+  case object SinglePage extends Paginator {
+    def next(url: String, resp: Response, pageIndex: Int): Option[String] = None
+  }
+  /** offset: `?offset=N&limit=L` until a short/empty page. */
+  final case class Offset(limit: Int, param: String = "offset",
+                          itemCount: String => Int) extends Paginator {
+    def next(url: String, resp: Response, pageIndex: Int): Option[String] =
+      if (itemCount(resp.body) < limit) None
+      else Some(setParam(url, param, ((pageIndex + 1) * limit).toString))
+  }
+  /** page_number: `?page=N` until an empty page. */
+  final case class PageNumber(param: String = "page",
+                              itemCount: String => Int) extends Paginator {
+    def next(url: String, resp: Response, pageIndex: Int): Option[String] =
+      if (itemCount(resp.body) == 0) None
+      else Some(setParam(url, param, (pageIndex + 2).toString))
+  }
+  /** header_link: RFC5988 `Link: <url>; rel="next"`. */
+  case object HeaderLink extends Paginator {
+    private val LinkNext = """<([^>]+)>;\s*rel="next"""".r
+    def next(url: String, resp: Response, pageIndex: Int): Option[String] =
+      resp.headers.get("Link").flatMap(l => LinkNext.findFirstMatchIn(l).map(_.group(1)))
+  }
+  /** json_link / cursor: extract the next URL or cursor token from the body
+    * with a caller-provided extractor (reference json_link/header_cursor). */
+  final case class JsonLink(extract: String => Option[String]) extends Paginator {
+    def next(url: String, resp: Response, pageIndex: Int): Option[String] =
+      extract(resp.body)
+  }
+
+  private def setParam(url: String, key: String, value: String): String = {
+    val (base, q) = url.span(_ != '?')
+    val params = if (q.isEmpty) Map.empty[String, String]
+    else q.drop(1).split("&").filter(_.nonEmpty)
+      .map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+    val updated = params.updated(key, value)
+    base + "?" + updated.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("&")
+  }
+
+  /** Fetch all pages (driver-side, bounded by `maxPages`). */
+  def fetchPages(startUrl: String, transport: Transport, paginator: Paginator,
+                 maxPages: Int = 10000): Seq[String] = {
+    @tailrec
+    def loop(url: String, idx: Int, acc: Vector[String]): Vector[String] = {
+      val resp = transport(url)
+      val pages = acc :+ resp.body
+      if (idx + 1 >= maxPages) pages
+      else paginator.next(url, resp, idx) match {
+        case Some(nextUrl) => loop(nextUrl, idx + 1, pages)
+        case None => pages
+      }
+    }
+    loop(startUrl, 0, Vector.empty)
+  }
+
+  /** Endpoint → DataFrame: pages are parsed as JSON arrays/objects with
+    * distributed inference. `itemsPath` selects the array inside each page
+    * body (e.g. "data"). */
+  def read(spark: SparkSession, startUrl: String, transport: Transport,
+           paginator: Paginator, itemsPath: Option[String] = None,
+           maxPages: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val pages = fetchPages(startUrl, transport, paginator, maxPages)
+    val raw = spark.read.json(spark.createDataset(pages))
+    itemsPath match {
+      case Some(p) =>
+        val exploded = raw.select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.col(p)).as("__item"))
+        exploded.select("__item.*")
+      case None => raw
+    }
+  }
+
+  /** Child endpoint resolved per parent item (reference resolved path
+    * params, config_setup.py:302-383): for each distinct value of
+    * `parentKey` in `parent`, fetch `urlTemplate` with `{id}` substituted.
+    * The fan-out loop is driver-side (like the reference); each child page
+    * set lands in one distributed frame. */
+  def readChild(spark: SparkSession, parent: DataFrame, parentKey: String,
+                urlTemplate: String, transport: Transport, paginator: Paginator,
+                itemsPath: Option[String] = None, maxPages: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val ids = parent.select(parentKey).distinct().collect().map(_.get(0).toString)
+    val pages = ids.toSeq.flatMap { id =>
+      fetchPages(urlTemplate.replace("{id}", id), transport, paginator, maxPages)
+    }
+    spark.read.json(spark.createDataset(pages)) match {
+      case raw if itemsPath.isDefined =>
+        raw.select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.col(itemsPath.get)).as("__item"))
+          .select("__item.*")
+      case raw => raw
+    }
+  }
+}

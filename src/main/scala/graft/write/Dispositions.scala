@@ -85,8 +85,8 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
     else df.withColumn(Ids.DltLoadId, lit(loadId))
 
   /** `_dlt_loads` system table (reference typing.py:40, load.py:605-624). */
-  private def recordLoad(loadId: String, schemaName: String = "graft",
-                         versionHash: String = ""): Unit = {
+  def recordLoad(loadId: String, schemaName: String = "graft",
+                 versionHash: String = ""): Unit = {
     import spark.implicits._
     val row = Seq((loadId, schemaName, 0, java.time.Instant.now().toString, versionHash))
       .toDF("load_id", "schema_name", "status", "inserted_at", "schema_version_hash")

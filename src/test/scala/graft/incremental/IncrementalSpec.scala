@@ -1,0 +1,78 @@
+package graft.incremental
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cursor cases from FIXTURES.md §A4 (reference tests/extract/
+  * test_incremental.py / test_lag.py). */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+  import Incremental._
+
+  private val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"), (3L, "d"), (4L, "e"))
+
+  test("first run takes everything and state advances to max") {
+    val df = rows.toDF("cur", "v")
+    val cfg = Config(cursorColumn = "cur", primaryKey = Seq("v"))
+    val out = Incremental(df, cfg, State.empty)
+    assert(out.count() == 5)
+    val st = advance(out, cfg, State.empty)
+    assert(st.lastValue.contains("4"))
+    assert(st.boundaryHashes.length == 1) // only row e sits on the boundary
+  }
+
+  test("boundary dedup drops re-delivered boundary rows, keeps new ones") {
+    val cfg = Config(cursorColumn = "cur", primaryKey = Seq("v"))
+    val st1 = advance(Seq((3L, "c"), (3L, "d")).toDF("cur", "v"), cfg, State.empty)
+    assert(st1.lastValue.contains("3") && st1.boundaryHashes.length == 2)
+    // next batch re-delivers c and d at the boundary plus new rows
+    val batch2 = Seq((3L, "c"), (3L, "d"), (3L, "new_at_boundary"), (4L, "e")).toDF("cur", "v")
+    val out = Incremental(batch2, cfg, st1)
+    assert(out.select("v").as[String].collect().sorted.toSeq == Seq("e", "new_at_boundary"))
+  }
+
+  test("min cursor goes backwards") {
+    val cfg = Config(cursorColumn = "cur", lastValueFunc = MinFunc, primaryKey = Seq("v"))
+    val st = State(Some("3"), Nil)
+    val out = Incremental(rows.toDF("cur", "v"), cfg, st)
+    assert(out.select("cur").as[Long].collect().forall(_ <= 3))
+  }
+
+  test("end_value backfill window does not advance state") {
+    val cfg = Config(cursorColumn = "cur", initialValue = Some("2"),
+      endValue = Some("4"), primaryKey = Seq("v"))
+    val out = Incremental(rows.toDF("cur", "v"), cfg, State.empty)
+    assert(out.select("cur").as[Long].collect().forall(c => c >= 2 && c < 4))
+    assert(advance(out, cfg, State.empty) == State.empty)
+  }
+
+  test("lag reopens the window") {
+    val cfg = Config(cursorColumn = "cur", lag = Some(2.0), primaryKey = Seq("v"))
+    val out = Incremental(rows.toDF("cur", "v"), cfg, State(Some("4"), Nil))
+    // window reopens at 4-2=2 (closed start)
+    assert(out.select("cur").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 3L, 4L))
+  }
+
+  test("null cursor include/exclude") {
+    val df = Seq((Some(1L), "a"), (None, "n"), (Some(2L), "b")).toDF("cur", "v")
+    val inc = Config(cursorColumn = "cur", onMissing = Include, primaryKey = Seq("v"))
+    assert(Incremental(df, inc, State.empty).count() == 3)
+    val exc = inc.copy(onMissing = Exclude)
+    assert(Incremental(df, exc, State.empty).count() == 2)
+  }
+
+  test("state store round-trips") {
+    val store = new StateStore(Files.createTempDirectory("graft-state").toString)
+    val st = State(Some("2024-01-01 00:00:00"), Seq("h1", "h2"))
+    store.save("p", "events/ts", st)
+    store.save("p", "orders/id", State(Some("9"), Nil))
+    assert(store.load("p", "events/ts") == st)
+    assert(store.load("p", "orders/id").lastValue.contains("9"))
+    assert(store.load("p", "missing") == State.empty)
+    // overwrite
+    store.save("p", "events/ts", State(Some("x"), Nil))
+    assert(store.load("p", "events/ts").lastValue.contains("x"))
+  }
+}

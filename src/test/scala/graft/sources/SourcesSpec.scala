@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.incremental.Incremental
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("filesystem: csv reader round-trips with provenance") {
+    val dir = Files.createTempDirectory("graft-fs").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.option("header", "true").csv(s"$dir/csv")
+    val back = Filesystem.readCsv(spark, s"$dir/csv")
+    assert(back.count() == 2)
+    assert(back.columns.contains("_file_name"))
+    assert(back.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("filesystem: file listing returns FileItem metadata") {
+    val dir = Files.createTempDirectory("graft-fs2").toString
+    Seq(1, 2, 3).toDF("x").write.json(s"$dir/j")
+    val files = Filesystem.listFiles(spark, s"$dir/j/*.json")
+    assert(files.count() >= 1)
+    assert(files.columns.toSet ==
+      Set("file_url", "file_name", "modification_date", "size_in_bytes"))
+  }
+
+  test("jdbc: incremental window compiles to a pushdown WHERE clause") {
+    val cfg = Incremental.Config(cursorColumn = "updated_at",
+      initialValue = Some("2024-01-01"), endValue = Some("2024-06-01"))
+    val w = Jdbc.incrementalWhere(cfg, Incremental.State.empty)
+    assert(w.contains("updated_at >= '2024-01-01' AND updated_at < '2024-06-01'"))
+    val w2 = Jdbc.incrementalWhere(cfg.copy(endValue = None, closedStart = false),
+      Incremental.State(Some("2024-03-01"), Nil))
+    assert(w2.contains("updated_at > '2024-03-01'"))
+    val w3 = Jdbc.incrementalWhere(
+      cfg.copy(endValue = None, onMissing = Incremental.Include),
+      Incremental.State.empty)
+    assert(w3.contains("(updated_at >= '2024-01-01') OR updated_at IS NULL"))
+  }
+
+  test("rest: offset paginator walks pages until a short page") {
+    val transport: Rest.Transport = url => {
+      val offset = url.split("offset=").lift(1).map(_.takeWhile(_.isDigit).toInt).getOrElse(0)
+      val items = (offset until math.min(offset + 2, 5))
+        .map(i => s"""{"id":$i,"v":"r$i"}""").mkString(",")
+      Rest.Response(s"""{"data":[$items]}""")
+    }
+    val count = (body: String) => "\"id\":".r.findAllIn(body).length
+    val df = Rest.read(spark, "http://api/items?limit=2&offset=0", transport,
+      Rest.Offset(limit = 2, itemCount = count), itemsPath = Some("data"))
+    assert(df.count() == 5)
+    assert(df.select("id").as[Long].collect().sorted.toSeq == (0L to 4L))
+  }
+
+  test("rest: header_link paginator follows rel=next") {
+    val transport: Rest.Transport = {
+      case u if u.endsWith("p1") =>
+        Rest.Response("""[{"id":1}]""", Map("Link" -> """<http://api/p2>; rel="next""""))
+      case _ => Rest.Response("""[{"id":2}]""")
+    }
+    val df = Rest.read(spark, "http://api/p1", transport, Rest.HeaderLink)
+    assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("rest: child endpoint resolves path params per parent row") {
+    val parent = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val transport: Rest.Transport = url => {
+      val id = url.split("/").last
+      Rest.Response(s"""[{"parent":$id,"d":"c$id"}]""")
+    }
+    val df = Rest.readChild(spark, parent, "id", "http://api/items/{id}",
+      transport, Rest.SinglePage)
+    assert(df.count() == 2)
+    assert(df.select("parent").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+}
