@@ -18,7 +18,8 @@ object SparkEntry {
     (RelationalQueries.defs, RelationalQueries.oracles),
     (NormalizeQueries.defs, NormalizeQueries.oracles),
     (MergeQueries.defs, MergeQueries.oracles),
-    (PlaneQueries.defs, PlaneQueries.oracles)
+    (PlaneQueries.defs, PlaneQueries.oracles),
+    (ExtQueries.defs, ExtQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns as opaque `binary` payloads
+  * with typed metadata — the pattern for carrying media through a
+  * 100 TB training-data pipeline.
+  *
+  * The Spark-side plumbing is real: schemas, typed `Dataset` rows,
+  * `mapPartitions` batch shape (decoder state initialized once per
+  * partition, NOT per row), and frame-explosion plans. The codec itself
+  * is STUBBED with a deterministic fake (this container has no image /
+  * audio libraries): [[StubCodec.decode]] derives metadata purely from
+  * the payload bytes, so tests and oracles are exact. Swap `StubCodec`
+  * for a JNI/javacv decoder in production — nothing else changes.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + declared modality. */
+  final case class MediaItem(media_id: Long, modality: String, payload: Array[Byte])
+
+  /** Decoded (stub) metadata. For images width/height; for "video" a
+    * deterministic frame count; `n_bytes` is always the payload size. */
+  final case class MediaMeta(media_id: Long, modality: String,
+    n_bytes: Long, width: Int, height: Int, channels: Int, n_frames: Int)
+
+  /** Deterministic stand-in for the real decoder. Every field is a pure
+    * function of the payload bytes, mirrored exactly by the DuckDB
+    * oracle (octet_length arithmetic). */
+  object StubCodec {
+    def decode(item: MediaItem): MediaMeta = {
+      val n = item.payload.length.toLong
+      MediaMeta(item.media_id, item.modality, n,
+        width = (n % 640 + 1).toInt,
+        height = (n % 480 + 1).toInt,
+        channels = 3,
+        n_frames = (n / 32 + 1).toInt)
+    }
+  }
+
+  /** Wrap a text column as a fake media payload (UTF-8 bytes). Lets the
+    * test tables exercise the plumbing without real media files. */
+  def asMedia(docs: DataFrame, id: String, text: String,
+      modality: String = "image"): Dataset[MediaItem] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("media_id"),
+        lit(modality).as("modality"),
+        encode(col(text), "UTF-8").as("payload"))
+      .as[MediaItem]
+  }
+
+  /** Decode a media Dataset into typed metadata. `mapPartitions` so a
+    * real codec can amortize per-partition init (model load, native
+    * context) across the batch — the shape that matters at scale. */
+  def decodeMeta(media: Dataset[MediaItem]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here (once, not per row)
+      it.map(StubCodec.decode)
+    }
+  }
+
+  /** Resize plan: recompute target dims preserving aspect, payload
+    * untouched (a real impl would re-encode in the same mapPartitions).
+    * Pure column arithmetic over the decoded metadata. */
+  def resizePlan(meta: Dataset[MediaMeta], maxDim: Int): DataFrame =
+    meta.toDF().withColumn("scale",
+        least(lit(1.0), lit(maxDim) / greatest(col("width"), col("height"))))
+      .withColumn("out_width", greatest(floor(col("width") * col("scale")), lit(1)))
+      .withColumn("out_height", greatest(floor(col("height") * col("scale")), lit(1)))
+      .drop("scale")
+
+  /** Frame sampling for video payloads: one output row per sampled frame
+    * index (every `stride`-th frame). Explode happens on the metadata —
+    * the heavy payload column is dropped before the explode, so row
+    * multiplication never copies media bytes. */
+  def sampleFrames(meta: Dataset[MediaMeta], stride: Int): DataFrame =
+    meta.toDF()
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+}

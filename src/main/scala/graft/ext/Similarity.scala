@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]] — exact: broadcast the (small) query set against
+  *    the corpus; one scan, no shuffle of the corpus, window top-k per
+  *    query. The right plan whenever |queries| is driver-small, at any
+  *    corpus size.
+  *  - [[hyperplaneBuckets]] / [[lshTopK]] — approximate: random-hyperplane
+  *    LSH signatures bucket the corpus once (hash-shuffle on the bucket
+  *    key); a query only scans its own bucket(s). The scale path when the
+  *    query set itself is large: candidate generation becomes an
+  *    equi-join on (band, signature) exactly like [[Dedup]] banding.
+  *
+  * Hyperplanes are generated from a fixed seed → signatures are
+  * deterministic across runs, executors and retries.
+  */
+object Similarity {
+
+  /** `count` fixed random hyperplanes of dimension `dim`, seeded. */
+  def hyperplanes(dim: Int, count: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(count)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sign-bit signature of `vec` against the given hyperplanes, packed
+    * into a long (bit i set iff vec · plane_i > 0). Pure expressions →
+    * whole-stage codegen, evaluated in one corpus scan. */
+  def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(vec, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Corpus bucketed by LSH signature bands: one row per (vector, band).
+    * `bits` hyperplane bits split into `bands` bands; vectors sharing any
+    * band value are near-neighbour candidates. Materialize this once
+    * (e.g. bucketed/partitioned by (band, sig)) and reuse across queries. */
+  def hyperplaneBuckets(vecs: DataFrame, id: String, vec: String,
+      bits: Int = 16, bands: Int = 4, seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val width = bits / bands
+    val sig = hyperplaneSignature(col(vec), hyperplanes(dim, bits, seed))
+    vecs.select(col(id).as("_id"), col(vec).as("_vec"), sig.as("_sig"))
+      .select(col("_id"), col("_vec"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("_sig"), b * width)
+            .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Exact top-k: broadcast `queries` (must be driver-small), score the
+    * corpus in one pass, keep k best per query.
+    * Deterministic tie-break: (cosine desc, corpus id asc). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("q_vec")))
+    val scored = corpus.select(col(id).as("match_id"), col(vec).as("c_vec"))
+      .join(q, col("query_id") =!= col("match_id"))
+      .withColumn("cosine", Dedup.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("match_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("match_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Approximate top-k via LSH buckets: candidates = corpus vectors that
+    * share at least one signature band with the query; exact cosine
+    * re-rank on the candidates only. Same output schema as brute force;
+    * recall < 1 by construction (that is the trade). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      bits: Int = 16, bands: Int = 4, seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val cb = hyperplaneBuckets(corpus, id, vec, bits, bands, seed, dim)
+    val qb = hyperplaneBuckets(queries, id, vec, bits, bands, seed, dim)
+      .withColumnRenamed("_id", "query_id").withColumnRenamed("_vec", "q_vec")
+    val cand = qb.join(cb, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("_id"))
+      .select(col("query_id"), col("q_vec"),
+        col("_id").as("match_id"), col("_vec").as("c_vec"))
+      .dropDuplicates("query_id", "match_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("match_id"))
+    cand.withColumn("cosine", Dedup.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("match_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

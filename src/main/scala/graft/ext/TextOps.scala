@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for large-scale training-data pipelines.
+  *
+  * Everything here is a pure `Column` expression over a text column —
+  * no UDFs, so the whole pack stays inside whole-stage codegen and
+  * scales linearly with partitions (each document is independent; no
+  * shuffle is ever required by these kernels themselves).
+  *
+  * Reference inspiration: dlt has no text plane of its own (its scalar
+  * work is delegated to destination SQL, SURVEY.md §2.10); these kernels
+  * are the training-data extensions called for by the build plan §7.8.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a document. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish token count: alpha runs, digit runs and single punctuation
+    * marks each count as one token (a cheap, deterministic approximation
+    * of a byte-pair-encoding pre-tokenizer). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / length(text))
+
+  /** Number of tokens that are in `words` (duplicates counted). */
+  def wordHits(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, t)))
+  }
+
+  /** English stopword list used by the default quality heuristic. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this", "are")
+
+  /** Stopword-token ratio (0 for empty text). */
+  def stopwordRatio(text: Column, stops: Seq[String] = EnglishStopwords): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(wordHits(text, stops).cast("double") / tokenCount(text))
+
+  /** Mean token length in characters (0 for empty text). */
+  def meanTokenLen(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "\\s+", "")).cast("double") / tokenCount(text))
+
+  /** Composite document-quality score in [0,1]:
+    * 40% length signal (saturates at 50 tokens), 30% low-punctuation,
+    * 30% stopword presence (saturates at ratio 0.2). Deterministic
+    * double arithmetic, mirrored 1:1 by the DuckDB oracle. */
+  def qualityScore(text: Column): Column = round(
+    lit(0.4) * least(lit(1.0), tokenCount(text).cast("double") / 50.0) +
+      lit(0.3) * (lit(1.0) - punctRatio(text)) +
+      lit(0.3) * least(lit(1.0), stopwordRatio(text) * 5.0),
+    6)
+
+  /** Tiny per-language marker-word profiles for the language-ID
+    * heuristic. A real profile would be trigram-frequency based; the
+    * marker-word scorer has the same shape (per-language evidence score,
+    * argmax with deterministic tie-break) and is SQL-mirrorable. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "von", "mit", "den", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "du", "est", "pour"))
+
+  /** Per-language evidence score = marker-word hit count. */
+  def langScore(text: Column, lang: String): Column =
+    wordHits(text, LangProfiles.toMap.apply(lang))
+
+  /** Language-ID: argmax of the per-language scores, first-listed wins
+    * ties, "und" (undetermined) when no marker hits at all. */
+  def langId(text: Column): Column = {
+    val scored = LangProfiles.map { case (l, _) => l -> langScore(text, l) }
+    val best = scored.tail.foldLeft(when(lit(true), scored.head._2)) {
+      case (acc, (_, s)) => greatest(acc, s)
+    }
+    scored.foldRight(lit("und")) { case ((l, s), els) =>
+      when(s > 0 && s === best, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Canonical whitespace-collapsed, lowercased form of a document. */
+  def canonicalText(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the canonical text. Stable across
+    * retries/partitionings — safe as a dedup/merge key (cf. dlt's
+    * content-hash row ids, SURVEY.md §1.4). */
+  def fingerprint(text: Column): Column = md5(canonicalText(text))
+
+  /** Distinct word n-gram shingles of a document (n consecutive
+    * whitespace tokens joined by a single space). The base unit for
+    * Jaccard/MinHash dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(canonicalText(text))
+    array_distinct(
+      when(size(ts) < n, array(concat_ws(" ", ts)))
+        .otherwise(transform(sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))))
+  }
+}

@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data extensions (SURVEY.md §7.8): text analysis, dedup
+  * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
+  * similarity search (brute-force + LSH ANN) and multimodal plumbing,
+  * each demonstrated on the driver `documents` / `embeddings` tables.
+  *
+  * Oracles mirror the Spark arithmetic operation-for-operation (same
+  * double-precision evaluation order) so hash comparison is exact.
+  * xxhash64-based strategies (MinHash, SimHash) verify candidates with
+  * exact measures, so MinHash still matches the exact-Jaccard oracle:
+  * with 16 bands × 2 rows, P(miss a pair at j ≥ 0.9) < 3·10⁻¹².
+  * SimHash and LSH-ANN outputs are hash-function-defined → rows-only.
+  */
+object ExtQueries {
+
+  private val canonSql = """lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"""
+  private val stopsSql = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Exact n-gram jaccard pair SQL shared by the jaccard + minhash oracles. */
+  private def jaccardSql(threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+       |WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= $threshold""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    // ---- text analysis ------------------------------------------------
+    "text_token_count" -> q { c =>
+      c.t("documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    "text_quality" -> q { c =>
+      c.t("documents").select(col("doc_id"),
+        round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    "text_langid" -> q { c =>
+      c.t("documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.langScore(col("text"), "en").as("score_en"),
+        TextOps.langScore(col("text"), "es").as("score_es"))
+        .orderBy("doc_id")
+    },
+
+    "text_fingerprint" -> q { c =>
+      c.t("documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp")).orderBy("doc_id")
+    },
+
+    // ---- deduplication -------------------------------------------------
+    "dedup_exact" -> q { c =>
+      Dedup.exactGroups(c.t("documents"), "doc_id", "text")
+        .orderBy("fp")
+    },
+
+    "dedup_ngram_jaccard" -> q { c =>
+      Dedup.ngramJaccardPairs(c.t("documents"), "doc_id", "text",
+        n = 3, threshold = 0.8).orderBy("id_a", "id_b")
+    },
+
+    "dedup_minhash_lsh" -> q { c =>
+      Dedup.minhashLshPairs(c.t("documents"), "doc_id", "text",
+        n = 3, threshold = 0.9).orderBy("id_a", "id_b")
+    },
+
+    // xxhash64-defined output → rows-only check (no SQL-equivalent hash)
+    "dedup_simhash" -> q { c =>
+      Dedup.simhashPairs(c.t("documents"), "doc_id", "text", maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+
+    "dedup_embedding_cosine" -> q { c =>
+      Dedup.embeddingCosinePairs(c.t("embeddings"), "vec_id", "embedding",
+        threshold = 0.45).orderBy("id_a", "id_b")
+    },
+
+    // ---- similarity search ----------------------------------------------
+    "sim_brute_topk" -> q { c =>
+      val vecs = c.t("embeddings")
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // approximate by construction (recall < 1) → rows-only check
+    "sim_lsh_ann" -> q { c =>
+      val vecs = c.t("embeddings")
+      Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- multimodal plumbing (stub codec, real plan shape) --------------
+    "mm_decode_meta" -> q { c =>
+      Multimodal.decodeMeta(
+        Multimodal.asMedia(c.t("documents"), "doc_id", "text"))
+        .toDF().orderBy("media_id")
+    },
+
+    "mm_resize" -> q { c =>
+      Multimodal.resizePlan(
+        Multimodal.decodeMeta(
+          Multimodal.asMedia(c.t("documents"), "doc_id", "text")), maxDim = 256)
+        .orderBy("media_id")
+    },
+
+    "mm_frame_sample" -> q { c =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeMeta(
+          Multimodal.asMedia(c.t("documents"), "doc_id", "text",
+            modality = "video")), stride = 4)
+        .orderBy("media_id", "frame_idx")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / length(text) AS pr,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        t -> t IN ($stopsSql))) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, round(pr, 6) AS punct_ratio,
+         |  round(n_stop::DOUBLE / n_tok, 6) AS stop_ratio,
+         |  round(0.4 * least(1.0, n_tok::DOUBLE / 50.0)
+         |      + 0.3 * (1.0 - pr)
+         |      + 0.3 * least(1.0, n_stop::DOUBLE / n_tok * 5.0), 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val scores = TextOps.LangProfiles.map { case (l, ws) =>
+        s"""len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |        t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l""".stripMargin
+      }.mkString(",\n    ")
+      val best = "greatest(s_en, s_es, s_de, s_fr)"
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    $scores
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN s_en > 0 AND s_en = $best THEN 'en'
+         |       WHEN s_es > 0 AND s_es = $best THEN 'es'
+         |       WHEN s_de > 0 AND s_de = $best THEN 'de'
+         |       WHEN s_fr > 0 AND s_fr = $best THEN 'fr'
+         |       ELSE 'und' END AS lang_pred,
+         |  s_en AS score_en, s_es AS score_es
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"SELECT doc_id, md5($canonSql) AS fp FROM documents ORDER BY doc_id",
+
+    "dedup_exact" ->
+      s"""SELECT md5($canonSql) AS fp, min(doc_id) AS keeper_id,
+         |  count(*) AS dup_count
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "dedup_ngram_jaccard" -> (jaccardSql(0.8) + " ORDER BY id_a, id_b"),
+
+    "dedup_minhash_lsh" -> (jaccardSql(0.9) + " ORDER BY id_a, id_b"),
+
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+        |    AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_brute_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (
+        |  SELECT query_id, match_id, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, match_id, round(cs, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "mm_decode_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS modality,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  (octet_length(encode(text)) % 640 + 1)::INT AS width,
+        |  (octet_length(encode(text)) % 480 + 1)::INT AS height,
+        |  3 AS channels,
+        |  (octet_length(encode(text)) // 32 + 1)::INT AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_resize" ->
+      """WITH meta AS (
+        |  SELECT doc_id AS media_id, 'image' AS modality,
+        |    octet_length(encode(text))::BIGINT AS n_bytes,
+        |    (octet_length(encode(text)) % 640 + 1)::INT AS width,
+        |    (octet_length(encode(text)) % 480 + 1)::INT AS height,
+        |    3 AS channels,
+        |    (octet_length(encode(text)) // 32 + 1)::INT AS n_frames
+        |  FROM documents),
+        |s AS (SELECT *, least(1.0, 256 / greatest(width, height)) AS scale FROM meta)
+        |SELECT media_id, modality, n_bytes, width, height, channels, n_frames,
+        |  greatest(floor(width * scale), 1)::BIGINT AS out_width,
+        |  greatest(floor(height * scale), 1)::BIGINT AS out_height
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH meta AS (
+        |  SELECT doc_id AS media_id,
+        |    (octet_length(encode(text)) // 32 + 1)::INT AS n_frames
+        |  FROM documents)
+        |SELECT media_id, n_frames, unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
+        |FROM meta ORDER BY media_id, frame_idx""".stripMargin
+  )
+}
