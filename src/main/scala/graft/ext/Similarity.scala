@@ -29,8 +29,7 @@ object Similarity {
   }
 
   private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dotp(x, y)
 
   /** Sign-bit signature of `vec` against the given hyperplanes, packed
     * into a long (bit i set iff vec · plane_i > 0). Pure expressions →

@@ -100,14 +100,21 @@ object TextOps {
     * content-hash row ids, SURVEY.md §1.4). */
   def fingerprint(text: Column): Column = md5(canonicalText(text))
 
-  /** Distinct word n-gram shingles of a document (n consecutive
-    * whitespace tokens joined by a single space). The base unit for
-    * Jaccard/MinHash dedup. */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(canonicalText(text))
+  /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    * array column. Callers building DataFrame plans should project the
+    * token array first (so `ts` is a bound attribute) — if the token
+    * expression itself sits inside the lambda, Catalyst re-evaluates
+    * the tokenizer (regex + split) once per shingle position, turning a
+    * linear scan quadratic. See [[Dedup.shingleIndex]]. */
+  def shinglesFromTokens(ts: Column, n: Int): Column =
     array_distinct(
       when(size(ts) < n, array(concat_ws(" ", ts)))
         .otherwise(transform(sequence(lit(0), size(ts) - n),
           i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))))
-  }
+
+  /** Distinct word n-gram shingles of a document (n consecutive
+    * whitespace tokens joined by a single space). The base unit for
+    * Jaccard/MinHash dedup. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(canonicalText(text)), n)
 }

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native (whole-stage-codegen) vector kernels over `array<float>` /
+  * `array<double>` embedding columns.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`)
+  * evaluates one interpreted lambda call per element per row; on an
+  * all-pairs similarity join that is O(pairs × dim) lambda dispatches and
+  * dominated the benchmark. These expressions generate a tight Java loop
+  * inside the surrounding codegen stage instead — same double-precision
+  * sequential accumulation order, ~100× less overhead, and they keep the
+  * join stage inside WholeStageCodegen.
+  *
+  * Accumulation is sequential in index order with each accumulator
+  * independent, so results are bit-identical to the sequential fold the
+  * DuckDB oracles mirror. Array elements must be non-null; lengths are
+  * clamped to the shorter side (embeddings are fixed-dim in practice).
+  */
+private[graft] trait VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  protected def getD(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  /** Java source reading element `i` of `arr` as double. */
+  protected def getJ(arr: String, t: DataType, i: String): String = t match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case _ => s"$arr.getDouble($i)"
+  }
+}
+
+/** dot(a, b) = Σ aᵢ·bᵢ in double precision, sequential. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (lt, rt) = (elemType(left), elemType(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += getD(x, lt, i) * getD(y, rt, i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xa, ya) => {
+      val (n, s, i) = (ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("i"))
+      s"""
+         |int $n = java.lang.Math.min($xa.numElements(), $ya.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${getJ(xa, elemType(left), i)} * ${getJ(ya, elemType(right), i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine(a, b) = dot(a,b) / sqrt(dot(a,a) · dot(b,b)) — the three dots
+  * fused into one pass (three independent sequential accumulators, so
+  * each is identical to its standalone fold). */
+case class CosineSim(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (lt, rt) = (elemType(left), elemType(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var (sab, saa, sbb) = (0.0, 0.0, 0.0)
+    var i = 0
+    while (i < n) {
+      val (p, q) = (getD(x, lt, i), getD(y, rt, i))
+      sab += p * q; saa += p * p; sbb += q * q
+      i += 1
+    }
+    sab / math.sqrt(saa * sbb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xa, ya) => {
+      val n = ctx.freshName("n")
+      val (sab, saa, sbb) = (ctx.freshName("sab"), ctx.freshName("saa"), ctx.freshName("sbb"))
+      val (i, p, q) = (ctx.freshName("i"), ctx.freshName("p"), ctx.freshName("q"))
+      s"""
+         |int $n = java.lang.Math.min($xa.numElements(), $ya.numElements());
+         |double $sab = 0.0; double $saa = 0.0; double $sbb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $p = ${getJ(xa, elemType(left), i)};
+         |  double $q = ${getJ(ya, elemType(right), i)};
+         |  $sab += $p * $q; $saa += $p * $p; $sbb += $q * $q;
+         |}
+         |${ev.value} = $sab / java.lang.Math.sqrt($saa * $sbb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API front door for the vector kernels. */
+object VectorFunctions {
+  def dotp(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
