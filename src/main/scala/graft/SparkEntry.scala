@@ -19,7 +19,8 @@ object SparkEntry {
     (NormalizeQueries.defs, NormalizeQueries.oracles),
     (MergeQueries.defs, MergeQueries.oracles),
     (PlaneQueries.defs, PlaneQueries.oracles),
-    (ExtQueries.defs, ExtQueries.oracles)
+    (ExtQueries.defs, ExtQueries.oracles),
+    (StreamQueries.defs, StreamQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

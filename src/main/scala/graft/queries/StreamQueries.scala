@@ -1,0 +1,69 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Pipeline, Resource}
+import graft.streaming.Streaming
+import graft.write.TableStore
+
+/** Structured-Streaming plane (SURVEY.md §2.8): the AvailableNow
+  * micro-batch bridge into the load plane, event-time windows, and
+  * stateful stream dedup — each drained to a table and checked against
+  * a DuckDB oracle over the same input.
+  *
+  * `events.ts` arrives as epoch-nanos LongType (see Verify's
+  * nanosAsLong note); `ts DIV 1000` keeps integer precision where a
+  * double-typed division would corrupt 1e18-scale nanos.
+  */
+object StreamQueries {
+
+  val defs: Map[String, Q] = Map(
+    // file stream → AvailableNow → full pipeline load path per batch
+    "stream_pipeline_append" -> q { c =>
+      val p = new Pipeline("st", Files.createTempDirectory("graft-st").toString, c.spark)
+      val src = Streaming.fileStream(c.spark, s"${c.dir}/events.parquet")
+      Streaming.intoPipeline(p, src, b =>
+        Resource("events_stream", b.select("event_id", "user_id", "event_type")))
+      p.store.read("events_stream")
+        .select("event_id", "user_id", "event_type").orderBy("event_id")
+    },
+
+    // event-time tumbling window counts, complete mode → overwrite
+    "stream_window_tumbling" -> q { c =>
+      val store = new TableStore(Files.createTempDirectory("graft-stw").toString, c.spark)
+      val src = Streaming.fileStream(c.spark, s"${c.dir}/events.parquet")
+        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      val agg = Streaming.tumblingCounts(src, "ets", "1 hour", "event_type")
+      Streaming.drainAvailableNow(agg, outputMode = "complete") {
+        (batch, _) => store.overwrite("win", batch)
+      }
+      store.read("win").orderBy("window_start", "event_type")
+    },
+
+    // stateful dedup: input duplicated 2x, dropDuplicates state keeps
+    // exactly one row per event_id across micro-batches
+    "stream_dedup_exactly_once" -> q { c =>
+      val store = new TableStore(Files.createTempDirectory("graft-std").toString, c.spark)
+      val src = Streaming.fileStream(c.spark, s"${c.dir}/events.parquet")
+        .select(col("event_id"), col("user_id"))
+        .withColumn("_copy", explode(array(lit(1), lit(2))))
+        .drop("_copy")
+      val deduped = Streaming.dedupByKeyUnbounded(src, Seq("event_id"))
+      Streaming.drainAvailableNow(deduped)((batch, _) => store.append("dd", batch))
+      store.read("dd").orderBy("event_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_pipeline_append" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "stream_window_tumbling" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_dedup_exactly_once" ->
+      "SELECT event_id, user_id FROM events ORDER BY event_id"
+  )
+}

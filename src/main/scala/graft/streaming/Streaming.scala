@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.pipeline.{Pipeline, Resource}
+
+/** Structured-Streaming bridge for the load plane (SURVEY.md §2.8).
+  *
+  * The reference is micro-batch by construction: one run = one atomic
+  * load package, exactly-once via incremental boundary dedup and
+  * deterministic row ids (dlt/common/storages/load_package.py). The
+  * Spark-native expression of the same contract is a file-source stream
+  * with `Trigger.AvailableNow` + `foreachBatch` feeding the SAME
+  * disposition operators used by batch loads — each micro-batch is a
+  * load package whose id is the streaming `batchId`, the checkpoint
+  * directory is the durable "what was already loaded" state, and
+  * replays after failure hit the idempotent merge/append paths.
+  *
+  * Beyond parity, the watermark/window helpers expose what the
+  * reference cannot do (stateful event-time processing) as plain
+  * Spark constructs — at cluster scale state lives in the HDFS/RocksDB
+  * state store, partitioned by grouping key, so these run unchanged on
+  * a 1000-executor cluster.
+  */
+object Streaming {
+
+  /** Read a file-backed table as a bounded stream (schema inferred from
+    * the files via a batch peek — file-source streams require an
+    * explicit schema). The file-stream source only accepts directories;
+    * a single-file path is exposed through a temp dir symlink. */
+  def fileStream(spark: SparkSession, path: String,
+      format: String = "parquet", schema: Option[StructType] = None): DataFrame = {
+    val s = schema.getOrElse(spark.read.format(format).load(path).schema)
+    val p = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val d = Files.createTempDirectory("graft-stream-src")
+        java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
+        d.toString
+      } else path
+    spark.readStream.format(format).schema(s).load(dir)
+  }
+
+  /** Drain `stream` with Trigger.AvailableNow, applying `sink` to each
+    * micro-batch (batchId = load id). Blocks until all available input
+    * is processed; `checkpoint` (fresh temp dir by default) makes
+    * restarts resume after the last committed batch. */
+  def drainAvailableNow(stream: DataFrame,
+      checkpoint: Option[String] = None,
+      outputMode: String = "append")(sink: (DataFrame, Long) => Unit): Unit = {
+    val cp = checkpoint.getOrElse(
+      Files.createTempDirectory("graft-stream-cp").toString)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp)
+      .outputMode(outputMode)
+      .foreachBatch((df: DataFrame, id: Long) => sink(df, id))
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Stream `source` into a pipeline as resource `name`: every
+    * micro-batch runs the full load path (normalize → contracts →
+    * disposition) as its own load package `s<batchId>`. The
+    * streaming-native equivalent of `Pipeline.run` for one resource. */
+  def intoPipeline(pipeline: Pipeline, source: DataFrame,
+      template: DataFrame => Resource,
+      checkpoint: Option[String] = None): Unit =
+    drainAvailableNow(source, checkpoint) { (batch, id) =>
+      if (!batch.isEmpty) pipeline.run(Seq(template(batch)), s"s$id")
+    }
+
+  /** Exactly-once key dedup across micro-batches: event-time watermark
+    * bounds the dedup state, `dropDuplicates` keeps the first arrival
+    * of each key (the streaming analog of the reference's incremental
+    * boundary-fingerprint dedup, SURVEY.md §2.7). */
+  def dedupByKey(stream: DataFrame, eventTime: String, delay: String,
+      keys: Seq[String]): DataFrame =
+    stream.withWatermark(eventTime, delay)
+      .dropDuplicates(keys :+ eventTime)
+
+  /** Unbounded-state variant for id-keyed streams where keys never
+    * repeat outside the replay window (state = one hash per key). */
+  def dedupByKeyUnbounded(stream: DataFrame, keys: Seq[String]): DataFrame =
+    stream.dropDuplicates(keys)
+
+  /** Tumbling event-time window aggregation: counts per (window, key).
+    * Emits (window_start epoch-seconds, key, n). */
+  def tumblingCounts(stream: DataFrame, eventTime: String, width: String,
+      key: String): DataFrame =
+    stream.groupBy(window(col(eventTime), width), col(key))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col(key), col("n"))
+}

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text with no overlap here at all"),
+    (4L, "The quick  brown fox jumps over the lazy dog") // ws/case dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses canonical duplicates") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 3)
+    val dup = groups.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dup.getAs[Long]("keeper_id") === 1L)
+  }
+
+  test("ngramJaccardPairs finds near-dups above threshold, exactly") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    // 1~2 share most shingles; 1~4 and 2~4 are canonical (near-)dups
+    assert(pairs === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("minhashLshPairs agrees with exact jaccard at high threshold") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b", "jaccard").collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b", "jaccard").collect().toSet
+    assert(lsh === exact)
+    assert(exact.nonEmpty) // 1~4 is an exact dup pair
+  }
+
+  test("simhashTable matches the per-row simhash expression") {
+    val viaAgg = Dedup.simhashTable(docs, "doc_id", "text")
+      .orderBy("_id").as[(Long, Long)].collect().toSeq
+    val viaExpr = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(viaAgg === viaExpr)
+  }
+
+  test("simhashPairs finds the canonical dup within hamming budget") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("codegen cosine/dot match an independent computation") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f)),
+      (2L, Array(1.0f, 0.0f, 2.0f)),
+      (3L, Array(0.0f, 3.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        VectorFunctions.cosineSim(col("a.embedding"), col("b.embedding")).as("cos"),
+        VectorFunctions.dotp(col("a.embedding"), col("b.embedding")).as("dot"))
+      .orderBy("a.vec_id", "b.vec_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(pairs(0)._3 === 1.0 && pairs(0)._4 === 5.0) // identical vectors
+    assert(pairs(1)._3 === 0.0 && pairs(1)._4 === 0.0) // orthogonal
+    assert(pairs(2)._3 === 0.0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with deterministic ties") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 2)
+      .select("rank", "match_id").as[(Int, Long)].collect().toSeq
+    assert(top === Seq((1, 4L), (2, 2L))) // 4 is identical (cos=1), then 2
+  }
+
+  test("text kernels: counts, quality bounds, language id") {
+    val r = docs.select(
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.langId(col("text")).as("lang"))
+      .collect()
+    assert(r.forall(x => x.getAs[Int]("n") > 0))
+    assert(r.forall { x => val q = x.getAs[Double]("q"); q >= 0.0 && q <= 1.0 })
+    assert(r.count(_.getAs[String]("lang") == "en") >= 3)
+  }
+}

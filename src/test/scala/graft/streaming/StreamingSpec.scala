@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.pipeline.{Pipeline, Resource}
+import graft.write.TableStore
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeSourceDir(): String = {
+    val dir = tmp("st-src")
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "a", 30))
+      .toDF("id", "k", "v").write.mode("overwrite").parquet(s"$dir/t")
+    s"$dir/t"
+  }
+
+  test("drainAvailableNow processes all input then terminates") {
+    val store = new TableStore(tmp("st-out"), spark)
+    val src = Streaming.fileStream(spark, writeSourceDir())
+    Streaming.drainAvailableNow(src)((b, id) =>
+      store.append("t", b.withColumn("_load", lit(id))))
+    assert(store.read("t").count() === 3)
+  }
+
+  test("intoPipeline runs the full load path per micro-batch") {
+    val p = new Pipeline("sp", tmp("st-pipe"), spark)
+    val src = Streaming.fileStream(spark, writeSourceDir())
+    Streaming.intoPipeline(p, src, b => Resource("rows", b))
+    val out = p.store.read("rows")
+    assert(out.count() === 3)
+    // pipeline system columns present; load id carries the batch id
+    assert(out.columns.contains("_dlt_id"))
+    assert(out.select("_dlt_load_id").distinct().as[String].collect().toSet === Set("s0"))
+  }
+
+  test("dedupByKeyUnbounded keeps one row per key") {
+    val store = new TableStore(tmp("st-dd"), spark)
+    val src = Streaming.fileStream(spark, writeSourceDir())
+      .withColumn("_c", explode(array(lit(1), lit(2)))).drop("_c")
+    Streaming.drainAvailableNow(Streaming.dedupByKeyUnbounded(src, Seq("id")))(
+      (b, _) => store.append("dd", b))
+    assert(store.read("dd").select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("tumblingCounts groups by event-time window") {
+    val store = new TableStore(tmp("st-win"), spark)
+    val src = Streaming.fileStream(spark, {
+      val dir = tmp("st-ts")
+      Seq((1L, "2024-01-01 00:10:00", "a"), (2L, "2024-01-01 00:50:00", "a"),
+        (3L, "2024-01-01 01:10:00", "b"))
+        .toDF("id", "ts", "k")
+        .withColumn("ts", to_timestamp(col("ts")))
+        .write.mode("overwrite").parquet(s"$dir/t")
+      s"$dir/t"
+    })
+    val agg = Streaming.tumblingCounts(src, "ts", "1 hour", "k")
+    Streaming.drainAvailableNow(agg, outputMode = "complete")(
+      (b, _) => store.overwrite("w", b))
+    val rows = store.read("w").orderBy("window_start", "k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows === Seq(
+      (1704067200L, "a", 2L), // 00:00 window: two 'a'
+      (1704070800L, "b", 1L))) // 01:00 window: one 'b'
+  }
+}
