@@ -20,7 +20,8 @@ object SparkEntry {
     (MergeQueries.defs, MergeQueries.oracles),
     (PlaneQueries.defs, PlaneQueries.oracles),
     (ExtQueries.defs, ExtQueries.oracles),
-    (StreamQueries.defs, StreamQueries.oracles)
+    (StreamQueries.defs, StreamQueries.oracles),
+    (LifecycleQueries.defs, LifecycleQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -41,6 +41,21 @@ final class StateStore(dir: String) {
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Drop state entries whose key starts with `keyPrefix` (refresh
+    * modes drop per-resource cursor state; reference pipeline/drop.py). */
+  def clear(pipeline: String, keyPrefix: String = ""): Unit = {
+    val p = path(pipeline)
+    if (Files.exists(p)) {
+      val kept = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .linesIterator
+        .filterNot(l => dec(l.split("\t", -1)(0)).startsWith(keyPrefix)).toSeq
+      val tmp = Paths.get(p.toString + ".tmp")
+      Files.write(tmp, kept.mkString("\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 }

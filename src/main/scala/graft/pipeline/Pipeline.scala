@@ -23,7 +23,8 @@ final case class Resource(
     contract: Contracts.Contract = Contracts.Contract(),
     incremental: Option[Incremental.Config] = None,
     maxNesting: Int = 1000,
-    propagateRootKey: Boolean = false) {
+    propagateRootKey: Boolean = false,
+    metrics: Seq[(String, Column)] = Nil) {
 
   /** MapItem (items_transform.py:103-122) — 1→1 transform. */
   def addMap(f: DataFrame => DataFrame): Resource = copy(frame = f(frame))
@@ -33,6 +34,10 @@ final case class Resource(
   def addYieldMap(f: DataFrame => DataFrame): Resource = copy(frame = f(frame))
   /** LimitItem (items_transform.py:174-239). */
   def addLimit(n: Int): Resource = copy(frame = frame.limit(n))
+  /** MetricsItem (items_transform.py:242-257) — pass-through side-channel
+    * metrics, collected via `Dataset.observe` during the load action
+    * (zero extra scans). Read them back with [[Pipeline.metrics]]. */
+  def addMetrics(m: (String, Column)*): Resource = copy(metrics = metrics ++ m)
 
   def withHints(h: TableHints): Resource = copy(hints = h)
   def withMerge(cfg: MergeConfig, disposition: String = "merge"): Resource =
@@ -71,12 +76,22 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     val tableName = Naming.normalizeTableName(r.name)
 
     // incremental window + boundary dedup
-    val (frame, newState) = r.incremental match {
+    val (windowed, newState) = r.incremental match {
       case None => (r.frame, None)
       case Some(cfg) =>
         val st = states.load(name, s"$tableName/${cfg.cursorColumn}")
         val filtered = Incremental(r.frame, cfg, st)
         (filtered, Some(cfg -> st))
+    }
+
+    // MetricsItem: observe rides the load action, no extra scan
+    val observation = Option.when(r.metrics.nonEmpty)(
+      new org.apache.spark.sql.Observation(s"$tableName-$loadId"))
+    val frame = observation match {
+      case Some(obs) =>
+        windowed.observe(obs, r.metrics.head._2.as(r.metrics.head._1),
+          r.metrics.tail.map { case (n, c) => c.as(n) }: _*)
+      case None => windowed
     }
 
     // normalize: flatten + child tables + ids
@@ -134,6 +149,46 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       states.save(name, s"$tableName/${cfg.cursorColumn}",
         Incremental.advance(frame, cfg, st))
     }
+    observation.foreach(obs => metricsByResource += tableName -> obs.get)
     enforced.keys.toSeq.sorted
+  }
+
+  private var metricsByResource: Map[String, Map[String, Any]] = Map.empty
+
+  /** Side-channel metrics of the last load of a resource (MetricsItem). */
+  def metrics(resource: String): Map[String, Any] =
+    metricsByResource.getOrElse(Naming.normalizeTableName(resource), Map.empty)
+
+  /** Refresh modes applied before/independent of a run (reference
+    * `refresh` + drop command, dlt/common/pipeline.py:62,
+    * dlt/pipeline/drop.py:51-120, helpers.py:62-155):
+    *  - `dropSources()`   — drop every table and all state;
+    *  - `dropResources(r…)` — drop the named tables (and their nested
+    *    child tables) plus their incremental state;
+    *  - `dropData(r…)`    — truncate the named tables, keep schemas,
+    *    reset their incremental state.
+    */
+  def dropSources(): Unit = {
+    store.tables.foreach(store.drop)
+    states.clear(name)
+  }
+
+  def dropResources(resources: String*): Unit =
+    expandChildren(resources).foreach { t =>
+      store.drop(t)
+      states.clear(name, s"$t/")
+    }
+
+  def dropData(resources: String*): Unit =
+    expandChildren(resources).foreach { t =>
+      store.truncate(t)
+      states.clear(name, s"$t/")
+    }
+
+  /** A resource owns its nested child tables `<name>__*` (table-chain
+    * ancestry, reference load/utils.py:20-64). */
+  private def expandChildren(resources: Seq[String]): Seq[String] = {
+    val roots = resources.map(r => Naming.normalizeTableName(r))
+    store.tables.filter(t => roots.exists(r => t == r || t.startsWith(s"${r}__")))
   }
 }

@@ -1,0 +1,104 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.normalize.ModelNormalizer
+import graft.pipeline.{Pipeline, Resource}
+import graft.write.{Dispositions, ReplaceStrategy, TableStore}
+
+/** Lifecycle operators (SURVEY.md §2.10), replace strategies (§2.5),
+  * model normalizer (§2.4), direct file import (§2.1/§4) and the
+  * MetricsItem observe channel (§2.3) — each oracle-checked.
+  */
+object LifecycleQueries {
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  val defs: Map[String, Q] = Map(
+    // "table as SELECT" with _dlt_load_id injection; star-select rejected
+    "norm_model_select" -> q { c =>
+      c.t("orders").createOrReplaceTempView("orders_v")
+      ModelNormalizer.normalize(c.spark,
+        """SELECT o_orderkey, o_totalprice * 2 AS px
+          |FROM orders_v WHERE o_orderkey % 100 = 0""".stripMargin, loadId = "1")
+        .select("o_orderkey", "px", "_dlt_load_id")
+        .orderBy("o_orderkey")
+    },
+
+    // zero-copy ingestion: parquet registered as segments, never rewritten
+    "src_file_import" -> q { c =>
+      val store = new TableStore(tmp("graft-imp"), c.spark)
+      store.importFiles("events_imported", Seq(s"${c.dir}/events.parquet"))
+      store.read("events_imported")
+        .select("event_id", "user_id", "event_type").orderBy("event_id")
+    },
+
+    // replace via staging dataset (insert-from-staging): last load wins
+    "write_replace_staging" -> q { c =>
+      val store = new TableStore(tmp("graft-rs"), c.spark)
+      val d = new Dispositions(store, c.spark)
+      val l1 = c.t("orders").filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+      val l2 = c.t("orders").filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice")
+      d.replace("t", l1, "1", ReplaceStrategy.InsertFromStaging)
+      d.replace("t", l2, "2", ReplaceStrategy.InsertFromStaging)
+      store.read("t").orderBy("o_orderkey")
+    },
+
+    // replace via zero-copy clone of the staging table
+    "write_replace_clone" -> q { c =>
+      val store = new TableStore(tmp("graft-rc"), c.spark)
+      val d = new Dispositions(store, c.spark)
+      val l1 = c.t("orders").filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+      val l2 = c.t("orders").filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice")
+      d.replace("t", l1, "1", ReplaceStrategy.StagingOptimized)
+      d.replace("t", l2, "2", ReplaceStrategy.StagingOptimized)
+      store.read("t").orderBy("o_orderkey")
+    },
+
+    // MetricsItem: observed metrics ride the load action (no extra scan)
+    "plane_metrics_observe" -> q { c =>
+      val p = new Pipeline("mx", tmp("graft-mx"), c.spark)
+      p.run(Seq(Resource("events", c.t("events").select("event_id", "user_id"))
+        .addMetrics("n_rows" -> count(lit(1)), "sum_ids" -> sum(col("event_id")))), "1")
+      val m = p.metrics("events")
+      import c.spark.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("sum_ids").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_ids")
+    },
+
+    // refresh drop_data: truncate keeps schema; reload only 'en' docs
+    "lifecycle_refresh" -> q { c =>
+      val p = new Pipeline("rf", tmp("graft-rf"), c.spark)
+      val docs = c.t("documents").select("doc_id", "lang", "n_chars")
+      p.run(Seq(Resource("documents", docs)), "1")
+      p.dropData("documents")
+      p.run(Seq(Resource("documents", docs.filter(col("lang") === "en"))), "2")
+      p.store.read("documents").select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "norm_model_select" ->
+      """SELECT o_orderkey, o_totalprice * 2 AS px, '1' AS _dlt_load_id
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+    "src_file_import" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "write_replace_staging" ->
+      """SELECT o_orderkey, o_totalprice, '2' AS _dlt_load_id
+        |FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""".stripMargin,
+    "write_replace_clone" ->
+      """SELECT o_orderkey, o_totalprice, '2' AS _dlt_load_id
+        |FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""".stripMargin,
+    "plane_metrics_observe" ->
+      "SELECT count(*) AS n_rows, sum(event_id)::BIGINT AS sum_ids FROM events",
+    "lifecycle_refresh" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin
+  )
+}

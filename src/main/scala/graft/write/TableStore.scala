@@ -77,6 +77,19 @@ final class TableStore(val root: String, spark: SparkSession) {
     commitRaw(to, absolute)
   }
 
+  /** Direct file import: register existing parquet files as live
+    * segments WITHOUT reading or rewriting them (reference import-files
+    * normalizer, dlt/normalize/items_normalizers/file_import.py, and the
+    * arrow direct-import fast path, items_normalizers/arrow.py:161-210).
+    * At 100 TB this is the difference between an O(bytes) rewrite and an
+    * O(1) metadata commit — the `CONVERT TO DELTA`/`ADD FILES` analog. */
+  def importFiles(table: String, paths: Seq[String]): Unit = synchronized {
+    require(paths.nonEmpty, "importFiles needs at least one path")
+    val absolute = paths.map(p => Paths.get(p).toAbsolutePath.toString)
+    Files.createDirectories(tableDir(table))
+    commitRaw(table, currentSegmentNames(table) ++ absolute)
+  }
+
   def drop(table: String): Unit = synchronized {
     val dir = tableDir(table)
     if (Files.exists(dir)) {
@@ -85,8 +98,20 @@ final class TableStore(val root: String, spark: SparkSession) {
     }
   }
 
+  /** Empty the table but KEEP its schema (reference drop_data refresh
+    * truncates without dropping, pipeline/drop.py): the committed state
+    * becomes a single schema-only parquet segment. */
   def truncate(table: String): Unit = synchronized {
-    if (exists(table)) commit(table, Nil)
+    if (exists(table)) {
+      currentSegments(table) match {
+        case Nil => ()
+        case segs =>
+          val schema = spark.read.parquet(segs.map(_.toString): _*).schema
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          commit(table, Seq(writeSegment(table, empty.coalesce(1))))
+      }
+    }
   }
 
   // --- internals ---

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.normalize.ModelNormalizer
+import graft.schema.{SchemaRegistry, TableHints, TableReference}
+import graft.write.TableStore
+
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  private def sample = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
+
+  test("model normalizer injects system columns and rejects stars/commands") {
+    sample.createOrReplaceTempView("model_src")
+    val out = ModelNormalizer.normalize(spark,
+      "SELECT id, upper(k) AS ku FROM model_src", "77")
+    assert(out.columns.toSeq === Seq("id", "ku", "_dlt_load_id", "_dlt_id"))
+    assert(out.select("_dlt_load_id").distinct().as[String].collect().toSeq === Seq("77"))
+    // deterministic content-hash ids
+    val ids = out.orderBy("id").select("_dlt_id").as[String].collect()
+    val again = ModelNormalizer.normalize(spark,
+      "SELECT id, upper(k) AS ku FROM model_src", "78")
+      .orderBy("id").select("_dlt_id").as[String].collect()
+    assert(ids.toSeq === again.toSeq)
+    intercept[IllegalArgumentException] {
+      ModelNormalizer.normalize(spark, "SELECT * FROM model_src", "1")
+    }
+    intercept[IllegalArgumentException] {
+      ModelNormalizer.normalize(spark, "DROP TABLE model_src", "1")
+    }
+  }
+
+  test("importFiles registers parquet zero-copy and append keeps it live") {
+    val data = tmp("lc-data")
+    sample.write.parquet(s"$data/f1")
+    val store = new TableStore(tmp("lc-store"), spark)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(s"$data/f1"))
+      .iterator()
+    val parquets = Iterator.continually(files).takeWhile(_.hasNext).map(_.next())
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq
+    store.importFiles("t", parquets)
+    assert(store.read("t").count() === 3)
+    store.append("t", Seq((4L, "c")).toDF("id", "k"))
+    assert(store.read("t").count() === 4)
+  }
+
+  test("refresh modes: dropData truncates, dropResources removes chains") {
+    val p = new Pipeline("lc", tmp("lc-pipe"), spark)
+    val nested = Seq((1L, Seq("x", "y"))).toDF("id", "items")
+    p.run(Seq(Resource("orders", nested), Resource("other", sample)), "1")
+    assert(p.store.tables.contains("orders__items"))
+
+    p.dropData("orders")
+    assert(p.store.read("orders").count() === 0)
+    assert(p.store.read("orders__items").count() === 0) // child truncated too
+    assert(p.store.read("other").count() === 3) // untouched
+
+    p.dropResources("orders")
+    assert(!p.store.exists("orders") && !p.store.exists("orders__items"))
+    assert(p.store.exists("other"))
+
+    p.dropSources()
+    assert(p.store.tables.isEmpty)
+  }
+
+  test("addMetrics observes row counts during the load action") {
+    val p = new Pipeline("mx", tmp("lc-mx"), spark)
+    p.run(Seq(Resource("t", sample)
+      .addMetrics("n" -> count(lit(1)), "mx" -> max(col("id")))), "1")
+    assert(p.metrics("t")("n") === 3L)
+    assert(p.metrics("t")("mx") === 3L)
+  }
+
+  test("schema exports render tables and relationships") {
+    val reg = new SchemaRegistry("exp")
+    reg.register("nation", sample.schema)
+    reg.register("customer", sample.schema, TableHints(
+      primaryKey = Seq("id"),
+      references = Seq(TableReference(Seq("id"), "nation", Seq("id")))))
+    val mermaid = reg.toMermaid
+    assert(mermaid.startsWith("erDiagram"))
+    assert(mermaid.contains("customer }o--|| nation : id"))
+    val dbml = reg.toDbml
+    assert(dbml.contains("Table customer"))
+    assert(dbml.contains("id bigint [pk]"))
+    assert(dbml.contains("Ref: customer.id > nation.id"))
+  }
+}
