@@ -19,7 +19,10 @@ object Bench {
       SparkEntry.queries.filter { case (n, _) => names(n) })
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd.count() materializes every output row (count() alone lets
+      // Catalyst prune the projections away) without driver transfer
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -121,7 +121,11 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     val rootDf = enforced(tableName)
     r.hints.writeDisposition match {
       case "append" =>
-        enforced.foreach { case (t, df) => store.append(t, df) }
+        // root segments carry pk stats so later merges can prune
+        enforced.foreach { case (t, df) =>
+          store.append(t, df,
+            statsFor = if (t == tableName) r.hints.primaryKey else Nil)
+        }
         dispositions.recordLoad(loadId, name)
       case "replace" =>
         enforced.foreach { case (t, df) =>

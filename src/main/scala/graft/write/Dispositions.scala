@@ -1,7 +1,7 @@
 package graft.write
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
 
 import graft.normalize.Ids
 
@@ -61,18 +61,60 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
     recordLoad(loadId)
   }
 
+  /** Merge with SEGMENT PRUNING: only destination segments whose
+    * merge-key range overlaps the staged keys are read and rewritten;
+    * disjoint segments survive the commit untouched (file skipping, the
+    * Delta `MERGE` data-skipping analog). Merge semantics allow this:
+    * a destination row can only be deleted/replaced when its key equals
+    * a staged key, and keys outside every staged range can match
+    * nothing. Tables whose segments lack stats fall back to the full
+    * rewrite; every merge commit records fresh stats so subsequent
+    * merges prune. */
   def merge(table: String, staging: DataFrame, cfg: MergeConfig, loadId: String,
             strategy: MergeStrategy = MergeStrategy.DeleteInsert): Unit = {
-    val dest = store.readOption(table)
     val staged = stamp(staging, loadId)
-    val result = strategy match {
+    val keys = (cfg.primaryKey ++ cfg.mergeKey).distinct
+    def result(dest: Option[DataFrame]): DataFrame = strategy match {
       case MergeStrategy.DeleteInsert => Merge.deleteInsert(dest, staged, cfg)
       case MergeStrategy.Upsert => Merge.upsert(dest, staged, cfg)
       case MergeStrategy.InsertOnly => Merge.insertOnly(dest, staged, cfg)
     }
-    store.overwrite(table, result)
+    store.readOption(table) match {
+      case None =>
+        store.overwrite(table, result(None), statsFor = keys)
+      case Some(_) =>
+        val segs = store.segments(table)
+        partitionByOverlap(segs, staged, keys) match {
+          case Some((touched, untouched)) if untouched.nonEmpty =>
+            val dest =
+              if (touched.isEmpty) None
+              else Some(store.readSegments(table, touched))
+            store.replaceSegments(table, untouched, result(dest), statsFor = keys)
+          case _ =>
+            store.overwrite(table, result(Some(store.read(table))), statsFor = keys)
+        }
+    }
     recordLoad(loadId)
   }
+
+  /** Split segments into (touched, untouched) by overlap between each
+    * segment's key-range stats and the staged key range. Returns None
+    * when pruning is unsound: no key, a segment without stats on the
+    * pruning key, or an empty/all-null staging range. Pruning uses the
+    * first merge key — conservative and correct for composite keys. */
+  private def partitionByOverlap(segs: Seq[Segment], staged: DataFrame,
+      keys: Seq[String]): Option[(Seq[Segment], Seq[Segment])] =
+    keys.headOption.flatMap { k =>
+      if (!segs.forall(_.stats.contains(k))) None
+      else {
+        val r = staged.agg(min(col(k)).cast("string"), max(col(k)).cast("string")).head()
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else {
+          val (lo, hi) = (r.getString(0), r.getString(1))
+          Some(segs.partition(_.stats(k).overlaps(lo, hi)))
+        }
+      }
+    }
 
   def scd2(table: String, staging: DataFrame, cfg: Scd2Config, loadId: String): Unit = {
     val result = Scd2(store.readOption(table), stamp(staging, loadId), cfg)

@@ -5,8 +5,28 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
+import scala.util.Try
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.types._
+
+/** Column min/max carried in the manifest per segment — the pruning
+  * statistics that let merges skip untouched data files (the same
+  * file-skipping idea Delta/Iceberg persist in their logs). */
+final case class ColStats(min: String, max: String, numeric: Boolean) {
+  /** Could any value in [min,max] equal a value in [lo,hi]? Conservative:
+    * parse failures report overlap. */
+  def overlaps(lo: String, hi: String): Boolean =
+    if (numeric)
+      Try(!(BigDecimal(max) < BigDecimal(lo) || BigDecimal(min) > BigDecimal(hi)))
+        .getOrElse(true)
+    else !(max < lo || min > hi)
+}
+
+/** One committed data segment: a parquet directory plus optional
+  * per-column stats (absent for imported/legacy segments → never pruned). */
+final case class Segment(name: String, stats: Map[String, ColStats])
 
 /** A minimal lakehouse: one directory per dataset, one manifest-committed
   * parquet table per subdirectory.
@@ -14,7 +34,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Layout:
   * {{{
   *   <root>/<table>/data/<uuid>/part-*.parquet   immutable data segments
-  *   <root>/<table>/manifest-<n>.json            list of live segments
+  *   <root>/<table>/manifest-<n>.txt             live segments + stats
   *   <root>/<table>/_CURRENT                     name of current manifest
   * }}}
   *
@@ -26,8 +46,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * operators in this package bind 1:1 onto Delta `MERGE`/`CLONE` when such
   * a runtime is present.
   *
-  * Append never rewrites existing segments (O(new data)); replace and the
-  * merge family commit a new segment list.
+  * Append never rewrites existing segments (O(new data)); merge rewrites
+  * only segments whose key range overlaps the staged keys (see
+  * [[Dispositions.merge]]); replace commits a fresh segment list.
+  *
+  * Segment stats are captured with `Dataset.observe` riding the write
+  * action — no extra scan of the data.
   */
 final class TableStore(val root: String, spark: SparkSession) {
 
@@ -44,37 +68,55 @@ final class TableStore(val root: String, spark: SparkSession) {
 
   /** Current snapshot as a DataFrame. */
   def read(table: String): DataFrame = {
-    val segs = currentSegments(table)
+    val segs = segments(table)
     require(segs.nonEmpty, s"table $table does not exist in $root")
-    spark.read.option("mergeSchema", "true").parquet(segs.map(_.toString): _*)
+    readSegments(table, segs)
   }
 
   def readOption(table: String): Option[DataFrame] =
-    if (exists(table) && currentSegmentNames(table).nonEmpty) Some(read(table)) else None
+    if (exists(table) && segments(table).nonEmpty) Some(read(table)) else None
 
-  /** Append: write a new segment, commit old segments + new one. */
-  def append(table: String, df: DataFrame): Unit = synchronized {
-    val seg = writeSegment(table, df)
-    commit(table, currentSegmentNames(table) :+ seg)
+  /** The live segments of `table` (with their pruning stats). */
+  def segments(table: String): Seq[Segment] = currentSegments(table)
+
+  /** Read a subset of segments (merge reads only the touched ones). */
+  def readSegments(table: String, segs: Seq[Segment]): DataFrame = {
+    require(segs.nonEmpty, "readSegments needs at least one segment")
+    spark.read.option("mergeSchema", "true")
+      .parquet(segs.map(s => resolve(table, s.name).toString): _*)
   }
 
+  /** Append: write a new segment, commit old segments + new one.
+    * `statsFor` columns get min/max stats for later merge pruning. */
+  def append(table: String, df: DataFrame, statsFor: Seq[String] = Nil): Unit =
+    synchronized {
+      val seg = writeSegment(table, df, statsFor)
+      commit(table, currentSegments(table) :+ seg)
+    }
+
   /** Replace the table content atomically with `df`. */
-  def overwrite(table: String, df: DataFrame): Unit = synchronized {
-    val seg = writeSegment(table, df)
-    commit(table, Seq(seg))
+  def overwrite(table: String, df: DataFrame, statsFor: Seq[String] = Nil): Unit =
+    synchronized {
+      commit(table, Seq(writeSegment(table, df, statsFor)))
+    }
+
+  /** Commit `keep` (untouched segments) plus a new segment holding
+    * `newData` — the pruned-merge commit. */
+  def replaceSegments(table: String, keep: Seq[Segment], newData: DataFrame,
+      statsFor: Seq[String] = Nil): Unit = synchronized {
+    commit(table, keep :+ writeSegment(table, newData, statsFor))
   }
 
   /** Zero-copy clone: new table points at the source's current segments
     * (reference staging-optimized replace / Delta SHALLOW CLONE,
     * dlt/destinations/sql_jobs.py:117-131). */
   def clone(from: String, to: String): Unit = synchronized {
-    val segs = currentSegmentNames(from)
+    val segs = currentSegments(from)
     require(segs.nonEmpty, s"table $from does not exist")
     Files.createDirectories(tableDir(to))
-    // segment paths are table-relative; cloning copies manifest entries as
-    // absolute pointers into the source table
-    val absolute = segs.map(s => tableDir(from).resolve(s).toString)
-    commitRaw(to, absolute)
+    // cloned manifest entries become absolute pointers into the source
+    val absolute = segs.map(s => s.copy(name = resolve(from, s.name).toString))
+    commit(to, absolute)
   }
 
   /** Direct file import: register existing parquet files as live
@@ -85,9 +127,10 @@ final class TableStore(val root: String, spark: SparkSession) {
     * O(1) metadata commit — the `CONVERT TO DELTA`/`ADD FILES` analog. */
   def importFiles(table: String, paths: Seq[String]): Unit = synchronized {
     require(paths.nonEmpty, "importFiles needs at least one path")
-    val absolute = paths.map(p => Paths.get(p).toAbsolutePath.toString)
+    val absolute = paths.map(p =>
+      Segment(Paths.get(p).toAbsolutePath.toString, Map.empty))
     Files.createDirectories(tableDir(table))
-    commitRaw(table, currentSegmentNames(table) ++ absolute)
+    commit(table, currentSegments(table) ++ absolute)
   }
 
   def drop(table: String): Unit = synchronized {
@@ -106,29 +149,80 @@ final class TableStore(val root: String, spark: SparkSession) {
       currentSegments(table) match {
         case Nil => ()
         case segs =>
-          val schema = spark.read.parquet(segs.map(_.toString): _*).schema
+          val schema = readSegments(table, segs).schema
           val empty = spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          commit(table, Seq(writeSegment(table, empty.coalesce(1))))
+          commit(table, Seq(writeSegment(table, empty.coalesce(1), Nil)))
       }
     }
   }
 
   // --- internals ---
 
-  private def writeSegment(table: String, df: DataFrame): String = {
-    val seg = s"data/${UUID.randomUUID().toString.take(12)}"
-    df.write.mode(SaveMode.Overwrite).parquet(tableDir(table).resolve(seg).toString)
-    seg
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
   }
 
-  private def currentSegments(table: String): Seq[Path] =
-    currentSegmentNames(table).map { s =>
-      val p = Paths.get(s)
-      if (p.isAbsolute) p else tableDir(table).resolve(s)
-    }
+  private def writeSegment(table: String, df: DataFrame,
+      statsFor: Seq[String]): Segment = {
+    val seg = s"data/${UUID.randomUUID().toString.take(12)}"
+    val cols = statsFor.distinct.filter(df.columns.contains)
+    val (toWrite, obs) =
+      if (cols.isEmpty) (df, None)
+      else {
+        val o = new Observation(s"seg-${UUID.randomUUID().toString.take(8)}")
+        val exprs = cols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c")))
+        (df.observe(o, exprs.head, exprs.tail: _*), Some(o))
+      }
+    toWrite.write.mode(SaveMode.Overwrite)
+      .parquet(tableDir(table).resolve(seg).toString)
+    val stats = obs.map { o =>
+      val m = o.get
+      cols.flatMap { c =>
+        (Option(m(s"min_$c")), Option(m(s"max_$c"))) match {
+          case (Some(mn), Some(mx)) =>
+            Some(c -> ColStats(mn.toString, mx.toString,
+              isNumeric(df.schema(c).dataType)))
+          case _ => None // all-null or empty segment: no stats
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+    Segment(seg, stats)
+  }
 
-  private def currentSegmentNames(table: String): Seq[String] = {
+  private def resolve(table: String, name: String): Path = {
+    val p = Paths.get(name)
+    if (p.isAbsolute) p else tableDir(table).resolve(name)
+  }
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  // manifest line: <name>[\t<col>,<n|s>,<encMin>,<encMax>[;...]]
+  private def encodeSegment(s: Segment): String = {
+    val stats = s.stats.toSeq.sortBy(_._1).map { case (c, st) =>
+      Seq(enc(c), if (st.numeric) "n" else "s", enc(st.min), enc(st.max)).mkString(",")
+    }.mkString(";")
+    if (stats.isEmpty) s.name else s"${s.name}\t$stats"
+  }
+
+  private def decodeSegment(line: String): Segment = line.split("\t", 2) match {
+    case Array(name) => Segment(name, Map.empty)
+    case Array(name, stats) =>
+      val cols = stats.split(";").filter(_.nonEmpty).flatMap { part =>
+        part.split(",", 4) match {
+          case Array(c, kind, mn, mx) =>
+            Some(dec(c) -> ColStats(dec(mn), dec(mx), kind == "n"))
+          case _ => None
+        }
+      }.toMap
+      Segment(name, cols)
+  }
+
+  private def currentSegments(table: String): Seq[Segment] = {
     val cur = tableDir(table).resolve("_CURRENT")
     if (!Files.exists(cur)) Nil
     else {
@@ -137,20 +231,18 @@ final class TableStore(val root: String, spark: SparkSession) {
       if (!Files.exists(manifest)) Nil
       else {
         val body = new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
-        body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        body.linesIterator.map(_.trim).filter(_.nonEmpty).map(decodeSegment).toSeq
       }
     }
   }
 
-  private def commit(table: String, segments: Seq[String]): Unit =
-    commitRaw(table, segments)
-
-  private def commitRaw(table: String, segments: Seq[String]): Unit = {
+  private def commit(table: String, segments: Seq[Segment]): Unit = {
     val dir = tableDir(table)
     Files.createDirectories(dir)
     val n = System.nanoTime()
     val manifest = s"manifest-$n.txt"
-    Files.write(dir.resolve(manifest), segments.mkString("\n").getBytes(StandardCharsets.UTF_8),
+    Files.write(dir.resolve(manifest),
+      segments.map(encodeSegment).mkString("\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     val tmp = dir.resolve(s"_CURRENT.tmp.$n")
     Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE)

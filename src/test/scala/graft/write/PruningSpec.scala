@@ -1,0 +1,70 @@
+package graft.write
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("prune").toString
+
+  test("segments carry min/max stats captured during the write") {
+    val store = new TableStore(tmp(), spark)
+    store.append("t", Seq((1L, "a"), (5L, "b")).toDF("id", "v"), statsFor = Seq("id"))
+    val Seq(seg) = store.segments("t")
+    assert(seg.stats("id") === ColStats("1", "5", numeric = true))
+  }
+
+  test("merge rewrites only segments overlapping the staged key range") {
+    val store = new TableStore(tmp(), spark)
+    val d = new Dispositions(store, spark)
+    // three disjoint segments: [1,10], [100,110], [1000,1010]
+    Seq(1L to 10L, 100L to 110L, 1000L to 1010L).foreach { r =>
+      store.append("t", r.map(i => (i, s"v$i")).toDF("id", "v"), statsFor = Seq("id"))
+    }
+    val before = store.segments("t").map(_.name)
+    assert(before.size === 3)
+
+    // staging hits only the middle range
+    val staging = Seq((105L, "NEW"), (200L, "INS")).toDF("id", "v")
+    d.merge("t", staging, MergeConfig(primaryKey = Seq("id")), "2")
+
+    val after = store.segments("t").map(_.name)
+    // first and third segments survive untouched; middle was rewritten
+    assert(after.contains(before(0)) && after.contains(before(2)))
+    assert(!after.contains(before(1)))
+    assert(after.size === 3) // 2 kept + 1 merge result
+
+    val out = store.read("t")
+    assert(out.count() === 10 + 11 + 11 + 1) // +1 inserted key 200
+    assert(out.filter(col("id") === 105).select("v").as[String].head() === "NEW")
+    assert(out.filter(col("id") === 200).count() === 1)
+    assert(out.filter(col("id") === 1000).count() === 1)
+  }
+
+  test("merge falls back to full rewrite when stats are missing") {
+    val store = new TableStore(tmp(), spark)
+    val d = new Dispositions(store, spark)
+    store.append("t", Seq((1L, "a")).toDF("id", "v")) // no stats
+    d.merge("t", Seq((1L, "b")).toDF("id", "v"), MergeConfig(primaryKey = Seq("id")), "2")
+    val out = store.read("t").select("id", "v").as[(Long, String)].collect().toSeq
+    assert(out === Seq((1L, "b")))
+    // and the merge commit backfills stats → next merge can prune
+    assert(store.segments("t").forall(_.stats.contains("id")))
+  }
+
+  test("string keys prune lexicographically") {
+    val store = new TableStore(tmp(), spark)
+    val d = new Dispositions(store, spark)
+    store.append("t", Seq(("aaa", 1), ("amm", 2)).toDF("k", "v"), statsFor = Seq("k"))
+    store.append("t", Seq(("zzz", 3)).toDF("k", "v"), statsFor = Seq("k"))
+    val before = store.segments("t").map(_.name)
+    d.merge("t", Seq(("abc", 9)).toDF("k", "v"), MergeConfig(primaryKey = Seq("k")), "2")
+    val after = store.segments("t").map(_.name)
+    assert(after.contains(before(1))) // z-segment untouched
+    assert(store.read("t").count() === 4)
+  }
+}
