@@ -133,6 +133,21 @@ final class TableStore(val root: String, spark: SparkSession) {
     commit(table, currentSegments(table) ++ absolute)
   }
 
+  /** Compaction (the `OPTIMIZE` analog): rewrite the live segments into
+    * one when the table has accumulated more than `maxSegments` — the
+    * small-files problem is the classic failure mode of manifest stores
+    * under frequent appends. Stats are recomputed for every column any
+    * segment tracked. Returns true when a compaction ran. */
+  def compact(table: String, maxSegments: Int = 16): Boolean = synchronized {
+    val segs = currentSegments(table)
+    if (segs.size <= maxSegments) false
+    else {
+      val statCols = segs.flatMap(_.stats.keys).distinct
+      commit(table, Seq(writeSegment(table, readSegments(table, segs), statCols)))
+      true
+    }
+  }
+
   def drop(table: String): Unit = synchronized {
     val dir = tableDir(table)
     if (Files.exists(dir)) {

@@ -56,6 +56,18 @@ class PruningSpec extends SparkSpec {
     assert(store.segments("t").forall(_.stats.contains("id")))
   }
 
+  test("compact folds many small segments into one, preserving stats") {
+    val store = new TableStore(tmp(), spark)
+    (1 to 5).foreach(i =>
+      store.append("t", Seq((i.toLong, s"v$i")).toDF("id", "v"), statsFor = Seq("id")))
+    assert(store.segments("t").size === 5)
+    assert(!store.compact("t", maxSegments = 16)) // under threshold: no-op
+    assert(store.compact("t", maxSegments = 3))
+    val Seq(seg) = store.segments("t")
+    assert(seg.stats("id") === ColStats("1", "5", numeric = true))
+    assert(store.read("t").count() === 5)
+  }
+
   test("string keys prune lexicographically") {
     val store = new TableStore(tmp(), spark)
     val d = new Dispositions(store, spark)
