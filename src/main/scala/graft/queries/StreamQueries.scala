@@ -42,6 +42,19 @@ object StreamQueries {
       store.read("win").orderBy("window_start", "event_type")
     },
 
+    // custom keyed state (mapGroupsWithState): running per-key counts in
+    // update mode; the final value per key is the max of its updates
+    "stream_stateful_counts" -> q { c =>
+      val store = new TableStore(Files.createTempDirectory("graft-sts").toString, c.spark)
+      val src = Streaming.fileStream(c.spark, s"${c.dir}/events.parquet")
+      val counts = Streaming.statefulCounts(src, "event_type")
+      Streaming.drainAvailableNow(counts, outputMode = "update") {
+        (batch, _) => store.append("sc", batch)
+      }
+      store.read("sc").groupBy("event_type").agg(max(col("n")).as("n"))
+        .orderBy("event_type")
+    },
+
     // stateful dedup: input duplicated 2x, dropDuplicates state keeps
     // exactly one row per event_id across micro-batches
     "stream_dedup_exactly_once" -> q { c =>
@@ -63,6 +76,9 @@ object StreamQueries {
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_stateful_counts" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_dedup_exactly_once" ->
       "SELECT event_id, user_id FROM events ORDER BY event_id"
   )

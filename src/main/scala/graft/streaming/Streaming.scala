@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.pipeline.{Pipeline, Resource}
@@ -97,4 +97,26 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col(key), col("n"))
+
+  /** Arbitrary per-key streaming state via `mapGroupsWithState` — the
+    * custom-state escape hatch (SURVEY.md §2.8). Here: a running count
+    * per key, emitted in update mode after every micro-batch; the
+    * pattern generalizes to any `case class` state (sessions, cursors,
+    * sketches). State is partitioned by key in the state store, so it
+    * scales horizontally with executors. Drain with
+    * `outputMode = "update"`; counts are monotonic, so the final value
+    * per key is `max(n)` over all emitted updates. */
+  def statefulCounts(stream: DataFrame, key: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(key).cast("string")).as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (k, n)
+      }
+      .toDF(key, "n")
+  }
 }

@@ -49,6 +49,17 @@ class StreamingSpec extends SparkSpec {
     assert(store.read("dd").select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("statefulCounts keeps running per-key state across batches") {
+    val store = new TableStore(tmp("st-sc"), spark)
+    val src = Streaming.fileStream(spark, writeSourceDir())
+    val counts = Streaming.statefulCounts(src, "k")
+    Streaming.drainAvailableNow(counts, outputMode = "update")(
+      (b, _) => store.append("sc", b))
+    val finalCounts = store.read("sc").groupBy("k").agg(max(col("n")).as("n"))
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(finalCounts === Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("tumblingCounts groups by event-time window") {
     val store = new TableStore(tmp("st-win"), spark)
     val src = Streaming.fileStream(spark, {
