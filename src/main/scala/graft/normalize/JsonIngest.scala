@@ -28,6 +28,14 @@ object JsonIngest {
     df.withColumn(column, from_json(col(column), schema))
   }
 
+  /** Parse a JSON string column into Spark 4's `VariantType` — the
+    * schemaless document kept queryable without an inference pass
+    * (SURVEY §1.2 maps the dlt `json` type here). Fields come back out
+    * with `variant_get(v, "$.path", type)`; unlike [[parseColumn]] this
+    * is ONE scan and tolerates heterogeneous rows. */
+  def parseVariantColumn(df: DataFrame, column: String): DataFrame =
+    df.withColumn(column, parse_json(col(column)))
+
   /** Full schemaless path: JSON documents → normalized table map. */
   def normalize(spark: SparkSession, json: Dataset[String], rootTable: String,
                 cfg: NormalizeConfig): Map[String, DataFrame] =

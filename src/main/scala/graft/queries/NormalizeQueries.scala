@@ -1,5 +1,6 @@
 package graft.queries
 
+
 import org.apache.spark.sql.functions._
 
 import graft.normalize.{Coerce, JsonIngest, NormalizeConfig, Normalizer, RootIdType}
@@ -55,6 +56,16 @@ object NormalizeQueries {
         .orderBy("p_partkey")
     },
 
+    // Spark 4 VariantType path for the dlt `json` type: parse once,
+    // extract typed fields with variant_get — no inference scan
+    "norm_json_variant" -> q { c =>
+      val parsed = JsonIngest.parseVariantColumn(
+        c.t("events").select("event_id", "props"), "props")
+      parsed.select(col("event_id"),
+        variant_get(col("props"), "$.k", "bigint").as("k"))
+        .orderBy("event_id")
+    },
+
     // deterministic content-hash row ids (row_hash) — ids are engine
     // internal, so rows-only check; determinism is unit-tested
     "norm_row_hash_ids" -> q { c =>
@@ -82,6 +93,9 @@ object NormalizeQueries {
         |FROM region ORDER BY region_key""".stripMargin,
     "norm_coerce_hex" ->
       """SELECT p_partkey, CAST(p_size AS BIGINT) AS coerced
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "norm_json_variant" ->
+      """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
