@@ -206,6 +206,26 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
+    "rel_grouping_sets" -> q { c =>
+      c.t("orders").createOrReplaceTempView("gs_orders")
+      c.spark.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+    "rel_pivot" -> q { c =>
+      c.t("orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    },
+
     // --- scalar function surface (string / date / math / conditional) ---
     "rel_scalar_string" -> q { c =>
       c.t("part")
@@ -392,6 +412,17 @@ object RelationalQueries {
          |  ${dec2("o_totalprice")} AS total
          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "rel_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "rel_scalar_string" ->
       """SELECT p_partkey, UPPER(p_name) AS name_upper, LENGTH(p_name) AS name_len,
         |  SUBSTRING(p_name, 1, 5) AS name_pfx,
