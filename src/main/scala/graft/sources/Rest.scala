@@ -57,6 +57,49 @@ object Rest {
       extract(resp.body)
   }
 
+  /** Auth strategies (reference config_setup.py:87+): each contributes
+    * request headers and/or query params. The reference's oauth2 flow
+    * (fetch token, then bearer) is the `OAuth2` token supplier. */
+  sealed trait Auth {
+    def headers: Map[String, String] = Map.empty
+    def queryParams: Map[String, String] = Map.empty
+  }
+  final case class Bearer(token: String) extends Auth {
+    override def headers: Map[String, String] =
+      Map("Authorization" -> s"Bearer $token")
+  }
+  final case class HttpBasic(user: String, password: String) extends Auth {
+    override def headers: Map[String, String] = Map("Authorization" ->
+      ("Basic " + java.util.Base64.getEncoder.encodeToString(
+        s"$user:$password".getBytes("UTF-8"))))
+  }
+  /** api_key in a header or a query parameter. */
+  final case class ApiKey(name: String, value: String, inQuery: Boolean = false)
+      extends Auth {
+    override def headers: Map[String, String] =
+      if (inQuery) Map.empty else Map(name -> value)
+    override def queryParams: Map[String, String] =
+      if (inQuery) Map(name -> value) else Map.empty
+  }
+  /** oauth2 client-credentials: the supplier runs the token exchange once
+    * per source build; the result authenticates as a bearer. */
+  final case class OAuth2(fetchToken: () => String) extends Auth {
+    override def headers: Map[String, String] =
+      Map("Authorization" -> s"Bearer ${fetchToken()}")
+  }
+
+  /** A transport that accepts request headers (real HTTP clients do);
+    * [[authed]] binds an [[Auth]] onto it, yielding the plain
+    * [[Transport]] the paginator loop consumes. */
+  type HeaderTransport = (String, Map[String, String]) => Response
+
+  def authed(t: HeaderTransport, auth: Auth): Transport = url => {
+    val withParams = auth.queryParams.foldLeft(url) {
+      case (acc, (k, v)) => setParam(acc, k, v)
+    }
+    t(withParams, auth.headers)
+  }
+
   private def setParam(url: String, key: String, value: String): String = {
     val (base, q) = url.span(_ != '?')
     val params = if (q.isEmpty) Map.empty[String, String]

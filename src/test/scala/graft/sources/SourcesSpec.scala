@@ -65,6 +65,31 @@ class SourcesSpec extends SparkSpec {
     assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("rest: auth strategies set headers and query params") {
+    var seen: (String, Map[String, String]) = ("", Map.empty)
+    val ht: Rest.HeaderTransport = (url, headers) => {
+      seen = (url, headers); Rest.Response("""[{"id":1}]""")
+    }
+    Rest.read(spark, "http://api/x", Rest.authed(ht, Rest.Bearer("tok")), Rest.SinglePage)
+    assert(seen._2 === Map("Authorization" -> "Bearer tok"))
+
+    Rest.read(spark, "http://api/x", Rest.authed(ht, Rest.HttpBasic("u", "p")), Rest.SinglePage)
+    assert(seen._2("Authorization").startsWith("Basic "))
+
+    Rest.read(spark, "http://api/x",
+      Rest.authed(ht, Rest.ApiKey("X-Key", "s3cret")), Rest.SinglePage)
+    assert(seen._2 === Map("X-Key" -> "s3cret"))
+
+    Rest.read(spark, "http://api/x?a=1",
+      Rest.authed(ht, Rest.ApiKey("key", "v", inQuery = true)), Rest.SinglePage)
+    assert(seen._1.contains("key=v") && seen._1.contains("a=1"))
+
+    var exchanges = 0
+    Rest.read(spark, "http://api/x",
+      Rest.authed(ht, Rest.OAuth2(() => { exchanges += 1; "t2" })), Rest.SinglePage)
+    assert(seen._2 === Map("Authorization" -> "Bearer t2") && exchanges === 1)
+  }
+
   test("rest: child endpoint resolves path params per parent row") {
     val parent = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val transport: Rest.Transport = url => {
