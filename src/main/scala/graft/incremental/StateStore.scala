@@ -25,7 +25,7 @@ final class StateStore(dir: String) {
     }.getOrElse(Incremental.State.empty)
   }
 
-  def save(pipeline: String, key: String, state: Incremental.State): Unit = {
+  def save(pipeline: String, key: String, state: Incremental.State): Unit = synchronized {
     val p = path(pipeline)
     Files.createDirectories(p.getParent)
     val existing: Seq[String] =
@@ -43,7 +43,7 @@ final class StateStore(dir: String) {
 
   /** Drop state entries whose key starts with `keyPrefix` (refresh
     * modes drop per-resource cursor state; reference pipeline/drop.py). */
-  def clear(pipeline: String, keyPrefix: String = ""): Unit = {
+  def clear(pipeline: String, keyPrefix: String = ""): Unit = synchronized {
     val p = path(pipeline)
     if (Files.exists(p)) {
       val kept = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)

@@ -72,6 +72,27 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
   def run(resources: Seq[Resource], loadId: String): Map[String, Seq[String]] =
     resources.map(r => r.name -> runOne(r, loadId)).toMap
 
+  /** Run resources CONCURRENTLY (reference load thread pool, workers=20,
+    * dlt/load/load.py:290-321): each resource's plan is submitted as its
+    * own Spark job set, overlapping scheduling/IO gaps across resources.
+    * Store commits, registry updates and state writes are synchronized;
+    * resources must target distinct tables (as in the reference). */
+  def runParallel(resources: Seq[Resource], loadId: String,
+      parallelism: Int = 8): Map[String, Seq[String]] = {
+    require(resources.map(r => Naming.normalizeTableName(r.name)).distinct.size ==
+      resources.size, "parallel run requires distinct resource tables")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, resources.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = resources.map(r => scala.concurrent.Future(r.name -> runOne(r, loadId)))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf).toMap
+    } finally pool.shutdown()
+  }
+
   private def runOne(r: Resource, loadId: String): Seq[String] = {
     val tableName = Naming.normalizeTableName(r.name)
 
@@ -153,7 +174,10 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       states.save(name, s"$tableName/${cfg.cursorColumn}",
         Incremental.advance(frame, cfg, st))
     }
-    observation.foreach(obs => metricsByResource += tableName -> obs.get)
+    observation.foreach { obs =>
+      val m = obs.get
+      synchronized { metricsByResource += tableName -> m }
+    }
     enforced.keys.toSeq.sorted
   }
 

@@ -77,6 +77,21 @@ class LifecycleSpec extends SparkSpec {
     assert(p.metrics("t")("mx") === 3L)
   }
 
+  test("runParallel loads distinct resources concurrently and correctly") {
+    val p = new Pipeline("par", tmp("lc-par"), spark)
+    val resources = (1 to 6).map(i =>
+      Resource(s"t$i", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val written = p.runParallel(resources, "1", parallelism = 4)
+    assert(written.keySet === resources.map(_.name).toSet)
+    (1 to 6).foreach { i =>
+      val rows = p.store.read(s"t$i").select("id").as[Long].collect().toSeq
+      assert(rows === Seq(i.toLong))
+    }
+    intercept[IllegalArgumentException] {
+      p.runParallel(Seq(Resource("dup", sample), Resource("dup", sample)), "2")
+    }
+  }
+
   test("schema exports render tables and relationships") {
     val reg = new SchemaRegistry("exp")
     reg.register("nation", sample.schema)
