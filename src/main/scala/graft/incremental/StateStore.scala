@@ -56,6 +56,13 @@ final class StateStore(dir: String) {
     }
   }
 
+  /** Raw serialized state of a pipeline ("" when absent) — what gets
+    * synced into `_dlt_pipeline_state` on the destination. */
+  def dump(pipeline: String): String = synchronized {
+    val p = path(pipeline)
+    if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8) else ""
+  }
+
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 }

@@ -68,9 +68,20 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
   def newLoadId(): String = dispositions.newLoadId()
 
   /** Run one load package over the given resources. Returns per-resource
-    * row table names written. */
-  def run(resources: Seq[Resource], loadId: String): Map[String, Seq[String]] =
-    resources.map(r => r.name -> runOne(r, loadId)).toMap
+    * row table names written. Schema version + pipeline state are synced
+    * to the `_dlt_version` / `_dlt_pipeline_state` system tables after
+    * the package completes (reference state_sync.py:95-139). */
+  def run(resources: Seq[Resource], loadId: String): Map[String, Seq[String]] = {
+    val out = resources.map(r => r.name -> runOne(r, loadId)).toMap
+    syncSystemTables(loadId)
+    out
+  }
+
+  private def syncSystemTables(loadId: String): Unit = {
+    dispositions.recordVersion(name, registry.versionHash, registry.toJson)
+    val state = states.dump(name)
+    if (state.nonEmpty) dispositions.recordState(name, loadId, state)
+  }
 
   /** Run resources CONCURRENTLY (reference load thread pool, workers=20,
     * dlt/load/load.py:290-321): each resource's plan is submitted as its
@@ -87,9 +98,11 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
       val futures = resources.map(r => scala.concurrent.Future(r.name -> runOne(r, loadId)))
-      scala.concurrent.Await.result(
+      val out = scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futures),
         scala.concurrent.duration.Duration.Inf).toMap
+      syncSystemTables(loadId)
+      out
     } finally pool.shutdown()
   }
 

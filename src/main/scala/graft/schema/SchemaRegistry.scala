@@ -109,7 +109,9 @@ final class SchemaRegistry(val name: String) {
     if (refs.isEmpty) tbls else s"$tbls\n\n$refs"
   }
 
-  def save(dir: String): Unit = {
+  /** Stored-schema JSON (the reference's stored schema form,
+    * schema/typing.py:396-408). */
+  def toJson: String = {
     val obj = tables.map { case (t, (s, h)) =>
       t -> Map(
         "schema" -> s.json,
@@ -121,10 +123,13 @@ final class SchemaRegistry(val name: String) {
           s"${r.columns.mkString("+")}->${r.referencedTable}.${r.referencedColumns.mkString("+")}")
           .mkString(";"))
     }
-    val json = upickleFree(obj, versionHash, previousHashes)
+    upickleFree(obj, versionHash, previousHashes)
+  }
+
+  def save(dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
     Files.write(Paths.get(dir, s"$name.schema.json"),
-      json.getBytes(StandardCharsets.UTF_8),
+      toJson.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 

@@ -135,6 +135,45 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
     store.append(LoadsTable, row)
   }
 
+  /** `_dlt_version` system table (reference schema version table,
+    * dlt/common/storages/ + typing.py:39): one row per distinct schema
+    * version hash, appended when the hash changes. */
+  private var seenVersionHashes: Set[String] = Set.empty
+
+  def recordVersion(schemaName: String, versionHash: String,
+                    schemaJson: String): Unit = {
+    import spark.implicits._
+    val already = seenVersionHashes(versionHash) ||
+      store.readOption(VersionTable).exists(df =>
+        df.filter(df("version_hash") === versionHash).limit(1).count() > 0)
+    seenVersionHashes += versionHash
+    if (!already) {
+      val version = store.readOption(VersionTable).map(_.count()).getOrElse(0L) + 1
+      store.append(VersionTable,
+        Seq((version, 1L, java.time.Instant.now().toString, schemaName,
+          versionHash, schemaJson))
+          .toDF("version", "engine_version", "inserted_at", "schema_name",
+            "version_hash", "schema"))
+    }
+  }
+
+  /** `_dlt_pipeline_state` system table (reference state sync,
+    * dlt/pipeline/state_sync.py:95-139): the pipeline state snapshot
+    * committed alongside the load so a fresh environment can restore
+    * incremental cursors from the destination alone. */
+  def recordState(pipelineName: String, loadId: String, stateJson: String): Unit = {
+    import spark.implicits._
+    val version = store.readOption(StateTable).map(_.count()).getOrElse(0L) + 1
+    store.append(StateTable,
+      Seq((version, 4L, pipelineName, stateJson,
+        java.time.Instant.now().toString, loadId))
+        .toDF("version", "engine_version", "pipeline_name", "state",
+          "created_at", "_dlt_load_id"))
+  }
+
+  val VersionTable = "_dlt_version"
+  val StateTable = "_dlt_pipeline_state"
+
   def loadIds: Seq[String] = store.readOption(LoadsTable) match {
     case None => Nil
     case Some(df) => df.select("load_id").distinct()

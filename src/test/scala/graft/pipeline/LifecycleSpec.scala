@@ -92,6 +92,29 @@ class LifecycleSpec extends SparkSpec {
     }
   }
 
+  test("system tables: _dlt_version and _dlt_pipeline_state sync per load") {
+    val p = new Pipeline("sys", tmp("lc-sys"), spark)
+    p.run(Seq(Resource("t", sample)), "1")
+    val v1 = p.store.read("_dlt_version")
+    assert(v1.count() === 1)
+    // unchanged schema → no new version row
+    p.run(Seq(Resource("t", sample)), "2")
+    assert(p.store.read("_dlt_version").count() === 1)
+    // evolved schema → second version row with a different hash
+    p.run(Seq(Resource("t", sample.withColumn("extra", lit(1)))), "3")
+    val hashes = p.store.read("_dlt_version")
+      .select("version_hash").as[String].collect().toSet
+    assert(hashes.size === 2)
+
+    // incremental state lands in _dlt_pipeline_state with the load id
+    val cfg = graft.incremental.Incremental.Config(
+      cursorColumn = "id", primaryKey = Seq("id"))
+    p.run(Seq(Resource("inc", sample).withIncremental(cfg)), "4")
+    val st = p.store.read("_dlt_pipeline_state")
+    assert(st.filter(col("_dlt_load_id") === "4").count() === 1)
+    assert(st.select("state").as[String].head().nonEmpty)
+  }
+
   test("schema exports render tables and relationships") {
     val reg = new SchemaRegistry("exp")
     reg.register("nation", sample.schema)
