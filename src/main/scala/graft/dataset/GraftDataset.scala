@@ -23,7 +23,7 @@ final class GraftDataset(val store: TableStore, val registry: SchemaRegistry,
 
   def table(name: String): Relation = {
     val norm = Naming.normalizeTableName(name)
-    new Relation(store.read(norm), norm, this)
+    new Relation(store.read(norm), norm, this, pristine = true)
   }
   def apply(name: String): Relation = table(name)
 
@@ -58,9 +58,11 @@ final class GraftDataset(val store: TableStore, val registry: SchemaRegistry,
 }
 
 /** Lazy composable query over one table (reference Relation,
-  * dlt/dataset/relation.py:66+). */
+  * dlt/dataset/relation.py:66+). `pristine` marks an untouched base
+  * scan, where a typed comparison filter can swap the underlying read
+  * for a stat-pruned one (segment skipping) before filtering. */
 final class Relation(private val frame: DataFrame, val tableName: String,
-                     dataset: GraftDataset) {
+                     dataset: GraftDataset, pristine: Boolean = false) {
 
   private def wrap(d: DataFrame) = new Relation(d, tableName, dataset)
 
@@ -68,8 +70,22 @@ final class Relation(private val frame: DataFrame, val tableName: String,
 
   def select(cols: String*): Relation = wrap(frame.select(cols.map(col): _*))
 
-  /** Typed filter ops (reference op map, relation.py:51-60). */
+  /** Typed filter ops (reference op map, relation.py:51-60). On a
+    * pristine base scan, comparison ops read only the segments whose
+    * stats can match (see [[graft.write.TableStore.readPruned]]); the
+    * filter itself still applies, so results are identical. */
   def where(column: String, op: String, value: Any): Relation = {
+    val base: DataFrame =
+      if (!pristine) frame
+      else {
+        val v = Some(String.valueOf(value))
+        op match {
+          case "eq" => dataset.store.readPruned(tableName, column, v, v)
+          case "gt" | "gte" => dataset.store.readPruned(tableName, column, v, None)
+          case "lt" | "lte" => dataset.store.readPruned(tableName, column, None, v)
+          case _ => frame
+        }
+      }
     val c = col(column)
     val cond: Column = op match {
       case "eq" => c === lit(value)
@@ -82,7 +98,7 @@ final class Relation(private val frame: DataFrame, val tableName: String,
       case "not_in" => !c.isin(value.asInstanceOf[Seq[Any]]: _*)
       case other => throw new IllegalArgumentException(s"unknown op $other")
     }
-    wrap(frame.filter(cond))
+    wrap(base.filter(cond))
   }
   def filter(column: String, op: String, value: Any): Relation = where(column, op, value)
   def where(sqlExpr: String): Relation = wrap(frame.filter(sqlExpr))

@@ -133,6 +133,32 @@ final class TableStore(val root: String, spark: SparkSession) {
     commit(table, currentSegments(table) ++ absolute)
   }
 
+  /** Stat-pruned read: only segments whose `column` range intersects
+    * [lo, hi] (None = unbounded) are scanned — segment-level file
+    * skipping BEFORE Spark's parquet row-group pruning, which saves the
+    * file listing + footer reads that dominate point lookups on huge
+    * tables. Falls back to the full read when any segment lacks stats.
+    * Callers still apply the real filter on top; pruning only skips
+    * files that cannot match. */
+  def readPruned(table: String, column: String,
+      lo: Option[String], hi: Option[String]): DataFrame = {
+    val segs = currentSegments(table)
+    if (segs.isEmpty || !segs.forall(_.stats.contains(column))) read(table)
+    else {
+      val live = segs.filter { s =>
+        val st = s.stats(column)
+        val aboveLo = lo.forall(l =>
+          if (st.numeric) Try(BigDecimal(st.max) >= BigDecimal(l)).getOrElse(true)
+          else st.max >= l)
+        val belowHi = hi.forall(h =>
+          if (st.numeric) Try(BigDecimal(st.min) <= BigDecimal(h)).getOrElse(true)
+          else st.min <= h)
+        aboveLo && belowHi
+      }
+      if (live.isEmpty) read(table).limit(0) else readSegments(table, live)
+    }
+  }
+
   /** Compaction (the `OPTIMIZE` analog): rewrite the live segments into
     * one when the table has accumulated more than `maxSegments` — the
     * small-files problem is the classic failure mode of manifest stores

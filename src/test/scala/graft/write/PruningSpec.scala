@@ -68,6 +68,30 @@ class PruningSpec extends SparkSpec {
     assert(store.read("t").count() === 5)
   }
 
+  test("readPruned skips non-matching segments but filters identically") {
+    val store = new TableStore(tmp(), spark)
+    Seq(1L to 10L, 100L to 110L, 1000L to 1010L).foreach { r =>
+      store.append("t", r.map(i => (i, s"v$i")).toDF("id", "v"), statsFor = Seq("id"))
+    }
+    // point lookup: only the matching segment is scanned
+    val hit = store.readPruned("t", "id", Some("105"), Some("105"))
+    assert(hit.inputFiles.length < store.read("t").inputFiles.length)
+    assert(hit.filter(col("id") === 105L).count() === 1)
+    // range crossing two segments
+    val range = store.readPruned("t", "id", Some("5"), Some("105"))
+    assert(range.filter(col("id").between(5L, 105L)).count() === 6 + 6)
+    // no possible match: empty frame, schema kept
+    val miss = store.readPruned("t", "id", Some("5000"), None)
+    assert(miss.count() === 0 && miss.columns.toSeq === Seq("id", "v"))
+    // relation facade goes through the pruned path with identical results
+    val p = new graft.pipeline.Pipeline("pr", tmp(), spark)
+    val ds = new graft.dataset.GraftDataset(store, p.registry, spark)
+    val viaRelation = ds.table("t").where("id", "gte", 1000L).df()
+    assert(viaRelation.count() === 11)
+    // one of three segments scanned (a segment may hold several part files)
+    assert(viaRelation.inputFiles.length === store.read("t").inputFiles.length / 3)
+  }
+
   test("string keys prune lexicographically") {
     val store = new TableStore(tmp(), spark)
     val d = new Dispositions(store, spark)
