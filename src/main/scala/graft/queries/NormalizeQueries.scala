@@ -56,6 +56,17 @@ object NormalizeQueries {
         .orderBy("p_partkey")
     },
 
+    // type autodetection on untyped text columns (detections.py analog):
+    // all-ISO dates → DateType, all-integers → LongType, mixed stays text
+    "norm_autodetect" -> q { c =>
+      val untyped = c.t("orders").select(
+        col("o_orderkey").cast("string").as("key_txt"),
+        col("o_orderdate").cast("string").as("date_txt"),
+        col("o_orderpriority").as("prio_txt"))
+      graft.schema.Detections.autodetect(untyped)
+        .orderBy("key_txt")
+    },
+
     // Spark 4 VariantType path for the dlt `json` type: parse once,
     // extract typed fields with variant_get — no inference scan
     "norm_json_variant" -> q { c =>
@@ -96,6 +107,10 @@ object NormalizeQueries {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "norm_json_variant" ->
       """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "norm_autodetect" ->
+      """SELECT o_orderkey AS key_txt, o_orderdate AS date_txt,
+        |  o_orderpriority AS prio_txt
+        |FROM orders ORDER BY key_txt""".stripMargin
   )
 }
