@@ -56,20 +56,25 @@ object Incremental {
     sha2(to_json(struct(basis.sorted.map(col): _*)), 256)
   }
 
+  /** Resolve the cursor's type even for a nested path ("payload.ts" —
+    * the reference's JSONPath cursor_path maps to struct field access). */
+  private def cursorType(df: DataFrame, path: String) =
+    df.select(col(path)).schema.head.dataType
+
   /** Apply the incremental window + boundary dedup. Returns the filtered
     * frame; call [[advance]] after a successful load to get the new state.
     */
   def apply(df: DataFrame, cfg: Config, state: State): DataFrame = {
     val cursor = col(cfg.cursorColumn)
     val cmpLast: Option[Column] = effectiveStart(cfg, state).map { last =>
-      val bound = lit(last).cast(df.schema(cfg.cursorColumn).dataType)
+      val bound = lit(last).cast(cursorType(df, cfg.cursorColumn))
       cfg.lastValueFunc match {
         case MaxFunc => if (cfg.closedStart) cursor >= bound else cursor > bound
         case MinFunc => if (cfg.closedStart) cursor <= bound else cursor < bound
       }
     }
     val cmpEnd: Option[Column] = cfg.endValue.map { end =>
-      val bound = lit(end).cast(df.schema(cfg.cursorColumn).dataType)
+      val bound = lit(end).cast(cursorType(df, cfg.cursorColumn))
       cfg.lastValueFunc match {
         case MaxFunc => cursor < bound
         case MinFunc => cursor > bound
@@ -89,7 +94,7 @@ object Incremental {
     // boundary dedup: only rows AT the stored boundary can be repeats
     (state.lastValue, state.boundaryHashes) match {
       case (Some(last), hashes) if hashes.nonEmpty && cfg.closedStart && cfg.lag.isEmpty =>
-        val bound = lit(last).cast(df.schema(cfg.cursorColumn).dataType)
+        val bound = lit(last).cast(cursorType(df, cfg.cursorColumn))
         val fp = fingerprint(cfg, df)
         windowed.filter(cursor.isNull || cursor =!= bound || !fp.isin(hashes: _*))
       case _ => windowed
@@ -122,7 +127,7 @@ object Incremental {
     if (newLastRow.isNullAt(0)) previous
     else {
       val newLast = newLastRow.getString(0)
-      val bound = lit(newLast).cast(processed.schema(cfg.cursorColumn).dataType)
+      val bound = lit(newLast).cast(cursorType(processed, cfg.cursorColumn))
       val hashes = processed.filter(cursor === bound)
         .select(fingerprint(cfg, processed).as("fp"))
         .distinct().collect().map(_.getString(0)).toSeq

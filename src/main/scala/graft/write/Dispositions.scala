@@ -98,23 +98,33 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
   }
 
   /** Split segments into (touched, untouched) by overlap between each
-    * segment's key-range stats and the staged key range. Returns None
-    * when pruning is unsound: no key, a segment without stats on the
-    * pruning key, or an empty/all-null staging range. Pruning uses the
-    * first merge key — conservative and correct for composite keys. */
+    * segment's key-range stats and the staged key ranges. Returns None
+    * when pruning is unsound: no key, no key with stats on every
+    * segment, or an empty/all-null staging range. For composite keys a
+    * destination row matches a staged row only if EVERY key column is
+    * equal, so a segment disjoint from staging on ANY stat'd key column
+    * cannot be touched — all usable columns prune jointly. */
   private def partitionByOverlap(segs: Seq[Segment], staged: DataFrame,
-      keys: Seq[String]): Option[(Seq[Segment], Seq[Segment])] =
-    keys.headOption.flatMap { k =>
-      if (!segs.forall(_.stats.contains(k))) None
-      else {
-        val r = staged.agg(min(col(k)).cast("string"), max(col(k)).cast("string")).head()
-        if (r.isNullAt(0) || r.isNullAt(1)) None
-        else {
-          val (lo, hi) = (r.getString(0), r.getString(1))
-          Some(segs.partition(_.stats(k).overlaps(lo, hi)))
+      keys: Seq[String]): Option[(Seq[Segment], Seq[Segment])] = {
+    val usable = keys.filter(k => segs.forall(_.stats.contains(k)))
+    if (usable.isEmpty) None
+    else {
+      val aggs = usable.flatMap(k =>
+        Seq(min(col(k)).cast("string").as(s"lo_$k"),
+          max(col(k)).cast("string").as(s"hi_$k")))
+      val r = staged.agg(aggs.head, aggs.tail: _*).head()
+      val ranges = usable.flatMap { k =>
+        (Option(r.getAs[String](s"lo_$k")), Option(r.getAs[String](s"hi_$k"))) match {
+          case (Some(lo), Some(hi)) => Some(k -> (lo, hi))
+          case _ => None
         }
       }
+      if (ranges.isEmpty) None
+      else Some(segs.partition(s => ranges.forall { case (k, (lo, hi)) =>
+        s.stats(k).overlaps(lo, hi)
+      }))
     }
+  }
 
   def scd2(table: String, staging: DataFrame, cfg: Scd2Config, loadId: String): Unit = {
     val result = Scd2(store.readOption(table), stamp(staging, loadId), cfg)

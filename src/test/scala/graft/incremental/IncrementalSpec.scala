@@ -63,6 +63,17 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental(df, exc, State.empty).count() == 2)
   }
 
+  test("nested cursor path (struct field) windows and advances") {
+    val df = rows.toDF("cur", "v")
+      .select(struct(col("cur").as("ts")).as("payload"), col("v"))
+    val cfg = Config(cursorColumn = "payload.ts", primaryKey = Seq("v"))
+    val st1 = advance(Incremental(df, cfg, State.empty), cfg, State.empty)
+    assert(st1.lastValue.contains("4"))
+    val out2 = Incremental(df, cfg, st1)
+    // boundary row 'e' deduped; nothing newer exists
+    assert(out2.count() == 0)
+  }
+
   test("state store round-trips") {
     val store = new StateStore(Files.createTempDirectory("graft-state").toString)
     val st = State(Some("2024-01-01 00:00:00"), Seq("h1", "h2"))

@@ -45,6 +45,26 @@ class PruningSpec extends SparkSpec {
     assert(out.filter(col("id") === 1000).count() === 1)
   }
 
+  test("composite keys prune jointly on every stat'd column") {
+    val store = new TableStore(tmp(), spark)
+    val d = new Dispositions(store, spark)
+    // segments share the range of k1 but are disjoint on k2
+    store.append("t", Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k1", "k2", "v"),
+      statsFor = Seq("k1", "k2"))
+    store.append("t", Seq((1L, 500L, "c"), (2L, 600L, "d")).toDF("k1", "k2", "v"),
+      statsFor = Seq("k1", "k2"))
+    val before = store.segments("t").map(_.name)
+    // staging overlaps k1 of both segments but k2 of only the first
+    d.merge("t", Seq((1L, 10L, "NEW")).toDF("k1", "k2", "v"),
+      MergeConfig(primaryKey = Seq("k1", "k2")), "2")
+    val after = store.segments("t").map(_.name)
+    assert(after.contains(before(1))) // second segment pruned via k2
+    assert(!after.contains(before(0)))
+    val out = store.read("t").orderBy("k1", "k2")
+      .select("v").as[String].collect().toSeq
+    assert(out === Seq("NEW", "c", "b", "d"))
+  }
+
   test("merge falls back to full rewrite when stats are missing") {
     val store = new TableStore(tmp(), spark)
     val d = new Dispositions(store, spark)
