@@ -74,6 +74,63 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVF (inverted-file) index: a coarse k-means quantizer buckets the
+    * corpus by nearest centroid; a query scans only its `nprobe`
+    * closest buckets. The standard ANN scale path when the query set is
+    * large and hyperplane LSH recall is too coarse. Returns
+    * (assigned corpus with `__list`, centroids (`__list`, `__centroid`)).
+    *
+    * Training uses spark.ml KMeans (seeded → deterministic); assignment
+    * is one distributed transform. At 100 TB: train on a sample,
+    * persist `assigned` bucketed by `__list`, and probe-joins touch
+    * only nprobe/nlist of the data.
+    */
+  def ivfIndex(corpus: DataFrame, id: String, vec: String,
+      nlist: Int = 16, seed: Long = 42L): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val fv = corpus.withColumn("__fv", array_to_vector(col(vec)))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("__list").fit(fv)
+    val assigned = model.transform(fv).drop("__fv")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("__list", "__centroid")
+    (assigned, centroids)
+  }
+
+  /** IVF approximate top-k: per query, rank centroids by euclidean
+    * distance (the k-means metric), take the `nprobe` nearest lists,
+    * and exact-cosine re-rank only those buckets' vectors. With
+    * `nprobe = nlist` this degrades gracefully to exact brute force. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val (assigned, centroids) = ivfIndex(corpus, id, vec, nlist, seed)
+    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
+    // distance² = |q|² − 2·q·c + |c|²; ranking ignores the |q|² term
+    val qc = q.crossJoin(broadcast(centroids))
+      .withColumn("__d", dot(col("__centroid"), col("__centroid"))
+        - lit(2.0) * dot(col("q_vec"), col("__centroid")))
+    val probeW = Window.partitionBy("query_id").orderBy(col("__d"), col("__list"))
+    val probes = qc.withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("__list"))
+    val cand = probes.join(
+        assigned.select(col(id).as("match_id"), col(vec).as("c_vec"), col("__list")),
+        Seq("__list"))
+      .filter(col("query_id") =!= col("match_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("match_id"))
+    cand.withColumn("cosine", Dedup.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("match_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Approximate top-k via LSH buckets: candidates = corpus vectors that
     * share at least one signature band with the query; exact cosine
     * re-rank on the candidates only. Same output schema as brute force;

@@ -105,6 +105,15 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF (k-means inverted file) ANN — approximate → rows-only check
+    "sim_ivf_ann" -> q { c =>
+      val vecs = c.t("embeddings")
+      Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // approximate by construction (recall < 1) → rows-only check
     "sim_lsh_ann" -> q { c =>
       val vecs = c.t("embeddings")

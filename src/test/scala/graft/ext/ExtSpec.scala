@@ -82,6 +82,25 @@ class ExtSpec extends SparkSpec {
     assert(top === Seq((1, 4L), (2, 2L))) // 4 is identical (cos=1), then 2
   }
 
+  test("ivfTopK with nprobe = nlist equals exact brute force") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "match_id").as[(Long, Int, Long)].collect().toSet
+    val ivfAll = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 3,
+      nlist = 4, nprobe = 4)
+      .select("query_id", "rank", "match_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivfAll === exact)
+    // restricted probing returns at most k per query, ranked correctly
+    val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 3,
+      nlist = 4, nprobe = 1)
+    val perQuery = ivf.groupBy("query_id").count()
+      .select("count").as[Long].collect()
+    assert(perQuery.forall(_ <= 3))
+  }
+
   test("text kernels: counts, quality bounds, language id") {
     val r = docs.select(
       TextOps.tokenCount(col("text")).as("n"),
