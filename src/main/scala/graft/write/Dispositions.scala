@@ -81,7 +81,7 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
     }
     store.readOption(table) match {
       case None =>
-        store.overwrite(table, result(None), statsFor = keys)
+        store.overwrite(table, result(None), statsFor = keys, rangeBy = keys)
       case Some(_) =>
         val segs = store.segments(table)
         partitionByOverlap(segs, staged, keys) match {
@@ -89,9 +89,11 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
             val dest =
               if (touched.isEmpty) None
               else Some(store.readSegments(table, touched))
-            store.replaceSegments(table, untouched, result(dest), statsFor = keys)
+            store.replaceSegments(table, untouched, result(dest),
+              statsFor = keys, rangeBy = keys)
           case _ =>
-            store.overwrite(table, result(Some(store.read(table))), statsFor = keys)
+            store.overwrite(table, result(Some(store.read(table))),
+              statsFor = keys, rangeBy = keys)
         }
     }
     recordLoad(loadId)

@@ -94,17 +94,19 @@ final class TableStore(val root: String, spark: SparkSession) {
       commit(table, currentSegments(table) :+ seg)
     }
 
-  /** Replace the table content atomically with `df`. */
-  def overwrite(table: String, df: DataFrame, statsFor: Seq[String] = Nil): Unit =
+  /** Replace the table content atomically with `df`. `rangeBy` sorts/
+    * range-partitions the segment on those columns before writing. */
+  def overwrite(table: String, df: DataFrame, statsFor: Seq[String] = Nil,
+      rangeBy: Seq[String] = Nil): Unit =
     synchronized {
-      commit(table, Seq(writeSegment(table, df, statsFor)))
+      commit(table, Seq(writeSegment(table, df, statsFor, rangeBy)))
     }
 
   /** Commit `keep` (untouched segments) plus a new segment holding
     * `newData` — the pruned-merge commit. */
   def replaceSegments(table: String, keep: Seq[Segment], newData: DataFrame,
-      statsFor: Seq[String] = Nil): Unit = synchronized {
-    commit(table, keep :+ writeSegment(table, newData, statsFor))
+      statsFor: Seq[String] = Nil, rangeBy: Seq[String] = Nil): Unit = synchronized {
+    commit(table, keep :+ writeSegment(table, newData, statsFor, rangeBy))
   }
 
   /** Zero-copy clone: new table points at the source's current segments
@@ -206,20 +208,33 @@ final class TableStore(val root: String, spark: SparkSession) {
   }
 
   private def writeSegment(table: String, df: DataFrame,
-      statsFor: Seq[String]): Segment = {
+      statsFor: Seq[String], rangeBy: Seq[String] = Nil): Segment = {
     val seg = s"data/${UUID.randomUUID().toString.take(12)}"
     val cols = statsFor.distinct.filter(df.columns.contains)
+    // range layout: globally range-partition + sort on the key so each
+    // parquet file (and each row group) covers a tight key interval —
+    // manifest pruning works at segment level, this makes parquet's
+    // min/max row-group skipping surgical below it
+    val layout = rangeBy.filter(df.columns.contains) match {
+      case Nil => df
+      case ks => df.repartitionByRange(ks.map(col): _*)
+        .sortWithinPartitions(ks.map(col): _*)
+    }
     val (toWrite, obs) =
-      if (cols.isEmpty) (df, None)
+      if (cols.isEmpty) (layout, None)
       else {
         val o = new Observation(s"seg-${UUID.randomUUID().toString.take(8)}")
         val exprs = cols.flatMap(c => Seq(
           min(col(c)).cast("string").as(s"min_$c"),
           max(col(c)).cast("string").as(s"max_$c")))
-        (df.observe(o, exprs.head, exprs.tail: _*), Some(o))
+        (layout.observe(o, exprs.head, exprs.tail: _*), Some(o))
       }
-    toWrite.write.mode(SaveMode.Overwrite)
-      .parquet(tableDir(table).resolve(seg).toString)
+    // parquet bloom filters on the key columns: equality probes on
+    // uuid-like keys (where range stats are weak) skip row groups
+    val writer = cols.foldLeft(toWrite.write.mode(SaveMode.Overwrite)) {
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    writer.parquet(tableDir(table).resolve(seg).toString)
     val stats = obs.map { o =>
       val m = o.get
       cols.flatMap { c =>

@@ -76,6 +76,29 @@ class PruningSpec extends SparkSpec {
     assert(store.segments("t").forall(_.stats.contains("id")))
   }
 
+  test("merge output is range-laid-out: files cover disjoint key ranges") {
+    val store = new TableStore(tmp(), spark)
+    val d = new Dispositions(store, spark)
+    val rows = (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(8) // scrambled input
+    d.merge("t", rows, MergeConfig(primaryKey = Seq("id")), "1")
+    // within every file the key is sorted (tight row-group min/max)
+    val byFile = store.read("t")
+      .select(input_file_name().as("f"), col("id"))
+      .as[(String, Long)].collect().groupBy(_._1).values
+    byFile.foreach { rows =>
+      val ids = rows.map(_._2).toSeq
+      assert(ids === ids.sorted)
+    }
+    // and across files the ranges are disjoint intervals
+    val perFile = byFile.map(r => (r.map(_._2).min, r.map(_._2).max))
+      .toSeq.sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ => ()
+    }
+  }
+
   test("compact folds many small segments into one, preserving stats") {
     val store = new TableStore(tmp(), spark)
     (1 to 5).foreach(i =>
