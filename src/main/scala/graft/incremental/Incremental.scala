@@ -80,16 +80,22 @@ object Incremental {
         case MinFunc => cursor > bound
       }
     }
-    val missing: Column = cfg.onMissing match {
-      case Raise =>
-        // surfaced as an ANSI null-assert during execution
-        assert_true(cursor.isNotNull, lit(s"cursor ${cfg.cursorColumn} is NULL")).isNull
-      case Include => lit(true)
-      case Exclude => lit(false)
-    }
     val window = (cmpLast.toSeq ++ cmpEnd.toSeq)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val windowed = df.filter(when(cursor.isNull, missing).otherwise(window))
+    // Include/Exclude compile to plain conjunctions/disjunctions of
+    // pushable atoms, so the window reaches the parquet/JDBC scan
+    // (PushedFilters) — the property that makes incremental loads read
+    // O(new data) instead of O(table). Raise must OBSERVE null cursors
+    // to error on them, which is inherently incompatible with pruning
+    // them at the scan; it keeps the non-pushable assert wrapper.
+    val windowed = cfg.onMissing match {
+      case Exclude => df.filter(cursor.isNotNull && window)
+      case Include => df.filter(cursor.isNull || window)
+      case Raise =>
+        val raiseNull = assert_true(cursor.isNotNull,
+          lit(s"cursor ${cfg.cursorColumn} is NULL")).isNull
+        df.filter(when(cursor.isNull, raiseNull).otherwise(window))
+    }
 
     // boundary dedup: only rows AT the stored boundary can be repeats
     (state.lastValue, state.boundaryHashes) match {

@@ -61,7 +61,13 @@ object MergeChain {
 
     val rootResult = Merge.deleteInsert(destRoot, stagedRoot, cfg)
 
-    childResults.foreach { case (t, df) => store.overwrite(t, df) }
-    store.overwrite(chain.root, rootResult)
+    // children carry _dlt_root_id stats/layout (their delete key): hash
+    // ids make range pruning moot, but the sorted layout + parquet
+    // bloom filters cover the equality probes of later chain merges
+    childResults.foreach { case (t, df) =>
+      store.overwrite(t, df,
+        statsFor = Seq(Ids.DltRootId), rangeBy = Seq(Ids.DltRootId))
+    }
+    store.overwrite(chain.root, rootResult, statsFor = ks, rangeBy = ks)
   }
 }

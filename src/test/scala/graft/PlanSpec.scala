@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan regression guards: the properties that keep the engine
+  * fast at scale — filter pushdown into the parquet scan, column
+  * pruning, dimension broadcasts, whole-stage codegen — asserted on the
+  * executed plans of headline queries, so a regression fails the suite
+  * instead of silently slowing the bench. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("multi-join broadcasts the dimension sides") {
+    val p = plan("rel_join_multi")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast, not shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("filters are pushed into the parquet scan") {
+    val p = plan("rel_select_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag)") ||
+      p.contains("EqualTo(l_returnflag,R)"), s"expected pushed filters in:\n$p")
+  }
+
+  test("projection prunes unread columns at the scan") {
+    val p = plan("rel_select_project")
+    // lineitem has 16 columns; the scan must not read untouched ones
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"))
+    assert(p.contains("ReadSchema"))
+  }
+
+  private def codegenPlan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+
+  test("aggregation pipeline runs inside whole-stage codegen") {
+    assert(codegenPlan("rel_agg_groupby").contains("WholeStageCodegen"))
+  }
+
+  test("codegen vector expressions do not break the codegen stage") {
+    assert(codegenPlan("dedup_embedding_cosine").contains("WholeStageCodegen"))
+  }
+
+  test("incremental window reaches the scan as a pushed predicate") {
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+    val windowed = graft.incremental.Incremental(df,
+      graft.incremental.Incremental.Config(cursorColumn = "o_orderkey",
+        initialValue = Some("1000"),
+        onMissing = graft.incremental.Incremental.Exclude),
+      graft.incremental.Incremental.State.empty)
+    val p = windowed.queryExecution.executedPlan.toString()
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,1000)"),
+      s"cursor window must push down:\n$p")
+  }
+}
