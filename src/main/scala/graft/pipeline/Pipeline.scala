@@ -24,7 +24,8 @@ final case class Resource(
     incremental: Option[Incremental.Config] = None,
     maxNesting: Int = 1000,
     propagateRootKey: Boolean = false,
-    metrics: Seq[(String, Column)] = Nil) {
+    metrics: Seq[(String, Column)] = Nil,
+    dispatchColumn: Option[String] = None) {
 
   /** MapItem (items_transform.py:103-122) — 1→1 transform. */
   def addMap(f: DataFrame => DataFrame): Resource = copy(frame = f(frame))
@@ -38,6 +39,10 @@ final case class Resource(
     * metrics, collected via `Dataset.observe` during the load action
     * (zero extra scans). Read them back with [[Pipeline.metrics]]. */
   def addMetrics(m: (String, Column)*): Resource = copy(metrics = metrics ++ m)
+  /** Table dispatch (reference `dlt.mark.with_table_name` / callable
+    * `table_name`): rows route to `<name>_<value of column>` tables.
+    * The distinct value set must be small (it becomes the table list). */
+  def withTableDispatch(column: String): Resource = copy(dispatchColumn = Some(column))
 
   def withHints(h: TableHints): Resource = copy(hints = h)
   def withMerge(cfg: MergeConfig, disposition: String = "merge"): Resource =
@@ -106,7 +111,25 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     } finally pool.shutdown()
   }
 
-  private def runOne(r: Resource, loadId: String): Seq[String] = {
+  private def runOne(r: Resource, loadId: String): Seq[String] =
+    r.dispatchColumn match {
+      case None => runOneTable(r, loadId)
+      case Some(c) =>
+        // table dispatch: one sub-resource per distinct routing value.
+        // The distinct set is collected (driver-small by contract — it
+        // IS the table list); each slice reuses the full load path.
+        val values = r.frame.select(c).distinct().collect()
+          .map(_.get(0)).filter(_ != null).map(_.toString).sorted
+        values.flatMap { v =>
+          val slice = r.copy(
+            name = s"${r.name}_$v",
+            frame = r.frame.filter(org.apache.spark.sql.functions.col(c) === v),
+            dispatchColumn = None)
+          runOneTable(slice, loadId)
+        }.toSeq
+    }
+
+  private def runOneTable(r: Resource, loadId: String): Seq[String] = {
     val tableName = Naming.normalizeTableName(r.name)
 
     // incremental window + boundary dedup

@@ -72,6 +72,15 @@ object LifecycleQueries {
         .toDF("n_rows", "sum_ids")
     },
 
+    // table dispatch: rows route to per-event-type tables
+    "plane_table_dispatch" -> q { c =>
+      val p = new Pipeline("td", tmp("graft-td"), c.spark)
+      p.run(Seq(Resource("ev", c.t("events").select("event_id", "event_type", "user_id"))
+        .withTableDispatch("event_type")), "1")
+      p.store.read("ev_click").select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+    },
+
     // refresh drop_data: truncate keeps schema; reload only 'en' docs
     "lifecycle_refresh" -> q { c =>
       val p = new Pipeline("rf", tmp("graft-rf"), c.spark)
@@ -99,6 +108,9 @@ object LifecycleQueries {
       "SELECT count(*) AS n_rows, sum(event_id)::BIGINT AS sum_ids FROM events",
     "lifecycle_refresh" ->
       """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    "plane_table_dispatch" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin
   )
 }

@@ -92,6 +92,17 @@ class LifecycleSpec extends SparkSpec {
     }
   }
 
+  test("table dispatch routes rows to per-value tables") {
+    val p = new Pipeline("disp", tmp("lc-disp"), spark)
+    val events = Seq((1L, "click"), (2L, "view"), (3L, "click"))
+      .toDF("id", "kind")
+    val written = p.run(Seq(Resource("ev", events).withTableDispatch("kind")), "1")
+    assert(written("ev").toSet === Set("ev_click", "ev_view"))
+    assert(p.store.read("ev_click").count() === 2)
+    assert(p.store.read("ev_view").count() === 1)
+    assert(!p.store.exists("ev"))
+  }
+
   test("system tables: _dlt_version and _dlt_pipeline_state sync per load") {
     val p = new Pipeline("sys", tmp("lc-sys"), spark)
     p.run(Seq(Resource("t", sample)), "1")
