@@ -255,7 +255,12 @@ object RelationalQueries {
         .filter(col("l_orderkey") < 100)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * col("l_discount"), 2).as("disc_amount"),
+          // the product has exactly <= 4 decimals; quantize to decimal
+          // BEFORE rounding so half-way cases round identically in
+          // every engine (double round() is binary-representation-
+          // sensitive at .xx5 boundaries)
+          round((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"), 2)
+            .cast("decimal(18,2)").as("disc_amount"),
           abs(col("l_quantity") - 25.0).as("qty_dev"),
           ceil(col("l_quantity")).as("qty_ceil"),
           floor(col("l_quantity")).as("qty_floor"),
@@ -440,7 +445,8 @@ object RelationalQueries {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "rel_scalar_math" ->
       """SELECT l_orderkey, l_linenumber,
-        |  ROUND(l_extendedprice * l_discount, 2) AS disc_amount,
+        |  CAST(ROUND(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)), 2)
+        |    AS DECIMAL(18,2)) AS disc_amount,
         |  ABS(l_quantity - 25.0) AS qty_dev,
         |  CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
         |  CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
