@@ -84,7 +84,7 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
         store.overwrite(table, result(None), statsFor = keys, rangeBy = keys)
       case Some(_) =>
         val segs = store.segments(table)
-        partitionByOverlap(segs, staged, keys) match {
+        partitionByOverlap(segs, staged, Merge.keyGroups(cfg)) match {
           case Some((touched, untouched)) if untouched.nonEmpty =>
             val dest =
               if (touched.isEmpty) None
@@ -100,31 +100,37 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
   }
 
   /** Split segments into (touched, untouched) by overlap between each
-    * segment's key-range stats and the staged key ranges. Returns None
-    * when pruning is unsound: no key, no key with stats on every
-    * segment, or an empty/all-null staging range. For composite keys a
-    * destination row matches a staged row only if EVERY key column is
-    * equal, so a segment disjoint from staging on ANY stat'd key column
-    * cannot be touched — all usable columns prune jointly. */
+    * segment's key-range stats and the staged key ranges.
+    *
+    * Match semantics are OR of AND-groups ([[Merge.keyGroups]]): within
+    * a group, a destination row matches only if EVERY column is equal —
+    * so disjointness on ANY stat'd column excludes the group; across
+    * groups, matching EITHER suffices — so a segment is untouched only
+    * when every group is excluded. Columns without stats on every
+    * segment are conservatively treated as overlapping. Returns None
+    * (no pruning) when no group can exclude anything or the staging
+    * range is empty/all-null. */
   private def partitionByOverlap(segs: Seq[Segment], staged: DataFrame,
-      keys: Seq[String]): Option[(Seq[Segment], Seq[Segment])] = {
-    val usable = keys.filter(k => segs.forall(_.stats.contains(k)))
-    if (usable.isEmpty) None
+      groups: Seq[Seq[String]]): Option[(Seq[Segment], Seq[Segment])] = {
+    val allCols = groups.flatten.distinct
+      .filter(k => segs.forall(_.stats.contains(k)))
+    if (allCols.isEmpty || groups.isEmpty) None
     else {
-      val aggs = usable.flatMap(k =>
+      val aggs = allCols.flatMap(k =>
         Seq(min(col(k)).cast("string").as(s"lo_$k"),
           max(col(k)).cast("string").as(s"hi_$k")))
       val r = staged.agg(aggs.head, aggs.tail: _*).head()
-      val ranges = usable.flatMap { k =>
+      val ranges = allCols.flatMap { k =>
         (Option(r.getAs[String](s"lo_$k")), Option(r.getAs[String](s"hi_$k"))) match {
           case (Some(lo), Some(hi)) => Some(k -> (lo, hi))
           case _ => None
         }
-      }
+      }.toMap
       if (ranges.isEmpty) None
-      else Some(segs.partition(s => ranges.forall { case (k, (lo, hi)) =>
-        s.stats(k).overlaps(lo, hi)
-      }))
+      else Some(segs.partition { s =>
+        groups.exists(g => g.forall(k =>
+          ranges.get(k).forall { case (lo, hi) => s.stats(k).overlaps(lo, hi) }))
+      })
     }
   }
 

@@ -65,18 +65,29 @@ object Merge {
       .drop(cfg.hardDeleteColumn.toSeq: _*)
 
   /** delete-insert (default merge, sql_jobs.py:550-739): remove every
-    * destination row whose key appears in staging, then insert the deduped,
-    * non-deleted staged rows. */
+    * destination row whose key appears in staging, then insert the
+    * deduped, non-deleted staged rows. With BOTH `primary_key` and
+    * `merge_key` set, a destination row is removed when it matches
+    * staging on EITHER key group (OR of the AND-groups,
+    * sql_jobs.py:200-234) — expressed as two sequential anti-joins so
+    * each stays a hash equi-join instead of an un-shuffleable OR
+    * condition. */
   def deleteInsert(dest: Option[DataFrame], staging: DataFrame, cfg: MergeConfig): DataFrame = {
-    val ks = keyCols(cfg)
+    keyCols(cfg) // validates at least one key group exists
     val insert = insertSet(staging, cfg)
     dest match {
       case None => insert
       case Some(d) =>
-        val kept = d.join(staging.select(ks.map(col): _*).distinct(), ks, "left_anti")
+        val kept = keyGroups(cfg).foldLeft(d)((acc, ks) =>
+          acc.join(staging.select(ks.map(col): _*).distinct(), ks, "left_anti"))
         kept.unionByName(insert, allowMissingColumns = true)
     }
   }
+
+  /** The match condition's AND-groups: rows match on ALL of a group's
+    * columns; groups combine with OR (sql_jobs.py:200-234). */
+  def keyGroups(cfg: MergeConfig): Seq[Seq[String]] =
+    Seq(cfg.primaryKey, cfg.mergeKey).filter(_.nonEmpty)
 
   /** upsert (sql_jobs.py:741-901): MERGE semantics — matched rows are
     * replaced, unmatched inserted, hard-deleted keys dropped. Staging is
@@ -95,9 +106,11 @@ object Merge {
   }
 
   /** insert-only (sql_jobs.py:762-773): only keys absent from the
-    * destination are inserted; existing rows never change. */
+    * destination are inserted; existing rows never change. Matches on
+    * the primary key (the reference's insert-only MERGE condition),
+    * falling back to the merge key when no pk is set. */
   def insertOnly(dest: Option[DataFrame], staging: DataFrame, cfg: MergeConfig): DataFrame = {
-    val ks = keyCols(cfg)
+    val ks = if (cfg.primaryKey.nonEmpty) cfg.primaryKey else keyCols(cfg)
     val fresh = staging.filter(!deleteMarker(staging, cfg))
       .drop(cfg.hardDeleteColumn.toSeq: _*)
     dest match {

@@ -31,11 +31,14 @@ object MergeChain {
     val destRoot = store.readOption(chain.root)
     val stagedRoot = chain.rootStaging.withColumn(Ids.DltLoadId, lit(loadId))
 
-    // root ids whose rows are being replaced or hard-deleted
+    // root ids whose rows are being replaced or hard-deleted: match on
+    // EITHER key group (OR of AND-groups, as in Merge.deleteInsert)
     val replacedRootIds = destRoot match {
       case None => None
       case Some(d) =>
-        Some(d.join(stagedRoot.select(ks.map(col): _*).distinct(), ks, "left_semi")
+        Some(Merge.keyGroups(cfg).map(g =>
+            d.join(stagedRoot.select(g.map(col): _*).distinct(), g, "left_semi"))
+          .reduce(_ unionByName _)
           .select(col(Ids.DltId).as(Ids.DltRootId)).distinct())
     }
     // root ids that are (re-)inserted — children of these come from staging

@@ -65,6 +65,22 @@ class PruningSpec extends SparkSpec {
     assert(out === Seq("NEW", "c", "b", "d"))
   }
 
+  test("delete-insert with pk AND merge_key deletes on EITHER key group") {
+    val store = new TableStore(tmp(), spark)
+    val d = new Dispositions(store, spark)
+    // dest: (pk, mk, v)
+    store.append("t", Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("pk", "mk", "v"), statsFor = Seq("pk", "mk"))
+    // staging matches row 1 by pk only (mk differs) and row 2 by mk only
+    val staging = Seq((1L, 99L, "NEW1"), (7L, 20L, "NEW2")).toDF("pk", "mk", "v")
+    d.merge("t", staging,
+      MergeConfig(primaryKey = Seq("pk"), mergeKey = Seq("mk")), "2")
+    val out = store.read("t").orderBy("pk").select("pk", "v")
+      .as[(Long, String)].collect().toSeq
+    // rows 1 and 2 deleted (pk-match OR mk-match), row 3 kept, 2 inserted
+    assert(out === Seq((1L, "NEW1"), (3L, "c"), (7L, "NEW2")))
+  }
+
   test("merge falls back to full rewrite when stats are missing") {
     val store = new TableStore(tmp(), spark)
     val d = new Dispositions(store, spark)
