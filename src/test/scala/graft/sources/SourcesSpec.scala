@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.SparkSpec
 import graft.incremental.Incremental
+import org.apache.spark.sql.functions.col
 
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
@@ -63,6 +64,35 @@ class SourcesSpec extends SparkSpec {
     }
     val df = Rest.read(spark, "http://api/p1", transport, Rest.HeaderLink)
     assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("filesystem incremental: second run loads only new files") {
+    val dir = Files.createTempDirectory("graft-fsinc").toString
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(s"$dir/f_a")
+    val cfg = graft.incremental.Incremental.Config(
+      cursorColumn = "file_url",
+      onMissing = graft.incremental.Incremental.Exclude)
+
+    // run 1: everything is new
+    val files1 = Filesystem.listFiles(spark, s"$dir/*/")
+      .filter(col("file_name").endsWith(".parquet"))
+    val run1 = graft.incremental.Incremental(files1, cfg,
+      graft.incremental.Incremental.State.empty)
+    assert(run1.count() === 1)
+    val st1 = graft.incremental.Incremental.advance(run1, cfg,
+      graft.incremental.Incremental.State.empty)
+
+    // a later file arrives (lexicographically greater path = the cursor)
+    Seq((2L, "b")).toDF("id", "v").coalesce(1).write.parquet(s"$dir/f_b")
+    val files2 = Filesystem.listFiles(spark, s"$dir/*/")
+      .filter(col("file_name").endsWith(".parquet"))
+    val run2 = graft.incremental.Incremental(files2, cfg, st1)
+    val newFiles = run2.select("file_url").as[String].collect()
+    // only the new file (boundary dedup drops the already-seen one)
+    assert(newFiles.length === 1 && newFiles.head.contains("f_b"))
+    // and reading just those files yields just the new rows
+    val rows = spark.read.parquet(newFiles.toIndexedSeq: _*)
+    assert(rows.select("id").as[Long].collect().toSeq === Seq(2L))
   }
 
   test("rest: auth strategies set headers and query params") {
