@@ -64,12 +64,12 @@ object MergeChain {
 
     val rootResult = Merge.deleteInsert(destRoot, stagedRoot, cfg)
 
-    // children carry _dlt_root_id stats/layout (their delete key): hash
-    // ids make range pruning moot, but the sorted layout + parquet
-    // bloom filters cover the equality probes of later chain merges
+    // children carry _dlt_root_id stats + parquet blooms (their delete
+    // key is an equality probe); NO range layout — hash ids are
+    // uniformly distributed, so a range sort would be a shuffle that
+    // tightens nothing
     childResults.foreach { case (t, df) =>
-      store.overwrite(t, df,
-        statsFor = Seq(Ids.DltRootId), rangeBy = Seq(Ids.DltRootId))
+      store.overwrite(t, df, statsFor = Seq(Ids.DltRootId))
     }
     store.overwrite(chain.root, rootResult, statsFor = ks, rangeBy = ks)
   }
