@@ -25,10 +25,17 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact, fixed-precision rendering: full-precision doubles x 73
+    // queries overflowed the driver's capture window in round 1
+    // (BENCH_r01.json parsed:null). 3-decimal seconds keeps the whole
+    // line under ~2 KB; it must be the LAST stdout line.
+    def f3(v: Double): String = java.math.BigDecimal.valueOf(v)
+      .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

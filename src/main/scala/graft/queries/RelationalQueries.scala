@@ -12,7 +12,11 @@ import org.apache.spark.sql.expressions.Window
   * Exact-match conventions (the driver hash-compares against DuckDB):
   *  - double sums are cast per-row to decimal before aggregation
   *    (order-independent, engine-independent arithmetic);
-  *  - aggregate outputs are cast to an explicit decimal(p,s) on BOTH sides;
+  *  - aggregate outputs are emitted as SCALED BIGINT (x100 for 2-decimal
+  *    money, x1e6 for 6-decimal revenue) on BOTH sides — DECIMAL-typed
+  *    outputs hash differently across engines (scale/trailing-zero
+  *    rendering), integers never do. The decimal accumulation stays
+  *    internal to the aggregate; only the output representation changes;
   *  - timestamps are never emitted raw (events.ts is ns in parquet, Spark
   *    truncates to micros) — emit unix_millis / dates instead;
   *  - every query ends in a deterministic ORDER BY.
@@ -42,10 +46,10 @@ object RelationalQueries {
       c.t("lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
-            .cast("decimal(38,6)").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,2)")) * 100).cast("long").as("sum_qty"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100).cast("long").as("sum_base_price"),
+          (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+            * 1000000).cast("long").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -62,8 +66,8 @@ object RelationalQueries {
     "rel_agg_having" -> q { c =>
       c.t("lineitem")
         .groupBy("l_suppkey")
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_qty"))
-        .filter(col("total_qty") > 400)
+        .agg((sum(col("l_quantity").cast("decimal(18,2)")) * 100).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 40000L)
         .orderBy("l_suppkey")
     },
 
@@ -73,8 +77,8 @@ object RelationalQueries {
         .join(c.t("orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
-            .cast("decimal(38,6)").as("revenue"),
+          (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+            * 1000000).cast("long").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")
     },
@@ -108,8 +112,8 @@ object RelationalQueries {
         .join(broadcast(c.t("region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
-            .cast("decimal(38,6)").as("revenue"))
+          (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+            * 1000000).cast("long").as("revenue"))
         .orderBy("r_name")
     },
 
@@ -129,7 +133,7 @@ object RelationalQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       c.t("events")
         .withColumn("running_value",
-          sum(col("value").cast("decimal(18,2)")).over(w).cast("decimal(38,2)"))
+          (sum(col("value").cast("decimal(18,2)")).over(w) * 100).cast("long"))
         .filter(col("user_id") < 20)
         .select("user_id", "event_id", "running_value")
         .orderBy("user_id", "event_id")
@@ -202,7 +206,7 @@ object RelationalQueries {
       c.t("orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long").as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
@@ -258,9 +262,10 @@ object RelationalQueries {
           // the product has exactly <= 4 decimals; quantize to decimal
           // BEFORE rounding so half-way cases round identically in
           // every engine (double round() is binary-representation-
-          // sensitive at .xx5 boundaries)
-          round((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"), 2)
-            .cast("decimal(18,2)").as("disc_amount"),
+          // sensitive at .xx5 boundaries); emit as cents (x100 BIGINT)
+          // for representation-stable hashing
+          (round((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"), 2) * 100)
+            .cast("long").as("disc_amount"),
           abs(col("l_quantity") - 25.0).as("qty_dev"),
           ceil(col("l_quantity")).as("qty_ceil"),
           floor(col("l_quantity")).as("qty_floor"),
@@ -300,8 +305,10 @@ object RelationalQueries {
     }
   )
 
-  private def dec2(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DECIMAL(38,2))"
-  private def dec6(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+  // Scaled-integer aggregate renderings: accumulate in exact decimal, emit
+  // BIGINT (x100 / x1e6) so both engines hash identical bytes.
+  private def dec2(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) * 100 AS BIGINT)"
+  private def dec6(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
     "rel_select_project" ->
@@ -329,7 +336,7 @@ object RelationalQueries {
     "rel_agg_having" ->
       s"""SELECT l_suppkey, ${dec2("l_quantity")} AS total_qty
          |FROM lineitem GROUP BY l_suppkey
-         |HAVING ${dec2("l_quantity")} > 400 ORDER BY l_suppkey""".stripMargin,
+         |HAVING ${dec2("l_quantity")} > 40000 ORDER BY l_suppkey""".stripMargin,
     "rel_join_inner" ->
       s"""SELECT o_orderpriority,
          |  ${dec6("l_extendedprice * (1.0 - l_discount)")} AS revenue,
@@ -368,7 +375,7 @@ object RelationalQueries {
       """SELECT user_id, event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
         |    PARTITION BY user_id ORDER BY event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT)
         |    AS running_value
         |FROM events WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin,
     "rel_window_rank" ->
@@ -445,8 +452,8 @@ object RelationalQueries {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "rel_scalar_math" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(ROUND(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)), 2)
-        |    AS DECIMAL(18,2)) AS disc_amount,
+        |  CAST(ROUND(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)), 2) * 100
+        |    AS BIGINT) AS disc_amount,
         |  ABS(l_quantity - 25.0) AS qty_dev,
         |  CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
         |  CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
