@@ -70,6 +70,23 @@ final class Relation(private val frame: DataFrame, val tableName: String,
 
   def select(cols: String*): Relation = wrap(frame.select(cols.map(col): _*))
 
+  /** Canonicalize a probe value through the SAME representation the
+    * segment stats use — Catalyst `cast(value as <colType>) cast string`
+    * — so string comparison against stats is sound. A raw
+    * `String.valueOf` probe like "2024-01-02T10:00:00" would compare
+    * lexicographically against stat strings like "2024-01-02 23:59:59"
+    * and wrongly prune segments that DO contain matching rows. None
+    * (no pruning, full read) when the value can't be canonicalized. */
+  private def canonicalProbe(column: String, value: Any): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.StringType
+    scala.util.Try {
+      val dt = frame.schema(column).dataType
+      Option(Cast(Cast(Literal(value), dt, Some("UTC")), StringType, Some("UTC")).eval())
+        .map(_.toString)
+    }.toOption.flatten
+  }
+
   /** Typed filter ops (reference op map, relation.py:51-60). On a
     * pristine base scan, comparison ops read only the segments whose
     * stats can match (see [[graft.write.TableStore.readPruned]]); the
@@ -78,11 +95,12 @@ final class Relation(private val frame: DataFrame, val tableName: String,
     val base: DataFrame =
       if (!pristine) frame
       else {
-        val v = Some(String.valueOf(value))
-        op match {
-          case "eq" => dataset.store.readPruned(tableName, column, v, v)
-          case "gt" | "gte" => dataset.store.readPruned(tableName, column, v, None)
-          case "lt" | "lte" => dataset.store.readPruned(tableName, column, None, v)
+        val v = canonicalProbe(column, value)
+        (op, v) match {
+          case (_, None) => frame
+          case ("eq", _) => dataset.store.readPruned(tableName, column, v, v)
+          case ("gt" | "gte", _) => dataset.store.readPruned(tableName, column, v, None)
+          case ("lt" | "lte", _) => dataset.store.readPruned(tableName, column, None, v)
           case _ => frame
         }
       }

@@ -63,6 +63,19 @@ final class StateStore(dir: String) {
     if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8) else ""
   }
 
+  def exists(pipeline: String): Boolean = Files.exists(path(pipeline))
+
+  /** Hydrate the local file from a raw destination-synced snapshot
+    * (the restore half of reference state_sync.py:95-139). */
+  def restore(pipeline: String, raw: String): Unit = synchronized {
+    val p = path(pipeline)
+    Files.createDirectories(p.getParent)
+    val tmp = Paths.get(p.toString + ".tmp")
+    Files.write(tmp, raw.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 }

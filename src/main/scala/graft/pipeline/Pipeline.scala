@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.dataset.GraftDataset
 import graft.incremental.{Incremental, StateStore}
-import graft.normalize.{NormalizeConfig, Normalizer, RootIdType}
+import graft.normalize.{Ids, NormalizeConfig, Normalizer, RootIdType}
 import graft.schema.{Contracts, Naming, SchemaRegistry, TableHints}
 import graft.write._
 
@@ -68,6 +68,21 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
   val states = new StateStore(s"$root/_state")
   private val dispositions = new Dispositions(store, spark)
 
+  // State restore (reference state_sync.py:95-139): a fresh environment
+  // (no local state file) against an existing destination resumes its
+  // incremental cursors from the latest `_dlt_pipeline_state` row —
+  // without this, a new machine silently re-loads everything.
+  locally {
+    import org.apache.spark.sql.functions.col
+    if (!states.exists(name))
+      store.readOption(dispositions.StateTable).foreach { df =>
+        df.filter(col("pipeline_name") === name)
+          .orderBy(col("version").desc).select("state").limit(1)
+          .collect().headOption.map(_.getString(0)).filter(_.nonEmpty)
+          .foreach(states.restore(name, _))
+      }
+  }
+
   def dataset: GraftDataset = new GraftDataset(store, registry, spark)
 
   def newLoadId(): String = dispositions.newLoadId()
@@ -118,26 +133,37 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
         // table dispatch: one sub-resource per distinct routing value.
         // The distinct set is collected (driver-small by contract — it
         // IS the table list); each slice reuses the full load path.
-        val values = r.frame.select(c).distinct().collect()
-          .map(_.get(0)).filter(_ != null).map(_.toString).sorted
-        values.flatMap { v =>
-          val slice = r.copy(
-            name = s"${r.name}_$v",
-            frame = r.frame.filter(org.apache.spark.sql.functions.col(c) === v),
-            dispatchColumn = None)
-          runOneTable(slice, loadId)
-        }.toSeq
+        // The source is persisted first so the whole dispatch costs ONE
+        // source scan (+ cache reads), not one full scan per value.
+        val cached = r.frame.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val values = cached.select(c).distinct().collect()
+            .map(_.get(0)).filter(_ != null).map(_.toString).sorted
+          values.flatMap { v =>
+            val slice = r.copy(
+              name = s"${r.name}_$v",
+              frame = cached.filter(org.apache.spark.sql.functions.col(c) === v),
+              dispatchColumn = None)
+            runOneTable(slice, loadId)
+          }.toSeq
+        } finally cached.unpersist(blocking = false)
     }
 
   private def runOneTable(r: Resource, loadId: String): Seq[String] = {
     val tableName = Naming.normalizeTableName(r.name)
 
-    // incremental window + boundary dedup
+    // incremental window + boundary dedup. The windowed frame is
+    // persisted so the post-load `advance` aggregates over the SAME rows
+    // the load wrote — re-running the lazy plan against a live source
+    // (JDBC/REST) could see later rows and advance the cursor past data
+    // that was never loaded, permanently skipping it.
     val (windowed, newState) = r.incremental match {
       case None => (r.frame, None)
       case Some(cfg) =>
         val st = states.load(name, s"$tableName/${cfg.cursorColumn}")
-        val filtered = Incremental(r.frame, cfg, st)
+        val filtered = Incremental(r.frame, cfg, st).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (filtered, Some(cfg -> st))
     }
 
@@ -174,8 +200,16 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       t -> gated
     }.filter(_._2 != null)
 
-    // load by disposition; child tables follow the chain on merge
-    val rootDf = enforced(tableName)
+    // load by disposition; child tables follow the chain on merge.
+    // A tables contract (DiscardValue/DiscardRow) can gate out a NEW
+    // root table entirely — then the whole load silently skips, as the
+    // reference does for contract-filtered resources.
+    val rootDfOpt = enforced.get(tableName)
+    if (rootDfOpt.isEmpty) {
+      if (r.incremental.isDefined) windowed.unpersist(blocking = false)
+      return Nil // discarded: nothing written, cursor state does not advance
+    }
+    val rootDf = rootDfOpt.get
     r.hints.writeDisposition match {
       case "append" =>
         // root segments carry pk stats so later merges can prune
@@ -190,6 +224,14 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
         }
       case "merge" if r.scd2Config.isDefined =>
         dispositions.scd2(tableName, rootDf, r.scd2Config.get, loadId)
+        // nested child tables load insert-only on their deterministic
+        // row-hash _dlt_id (reference gen_scd2_sql nested-table inserts,
+        // sql_jobs.py:1000-1020): children of re-sent unchanged parents
+        // already exist and are skipped; children of new versions insert.
+        (enforced - tableName).foreach { case (t, df) =>
+          dispositions.merge(t, df, MergeConfig(primaryKey = Seq(Ids.DltId)),
+            loadId, MergeStrategy.InsertOnly)
+        }
       case "merge" =>
         val children = enforced - tableName
         if (children.isEmpty)
@@ -209,6 +251,7 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     newState.foreach { case (cfg, st) =>
       states.save(name, s"$tableName/${cfg.cursorColumn}",
         Incremental.advance(frame, cfg, st))
+      windowed.unpersist(blocking = false)
     }
     observation.foreach { obs =>
       val m = obs.get

@@ -30,9 +30,24 @@ final case class JdbcTableConfig(
 
 object Jdbc {
 
+  /** SQL literal for a cursor value: numeric values are emitted unquoted
+    * (no reliance on implicit DB string→number coercion), everything else
+    * is single-quoted with embedded quotes doubled — cursor state flows
+    * from data, so it must never be able to break out of the literal. */
+  private def sqlLiteral(v: String): String =
+    if (scala.util.Try(BigDecimal(v)).isSuccess) v
+    else "'" + v.replace("'", "''") + "'"
+
+  /** Cursor column identifier: plain identifiers (and dotted paths) pass
+    * through; anything else is ANSI-double-quoted with quotes doubled. */
+  private def ident(c: String): String =
+    if (c.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*")) c
+    else "\"" + c.replace("\"", "\"\"") + "\""
+
   /** The WHERE clause pushed into the source database for an incremental
     * window (reference incremental/sql.py:61-165). */
   def incrementalWhere(cfg: Incremental.Config, state: Incremental.State): Option[String] = {
+    val cursor = ident(cfg.cursorColumn)
     val start = state.lastValue.orElse(cfg.initialValue).map { v =>
       val op = (cfg.lastValueFunc, cfg.closedStart) match {
         case (Incremental.MaxFunc, true) => ">="
@@ -40,17 +55,17 @@ object Jdbc {
         case (Incremental.MinFunc, true) => "<="
         case (Incremental.MinFunc, false) => "<"
       }
-      s"${cfg.cursorColumn} $op '$v'"
+      s"$cursor $op ${sqlLiteral(v)}"
     }
     val end = cfg.endValue.map { v =>
       val op = cfg.lastValueFunc match {
         case Incremental.MaxFunc => "<"
         case Incremental.MinFunc => ">"
       }
-      s"${cfg.cursorColumn} $op '$v'"
+      s"$cursor $op ${sqlLiteral(v)}"
     }
     val nulls = cfg.onMissing match {
-      case Incremental.Include => Some(s"${cfg.cursorColumn} IS NULL")
+      case Incremental.Include => Some(s"$cursor IS NULL")
       case _ => None
     }
     val window = (start.toSeq ++ end.toSeq).reduceOption(_ + " AND " + _)

@@ -166,7 +166,7 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
         df.filter(df("version_hash") === versionHash).limit(1).count() > 0)
     seenVersionHashes += versionHash
     if (!already) {
-      val version = store.readOption(VersionTable).map(_.count()).getOrElse(0L) + 1
+      val version = nextVersion(VersionTable)
       store.append(VersionTable,
         Seq((version, 1L, java.time.Instant.now().toString, schemaName,
           versionHash, schemaJson))
@@ -179,9 +179,16 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
     * dlt/pipeline/state_sync.py:95-139): the pipeline state snapshot
     * committed alongside the load so a fresh environment can restore
     * incremental cursors from the destination alone. */
+  /** Next monotone version: max(version)+1, not count() — counts break
+    * after deletes and under merged histories. */
+  private def nextVersion(table: String): Long =
+    store.readOption(table).flatMap(df =>
+      Option(df.agg(max(col("version"))).head().get(0))
+        .map(_.asInstanceOf[Number].longValue())).getOrElse(0L) + 1
+
   def recordState(pipelineName: String, loadId: String, stateJson: String): Unit = {
     import spark.implicits._
-    val version = store.readOption(StateTable).map(_.count()).getOrElse(0L) + 1
+    val version = nextVersion(StateTable)
     store.append(StateTable,
       Seq((version, 4L, pipelineName, stateJson,
         java.time.Instant.now().toString, loadId))

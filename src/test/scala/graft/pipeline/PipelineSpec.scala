@@ -80,6 +80,55 @@ class PipelineSpec extends SparkSpec {
     assert(rc.filter($"table_name" === "fact__tags").select("row_count").as[Long].head() == 3L)
   }
 
+  test("tables contract DiscardValue silently skips a new root table") {
+    val p = newPipeline()
+    val r = Resource("gated", Seq((1, "a")).toDF("id", "v"),
+      contract = graft.schema.Contracts.Contract(
+        tables = graft.schema.Contracts.DiscardValue))
+    // new table + discard contract: the load is a silent no-op, not a crash
+    val written = p.run(Seq(r), "1")
+    assert(written("gated").isEmpty)
+    assert(!p.store.exists("gated"))
+    // once the table exists (contract-free first load), the gate opens
+    p.run(Seq(Resource("gated", Seq((1, "a")).toDF("id", "v"))), "2")
+    p.run(Seq(r), "3")
+    assert(p.store.read("gated").count() === 2)
+  }
+
+  test("scd2 resource loads nested child tables insert-only") {
+    val p = newPipeline()
+    def res(rows: Seq[(Long, String, Seq[Int])], ts: String) =
+      Resource("dim", rows.toDF("id", "v", "items"),
+        hints = graft.schema.TableHints(writeDisposition = "merge"),
+        scd2Config = Some(graft.write.Scd2Config(
+          trackedColumns = Seq("id", "v"), boundaryTs = ts)))
+    p.run(Seq(res(Seq((1L, "a", Seq(1, 2)), (2L, "b", Seq(3))), "2024-01-01 00:00:00")), "1")
+    // v changes for id=1 → new active version; its child rows insert;
+    // id=2 unchanged → re-sent children are deduped by deterministic id
+    p.run(Seq(res(Seq((1L, "a2", Seq(9)), (2L, "b", Seq(3))), "2024-06-01 00:00:00")), "2")
+    val root = p.store.read("dim")
+    assert(root.filter($"_dlt_valid_to".isNull).count() === 2)
+    assert(root.count() === 3) // id=1 has a retired + an active version
+    val items = p.store.read("dim__items")
+    assert(items.select("value").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 9L))
+  }
+
+  test("fresh pipeline restores incremental cursor from _dlt_pipeline_state") {
+    val root = Files.createTempDirectory("graft-restore").toString
+    val cfg = Incremental.Config(cursorColumn = "cur", primaryKey = Seq("v"))
+    def res(rows: Seq[(Long, String)]) =
+      Resource("ev", rows.toDF("cur", "v")).withIncremental(cfg)
+    val p1 = new Pipeline("test", root, spark)
+    p1.run(Seq(res(Seq((1L, "a"), (2L, "b")))), "1")
+    // simulate a fresh environment: local state file gone, destination intact
+    Files.delete(java.nio.file.Paths.get(s"$root/_state/test.state.json"))
+    val p2 = new Pipeline("test", root, spark)
+    p2.run(Seq(res(Seq((1L, "a"), (2L, "b"), (3L, "e")))), "2")
+    // cursor restored from _dlt_pipeline_state → only the new row loads
+    val out = p2.store.read("ev")
+    assert(out.select("v").as[String].collect().sorted.toSeq === Seq("a", "b", "e"))
+  }
+
   test("query passthrough exposes stored tables as views") {
     val p = newPipeline()
     p.run(Seq(Resource("t1", Seq((1, "a")).toDF("id", "v"))), "1")

@@ -42,6 +42,21 @@ class SourcesSpec extends SparkSpec {
     assert(w3.contains("(updated_at >= '2024-01-01') OR updated_at IS NULL"))
   }
 
+  test("jdbc: cursor values are escaped; numeric cursors unquoted") {
+    val w = Jdbc.incrementalWhere(
+      Incremental.Config(cursorColumn = "name",
+        initialValue = Some("O'Brien")), Incremental.State.empty)
+    assert(w.contains("name >= 'O''Brien'"))
+    val n = Jdbc.incrementalWhere(
+      Incremental.Config(cursorColumn = "id", initialValue = Some("42")),
+      Incremental.State.empty)
+    assert(n.contains("id >= 42"))
+    val q = Jdbc.incrementalWhere(
+      Incremental.Config(cursorColumn = "weird col",
+        initialValue = Some("x")), Incremental.State.empty)
+    assert(q.contains("\"weird col\" >= 'x'"))
+  }
+
   test("rest: offset paginator walks pages until a short page") {
     val transport: Rest.Transport = url => {
       val offset = url.split("offset=").lift(1).map(_.takeWhile(_.isDigit).toInt).getOrElse(0)

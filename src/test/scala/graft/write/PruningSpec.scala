@@ -151,6 +151,22 @@ class PruningSpec extends SparkSpec {
     assert(viaRelation.inputFiles.length === store.read("t").inputFiles.length / 3)
   }
 
+  test("relation pruning canonicalizes the probe through the column type") {
+    val store = new TableStore(tmp(), spark)
+    // timestamp segment: stats are Catalyst cast-to-string forms
+    // ("2024-01-02 23:59:59"); an ISO probe with a 'T' separator must be
+    // canonicalized before the string compare or the segment is wrongly
+    // pruned (lexicographically "2024-01-02T.." > "2024-01-02 2..")
+    store.append("t",
+      Seq("2024-01-02 09:00:00", "2024-01-02 23:59:59")
+        .toDF("s").select(to_timestamp(col("s")).as("ts")),
+      statsFor = Seq("ts"))
+    val p = new graft.pipeline.Pipeline("cp", tmp(), spark)
+    val ds = new graft.dataset.GraftDataset(store, p.registry, spark)
+    val got = ds.table("t").where("ts", "gte", "2024-01-02T10:00:00").df()
+    assert(got.count() === 1) // the 23:59:59 row — NOT silently empty
+  }
+
   test("string keys prune lexicographically") {
     val store = new TableStore(tmp(), spark)
     val d = new Dispositions(store, spark)
