@@ -134,11 +134,52 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
     }
   }
 
+  /** SCD2 with SEGMENT PRUNING: active and closed rows live in
+    * separately-tagged segments. A load reads and rewrites ONLY the
+    * active segments, appends the retired rows as a new immutable
+    * closed segment, and leaves all prior closed history untouched —
+    * at 100 TB the history is ~the whole table, so the naive
+    * full-table rewrite is the scale-killer this avoids. Closed
+    * segments are folded together past a threshold to bound the
+    * manifest (small-files control, not a history rewrite per load). */
   def scd2(table: String, staging: DataFrame, cfg: Scd2Config, loadId: String): Unit = {
-    val result = Scd2(store.readOption(table), stamp(staging, loadId), cfg)
-    store.overwrite(table, result)
+    val staged = stamp(staging, loadId)
+    def actives(df: DataFrame) = SegmentWrite(df, tags = scd2Tag("active"))
+    def closeds(df: DataFrame) = SegmentWrite(df, tags = scd2Tag("closed"))
+
+    val segs = if (store.exists(table)) store.segments(table) else Nil
+    if (segs.isEmpty) {
+      val (active, _) = Scd2.applySplit(None, staged, cfg)
+      store.commitSegments(table, Nil, Seq(actives(active)))
+    } else if (segs.forall(_.stats.contains(Scd2Marker))) {
+      val (activeSegs, closedSegs) = segs.partition(_.stats(Scd2Marker).min == "active")
+      val dest = if (activeSegs.isEmpty) None
+                 else Some(store.readSegments(table, activeSegs))
+      val (active, closed) = Scd2.applySplit(dest, staged, cfg)
+      val foldClosed = closedSegs.size >= 32 // compact closed history rarely
+      val (keep, closedOut) =
+        if (foldClosed)
+          (Nil, store.readSegments(table, closedSegs)
+            .unionByName(closed, allowMissingColumns = true))
+        else (closedSegs, closed)
+      val writes =
+        if (foldClosed || !closedOut.isEmpty) Seq(actives(active), closeds(closedOut))
+        else Seq(actives(active))
+      store.commitSegments(table, keep, writes)
+    } else {
+      // legacy un-tagged table: one full rewrite that splits it so every
+      // later load prunes
+      val d = store.read(table)
+      val (active, closed) = Scd2.applySplit(Some(d.filter(Scd2.isActive(cfg))), staged, cfg)
+      val allClosed = d.filter(!Scd2.isActive(cfg))
+        .unionByName(closed, allowMissingColumns = true)
+      store.commitSegments(table, Nil, Seq(actives(active), closeds(allClosed)))
+    }
     recordLoad(loadId)
   }
+
+  private val Scd2Marker = "__scd2_state"
+  private def scd2Tag(v: String) = Map(Scd2Marker -> ColStats(v, v, numeric = false))
 
   private def stamp(df: DataFrame, loadId: String): DataFrame =
     if (df.columns.contains(Ids.DltLoadId)) df

@@ -49,8 +49,17 @@ object Scd2 {
       cfg.trackedColumns.filterNot(Seq(cfg.validFromColumn, cfg.validToColumn,
         cfg.rowHashColumn).contains)))
 
-  /** Apply one SCD2 load; returns the new full table content. */
-  def apply(dest: Option[DataFrame], staging: DataFrame, cfg: Scd2Config): DataFrame = {
+  /** The active-record predicate, exposed so [[Dispositions.scd2]] can
+    * split a legacy (un-tagged) table once into active/closed segments. */
+  def isActive(cfg: Scd2Config): Column = activeCond(cfg)
+
+  /** One SCD2 load against the ACTIVE slice only — the scale path.
+    * `activeDest` must contain only currently-active rows; returns
+    * `(newActive, newlyClosed)`. Closed history is immutable, so the
+    * caller keeps its segments untouched and appends `newlyClosed` —
+    * a load costs O(active + staged), never O(history). */
+  def applySplit(activeDest: Option[DataFrame], staging: DataFrame,
+      cfg: Scd2Config): (DataFrame, DataFrame) = {
     val openTo: Column = cfg.activeRecordTs
       .map(ts => to_timestamp(lit(ts)))
       .getOrElse(lit(null).cast("timestamp"))
@@ -58,18 +67,15 @@ object Scd2 {
 
     val staged = withHash(staging, cfg)
 
-    dest match {
+    activeDest match {
       case None =>
-        staged
+        val active = staged
           .withColumn(cfg.validFromColumn, boundary)
           .withColumn(cfg.validToColumn, openTo)
-      case Some(d0) =>
-        val d = withHash(d0.drop(cfg.rowHashColumn), cfg)
+        (active, active.limit(0))
+      case Some(a0) =>
+        val activeRows = withHash(a0.drop(cfg.rowHashColumn), cfg)
         val stagedHashes = staged.select(col(cfg.rowHashColumn)).distinct()
-        val active = activeCond(cfg)
-
-        val activeRows = d.filter(active)
-        val closedRows = d.filter(!active)
 
         val scopedActive =
           if (cfg.mergeKey.isEmpty) activeRows
@@ -94,11 +100,23 @@ object Scd2 {
           .withColumn(cfg.validFromColumn, boundary)
           .withColumn(cfg.validToColumn, openTo)
 
-        closedRows
-          .unionByName(outOfScopeActive)
-          .unionByName(retired)
+        val newActive = outOfScopeActive
           .unionByName(survivors)
           .unionByName(inserted, allowMissingColumns = true)
+        (newActive, retired)
     }
   }
+
+  /** Apply one SCD2 load; returns the new full table content (the
+    * un-pruned whole-table form, kept for direct algebra use). */
+  def apply(dest: Option[DataFrame], staging: DataFrame, cfg: Scd2Config): DataFrame =
+    dest match {
+      case None => applySplit(None, staging, cfg)._1
+      case Some(d0) =>
+        val d = withHash(d0.drop(cfg.rowHashColumn), cfg)
+        val (newActive, newlyClosed) = applySplit(Some(d.filter(activeCond(cfg))), staging, cfg)
+        d.filter(!activeCond(cfg))
+          .unionByName(newlyClosed, allowMissingColumns = true)
+          .unionByName(newActive, allowMissingColumns = true)
+    }
 }

@@ -28,6 +28,10 @@ final case class ColStats(min: String, max: String, numeric: Boolean) {
   * per-column stats (absent for imported/legacy segments → never pruned). */
 final case class Segment(name: String, stats: Map[String, ColStats])
 
+/** A pending segment for [[TableStore.commitSegments]]. */
+final case class SegmentWrite(df: DataFrame, statsFor: Seq[String] = Nil,
+    rangeBy: Seq[String] = Nil, tags: Map[String, ColStats] = Map.empty)
+
 /** A minimal lakehouse: one directory per dataset, one manifest-committed
   * parquet table per subdirectory.
   *
@@ -107,6 +111,18 @@ final class TableStore(val root: String, spark: SparkSession) {
   def replaceSegments(table: String, keep: Seq[Segment], newData: DataFrame,
       statsFor: Seq[String] = Nil, rangeBy: Seq[String] = Nil): Unit = synchronized {
     commit(table, keep :+ writeSegment(table, newData, statsFor, rangeBy))
+  }
+
+  /** Commit `keep` plus one new segment per write. `tags` are synthetic
+    * stats entries stamped into the manifest (e.g. SCD2's active/closed
+    * segment marker) — they ride the existing stats encoding. */
+  def commitSegments(table: String, keep: Seq[Segment],
+      writes: Seq[SegmentWrite]): Unit = synchronized {
+    val segs = writes.map { w =>
+      val s = writeSegment(table, w.df, w.statsFor, w.rangeBy)
+      s.copy(stats = s.stats ++ w.tags)
+    }
+    commit(table, keep ++ segs)
   }
 
   /** Zero-copy clone: new table points at the source's current segments

@@ -151,6 +151,32 @@ class PruningSpec extends SparkSpec {
     assert(viaRelation.inputFiles.length === store.read("t").inputFiles.length / 3)
   }
 
+  test("scd2 loads leave closed-history segments untouched") {
+    val store = new TableStore(tmp(), spark)
+    val d = new Dispositions(store, spark)
+    val cfg = Scd2Config(trackedColumns = Seq("id", "v"), boundaryTs = "2024-01-01 00:00:00")
+    d.scd2("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), cfg, "1")
+    // load 2 changes id=1 → one retired row lands in a NEW closed segment
+    d.scd2("t", Seq((1L, "a2"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      cfg.copy(boundaryTs = "2024-02-01 00:00:00"), "2")
+    val closedAfter2 = store.segments("t")
+      .filter(_.stats.get("__scd2_state").exists(_.min == "closed")).map(_.name)
+    assert(closedAfter2.size === 1)
+    // load 3 changes id=2 → the prior closed segment SURVIVES by name
+    d.scd2("t", Seq((1L, "a2"), (2L, "b2"), (3L, "c")).toDF("id", "v"),
+      cfg.copy(boundaryTs = "2024-03-01 00:00:00"), "3")
+    val segsAfter3 = store.segments("t")
+    val closedAfter3 = segsAfter3
+      .filter(_.stats.get("__scd2_state").exists(_.min == "closed")).map(_.name)
+    assert(closedAfter2.forall(closedAfter3.contains)) // history untouched
+    assert(closedAfter3.size === 2)
+    // full content is still correct: 3 active + 2 retired versions
+    val out = store.read("t")
+    assert(out.count() === 5)
+    assert(out.filter(col("_dlt_valid_to").isNull).count() === 3)
+    assert(out.filter(col("id") === 1L).count() === 2)
+  }
+
   test("relation pruning canonicalizes the probe through the column type") {
     val store = new TableStore(tmp(), spark)
     // timestamp segment: stats are Catalyst cast-to-string forms
