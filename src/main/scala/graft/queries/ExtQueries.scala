@@ -96,6 +96,15 @@ object ExtQueries {
         threshold = 0.45).orderBy("id_a", "id_b")
     },
 
+    // the SCALE path for exact near-dup: triangle-tiled self-join
+    // (shuffle equi-join on the tile key, memory-bounded tasks, no
+    // BroadcastNestedLoopJoin) — identical output to the quadratic
+    // baseline, gated against the same exact oracle
+    "dedup_embedding_tiled" -> q { c =>
+      Dedup.embeddingCosinePairsTiled(c.t("embeddings"), "vec_id", "embedding",
+        threshold = 0.45, tiles = 8).orderBy("id_a", "id_b")
+    },
+
     // ---- similarity search ----------------------------------------------
     "sim_brute_topk" -> q { c =>
       val vecs = c.t("embeddings")
@@ -202,6 +211,15 @@ object ExtQueries {
     "dedup_minhash_lsh" -> (jaccardSql(0.9) + " ORDER BY id_a, id_b"),
 
     "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+        |    AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // tiling is lossless → the exact all-pairs oracle applies verbatim
+    "dedup_embedding_tiled" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
         |    AS cosine

@@ -54,6 +54,23 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("tiled cosine pairs equal the quadratic baseline, without BNLJ") {
+    val vecs = (1L to 60L).map { i =>
+      // three planted near-dup clusters on a noisy base direction
+      val base = Array.tabulate(8)(d => math.sin(i % 3 + d).toFloat)
+      (i, base.zipWithIndex.map { case (v, d) =>
+        v + 0.05f * math.cos(i * 7 + d).toFloat })
+    }.toDF("vid", "emb")
+    val quad = Dedup.embeddingCosinePairs(vecs, "vid", "emb", 0.9)
+      .select("id_a", "id_b", "cosine").collect().toSet
+    val tiledDf = Dedup.embeddingCosinePairsTiled(vecs, "vid", "emb", 0.9, tiles = 4)
+    val tiled = tiledDf.select("id_a", "id_b", "cosine").collect().toSet
+    assert(quad.nonEmpty && tiled === quad)
+    // the tiling is an equi-join: the quadratic plan's BNLJ must be gone
+    val plan = tiledDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("codegen cosine/dot match an independent computation") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 2.0f)),
