@@ -162,7 +162,12 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       case None => (r.frame, None)
       case Some(cfg) =>
         val st = states.load(name, s"$tableName/${cfg.cursorColumn}")
-        val filtered = Incremental(r.frame, cfg, st).persist(
+        // boundary fingerprints live in a destination-side table and are
+        // ANTI-JOINED, never collected: a coarse cursor (a date column)
+        // can put millions of rows on one boundary value, which would
+        // blow up both the driver collect and an isin literal list
+        val fps = store.readOption(boundaryTable(tableName, cfg))
+        val filtered = Incremental(r.frame, cfg, st, fps).persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (filtered, Some(cfg -> st))
     }
@@ -249,8 +254,14 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       if (t == tableName) registry.register(t, registry.get(t).get._1, r.hints)
     }
     newState.foreach { case (cfg, st) =>
-      states.save(name, s"$tableName/${cfg.cursorColumn}",
-        Incremental.advance(frame, cfg, st))
+      Incremental.advanceValue(frame, cfg).foreach { newLast =>
+        val fps = Incremental.boundaryFingerprints(frame, cfg, newLast)
+        val bt = boundaryTable(tableName, cfg)
+        if (st.lastValue.contains(newLast)) store.append(bt, fps)
+        else store.overwrite(bt, fps)
+        states.save(name, s"$tableName/${cfg.cursorColumn}",
+          Incremental.State(Some(newLast), Nil))
+      }
       windowed.unpersist(blocking = false)
     }
     observation.foreach { obs =>
@@ -293,9 +304,16 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     }
 
   /** A resource owns its nested child tables `<name>__*` (table-chain
-    * ancestry, reference load/utils.py:20-64). */
+    * ancestry, reference load/utils.py:20-64) and its boundary-
+    * fingerprint system tables. */
   private def expandChildren(resources: Seq[String]): Seq[String] = {
     val roots = resources.map(r => Naming.normalizeTableName(r))
-    store.tables.filter(t => roots.exists(r => t == r || t.startsWith(s"${r}__")))
+    store.tables.filter(t => roots.exists(r => t == r || t.startsWith(s"${r}__") ||
+      t.startsWith(s"_dlt_boundary__${r}__")))
   }
+
+  /** Destination-side boundary-fingerprint table of an incremental
+    * resource (column `fp`) — anti-joined on load, rewritten on advance. */
+  private def boundaryTable(table: String, cfg: Incremental.Config): String =
+    s"_dlt_boundary__${table}__${cfg.cursorColumn.replaceAll("[^A-Za-z0-9_]", "_")}"
 }

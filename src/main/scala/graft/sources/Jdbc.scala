@@ -47,8 +47,12 @@ object Jdbc {
   /** The WHERE clause pushed into the source database for an incremental
     * window (reference incremental/sql.py:61-165). */
   def incrementalWhere(cfg: Incremental.Config, state: Incremental.State): Option[String] = {
+    // a custom last_value_func is an arbitrary predicate — not pushable
+    if (cfg.lastValueFunc.isInstanceOf[Incremental.CustomFunc]) return None
     val cursor = ident(cfg.cursorColumn)
-    val start = state.lastValue.orElse(cfg.initialValue).map { v =>
+    // startValue is lag-aware: the pushed WHERE opens the same window
+    // the DataFrame filter would
+    val start = Incremental.startValue(cfg, state).map { v =>
       val op = (cfg.lastValueFunc, cfg.closedStart) match {
         case (Incremental.MaxFunc, true) => ">="
         case (Incremental.MaxFunc, false) => ">"

@@ -55,6 +55,65 @@ class IncrementalSpec extends SparkSpec {
     assert(out.select("cur").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 3L, 4L))
   }
 
+  test("datetime lag: timestamp cursor reopens by seconds, format kept") {
+    val df = Seq("2024-03-01 08:59:59", "2024-03-01 09:00:00",
+      "2024-03-01 09:30:00", "2024-03-01 10:00:00")
+      .zipWithIndex.map { case (s, i) => (s, s"r$i") }.toDF("s", "v")
+      .select(to_timestamp(col("s")).as("ts"), col("v"))
+    val cfg = Config(cursorColumn = "ts", lag = Some(3600.0), primaryKey = Seq("v"))
+    val out = Incremental(df, cfg, State(Some("2024-03-01 10:00:00"), Nil))
+    // window reopens at 10:00 - 1h = 09:00 (closed start)
+    assert(out.select("v").as[String].collect().sorted.toSeq === Seq("r1", "r2", "r3"))
+  }
+
+  test("date lag: lag is days; compact yyyyMMdd strings keep their format") {
+    assert(Lag.applyLag("2024-03-10", 3.0, isMax = true) === "2024-03-07")
+    assert(Lag.applyLag("20240310", 3.0, isMax = true) === "20240307")
+    assert(Lag.applyLag("2024-03-10T05:06:07.123", 60.0, isMax = true)
+      === "2024-03-10T05:05:07.123")
+    assert(Lag.applyLag("2024-03-10 05:06:07Z", 7.0, isMax = false)
+      === "2024-03-10 05:06:14Z")
+    intercept[IllegalArgumentException] { Lag.applyLag("not-a-cursor", 1.0, isMax = true) }
+  }
+
+  test("lag never crosses the initial value and is off during backfill") {
+    val cfg = Config(cursorColumn = "cur", lag = Some(100.0),
+      initialValue = Some("3"), primaryKey = Seq("v"))
+    // 4 - 100 would land at -96; clamped to initialValue 3
+    assert(Incremental.startValue(cfg, State(Some("4"), Nil)) === Some("3"))
+    // lag applies to last_value only, never to the initial value
+    assert(Incremental.startValue(cfg, State.empty) === Some("3"))
+    // endValue deactivates lag
+    assert(Incremental.startValue(cfg.copy(endValue = Some("9")),
+      State(Some("4"), Nil)) === Some("4"))
+  }
+
+  test("custom last_value_func windows and advances by its own order") {
+    // track the largest ABSOLUTE cursor value
+    val cfg = Config(cursorColumn = "cur", primaryKey = Seq("v"),
+      lastValueFunc = CustomFunc(c => max(abs(c)), (last, cur) => abs(cur) >= last))
+    val df = Seq((-5L, "a"), (2L, "b"), (4L, "c"), (-3L, "d")).toDF("cur", "v")
+    val out = Incremental(df, cfg, State(Some("4"), Nil))
+    assert(out.select("v").as[String].collect().sorted.toSeq === Seq("a", "c"))
+    val st = advance(out, cfg, State(Some("4"), Nil))
+    assert(st.lastValue.contains("5"))
+    // and it is not pushable to JDBC
+    assert(graft.sources.Jdbc.incrementalWhere(cfg, st).isEmpty)
+  }
+
+  test("table-backed boundary dedup anti-joins instead of collecting") {
+    val cfg = Config(cursorColumn = "cur", primaryKey = Seq("v"))
+    val run1 = Seq.tabulate(500)(i => (1L, s"r$i")).toDF("cur", "v")
+    val fps = boundaryFingerprints(run1, cfg, "1")
+    assert(fps.count() === 500)
+    // re-delivery of all 500 + 2 new at the boundary + 1 beyond
+    val run2 = (Seq.tabulate(500)(i => (1L, s"r$i")) ++
+      Seq((1L, "new1"), (1L, "new2"), (2L, "z"))).toDF("cur", "v")
+    val out = Incremental(run2, cfg, State(Some("1"), Nil), Some(fps))
+    assert(out.select("v").as[String].collect().sorted.toSeq ===
+      Seq("new1", "new2", "z"))
+  }
+
   test("null cursor include/exclude") {
     val df = Seq((Some(1L), "a"), (None, "n"), (Some(2L), "b")).toDF("cur", "v")
     val inc = Config(cursorColumn = "cur", onMissing = Include, primaryKey = Seq("v"))

@@ -129,6 +129,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.select("v").as[String].collect().sorted.toSeq === Seq("a", "b", "e"))
   }
 
+  test("wide boundary: 10k rows on one cursor value, no driver blowup") {
+    val p = newPipeline()
+    val cfg = Incremental.Config(cursorColumn = "cur", primaryKey = Seq("v"))
+    def res(rows: Seq[(Long, String)]) =
+      Resource("wb", rows.toDF("cur", "v")).withIncremental(cfg)
+    val first = Seq.tabulate(10000)(i => (1L, s"r$i"))
+    p.run(Seq(res(first)), "1")
+    // state file carries NO hash literals — they live in the store table
+    assert(p.states.load("test", "wb/cur").boundaryHashes.isEmpty)
+    assert(p.store.read("_dlt_boundary__wb__cur").count() === 10000)
+    // full re-delivery + 3 genuinely new rows at/after the boundary
+    p.run(Seq(res(first ++ Seq((1L, "n1"), (1L, "n2"), (2L, "n3")))), "2")
+    assert(p.store.read("wb").count() === 10003)
+  }
+
   test("query passthrough exposes stored tables as views") {
     val p = newPipeline()
     p.run(Seq(Resource("t1", Seq((1, "a")).toDF("id", "v"))), "1")
