@@ -55,6 +55,28 @@ object StreamQueries {
         .orderBy("event_type")
     },
 
+    // streaming MERGE: revisions of the same key arrive on the stream;
+    // foreachBatch upserts each micro-batch through the segment-pruned
+    // merge path; the final table holds the highest revision per key
+    "stream_merge_upsert" -> q { c =>
+      val tmp = Files.createTempDirectory("graft-stm").toString
+      val ev = c.spark.read.parquet(s"${c.dir}/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      // rev 1: every event; rev 2: a bumped value for event_id % 3 == 0
+      ev.withColumn("rev", lit(1L))
+        .unionByName(ev.filter(col("event_id") % 3 === 0)
+          .withColumn("value", col("value") * 2).withColumn("rev", lit(2L)))
+        .write.parquet(s"$tmp/src")
+      val store = new TableStore(s"$tmp/store", c.spark)
+      val src = Streaming.fileStream(c.spark, s"$tmp/src")
+      Streaming.intoMerge(store, src, "ev",
+        graft.write.MergeConfig(primaryKey = Seq("event_id"), dedupSort = Some("rev")))
+      store.read("ev")
+        .select(col("event_id"), col("user_id"),
+          round(col("value").cast("decimal(18,4)") * 10000).cast("long").as("value_s"))
+        .orderBy("event_id")
+    },
+
     // stateful dedup: input duplicated 2x, dropDuplicates state keeps
     // exactly one row per event_id across micro-batches
     "stream_dedup_exactly_once" -> q { c =>
@@ -79,6 +101,11 @@ object StreamQueries {
     "stream_stateful_counts" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_merge_upsert" ->
+      """SELECT event_id, user_id,
+        |  CAST(ROUND(CAST(CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END
+        |    AS DECIMAL(18,4)) * 10000) AS BIGINT) AS value_s
+        |FROM events ORDER BY event_id""".stripMargin,
     "stream_dedup_exactly_once" ->
       "SELECT event_id, user_id FROM events ORDER BY event_id"
   )

@@ -51,10 +51,54 @@ object Rest {
       resp.headers.get("Link").flatMap(l => LinkNext.findFirstMatchIn(l).map(_.group(1)))
   }
   /** json_link / cursor: extract the next URL or cursor token from the body
-    * with a caller-provided extractor (reference json_link/header_cursor). */
+    * with a caller-provided extractor (reference json_link paginator). */
   final case class JsonLink(extract: String => Option[String]) extends Paginator {
     def next(url: String, resp: Response, pageIndex: Int): Option[String] =
       extract(resp.body)
+  }
+  /** header_cursor: a response header value becomes the next request's
+    * cursor query parameter (reference HeaderCursorPaginator,
+    * rest_client/paginators.py:942-995; registered in
+    * config_setup.py:73-85). Pagination stops when the header is absent
+    * or empty. */
+  final case class HeaderCursor(cursorKey: String = "next",
+      cursorParam: String = "cursor") extends Paginator {
+    def next(url: String, resp: Response, pageIndex: Int): Option[String] =
+      resp.headers.get(cursorKey).filter(_.nonEmpty)
+        .map(c => setParam(url, cursorParam, c))
+  }
+  /** auto: infer the strategy from each response (reference
+    * PaginatorFactory, rest_client/detector.py:205-243): an RFC5988
+    * `Link: rel="next"` header wins, then a `*next*`-named body key
+    * holding a URL (directly or under `href`/`url`,
+    * detector.py:44-120), else stop (single page). Re-detecting per
+    * response is equivalent to the reference's detect-once: a source
+    * does not change pagination style mid-stream. */
+  case object Auto extends Paginator {
+    private val DirectNext =
+      """"(\w*next\w*)"\s*:\s*"([^"]+)"""".r
+    private val NestedNext =
+      """"(\w*next\w*)"\s*:\s*\{[^}]*?"(?:href|url)"\s*:\s*"([^"]+)"""".r
+    private def looksLikeUrl(s: String): Boolean =
+      s.startsWith("http://") || s.startsWith("https://") || s.startsWith("/")
+    def next(url: String, resp: Response, pageIndex: Int): Option[String] = {
+      val fromBody =
+        DirectNext.findFirstMatchIn(resp.body).map(_.group(2)).filter(looksLikeUrl)
+          .orElse(NestedNext.findFirstMatchIn(resp.body).map(_.group(2))
+            .filter(looksLikeUrl))
+          .map(u => if (u.startsWith("/")) resolveRelative(url, u) else u)
+      HeaderLink.next(url, resp, pageIndex).orElse(fromBody)
+    }
+  }
+
+  /** Resolve a path-absolute next link against the current page URL. */
+  private def resolveRelative(current: String, path: String): String = {
+    val schemeEnd = current.indexOf("://")
+    if (schemeEnd < 0) path
+    else {
+      val hostEnd = current.indexOf('/', schemeEnd + 3)
+      (if (hostEnd < 0) current else current.substring(0, hostEnd)) + path
+    }
   }
 
   /** Auth strategies (reference config_setup.py:87+): each contributes

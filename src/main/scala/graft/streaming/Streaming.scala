@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.pipeline.{Pipeline, Resource}
+import graft.write.{Dispositions, Merge, MergeConfig, MergeStrategy, Scd2Config, TableStore}
 
 /** Structured-Streaming bridge for the load plane (SURVEY.md §2.8).
   *
@@ -74,6 +75,39 @@ object Streaming {
     drainAvailableNow(source, checkpoint) { (batch, id) =>
       if (!batch.isEmpty) pipeline.run(Seq(template(batch)), s"s$id")
     }
+
+  /** Stream micro-batches into the MERGE family: each batch is staged
+    * (deduped per key by `dedupSort`) and merged into `table` through
+    * the same segment-pruned [[Dispositions.merge]] batch loads use —
+    * an atomic manifest commit per micro-batch, so a replayed batch
+    * (failure recovery) re-merges idempotently on its keys. */
+  def intoMerge(store: TableStore, source: DataFrame, table: String,
+      cfg: MergeConfig, strategy: MergeStrategy = MergeStrategy.Upsert,
+      checkpoint: Option[String] = None): Unit = {
+    val d = new Dispositions(store, source.sparkSession)
+    drainAvailableNow(source, checkpoint) { (batch, id) =>
+      if (!batch.isEmpty) d.merge(table, Merge.dedup(batch, cfg), cfg, s"s$id", strategy)
+    }
+  }
+
+  /** Stream micro-batches into SCD2. A micro-batch is NOT a full
+    * snapshot, so the config MUST scope retirement with a `mergeKey`
+    * (partitioned SCD2): only entities present in the batch can retire
+    * — per-entity version history, the streaming-safe subset of SCD2
+    * semantics. `boundaryTs` comes from the batch id via `cfgFor` so
+    * validity boundaries are totally ordered across batches. */
+  def intoScd2(store: TableStore, source: DataFrame, table: String,
+      cfgFor: Long => Scd2Config, checkpoint: Option[String] = None): Unit = {
+    val d = new Dispositions(store, source.sparkSession)
+    drainAvailableNow(source, checkpoint) { (batch, id) =>
+      if (!batch.isEmpty) {
+        val cfg = cfgFor(id)
+        require(cfg.mergeKey.nonEmpty,
+          "streaming scd2 requires a mergeKey: a micro-batch is not a full snapshot")
+        d.scd2(table, batch, cfg, s"s$id")
+      }
+    }
+  }
 
   /** Exactly-once key dedup across micro-batches: event-time watermark
     * bounds the dedup state, `dropDuplicates` keeps the first arrival

@@ -110,6 +110,44 @@ class SourcesSpec extends SparkSpec {
     assert(rows.select("id").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("rest: header_cursor paginator threads the token as a query param") {
+    val transport: Rest.Transport = {
+      case u if !u.contains("cursor=") =>
+        Rest.Response("""[{"id":1}]""", Map("NextPageToken" -> "t2"))
+      case u if u.contains("cursor=t2") =>
+        Rest.Response("""[{"id":2}]""", Map("NextPageToken" -> "t3"))
+      case _ => Rest.Response("""[{"id":3}]""") // no header → stop
+    }
+    val df = Rest.read(spark, "http://api/items", transport,
+      Rest.HeaderCursor(cursorKey = "NextPageToken"))
+    assert(df.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("rest: auto paginator detects link header, json next, single page") {
+    // Link header wins
+    val viaLink: Rest.Transport = {
+      case u if u.endsWith("p1") =>
+        Rest.Response("""[{"id":1}]""", Map("Link" -> """<http://api/p2>; rel="next""""))
+      case _ => Rest.Response("""[{"id":2}]""")
+    }
+    assert(Rest.read(spark, "http://api/p1", viaLink, Rest.Auto)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // body "next" key holding a URL (relative links resolve on the host)
+    val viaBody: Rest.Transport = {
+      case u if u.endsWith("a") =>
+        Rest.Response("""{"data":[{"id":1}],"next":"/b"}""")
+      case _ => Rest.Response("""{"data":[{"id":2}]}""")
+    }
+    assert(Rest.read(spark, "http://api/a", viaBody, Rest.Auto,
+      itemsPath = Some("data")).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+    // neither → single page
+    var calls = 0
+    val single: Rest.Transport = _ => { calls += 1; Rest.Response("""[{"id":9}]""") }
+    assert(Rest.read(spark, "http://api/x", single, Rest.Auto).count() === 1)
+    assert(calls === 1)
+  }
+
   test("rest: auth strategies set headers and query params") {
     var seen: (String, Map[String, String]) = ("", Map.empty)
     val ht: Rest.HeaderTransport = (url, headers) => {

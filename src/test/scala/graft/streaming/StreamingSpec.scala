@@ -40,6 +40,52 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("_dlt_load_id").distinct().as[String].collect().toSet === Set("s0"))
   }
 
+  test("intoMerge upserts across genuine micro-batches (checkpoint resume)") {
+    val srcDir = tmp("st-mrg-src")
+    val cp = tmp("st-mrg-cp")
+    val store = new TableStore(tmp("st-mrg-out"), spark)
+    val cfg = graft.write.MergeConfig(primaryKey = Seq("id"), dedupSort = Some("rev"))
+    def drain(): Unit = Streaming.intoMerge(store,
+      Streaming.fileStream(spark, srcDir,
+        schema = Some(Seq((0L, "x", 0L)).toDF("id", "v", "rev").schema)),
+      "t", cfg, checkpoint = Some(cp))
+    // batch 1: two keys
+    Seq((1L, "a1", 1L), (2L, "b1", 1L)).toDF("id", "v", "rev")
+      .write.mode("append").parquet(srcDir)
+    drain()
+    assert(store.read("t").orderBy("id").select("v").as[String].collect().toSeq
+      === Seq("a1", "b1"))
+    // batch 2 (same checkpoint → only the new file): key 1 updated, key 3 new
+    Seq((1L, "a2", 2L), (3L, "c1", 1L)).toDF("id", "v", "rev")
+      .write.mode("append").parquet(srcDir)
+    drain()
+    assert(store.read("t").orderBy("id").select("v").as[String].collect().toSeq
+      === Seq("a2", "b1", "c1"))
+  }
+
+  test("intoScd2 keeps per-entity version history across micro-batches") {
+    val srcDir = tmp("st-scd-src")
+    val cp = tmp("st-scd-cp")
+    val store = new TableStore(tmp("st-scd-out"), spark)
+    def cfgFor(id: Long) = graft.write.Scd2Config(
+      trackedColumns = Seq("id", "v"), mergeKey = Seq("id"),
+      boundaryTs = s"2024-01-0${id + 1} 00:00:00")
+    def drain(): Unit = Streaming.intoScd2(store,
+      Streaming.fileStream(spark, srcDir,
+        schema = Some(Seq((0L, "x")).toDF("id", "v").schema)),
+      "t", cfgFor, checkpoint = Some(cp))
+    Seq((1L, "a1"), (2L, "b1")).toDF("id", "v").write.mode("append").parquet(srcDir)
+    drain()
+    // batch 2 revises entity 1 only; entity 2 is absent from the batch
+    // and must NOT retire (mergeKey scoping)
+    Seq((1L, "a2")).toDF("id", "v").write.mode("append").parquet(srcDir)
+    drain()
+    val out = store.read("t")
+    assert(out.count() === 3) // a1 retired, a2 + b1 active
+    assert(out.filter(col("_dlt_valid_to").isNull).orderBy("id")
+      .select("v").as[String].collect().toSeq === Seq("a2", "b1"))
+  }
+
   test("dedupByKeyUnbounded keeps one row per key") {
     val store = new TableStore(tmp("st-dd"), spark)
     val src = Streaming.fileStream(spark, writeSourceDir())
