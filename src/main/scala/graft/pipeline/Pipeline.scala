@@ -33,8 +33,24 @@ final case class Resource(
   def addFilter(cond: Column): Resource = copy(frame = frame.filter(cond))
   /** YieldMapItem (items_transform.py:125-145) — 1→N. */
   def addYieldMap(f: DataFrame => DataFrame): Resource = copy(frame = f(frame))
-  /** LimitItem (items_transform.py:174-239). */
+  /** LimitItem (items_transform.py:174-239): row-count limit. The
+    * reference's max_time / max_pages variants bound the GENERATOR, so
+    * their Spark analog lives at the source: [[graft.sources.Rest
+    * .fetchPages]] takes `maxPages` and `maxTime` — a lazy Spark plan
+    * has no wall-clock to bound. */
   def addLimit(n: Int): Resource = copy(frame = frame.limit(n))
+  /** ValidateItem (items_transform.py:148-171, libs/pydantic.py):
+    * per-row predicate validation. `raiseOnViolation = true` fails the
+    * load on the first violating row (the pydantic raise mode);
+    * false silently drops violating rows (filter mode). */
+  def addValidate(cond: Column, raiseOnViolation: Boolean = true): Resource =
+    if (!raiseOnViolation) copy(frame = frame.filter(cond))
+    else copy(frame = frame.filter {
+      import org.apache.spark.sql.functions.{assert_true, lit, when}
+      // NULL predicate results count as violations (pydantic raise mode)
+      when(cond, lit(true))
+        .otherwise(assert_true(cond, lit(s"row validation failed: $cond")).isNull)
+    })
   /** MetricsItem (items_transform.py:242-257) — pass-through side-channel
     * metrics, collected via `Dataset.observe` during the load action
     * (zero extra scans). Read them back with [[Pipeline.metrics]]. */

@@ -153,14 +153,20 @@ object Rest {
     base + "?" + updated.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("&")
   }
 
-  /** Fetch all pages (driver-side, bounded by `maxPages`). */
+  /** Fetch all pages (driver-side). `maxPages` and `maxTime` are the
+    * reference's add_limit page/time variants (items_transform.py:
+    * 174-239) applied where they are meaningful on Spark — at the
+    * generator: pagination stops after `maxPages` pages or once
+    * `maxTime` has elapsed (the page in flight still lands). */
   def fetchPages(startUrl: String, transport: Transport, paginator: Paginator,
-                 maxPages: Int = 10000): Seq[String] = {
+                 maxPages: Int = 10000,
+                 maxTime: Option[scala.concurrent.duration.Duration] = None): Seq[String] = {
+    val deadline = maxTime.map(t => System.nanoTime() + t.toNanos)
     @tailrec
     def loop(url: String, idx: Int, acc: Vector[String]): Vector[String] = {
       val resp = transport(url)
       val pages = acc :+ resp.body
-      if (idx + 1 >= maxPages) pages
+      if (idx + 1 >= maxPages || deadline.exists(System.nanoTime() >= _)) pages
       else paginator.next(url, resp, idx) match {
         case Some(nextUrl) => loop(nextUrl, idx + 1, pages)
         case None => pages

@@ -144,6 +144,34 @@ class PipelineSpec extends SparkSpec {
     assert(p.store.read("wb").count() === 10003)
   }
 
+  test("row validation: filter mode drops, raise mode fails the load") {
+    val p = newPipeline()
+    val df = Seq((1, "ok"), (-5, "bad"), (2, "ok2")).toDF("n", "v")
+    p.run(Seq(Resource("filtered", df).addValidate(col("n") > 0,
+      raiseOnViolation = false)), "1")
+    assert(p.store.read("filtered").count() === 2)
+    val err = intercept[Exception] {
+      p.run(Seq(Resource("strict", df).addValidate(col("n") > 0)), "2")
+    }
+    assert(err.getMessage.contains("row validation failed") ||
+      Option(err.getCause).exists(_.getMessage.contains("row validation failed")))
+  }
+
+  test("rest pagination honors page and time limits") {
+    import graft.sources.Rest
+    val endless: Rest.Transport = url => {
+      val n = url.split("page=").lift(1).map(_.takeWhile(_.isDigit).toInt).getOrElse(1)
+      Rest.Response(s"""[{"id":$n}]""",
+        Map("Link" -> s"""<http://api/items?page=${n + 1}>; rel="next""""))
+    }
+    assert(Rest.fetchPages("http://api/items?page=1", endless,
+      Rest.HeaderLink, maxPages = 7).size === 7)
+    import scala.concurrent.duration._
+    assert(Rest.fetchPages("http://api/items?page=1",
+      u => { Thread.sleep(30); endless(u) },
+      Rest.HeaderLink, maxTime = Some(50.millis)).size <= 4)
+  }
+
   test("query passthrough exposes stored tables as views") {
     val p = newPipeline()
     p.run(Seq(Resource("t1", Seq((1, "a")).toDF("id", "v"))), "1")
