@@ -65,15 +65,41 @@ object TextOps {
       lit(0.3) * least(lit(1.0), stopwordRatio(text) * 5.0),
     6)
 
-  /** Tiny per-language marker-word profiles for the language-ID
-    * heuristic. A real profile would be trigram-frequency based; the
-    * marker-word scorer has the same shape (per-language evidence score,
-    * argmax with deterministic tie-break) and is SQL-mirrorable. */
+  /** Per-language function-word profiles for the language-ID heuristic —
+    * the "stopword method" of dictionary LID: function words are the
+    * highest-frequency, most language-specific tokens, so hit counts
+    * separate languages sharply on running text. Profiles are the top
+    * function words of each language (public frequency lists). Overlap
+    * across Romance languages ("de", "la", "en"…) is fine: argmax over
+    * counts resolves it, first-listed wins exact ties. A trigram model
+    * would add robustness on very short strings; on document-length
+    * inputs the function-word scorer is the standard cheap choice, and
+    * it stays a pure codegen expression with an exact SQL mirror. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
-    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "von", "mit", "den", "ein"),
-    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "du", "est", "pour"))
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+      "was", "on", "are", "as", "with", "they", "at", "be", "this", "have",
+      "from", "or", "had", "by", "not"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las",
+      "por", "un", "para", "con", "no", "una", "su", "al", "lo", "como",
+      "más", "pero", "sus", "le", "ya"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "von", "mit", "den",
+      "ein", "eine", "zu", "auf", "für", "im", "dem", "sich", "des", "als",
+      "auch", "es", "an", "werden", "aus", "er"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "du", "est", "pour",
+      "dans", "qui", "que", "sur", "pas", "plus", "par", "au", "avec", "ne",
+      "se", "ce", "il", "sont", "mais"),
+    "it" -> Seq("il", "di", "che", "e", "in", "un", "per", "è", "non", "una",
+      "sono", "con", "si", "da", "come", "dei", "nel", "alla", "anche", "più",
+      "della", "nella", "gli", "ha", "lo"),
+    "pt" -> Seq("o", "de", "que", "e", "do", "da", "em", "um", "para", "é",
+      "com", "não", "uma", "os", "no", "se", "na", "por", "mais", "as",
+      "dos", "como", "mas", "foi", "ao"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "ik", "te", "dat", "die", "in",
+      "is", "hij", "niet", "met", "zijn", "ze", "op", "aan", "er", "maar",
+      "om", "ook", "als", "dan", "bij"),
+    "ru" -> Seq("и", "в", "не", "на", "я", "что", "он", "с", "как", "это",
+      "а", "то", "все", "она", "так", "его", "но", "да", "ты", "к",
+      "у", "же", "вы", "за", "бы"))
 
   /** Per-language evidence score = marker-word hit count. */
   def langScore(text: Column, lang: String): Column =

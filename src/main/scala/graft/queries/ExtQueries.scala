@@ -183,16 +183,17 @@ object ExtQueries {
         s"""len(list_filter(string_split_regex(trim(text), '\\s+'),
            |        t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l""".stripMargin
       }.mkString(",\n    ")
-      val best = "greatest(s_en, s_es, s_de, s_fr)"
+      val langs = TextOps.LangProfiles.map(_._1)
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs
+        .map(l => s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'")
+        .mkString("\n       ")
       s"""WITH t AS (
          |  SELECT doc_id,
          |    $scores
          |  FROM documents)
          |SELECT doc_id,
-         |  CASE WHEN s_en > 0 AND s_en = $best THEN 'en'
-         |       WHEN s_es > 0 AND s_es = $best THEN 'es'
-         |       WHEN s_de > 0 AND s_de = $best THEN 'de'
-         |       WHEN s_fr > 0 AND s_fr = $best THEN 'fr'
+         |  CASE $cases
          |       ELSE 'und' END AS lang_pred,
          |  s_en AS score_en, s_es AS score_es
          |FROM t ORDER BY doc_id""".stripMargin

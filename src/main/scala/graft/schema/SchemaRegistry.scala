@@ -150,7 +150,151 @@ final class SchemaRegistry(val name: String) {
     val tablesJson = obj.map { case (t, fields) =>
       jstr(t) + ":{" + fields.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString(",") + "}"
     }.mkString(",")
-    s"""{"name":${jstr(name)},"version_hash":${jstr(hash)},""" +
+    s"""{"name":${jstr(name)},"engine_version":${SchemaRegistry.EngineVersion},""" +
+      s""""version_hash":${jstr(hash)},""" +
       s""""previous_hashes":[${prev.map(jstr).mkString(",")}],"tables":{$tablesJson}}"""
+  }
+}
+
+/** Persistence + engine migrations for stored registries (reference
+  * dlt/common/schema/migrations.py:1-198: stored schemas carry an
+  * engine_version; loading an older engine's file migrates it forward
+  * step by step before use). */
+object SchemaRegistry {
+
+  /** Engine v1 = round-1 files (no engine_version field); v2 adds it. */
+  val EngineVersion = 2
+
+  /** Load a persisted registry, migrating older engine versions forward.
+    * None when no file exists. */
+  def load(dir: String, name: String): Option[SchemaRegistry] = {
+    val p = Paths.get(dir, s"$name.schema.json")
+    if (!Files.exists(p)) None
+    else {
+      val parsed = Json.parse(new String(Files.readAllBytes(p),
+        StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
+      val obj = migrate(parsed)
+      val reg = new SchemaRegistry(name)
+      obj.getOrElse("tables", Map.empty).asInstanceOf[Map[String, Any]]
+        .foreach { case (t, v) =>
+          val f = v.asInstanceOf[Map[String, Any]]
+          def s(k: String): String = f.getOrElse(k, "").toString
+          val schema = DataType.fromJson(s("schema")).asInstanceOf[StructType]
+          // .toList everywhere: versionHash folds hints.toString, so the
+          // collection representation must match in-memory construction
+          val refs = s("references").split(";").filter(_.nonEmpty).toList.flatMap { r =>
+            r.split("->", 2) match {
+              case Array(cols, target) => target.split("\\.", 2) match {
+                case Array(tt, tc) => Some(TableReference(
+                  cols.split("\\+").toList, tt, tc.split("\\+").toList))
+                case _ => None
+              }
+              case _ => None
+            }
+          }
+          reg.register(t, schema, TableHints(
+            parent = Some(s("parent")).filter(_.nonEmpty),
+            writeDisposition = if (s("write_disposition").isEmpty) "append"
+                               else s("write_disposition"),
+            primaryKey = s("primary_key").split(",").filter(_.nonEmpty).toList,
+            mergeKey = s("merge_key").split(",").filter(_.nonEmpty).toList,
+            references = refs))
+        }
+      // lineage comes from the file, not from the replayed registrations
+      reg.previousHashes = obj.getOrElse("previous_hashes", Nil)
+        .asInstanceOf[Seq[Any]].map(_.toString).toList
+      Some(reg)
+    }
+  }
+
+  /** Step stored-schema dicts to the current engine version (the
+    * migrations.py ladder: one case per version bump, applied in order). */
+  def migrate(obj: Map[String, Any]): Map[String, Any] = {
+    var cur = obj
+    var v = cur.get("engine_version").map(_.toString.toDouble.toInt).getOrElse(1)
+    while (v < EngineVersion) {
+      cur = v match {
+        // v1 → v2: engine_version field introduced; payload unchanged
+        case 1 => cur.updated("engine_version", 2)
+        case other => throw new IllegalStateException(
+          s"no migration from stored-schema engine v$other")
+      }
+      v += 1
+    }
+    if (v > EngineVersion) throw new IllegalStateException(
+      s"stored schema engine v$v is newer than this engine (v$EngineVersion)")
+    cur
+  }
+
+  /** Minimal recursive-descent JSON reader for the registry's own
+    * format (strings, numbers, arrays, objects) — no external deps. */
+  private object Json {
+    def parse(s: String): Any = new P(s).value()
+    private final class P(s: String) {
+      private var i = 0
+      private def ws(): Unit =
+        while (i < s.length && s.charAt(i).isWhitespace) i += 1
+      private def expect(c: Char): Unit = {
+        ws()
+        require(i < s.length && s.charAt(i) == c, s"expected $c at $i")
+        i += 1
+      }
+      def value(): Any = { ws(); s.charAt(i) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => i += 4; true
+        case 'f' => i += 5; false
+        case 'n' => i += 4; null
+        case _ => num()
+      }}
+      private def obj(): Map[String, Any] = {
+        expect('{'); ws()
+        if (s.charAt(i) == '}') { i += 1; return Map.empty }
+        val b = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+        var done = false
+        while (!done) {
+          ws(); val k = str(); expect(':'); b(k) = value(); ws()
+          if (s.charAt(i) == ',') i += 1 else { expect('}'); done = true }
+        }
+        b.toMap
+      }
+      private def arr(): Seq[Any] = {
+        expect('['); ws()
+        if (s.charAt(i) == ']') { i += 1; return Nil }
+        val b = Seq.newBuilder[Any]
+        var done = false
+        while (!done) {
+          b += value(); ws()
+          if (s.charAt(i) == ',') i += 1 else { expect(']'); done = true }
+        }
+        b.result()
+      }
+      private def str(): String = {
+        expect('"')
+        val sb = new StringBuilder
+        while (s.charAt(i) != '"') {
+          if (s.charAt(i) == '\\') {
+            i += 1
+            sb += (s.charAt(i) match {
+              case 'n' => '\n'; case 'r' => '\r'; case 't' => '\t'
+              case 'u' =>
+                val c = Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+                i += 4; c
+              case c => c
+            })
+          } else sb += s.charAt(i)
+          i += 1
+        }
+        i += 1
+        sb.toString
+      }
+      private def num(): Any = {
+        val start = i
+        while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+        val t = s.substring(start, i)
+        if (t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toDouble else t.toLong
+      }
+    }
   }
 }

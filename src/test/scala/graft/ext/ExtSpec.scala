@@ -128,4 +128,21 @@ class ExtSpec extends SparkSpec {
     assert(r.forall { x => val q = x.getAs[Double]("q"); q >= 0.0 && q <= 1.0 })
     assert(r.count(_.getAs[String]("lang") == "en") >= 3)
   }
+
+  test("language id separates eight languages on running text") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with this"),
+      ("es", "el gato se sentó en la alfombra y estaba feliz con su casa"),
+      ("de", "die katze saß auf der matte und sie ist mit dem haus zufrieden"),
+      ("fr", "le chat est sur le tapis et il est content avec la maison"),
+      ("it", "il gatto è sul tappeto e non vuole andare via dalla casa"),
+      ("pt", "o gato está no tapete e ele é feliz com a casa que tem"),
+      ("nl", "de kat zit op de mat en hij is niet blij met het huis"),
+      ("ru", "я не знаю что он думает но это так как все говорят"),
+      ("und", "zzz qqq xxx"))
+    val out = samples.toDF("expected", "text")
+      .withColumn("got", TextOps.langId(col("text")))
+      .select("expected", "got").as[(String, String)].collect()
+    out.foreach { case (exp, got) => assert(got === exp, s"expected $exp got $got") }
+  }
 }

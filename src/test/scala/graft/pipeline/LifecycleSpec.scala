@@ -140,4 +140,35 @@ class LifecycleSpec extends SparkSpec {
     assert(dbml.contains("id bigint [pk]"))
     assert(dbml.contains("Ref: customer.id > nation.id"))
   }
+
+  test("schema registry round-trips through disk with engine migrations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-reg").toString
+    val reg = new SchemaRegistry("rt")
+    reg.register("nation", sample.schema)
+    reg.register("customer", sample.schema, TableHints(
+      parent = None, writeDisposition = "merge",
+      primaryKey = Seq("id"), mergeKey = Seq("k"),
+      references = Seq(TableReference(Seq("id"), "nation", Seq("id")))))
+    reg.save(dir)
+
+    // v2 round-trip: identical content hash, hints and lineage survive
+    val back = SchemaRegistry.load(dir, "rt").get
+    assert(back.versionHash === reg.versionHash)
+    assert(back.hints("customer").primaryKey === Seq("id"))
+    assert(back.hints("customer").references.head.referencedTable === "nation")
+    assert(back.lineage === reg.lineage)
+
+    // engine v1 file (no engine_version): migration ladder steps it to v2
+    val p = java.nio.file.Paths.get(dir, "rt.schema.json")
+    val v1 = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replace("\"engine_version\":2,", "")
+    java.nio.file.Files.write(p, v1.getBytes("UTF-8"))
+    val migrated = SchemaRegistry.load(dir, "rt").get
+    assert(migrated.versionHash === reg.versionHash)
+
+    // a FUTURE engine version must refuse to load, not mis-read
+    java.nio.file.Files.write(p,
+      v1.replace("{\"name\"", "{\"engine_version\":99,\"name\"").getBytes("UTF-8"))
+    intercept[IllegalStateException] { SchemaRegistry.load(dir, "rt") }
+  }
 }
