@@ -39,6 +39,57 @@ object Multimodal {
     }
   }
 
+  /** REAL header parsers for uncompressed container formats — pure JVM
+    * byte arithmetic, no native deps:
+    *  - BMP (`BM` magic, BITMAPINFOHEADER): width/height/bit-depth from
+    *    the documented little-endian header offsets;
+    *  - WAV (`RIFF….WAVE`, chunk walk to `fmt `/`data`): channels,
+    *    sample rate and the sample-frame count. Audio maps onto
+    *    [[MediaMeta]] as width = sample rate, height = bits/sample,
+    *    n_frames = sample frames.
+    * Compressed codecs (JPEG/PNG/H.264…) need native decoders absent
+    * from this environment; those payloads fall back to the
+    * deterministic [[StubCodec]], so plans stay total and exact. */
+  object HeaderCodec {
+    private def le16(p: Array[Byte], o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    private def le32(p: Array[Byte], o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+        ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+
+    private def isBmp(p: Array[Byte]) =
+      p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte
+    private def isWav(p: Array[Byte]) =
+      p.length >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+    def decode(item: MediaItem): MediaMeta = {
+      val p = item.payload
+      if (isBmp(p))
+        MediaMeta(item.media_id, "image", p.length.toLong,
+          width = le32(p, 18),
+          height = math.abs(le32(p, 22)), // negative = top-down rows
+          channels = math.max(1, le16(p, 28) / 8),
+          n_frames = 1)
+      else if (isWav(p)) {
+        // walk RIFF chunks for fmt (format) and data (payload length)
+        var (o, ch, rate, bits, dataLen) = (12, 1, 0, 8, 0L)
+        while (o + 8 <= p.length) {
+          val id = new String(p, o, 4, "US-ASCII")
+          val len = le32(p, o + 4)
+          if (id == "fmt " && o + 24 <= p.length) {
+            ch = le16(p, o + 10); rate = le32(p, o + 12); bits = le16(p, o + 22)
+          } else if (id == "data") dataLen = len.toLong & 0xffffffffL
+          o += 8 + len + (len & 1) // chunks are word-aligned
+        }
+        val blockAlign = math.max(1, ch * math.max(1, bits / 8))
+        MediaMeta(item.media_id, "audio", p.length.toLong,
+          width = rate, height = bits, channels = ch,
+          n_frames = (dataLen / blockAlign).toInt)
+      } else StubCodec.decode(item)
+    }
+  }
+
   /** Wrap a text column as a fake media payload (UTF-8 bytes). Lets the
     * test tables exercise the plumbing without real media files. */
   def asMedia(docs: DataFrame, id: String, text: String,
@@ -58,7 +109,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition decoder init would go here (once, not per row)
-      it.map(StubCodec.decode)
+      it.map(HeaderCodec.decode)
     }
   }
 

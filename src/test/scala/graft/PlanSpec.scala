@@ -54,4 +54,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderkey,1000)"),
       s"cursor window must push down:\n$p")
   }
+
+  test("boundary anti-join keeps the cursor window pushed down") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+    val fps = Seq("h1", "h2").toDF("fp")
+    val windowed = graft.incremental.Incremental(df,
+      graft.incremental.Incremental.Config(cursorColumn = "o_orderkey",
+        primaryKey = Seq("o_orderkey"),
+        onMissing = graft.incremental.Incremental.Exclude),
+      graft.incremental.Incremental.State(Some("1000"), Nil), Some(fps))
+    val p = windowed.queryExecution.executedPlan.toString()
+    // the window predicate sits BELOW the fingerprint anti-join, so it
+    // still reaches the parquet scan; the join itself is a hash join
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,1000)"),
+      s"cursor window must push down below the anti-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -129,6 +129,31 @@ class ExtSpec extends SparkSpec {
     assert(r.count(_.getAs[String]("lang") == "en") >= 3)
   }
 
+  test("header codec parses real BMP and WAV bytes, stub for the rest") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    // minimal BITMAPINFOHEADER bitmap: 17x9, 24-bit
+    val bmp = ("BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54) ++ // file header
+      le32(40) ++ le32(17) ++ le32(-9) ++ le16(1) ++ le16(24) ++ // info header
+      Array.fill[Byte](54)(0)) // enough padding past offset 54
+    val m = Multimodal.HeaderCodec.decode(Multimodal.MediaItem(1L, "image", bmp))
+    assert((m.width, m.height, m.channels, m.n_frames) === (17, 9, 3, 1))
+
+    // minimal RIFF/WAVE: stereo 8kHz 16-bit, 100 sample frames
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16)
+    val data = "data".getBytes ++ le32(400) ++ Array.fill[Byte](400)(0)
+    val wav = "RIFF".getBytes ++ le32(36 + 400) ++ "WAVE".getBytes ++ fmt ++ data
+    val a = Multimodal.HeaderCodec.decode(Multimodal.MediaItem(2L, "audio", wav))
+    assert((a.width, a.height, a.channels, a.n_frames) === (8000, 16, 2, 100))
+
+    // unknown payloads fall back to the deterministic stub
+    val txt = "hello".getBytes
+    assert(Multimodal.HeaderCodec.decode(Multimodal.MediaItem(3L, "image", txt))
+      === Multimodal.StubCodec.decode(Multimodal.MediaItem(3L, "image", txt)))
+  }
+
   test("language id separates eight languages on running text") {
     val samples = Seq(
       ("en", "the cat sat on the mat and it was happy with this"),
