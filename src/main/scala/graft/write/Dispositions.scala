@@ -88,7 +88,7 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
           case Some((touched, untouched)) if untouched.nonEmpty =>
             val dest =
               if (touched.isEmpty) None
-              else Some(store.readSegments(table, touched))
+              else Some(store.readSegmentsApplied(table, touched))
             store.replaceSegments(table, untouched, result(dest),
               statsFor = keys, rangeBy = keys)
           case _ =>
@@ -154,7 +154,7 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
     } else if (segs.forall(_.stats.contains(Scd2Marker))) {
       val (activeSegs, closedSegs) = segs.partition(_.stats(Scd2Marker).min == "active")
       val dest = if (activeSegs.isEmpty) None
-                 else Some(store.readSegments(table, activeSegs))
+                 else Some(store.readSegmentsApplied(table, activeSegs))
       val (active, closed) = Scd2.applySplit(dest, staged, cfg)
       val foldClosed = closedSegs.size >= 32 // compact closed history rarely
       val (keep, closedOut) =

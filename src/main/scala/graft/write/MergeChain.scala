@@ -46,31 +46,29 @@ object MergeChain {
     val insertedRootIds = insertedRoot
       .select(col(Ids.DltId).as(Ids.DltRootId)).distinct()
 
-    // children first on delete side, computed before committing the root
-    val childResults = chain.children.map { case (childTable, stagedChild) =>
-      val destChild = store.readOption(childTable)
-      val keptChild = (destChild, replacedRootIds) match {
-        case (None, _) => None
-        case (Some(dc), None) => Some(dc)
-        case (Some(dc), Some(ids)) => Some(dc.join(ids, Seq(Ids.DltRootId), "left_anti"))
-      }
+    // children first on delete side, committed before the root.
+    // MERGE-ON-READ: deleting the children of replaced roots writes a
+    // TOMBSTONE (the replaced root-id set) instead of rewriting the
+    // child table — range stats cannot prune hash-uniform root ids, so
+    // the old rewrite touched every byte of a table that only loses a
+    // sliver per load. Inserted children land as a fresh segment the
+    // tombstone does not cover (re-inserted roots keep their new rows);
+    // compaction folds dead rows away once tombstones accumulate.
+    chain.children.foreach { case (childTable, stagedChild) =>
       val insertChild = stagedChild.join(insertedRootIds, Seq(Ids.DltRootId), "left_semi")
-      val result = keptChild match {
-        case None => insertChild
-        case Some(kc) => kc.unionByName(insertChild, allowMissingColumns = true)
+      (store.exists(childTable), replacedRootIds) match {
+        case (false, _) =>
+          store.overwrite(childTable, insertChild, statsFor = Seq(Ids.DltRootId))
+        case (true, None) => // no destination root: nothing can be replaced
+          store.append(childTable, insertChild, statsFor = Seq(Ids.DltRootId))
+        case (true, Some(ids)) =>
+          store.appendWithTombstone(childTable, insertChild,
+            Ids.DltRootId, ids, statsFor = Seq(Ids.DltRootId))
+          store.compact(childTable)
       }
-      childTable -> result
     }
 
     val rootResult = Merge.deleteInsert(destRoot, stagedRoot, cfg)
-
-    // children carry _dlt_root_id stats + parquet blooms (their delete
-    // key is an equality probe); NO range layout — hash ids are
-    // uniformly distributed, so a range sort would be a shuffle that
-    // tightens nothing
-    childResults.foreach { case (t, df) =>
-      store.overwrite(t, df, statsFor = Seq(Ids.DltRootId))
-    }
     store.overwrite(chain.root, rootResult, statsFor = ks, rangeBy = ks)
   }
 }

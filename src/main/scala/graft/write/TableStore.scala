@@ -32,6 +32,16 @@ final case class Segment(name: String, stats: Map[String, ColStats])
 final case class SegmentWrite(df: DataFrame, statsFor: Seq[String] = Nil,
     rangeBy: Seq[String] = Nil, tags: Map[String, ColStats] = Map.empty)
 
+/** A merge-on-read deletion marker: rows of the `covered` data segments
+  * whose `column` value appears in the tombstone's id file are dead.
+  * The anti-join applies at read time; [[TableStore.compact]] folds
+  * tombstones away. This is the deletion-vector idea of the lakehouse
+  * formats, keyed by value instead of row position: deleting N rows
+  * from a huge child table costs O(ids) written, not O(table)
+  * rewritten. `covered` pins the generation — segments appended AFTER
+  * the tombstone are not affected, so a re-inserted key survives. */
+final case class Tombstone(name: String, column: String, covered: Set[String])
+
 /** A minimal lakehouse: one directory per dataset, one manifest-committed
   * parquet table per subdirectory.
   *
@@ -70,11 +80,64 @@ final class TableStore(val root: String, spark: SparkSession) {
       .filter(p => Files.exists(p.resolve("_CURRENT")))
       .map(_.getFileName.toString).toSeq.sorted
 
-  /** Current snapshot as a DataFrame. */
+  /** Current snapshot as a DataFrame (merge-on-read: any live
+    * tombstones apply as anti-joins scoped to the segments they
+    * covered at commit time — later appends are untouched). */
   def read(table: String): DataFrame = {
     val segs = segments(table)
     require(segs.nonEmpty, s"table $table does not exist in $root")
-    readSegments(table, segs)
+    readSegmentsApplied(table, segs)
+  }
+
+  /** Read `segs` with tombstones applied, grouping segments by the
+    * tombstone set covering them so newer segments never anti-join
+    * against older deletes (generation correctness). Partial-segment
+    * readers (pruned merge, scd2 active set) use this instead of the
+    * raw [[readSegments]] so dead rows never resurface. */
+  def readSegmentsApplied(table: String, segs: Seq[Segment]): DataFrame = {
+    val tombs = currentTombstones(table)
+    val relevant = tombs.filter(t => segs.exists(s => t.covered(s.name)))
+    if (relevant.isEmpty) readSegments(table, segs)
+    else {
+      val groups = segs.groupBy(s =>
+        relevant.filter(_.covered(s.name)).map(_.name).toSet)
+      groups.map { case (tnames, gsegs) =>
+        val base = readSegments(table, gsegs)
+        relevant.filter(t => tnames(t.name)).groupBy(_.column)
+          .foldLeft(base) { case (acc, (c, ts)) =>
+            if (!acc.columns.contains(c)) acc
+            else {
+              val ids = ts.map(t =>
+                  spark.read.parquet(resolve(table, t.name).toString))
+                .reduce(_ unionByName _).select(c).distinct()
+              acc.join(ids, Seq(c), "left_anti")
+            }
+          }
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
+  /** The live tombstones of `table` (empty for plain tables). */
+  def tombstones(table: String): Seq[Tombstone] = currentTombstones(table)
+
+  /** Merge-on-read delete + insert in ONE atomic commit: rows of the
+    * CURRENT segments whose `tombColumn` appears in `ids` become dead
+    * (a tombstone — O(ids) written, no data rewritten), and `df` lands
+    * as a fresh segment the tombstone does not cover. The nested-chain
+    * child-table path: deleting the children of replaced roots from a
+    * 100 TB child table must not rewrite it. */
+  def appendWithTombstone(table: String, df: DataFrame, tombColumn: String,
+      ids: DataFrame, statsFor: Seq[String] = Nil): Unit = synchronized {
+    require(ids.columns.toSeq == Seq(tombColumn),
+      s"tombstone ids must be a single '$tombColumn' column")
+    val existing = currentSegments(table)
+    val tombs = currentTombstones(table)
+    val idSeg = s"data/${UUID.randomUUID().toString.take(12)}-tomb"
+    ids.distinct().coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(tableDir(table).resolve(idSeg).toString)
+    val dataSeg = writeSegment(table, df, statsFor)
+    commit(table, existing :+ dataSeg,
+      tombs :+ Tombstone(idSeg, tombColumn, existing.map(_.name).toSet))
   }
 
   def readOption(table: String): Option[DataFrame] =
@@ -91,26 +154,37 @@ final class TableStore(val root: String, spark: SparkSession) {
   }
 
   /** Append: write a new segment, commit old segments + new one.
-    * `statsFor` columns get min/max stats for later merge pruning. */
+    * `statsFor` columns get min/max stats for later merge pruning.
+    * Existing tombstones survive — they never cover the new segment. */
   def append(table: String, df: DataFrame, statsFor: Seq[String] = Nil): Unit =
     synchronized {
       val seg = writeSegment(table, df, statsFor)
-      commit(table, currentSegments(table) :+ seg)
+      commit(table, currentSegments(table) :+ seg, currentTombstones(table))
     }
 
   /** Replace the table content atomically with `df`. `rangeBy` sorts/
-    * range-partitions the segment on those columns before writing. */
+    * range-partitions the segment on those columns before writing.
+    * Tombstones are dropped: the content is fully replaced. */
   def overwrite(table: String, df: DataFrame, statsFor: Seq[String] = Nil,
       rangeBy: Seq[String] = Nil): Unit =
     synchronized {
       commit(table, Seq(writeSegment(table, df, statsFor, rangeBy)))
     }
 
+  /** Tombstones still meaningful when only `keep` segments survive. */
+  private def liveTombstones(table: String, keep: Seq[Segment]): Seq[Tombstone] = {
+    val names = keep.map(_.name).toSet
+    currentTombstones(table)
+      .map(t => t.copy(covered = t.covered.intersect(names)))
+      .filter(_.covered.nonEmpty)
+  }
+
   /** Commit `keep` (untouched segments) plus a new segment holding
     * `newData` — the pruned-merge commit. */
   def replaceSegments(table: String, keep: Seq[Segment], newData: DataFrame,
       statsFor: Seq[String] = Nil, rangeBy: Seq[String] = Nil): Unit = synchronized {
-    commit(table, keep :+ writeSegment(table, newData, statsFor, rangeBy))
+    commit(table, keep :+ writeSegment(table, newData, statsFor, rangeBy),
+      liveTombstones(table, keep))
   }
 
   /** Commit `keep` plus one new segment per write. `tags` are synthetic
@@ -122,7 +196,7 @@ final class TableStore(val root: String, spark: SparkSession) {
       val s = writeSegment(table, w.df, w.statsFor, w.rangeBy)
       s.copy(stats = s.stats ++ w.tags)
     }
-    commit(table, keep ++ segs)
+    commit(table, keep ++ segs, liveTombstones(table, keep))
   }
 
   /** Zero-copy clone: new table points at the source's current segments
@@ -132,9 +206,13 @@ final class TableStore(val root: String, spark: SparkSession) {
     val segs = currentSegments(from)
     require(segs.nonEmpty, s"table $from does not exist")
     Files.createDirectories(tableDir(to))
-    // cloned manifest entries become absolute pointers into the source
-    val absolute = segs.map(s => s.copy(name = resolve(from, s.name).toString))
-    commit(to, absolute)
+    // cloned manifest entries become absolute pointers into the source;
+    // tombstone covered-sets are remapped through the same rename
+    def abs(n: String) = resolve(from, n).toString
+    val absolute = segs.map(s => s.copy(name = abs(s.name)))
+    val tombs = currentTombstones(from).map(t =>
+      t.copy(name = abs(t.name), covered = t.covered.map(abs)))
+    commit(to, absolute, tombs)
   }
 
   /** Direct file import: register existing parquet files as live
@@ -148,7 +226,7 @@ final class TableStore(val root: String, spark: SparkSession) {
     val absolute = paths.map(p =>
       Segment(Paths.get(p).toAbsolutePath.toString, Map.empty))
     Files.createDirectories(tableDir(table))
-    commit(table, currentSegments(table) ++ absolute)
+    commit(table, currentSegments(table) ++ absolute, currentTombstones(table))
   }
 
   /** Stat-pruned read: only segments whose `column` range intersects
@@ -173,21 +251,25 @@ final class TableStore(val root: String, spark: SparkSession) {
           else st.min <= h)
         aboveLo && belowHi
       }
-      if (live.isEmpty) read(table).limit(0) else readSegments(table, live)
+      if (live.isEmpty) read(table).limit(0) else readSegmentsApplied(table, live)
     }
   }
 
   /** Compaction (the `OPTIMIZE` analog): rewrite the live segments into
-    * one when the table has accumulated more than `maxSegments` — the
-    * small-files problem is the classic failure mode of manifest stores
-    * under frequent appends. Stats are recomputed for every column any
-    * segment tracked. Returns true when a compaction ran. */
+    * one when the table has accumulated more than `maxSegments` data
+    * segments or `maxSegments` tombstones — the small-files problem is
+    * the classic failure mode of manifest stores under frequent
+    * appends; unbounded tombstone chains are its merge-on-read cousin.
+    * Tombstones are folded in (dead rows physically dropped) and
+    * cleared. Stats are recomputed for every column any segment
+    * tracked. Returns true when a compaction ran. */
   def compact(table: String, maxSegments: Int = 16): Boolean = synchronized {
     val segs = currentSegments(table)
-    if (segs.size <= maxSegments) false
+    if (segs.size <= maxSegments && currentTombstones(table).size <= maxSegments)
+      false
     else {
       val statCols = segs.flatMap(_.stats.keys).distinct
-      commit(table, Seq(writeSegment(table, readSegments(table, segs), statCols)))
+      commit(table, Seq(writeSegment(table, readSegmentsApplied(table, segs), statCols)))
       true
     }
   }
@@ -274,12 +356,25 @@ final class TableStore(val root: String, spark: SparkSession) {
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
   // manifest line: <name>[\t<col>,<n|s>,<encMin>,<encMax>[;...]]
+  // tombstone line: !\t<encName>\t<encCol>\t<encCovered,...>
   private def encodeSegment(s: Segment): String = {
     val stats = s.stats.toSeq.sortBy(_._1).map { case (c, st) =>
       Seq(enc(c), if (st.numeric) "n" else "s", enc(st.min), enc(st.max)).mkString(",")
     }.mkString(";")
     if (stats.isEmpty) s.name else s"${s.name}\t$stats"
   }
+
+  private def encodeTombstone(t: Tombstone): String =
+    Seq("!", enc(t.name), enc(t.column),
+      t.covered.toSeq.sorted.map(enc).mkString(",")).mkString("\t")
+
+  private def decodeTombstone(line: String): Option[Tombstone] =
+    line.split("\t", 4) match {
+      case Array("!", name, c, covered) =>
+        Some(Tombstone(dec(name), dec(c),
+          covered.split(",").filter(_.nonEmpty).map(dec).toSet))
+      case _ => None
+    }
 
   private def decodeSegment(line: String): Segment = line.split("\t", 2) match {
     case Array(name) => Segment(name, Map.empty)
@@ -294,27 +389,33 @@ final class TableStore(val root: String, spark: SparkSession) {
       Segment(name, cols)
   }
 
-  private def currentSegments(table: String): Seq[Segment] = {
+  private def manifestLines(table: String): Seq[String] = {
     val cur = tableDir(table).resolve("_CURRENT")
     if (!Files.exists(cur)) Nil
     else {
       val manifest = tableDir(table).resolve(
         new String(Files.readAllBytes(cur), StandardCharsets.UTF_8).trim)
       if (!Files.exists(manifest)) Nil
-      else {
-        val body = new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
-        body.linesIterator.map(_.trim).filter(_.nonEmpty).map(decodeSegment).toSeq
-      }
+      else new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
     }
   }
 
-  private def commit(table: String, segments: Seq[Segment]): Unit = {
+  private def currentSegments(table: String): Seq[Segment] =
+    manifestLines(table).filterNot(_.startsWith("!")).map(decodeSegment)
+
+  private def currentTombstones(table: String): Seq[Tombstone] =
+    manifestLines(table).filter(_.startsWith("!")).flatMap(decodeTombstone)
+
+  private def commit(table: String, segments: Seq[Segment],
+      tombstones: Seq[Tombstone] = Nil): Unit = {
     val dir = tableDir(table)
     Files.createDirectories(dir)
     val n = System.nanoTime()
     val manifest = s"manifest-$n.txt"
+    val lines = segments.map(encodeSegment) ++ tombstones.map(encodeTombstone)
     Files.write(dir.resolve(manifest),
-      segments.map(encodeSegment).mkString("\n").getBytes(StandardCharsets.UTF_8),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     val tmp = dir.resolve(s"_CURRENT.tmp.$n")
     Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE)

@@ -151,6 +151,40 @@ class PruningSpec extends SparkSpec {
     assert(viaRelation.inputFiles.length === store.read("t").inputFiles.length / 3)
   }
 
+  test("chain merge tombstones child deletes instead of rewriting") {
+    import graft.normalize.Ids
+    val store = new TableStore(tmp(), spark)
+    val cfg = MergeConfig(primaryKey = Seq("k"))
+    def chain(rows: Seq[(String, String)], items: Seq[(String, Long)]) =
+      TableChain("r",
+        rows.toDF("k", "v").withColumn(Ids.DltId, col("k")),
+        Map("r__items" -> items.toDF(Ids.DltRootId, "item")))
+    // load 1: roots a,b with children
+    MergeChain.deleteInsert(store,
+      chain(Seq(("a", "v1"), ("b", "v1")), Seq(("a", 1L), ("a", 2L), ("b", 3L))), cfg, "1")
+    val seg1 = store.segments("r__items").map(_.name)
+    // load 2 replaces root a: its children die via TOMBSTONE, the
+    // original child segment survives by name (no rewrite)
+    MergeChain.deleteInsert(store,
+      chain(Seq(("a", "v2")), Seq(("a", 9L))), cfg, "2")
+    val after = store.segments("r__items").map(_.name)
+    assert(seg1.forall(after.contains), "child segments must not rewrite")
+    assert(store.tombstones("r__items").nonEmpty)
+    val items = store.read("r__items").orderBy("item")
+      .select("item").as[Long].collect().toSeq
+    assert(items === Seq(3L, 9L)) // a's old children dead, b's alive, new in
+    // a third load replacing b keeps generation correctness for a's new row
+    MergeChain.deleteInsert(store,
+      chain(Seq(("b", "v2")), Seq(("b", 7L))), cfg, "3")
+    assert(store.read("r__items").orderBy("item")
+      .select("item").as[Long].collect().toSeq === Seq(7L, 9L))
+    // compaction folds tombstones away with identical content
+    assert(store.compact("r__items", maxSegments = 0))
+    assert(store.tombstones("r__items").isEmpty)
+    assert(store.read("r__items").orderBy("item")
+      .select("item").as[Long].collect().toSeq === Seq(7L, 9L))
+  }
+
   test("scd2 loads leave closed-history segments untouched") {
     val store = new TableStore(tmp(), spark)
     val d = new Dispositions(store, spark)
