@@ -133,7 +133,9 @@ final class TableStore(val root: String, spark: SparkSession) {
     val existing = currentSegments(table)
     val tombs = currentTombstones(table)
     val idSeg = s"data/${UUID.randomUUID().toString.take(12)}-tomb"
-    ids.distinct().coalesce(1).write.mode(SaveMode.Overwrite)
+    // repartition, NOT coalesce: coalesce(1) would collapse the whole
+    // upstream id computation (dest-root joins) onto a single task
+    ids.distinct().repartition(1).write.mode(SaveMode.Overwrite)
       .parquet(tableDir(table).resolve(idSeg).toString)
     val dataSeg = writeSegment(table, df, statsFor)
     commit(table, existing :+ dataSeg,
