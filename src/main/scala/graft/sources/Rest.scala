@@ -153,6 +153,26 @@ object Rest {
     base + "?" + updated.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("&")
   }
 
+  /** Incremental request parameters (reference setup_incremental_object,
+    * rest_api/config_setup.py:214-260): the cursor window rides the
+    * request as query params — `startParam` gets the (lag-aware)
+    * last/initial value, `endParam` the backfill bound. Returns the
+    * params to merge into the endpoint URL; empty when no window is
+    * open yet. Server-side filtering is the REST analog of the JDBC
+    * WHERE pushdown: the API returns O(new data), not O(history). */
+  def incrementalParams(cfg: graft.incremental.Incremental.Config,
+      state: graft.incremental.Incremental.State,
+      startParam: String, endParam: Option[String] = None): Map[String, String] = {
+    val start = graft.incremental.Incremental.startValue(cfg, state)
+      .map(startParam -> _)
+    val end = for (p <- endParam; v <- cfg.endValue) yield p -> v
+    (start.toSeq ++ end.toSeq).toMap
+  }
+
+  /** Apply query params onto a URL (exposed for incremental windows). */
+  def withParams(url: String, params: Map[String, String]): String =
+    params.toSeq.sortBy(_._1).foldLeft(url) { case (u, (k, v)) => setParam(u, k, v) }
+
   /** Fetch all pages (driver-side). `maxPages` and `maxTime` are the
     * reference's add_limit page/time variants (items_transform.py:
     * 174-239) applied where they are meaningful on Spark — at the

@@ -110,6 +110,23 @@ class SourcesSpec extends SparkSpec {
     assert(rows.select("id").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("rest: incremental window rides the request as query params") {
+    val cfg = Incremental.Config(cursorColumn = "updated_at",
+      initialValue = Some("2024-01-01"), endValue = Some("2024-06-01"))
+    // no state: the window opens at the initial value
+    val p0 = Rest.incrementalParams(cfg, Incremental.State.empty,
+      "updated_since", Some("updated_before"))
+    assert(p0 === Map("updated_since" -> "2024-01-01",
+      "updated_before" -> "2024-06-01"))
+    // stored cursor with lag: the start value reopens lag seconds back
+    val lagged = cfg.copy(endValue = None, lag = Some(3600.0))
+    val p1 = Rest.incrementalParams(lagged,
+      Incremental.State(Some("2024-03-01 10:00:00"), Nil), "updated_since")
+    assert(p1 === Map("updated_since" -> "2024-03-01 09:00:00"))
+    assert(Rest.withParams("http://api/items?limit=5", p1)
+      .contains("updated_since=2024-03-01 09:00:00"))
+  }
+
   test("rest: header_cursor paginator threads the token as a query param") {
     val transport: Rest.Transport = {
       case u if !u.contains("cursor=") =>
