@@ -17,6 +17,16 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+    // untimed warmup: JIT/codegen/parquet-footer costs otherwise land
+    // entirely on whichever query happens to run first (measured ~5 s
+    // of cold-start attributed to one query in round 1/2 benches)
+    locally {
+      import org.apache.spark.sql.functions._
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      o.groupBy("o_orderstatus").agg(sum("o_totalprice")).queryExecution.toRdd.count()
+      o.join(o.select(col("o_orderkey").as("k")), col("o_orderkey") === col("k"))
+        .limit(10).queryExecution.toRdd.count()
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output row (count() alone lets
