@@ -117,6 +117,37 @@ object TextOps {
     }
   }
 
+  /** Duplicate-line ratio: 1 − distinct/total lines — the classic
+    * boilerplate signal (repeated nav/footer lines in scraped text).
+    * 0 for empty or single-line documents. */
+  def duplicateLineRatio(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    when(size(lines) <= 1, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+  }
+
+  /** Per-document repetition signals as a distributed plan (explode →
+    * count — one shuffle on (id, token), scales with the corpus):
+    * `top_token_share` = occurrences of the most frequent token over
+    * all tokens (templated/spammy text scores high), plus
+    * `dup_line_ratio`. The degenerate-document detector that
+    * complements [[qualityScore]]'s length/punct/stopword signals. */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
+      id: String, text: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(id).as("_id"),
+        explode(tokens(col(text))).as("tok"))
+      .groupBy("_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("_id").agg(max(col("n")).as("top_n"), sum(col("n")).as("total"))
+      .select(col("_id"),
+        round(col("top_n").cast("double") / col("total"), 6).as("top_token_share"))
+    docs.select(col(id).as("_id"),
+        round(duplicateLineRatio(col(text)), 6).as("dup_line_ratio"))
+      .join(toks, Seq("_id"), "left")
+      .select(col("_id").as(id),
+        col("dup_line_ratio"),
+        coalesce(col("top_token_share"), lit(0.0)).as("top_token_share"))
+  }
+
   /** Canonical whitespace-collapsed, lowercased form of a document. */
   def canonicalText(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))

@@ -56,6 +56,12 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // repetition / boilerplate signals: distributed explode→count plan
+    "text_repetition" -> q { c =>
+      TextOps.repetitionSignals(c.t("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "text_langid" -> q { c =>
       c.t("documents").select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"),
@@ -177,6 +183,27 @@ object ExtQueries {
          |      + 0.3 * (1.0 - pr)
          |      + 0.3 * least(1.0, n_stop::DOUBLE / n_tok * 5.0), 6) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |counts AS (
+        |  SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+        |tops AS (
+        |  SELECT doc_id, max(n) AS top_n, sum(n) AS total
+        |  FROM counts GROUP BY doc_id),
+        |lines AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS ls
+        |  FROM documents)
+        |SELECT l.doc_id,
+        |  round(CASE WHEN len(ls) <= 1 THEN 0.0
+        |        ELSE 1.0 - len(list_distinct(ls))::DOUBLE / len(ls) END, 6)
+        |    AS dup_line_ratio,
+        |  round(coalesce(t.top_n::DOUBLE / t.total, 0.0), 6) AS top_token_share
+        |FROM lines l LEFT JOIN tops t ON l.doc_id = t.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
 
     "text_langid" -> {
       val scores = TextOps.LangProfiles.map { case (l, ws) =>

@@ -129,6 +129,20 @@ class ExtSpec extends SparkSpec {
     assert(r.count(_.getAs[String]("lang") == "en") >= 3)
   }
 
+  test("repetition signals flag boilerplate and templated text") {
+    val d = Seq(
+      (1L, "nav\nnav\nnav\nbody text here"),       // 3 dup lines of 4
+      (2L, "buy buy buy buy now"),                  // top token 4/5
+      (3L, "all words here are different tokens")). // clean
+      toDF("doc_id", "text")
+    val r = TextOps.repetitionSignals(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("dup_line_ratio", "top_token_share").as[(Double, Double)].collect()
+    assert(r(0)._1 === 0.5) // 4 lines, 2 distinct
+    assert(r(1)._2 === 0.8)
+    assert(r(2)._1 === 0.0 && r(2)._2 < 0.2)
+  }
+
   test("header codec parses real BMP and WAV bytes, stub for the rest") {
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
