@@ -213,6 +213,52 @@ object Rest {
     }
   }
 
+  /** One endpoint in a declarative REST source (reference endpoint
+    * configs, rest_api/config_setup.py:302-383): `url` may hold a
+    * `{param}` placeholder fed from `parentKey` of the `parent`
+    * endpoint's rows. */
+  final case class Endpoint(
+      name: String,
+      url: String,
+      parent: Option[String] = None,
+      parentKey: Option[String] = None,
+      paginator: Paginator = SinglePage,
+      itemsPath: Option[String] = None)
+
+  /** Resolve a whole endpoint dependency graph (reference rest_api
+    * source build: endpoints form a tree, children resolve path params
+    * from parent rows — any depth). Returns one DataFrame per
+    * endpoint; parents are fetched before children (topological
+    * order), cycles and unknown parents are rejected. */
+  def readGraph(spark: SparkSession, endpoints: Seq[Endpoint],
+      transport: Transport, maxPages: Int = 1000): Map[String, DataFrame] = {
+    val byName = endpoints.map(e => e.name -> e).toMap
+    require(byName.size == endpoints.size, "duplicate endpoint names")
+    endpoints.foreach(e => e.parent.foreach(p =>
+      require(byName.contains(p), s"endpoint ${e.name}: unknown parent $p")))
+    var done = Map.empty[String, DataFrame]
+    var remaining = endpoints
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(_.parent.forall(done.contains))
+      require(ready.nonEmpty,
+        s"endpoint cycle among: ${blocked.map(_.name).mkString(", ")}")
+      ready.foreach { e =>
+        val df = e.parent match {
+          case None =>
+            read(spark, e.url, transport, e.paginator, e.itemsPath, maxPages)
+          case Some(p) =>
+            val key = e.parentKey.getOrElse(throw new IllegalArgumentException(
+              s"endpoint ${e.name}: parent set but no parentKey"))
+            readChild(spark, done(p), key, e.url, transport, e.paginator,
+              e.itemsPath, maxPages)
+        }
+        done += e.name -> df
+      }
+      remaining = blocked
+    }
+    done
+  }
+
   /** Child endpoint resolved per parent item (reference resolved path
     * params, config_setup.py:302-383): for each distinct value of
     * `parentKey` in `parent`, fetch `urlTemplate` with `{id}` substituted.
@@ -223,8 +269,10 @@ object Rest {
                 itemsPath: Option[String] = None, maxPages: Int = 1000): DataFrame = {
     import spark.implicits._
     val ids = parent.select(parentKey).distinct().collect().map(_.get(0).toString)
+    // the placeholder may be the generic {id} or the parent column name
     val pages = ids.toSeq.flatMap { id =>
-      fetchPages(urlTemplate.replace("{id}", id), transport, paginator, maxPages)
+      val url = urlTemplate.replace("{id}", id).replace(s"{$parentKey}", id)
+      fetchPages(url, transport, paginator, maxPages)
     }
     spark.read.json(spark.createDataset(pages)) match {
       case raw if itemsPath.isDefined =>

@@ -190,6 +190,38 @@ class SourcesSpec extends SparkSpec {
     assert(seen._2 === Map("Authorization" -> "Bearer t2") && exchanges === 1)
   }
 
+  test("rest: endpoint graph resolves a three-level tree in order") {
+    val transport: Rest.Transport = {
+      case "http://api/customers" =>
+        Rest.Response("""[{"cust":1},{"cust":2}]""")
+      case u if u.matches("http://api/customers/\\d+/orders") =>
+        val c = u.split("/")(4)
+        Rest.Response(s"""[{"ord":${c}0},{"ord":${c}1}]""")
+      case u if u.matches("http://api/orders/\\d+/items") =>
+        val o = u.split("/")(4)
+        Rest.Response(s"""[{"item":"i$o"}]""")
+      case u => fail(s"unexpected url $u")
+    }
+    val out = Rest.readGraph(spark, Seq(
+      Rest.Endpoint("items", "http://api/orders/{ord}/items",
+        parent = Some("orders"), parentKey = Some("ord")),
+      Rest.Endpoint("customers", "http://api/customers"),
+      Rest.Endpoint("orders", "http://api/customers/{cust}/orders",
+        parent = Some("customers"), parentKey = Some("cust"))), transport)
+    assert(out("customers").count() === 2)
+    assert(out("orders").select("ord").as[Long].collect().sorted.toSeq
+      === Seq(10L, 11L, 20L, 21L))
+    assert(out("items").select("item").as[String].collect().sorted.toSeq
+      === Seq("i10", "i11", "i20", "i21"))
+    // a cycle is rejected, not an infinite loop
+    intercept[IllegalArgumentException] {
+      Rest.readGraph(spark, Seq(
+        Rest.Endpoint("a", "http://api/a", parent = Some("b"), parentKey = Some("x")),
+        Rest.Endpoint("b", "http://api/b", parent = Some("a"), parentKey = Some("x"))),
+        transport)
+    }
+  }
+
   test("rest: child endpoint resolves path params per parent row") {
     val parent = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val transport: Rest.Transport = url => {
