@@ -80,7 +80,11 @@ final case class Resource(
 final class Pipeline(val name: String, val root: String, val spark: SparkSession) {
 
   val store = new TableStore(root, spark)
-  val registry = new SchemaRegistry(name)
+  // schemas persist beside the destination (reference: schema storage in
+  // the pipeline working dir, synced to _dlt_version) — a fresh Pipeline
+  // instance resumes hints, references and hash lineage
+  val registry: SchemaRegistry = SchemaRegistry.load(s"$root/_schemas", name)
+    .getOrElse(new SchemaRegistry(name))
   val states = new StateStore(s"$root/_state")
   private val dispositions = new Dispositions(store, spark)
 
@@ -114,6 +118,7 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
   }
 
   private def syncSystemTables(loadId: String): Unit = {
+    registry.save(s"$root/_schemas")
     dispositions.recordVersion(name, registry.versionHash, registry.toJson)
     val state = states.dump(name)
     if (state.nonEmpty) dispositions.recordState(name, loadId, state)

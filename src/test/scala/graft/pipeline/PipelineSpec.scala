@@ -172,6 +172,22 @@ class PipelineSpec extends SparkSpec {
       Rest.HeaderLink, maxTime = Some(50.millis)).size <= 4)
   }
 
+  test("schema registry persists across pipeline instances") {
+    val root = Files.createTempDirectory("graft-regp").toString
+    val p1 = new Pipeline("test", root, spark)
+    p1.run(Seq(Resource("dim", Seq((1L, "x")).toDF("id", "label"))), "1")
+    p1.run(Seq(Resource("fact", Seq((10L, 1L)).toDF("fid", "dim_id"))), "2")
+    p1.registry.register("fact", p1.store.read("fact").schema,
+      TableHints(references = Seq(TableReference(Seq("dim_id"), "dim", Seq("id")))))
+    p1.run(Seq(Resource("dim", Seq((2L, "y")).toDF("id", "label"))), "3")
+    // a FRESH pipeline resumes hints: the reference-driven join works
+    // without re-registering anything
+    val p2 = new Pipeline("test", root, spark)
+    assert(p2.registry.hints("fact").references.nonEmpty)
+    val joined = p2.dataset.table("fact").join("dim").df()
+    assert(joined.select("dim__label").as[String].collect().toSeq === Seq("x"))
+  }
+
   test("query passthrough exposes stored tables as views") {
     val p = newPipeline()
     p.run(Seq(Resource("t1", Seq((1, "a")).toDF("id", "v"))), "1")
