@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
 final case class MergeConfig(
     primaryKey: Seq[String] = Nil,
     mergeKey: Seq[String] = Nil,
+    /** "col" or "col asc"/"col desc" (reference dedup_sort
+      * (column, TSortOrder) tuple; desc default — the record with the
+      * highest value survives, sql_jobs.py:262-323). */
     dedupSort: Option[String] = None,
     hardDeleteColumn: Option[String] = None)
 
@@ -51,7 +54,15 @@ object Merge {
   def dedup(staging: DataFrame, cfg: MergeConfig): DataFrame =
     if (cfg.primaryKey.isEmpty) staging
     else {
-      val order = cfg.dedupSort.map(col(_).desc).getOrElse(lit(1).asc)
+      val order = cfg.dedupSort.map { s =>
+        s.trim.split("\\s+") match {
+          case Array(c) => col(c).desc
+          case Array(c, dir) if dir.equalsIgnoreCase("asc") => col(c).asc
+          case Array(c, dir) if dir.equalsIgnoreCase("desc") => col(c).desc
+          case _ => throw new IllegalArgumentException(
+            s"dedupSort must be 'col', 'col asc' or 'col desc': $s")
+        }
+      }.getOrElse(lit(1).asc)
       val w = Window.partitionBy(cfg.primaryKey.map(col): _*).orderBy(order)
       staging.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")

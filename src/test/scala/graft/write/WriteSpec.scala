@@ -62,6 +62,9 @@ class WriteSpec extends SparkSpec {
     val out = store.read("t").orderBy("id")
     assert(out.count() == 2)
     assert(out.filter($"id" === 1L).select("v").as[String].head() == "new")
+    // explicit asc keeps the LOWEST instead (reference TSortOrder)
+    val asc = Merge.dedup(staged, cfg.copy(dedupSort = Some("ver asc")))
+    assert(asc.filter($"id" === 1L).select("v").as[String].head() == "old")
   }
 
   test("merge hard_delete removes keys instead of inserting") {
