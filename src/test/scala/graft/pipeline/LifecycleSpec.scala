@@ -141,6 +141,24 @@ class LifecycleSpec extends SparkSpec {
     assert(dbml.contains("Ref: customer.id > nation.id"))
   }
 
+  test("registry JSON survives hostile strings in schema metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-regh").toString
+    val reg = new SchemaRegistry("hostile")
+    // column names carrying quotes, backslashes, newlines and unicode
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("""a"b\c""",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tab\there",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ünïcode",
+        org.apache.spark.sql.types.DoubleType)))
+    reg.register("t", schema)
+    reg.save(dir)
+    val back = SchemaRegistry.load(dir, "hostile").get
+    assert(back.get("t").get._1 === schema)
+    assert(back.versionHash === reg.versionHash)
+  }
+
   test("schema registry round-trips through disk with engine migrations") {
     val dir = java.nio.file.Files.createTempDirectory("graft-reg").toString
     val reg = new SchemaRegistry("rt")
