@@ -120,6 +120,17 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF with nprobe = nlist degrades to exact brute force by
+    // construction (every list probed, exact cosine re-rank) — so the
+    // same exact oracle gates the whole IVF machinery end to end
+    "sim_ivf_exact" -> q { c =>
+      val vecs = c.t("embeddings")
+      Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // IVF (k-means inverted file) ANN — approximate → rows-only check
     "sim_ivf_ann" -> q { c =>
       val vecs = c.t("embeddings")
@@ -256,6 +267,20 @@ object ExtQueries {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "sim_brute_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (
+        |  SELECT query_id, match_id, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, match_id, round(cs, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // nprobe = nlist ≡ exact: the brute-force oracle applies verbatim
+    "sim_ivf_exact" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
         |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs
