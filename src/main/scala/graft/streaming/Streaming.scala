@@ -54,8 +54,15 @@ object Streaming {
   def drainAvailableNow(stream: DataFrame,
       checkpoint: Option[String] = None,
       outputMode: String = "append")(sink: (DataFrame, Long) => Unit): Unit = {
-    val cp = checkpoint.getOrElse(
-      Files.createTempDirectory("graft-stream-cp").toString)
+    // ephemeral checkpoints (no caller-provided location = no durability
+    // contract) prefer tmpfs when present: streaming state does many
+    // small fsync'd writes that disk-backed temp dirs serialize
+    val cp = checkpoint.getOrElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, "graft-stream-cp").toString
+      else Files.createTempDirectory("graft-stream-cp").toString
+    }
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", cp)
