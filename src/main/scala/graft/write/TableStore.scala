@@ -134,8 +134,12 @@ final class TableStore(val root: String, spark: SparkSession) {
     val tombs = currentTombstones(table)
     val idSeg = s"data/${UUID.randomUUID().toString.take(12)}-tomb"
     // repartition, NOT coalesce: coalesce(1) would collapse the whole
-    // upstream id computation (dest-root joins) onto a single task
+    // upstream id computation (dest-root joins) onto a single task.
+    // Bloom filter on the id column: point reads probe tombstone files
+    // for membership ("is this id dead?") — the bloom turns that probe
+    // into a footer check instead of an id-file scan.
     ids.distinct().repartition(1).write.mode(SaveMode.Overwrite)
+      .option(s"parquet.bloom.filter.enabled#$tombColumn", "true")
       .parquet(tableDir(table).resolve(idSeg).toString)
     val dataSeg = writeSegment(table, df, statsFor)
     commit(table, existing :+ dataSeg,
@@ -253,9 +257,38 @@ final class TableStore(val root: String, spark: SparkSession) {
           else st.min <= h)
         aboveLo && belowHi
       }
-      if (live.isEmpty) read(table).limit(0) else readSegmentsApplied(table, live)
+      // tombstone-aware point read: for an equality probe, a segment all
+      // of whose matching rows are dead under a covering tombstone cannot
+      // contribute — skip its data files entirely. (The caller filters to
+      // col = v on top, and a tombstone kills exactly the covered-segment
+      // rows whose id is in its file, so membership of v ⇒ no survivors.)
+      val alive = (lo, hi) match {
+        case (Some(l), Some(h)) if l == h =>
+          val tombs = currentTombstones(table).filter(_.column == column)
+          if (tombs.isEmpty) live
+          else {
+            val dead = tombs.filter(tombstoneContains(table, _, l))
+              .flatMap(_.covered).toSet
+            live.filterNot(s => dead(s.name))
+          }
+        case _ => live
+      }
+      if (alive.isEmpty) read(table).limit(0)
+      else readSegmentsApplied(table, alive)
     }
   }
+
+  /** Is `value` among a tombstone's dead ids? An equality pushdown over
+    * the (single-file, bloom-filtered) id parquet — a footer probe, not
+    * a scan. Conservative on any failure: report absent (no pruning). */
+  private def tombstoneContains(table: String, t: Tombstone,
+      value: String): Boolean =
+    Try {
+      val df = spark.read.parquet(resolve(table, t.name).toString)
+      val dt = df.schema(t.column).dataType
+      !df.filter(col(t.column) === org.apache.spark.sql.functions.lit(value)
+        .cast(dt)).isEmpty
+    }.getOrElse(false)
 
   /** Compaction (the `OPTIMIZE` analog): rewrite the live segments into
     * one when the table has accumulated more than `maxSegments` data

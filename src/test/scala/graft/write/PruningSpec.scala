@@ -211,6 +211,34 @@ class PruningSpec extends SparkSpec {
     assert(out.filter(col("id") === 1L).count() === 2)
   }
 
+  test("point reads skip segments whose probe id is dead under a tombstone") {
+    val store = new TableStore(tmp(), spark)
+    // two stat'd segments: ids [1,10] and [100,110]
+    store.append("t", (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"),
+      statsFor = Seq("id"))
+    store.append("t", (100L to 110L).map(i => (i, s"v$i")).toDF("id", "v"),
+      statsFor = Seq("id"))
+    // kill id=5 merge-on-read; the replacement row lands in a new segment
+    store.appendWithTombstone("t", Seq((5L, "NEW")).toDF("id", "v"), "id",
+      Seq(5L).toDF("id"), statsFor = Seq("id"))
+    // dead-id probe: the [1,10] segment is skipped (its id=5 rows are all
+    // tombstoned), only the replacement segment is scanned
+    val hit = store.readPruned("t", "id", Some("5"), Some("5"))
+    val allFiles = store.readSegments("t", store.segments("t")).inputFiles.length
+    assert(hit.inputFiles.length < allFiles)
+    assert(hit.filter(col("id") === 5L).select("v").as[String].collect().toSeq
+      === Seq("NEW"))
+    // live-id probe in a covered segment: nothing skipped beyond stats,
+    // row survives the tombstone anti-join
+    val live = store.readPruned("t", "id", Some("7"), Some("7"))
+    assert(live.filter(col("id") === 7L).count() === 1)
+    // range probes never consult tombstones (anti-join still applies)
+    val range = store.readPruned("t", "id", Some("1"), Some("10"))
+    assert(range.filter(col("id").between(1L, 10L)).count() === 10)
+    assert(range.filter(col("id") === 5L).select("v").as[String].collect()
+      .toSeq === Seq("NEW"))
+  }
+
   test("relation pruning canonicalizes the probe through the column type") {
     val store = new TableStore(tmp(), spark)
     // timestamp segment: stats are Catalyst cast-to-string forms
