@@ -72,10 +72,19 @@ object Streaming {
     q.awaitTermination()
   }
 
-  /** Stream `source` into a pipeline as resource `name`: every
-    * micro-batch runs the full load path (normalize → contracts →
-    * disposition) as its own load package `s<batchId>`. The
-    * streaming-native equivalent of `Pipeline.run` for one resource. */
+  /** Stream `source` into a pipeline: every micro-batch runs the full
+    * load path (normalize → contracts → disposition) as its own load
+    * package `s<batchId>`. The streaming-native equivalent of
+    * `Pipeline.run` for one resource.
+    *
+    * Incremental cursors compose: a template attaching
+    * `.withIncremental(cfg)` gives each micro-batch the cursor window,
+    * boundary-fingerprint dedup, and state advance of a batch load —
+    * the cursor persists in the pipeline's StateStore across batches
+    * AND restarts, so a re-delivered boundary row (at-least-once file
+    * sources, replayed batches) loads exactly once even when the
+    * checkpoint directory is lost (reference incremental semantics,
+    * dlt/extract/incremental/__init__.py:92-970, on a stream). */
   def intoPipeline(pipeline: Pipeline, source: DataFrame,
       template: DataFrame => Resource,
       checkpoint: Option[String] = None): Unit =
