@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsofJoin, RangeJoin}
+
+/** Beyond-reference relational operators (as-of join, range join) —
+  * the alignment algebra a training-data/event pipeline needs that
+  * neither core Spark nor the reference ships as an operator. Gated
+  * against DuckDB's native ASOF JOIN / inequality join, so the driver
+  * hash-compares the custom formulations against an independent engine.
+  *
+  * `events.ts` is TIMESTAMP(NANOS) parquet: Spark reads epoch-nanos
+  * longs (nanosAsLong); both sides quantize to shared-precision
+  * epoch-micros before any comparison (see [[tsUs]]).
+  */
+object OpsQueries {
+
+  private val FiveMinUs = 300000000L
+
+  /** events.ts as epoch-MICROS: DuckDB truncates TIMESTAMP(NANOS) to its
+    * microsecond TIMESTAMP on read, so micros is the precision both
+    * engines share exactly (`ts div 1000` ≡ `epoch_us(ts)`). */
+  private def tsUs(c: String) = expr(s"`$c` div 1000")
+
+  val defs: Map[String, Q] = Map(
+    // for each purchase, the user's latest click at-or-before it.
+    // Right side pre-aggregated per (user, ts) so the asof pick is
+    // engine-independent under ts collisions.
+    "ops_asof_join" -> q { c =>
+      val ev = c.t("events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), tsUs("ts").as("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(tsUs("ts").as("r_ts"), col("user_id")).agg(
+          max("event_id").as("r_id"),
+          max_by(col("value"), col("event_id")).as("r_value"))
+      AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts", "r_ts")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("matched_r_id").as("r_id"), col("matched_r_value").as("r_value"),
+          col("matched_r_ts").as("r_ts"))
+        .orderBy("event_id")
+    },
+
+    // purchases landing inside the 5-minute window after each error —
+    // a pure interval containment (no equi-key), via the binned
+    // equi-join path, never a BroadcastNestedLoopJoin
+    "ops_range_join" -> q { c =>
+      val ev = c.t("events")
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), tsUs("ts").as("s"),
+          (tsUs("ts") + FiveMinUs).as("e"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), tsUs("ts").as("pts"))
+      RangeJoin.pointsInIntervals(purchases, incidents, "pts", "s", "e",
+        binWidth = FiveMinUs)
+        .select("incident_id", "purchase_id", "pts")
+        .orderBy("incident_id", "purchase_id")
+    },
+
+    // concat-and-chunk sequence packing over the documents corpus: the
+    // global token prefix-sum runs as a two-level distributed prefix
+    // sum (per-bucket windows + a tiny bucket-total window), never a
+    // single-partition window over the data
+    "ops_sequence_pack" -> q { c =>
+      val docs = c.t("documents").select(col("doc_id"),
+        graft.ext.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.SequencePack.chunkAssignments(docs, "doc_id", "n_tokens",
+        budget = 512, bucketSize = 64)
+        .select("doc_id", "n_tokens", "tok_offset", "first_chunk", "last_chunk")
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ops_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS r_ts, max(event_id) AS r_id,
+        |    arg_max(value, event_id) AS r_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id, p.ts, c.r_id, c.r_value, c.r_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.r_ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "ops_range_join" ->
+      """WITH i AS (
+        |  SELECT event_id AS incident_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 300000000 AS e
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, epoch_us(ts) AS pts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT incident_id, purchase_id, pts
+        |FROM p JOIN i ON pts BETWEEN s AND e
+        |ORDER BY incident_id, purchase_id""".stripMargin,
+
+    "ops_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |  FROM d)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  tok_offset // 512 AS first_chunk,
+        |  (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS last_chunk
+        |FROM o ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- as-of join ----------------------------------------------------
+
+  private def trades = Seq(
+    ("A", 10L, "t1"), ("A", 20L, "t2"), ("A", 5L, "t0"), ("B", 10L, "t3"))
+    .toDF("k", "ts", "trade")
+
+  private def quotes = Seq(
+    ("A", 8L, 100.0), ("A", 10L, 101.0), ("A", 15L, 102.0), ("B", 30L, 200.0))
+    .toDF("k", "qts", "px")
+
+  test("asof backward picks the latest right row at or before each left ts") {
+    val out = AsofJoin.backward(trades, quotes, Seq("k"), "ts", "qts")
+      .orderBy("k", "ts")
+      .select("k", "ts", "trade", "matched_qts", "matched_px")
+      .as[(String, Long, String, Option[Long], Option[Double])].collect().toSeq
+    assert(out === Seq(
+      ("A", 5L, "t0", None, None),              // nothing at or before 5
+      ("A", 10L, "t1", Some(10L), Some(101.0)), // inclusive: qts=10 visible
+      ("A", 20L, "t2", Some(15L), Some(102.0)),
+      ("B", 10L, "t3", None, None)))            // B's only quote is later
+  }
+
+  test("asof strict excludes the equal-ts right row") {
+    val out = AsofJoin.backward(trades, quotes, Seq("k"), "ts", "qts",
+      strict = true)
+      .filter(col("ts") === 10L && col("k") === "A")
+      .select("matched_qts").as[Option[Long]].head()
+    assert(out === Some(8L)) // qts=10 invisible under <
+  }
+
+  test("asof ties on (key, ts) resolve to the greatest payload deterministically") {
+    val dupQuotes = quotes.unionByName(Seq(("A", 15L, 150.0)).toDF("k", "qts", "px"))
+    val out = AsofJoin.backward(trades, dupQuotes, Seq("k"), "ts", "qts")
+      .filter(col("ts") === 20L).select("matched_px").as[Double].head()
+    assert(out === 150.0) // struct-lexicographic max of (15, 102.0)/(15, 150.0)
+  }
+
+  test("asof carries a later right row wholesale even with null fields") {
+    val withNull = Seq(("A", 8L, Some(100.0)), ("A", 9L, None))
+      .toDF("k", "qts", "px")
+    val out = AsofJoin.backward(trades.filter(col("ts") === 10L), withNull,
+      Seq("k"), "ts", "qts")
+      .select("matched_qts", "matched_px")
+      .as[(Option[Long], Option[Double])].head()
+    assert(out === ((Some(9L), None))) // the 9L row wins, null px and all
+  }
+
+  test("asof plans as one shuffle — no nested-loop or broadcast join") {
+    val plan = AsofJoin.backward(trades, quotes, Seq("k"), "ts", "qts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Window"))
+  }
+
+  // --- range join ----------------------------------------------------
+
+  private def pts = Seq((1L, 5L), (2L, 100L), (3L, 250L), (4L, 999L))
+    .toDF("pid", "pts")
+
+  private def ivals = Seq((10L, 0L, 120L), (20L, 90L, 260L), (30L, 500L, 600L))
+    .toDF("iid", "s", "e")
+
+  test("range join matches points to every containing interval") {
+    val out = RangeJoin.pointsInIntervals(pts, ivals, "pts", "s", "e",
+      binWidth = 50L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    assert(out === Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)))
+  }
+
+  test("range join bounds are inclusive and bins do not duplicate pairs") {
+    val edge = Seq((1L, 0L), (2L, 120L), (3L, 121L)).toDF("pid", "pts")
+    val out = RangeJoin.pointsInIntervals(edge,
+      ivals.filter(col("iid") === 10L), "pts", "s", "e", binWidth = 7L)
+      .groupBy("pid").count().as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L)) // 0 and 120 in, 121 out, no dups
+  }
+
+  // --- sequence packing ----------------------------------------------
+
+  test("sequence packing matches the naive global prefix sum") {
+    val docs = Seq((0L, 100L), (1L, 500L), (2L, 0L), (3L, 2048L), (4L, 1L),
+      (5L, 300L), (10L, 700L), (17L, 2047L), (64L, 5L), (99L, 9L))
+      .toDF("doc_id", "n")
+    val out = SequencePack.chunkAssignments(docs, "doc_id", "n",
+      budget = 1024L, bucketSize = 4L)
+      .orderBy("doc_id")
+      .select("doc_id", "tok_offset", "first_chunk", "last_chunk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // naive reference: running sum in doc_id order
+    val lens = Seq(0L -> 100L, 1L -> 500L, 2L -> 0L, 3L -> 2048L, 4L -> 1L,
+      5L -> 300L, 10L -> 700L, 17L -> 2047L, 64L -> 5L, 99L -> 9L)
+    val expected = lens.scanLeft(0L)(_ + _._2).zip(lens).map {
+      case (off, (id, n)) =>
+        (id, off, off / 1024L, (off + math.max(n, 1L) - 1L) / 1024L)
+    }
+    assert(out === expected)
+  }
+
+  test("sequence packing spans chunk boundaries and zero-length docs correctly") {
+    val docs = Seq((1L, 10L), (2L, 0L), (3L, 10L)).toDF("doc_id", "n")
+    val out = SequencePack.chunkAssignments(docs, "doc_id", "n",
+      budget = 16L, bucketSize = 2L)
+      .orderBy("doc_id").select("tok_offset", "first_chunk", "last_chunk")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 3 starts at offset 10 and crosses into chunk 1; the empty doc
+    // occupies (only) its start chunk
+    assert(out === Seq((0L, 0L, 0L), (10L, 0L, 0L), (10L, 0L, 1L)))
+  }
+
+  test("range join plans as a hash join on the bin key") {
+    val plan = RangeJoin.pointsInIntervals(pts, ivals, "pts", "s", "e", 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
