@@ -148,6 +148,79 @@ object TextOps {
         coalesce(col("top_token_share"), lit(0.0)).as("top_token_share"))
   }
 
+  /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+    * Models" §A1.1 — the public heuristic set behind MassiveWeb):
+    * documents pass when word count, mean word length, symbol ratio,
+    * alphabetic-word ratio and stop-word evidence all sit in the
+    * published bands. Exposed as individual signals + the composite
+    * flag, each a pure codegen expression with an exact SQL mirror. */
+  object Gopher {
+    val MinWords = 50
+    val MaxWords = 100000
+    val MinMeanWordLen = 3.0
+    val MaxMeanWordLen = 10.0
+    val MaxSymbolRatio = 0.1
+    val MinAlphaWordRatio = 0.8
+    val MinStopwordHits = 2
+    /** Gopher's fixed stop-word list (§A1.1), distinct-presence based. */
+    val StopWords: Seq[String] =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+    /** symbol-to-word ratio: '#' or '...' occurrences per word. */
+    def symbolRatio(text: Column): Column =
+      when(tokenCount(text) === 0, lit(0.0)).otherwise(
+        regexp_count(text, lit("#|\\.\\.\\.")).cast("double") / tokenCount(text))
+
+    /** Share of words containing at least one alphabetic character. */
+    def alphaWordRatio(text: Column): Column =
+      when(tokenCount(text) === 0, lit(0.0)).otherwise(
+        size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("double") /
+          tokenCount(text))
+
+    /** Number of DISTINCT Gopher stop words present in the text. */
+    def stopwordHits(text: Column): Column = {
+      val toks = tokens(text)
+      size(filter(array(StopWords.map(lit): _*), s => array_contains(toks, s)))
+    }
+
+    /** The composite pass/fail flag over all published bands. */
+    def passes(text: Column): Column = {
+      val n = tokenCount(text)
+      n >= MinWords && n <= MaxWords &&
+        meanTokenLen(text) >= MinMeanWordLen &&
+        meanTokenLen(text) <= MaxMeanWordLen &&
+        symbolRatio(text) <= MaxSymbolRatio &&
+        alphaWordRatio(text) >= MinAlphaWordRatio &&
+        stopwordHits(text) >= MinStopwordHits
+    }
+  }
+
+  /** PII redaction: emails, IPv4 addresses and phone-shaped digit runs
+    * replaced by stable tags (the scrub pass every public web-corpus
+    * pipeline runs before training). Patterns stay inside the regex
+    * subset Java and RE2 evaluate identically (no lookaround, no
+    * backreferences), so the operation is engine-portable and the
+    * DuckDB oracle matches byte-for-byte. Order matters: emails first
+    * (their local parts contain digits), then IPs (dots would satisfy
+    * the phone pattern's separators), then phones. */
+  object Pii {
+    val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val PhoneRe = "\\+\\d[\\d ()-]{6,}\\d"
+
+    def countEmails(text: Column): Column = regexp_count(text, lit(EmailRe))
+    def countIps(text: Column): Column = regexp_count(text, lit(Ipv4Re))
+    def countPhones(text: Column): Column = regexp_count(text, lit(PhoneRe))
+
+    /** All three patterns redacted, in the fixed order above. */
+    def redact(text: Column): Column =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "[EMAIL]"),
+          Ipv4Re, "[IP]"),
+        PhoneRe, "[PHONE]")
+  }
+
   /** Canonical whitespace-collapsed, lowercased form of a document. */
   def canonicalText(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))

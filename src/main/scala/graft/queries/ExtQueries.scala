@@ -75,10 +75,50 @@ object ExtQueries {
         TextOps.fingerprint(col("text")).as("fp")).orderBy("doc_id")
     },
 
+    // Gopher quality-rule bands (Rae et al. 2021 §A1.1)
+    "text_gopher" -> q { c =>
+      c.t("documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_words"),
+        round(TextOps.meanTokenLen(col("text")), 6).as("mean_word_len"),
+        round(TextOps.Gopher.symbolRatio(col("text")), 6).as("symbol_ratio"),
+        round(TextOps.Gopher.alphaWordRatio(col("text")), 6).as("alpha_ratio"),
+        TextOps.Gopher.stopwordHits(col("text")).as("stop_hits"),
+        TextOps.Gopher.passes(col("text")).as("gopher_pass"))
+        .orderBy("doc_id")
+    },
+
+    // PII scrub: the synthetic corpus carries no PII, so deterministic
+    // addresses/IPs/phones are appended per doc_id IDENTICALLY on both
+    // sides, then counted and redacted — the oracle checks the regex
+    // semantics byte-for-byte
+    "text_pii" -> q { c =>
+      val docs = c.t("documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".7 ph +1 555 00"), col("doc_id"))
+          .as("ptext"))
+      docs.select(col("doc_id"),
+        TextOps.Pii.countEmails(col("ptext")).as("n_emails"),
+        TextOps.Pii.countIps(col("ptext")).as("n_ips"),
+        TextOps.Pii.countPhones(col("ptext")).as("n_phones"),
+        TextOps.Pii.redact(col("ptext")).as("clean"))
+        .orderBy("doc_id")
+    },
+
     // ---- deduplication -------------------------------------------------
     "dedup_exact" -> q { c =>
       Dedup.exactGroups(c.t("documents"), "doc_id", "text")
         .orderBy("fp")
+    },
+
+    // corpus-level duplicate-line (boilerplate) removal; the synthetic
+    // corpus is single-line, so lines are derived by splitting on a
+    // frequent word IDENTICALLY on both sides
+    "dedup_lines" -> q { c =>
+      val docs = c.t("documents").select(col("doc_id"),
+        replace(col("text"), lit(" table "), lit("\n")).as("ltext"))
+      Dedup.stripDuplicateLines(docs, "doc_id", "ltext", minDocs = 2)
+        .orderBy("doc_id")
     },
 
     "dedup_ngram_jaccard" -> q { c =>
@@ -239,6 +279,69 @@ object ExtQueries {
 
     "text_fingerprint" ->
       s"SELECT doc_id, md5($canonSql) AS fp FROM documents ORDER BY doc_id",
+
+    "text_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+        |    len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |        s -> list_contains(string_split_regex(trim(text), '\s+'), s)))
+        |      AS stop_hits
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_words, stop_hits,
+        |    CASE WHEN n_words = 0 THEN 0.0
+        |         ELSE n_nonspace::DOUBLE / n_words END AS mwl,
+        |    CASE WHEN n_words = 0 THEN 0.0
+        |         ELSE n_sym::DOUBLE / n_words END AS sr,
+        |    CASE WHEN n_words = 0 THEN 0.0
+        |         ELSE n_alpha::DOUBLE / n_words END AS ar
+        |  FROM t)
+        |SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+        |  round(sr, 6) AS symbol_ratio, round(ar, 6) AS alpha_ratio, stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |   AND sr <= 0.1 AND ar >= 0.8 AND stop_hits >= 2) AS gopher_pass
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_pii" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or 10.0.'
+        |      || (doc_id % 256) || '.7 ph +1 555 00' || doc_id AS ptext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(ptext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(ptext,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(ptext, '\+\d[\d ()-]{6,}\d')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(ptext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\+\d[\d ()-]{6,}\d', '[PHONE]', 'g') AS clean
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "dedup_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id, replace(text, ' table ', chr(10)) AS ltext
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, i - 1 AS idx, ls[i] AS line, trim(ls[i]) AS norm
+        |  FROM (SELECT doc_id, string_split(ltext, chr(10)) AS ls FROM d),
+        |       LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g),
+        |b AS (
+        |  SELECT norm AS dup FROM l WHERE norm <> ''
+        |  GROUP BY norm HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT l.doc_id, count(*) AS n_lines, count(b.dup) AS n_dropped,
+        |  coalesce(string_agg(line, chr(10) ORDER BY idx)
+        |    FILTER (WHERE b.dup IS NULL), '') AS clean_text
+        |FROM l LEFT JOIN b ON l.norm = b.dup
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin,
 
     "dedup_exact" ->
       s"""SELECT md5($canonSql) AS fp, min(doc_id) AS keeper_id,

@@ -184,4 +184,47 @@ class ExtSpec extends SparkSpec {
       .select("expected", "got").as[(String, String)].collect()
     out.foreach { case (exp, got) => assert(got === exp, s"expected $exp got $got") }
   }
+
+  test("stripDuplicateLines drops cross-document boilerplate, keeps order") {
+    val multiline = Seq(
+      (1L, "unique opening\ncookie banner\nbody one"),
+      (2L, "cookie banner\nbody two\n  cookie banner  "),
+      (3L, "body three\nall original here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateLines(multiline, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // "cookie banner" appears (trim-normalized) in docs 1 and 2 → dropped
+    // everywhere, including the doubled occurrence in doc 2
+    assert(out === Seq(
+      (1L, 3L, 1L, "unique opening\nbody one"),
+      (2L, 3L, 2L, "body two"),
+      (3L, 2L, 0L, "body three\nall original here")))
+  }
+
+  test("gopher rules pass normal prose and reject degenerate docs") {
+    val prose = ("the data pipeline should have good words to process and " +
+      "that will be fine with everyone involved in it ") * 3 // > 50 words
+    val rows = Seq(
+      (1L, prose, true),
+      (2L, "short text", false),                    // under min words
+      (3L, ("#### " * 60).trim, false),             // symbol ratio + no alpha
+      (4L, ("11111 22222 " * 30).trim, false))      // no alphabetic words
+      .toDF("doc_id", "text", "expected")
+    val out = rows.withColumn("got", TextOps.Gopher.passes(col("text")))
+      .select("expected", "got").as[(Boolean, Boolean)].collect()
+    out.foreach { case (exp, got) => assert(got === exp) }
+  }
+
+  test("pii redaction replaces emails, ips and phones in order") {
+    val out = Seq("mail a.b+c@x-corp.io then 10.0.255.7 then +1 (555) 123-4567 end")
+      .toDF("t")
+      .select(TextOps.Pii.redact(col("t")).as("r"),
+        TextOps.Pii.countEmails(col("t")).as("e"),
+        TextOps.Pii.countIps(col("t")).as("i"),
+        TextOps.Pii.countPhones(col("t")).as("p"))
+      .as[(String, Int, Int, Int)].head()
+    assert(out === (("mail [EMAIL] then [IP] then [PHONE] end", 1, 1, 1)))
+  }
 }
