@@ -72,7 +72,19 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
     * merges prune. */
   def merge(table: String, staging: DataFrame, cfg: MergeConfig, loadId: String,
             strategy: MergeStrategy = MergeStrategy.DeleteInsert): Unit = {
+    // staging is materialized once and re-read (the reference persists
+    // load packages to disk for the same reason): the plan is consumed
+    // by the pruning stats agg, by each key-group anti-join subtree,
+    // and twice more under the range-layout sampling pass — without the
+    // persist a computed staging frame re-executes 3-5x per load
     val staged = stamp(staging, loadId)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergePersisted(table, staged, cfg, loadId, strategy)
+    finally staged.unpersist(blocking = false)
+  }
+
+  private def mergePersisted(table: String, staged: DataFrame, cfg: MergeConfig,
+      loadId: String, strategy: MergeStrategy): Unit = {
     val keys = (cfg.primaryKey ++ cfg.mergeKey).distinct
     def result(dest: Option[DataFrame]): DataFrame = strategy match {
       case MergeStrategy.DeleteInsert => Merge.deleteInsert(dest, staged, cfg)
@@ -143,7 +155,16 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
     * segments are folded together past a threshold to bound the
     * manifest (small-files control, not a history rewrite per load). */
   def scd2(table: String, staging: DataFrame, cfg: Scd2Config, loadId: String): Unit = {
+    // same persist rationale as merge: the staged snapshot feeds both
+    // sides of the retire/insert split and the range-layout sampling
     val staged = stamp(staging, loadId)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try scd2Persisted(table, staged, cfg, loadId)
+    finally staged.unpersist(blocking = false)
+  }
+
+  private def scd2Persisted(table: String, staged: DataFrame, cfg: Scd2Config,
+      loadId: String): Unit = {
     def actives(df: DataFrame) = SegmentWrite(df, tags = scd2Tag("active"))
     def closeds(df: DataFrame) = SegmentWrite(df, tags = scd2Tag("closed"))
 
