@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and downsampling by content hash —
+  * how a training pipeline assigns held-out splits: membership must be
+  * a pure function of the record id (stable across re-runs, re-shards,
+  * engine versions and cluster sizes), never `rand()` (which silently
+  * re-deals every retry/recomputation and leaks test data into train).
+  *
+  * The bucket is the first 32 bits of md5 of the id's string form —
+  * engine-portable (md5 is everywhere; xxhash is not) and uniform.
+  * Everything is a pure projection: no shuffle, no state, scales
+  * embarrassingly. */
+object HashSplit {
+
+  private val Buckets = 4294967296L // 2^32
+
+  /** Uniform bucket in [0, 2^32) from md5(id). */
+  def bucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Adds `splitCol` assigning each row to a named split with the given
+    * weights (must sum to ~1; the last split absorbs rounding). */
+  def assign(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = splits.map(_._1).zip(cum.map(w => math.round(w * Buckets)))
+    val b = bucket(col(idCol))
+    val expr = thresholds.init.foldRight(lit(thresholds.last._1): Column) {
+      case ((name, t), els) => when(b < t, name).otherwise(els)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Keep a deterministic `rate` fraction of rows (bucket < rate·2^32).
+    * Subsets are NESTED: sample(0.1) ⊆ sample(0.2) — growing a sample
+    * keeps every previously selected row, unlike `df.sample`. */
+  def sample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0,1]")
+    df.filter(bucket(col(idCol)) < math.round(rate * Buckets))
+  }
+}

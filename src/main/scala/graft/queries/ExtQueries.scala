@@ -111,6 +111,16 @@ object ExtQueries {
         .orderBy("fp")
     },
 
+    // benchmark decontamination: docs 0-24 stand in for the eval set;
+    // every other doc is scored by distinct-shingle overlap with it
+    "text_contamination" -> q { c =>
+      val docs = c.t("documents")
+      Dedup.contaminationScores(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    },
+
     // corpus-level duplicate-line (boilerplate) removal; the synthetic
     // corpus is single-line, so lines are derived by splitting on a
     // frequent word IDENTICALLY on both sides
@@ -325,6 +335,25 @@ object ExtQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\+\d[\d ()-]{6,}\d', '[PHONE]', 'g') AS clean
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_contamination" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25),
+         |corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 25),
+         |counts AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+         |hits AS (
+         |  SELECT c.doc_id, count(*) AS n_contaminated
+         |  FROM corpus c JOIN bench b USING (shingle) GROUP BY 1)
+         |SELECT counts.doc_id, n_shingles,
+         |  coalesce(n_contaminated, 0) AS n_contaminated,
+         |  round(coalesce(n_contaminated, 0)::DOUBLE / n_shingles, 6)
+         |    AS contaminated_share
+         |FROM counts LEFT JOIN hits ON counts.doc_id = hits.doc_id
+         |ORDER BY counts.doc_id""".stripMargin,
 
     "dedup_lines" ->
       """WITH d AS (

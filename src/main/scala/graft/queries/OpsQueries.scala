@@ -69,6 +69,20 @@ object OpsQueries {
         budget = 512, bucketSize = 64)
         .select("doc_id", "n_tokens", "tok_offset", "first_chunk", "last_chunk")
         .orderBy("doc_id")
+    },
+
+    // deterministic train/val/test assignment + nested downsample —
+    // pure content-hash projections (no rand(), no shuffle)
+    "ops_hash_split" -> q { c =>
+      val docs = c.t("documents")
+      val split = graft.operators.HashSplit.assign(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val sampled = graft.operators.HashSplit.sample(docs, "doc_id", 0.25)
+        .select(col("doc_id"), lit(true).as("in_quarter"))
+      split.join(sampled, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"),
+          coalesce(col("in_quarter"), lit(false)).as("in_quarter"))
+        .orderBy("doc_id")
     }
   )
 
@@ -113,6 +127,18 @@ object OpsQueries {
         |SELECT doc_id, n_tokens, tok_offset,
         |  tok_offset // 512 AS first_chunk,
         |  (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS last_chunk
-        |FROM o ORDER BY doc_id""".stripMargin
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    // thresholds are round(cumWeight * 2^32) — 0.8/0.9/0.25 of 2^32
+    "ops_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS bkt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN bkt < 3435973837 THEN 'train'
+        |       WHEN bkt < 3865470566 THEN 'val' ELSE 'test' END AS split,
+        |  bkt < 1073741824 AS in_quarter
+        |FROM b ORDER BY doc_id""".stripMargin
   )
 }

@@ -203,6 +203,19 @@ class ExtSpec extends SparkSpec {
       (3L, 2L, 0L, "body three\nall original here")))
   }
 
+  test("contamination scores count benchmark shingle overlap per doc") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma epsilon"),  // shares 'alpha beta gamma'
+      (2L, "zeta eta theta iota kappa")) // no overlap
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationScores(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_contaminated")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 1L), (2L, 3L, 0L)))
+  }
+
   test("gopher rules pass normal prose and reject degenerate docs") {
     val prose = ("the data pipeline should have good words to process and " +
       "that will be fine with everyone involved in it ") * 3 // > 50 words

@@ -62,6 +62,32 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  // --- hash split ----------------------------------------------------
+
+  test("hash split is deterministic, total, and roughly proportional") {
+    val ids = spark.range(10000).toDF("id")
+    val a = HashSplit.assign(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = a.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 10000L)
+    assert(counts("train") > 7500 && counts("train") < 8500)
+    assert(counts("val") > 700 && counts("val") < 1300)
+    // re-evaluation assigns identically (pure function of the id)
+    val b = HashSplit.assign(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(a.join(b.withColumnRenamed("split", "s2"), "id")
+      .filter(col("split") =!= col("s2")).isEmpty)
+  }
+
+  test("hash samples are nested: sample(0.1) is a subset of sample(0.3)") {
+    val ids = spark.range(5000).toDF("id")
+    val small = HashSplit.sample(ids, "id", 0.1)
+    val large = HashSplit.sample(ids, "id", 0.3)
+    assert(small.join(large, Seq("id"), "left_anti").isEmpty)
+    assert(small.count() > 300 && small.count() < 700)
+  }
+
   // --- range join ----------------------------------------------------
 
   private def pts = Seq((1L, 5L), (2L, 100L), (3L, 250L), (4L, 999L))
