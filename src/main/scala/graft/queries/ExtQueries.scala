@@ -141,6 +141,17 @@ object ExtQueries {
         n = 3, threshold = 0.9).orderBy("id_a", "id_b")
     },
 
+    // near-dup CLUSTERS from pairwise matches: connected components by
+    // min-label propagation over the LSH pair graph; DuckDB verifies
+    // with a recursive-CTE reachability closure over the exact pairs
+    "dedup_components" -> q { c =>
+      val pairs = Dedup.minhashLshPairs(c.t("documents"), "doc_id", "text",
+        n = 3, threshold = 0.9)
+      graft.operators.ConnectedComponents.components(pairs, "id_a", "id_b",
+        idCol = "doc_id")
+        .orderBy("doc_id")
+    },
+
     // xxhash64-defined output → rows-only check (no SQL-equivalent hash)
     "dedup_simhash" -> q { c =>
       Dedup.simhashPairs(c.t("documents"), "doc_id", "text", maxHamming = 6)
@@ -378,6 +389,32 @@ object ExtQueries {
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "dedup_ngram_jaccard" -> (jaccardSql(0.8) + " ORDER BY id_a, id_b"),
+
+    "dedup_components" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |  WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.9),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id)
+         |SELECT id AS doc_id, min(r) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> (jaccardSql(0.9) + " ORDER BY id_a, id_b"),
 

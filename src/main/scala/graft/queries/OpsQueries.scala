@@ -71,6 +71,16 @@ object OpsQueries {
         .orderBy("doc_id")
     },
 
+    // gap-based sessionization (30-min inactivity) — batch analog of
+    // session_window, one shuffle on the key, tie-safe RANGE frame
+    "ops_sessionize" -> q { c =>
+      val ev = c.t("events")
+        .select(col("user_id"), col("event_id"), tsUs("ts").as("ts"))
+      graft.operators.Sessionize.assign(ev, Seq("user_id"), "ts",
+        gap = 1800000000L)
+        .orderBy("event_id")
+    },
+
     // deterministic train/val/test assignment + nested downsample —
     // pure content-hash projections (no rand(), no shuffle)
     "ops_hash_split" -> q { c =>
@@ -128,6 +138,21 @@ object OpsQueries {
         |  tok_offset // 512 AS first_chunk,
         |  (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS last_chunk
         |FROM o ORDER BY doc_id""".stripMargin,
+
+    "ops_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT user_id, event_id, ts,
+        |  sum(b) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |    AS session_seq
+        |FROM m ORDER BY event_id""".stripMargin,
 
     // thresholds are round(cumWeight * 2^32) — 0.8/0.9/0.25 of 2^32
     "ops_hash_split" ->

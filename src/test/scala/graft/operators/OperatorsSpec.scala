@@ -62,6 +62,47 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  // --- sessionize ----------------------------------------------------
+
+  test("sessionize starts a new session after each gap, per key") {
+    val ev = Seq(
+      ("u1", 0L), ("u1", 100L), ("u1", 1000L), ("u1", 1050L),
+      ("u2", 500L))
+      .toDF("k", "ts")
+    val out = Sessionize.assign(ev, Seq("k"), "ts", gap = 500L)
+      .orderBy("k", "ts").select("k", "ts", "session_seq")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("u1", 0L, 0L), ("u1", 100L, 0L),     // within gap
+      ("u1", 1000L, 1L), ("u1", 1050L, 1L), // 900 > 500 → new session
+      ("u2", 500L, 0L)))                    // keys independent
+  }
+
+  test("sessionize assigns equal-ts rows to one session deterministically") {
+    val ev = Seq(("u", 0L), ("u", 2000L), ("u", 2000L)).toDF("k", "ts")
+    val out = Sessionize.assign(ev, Seq("k"), "ts", gap = 500L)
+      .select("session_seq").as[Long].collect().toSeq.sorted
+    assert(out === Seq(0L, 1L, 1L)) // both ts=2000 rows in session 1
+  }
+
+  // --- connected components ------------------------------------------
+
+  test("connected components label every node with its component minimum") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 5L)).toDF("a", "b")
+    val out = ConnectedComponents.components(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (5L, 5L), (6L, 5L), (7L, 5L)))
+  }
+
+  test("connected components converge on a long chain") {
+    // a 12-node path needs multiple propagation rounds
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = ConnectedComponents.components(edges, "a", "b")
+      .select("component").distinct().as[Long].collect().toSeq
+    assert(out === Seq(1L))
+  }
+
   // --- hash split ----------------------------------------------------
 
   test("hash split is deterministic, total, and roughly proportional") {
