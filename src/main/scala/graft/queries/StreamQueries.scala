@@ -19,6 +19,19 @@ import graft.write.TableStore
   */
 object StreamQueries {
 
+  /** Stateful streaming operators materialize one state-store instance
+    * per shuffle partition per operator per micro-batch (checkpoint
+    * files included). With driver-small key cardinality the session
+    * default (32 here) is pure commit overhead — a cloned session
+    * scopes a smaller setting to the stream without touching the
+    * global conf. On a real cluster the same dial sizes state-store
+    * parallelism to key cardinality, not executor count. */
+  private def streamSession(c: Ctx, partitions: Int = 4) = {
+    val s = c.spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    s
+  }
+
   val defs: Map[String, Q] = Map(
     // file stream → AvailableNow → full pipeline load path per batch
     "stream_pipeline_append" -> q { c =>
@@ -32,8 +45,9 @@ object StreamQueries {
 
     // event-time tumbling window counts, complete mode → overwrite
     "stream_window_tumbling" -> q { c =>
+      val ss = streamSession(c)
       val store = new TableStore(Files.createTempDirectory("graft-stw").toString, c.spark)
-      val src = Streaming.fileStream(c.spark, s"${c.dir}/events.parquet")
+      val src = Streaming.fileStream(ss, s"${c.dir}/events.parquet")
         .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
       val agg = Streaming.tumblingCounts(src, "ets", "1 hour", "event_type")
       Streaming.drainAvailableNow(agg, outputMode = "complete") {
@@ -45,8 +59,9 @@ object StreamQueries {
     // custom keyed state (mapGroupsWithState): running per-key counts in
     // update mode; the final value per key is the max of its updates
     "stream_stateful_counts" -> q { c =>
+      val ss = streamSession(c)
       val store = new TableStore(Files.createTempDirectory("graft-sts").toString, c.spark)
-      val src = Streaming.fileStream(c.spark, s"${c.dir}/events.parquet")
+      val src = Streaming.fileStream(ss, s"${c.dir}/events.parquet")
       val counts = Streaming.statefulCounts(src, "event_type")
       Streaming.drainAvailableNow(counts, outputMode = "update") {
         (batch, _) => store.append("sc", batch)
@@ -80,8 +95,9 @@ object StreamQueries {
     // stateful dedup: input duplicated 2x, dropDuplicates state keeps
     // exactly one row per event_id across micro-batches
     "stream_dedup_exactly_once" -> q { c =>
+      val ss = streamSession(c)
       val store = new TableStore(Files.createTempDirectory("graft-std").toString, c.spark)
-      val src = Streaming.fileStream(c.spark, s"${c.dir}/events.parquet")
+      val src = Streaming.fileStream(ss, s"${c.dir}/events.parquet")
         .select(col("event_id"), col("user_id"))
         .withColumn("_copy", explode(array(lit(1), lit(2))))
         .drop("_copy")
