@@ -293,6 +293,23 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // --- exact interpolated quantiles (delegated to the engine in dlt;
+    // Spark `percentile` and DuckDB `quantile_cont` share the standard
+    // (n-1)·q linear-interpolation definition; outputs are quantized to
+    // scaled BIGINT for representation-stable hashing) ---
+    "rel_percentile" -> q { c =>
+      c.t("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          (percentile(col("l_extendedprice"), lit(0.5)).cast("decimal(18,4)") * 10000)
+            .cast("long").as("med_price"),
+          (percentile(col("l_extendedprice"), lit(0.95)).cast("decimal(18,4)") * 10000)
+            .cast("long").as("p95_price"),
+          (percentile(col("l_quantity"), lit(0.25)).cast("decimal(18,4)") * 10000)
+            .cast("long").as("q1_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // --- row_counts (dataset.py:305-360 — UNION ALL of per-table counts) ---
     "rel_row_counts" -> q { c =>
       Seq("region", "nation", "customer", "supplier", "part",
@@ -469,6 +486,16 @@ object RelationalQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.9
         |ORDER BY o_orderkey""".stripMargin,
+    "rel_percentile" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,4))
+        |    * 10000 AS BIGINT) AS med_price,
+        |  CAST(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(18,4))
+        |    * 10000 AS BIGINT) AS p95_price,
+        |  CAST(CAST(quantile_cont(l_quantity, 0.25) AS DECIMAL(18,4))
+        |    * 10000 AS BIGINT) AS q1_qty
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
     "rel_row_counts" ->
       """SELECT * FROM (
         |  SELECT 'region' AS table_name, COUNT(*) AS row_count FROM region
