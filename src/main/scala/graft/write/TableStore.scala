@@ -309,6 +309,58 @@ final class TableStore(val root: String, spark: SparkSession) {
     }
   }
 
+  /** Garbage-collect a table's directory (the `VACUUM` analog): delete
+    * data/tombstone directories referenced by NO retained manifest, and
+    * all manifests older than the `retainManifests` most recent. The
+    * current manifest is always retained, so readers of the live
+    * snapshot are never broken; keeping a few older manifests preserves
+    * a time-travel/late-reader grace window, the same contract as
+    * Delta's VACUUM retention period.
+    *
+    * Caveat (shared with shallow-clone lakehouses): a [[clone]] points
+    * at the SOURCE table's directories by absolute path — vacuuming a
+    * table that has live clones can delete data out from under them.
+    * Returns the number of directories deleted. */
+  def vacuum(table: String, retainManifests: Int = 2): Int = synchronized {
+    val dir = tableDir(table)
+    if (!Files.exists(dir.resolve("_CURRENT"))) return 0
+    val current = new String(Files.readAllBytes(dir.resolve("_CURRENT")),
+      StandardCharsets.UTF_8).trim
+    val manifests = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("manifest-") && n.endsWith(".txt"))
+      .toSeq.sorted
+    // manifests sort by nanotime → newest last; always retain current
+    val retained = (manifests.takeRight(math.max(1, retainManifests)) :+ current).distinct
+    def referenced(manifest: String): Set[String] = {
+      val p = dir.resolve(manifest)
+      if (!Files.exists(p)) Set.empty
+      else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .linesIterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+          val name = if (line.startsWith("!")) dec(line.split("\t", 4)(1))
+                     else line.split("\t", 2)(0)
+          // only names under THIS table's data/ dir are vacuum-managed;
+          // absolute pointers (imports, clone sources) live elsewhere
+          if (Paths.get(name).isAbsolute) None else Some(name)
+        }.toSet
+    }
+    val live = retained.flatMap(referenced).toSet
+    val dataDir = dir.resolve("data")
+    var deleted = 0
+    if (Files.exists(dataDir)) {
+      Files.list(dataDir).iterator().asScala.toSeq.foreach { seg =>
+        if (!live.contains(s"data/${seg.getFileName}")) {
+          Files.walk(seg).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+          deleted += 1
+        }
+      }
+    }
+    manifests.filterNot(retained.contains)
+      .foreach(m => Files.deleteIfExists(dir.resolve(m)))
+    deleted
+  }
+
   def drop(table: String): Unit = synchronized {
     val dir = tableDir(table)
     if (Files.exists(dir)) {

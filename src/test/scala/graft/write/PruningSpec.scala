@@ -255,6 +255,29 @@ class PruningSpec extends SparkSpec {
     assert(got.count() === 1) // the 23:59:59 row — NOT silently empty
   }
 
+  test("vacuum deletes orphaned segments, keeps every retained snapshot readable") {
+    val store = new TableStore(tmp(), spark)
+    store.append("t", Seq((1L, "a")).toDF("id", "v"), statsFor = Seq("id"))
+    store.append("t", Seq((2L, "b")).toDF("id", "v"), statsFor = Seq("id"))
+    // overwrite orphans both earlier segments (they leave the manifest)
+    store.overwrite("t", Seq((3L, "c"), (4L, "d")).toDF("id", "v"), statsFor = Seq("id"))
+    store.append("t", Seq((5L, "e")).toDF("id", "v"), statsFor = Seq("id"))
+    val dataDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(store.root, "t", "data")).count()
+    assert(dataDirs === 4)
+    // retain the last 2 manifests: the overwrite segment is still
+    // referenced, the two pre-overwrite segments are orphans
+    val deleted = store.vacuum("t", retainManifests = 2)
+    assert(deleted === 2)
+    assert(store.read("t").count() === 3) // live snapshot intact
+    // tombstoned tables keep their id files while referenced
+    store.appendWithTombstone("t", Seq((3L, "c2")).toDF("id", "v"), "id",
+      Seq(3L).toDF("id"), statsFor = Seq("id"))
+    assert(store.vacuum("t", retainManifests = 1) >= 0)
+    assert(store.read("t").orderBy("id").select("v").as[String].collect().toSeq
+      === Seq("c2", "d", "e"))
+  }
+
   test("string keys prune lexicographically") {
     val store = new TableStore(tmp(), spark)
     val d = new Dispositions(store, spark)
