@@ -39,17 +39,20 @@ object Multimodal {
     }
   }
 
-  /** REAL header parsers for uncompressed container formats — pure JVM
-    * byte arithmetic, no native deps:
+  /** REAL header parsers — pure JVM byte arithmetic, no native deps:
     *  - BMP (`BM` magic, BITMAPINFOHEADER): width/height/bit-depth from
     *    the documented little-endian header offsets;
+    *  - PNG (8-byte magic + mandatory first IHDR chunk): big-endian
+    *    dimensions and color-type → channels (metadata needs no inflate);
+    *  - GIF (87a/89a logical screen descriptor): little-endian dims;
     *  - WAV (`RIFF….WAVE`, chunk walk to `fmt `/`data`): channels,
     *    sample rate and the sample-frame count. Audio maps onto
     *    [[MediaMeta]] as width = sample rate, height = bits/sample,
     *    n_frames = sample frames.
-    * Compressed codecs (JPEG/PNG/H.264…) need native decoders absent
-    * from this environment; those payloads fall back to the
-    * deterministic [[StubCodec]], so plans stay total and exact. */
+    * Full pixel/sample DECODE of compressed codecs (JPEG/H.264…) needs
+    * native decoders absent from this environment; those payloads fall
+    * back to the deterministic [[StubCodec]], so plans stay total and
+    * exact. */
   object HeaderCodec {
     private def le16(p: Array[Byte], o: Int): Int =
       (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
@@ -57,15 +60,44 @@ object Multimodal {
       (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
         ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
 
+    private def be32(p: Array[Byte], o: Int): Int =
+      ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) |
+        ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+
     private def isBmp(p: Array[Byte]) =
       p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte
     private def isWav(p: Array[Byte]) =
       p.length >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
         p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+    private val PngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    private def isPng(p: Array[Byte]) =
+      p.length >= 33 && p.take(8).sameElements(PngMagic)
+    private def isGif(p: Array[Byte]) =
+      p.length >= 13 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a'
 
     def decode(item: MediaItem): MediaMeta = {
       val p = item.payload
-      if (isBmp(p))
+      if (isPng(p)) {
+        // IHDR is mandated first chunk: width/height big-endian at 16/20;
+        // color type at 25 → channel count (dimensions only — pixel data
+        // is DEFLATE-compressed and needs no decode for metadata)
+        val channels = p(25) match {
+          case 2 => 3 // truecolor
+          case 4 => 2 // gray+alpha
+          case 6 => 4 // truecolor+alpha
+          case _ => 1 // grayscale / palette
+        }
+        MediaMeta(item.media_id, "image", p.length.toLong,
+          width = be32(p, 16), height = be32(p, 20),
+          channels = channels, n_frames = 1)
+      } else if (isGif(p)) {
+        // logical screen descriptor: little-endian dims at 6/8; GIF87a/89a
+        MediaMeta(item.media_id, "image", p.length.toLong,
+          width = le16(p, 6), height = le16(p, 8),
+          channels = 3, n_frames = 1)
+      } else if (isBmp(p))
         MediaMeta(item.media_id, "image", p.length.toLong,
           width = le32(p, 18),
           height = math.abs(le32(p, 22)), // negative = top-down rows

@@ -162,6 +162,20 @@ class ExtSpec extends SparkSpec {
     val a = Multimodal.HeaderCodec.decode(Multimodal.MediaItem(2L, "audio", wav))
     assert((a.width, a.height, a.channels, a.n_frames) === (8000, 16, 2, 100))
 
+    // minimal PNG: magic + IHDR, 320x200 truecolor+alpha (big-endian)
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(320) ++ be32(200) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+    val g = Multimodal.HeaderCodec.decode(Multimodal.MediaItem(4L, "image", png))
+    assert((g.width, g.height, g.channels, g.n_frames) === (320, 200, 4, 1))
+
+    // minimal GIF89a: logical screen 640x350 (little-endian)
+    val gif = "GIF89a".getBytes ++ le16(640) ++ le16(350) ++ Array.fill[Byte](3)(0)
+    val f = Multimodal.HeaderCodec.decode(Multimodal.MediaItem(5L, "image", gif))
+    assert((f.width, f.height, f.channels) === (640, 350, 3))
+
     // unknown payloads fall back to the deterministic stub
     val txt = "hello".getBytes
     assert(Multimodal.HeaderCodec.decode(Multimodal.MediaItem(3L, "image", txt))
