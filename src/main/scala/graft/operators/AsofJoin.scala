@@ -64,4 +64,18 @@ object AsofJoin {
       rPayload.map(c => col(s"__match.$c").as(s"$rightPrefix$c"))
     matched.select(out: _*)
   }
+
+  /** For each left row, the single EARLIEST right row with
+    * `right.rightTs >= left.leftTs` (strict: `>`) — the forward
+    * direction, same one-shuffle plan. Implemented as [[backward]] over
+    * negated time: both columns must be numeric (epoch micros/nanos). */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, strict: Boolean = false,
+      rightPrefix: String = "matched_"): DataFrame = {
+    val l = left.withColumn(leftTs, -col(leftTs))
+    val r = right.withColumn(rightTs, -col(rightTs))
+    backward(l, r, keys, leftTs, rightTs, strict, rightPrefix)
+      .withColumn(leftTs, -col(leftTs))
+      .withColumn(s"$rightPrefix$rightTs", -col(s"$rightPrefix$rightTs"))
+  }
 }

@@ -23,12 +23,15 @@ object RangeJoin {
   /** Join `points` to the `intervals` whose `[startCol, endCol]` (both
     * inclusive) contain `pointTs`. All three columns must be integral
     * (epoch-nanos longs in the event plane). Column names of the two
-    * inputs must not collide (pre-select/alias on the way in). */
+    * inputs must not collide except shared `keys` (pre-select/alias on
+    * the way in). Optional `keys` add an equi-dimension: rows must also
+    * match on them (per-entity intervals), which both tightens the
+    * candidate set and spreads the shuffle across (key, bin). */
   def pointsInIntervals(points: DataFrame, intervals: DataFrame,
       pointTs: String, startCol: String, endCol: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet) -- keys
     require(overlap.isEmpty, s"column collision: ${overlap.mkString(", ")}")
     // integer `div`, not double division: epoch-nanos exceed 2^53, where
     // double arithmetic silently loses whole bins
@@ -36,7 +39,7 @@ object RangeJoin {
     val binned = intervals.withColumn("__bin",
       explode(sequence(bin(startCol), bin(endCol))))
     points.withColumn("__bin", bin(pointTs))
-      .join(binned, "__bin")
+      .join(binned, "__bin" +: keys)
       .filter(col(pointTs).between(col(startCol), col(endCol)))
       .drop("__bin")
   }

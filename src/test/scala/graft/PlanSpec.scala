@@ -43,6 +43,25 @@ class PlanSpec extends SparkSpec {
     assert(codegenPlan("dedup_embedding_cosine").contains("WholeStageCodegen"))
   }
 
+  test("asof and range join queries never fall back to nested loops") {
+    Seq("ops_asof_join", "ops_range_join").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name degraded:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name degraded:\n$p")
+    }
+  }
+
+  test("sequence packing broadcasts the bucket offsets, not the data") {
+    val p = plan("ops_sequence_pack")
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
+  }
+
+  test("hash split is a pure projection: no shuffle beyond the sort") {
+    // everything up to the final presentation sort is exchange-free
+    val p = plan("ops_hash_split")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("incremental window reaches the scan as a pushed predicate") {
     val df = spark.read.parquet(s"$dir/orders.parquet")
     val windowed = graft.incremental.Incremental(df,

@@ -54,6 +54,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out === ((Some(9L), None))) // the 9L row wins, null px and all
   }
 
+  test("asof forward picks the earliest right row at or after each left ts") {
+    val out = AsofJoin.forward(trades, quotes, Seq("k"), "ts", "qts")
+      .orderBy("k", "ts")
+      .select("k", "ts", "matched_qts")
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(out === Seq(
+      ("A", 5L, Some(8L)),   // next quote after 5
+      ("A", 10L, Some(10L)), // inclusive
+      ("A", 20L, None),      // nothing after 20
+      ("B", 10L, Some(30L))))
+  }
+
+  test("range join with equi-keys scopes intervals per entity") {
+    val p = Seq((1L, "u1", 100L), (2L, "u2", 100L)).toDF("pid", "u", "pts")
+    val i = Seq((10L, "u1", 50L, 150L)).toDF("iid", "u", "s", "e")
+    val out = RangeJoin.pointsInIntervals(p, i, "pts", "s", "e",
+      binWidth = 50L, keys = Seq("u"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 10L))) // u2's point matches no u2 interval
+  }
+
   test("asof plans as one shuffle — no nested-loop or broadcast join") {
     val plan = AsofJoin.backward(trades, quotes, Seq("k"), "ts", "qts")
       .queryExecution.executedPlan.toString
