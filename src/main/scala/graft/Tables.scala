@@ -15,6 +15,38 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Load for COMPUTE-DENSE consumers (the text/shingle kernels run
+    * ~0.1 ms/row of regex + hashing; relational rows cost nanoseconds).
+    *
+    * The driver's test tables are written as ONE parquet file with ONE
+    * row group, and a row group is Spark's minimum split unit — so the
+    * scan plans as a single task no matter how many cores the session
+    * has (`files.maxPartitionBytes` / `files.minPartitionNum` cannot
+    * split inside a row group), serializing all per-row compute behind
+    * one core. A real lake table arrives as many files/row groups and
+    * never hits this. When the natural split count is far below the
+    * session's parallelism, re-spread round-robin once at load: the
+    * shuffle moves O(file) bytes and unlocks full-width downstream
+    * compute. Filter/column pushdown is unaffected — Catalyst pushes
+    * both through Repartition to the scan (asserted by PlanSpec).
+    * Light consumers should stay on [[load]]: for them the exchange
+    * costs more than the serial scan it cures (measured: a blanket
+    * re-spread moved the sf0.1 bench 120 s → 130 s, while the text pack
+    * alone gained ~13 s).
+    */
+  def loadWide(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    // split estimate from file size (NOT df.rdd.getNumPartitions — that
+    // forces a physical planning pass on every load)
+    val cores = spark.sparkContext.defaultParallelism
+    val bytes =
+      try new java.io.File(s"$dir/$name.parquet").length()
+      catch { case _: Throwable => Long.MaxValue }
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val naturalSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (naturalSplits < cores / 2) df.repartition(cores) else df
+  }
+
   /** All tables as a map (lazily planned — scans are only executed when
     * a downstream action runs). */
   def all(spark: SparkSession, dir: String): Map[String, DataFrame] =

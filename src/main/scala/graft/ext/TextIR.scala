@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Information-retrieval kernels over a document corpus: term statistics,
+  * BM25 ranked retrieval, TF-IDF salient terms, and n-gram counting.
+  *
+  * The reference has no IR plane (scalar work is delegated to destination
+  * SQL, SURVEY.md §2.10); these are the retrieval/inspection operators a
+  * training-data pipeline needs (corpus search, salient-term profiling,
+  * boilerplate n-gram mining).
+  *
+  * Scale design (100 TB): everything is inverted-index shaped —
+  * tokenize → explode → equi-joins on the term key. There is never a
+  * doc×doc or doc×vocab cross product:
+  *  - BM25 filters the exploded postings to the query's terms *before*
+  *    any shuffle, so the postings shuffle carries only matching terms;
+  *    per-term document frequencies are a broadcast-sized frame (≤ query
+  *    size) and corpus stats are a 1-row broadcast.
+  *  - TF-IDF joins postings to the vocabulary df table on the term key
+  *    (hash shuffle both sides; AQE broadcasts when the vocab is small).
+  *  - n-gram counting is explode → hash-aggregate with map-side partial
+  *    aggregation, then a TakeOrdered top-k — no global sort of the
+  *    full gram table.
+  * Tokens are materialized as a bound attribute before any higher-order
+  * lambda touches them (NOTES.md round-1 trap: HOF lambdas re-evaluate
+  * their input expression per element).
+  */
+object TextIR {
+
+  /** Postings list: one row per (doc, term) with the term frequency.
+    * Blank documents contribute nothing (`split` on trimmed text yields
+    * `[""]` for empty input; the empty term is filtered). */
+  def termFrequencies(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = docs.select(col(id), TextOps.tokens(col(text)).as("_toks"))
+    toks.select(col(id), explode(col("_toks")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** Per-document token length (0 for blank docs), as double for the
+    * BM25 length normalization. */
+  def docLengths(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), TextOps.tokenCount(col(text)).cast("double").as("dl"))
+
+  /** Okapi BM25 scores of every document matching at least one query
+    * term. Output: (id, bm25) with the score rounded to 6 decimals —
+    * the rounded value is the engine-stable representation (a handful of
+    * per-term double adds can differ in the last ulp across engines).
+    *
+    * idf uses the Lucene/"BM25+1" form `ln(1 + (N - df + 0.5)/(df + 0.5))`
+    * which is always positive (plain Robertson idf goes negative for
+    * terms in more than half the corpus).
+    */
+  def bm25(docs: DataFrame, id: String, text: String, query: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lens = docLengths(docs, id, text)
+    // exact in double: dl values are small integers, their sum is exact,
+    // so avgdl is the same division on both engines
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val postings = termFrequencies(docs, id, text)
+      .where(col("term").isin(query: _*))
+    val dfs = postings.groupBy("term")
+      .agg(countDistinct(col(id)).cast("double").as("df"))
+    postings
+      .join(broadcast(dfs), "term")
+      .join(lens, Seq(id))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("_w",
+        col("_idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(id))
+      .agg(round(sum("_w"), 6).as("bm25"))
+  }
+
+  /** Top-`k` TF-IDF terms per document: (id, term, tfidf, rnk).
+    * `tfidf = tf * ln(N / df)`, rounded to 6 decimals; rank ties break
+    * on the rounded score then term text, so the cut is deterministic
+    * across engines. */
+  def tfIdfTopTerms(docs: DataFrame, id: String, text: String,
+                    k: Int = 3): DataFrame = {
+    val postings = termFrequencies(docs, id, text)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfs = postings.groupBy("term")
+      .agg(countDistinct(col(id)).cast("double").as("df"))
+    val scored = postings
+      .join(dfs, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+    val w = Window.partitionBy(col(id)).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col(id), col("term"), col("tfidf"), col("rnk"))
+  }
+
+  /** Corpus-wide top-`k` word `n`-grams by count: (ngram, cnt).
+    * Deterministic cut: count desc, then gram text. */
+  def topNgrams(docs: DataFrame, text: String, n: Int = 2,
+                k: Int = 50): DataFrame = {
+    val toks = docs.select(TextOps.tokens(col(text)).as("_toks"))
+      .where(size(col("_toks")) >= n && length(element_at(col("_toks"), 1)) > 0)
+    val grams = toks.select(explode(graft.functions.TextFunctions
+      .wordShingles(col("_toks"), n, distinct = false)).as("ngram"))
+    grams.groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram")).limit(k)
+  }
+}

@@ -34,11 +34,13 @@ object TextOps {
     when(length(text) === 0, lit(0.0)).otherwise(
       regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / length(text))
 
-  /** Number of tokens that are in `words` (duplicates counted). */
-  def wordHits(text: Column, words: Seq[String]): Column = {
-    val set = array(words.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(set, t)))
-  }
+  /** Number of tokens that are in `words` (duplicates counted).
+    * A native codegen kernel ([[graft.functions.CountInSet]]) — the HOF
+    * form `size(filter(tokens, t => array_contains(set, t)))` is a
+    * CodegenFallback that re-evaluates the tokenizer interpreted per row
+    * and poisons the surrounding codegen stage. */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    graft.functions.TextFunctions.countInSet(tokens(text), words)
 
   /** English stopword list used by the default quality heuristic. */
   val EnglishStopwords: Seq[String] = Seq(
@@ -174,14 +176,13 @@ object TextOps {
     /** Share of words containing at least one alphabetic character. */
     def alphaWordRatio(text: Column): Column =
       when(tokenCount(text) === 0, lit(0.0)).otherwise(
-        size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("double") /
-          tokenCount(text))
+        graft.functions.TextFunctions.countMatching(tokens(text), "[A-Za-z]")
+          .cast("double") / tokenCount(text))
 
     /** Number of DISTINCT Gopher stop words present in the text. */
-    def stopwordHits(text: Column): Column = {
-      val toks = tokens(text)
-      size(filter(array(StopWords.map(lit): _*), s => array_contains(toks, s)))
-    }
+    def stopwordHits(text: Column): Column =
+      graft.functions.TextFunctions.countInSet(tokens(text), StopWords,
+        distinct = true)
 
     /** The composite pass/fail flag over all published bands. */
     def passes(text: Column): Column = {
@@ -230,17 +231,12 @@ object TextOps {
     * content-hash row ids, SURVEY.md §1.4). */
   def fingerprint(text: Column): Column = md5(canonicalText(text))
 
-  /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
-    * array column. Callers building DataFrame plans should project the
-    * token array first (so `ts` is a bound attribute) — if the token
-    * expression itself sits inside the lambda, Catalyst re-evaluates
-    * the tokenizer (regex + split) once per shingle position, turning a
-    * linear scan quadratic. See [[Dedup.shingleIndex]]. */
+  /** Distinct word n-gram shingles from a token array column — a native
+    * codegen kernel ([[graft.functions.WordShingles]]): one JVM loop per
+    * row instead of an interpreted `transform` lambda per shingle
+    * position. See [[Dedup.shingleIndex]]. */
   def shinglesFromTokens(ts: Column, n: Int): Column =
-    array_distinct(
-      when(size(ts) < n, array(concat_ws(" ", ts)))
-        .otherwise(transform(sequence(lit(0), size(ts) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))))
+    graft.functions.TextFunctions.wordShingles(ts, n)
 
   /** Distinct word n-gram shingles of a document (n consecutive
     * whitespace tokens joined by a single space). The base unit for

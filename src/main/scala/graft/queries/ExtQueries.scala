@@ -49,7 +49,7 @@ object ExtQueries {
     },
 
     "text_quality" -> q { c =>
-      c.t("documents").select(col("doc_id"),
+      c.tw("documents").select(col("doc_id"),
         round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
         round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
         TextOps.qualityScore(col("text")).as("quality"))
@@ -63,7 +63,7 @@ object ExtQueries {
     },
 
     "text_langid" -> q { c =>
-      c.t("documents").select(col("doc_id"),
+      c.tw("documents").select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"),
         TextOps.langScore(col("text"), "en").as("score_en"),
         TextOps.langScore(col("text"), "es").as("score_es"))
@@ -77,7 +77,7 @@ object ExtQueries {
 
     // Gopher quality-rule bands (Rae et al. 2021 §A1.1)
     "text_gopher" -> q { c =>
-      c.t("documents").select(col("doc_id"),
+      c.tw("documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_words"),
         round(TextOps.meanTokenLen(col("text")), 6).as("mean_word_len"),
         round(TextOps.Gopher.symbolRatio(col("text")), 6).as("symbol_ratio"),
@@ -92,7 +92,7 @@ object ExtQueries {
     // sides, then counted and redacted — the oracle checks the regex
     // semantics byte-for-byte
     "text_pii" -> q { c =>
-      val docs = c.t("documents").select(col("doc_id"),
+      val docs = c.tw("documents").select(col("doc_id"),
         concat(col("text"),
           lit(" contact user"), col("doc_id"), lit("@example.com or 10.0."),
           pmod(col("doc_id"), lit(256)), lit(".7 ph +1 555 00"), col("doc_id"))
@@ -114,7 +114,7 @@ object ExtQueries {
     // benchmark decontamination: docs 0-24 stand in for the eval set;
     // every other doc is scored by distinct-shingle overlap with it
     "text_contamination" -> q { c =>
-      val docs = c.t("documents")
+      val docs = c.tw("documents")
       Dedup.contaminationScores(
         docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
         "doc_id", "text", n = 3)
@@ -132,7 +132,7 @@ object ExtQueries {
     },
 
     "dedup_ngram_jaccard" -> q { c =>
-      Dedup.ngramJaccardPairs(c.t("documents"), "doc_id", "text",
+      Dedup.ngramJaccardPairs(c.tw("documents"), "doc_id", "text",
         n = 3, threshold = 0.8).orderBy("id_a", "id_b")
     },
 

@@ -9,6 +9,11 @@ package object queries {
   /** Per-query context giving access to the test tables. */
   final case class Ctx(spark: SparkSession, dir: String) {
     def t(name: String): DataFrame = Tables.load(spark, dir, name)
+
+    /** Wide variant for compute-dense consumers (see [[Tables.loadWide]]):
+      * re-spreads an under-split input so heavy per-row kernels run at
+      * full session width instead of serializing on one scan task. */
+    def tw(name: String): DataFrame = Tables.loadWide(spark, dir, name)
   }
 
   /** Lift a Ctx-based query into the driver's (spark, dir) shape. */
