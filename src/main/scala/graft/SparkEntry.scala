@@ -20,6 +20,7 @@ object SparkEntry {
     (MergeQueries.defs, MergeQueries.oracles),
     (PlaneQueries.defs, PlaneQueries.oracles),
     (ExtQueries.defs, ExtQueries.oracles),
+    (TextIRQueries.defs, TextIRQueries.oracles),
     (OpsQueries.defs, OpsQueries.oracles),
     (StreamQueries.defs, StreamQueries.oracles),
     (LifecycleQueries.defs, LifecycleQueries.oracles)

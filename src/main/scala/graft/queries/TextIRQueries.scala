@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextIR
+
+/** IR / corpus-inspection operators (BM25 retrieval, TF-IDF salient
+  * terms, n-gram mining) gated against DuckDB computing the same
+  * statistics from first-principles SQL. Tokenization is the shared
+  * whitespace convention (`string_split_regex(trim(text), '\s+')` ≡
+  * `split(trim(text), "\\s+")`), scores are rounded to 6 decimals on
+  * both sides (the engine-stable rendering of log-based doubles), and
+  * every ranking tie breaks on a total order (score, then id/term).
+  */
+object TextIRQueries {
+
+  private val BmQuery = Seq("spark", "hash", "window")
+
+  val defs: Map[String, Q] = Map(
+    // Okapi BM25 over the corpus for a fixed term query — the inverted-
+    // index plan: postings filtered to the query terms BEFORE any
+    // shuffle; df and corpus stats ride broadcasts
+    "text_bm25" -> q { c =>
+      TextIR.bm25(c.tw("documents"), "doc_id", "text", BmQuery)
+        .orderBy("doc_id")
+    },
+
+    // top-3 salient terms per document by TF-IDF over the full vocab
+    "text_tfidf" -> q { c =>
+      TextIR.tfIdfTopTerms(c.tw("documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk")
+    },
+
+    // corpus-wide top-50 bigrams (boilerplate mining): explode → hash
+    // aggregate with map-side combine → TakeOrdered top-k
+    "text_ngram_topk" -> q { c =>
+      TextIR.topNgrams(c.tw("documents"), "text", n = 2, k = 50)
+    }
+  )
+
+  private val postingsSql =
+    """SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |    FROM documents) t
+      |  WHERE term <> '' GROUP BY 1, 2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_bm25" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN length(trim(text)) = 0 THEN 0
+         |          ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE AS dl
+         |  FROM documents),
+         |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM lens),
+         |postings AS (
+         |  SELECT * FROM ($postingsSql)
+         |  WHERE term IN (${BmQuery.map(t => s"'$t'").mkString(", ")})),
+         |dfs AS (
+         |  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         |  FROM postings GROUP BY 1)
+         |SELECT p.doc_id,
+         |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+         |FROM postings p JOIN dfs USING (term) JOIN lens USING (doc_id), stats
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH postings AS ($postingsSql),
+         |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         |dfs AS (
+         |  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+         |  FROM postings GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS tfidf
+         |  FROM postings JOIN dfs USING (term), nd),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, term, tfidf, rnk FROM r
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "text_ngram_topk" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(ts)),
+        |    i -> ts[i] || ' ' || ts[i + 1])) AS ngram
+        |  FROM toks WHERE len(ts) >= 2)
+        |SELECT ngram, count(*)::BIGINT AS cnt FROM grams
+        |GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin
+  )
+}
