@@ -16,6 +16,7 @@ object SparkEntry {
 
   private val packs: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (RelationalQueries.defs, RelationalQueries.oracles),
+    (RelationalExtQueries.defs, RelationalExtQueries.oracles),
     (NormalizeQueries.defs, NormalizeQueries.oracles),
     (MergeQueries.defs, MergeQueries.oracles),
     (PlaneQueries.defs, PlaneQueries.oracles),

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Second relational-surface pack: unpivot/melt, correlated LATERAL
+  * subqueries, EXISTS/NOT EXISTS, array aggregation + array functions,
+  * and regex extraction — the remaining query shapes a reference user
+  * writes through the dataset SQL plane (`dataset.query(sql)`,
+  * reference dlt/dataset/dataset.py:228-262). SQL-shaped operators
+  * (lateral, exists) run through `spark.sql` over temp views to
+  * exercise the raw-SQL passthrough path; the rest are native
+  * DataFrame operators. Oracle conventions as in [[RelationalQueries]]
+  * (scaled-BIGINT renderings, total-order sorts).
+  */
+object RelationalExtQueries {
+
+  val defs: Map[String, Q] = Map(
+    // --- unpivot / melt (wide metrics → long) ---
+    "rel_unpivot" -> q { c =>
+      c.t("lineitem")
+        .filter(col("l_orderkey") < 50)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          (col("value").cast("decimal(18,4)") * 10000).cast("long").as("value_e4"))
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+
+    // --- correlated LATERAL subquery: top-2 orders per customer.
+    // Catalyst decorrelates to a ranked window join — no per-row
+    // re-execution of the inner query (that is the point at scale) ---
+    "rel_lateral" -> q { c =>
+      c.t("customer").createOrReplaceTempView("g_customer")
+      c.t("orders").createOrReplaceTempView("g_orders")
+      c.spark.sql(
+        """SELECT c_custkey, o_orderkey,
+          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+          |FROM g_customer,
+          |LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM g_orders
+          |  WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+          |WHERE c_custkey < 50
+          |ORDER BY c_custkey, price_c DESC, o_orderkey""".stripMargin)
+    },
+
+    // --- correlated EXISTS / NOT EXISTS (compile to semi/anti joins) ---
+    "rel_exists" -> q { c =>
+      c.t("customer").createOrReplaceTempView("g_customer")
+      c.t("orders").createOrReplaceTempView("g_orders")
+      c.spark.sql(
+        """SELECT c_custkey, c_name FROM g_customer
+          |WHERE EXISTS (
+          |  SELECT 1 FROM g_orders
+          |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+          |AND NOT EXISTS (
+          |  SELECT 1 FROM g_orders
+          |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // --- array aggregation + array functions (collect_set / sort /
+    // join / contains / element_at), emitted as scalars so the hash
+    // compare is list-rendering-independent ---
+    "rel_array_agg" -> q { c =>
+      c.t("orders")
+        .groupBy("o_orderstatus")
+        .agg(array_sort(collect_set(col("o_orderpriority"))).as("prios"))
+        .select(
+          col("o_orderstatus"),
+          size(col("prios")).as("n_prios"),
+          array_join(col("prios"), ",").as("prios_csv"),
+          array_contains(col("prios"), "1-URGENT").as("has_urgent"),
+          element_at(col("prios"), 1).as("first_prio"),
+          array_join(slice(col("prios"), 2, 2), ",").as("mid_prios"))
+        .orderBy("o_orderstatus")
+    },
+
+    // --- regex extraction / backreference replace / rlike filter ---
+    "rel_regexp" -> q { c =>
+      c.t("part")
+        .filter(col("p_name").rlike("^(cold|small) "))
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1)
+            .cast("int").as("brand_num"),
+          regexp_extract(col("p_name"), "^([a-z]+) ", 1).as("adjective"),
+          regexp_replace(col("p_name"), "^([a-z]+) ", "$1-").as("dashed"),
+          regexp_count(col("p_type"), lit("O")).as("n_o"))
+        .orderBy("p_partkey")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric,
+        |  CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS value_e4
+        |FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |           FROM lineitem WHERE l_orderkey < 50)
+        |  ON l_quantity, l_discount, l_tax
+        |  INTO NAME metric VALUE value)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "rel_lateral" ->
+      """SELECT c_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        |FROM customer,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        |WHERE c_custkey < 50
+        |ORDER BY c_custkey, price_c DESC, o_orderkey""".stripMargin,
+
+    "rel_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |AND NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "rel_array_agg" ->
+      """WITH g AS (
+        |  SELECT o_orderstatus,
+        |    list_sort(list(DISTINCT o_orderpriority)) AS prios
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus,
+        |  len(prios) AS n_prios,
+        |  array_to_string(prios, ',') AS prios_csv,
+        |  list_contains(prios, '1-URGENT') AS has_urgent,
+        |  prios[1] AS first_prio,
+        |  array_to_string(prios[2:3], ',') AS mid_prios
+        |FROM g ORDER BY o_orderstatus""".stripMargin,
+
+    "rel_regexp" ->
+      """SELECT p_partkey,
+        |  CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INT) AS brand_num,
+        |  regexp_extract(p_name, '^([a-z]+) ', 1) AS adjective,
+        |  regexp_replace(p_name, '^([a-z]+) ', '\1-') AS dashed,
+        |  len(regexp_extract_all(p_type, 'O')) AS n_o
+        |FROM part WHERE regexp_matches(p_name, '^(cold|small) ')
+        |ORDER BY p_partkey""".stripMargin
+  )
+}
