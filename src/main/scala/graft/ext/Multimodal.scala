@@ -48,11 +48,14 @@ object Multimodal {
     *  - WAV (`RIFF….WAVE`, chunk walk to `fmt `/`data`): channels,
     *    sample rate and the sample-frame count. Audio maps onto
     *    [[MediaMeta]] as width = sample rate, height = bits/sample,
-    *    n_frames = sample frames.
-    * Full pixel/sample DECODE of compressed codecs (JPEG/H.264…) needs
-    * native decoders absent from this environment; those payloads fall
-    * back to the deterministic [[StubCodec]], so plans stay total and
-    * exact. */
+    *    n_frames = sample frames;
+    *  - JPEG (SOI + marker-segment walk to the first SOFn frame
+    *    header): big-endian dimensions and component count — the frame
+    *    header is uncompressed, so metadata needs no entropy decode.
+    * Full pixel/sample DECODE of compressed codecs (JPEG pixels,
+    * H.264…) needs native decoders absent from this environment; those
+    * payloads fall back to the deterministic [[StubCodec]], so plans
+    * stay total and exact. */
   object HeaderCodec {
     private def le16(p: Array[Byte], o: Int): Int =
       (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
@@ -76,6 +79,41 @@ object Multimodal {
     private def isGif(p: Array[Byte]) =
       p.length >= 13 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
         p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a'
+    private def isJpeg(p: Array[Byte]) =
+      p.length >= 4 && p(0) == 0xff.toByte && p(1) == 0xd8.toByte &&
+        p(2) == 0xff.toByte
+
+    private def be16(p: Array[Byte], o: Int): Int =
+      ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+
+    /** Walk JPEG marker segments to the first SOFn (start-of-frame)
+      * header: FFC0–FFCF excluding DHT (C4), JPGn (C8) and DAC (CC).
+      * Returns (width, height, components), or null if no frame header
+      * appears before scan data / truncation. */
+    private def jpegFrame(p: Array[Byte]): (Int, Int, Int) = {
+      var o = 2
+      while (o + 4 <= p.length) {
+        // tolerate fill bytes: a marker may be preceded by any number of FFs
+        if (p(o) != 0xff.toByte) return null
+        var m = o + 1
+        while (m < p.length && p(m) == 0xff.toByte) m += 1
+        if (m >= p.length) return null
+        val marker = p(m) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // SOF payload: len(2) precision(1) height(2) width(2) ncomp(1)
+          if (m + 8 >= p.length) return null
+          return (be16(p, m + 6), be16(p, m + 4), p(m + 8) & 0xff)
+        }
+        if (marker == 0xda || marker == 0xd9) return null // SOS/EOI: give up
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) o = m + 1
+        else {
+          if (m + 3 > p.length) return null
+          o = m + 1 + be16(p, m + 1) // length includes its own 2 bytes
+        }
+      }
+      null
+    }
 
     def decode(item: MediaItem): MediaMeta = {
       val p = item.payload
@@ -97,6 +135,12 @@ object Multimodal {
         MediaMeta(item.media_id, "image", p.length.toLong,
           width = le16(p, 6), height = le16(p, 8),
           channels = 3, n_frames = 1)
+      } else if (isJpeg(p)) {
+        val frame = jpegFrame(p)
+        if (frame == null) StubCodec.decode(item)
+        else MediaMeta(item.media_id, "image", p.length.toLong,
+          width = frame._1, height = frame._2,
+          channels = frame._3, n_frames = 1)
       } else if (isBmp(p))
         MediaMeta(item.media_id, "image", p.length.toLong,
           width = le32(p, 18),

@@ -176,6 +176,25 @@ class ExtSpec extends SparkSpec {
     val f = Multimodal.HeaderCodec.decode(Multimodal.MediaItem(5L, "image", gif))
     assert((f.width, f.height, f.channels) === (640, 350, 3))
 
+    // minimal JPEG: SOI, APP0 (JFIF), DQT (skipped via length), SOF0
+    // 1024x768 3-component (big-endian), then EOI
+    def mk(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    val jpeg = mk(0xff, 0xd8) ++ // SOI
+      (mk(0xff, 0xe0) ++ be32(16 << 16).take(2) ++ "JFIF".getBytes ++
+        Array.fill[Byte](10)(0)) ++ // APP0: len 16 = 2 + 14 payload
+      (mk(0xff, 0xdb) ++ mk(0x00, 0x43) ++ Array.fill[Byte](0x41)(1)) ++ // DQT
+      (mk(0xff, 0xc0) ++ mk(0x00, 0x11, 0x08) ++ // SOF0, len 17, precision 8
+        mk(0x03, 0x00) ++ mk(0x04, 0x00) ++ // height 768, width 1024
+        mk(0x03) ++ Array.fill[Byte](9)(0)) ++ // 3 components
+      mk(0xff, 0xd9) // EOI
+    val j = Multimodal.HeaderCodec.decode(Multimodal.MediaItem(6L, "image", jpeg))
+    assert((j.width, j.height, j.channels, j.n_frames) === (1024, 768, 3, 1))
+
+    // a JPEG truncated before any SOF falls back to the stub
+    val junk = mk(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00)
+    assert(Multimodal.HeaderCodec.decode(Multimodal.MediaItem(7L, "image", junk))
+      === Multimodal.StubCodec.decode(Multimodal.MediaItem(7L, "image", junk)))
+
     // unknown payloads fall back to the deterministic stub
     val txt = "hello".getBytes
     assert(Multimodal.HeaderCodec.decode(Multimodal.MediaItem(3L, "image", txt))
