@@ -92,6 +92,43 @@ object StreamQueries {
         .orderBy("event_id")
     },
 
+    // event-time SESSION windows (30-min gap), complete mode: per-user
+    // sessions merge incrementally in the state store across batches
+    "stream_session_window" -> q { c =>
+      val ss = streamSession(c)
+      val store = new TableStore(Files.createTempDirectory("graft-stsw").toString, c.spark)
+      val src = Streaming.fileStream(ss, s"${c.dir}/events.parquet")
+        .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      val sessions = Streaming.sessionCounts(src, "ets", "30 minutes", "user_id")
+      Streaming.drainAvailableNow(sessions, outputMode = "complete") {
+        (batch, _) => store.overwrite("sw", batch)
+      }
+      store.read("sw").orderBy("user_id", "session_start")
+    },
+
+    // STREAM-STREAM inner join: each purchase matched to the same
+    // user's clicks in the preceding 30 minutes; both sides watermarked
+    // so join state is GC-able, the range predicate bounds buffering
+    "stream_stream_join" -> q { c =>
+      val ss = streamSession(c)
+      val store = new TableStore(Files.createTempDirectory("graft-stj").toString, c.spark)
+      def side(t: String, idAs: String, tsAs: String) =
+        Streaming.fileStream(ss, s"${c.dir}/events.parquet")
+          .filter(col("event_type") === t)
+          .select(col("user_id"), col("event_id").as(idAs),
+            timestamp_micros(expr("ts DIV 1000")).as(tsAs))
+      val purchases = side("purchase", "purchase_id", "p_ts")
+      val clicks = side("click", "click_id", "c_ts")
+        .withColumnRenamed("user_id", "c_user_id")
+      val joined = Streaming.intervalJoinOn(
+        purchases, "p_ts", clicks, "c_ts",
+        col("user_id") === col("c_user_id"), "30 minutes", "10 minutes")
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+      Streaming.drainAvailableNow(joined)((batch, _) => store.append("sj", batch))
+      store.read("sj").orderBy("purchase_id", "click_id")
+    },
+
     // stateful dedup: input duplicated 2x, dropDuplicates state keeps
     // exactly one row per event_id across micro-batches
     "stream_dedup_exactly_once" -> q { c =>
@@ -123,6 +160,36 @@ object StreamQueries {
         |    AS DECIMAL(18,4)) * 10000) AS BIGINT) AS value_s
         |FROM events ORDER BY event_id""".stripMargin,
     "stream_dedup_exactly_once" ->
-      "SELECT event_id, user_id FROM events ORDER BY event_id"
+      "SELECT event_id, user_id FROM events ORDER BY event_id",
+
+    // gap-sessionization from first principles; a diff of EXACTLY the
+    // gap starts a new session ([t, t+gap) ranges must overlap to merge)
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (
+        |  SELECT user_id, us, sum(b) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT min(us) AS session_start, user_id, count(*) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "stream_stream_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS c_user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT user_id, purchase_id, click_id, p_us, c_us
+        |FROM p JOIN c ON user_id = c_user_id
+        |  AND c_us BETWEEN p_us - 1800000000 AND p_us
+        |ORDER BY purchase_id, click_id""".stripMargin
   )
 }

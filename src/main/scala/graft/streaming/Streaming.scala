@@ -148,6 +148,38 @@ object Streaming {
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col(key), col("n"))
 
+  /** Gap-based session windows (`session_window`): per-key sessions
+    * close after `gap` of event-time inactivity; a new event within the
+    * gap extends the session (two events exactly `gap` apart do NOT
+    * merge — ranges `[t, t+gap)` must overlap). Emits (key,
+    * session_start epoch-micros, n). State is per (key, session) in the
+    * state store and merges incrementally across micro-batches. */
+  def sessionCounts(stream: DataFrame, eventTime: String, gap: String,
+      key: String): DataFrame =
+    stream.groupBy(session_window(col(eventTime), gap), col(key))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("session_window.start")).as("session_start"),
+        col(key), col("n"))
+
+  /** Stream-stream inner join: rows of `left` matched to rows of
+    * `right` satisfying `cond` whose event time falls in
+    * [leftTime - lookback, leftTime]. Both sides are watermarked (the
+    * bound that lets the join state be garbage-collected — without it a
+    * stream-stream join buffers forever); the time-range predicate is
+    * what Spark uses to expire buffered rows at scale. Column names
+    * must be disjoint across the two sides. */
+  def intervalJoinOn(left: DataFrame, leftTime: String,
+      right: DataFrame, rightTime: String,
+      cond: org.apache.spark.sql.Column, lookback: String,
+      delay: String): DataFrame = {
+    val l = left.withWatermark(leftTime, delay)
+    val r = right.withWatermark(rightTime, delay)
+    l.join(r,
+      cond &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $lookback") &&
+        col(rightTime) <= col(leftTime))
+  }
+
   /** Arbitrary per-key streaming state via `mapGroupsWithState` — the
     * custom-state escape hatch (SURVEY.md §2.8). Here: a running count
     * per key, emitted in update mode after every micro-batch; the
