@@ -43,4 +43,22 @@ object HashSplit {
     require(rate >= 0.0 && rate <= 1.0, "rate must be in [0,1]")
     df.filter(bucket(col(idCol)) < math.round(rate * Buckets))
   }
+
+  /** STRATIFIED deterministic sampling: a per-stratum keep rate (the
+    * training-mix dial — e.g. keep 100% of a rare language, 10% of the
+    * dominant one). Still a pure projection: the rate lookup compiles
+    * to a literal CASE over the stratum column, membership stays a
+    * function of (id, stratum rate) only, and per-stratum subsets stay
+    * nested as rates grow. Strata absent from `rates` keep
+    * `defaultRate`. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, "rates must be in [0,1]"))
+    val threshold = rates.foldRight(lit(math.round(defaultRate * Buckets)): Column) {
+      case ((stratum, r), els) =>
+        when(col(strataCol) === stratum, lit(math.round(r * Buckets))).otherwise(els)
+    }
+    df.filter(bucket(col(idCol)) < threshold)
+  }
 }

@@ -81,6 +81,32 @@ object OpsQueries {
         .orderBy("event_id")
     },
 
+    // stratified deterministic sampling — the training-mix dial: keep
+    // all rare-language docs, downsample the dominant language; the
+    // rate lookup compiles to a literal CASE, membership stays a pure
+    // content-hash projection (no rand(), no shuffle)
+    "ops_stratified_sample" -> q { c =>
+      val docs = c.t("documents")
+      graft.operators.HashSplit.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 0.25, "zh" -> 1.0, "es" -> 0.5), defaultRate = 0.75)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    },
+
+    // HLL approximate distinct vs exact: the estimate is deterministic
+    // (hash-based, order-independent merge), the gate asserts the
+    // published error bound holds (rsd 0.01 → well inside 5%)
+    "ops_approx_distinct" -> q { c =>
+      c.t("events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("within_5pct"))
+        .orderBy("event_type")
+    },
+
     // deterministic train/val/test assignment + nested downsample —
     // pure content-hash projections (no rand(), no shuffle)
     "ops_hash_split" -> q { c =>
@@ -153,6 +179,27 @@ object OpsQueries {
         |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
         |    AS session_seq
         |FROM m ORDER BY event_id""".stripMargin,
+
+    // per-stratum thresholds are round(rate * 2^32)
+    "ops_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS bkt
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_kept FROM b
+        |WHERE bkt < CASE lang
+        |  WHEN 'en' THEN 1073741824
+        |  WHEN 'zh' THEN 4294967296
+        |  WHEN 'es' THEN 2147483648
+        |  ELSE 3221225472 END
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // the oracle asserts the same exact counts and that the HLL bound
+    // held on the Spark side (within_5pct must come back all-true)
+    "ops_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS within_5pct
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // thresholds are round(cumWeight * 2^32) — 0.8/0.9/0.25 of 2^32
     "ops_hash_split" ->

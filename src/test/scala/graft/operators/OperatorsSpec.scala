@@ -150,6 +150,21 @@ class OperatorsSpec extends SparkSpec {
     assert(small.count() > 300 && small.count() < 700)
   }
 
+  test("stratified sample applies per-stratum rates, nested within a stratum") {
+    val rows = spark.range(6000)
+      .select(col("id"), (col("id") % 3).cast("string").as("s"))
+    val kept = HashSplit.stratifiedSample(rows, "id", "s",
+      Map("0" -> 1.0, "1" -> 0.2), defaultRate = 0.0)
+    val counts = kept.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts("0") === 2000L)          // rate 1.0 keeps everything
+    assert(counts("1") > 250 && counts("1") < 550) // ~0.2 of 2000
+    assert(!counts.contains("2"))          // defaultRate 0 drops the stratum
+    // growing a stratum's rate keeps every previously selected row
+    val grown = HashSplit.stratifiedSample(rows, "id", "s",
+      Map("0" -> 1.0, "1" -> 0.5), defaultRate = 0.0)
+    assert(kept.join(grown, Seq("id"), "left_anti").isEmpty)
+  }
+
   // --- range join ----------------------------------------------------
 
   private def pts = Seq((1L, 5L), (2L, 100L), (3L, 250L), (4L, 999L))
