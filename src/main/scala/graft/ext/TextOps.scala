@@ -119,6 +119,85 @@ object TextOps {
     }
   }
 
+  /** Character-TRIGRAM language ID (Cavnar & Trenkle's n-gram method,
+    * "N-Gram-Based Text Categorization", 1994): each language gets a
+    * profile of its most frequent character trigrams (derived at init
+    * from an embedded seed corpus, spaces included so word boundaries
+    * count as evidence), a document is scored per language by summed
+    * trigram weights in ONE codegen string pass
+    * ([[graft.functions.TrigramWeightSum]]), language = argmax.
+    * More robust than the function-word scorer ([[langId]]) on short
+    * strings and inflected text; both are exact-SQL-mirrorable (the
+    * profile is data, not code). */
+  object TrigramLid {
+    /** Embedded seed corpora (self-authored running text per language;
+      * no apostrophes so profiles embed cleanly in SQL literals). */
+    val SeedCorpora: Seq[(String, String)] = Seq(
+      "en" -> ("the weather was cold and the children were walking to the " +
+        "school with their books because they wanted to learn something " +
+        "new that day and it was not far from the house where they lived " +
+        "with their family and friends who would often visit them there"),
+      "es" -> ("el tiempo era frío y los niños caminaban a la escuela con " +
+        "sus libros porque querían aprender algo nuevo ese día y no " +
+        "estaba lejos de la casa donde vivían con su familia y sus amigos " +
+        "que los visitaban muchas veces durante el año"),
+      "de" -> ("das wetter war kalt und die kinder gingen mit ihren " +
+        "büchern zur schule weil sie an diesem tag etwas neues lernen " +
+        "wollten und es war nicht weit von dem haus in dem sie mit ihrer " +
+        "familie wohnten und wo ihre freunde sie oft besuchten"),
+      "fr" -> ("le temps était froid et les enfants marchaient vers la " +
+        "ville avec leurs livres parce que ils voulaient apprendre " +
+        "quelque chose de nouveau ce jour et la maison où ils vivaient " +
+        "avec leur famille était proche et leurs amis venaient souvent"),
+      "it" -> ("il tempo era freddo e i bambini andavano alla scuola con " +
+        "i loro libri perché volevano imparare qualcosa di nuovo quel " +
+        "giorno e non era lontano dalla casa dove vivevano con la loro " +
+        "famiglia e dove i loro amici venivano spesso a trovarli"),
+      "pt" -> ("o tempo estava frio e as crianças caminhavam para a " +
+        "escola com os seus livros porque queriam aprender algo novo " +
+        "naquele dia e não era longe da casa onde viviam com a sua " +
+        "família e onde os seus amigos os visitavam muitas vezes"),
+      "nl" -> ("het weer was koud en de kinderen liepen naar de school " +
+        "met hun boeken omdat ze die dag iets nieuws wilden leren en het " +
+        "was niet ver van het huis waar ze met hun familie woonden en " +
+        "waar hun vrienden hen vaak kwamen bezoeken"),
+      "ru" -> ("погода была холодная и дети шли в школу со своими " +
+        "книгами потому что они хотели узнать что то новое в этот день " +
+        "и это было не далеко от дома где они жили со своей семьей и " +
+        "где их друзья часто бывали в гостях"))
+
+    /** Top-`k` trigram profile of a seed text: rank weights `k - rank`
+      * (frequency desc, trigram asc tiebreak — fully deterministic). */
+    def profile(seed: String, k: Int = 64): Seq[(String, Int)] = {
+      val canon = seed.toLowerCase.replaceAll("\\s+", " ").trim
+      val counts = canon.sliding(3).filter(_.length == 3).toSeq
+        .groupBy(identity).view.mapValues(_.size).toSeq
+      counts.sortBy { case (t, n) => (-n, t) }.take(k)
+        .zipWithIndex.map { case ((t, _), i) => (t, k - i) }
+    }
+
+    /** lang → trigram profile, derived once. */
+    val Profiles: Seq[(String, Seq[(String, Int)])] =
+      SeedCorpora.map { case (l, seed) => l -> profile(seed) }
+
+    /** Per-language trigram evidence score (one codegen string pass). */
+    def score(text: Column, lang: String): Column =
+      graft.functions.TextFunctions.trigramWeightSum(
+        canonicalText(text), Profiles.toMap.apply(lang))
+
+    /** Argmax language, first-listed wins exact ties, "und" when no
+      * profile trigram matches at all. */
+    def langId(text: Column): Column = {
+      val scored = Profiles.map { case (l, _) => l -> score(text, l) }
+      val best = scored.tail.foldLeft(scored.head._2) {
+        case (acc, (_, s)) => greatest(acc, s)
+      }
+      scored.foldRight(lit("und")) { case ((l, s), els) =>
+        when(s > 0 && s === best, lit(l)).otherwise(els)
+      }
+    }
+  }
+
   /** Duplicate-line ratio: 1 − distinct/total lines — the classic
     * boilerplate signal (repeated nav/footer lines in scraped text).
     * 0 for empty or single-line documents. */

@@ -181,6 +181,51 @@ case class CountMatching(child: Expression, pattern: String)
     copy(child = newChild)
 }
 
+/** Weighted character-trigram evidence: Σ weight(t) over every
+  * (overlapping) 3-char window `t` of the input string. The workhorse
+  * of trigram language-ID — one pass over the string, one hash probe
+  * per window, inside the codegen stage. Operates on UTF-16 chars
+  * (≡ code points ≡ SQL `substr` characters for BMP scripts). */
+case class TrigramWeightSum(child: Expression, profile: Seq[(String, Int)])
+    extends UnaryExpression {
+  override def prettyName: String = "graft_trigram_weight_sum"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.sql}")
+  }
+
+  @transient private lazy val map: java.util.HashMap[String, Long] = {
+    val m = new java.util.HashMap[String, Long](profile.size * 2)
+    profile.foreach { case (t, w) => m.put(t, w.toLong) }
+    m
+  }
+
+  def score(s: UTF8String): Long = {
+    val str = s.toString
+    var total = 0L
+    var i = 0
+    while (i + 3 <= str.length) {
+      val w = map.get(str.substring(i, i + 3))
+      if (w != null) total += w
+      i += 1
+    }
+    total
+  }
+
+  override def nullSafeEval(a: Any): Any = score(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("trigramSum", this, classOf[TrigramWeightSum].getName)
+    defineCodeGen(ctx, ev, s => s"$ref.score($s)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API front door for the text kernels. */
 object TextFunctions {
   def countInSet(tokens: Column, words: Seq[String],
@@ -189,6 +234,9 @@ object TextFunctions {
 
   def countMatching(tokens: Column, pattern: String): Column =
     ColumnBridge.column(CountMatching(ColumnBridge.expression(tokens), pattern))
+
+  def trigramWeightSum(text: Column, profile: Seq[(String, Int)]): Column =
+    ColumnBridge.column(TrigramWeightSum(ColumnBridge.expression(text), profile))
 
   def wordShingles(tokens: Column, n: Int, distinct: Boolean = true): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n, distinct))

@@ -35,8 +35,35 @@ object TextIRQueries {
     // aggregate with map-side combine → TakeOrdered top-k
     "text_ngram_topk" -> q { c =>
       TextIR.topNgrams(c.tw("documents"), "text", n = 2, k = 50)
+    },
+
+    // character-trigram language ID: the derived profiles are DATA, so
+    // DuckDB re-scores every document from the same (lang, trigram,
+    // weight) table and the argmax must agree exactly
+    "text_langid_trigram" -> q { c =>
+      import graft.ext.TextOps.TrigramLid
+      c.tw("documents").select(col("doc_id"),
+        TrigramLid.langId(col("text")).as("lang_pred"),
+        TrigramLid.score(col("text"), "en").as("score_en"),
+        TrigramLid.score(col("text"), "ru").as("score_ru"))
+        .orderBy("doc_id")
     }
   )
+
+  /** The trigram profiles + the Scala argmax tie order, as SQL data. */
+  private def trigramValuesSql: String = {
+    import graft.ext.TextOps.TrigramLid
+    val rows = TrigramLid.Profiles.flatMap { case (lang, prof) =>
+      prof.map { case (t, w) => s"('$lang', '${t.replace("'", "''")}', $w)" }
+    }
+    rows.mkString(", ")
+  }
+
+  private def prioValuesSql: String = {
+    import graft.ext.TextOps.TrigramLid
+    TrigramLid.Profiles.map(_._1).zipWithIndex
+      .map { case (l, i) => s"('$l', ${i + 1})" }.mkString(", ")
+  }
 
   private val postingsSql =
     """SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
@@ -79,6 +106,35 @@ object TextIRQueries {
          |  FROM scored)
          |SELECT doc_id, term, tfidf, rnk FROM r
          |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "text_langid_trigram" ->
+      s"""WITH w(lang, tri, wt) AS (VALUES $trigramValuesSql),
+         |prio(lang, p) AS (VALUES $prioValuesSql),
+         |canon AS (
+         |  SELECT doc_id,
+         |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+         |  FROM documents),
+         |tris AS (
+         |  SELECT doc_id, substr(s, i, 3) AS tri
+         |  FROM canon, LATERAL (SELECT unnest(generate_series(1,
+         |    greatest(len(s) - 2, 0))) AS i) g),
+         |scores AS (
+         |  SELECT t.doc_id, w.lang, sum(w.wt)::BIGINT AS score
+         |  FROM tris t JOIN w ON t.tri = w.tri GROUP BY 1, 2),
+         |best AS (
+         |  SELECT s.doc_id, s.lang, s.score, row_number() OVER (
+         |    PARTITION BY s.doc_id ORDER BY s.score DESC, p.p) AS rn
+         |  FROM scores s JOIN prio p ON s.lang = p.lang)
+         |SELECT d.doc_id,
+         |  CASE WHEN b.score IS NULL OR b.score = 0 THEN 'und'
+         |       ELSE b.lang END AS lang_pred,
+         |  coalesce(en.score, 0) AS score_en,
+         |  coalesce(ru.score, 0) AS score_ru
+         |FROM documents d
+         |LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+         |LEFT JOIN scores en ON d.doc_id = en.doc_id AND en.lang = 'en'
+         |LEFT JOIN scores ru ON d.doc_id = ru.doc_id AND ru.lang = 'ru'
+         |ORDER BY d.doc_id""".stripMargin,
 
     "text_ngram_topk" ->
       """WITH toks AS (

@@ -218,6 +218,23 @@ class ExtSpec extends SparkSpec {
     out.foreach { case (exp, got) => assert(got === exp, s"expected $exp got $got") }
   }
 
+  test("trigram language id separates eight languages and matches und on noise") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with this house"),
+      ("es", "el gato se sentó en la alfombra y estaba feliz con su casa"),
+      ("de", "die katze saß auf der matte und sie ist mit dem haus zufrieden"),
+      ("fr", "le chat est sur le tapis et il est content avec la maison"),
+      ("it", "il gatto è sul tappeto e non vuole andare via dalla casa"),
+      ("pt", "o gato está no tapete e ele é feliz com a casa que tem"),
+      ("nl", "de kat zit op de mat en hij is niet blij met het huis"),
+      ("ru", "я не знаю что он думает но это так как все говорят"),
+      ("und", "zzzz"))
+    val out = samples.toDF("expected", "text")
+      .withColumn("got", TextOps.TrigramLid.langId(col("text")))
+      .select("expected", "got").as[(String, String)].collect()
+    out.foreach { case (exp, got) => assert(got === exp, s"expected $exp got $got") }
+  }
+
   test("stripDuplicateLines drops cross-document boilerplate, keeps order") {
     val multiline = Seq(
       (1L, "unique opening\ncookie banner\nbody one"),
