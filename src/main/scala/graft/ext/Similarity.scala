@@ -74,6 +74,22 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** RANGE (radius) search: every corpus vector within cosine >=
+    * `threshold` of each broadcast query — the "find everything similar
+    * enough" primitive (dedup against a blocklist, nearest-cluster
+    * assignment, retrieval with a score floor). Same one-pass broadcast
+    * scan shape as [[bruteForceTopK]]; no per-query state, so output
+    * size is data-dependent rather than k-bounded. */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, threshold: Double): DataFrame = {
+    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("q_vec")))
+    corpus.select(col(id).as("match_id"), col(vec).as("c_vec"))
+      .join(q, col("query_id") =!= col("match_id"))
+      .withColumn("cosine", Dedup.cosine(col("q_vec"), col("c_vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("query_id"), col("match_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** IVF (inverted-file) index: a coarse k-means quantizer buckets the
     * corpus by nearest centroid; a query scans only its `nprobe`
     * closest buckets. The standard ANN scale path when the query set is

@@ -173,6 +173,15 @@ object ExtQueries {
     },
 
     // ---- similarity search ----------------------------------------------
+    // radius (range) search: everything within a cosine floor of each
+    // broadcast query — output is data-dependent, not k-bounded
+    "sim_radius_search" -> q { c =>
+      val vecs = c.t("embeddings")
+      Similarity.radiusSearch(vecs, vecs.filter(col("vec_id") < 5),
+        "vec_id", "embedding", threshold = 0.28)
+        .orderBy("query_id", "match_id")
+    },
+
     "sim_brute_topk" -> q { c =>
       val vecs = c.t("embeddings")
       Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 10),
@@ -434,6 +443,16 @@ object ExtQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_radius_search" ->
+      """SELECT q.vec_id AS query_id, v.vec_id AS match_id,
+        |  round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |    v.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings q JOIN embeddings v
+        |  ON q.vec_id < 5 AND v.vec_id != q.vec_id
+        |WHERE list_cosine_similarity(q.embedding::DOUBLE[],
+        |  v.embedding::DOUBLE[]) >= 0.28
+        |ORDER BY query_id, match_id""".stripMargin,
 
     "sim_brute_topk" ->
       """WITH scored AS (

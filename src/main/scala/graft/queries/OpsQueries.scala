@@ -81,6 +81,17 @@ object OpsQueries {
         .orderBy("event_id")
     },
 
+    // time-series resample: hourly buckets per event type, DENSIFIED
+    // (empty hours emitted as 0) + a trailing 3-bucket moving average
+    // over the regular grid
+    "ops_resample_fill" -> q { c =>
+      val ev = c.t("events")
+      val dense = graft.operators.Resample.denseCounts(
+        ev, "event_type", "ts", width = 3600000000000L)
+      graft.operators.Resample.withMovingAvg(dense, "event_type", lookback = 2)
+        .orderBy("event_type", "bucket")
+    },
+
     // stratified deterministic sampling — the training-mix dial: keep
     // all rare-language docs, downsample the dominant language; the
     // rate lookup compiles to a literal CASE, membership stays a pure
@@ -179,6 +190,25 @@ object OpsQueries {
         |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
         |    AS session_seq
         |FROM m ORDER BY event_id""".stripMargin,
+
+    "ops_resample_fill" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket
+        |  FROM events),
+        |c AS (SELECT event_type, bucket, count(*) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(bucket) b0, max(bucket) b1
+        |      FROM e GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(b0, b1)) AS bucket FROM b),
+        |f AS (
+        |  SELECT g.event_type, g.bucket, coalesce(n, 0) AS n
+        |  FROM grid g LEFT JOIN c ON g.event_type = c.event_type
+        |    AND g.bucket = c.bucket)
+        |SELECT event_type, bucket, n,
+        |  CAST(CAST(avg(n) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,6))
+        |    * 1000000 AS BIGINT) AS ma_e6
+        |FROM f ORDER BY event_type, bucket""".stripMargin,
 
     // per-stratum thresholds are round(rate * 2^32)
     "ops_stratified_sample" ->

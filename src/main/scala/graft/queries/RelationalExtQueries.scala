@@ -78,6 +78,39 @@ object RelationalExtQueries {
         .orderBy("o_orderstatus")
     },
 
+    // --- FULL OUTER join: per-day purchase vs error activity; either
+    // side may be absent (null-filled) ---
+    "rel_join_full" -> q { c =>
+      val ev = c.t("events")
+      def daily(t: String, as: String) = ev
+        .filter(col("event_type") === t)
+        .groupBy(expr("ts DIV 86400000000000").as(s"${as}_day"))
+        .agg(count(lit(1)).as(s"n_$as"))
+      daily("purchase", "p").join(daily("error", "e"),
+          col("p_day") === col("e_day"), "full_outer")
+        .select(coalesce(col("p_day"), col("e_day")).as("day"),
+          coalesce(col("n_p"), lit(0L)).as("n_purchases"),
+          coalesce(col("n_e"), lit(0L)).as("n_errors"))
+        .orderBy("day")
+    },
+
+    // --- distribution window functions: ntile / percent_rank /
+    // cume_dist over order values per status ---
+    "rel_window_stats" -> q { c =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      c.t("orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"),
+          (percent_rank().over(w).cast("decimal(18,6)") * 1000000)
+            .cast("long").as("pct_rank_e6"),
+          (cume_dist().over(w).cast("decimal(18,6)") * 1000000)
+            .cast("long").as("cume_dist_e6"))
+        .orderBy("o_orderkey")
+    },
+
     // --- regex extraction / backreference replace / rlike filter ---
     "rel_regexp" -> q { c =>
       c.t("part")
@@ -137,6 +170,31 @@ object RelationalExtQueries {
         |  prios[1] AS first_prio,
         |  array_to_string(prios[2:3], ',') AS mid_prios
         |FROM g ORDER BY o_orderstatus""".stripMargin,
+
+    "rel_join_full" ->
+      """WITH p AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS p_day, count(*) AS n_p
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |e AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS e_day, count(*) AS n_e
+        |  FROM events WHERE event_type = 'error' GROUP BY 1)
+        |SELECT coalesce(p_day, e_day) AS day,
+        |  coalesce(n_p, 0) AS n_purchases,
+        |  coalesce(n_e, 0) AS n_errors
+        |FROM p FULL OUTER JOIN e ON p_day = e_day
+        |ORDER BY day""".stripMargin,
+
+    "rel_window_stats" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4) OVER w AS quartile,
+        |  CAST(CAST(percent_rank() OVER w AS DECIMAL(18,6)) * 1000000
+        |    AS BIGINT) AS pct_rank_e6,
+        |  CAST(CAST(cume_dist() OVER w AS DECIMAL(18,6)) * 1000000
+        |    AS BIGINT) AS cume_dist_e6
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "rel_regexp" ->
       """SELECT p_partkey,

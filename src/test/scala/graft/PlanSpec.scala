@@ -62,6 +62,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("filter and column pruning push through the wide-load repartition") {
+    import org.apache.spark.sql.functions._
+    val p = Tables.loadWide(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select("doc_id", "lang")
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("EqualTo(lang,en)") || p.contains("PushedFilters: [IsNotNull(lang)"),
+      s"filter must reach the scan below the repartition:\n$p")
+    assert(!p.contains("text#"), s"unread text column must prune at the scan:\n$p")
+  }
+
+  test("bm25 keeps df/stats on broadcasts and the postings on hash joins") {
+    val p = plan("text_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"df/stats must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+  }
+
+  test("trigram language id stays inside whole-stage codegen") {
+    assert(codegenPlan("text_langid_trigram").contains("WholeStageCodegen"))
+  }
+
+  test("lateral top-k decorrelates to a window group limit, not a re-execution") {
+    val p = plan("rel_lateral")
+    assert(p.contains("WindowGroupLimit"), s"expected rank pushdown:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("exists/not-exists compile to semi and anti hash joins") {
+    val p = plan("rel_exists")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), s"plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("incremental window reaches the scan as a pushed predicate") {
     val df = spark.read.parquet(s"$dir/orders.parquet")
     val windowed = graft.incremental.Incremental(df,
