@@ -92,6 +92,44 @@ object StreamQueries {
         .orderBy("event_id")
     },
 
+    // streaming SCD2: two revision files admitted as SEPARATE micro-
+    // batches (maxFilesPerTrigger=1, mtime order); each batch is a
+    // partitioned-SCD2 load (mergeKey scoping: only keys present in the
+    // batch may retire), validity boundaries keyed off the batch id
+    "stream_scd2" -> q { c =>
+      val tmp = Files.createTempDirectory("graft-stscd").toString
+      val base = c.t("orders").filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+      val changed = base.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("price",
+          when(col("o_orderkey") % 5 === 0, col("price") * 2)
+            .otherwise(col("price")))
+      def emit(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val staging = s"$tmp/_stage_$name"
+        df.repartition(1).write.parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(s"$tmp/src/$name.parquet")
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime)
+      }
+      emit(base, "r1", 1700000000000L)
+      emit(changed, "r2", 1700009000000L)
+      val store = new TableStore(s"$tmp/store", c.spark)
+      val src = Streaming.fileStream(c.spark, s"$tmp/src",
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val bounds = Seq("2024-01-01 00:00:00", "2024-06-01 00:00:00")
+      Streaming.intoScd2(store, src, "t", id =>
+        graft.write.Scd2Config(trackedColumns = Seq("o_orderkey", "price"),
+          boundaryTs = bounds(id.toInt), mergeKey = Seq("o_orderkey")))
+      store.read("t").select(
+        col("o_orderkey"), col("price"),
+        date_format(col("_dlt_valid_from"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("_dlt_valid_to"), "yyyy-MM-dd").as("valid_to"))
+        .orderBy("o_orderkey", "valid_from")
+    },
+
     // event-time SESSION windows (30-min gap), complete mode: per-user
     // sessions merge incrementally in the state store across batches
     "stream_session_window" -> q { c =>
@@ -161,6 +199,20 @@ object StreamQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "stream_dedup_exactly_once" ->
       "SELECT event_id, user_id FROM events ORDER BY event_id",
+
+    // partitioned SCD2 over the stream: keys absent from batch 2
+    // (o_orderkey % 7 = 0) are NOT retired — only keys present in a
+    // batch may close
+    "stream_scd2" ->
+      """SELECT o_orderkey, o_totalprice AS price, '2024-01-01' AS valid_from,
+        |  CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |       THEN '2024-06-01' END AS valid_to
+        |FROM orders WHERE o_orderkey < 1000
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice * 2, '2024-06-01', NULL
+        |FROM orders
+        |WHERE o_orderkey < 1000 AND o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
 
     // gap-sessionization from first principles; a diff of EXACTLY the
     // gap starts a new session ([t, t+gap) ranges must overlap to merge)

@@ -35,7 +35,8 @@ object Streaming {
     * explicit schema). The file-stream source only accepts directories;
     * a single-file path is exposed through a temp dir symlink. */
   def fileStream(spark: SparkSession, path: String,
-      format: String = "parquet", schema: Option[StructType] = None): DataFrame = {
+      format: String = "parquet", schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val s = schema.getOrElse(spark.read.format(format).load(path).schema)
     val p = java.nio.file.Paths.get(path)
     val dir =
@@ -44,7 +45,7 @@ object Streaming {
         java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
         d.toString
       } else path
-    spark.readStream.format(format).schema(s).load(dir)
+    spark.readStream.format(format).schema(s).options(options).load(dir)
   }
 
   /** Drain `stream` with Trigger.AvailableNow, applying `sink` to each
