@@ -106,12 +106,12 @@ object OpsQueries {
 
     // HLL approximate distinct vs exact: the estimate is deterministic
     // (hash-based, order-independent merge), the gate asserts the
-    // published error bound holds (rsd 0.01 → well inside 5%)
+    // published error bound holds (rsd 0.02 → well inside 5%)
     "ops_approx_distinct" -> q { c =>
       c.t("events")
         .groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")).cast("double") /
             col("exact_users") <= 0.05).as("within_5pct"))
