@@ -29,6 +29,49 @@ object PlaneQueries {
       p.store.read("ev").select("event_id", "user_id", "event_type").orderBy("event_id")
     },
 
+    // SCHEMA EVOLUTION across loads: load 2 adds a column and drops
+    // another; the destination table widens additively (old rows read
+    // NULL for the new column, the dropped column stays, NULL-filled
+    // for new rows) — reference evolve-mode contracts
+    "plane_schema_evolve" -> q { c =>
+      val p = new Pipeline("se", Files.createTempDirectory("graft-se").toString, c.spark)
+      val ev = c.t("events")
+      val half1 = ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "user_id", "event_type")
+      val half2 = ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"),
+          col("value").as("amount")) // new column, no event_type
+      p.run(Seq(Resource("ev", half1)), "1")
+      p.run(Seq(Resource("ev", half2)), "2")
+      p.store.read("ev")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (coalesce(col("amount"), lit(-1.0)).cast("decimal(18,4)") * 10000)
+            .cast("long").as("amount_e4"))
+        .orderBy("event_id")
+    },
+
+    // incremental cursor RIDING MICRO-BATCHES: the second stream re-
+    // delivers the boundary row; fingerprint dedup + cursor state keep
+    // the table exactly-once without any checkpoint help
+    "stream_incremental_cursor" -> q { c =>
+      val p = new Pipeline("sinc", Files.createTempDirectory("graft-sinc").toString, c.spark)
+      val cfg = Incremental.Config(cursorColumn = "event_id",
+        primaryKey = Seq("event_id"))
+      val tmp = Files.createTempDirectory("graft-sinc-src").toString
+      val events = c.t("events").select("event_id", "user_id", "event_type")
+      val mid = events.agg((max(col("event_id")) / 2).cast("long")).head().getLong(0)
+      events.filter(col("event_id") <= mid).write.parquet(s"$tmp/b1")
+      events.filter(col("event_id") >= mid).write.parquet(s"$tmp/b2") // overlap
+      def drain(dir: String): Unit =
+        graft.streaming.Streaming.intoPipeline(p,
+          graft.streaming.Streaming.fileStream(c.spark, dir),
+          b => Resource("ev", b).withIncremental(cfg))
+      drain(s"$tmp/b1")
+      drain(s"$tmp/b2")
+      p.store.read("ev").select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+
     // relation facade: typed filter ops + select + order + limit
     "ds_relation_ops" -> q { c =>
       val p = new Pipeline("ds", Files.createTempDirectory("graft-ds").toString, c.spark)
@@ -85,6 +128,16 @@ object PlaneQueries {
   val oracles: Map[String, String] = Map(
     "inc_exactly_once" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "plane_schema_evolve" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 2 = 0 THEN event_type END AS event_type,
+        |  CAST(CAST(CASE WHEN event_id % 2 = 1 THEN value ELSE -1.0 END
+        |    AS DECIMAL(18,4)) * 10000 AS BIGINT) AS amount_e4
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_incremental_cursor" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+
     "ds_relation_ops" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE lang = 'en' AND n_chars >= 100
