@@ -81,6 +81,27 @@ object LifecycleQueries {
         .orderBy("event_id")
     },
 
+    // TIME TRAVEL: immutable segments + retained manifests make old
+    // snapshots free to read — v1 is read AFTER an append and a
+    // tombstone delete have moved the table on, and must show neither
+    "lifecycle_time_travel" -> q { c =>
+      import graft.write.TableStore
+      val store = new TableStore(tmp("graft-tt"), c.spark)
+      val ev = c.t("events").select("event_id", "user_id")
+      store.overwrite("t", ev.filter(col("event_id") < 100))
+      val snap1 = store.snapshots("t").last
+      store.append("t", ev.filter(col("event_id") >= 100 && col("event_id") < 200))
+      // merge-on-read delete of even ids < 100 + an insert, one commit
+      store.appendWithTombstone("t",
+        ev.filter(col("event_id") >= 200 && col("event_id") < 250), "event_id",
+        ev.filter(col("event_id") < 100 && col("event_id") % 2 === 0)
+          .select("event_id"))
+      val v1 = store.readAt("t", snap1).withColumn("version", lit("v1"))
+      val cur = store.read("t").withColumn("version", lit("current"))
+      v1.unionByName(cur).select("version", "event_id", "user_id")
+        .orderBy("version", "event_id")
+    },
+
     // refresh drop_data: truncate keeps schema; reload only 'en' docs
     "lifecycle_refresh" -> q { c =>
       val p = new Pipeline("rf", tmp("graft-rf"), c.spark)
@@ -109,6 +130,13 @@ object LifecycleQueries {
     "lifecycle_refresh" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    "lifecycle_time_travel" ->
+      """SELECT 'v1' AS version, event_id, user_id FROM events
+        |WHERE event_id < 100
+        |UNION ALL
+        |SELECT 'current', event_id, user_id FROM events
+        |WHERE event_id < 250 AND NOT (event_id < 100 AND event_id % 2 = 0)
+        |ORDER BY version, event_id""".stripMargin,
     "plane_table_dispatch" ->
       """SELECT event_id, event_type, user_id FROM events
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin

@@ -89,13 +89,46 @@ final class TableStore(val root: String, spark: SparkSession) {
     readSegmentsApplied(table, segs)
   }
 
+  /** Snapshot ids of `table`, oldest → newest. A snapshot id is the
+    * commit timestamp embedded in its manifest name; every commit
+    * creates one and [[vacuum]] prunes old ones, so the ids present are
+    * exactly the time-travel points still readable. */
+  def snapshots(table: String): Seq[Long] = {
+    val dir = tableDir(table)
+    if (!Files.exists(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("manifest-") && n.endsWith(".txt") =>
+        n.stripPrefix("manifest-").stripSuffix(".txt").toLong }
+      .toSeq.sorted
+  }
+
+  /** TIME TRAVEL: the table as of `snapshot` (an id from [[snapshots]]).
+    * Reads that manifest's segment list with that manifest's tombstones
+    * applied — immutable segments make this free: no data is copied or
+    * reconstructed, the old manifest simply still describes it. */
+  def readAt(table: String, snapshot: Long): DataFrame = {
+    val manifest = tableDir(table).resolve(s"manifest-$snapshot.txt")
+    require(Files.exists(manifest),
+      s"snapshot $snapshot of $table does not exist (vacuumed?)")
+    val lines = new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val segs = lines.filterNot(_.startsWith("!")).map(decodeSegment)
+    val tombs = lines.filter(_.startsWith("!")).flatMap(decodeTombstone)
+    require(segs.nonEmpty, s"snapshot $snapshot of $table is empty")
+    appliedRead(table, segs, tombs)
+  }
+
   /** Read `segs` with tombstones applied, grouping segments by the
     * tombstone set covering them so newer segments never anti-join
     * against older deletes (generation correctness). Partial-segment
     * readers (pruned merge, scd2 active set) use this instead of the
     * raw [[readSegments]] so dead rows never resurface. */
-  def readSegmentsApplied(table: String, segs: Seq[Segment]): DataFrame = {
-    val tombs = currentTombstones(table)
+  def readSegmentsApplied(table: String, segs: Seq[Segment]): DataFrame =
+    appliedRead(table, segs, currentTombstones(table))
+
+  private def appliedRead(table: String, segs: Seq[Segment],
+      tombs: Seq[Tombstone]): DataFrame = {
     val relevant = tombs.filter(t => segs.exists(s => t.covered(s.name)))
     if (relevant.isEmpty) readSegments(table, segs)
     else {

@@ -29,6 +29,29 @@ class WriteSpec extends SparkSpec {
     assert(d.loadIds == Seq("1", "2"))
   }
 
+  test("time travel reads old snapshots across appends, tombstones and vacuum") {
+    val store = newStore()
+    store.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val s1 = store.snapshots("t").last
+    store.append("t", Seq((3L, "c")).toDF("id", "v"))
+    val s2 = store.snapshots("t").last
+    // merge-on-read delete of id=1 + insert of id=4 in one commit
+    store.appendWithTombstone("t", Seq((4L, "d")).toDF("id", "v"),
+      "id", Seq(Tuple1(1L)).toDF("id"))
+    assert(store.readAt("t", s1).select("id").as[Long].collect().sorted
+      === Array(1L, 2L))
+    assert(store.readAt("t", s2).select("id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L))
+    assert(store.read("t").select("id").as[Long].collect().sorted
+      === Array(2L, 3L, 4L))
+    assert(store.snapshots("t").size === 3)
+    // vacuum prunes old manifests; the pruned snapshot refuses cleanly
+    store.vacuum("t", retainManifests = 1)
+    intercept[IllegalArgumentException](store.readAt("t", s1))
+    assert(store.read("t").select("id").as[Long].collect().sorted
+      === Array(2L, 3L, 4L))
+  }
+
   test("replace strategies all end with only the new load") {
     for (s <- Seq(ReplaceStrategy.TruncateAndInsert, ReplaceStrategy.InsertFromStaging,
       ReplaceStrategy.StagingOptimized)) {
