@@ -102,6 +102,32 @@ object LifecycleQueries {
         .orderBy("version", "event_id")
     },
 
+    // CHANGE FEED between snapshots: updates surface as delete+insert
+    // pairs of the same key; computed from the immutable snapshots
+    // themselves (two anti-joins), no per-row version bookkeeping
+    "lifecycle_table_diff" -> q { c =>
+      import graft.write.{Merge, MergeConfig, TableStore, Dispositions}
+      val store = new TableStore(tmp("graft-td"), c.spark)
+      val d = new Dispositions(store, c.spark)
+      val o = c.t("orders").select(col("o_orderkey"), col("o_orderstatus"))
+        .filter(col("o_orderkey") < 500)
+      val cfg = MergeConfig(primaryKey = Seq("o_orderkey"))
+      d.merge("t", Merge.dedup(o, cfg), cfg, "1")
+      val s1 = store.snapshots("t").last
+      // load 2: flip status of %3==0, delete %7==0, insert 500-549
+      val upd = c.t("orders").select(col("o_orderkey"), col("o_orderstatus"))
+        .filter(col("o_orderkey") < 550)
+        .filter(col("o_orderkey") % 7 =!= 0 || col("o_orderkey") >= 500)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 3 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      d.replace("t", upd, "2")
+      val s2 = store.snapshots("t").last
+      store.diff("t", s1, s2, Seq("o_orderkey", "o_orderstatus"))
+        .select("_change", "o_orderkey", "o_orderstatus")
+        .orderBy("_change", "o_orderkey")
+    },
+
     // refresh drop_data: truncate keeps schema; reload only 'en' docs
     "lifecycle_refresh" -> q { c =>
       val p = new Pipeline("rf", tmp("graft-rf"), c.spark)
@@ -130,6 +156,21 @@ object LifecycleQueries {
     "lifecycle_refresh" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    "lifecycle_table_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 500),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus
+        |  FROM orders
+        |  WHERE o_orderkey < 550 AND (o_orderkey % 7 <> 0 OR o_orderkey >= 500))
+        |SELECT 'insert' AS _change, o_orderkey, o_orderstatus
+        |FROM v2 ANTI JOIN v1 USING (o_orderkey, o_orderstatus)
+        |UNION ALL
+        |SELECT 'delete', o_orderkey, o_orderstatus
+        |FROM v1 ANTI JOIN v2 USING (o_orderkey, o_orderstatus)
+        |ORDER BY _change, o_orderkey""".stripMargin,
     "lifecycle_time_travel" ->
       """SELECT 'v1' AS version, event_id, user_id FROM events
         |WHERE event_id < 100

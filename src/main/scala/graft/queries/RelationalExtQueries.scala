@@ -111,6 +111,62 @@ object RelationalExtQueries {
         .orderBy("o_orderkey")
     },
 
+    // --- null-handling scalar pack over an outer join's null side ---
+    "rel_null_funcs" -> q { c =>
+      val cust = c.t("customer")
+      val big = c.t("orders").filter(col("o_totalprice") > 400000)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_big"),
+          max("o_totalprice").as("max_big"))
+      cust.join(big, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"),
+          nvl2(col("n_big"), lit("whale"), lit("minnow")).as("segment"),
+          nullif(coalesce(col("n_big"), lit(0L)), lit(0L)).as("n_or_null"),
+          (coalesce(col("max_big"), lit(0.0)).cast("decimal(18,2)") * 100)
+            .cast("long").as("max_c"),
+          isnull(col("max_big")).as("no_big"))
+        .orderBy("c_custkey")
+    },
+
+    // --- string-distance pack: levenshtein over nation-name pairs ---
+    "rel_edit_distance" -> q { c =>
+      val a = c.t("nation").select(col("n_nationkey").as("ka"),
+        col("n_name").as("na"))
+      val b = c.t("nation").select(col("n_nationkey").as("kb"),
+        col("n_name").as("nb"))
+      a.join(b, col("ka") < col("kb"))
+        .select(col("ka"), col("kb"),
+          levenshtein(col("na"), col("nb")).as("dist"))
+        .filter(col("dist") <= 4)
+        .orderBy("ka", "kb")
+    },
+
+    // --- approximate quantile with an error-bound gate: the KLL-style
+    // sketch is deterministic; the gate asserts the estimate lands
+    // within 2% RANK error of the exact quantile (oracle emits the
+    // matching all-true flags) ---
+    "rel_approx_quantile" -> q { c =>
+      val li = c.t("lineitem")
+      val exact = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
+          count(lit(1)).as("n"))
+      val approx = li.groupBy("l_returnflag")
+        .agg(expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_med"))
+      // rank-error check: the approx median must sit between the exact
+      // 48th and 52nd percentiles
+      val bounds = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.48)").as("lo"),
+          expr("percentile(l_extendedprice, 0.52)").as("hi"))
+      exact.join(approx, "l_returnflag").join(bounds, "l_returnflag")
+        .select(col("l_returnflag"),
+          (col("exact_med").cast("decimal(18,4)") * 10000).cast("long")
+            .as("exact_med_e4"),
+          (col("approx_med") >= col("lo") && col("approx_med") <= col("hi"))
+            .as("within_2pct_rank"))
+        .orderBy("l_returnflag")
+    },
+
     // --- regex extraction / backreference replace / rlike filter ---
     "rel_regexp" -> q { c =>
       c.t("part")
@@ -195,6 +251,34 @@ object RelationalExtQueries {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |  ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "rel_null_funcs" ->
+      """WITH big AS (
+        |  SELECT o_custkey, count(*) AS n_big, max(o_totalprice) AS max_big
+        |  FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
+        |SELECT c_custkey,
+        |  coalesce(n_big, 0) AS n_big,
+        |  CASE WHEN n_big IS NOT NULL THEN 'whale' ELSE 'minnow' END AS segment,
+        |  nullif(coalesce(n_big, 0), 0) AS n_or_null,
+        |  CAST(CAST(coalesce(max_big, 0.0) AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS max_c,
+        |  max_big IS NULL AS no_big
+        |FROM customer LEFT JOIN big ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "rel_edit_distance" ->
+      """SELECT a.n_nationkey AS ka, b.n_nationkey AS kb,
+        |  levenshtein(a.n_name, b.n_name) AS dist
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        |WHERE levenshtein(a.n_name, b.n_name) <= 4
+        |ORDER BY ka, kb""".stripMargin,
+
+    "rel_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,4))
+        |    * 10000 AS BIGINT) AS exact_med_e4,
+        |  true AS within_2pct_rank
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "rel_regexp" ->
       """SELECT p_partkey,

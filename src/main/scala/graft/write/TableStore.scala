@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Try
 
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.functions.{col, lit, max, min}
 import org.apache.spark.sql.types._
 
 /** Column min/max carried in the manifest per segment — the pruning
@@ -117,6 +117,24 @@ final class TableStore(val root: String, spark: SparkSession) {
     val tombs = lines.filter(_.startsWith("!")).flatMap(decodeTombstone)
     require(segs.nonEmpty, s"snapshot $snapshot of $table is empty")
     appliedRead(table, segs, tombs)
+  }
+
+  /** CHANGE FEED between two snapshots: per-key inserts and deletes
+    * (an update appears as delete + insert of the same key). Computed
+    * as two hash anti-joins on the key — no per-row versioning is
+    * stored, the immutable snapshots themselves are the feed. Column
+    * set follows the `to` snapshot (schema evolution widens). */
+  def diff(table: String, from: Long, to: Long,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs key columns")
+    val a = readAt(table, from)
+    val b = readAt(table, to)
+    b.join(a.select(keys.map(col): _*), keys, "left_anti")
+      .withColumn("_change", lit("insert"))
+      .unionByName(
+        a.join(b.select(keys.map(col): _*), keys, "left_anti")
+          .withColumn("_change", lit("delete")),
+        allowMissingColumns = true)
   }
 
   /** Read `segs` with tombstones applied, grouping segments by the
