@@ -100,6 +100,42 @@ object PlaneQueries {
         .df()
     },
 
+    // TRANSFORMER (resource | transformer, reference §3.3): a parent
+    // resource feeds a derived child resource in the same load — here
+    // orders fan out 1→N into per-order fee line items; both tables
+    // land atomically under one load id
+    "plane_transformer" -> q { c =>
+      val p = new Pipeline("tr", Files.createTempDirectory("graft-tr").toString, c.spark)
+      val orders = c.t("orders").filter(col("o_orderkey") < 500)
+        .select("o_orderkey", "o_totalprice")
+      val fees = Resource("order_fees", orders.select(col("o_orderkey"),
+          explode(array(
+            struct(lit("base").as("fee_type"),
+              (col("o_totalprice").cast("decimal(18,4)") * 2 / 100)
+                .cast("decimal(18,4)").as("fee")),
+            struct(lit("rush").as("fee_type"),
+              when(col("o_totalprice") > 200000, lit(500.0)).otherwise(lit(0.0))
+                .cast("decimal(18,4)").as("fee")))).as("f"))
+          .select(col("o_orderkey"), col("f.fee_type"),
+            (col("f.fee") * 10000).cast("long").as("fee_e4")))
+      p.run(Seq(Resource("orders_small", orders), fees), "1")
+      p.store.read("order_fees")
+        .select("o_orderkey", "fee_type", "fee_e4")
+        .orderBy("o_orderkey", "fee_type")
+    },
+
+    // skew-salted join must be RESULT-IDENTICAL to the plain join it
+    // replaces (salting only changes the physical key distribution)
+    "plane_salted_join" -> q { c =>
+      val ev = c.t("events").select("event_id", "user_id", "event_type")
+      val users = c.t("events").groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      graft.ext.Skew.saltedJoin(ev, users, Seq("user_id"), buckets = 8)
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "n_events")
+        .orderBy("event_id")
+    },
+
     // filesystem source: csv write + distributed read with provenance
     "src_csv_roundtrip" -> q { c =>
       val dir = Files.createTempDirectory("graft-csv").toString
@@ -146,6 +182,25 @@ object PlaneQueries {
       """SELECT c_custkey, n_name AS nation__n_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY c_custkey""".stripMargin,
+    "plane_transformer" ->
+      """SELECT o_orderkey, 'base' AS fee_type,
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 2 / 100
+        |    AS DECIMAL(18,4)) * 10000 AS BIGINT) AS fee_e4
+        |FROM orders WHERE o_orderkey < 500
+        |UNION ALL
+        |SELECT o_orderkey, 'rush',
+        |  CAST(CAST(CASE WHEN o_totalprice > 200000 THEN 500.0 ELSE 0.0 END
+        |    AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey, fee_type""".stripMargin,
+
+    "plane_salted_join" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT event_id, user_id, n_events
+        |FROM events JOIN u USING (user_id)
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
     "src_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "src_rest_pages" ->
