@@ -63,10 +63,12 @@ object TextIR {
       avg("dl").as("avgdl"))
     val postings = termFrequencies(docs, id, text)
       .where(col("term").isin(query: _*))
-    val dfs = postings.groupBy("term")
-      .agg(countDistinct(col(id)).cast("double").as("df"))
+    // df as a window count over the postings themselves (one row per
+    // (doc, term), so count ≡ distinct docs): an aggregate-and-join-back
+    // would re-run the whole tokenize/explode lineage for a second scan
     postings
-      .join(broadcast(dfs), "term")
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")).cast("double"))
       .join(lens, Seq(id))
       .crossJoin(broadcast(stats))
       .withColumn("_idf",
@@ -86,10 +88,11 @@ object TextIR {
                     k: Int = 3): DataFrame = {
     val postings = termFrequencies(docs, id, text)
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val dfs = postings.groupBy("term")
-      .agg(countDistinct(col(id)).cast("double").as("df"))
+    // df via a window over the postings (see bm25) — the join-back form
+    // tokenizes the corpus twice
     val scored = postings
-      .join(dfs, "term")
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")).cast("double"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
     val w = Window.partitionBy(col(id)).orderBy(col("tfidf").desc, col("term"))
