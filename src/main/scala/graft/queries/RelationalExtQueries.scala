@@ -147,22 +147,18 @@ object RelationalExtQueries {
     // within 2% RANK error of the exact quantile (oracle emits the
     // matching all-true flags) ---
     "rel_approx_quantile" -> q { c =>
-      val li = c.t("lineitem")
-      val exact = li.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
-          count(lit(1)).as("n"))
-      val approx = li.groupBy("l_returnflag")
-        .agg(expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_med"))
       // rank-error check: the approx median must sit between the exact
-      // 48th and 52nd percentiles
-      val bounds = li.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.48)").as("lo"),
-          expr("percentile(l_extendedprice, 0.52)").as("hi"))
-      exact.join(approx, "l_returnflag").join(bounds, "l_returnflag")
+      // 48th and 52nd percentiles; exact bounds + sketch in ONE
+      // aggregation pass (separate aggs would scan the table 3x)
+      c.t("lineitem").groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, array(0.48, 0.5, 0.52))").as("ps"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_med"))
         .select(col("l_returnflag"),
-          (col("exact_med").cast("decimal(18,4)") * 10000).cast("long")
+          (element_at(col("ps"), 2).cast("decimal(18,4)") * 10000).cast("long")
             .as("exact_med_e4"),
-          (col("approx_med") >= col("lo") && col("approx_med") <= col("hi"))
+          (col("approx_med") >= element_at(col("ps"), 1) &&
+            col("approx_med") <= element_at(col("ps"), 3))
             .as("within_2pct_rank"))
         .orderBy("l_returnflag")
     },
