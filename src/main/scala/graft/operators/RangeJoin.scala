@@ -43,4 +43,31 @@ object RangeJoin {
       .filter(col(pointTs).between(col(startCol), col(endCol)))
       .drop("__bin")
   }
+
+  /** INTERVAL × INTERVAL overlap join: pairs whose `[s, e]` ranges
+    * intersect (inclusive ends). Same binning strategy — both sides
+    * replicate to covering bins and equi-join on the bin — but an
+    * overlapping pair can now share MANY bins, so each pair is emitted
+    * only in the first bin both occupy (`max(bin(s_a), bin(s_b))`):
+    * exact dedup as a filter, never a distinct over the output. */
+  def intervalsOverlap(left: DataFrame, right: DataFrame,
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(overlap.isEmpty, s"column collision: ${overlap.mkString(", ")}")
+    def bin(c: String) = expr(s"`$c` div $binWidth")
+    val l = left.withColumn("__bin",
+      explode(sequence(bin(leftStart), bin(leftEnd))))
+    val r = right.withColumn("__bin",
+      explode(sequence(bin(rightStart), bin(rightEnd))))
+    l.join(r, "__bin" +: keys)
+      .filter(col(leftStart) <= col(rightEnd) &&
+        col(rightStart) <= col(leftEnd))
+      .filter(col("__bin") ===
+        greatest(expr(s"`$leftStart` div $binWidth"),
+          expr(s"`$rightStart` div $binWidth")))
+      .drop("__bin")
+  }
 }

@@ -58,6 +58,23 @@ object OpsQueries {
         .orderBy("incident_id", "purchase_id")
     },
 
+    // interval×interval OVERLAP join (no equi-key): error windows vs
+    // signup windows; binned equi-join with first-shared-bin dedup —
+    // never a BroadcastNestedLoopJoin, never a distinct over the output
+    "ops_interval_overlap" -> q { c =>
+      val ev = c.t("events")
+      def win(t: String, idAs: String, sAs: String, eAs: String, len: Long) =
+        ev.filter(col("event_type") === t)
+          .select(col("event_id").as(idAs), tsUs("ts").as(sAs),
+            (tsUs("ts") + len).as(eAs))
+      val errors = win("error", "error_id", "es", "ee", 2 * FiveMinUs)
+      val signups = win("signup", "signup_id", "ss", "se", 3 * FiveMinUs)
+      RangeJoin.intervalsOverlap(errors, signups, "es", "ee", "ss", "se",
+        binWidth = FiveMinUs)
+        .select("error_id", "signup_id", "es", "ss")
+        .orderBy("error_id", "signup_id")
+    },
+
     // concat-and-chunk sequence packing over the documents corpus: the
     // global token prefix-sum runs as a two-level distributed prefix
     // sum (per-bucket windows + a tiny bucket-total window), never a
@@ -158,6 +175,19 @@ object OpsQueries {
         |SELECT incident_id, purchase_id, pts
         |FROM p JOIN i ON pts BETWEEN s AND e
         |ORDER BY incident_id, purchase_id""".stripMargin,
+
+    "ops_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT event_id AS error_id, epoch_us(ts) AS es,
+        |    epoch_us(ts) + 600000000 AS ee
+        |  FROM events WHERE event_type = 'error'),
+        |s AS (
+        |  SELECT event_id AS signup_id, epoch_us(ts) AS ss,
+        |    epoch_us(ts) + 900000000 AS se
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT error_id, signup_id, es, ss
+        |FROM e JOIN s ON es <= se AND ss <= ee
+        |ORDER BY error_id, signup_id""".stripMargin,
 
     "ops_sequence_pack" ->
       """WITH d AS (

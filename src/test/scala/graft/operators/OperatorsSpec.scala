@@ -124,6 +124,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Seq(1L))
   }
 
+  test("interval overlap join matches brute force and emits each pair once") {
+    val a = Seq((1L, 0L, 100L), (2L, 250L, 500L), (3L, 900L, 901L))
+      .toDF("ia", "sa", "ea")
+    val b = Seq((10L, 50L, 260L), (20L, 499L, 600L), (30L, 2000L, 2100L))
+      .toDF("ib", "sb", "eb")
+    val got = RangeJoin.intervalsOverlap(a, b, "sa", "ea", "sb", "eb",
+        binWidth = 64)
+      .select("ia", "ib").as[(Long, Long)].collect().toSeq.sorted
+    // brute force: [1-10] (0-100 ∩ 50-260), [2-10] (250-500 ∩ 50-260),
+    // [2-20] (250-500 ∩ 499-600); inclusive single-point overlap at 499/500
+    assert(got === Seq((1L, 10L), (2L, 10L), (2L, 20L)))
+  }
+
   // --- hash split ----------------------------------------------------
 
   test("hash split is deterministic, total, and roughly proportional") {
