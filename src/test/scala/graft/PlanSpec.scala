@@ -44,7 +44,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("asof and range join queries never fall back to nested loops") {
-    Seq("ops_asof_join", "ops_range_join").foreach { name =>
+    Seq("ops_asof_join", "ops_range_join", "ops_interval_overlap").foreach { name =>
       val p = plan(name)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name degraded:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name degraded:\n$p")
