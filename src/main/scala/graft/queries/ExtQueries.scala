@@ -141,6 +141,14 @@ object ExtQueries {
         n = 3, threshold = 0.9).orderBy("id_a", "id_b")
     },
 
+    // asymmetric CONTAINMENT (near-subset) pairs: catches a short doc
+    // wholly quoted inside a long one, which jaccard's union term
+    // swamps; one-sided prefix filter + exact inverted-index verify
+    "dedup_containment" -> q { c =>
+      Dedup.containmentPairs(c.tw("documents"), "doc_id", "text",
+        n = 3, threshold = 0.8).orderBy("id_a", "id_b")
+    },
+
     // near-dup CLUSTERS from pairwise matches: connected components by
     // min-label propagation over the LSH pair graph; DuckDB verifies
     // with a recursive-CTE reachability closure over the exact pairs
@@ -374,6 +382,23 @@ object ExtQueries {
          |    AS contaminated_share
          |FROM counts LEFT JOIN hits ON counts.doc_id = hits.doc_id
          |ORDER BY counts.doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(n_inter::DOUBLE / n_sh, 6) AS containment
+         |FROM inter JOIN sz ON id_a = sz.doc_id
+         |WHERE n_inter::DOUBLE / n_sh >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_lines" ->
       """WITH d AS (
