@@ -44,6 +44,27 @@ object HashSplit {
     df.filter(bucket(col(idCol)) < math.round(rate * Buckets))
   }
 
+  /** MIX EQUALIZATION: deterministically downsample every stratum to
+    * (approximately) the size of the smallest one — the "balance the
+    * source mix" step of training-data assembly. Rates are DERIVED from
+    * the data (min count / stratum count) rather than configured, then
+    * applied through the same md5-bucket threshold, so membership stays
+    * reproducible run-to-run as long as the corpus is unchanged. Plan:
+    * one tiny per-stratum count aggregate broadcast back onto a pure
+    * projection filter — no extra pass over the data. */
+  def equalizeMix(df: DataFrame, idCol: String,
+      strataCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{broadcast, count => cnt, lit => l, min => mn}
+    val counts = df.groupBy(strataCol).agg(cnt(l(1)).as("__n"))
+    val minN = counts.agg(mn("__n").as("__min_n"))
+    df.join(broadcast(counts), strataCol)
+      .crossJoin(broadcast(minN))
+      .filter(bucket(col(idCol)) <
+        round(col("__min_n").cast("double") / col("__n") * Buckets))
+      .drop("__n", "__min_n")
+  }
+
   /** STRATIFIED deterministic sampling: a per-stratum keep rate (the
     * training-mix dial — e.g. keep 100% of a rare language, 10% of the
     * dominant one). Still a pure projection: the rate lookup compiles

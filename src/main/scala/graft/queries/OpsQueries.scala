@@ -121,6 +121,15 @@ object OpsQueries {
         .orderBy("lang")
     },
 
+    // source-mix equalization: every lang downsampled to ~the smallest
+    // lang's size; rates derived from the data, membership still a pure
+    // content-hash function (reproducible across runs and partitionings)
+    "ops_mix_equalize" -> q { c =>
+      graft.operators.HashSplit.equalizeMix(c.t("documents"), "doc_id", "lang")
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    },
+
     // HLL approximate distinct vs exact: the estimate is deterministic
     // (hash-based, order-independent merge), the gate asserts the
     // published error bound holds (rsd 0.02 → well inside 5%)
@@ -252,6 +261,18 @@ object OpsQueries {
         |  WHEN 'zh' THEN 4294967296
         |  WHEN 'es' THEN 2147483648
         |  ELSE 3221225472 END
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "ops_mix_equalize" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS min_n FROM n),
+        |b AS (
+        |  SELECT d.lang,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS bkt,
+        |    n.n, m.min_n
+        |  FROM documents d JOIN n ON d.lang = n.lang, m)
+        |SELECT lang, count(*) AS n_kept FROM b
+        |WHERE bkt < round(min_n::DOUBLE / n * 4294967296)
         |GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // the oracle asserts the same exact counts and that the HLL bound
