@@ -35,17 +35,23 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Compact, fixed-precision rendering: full-precision doubles x 73
-    // queries overflowed the driver's capture window in round 1
-    // (BENCH_r01.json parsed:null). 3-decimal seconds keeps the whole
-    // line under ~2 KB; it must be the LAST stdout line.
+    // The driver captures only a ~2 KB stdout tail: at 118 queries a
+    // single JSON line is ~3 KB and truncates mid-map (BENCH_r01/r02
+    // "parsed": null). So: per-query detail goes FIRST (and to a file
+    // for post-hoc analysis); the LAST stdout line is a tiny total-only
+    // JSON (<100 bytes) that no tail window can truncate.
     def f3(v: Double): String = java.math.BigDecimal.valueOf(v)
       .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(full)
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
   }
 }

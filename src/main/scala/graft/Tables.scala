@@ -39,8 +39,14 @@ object Tables {
     // split estimate from file size (NOT df.rdd.getNumPartitions — that
     // forces a physical planning pass on every load)
     val cores = spark.sparkContext.defaultParallelism
+    // a directory-shaped table (standard Spark write layout) reports its
+    // directory-entry size (~4 KB) from File.length() — sum the leaf
+    // files instead, or the re-spread fires on arbitrarily large tables
+    def leafBytes(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(leafBytes).sum)
+      else f.length()
     val bytes =
-      try new java.io.File(s"$dir/$name.parquet").length()
+      try leafBytes(new java.io.File(s"$dir/$name.parquet"))
       catch { case _: Throwable => Long.MaxValue }
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val naturalSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)

@@ -96,18 +96,25 @@ object Similarity {
     * large and hyperplane LSH recall is too coarse. Returns
     * (assigned corpus with `__list`, centroids (`__list`, `__centroid`)).
     *
-    * Training uses spark.ml KMeans (seeded → deterministic); assignment
-    * is one distributed transform. At 100 TB: train on a sample,
-    * persist `assigned` bucketed by `__list`, and probe-joins touch
-    * only nprobe/nlist of the data.
+    * Training uses spark.ml KMeans (seeded → deterministic) fitted on a
+    * DETERMINISTIC HASH-SAMPLE of the corpus (`trainFraction`, via
+    * [[graft.operators.HashSplit.sample]] — stable across re-runs and
+    * cluster sizes, unlike `df.sample`); only the cheap single-pass
+    * assignment transform touches every vector. At 100 TB the iterative
+    * KMeans passes run over `trainFraction` of the data, not all of it;
+    * persist `assigned` bucketed by `__list` and probe-joins touch only
+    * nprobe/nlist of the corpus. Centroid QUALITY needs only a
+    * representative sample (k ≪ sample size); ivfTopK's recall/exactness
+    * properties are independent of where the centroids came from, so
+    * `sim_ivf_exact` (nprobe = nlist ≡ brute force) gates this path
+    * end-to-end regardless of the sampling.
     */
   def ivfIndex(corpus: DataFrame, id: String, vec: String,
-      nlist: Int = 16, seed: Long = 42L): (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
+      nlist: Int = 16, seed: Long = 42L,
+      trainFraction: Double = 0.25): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.functions.array_to_vector
+    val model = ivfTrain(corpus, id, vec, nlist, seed, trainFraction)
     val fv = corpus.withColumn("__fv", array_to_vector(col(vec)))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__fv").setPredictionCol("__list").fit(fv)
     val assigned = model.transform(fv).drop("__fv")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -117,14 +124,37 @@ object Similarity {
     (assigned, centroids)
   }
 
+  /** The KMeans training step of [[ivfIndex]], exposed so specs can
+    * assert the fit input is the hash-sample, not the corpus. Falls back
+    * to the full corpus only when the sample is too small to carve
+    * `nlist` clusters (tiny-fixture guard; at scale the sample wins). */
+  def ivfTrain(corpus: DataFrame, id: String, vec: String,
+      nlist: Int, seed: Long, trainFraction: Double)
+      : org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      "trainFraction must be in (0,1]")
+    val sampled =
+      if (trainFraction >= 1.0) corpus
+      else graft.operators.HashSplit.sample(corpus, id, trainFraction)
+    val train =
+      if (sampled.limit(4 * nlist).count() >= 4L * nlist) sampled else corpus
+    new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("__list")
+      .fit(train.withColumn("__fv", array_to_vector(col(vec))))
+  }
+
   /** IVF approximate top-k: per query, rank centroids by euclidean
     * distance (the k-means metric), take the `nprobe` nearest lists,
     * and exact-cosine re-rank only those buckets' vectors. With
     * `nprobe = nlist` this degrades gracefully to exact brute force. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    val (assigned, centroids) = ivfIndex(corpus, id, vec, nlist, seed)
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      trainFraction: Double = 0.25): DataFrame = {
+    val (assigned, centroids) =
+      ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
     val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
     // distance² = |q|² − 2·q·c + |c|²; ranking ignores the |q|² term
     val qc = q.crossJoin(broadcast(centroids))

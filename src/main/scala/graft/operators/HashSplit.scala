@@ -57,12 +57,16 @@ object HashSplit {
     val spark = df.sparkSession
     import org.apache.spark.sql.functions.{broadcast, count => cnt, lit => l, min => mn}
     val counts = df.groupBy(strataCol).agg(cnt(l(1)).as("__n"))
+      .withColumnRenamed(strataCol, "__stratum")
     val minN = counts.agg(mn("__n").as("__min_n"))
-    df.join(broadcast(counts), strataCol)
+    // null-safe join (<=>): the groupBy emits a NULL-stratum count row,
+    // but plain equality never matches NULL — a = join would silently
+    // drop every NULL-stratum row while stratifiedSample keeps them
+    df.join(broadcast(counts), col(strataCol) <=> col("__stratum"))
       .crossJoin(broadcast(minN))
       .filter(bucket(col(idCol)) <
         round(col("__min_n").cast("double") / col("__n") * Buckets))
-      .drop("__n", "__min_n")
+      .drop("__stratum", "__n", "__min_n")
   }
 
   /** STRATIFIED deterministic sampling: a per-stratum keep rate (the

@@ -21,13 +21,24 @@ object ExtQueries {
   private val canonSql = """lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"""
   private val stopsSql = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The `sh` CTE body: one row per distinct (doc, trigram shingle).
+    * The UNION branch mirrors WordShingles' short-doc case (< n tokens →
+    * ONE whole-text shingle, TextExprs.scala:104-110) — without it the
+    * oracle and engine diverge on sub-3-token documents (round-2 ADVICE;
+    * invisible on the fixtures, real on short-doc corpora). */
+  private val shingleSql: String =
+    """  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g
+      |  UNION
+      |  SELECT doc_id, array_to_string(ts, ' ') AS shingle
+      |  FROM toks WHERE len(ts) < 3""".stripMargin
+
   /** Exact n-gram jaccard pair SQL shared by the jaccard + minhash oracles. */
   private def jaccardSql(threshold: Double): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
        |sh AS (
-       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
+       |$shingleSql),
        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -368,8 +379,7 @@ object ExtQueries {
       s"""WITH toks AS (
          |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
          |sh AS (
-         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
+         |$shingleSql),
          |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25),
          |corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 25),
          |counts AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
@@ -387,8 +397,7 @@ object ExtQueries {
       s"""WITH toks AS (
          |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
          |sh AS (
-         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
+         |$shingleSql),
          |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -428,8 +437,7 @@ object ExtQueries {
       s"""WITH RECURSIVE toks AS (
          |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
          |sh AS (
-         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g),
+         |$shingleSql),
          |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter

@@ -207,12 +207,16 @@ object OpsQueries {
         |  FROM documents),
         |o AS (
         |  SELECT doc_id, n_tokens,
+        |    -- ::BIGINT: DuckDB window sums are HUGEINT, which the
+        |    -- driver's hasher distinguishes from Spark's BIGINT even
+        |    -- when every value is identical (round-2 hash fail)
         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS tok_offset
         |  FROM d)
         |SELECT doc_id, n_tokens, tok_offset,
-        |  tok_offset // 512 AS first_chunk,
-        |  (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS last_chunk
+        |  (tok_offset // 512)::BIGINT AS first_chunk,
+        |  ((tok_offset + greatest(n_tokens, 1) - 1) // 512)::BIGINT AS last_chunk
         |FROM o ORDER BY doc_id""".stripMargin,
 
     "ops_sessionize" ->
@@ -225,8 +229,9 @@ object OpsQueries {
         |         THEN 1 ELSE 0 END AS b
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts))
         |SELECT user_id, event_id, ts,
-        |  sum(b) OVER (PARTITION BY user_id ORDER BY ts
-        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |  -- ::BIGINT: window sum is HUGEINT in DuckDB (see ops_sequence_pack)
+        |  (sum(b) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT
         |    AS session_seq
         |FROM m ORDER BY event_id""".stripMargin,
 

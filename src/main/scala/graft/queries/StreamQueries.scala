@@ -112,7 +112,12 @@ object StreamQueries {
         val dst = java.nio.file.Paths.get(s"$tmp/src/$name.parquet")
         java.nio.file.Files.createDirectories(dst.getParent)
         java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(mtime)
+        // batch admission order rides mtime; a silent setLastModified
+        // failure (or coarse fs granularity) would let r2 beat r1 and
+        // surface as a baffling oracle mismatch — fail loudly instead
+        require(dst.toFile.setLastModified(mtime) &&
+          dst.toFile.lastModified() == mtime,
+          s"could not pin mtime of $dst — file-stream batch order undefined")
       }
       emit(base, "r1", 1700000000000L)
       emit(changed, "r2", 1700009000000L)

@@ -85,65 +85,8 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
 
   private def mergePersisted(table: String, staged: DataFrame, cfg: MergeConfig,
       loadId: String, strategy: MergeStrategy): Unit = {
-    val keys = (cfg.primaryKey ++ cfg.mergeKey).distinct
-    def result(dest: Option[DataFrame]): DataFrame = strategy match {
-      case MergeStrategy.DeleteInsert => Merge.deleteInsert(dest, staged, cfg)
-      case MergeStrategy.Upsert => Merge.upsert(dest, staged, cfg)
-      case MergeStrategy.InsertOnly => Merge.insertOnly(dest, staged, cfg)
-    }
-    store.readOption(table) match {
-      case None =>
-        store.overwrite(table, result(None), statsFor = keys, rangeBy = keys)
-      case Some(_) =>
-        val segs = store.segments(table)
-        partitionByOverlap(segs, staged, Merge.keyGroups(cfg)) match {
-          case Some((touched, untouched)) if untouched.nonEmpty =>
-            val dest =
-              if (touched.isEmpty) None
-              else Some(store.readSegmentsApplied(table, touched))
-            store.replaceSegments(table, untouched, result(dest),
-              statsFor = keys, rangeBy = keys)
-          case _ =>
-            store.overwrite(table, result(Some(store.read(table))),
-              statsFor = keys, rangeBy = keys)
-        }
-    }
+    Dispositions.mergePruned(store, table, staged, cfg, strategy)
     recordLoad(loadId)
-  }
-
-  /** Split segments into (touched, untouched) by overlap between each
-    * segment's key-range stats and the staged key ranges.
-    *
-    * Match semantics are OR of AND-groups ([[Merge.keyGroups]]): within
-    * a group, a destination row matches only if EVERY column is equal —
-    * so disjointness on ANY stat'd column excludes the group; across
-    * groups, matching EITHER suffices — so a segment is untouched only
-    * when every group is excluded. Columns without stats on every
-    * segment are conservatively treated as overlapping. Returns None
-    * (no pruning) when no group can exclude anything or the staging
-    * range is empty/all-null. */
-  private def partitionByOverlap(segs: Seq[Segment], staged: DataFrame,
-      groups: Seq[Seq[String]]): Option[(Seq[Segment], Seq[Segment])] = {
-    val allCols = groups.flatten.distinct
-      .filter(k => segs.forall(_.stats.contains(k)))
-    if (allCols.isEmpty || groups.isEmpty) None
-    else {
-      val aggs = allCols.flatMap(k =>
-        Seq(min(col(k)).cast("string").as(s"lo_$k"),
-          max(col(k)).cast("string").as(s"hi_$k")))
-      val r = staged.agg(aggs.head, aggs.tail: _*).head()
-      val ranges = allCols.flatMap { k =>
-        (Option(r.getAs[String](s"lo_$k")), Option(r.getAs[String](s"hi_$k"))) match {
-          case (Some(lo), Some(hi)) => Some(k -> (lo, hi))
-          case _ => None
-        }
-      }.toMap
-      if (ranges.isEmpty) None
-      else Some(segs.partition { s =>
-        groups.exists(g => g.forall(k =>
-          ranges.get(k).forall { case (lo, hi) => s.stats(k).overlaps(lo, hi) }))
-      })
-    }
   }
 
   /** SCD2 with SEGMENT PRUNING: active and closed rows live in
@@ -265,5 +208,74 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
     case None => Nil
     case Some(df) => df.select("load_id").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
+  }
+}
+
+object Dispositions {
+
+  /** The segment-pruned merge commit, shared by the instance `merge`
+    * path and [[MergeChain]]'s root table (round-2 gap: the chain root
+    * bypassed pruning and rewrote the whole table every load). Callers
+    * persist `staged` and record the load themselves. */
+  private[write] def mergePruned(store: TableStore, table: String,
+      staged: DataFrame, cfg: MergeConfig, strategy: MergeStrategy): Unit = {
+    val keys = (cfg.primaryKey ++ cfg.mergeKey).distinct
+    def result(dest: Option[DataFrame]): DataFrame = strategy match {
+      case MergeStrategy.DeleteInsert => Merge.deleteInsert(dest, staged, cfg)
+      case MergeStrategy.Upsert => Merge.upsert(dest, staged, cfg)
+      case MergeStrategy.InsertOnly => Merge.insertOnly(dest, staged, cfg)
+    }
+    store.readOption(table) match {
+      case None =>
+        store.overwrite(table, result(None), statsFor = keys, rangeBy = keys)
+      case Some(_) =>
+        val segs = store.segments(table)
+        partitionByOverlap(segs, staged, Merge.keyGroups(cfg)) match {
+          case Some((touched, untouched)) if untouched.nonEmpty =>
+            val dest =
+              if (touched.isEmpty) None
+              else Some(store.readSegmentsApplied(table, touched))
+            store.replaceSegments(table, untouched, result(dest),
+              statsFor = keys, rangeBy = keys)
+          case _ =>
+            store.overwrite(table, result(Some(store.read(table))),
+              statsFor = keys, rangeBy = keys)
+        }
+    }
+  }
+
+  /** Split segments into (touched, untouched) by overlap between each
+    * segment's key-range stats and the staged key ranges.
+    *
+    * Match semantics are OR of AND-groups ([[Merge.keyGroups]]): within
+    * a group, a destination row matches only if EVERY column is equal —
+    * so disjointness on ANY stat'd column excludes the group; across
+    * groups, matching EITHER suffices — so a segment is untouched only
+    * when every group is excluded. Columns without stats on every
+    * segment are conservatively treated as overlapping. Returns None
+    * (no pruning) when no group can exclude anything or the staging
+    * range is empty/all-null. */
+  private def partitionByOverlap(segs: Seq[Segment], staged: DataFrame,
+      groups: Seq[Seq[String]]): Option[(Seq[Segment], Seq[Segment])] = {
+    val allCols = groups.flatten.distinct
+      .filter(k => segs.forall(_.stats.contains(k)))
+    if (allCols.isEmpty || groups.isEmpty) None
+    else {
+      val aggs = allCols.flatMap(k =>
+        Seq(min(col(k)).cast("string").as(s"lo_$k"),
+          max(col(k)).cast("string").as(s"hi_$k")))
+      val r = staged.agg(aggs.head, aggs.tail: _*).head()
+      val ranges = allCols.flatMap { k =>
+        (Option(r.getAs[String](s"lo_$k")), Option(r.getAs[String](s"hi_$k"))) match {
+          case (Some(lo), Some(hi)) => Some(k -> (lo, hi))
+          case _ => None
+        }
+      }.toMap
+      if (ranges.isEmpty) None
+      else Some(segs.partition { s =>
+        groups.exists(g => g.forall(k =>
+          ranges.get(k).forall { case (lo, hi) => s.stats(k).overlaps(lo, hi) }))
+      })
+    }
   }
 }

@@ -27,9 +27,18 @@ object MergeChain {
 
   def deleteInsert(store: TableStore, chain: TableChain, cfg: MergeConfig,
                    loadId: String): Unit = {
-    val ks = (cfg.primaryKey ++ cfg.mergeKey).distinct
     val destRoot = store.readOption(chain.root)
+    // persisted: the staged root feeds the replaced-id semi-joins, the
+    // insert set, the root merge's key-group subtrees AND the pruning
+    // stats agg — unpersisted it would re-execute 4-6x per load
     val stagedRoot = chain.rootStaging.withColumn(Ids.DltLoadId, lit(loadId))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try deleteInsertPersisted(store, chain, cfg, destRoot, stagedRoot)
+    finally stagedRoot.unpersist(blocking = false)
+  }
+
+  private def deleteInsertPersisted(store: TableStore, chain: TableChain,
+      cfg: MergeConfig, destRoot: Option[DataFrame], stagedRoot: DataFrame): Unit = {
 
     // root ids whose rows are being replaced or hard-deleted: match on
     // EITHER key group (OR of AND-groups, as in Merge.deleteInsert)
@@ -68,7 +77,11 @@ object MergeChain {
       }
     }
 
-    val rootResult = Merge.deleteInsert(destRoot, stagedRoot, cfg)
-    store.overwrite(chain.root, rootResult, statsFor = ks, rangeBy = ks)
+    // root rides the same SEGMENT-PRUNED merge commit as single-table
+    // merge (Dispositions.mergePruned): only destination segments whose
+    // key ranges overlap the staged keys are read/rewritten — round 2
+    // rewrote the entire root here for a sliver of changed keys
+    Dispositions.mergePruned(store, chain.root, stagedRoot, cfg,
+      MergeStrategy.DeleteInsert)
   }
 }

@@ -71,14 +71,22 @@ final class TableStore(val root: String, spark: SparkSession) {
 
   private def tableDir(table: String): Path = Paths.get(root, table)
 
+  /** Directory listing that CLOSES the underlying stream — a bare
+    * `Files.list(..).iterator()` leaks one directory fd per call, and
+    * snapshots()/tables are called per query by long-lived sessions. */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   def exists(table: String): Boolean =
     Files.exists(tableDir(table).resolve("_CURRENT"))
 
   def tables: Seq[String] =
     if (!Files.exists(Paths.get(root))) Nil
-    else Files.list(Paths.get(root)).iterator().asScala
+    else listDir(Paths.get(root))
       .filter(p => Files.exists(p.resolve("_CURRENT")))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).sorted
 
   /** Current snapshot as a DataFrame (merge-on-read: any live
     * tombstones apply as anti-joins scoped to the segments they
@@ -96,11 +104,11 @@ final class TableStore(val root: String, spark: SparkSession) {
   def snapshots(table: String): Seq[Long] = {
     val dir = tableDir(table)
     if (!Files.exists(dir)) Nil
-    else Files.list(dir).iterator().asScala
+    else listDir(dir)
       .map(_.getFileName.toString)
       .collect { case n if n.startsWith("manifest-") && n.endsWith(".txt") =>
         n.stripPrefix("manifest-").stripSuffix(".txt").toLong }
-      .toSeq.sorted
+      .sorted
   }
 
   /** TIME TRAVEL: the table as of `snapshot` (an id from [[snapshots]]).
@@ -377,10 +385,10 @@ final class TableStore(val root: String, spark: SparkSession) {
     if (!Files.exists(dir.resolve("_CURRENT"))) return 0
     val current = new String(Files.readAllBytes(dir.resolve("_CURRENT")),
       StandardCharsets.UTF_8).trim
-    val manifests = Files.list(dir).iterator().asScala
+    val manifests = listDir(dir)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("manifest-") && n.endsWith(".txt"))
-      .toSeq.sorted
+      .sorted
     // manifests sort by nanotime → newest last; always retain current
     val retained = (manifests.takeRight(math.max(1, retainManifests)) :+ current).distinct
     def referenced(manifest: String): Set[String] = {
@@ -399,10 +407,12 @@ final class TableStore(val root: String, spark: SparkSession) {
     val dataDir = dir.resolve("data")
     var deleted = 0
     if (Files.exists(dataDir)) {
-      Files.list(dataDir).iterator().asScala.toSeq.foreach { seg =>
+      listDir(dataDir).foreach { seg =>
         if (!live.contains(s"data/${seg.getFileName}")) {
-          Files.walk(seg).sorted(java.util.Comparator.reverseOrder())
+          val w = Files.walk(seg)
+          try w.sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(Files.delete)
+          finally w.close()
           deleted += 1
         }
       }

@@ -36,6 +36,22 @@ def canon(rows, cols):
     return [cols[i] for i in order], out
 
 
+def _types_hash_equal(a, b):
+    """True if the driver's hasher treats DuckDB types a and b alike.
+
+    Integer widths below 64 bits hash identically (pyarrow upcasts on
+    compare), but HUGEINT -> decimal128 and DECIMAL never match BIGINT.
+    """
+    if a is None or b is None:
+        return False
+    a, b = str(a).upper(), str(b).upper()
+    if a == b:
+        return True
+    small = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"}
+    return a in small and b in small
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -66,10 +82,26 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE_ERROR: {e}"
             continue
+        # Type assertion: the driver's hasher distinguishes HUGEINT/DECIMAL
+        # from BIGINT even when every value matches (round-1/2 failures).
+        # canon() stringifies, erasing types — so compare DESCRIBE output.
+        try:
+            got_types = dict((r[0], r[1]) for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{d}/*.parquet'").fetchall())
+            exp_types = dict((r[0], r[1]) for r in con.execute(
+                "DESCRIBE " + oracle[name]).fetchall())
+        except Exception:
+            got_types, exp_types = {}, {}
+        type_diffs = [
+            (c, got_types.get(c), exp_types.get(c))
+            for c in sorted(set(got_types) | set(exp_types))
+            if not _types_hash_equal(got_types.get(c), exp_types.get(c))]
         gc, gr = canon(got_rows, got_cols)
         ec, er = canon(exp_rows, exp_cols)
         if gc != ec:
             results[name] = f"COLS_MISMATCH spark={gc} duck={ec}"
+        elif type_diffs:
+            results[name] = f"TYPE_MISMATCH (col, spark, duck)={type_diffs}"
         elif len(gr) != len(er):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(gr)} duck={len(er)}"
         elif gr != er:
