@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses the LAST line of `sbt "runMain graft.Bench"`
+// stdout as JSON. Two sbt behaviors break that: the logger prefixes
+// forked-process output with "[info] ", and sbt prints a
+// "[success] Total time: …" epilogue AFTER the program's output.
+// StdoutOutput pipes the forked JVM's stdout through untouched;
+// showSuccess kills the epilogue. Both are required for the bench
+// line to be the genuinely last line of stdout.
+Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

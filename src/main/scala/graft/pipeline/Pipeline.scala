@@ -161,13 +161,28 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
         try {
           val values = cached.select(c).distinct().collect()
             .map(_.get(0)).filter(_ != null).map(_.toString).sorted
-          values.flatMap { v =>
-            val slice = r.copy(
-              name = s"${r.name}_$v",
-              frame = cached.filter(org.apache.spark.sql.functions.col(c) === v),
-              dispatchColumn = None)
-            runOneTable(slice, loadId)
-          }.toSeq
+          // slices target DISTINCT tables by construction (the routing
+          // value is in the table name), so they load concurrently like
+          // runParallel resources — sequential slices serialized one
+          // two-commit load cycle per value (round-3 bench finding)
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.max(1, math.min(8, values.length)))
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          try {
+            val futures = values.toSeq.map { v =>
+              scala.concurrent.Future {
+                val slice = r.copy(
+                  name = s"${r.name}_$v",
+                  frame = cached.filter(org.apache.spark.sql.functions.col(c) === v),
+                  dispatchColumn = None)
+                runOneTable(slice, loadId)
+              }
+            }
+            scala.concurrent.Await.result(
+              scala.concurrent.Future.sequence(futures),
+              scala.concurrent.duration.Duration.Inf).flatten
+          } finally pool.shutdown()
         } finally cached.unpersist(blocking = false)
     }
 
@@ -215,6 +230,13 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       else Map.empty[String, String]
     val tables = Normalizer.normalize(frame, tableName,
       NormalizeConfig(loadId, r.maxNesting, rootIdType, propagate))
+    // a document that fans out into child tables re-derives EVERY output
+    // from `frame` (Normalizer is lazy selects/explodes) — pin the shared
+    // input so root + N children cost one source execution, not N+1.
+    // Cache lookup is by plan fragment, so persisting after building the
+    // lazy outputs still routes them through the cache.
+    val fanoutPin = Option.when(tables.size > 1)(frame.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // contract enforcement against what's already stored
     val enforced = tables.map { case (t, df) =>
@@ -233,6 +255,7 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     val rootDfOpt = enforced.get(tableName)
     if (rootDfOpt.isEmpty) {
       if (r.incremental.isDefined) windowed.unpersist(blocking = false)
+      fanoutPin.foreach(_.unpersist(blocking = false))
       return Nil // discarded: nothing written, cursor state does not advance
     }
     val rootDf = rootDfOpt.get
@@ -285,6 +308,7 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       }
       windowed.unpersist(blocking = false)
     }
+    fanoutPin.foreach(_.unpersist(blocking = false))
     observation.foreach { obs =>
       val m = obs.get
       synchronized { metricsByResource += tableName -> m }

@@ -95,8 +95,11 @@ object MergeQueries {
       val store = tmpStore(c)
       val cfg = MergeConfig(primaryKey = Seq("o_orderkey"))
 
+      // the staged document (groupBy + join) feeds BOTH normalize outputs
+      // (root + child) and the chain's id joins — pin it per load, as the
+      // reference pins extracted packages to disk before normalize
       def chain(keyFilter: org.apache.spark.sql.Column, qtyBump: Double,
-                loadId: String): TableChain = {
+                loadId: String): (TableChain, DataFrame) = {
         val li = c.t("lineitem")
           .groupBy(col("l_orderkey"))
           .agg(array_sort(collect_list(struct(
@@ -105,16 +108,21 @@ object MergeQueries {
         val doc = c.t("orders").filter(keyFilter)
           .join(li, col("o_orderkey") === col("l_orderkey"), "inner")
           .select(col("o_orderkey"), col("items"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tables = Normalizer.normalize(doc, "ord",
           NormalizeConfig(loadId = loadId,
             rootIdType = RootIdType.KeyHash(Seq("o_orderkey")),
             propagate = Map("_dlt_id" -> "_dlt_root_id",
               "o_orderkey" -> "order_key")))
-        TableChain("ord", tables("ord"), Map("ord__items" -> tables("ord__items")))
+        (TableChain("ord", tables("ord"), Map("ord__items" -> tables("ord__items"))), doc)
       }
 
-      MergeChain.deleteInsert(store, chain(col("o_orderkey") % 3 === 1, 0.0, "1"), cfg, "1")
-      MergeChain.deleteInsert(store, chain(col("o_orderkey") % 2 === 0, 100.0, "2"), cfg, "2")
+      val (chain1, doc1) = chain(col("o_orderkey") % 3 === 1, 0.0, "1")
+      MergeChain.deleteInsert(store, chain1, cfg, "1")
+      doc1.unpersist(blocking = false)
+      val (chain2, doc2) = chain(col("o_orderkey") % 2 === 0, 100.0, "2")
+      MergeChain.deleteInsert(store, chain2, cfg, "2")
+      doc2.unpersist(blocking = false)
       store.read("ord__items")
         .select("order_key", "_dlt_list_idx", "l_linenumber", "l_quantity")
         .orderBy("order_key", "_dlt_list_idx")

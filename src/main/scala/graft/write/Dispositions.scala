@@ -149,13 +149,22 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
     if (df.columns.contains(Ids.DltLoadId)) df
     else df.withColumn(Ids.DltLoadId, lit(loadId))
 
-  /** `_dlt_loads` system table (reference typing.py:40, load.py:605-624). */
+  /** `_dlt_loads` system table (reference typing.py:40, load.py:605-624).
+    * One row per load PACKAGE, as in the reference: a package spanning
+    * many resources/dispatch slices records once — each extra append
+    * here is a Spark job plus a store commit, so per-slice recording
+    * serialized N tiny commits per load (round-3 bench finding). */
+  private val recordedLoads =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
   def recordLoad(loadId: String, schemaName: String = "graft",
                  versionHash: String = ""): Unit = {
     import spark.implicits._
-    val row = Seq((loadId, schemaName, 0, java.time.Instant.now().toString, versionHash))
-      .toDF("load_id", "schema_name", "status", "inserted_at", "schema_version_hash")
-    store.append(LoadsTable, row)
+    if (recordedLoads.add((loadId, schemaName))) {
+      val row = Seq((loadId, schemaName, 0, java.time.Instant.now().toString, versionHash))
+        .toDF("load_id", "schema_name", "status", "inserted_at", "schema_version_hash")
+      store.append(LoadsTable, row)
+    }
   }
 
   /** `_dlt_version` system table (reference schema version table,

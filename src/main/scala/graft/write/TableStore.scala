@@ -358,8 +358,11 @@ final class TableStore(val root: String, spark: SparkSession) {
     * cleared. Stats are recomputed for every column any segment
     * tracked. Returns true when a compaction ran. */
   def compact(table: String, maxSegments: Int = 16): Boolean = synchronized {
-    val segs = currentSegments(table)
-    if (segs.size <= maxSegments && currentTombstones(table).size <= maxSegments)
+    // one manifest read decides the (common) no-op case — this runs
+    // after every chain child load, so the guard must not re-list state
+    val lines = manifestLines(table)
+    val segs = lines.filterNot(_.startsWith("!")).map(decodeSegment)
+    if (segs.size <= maxSegments && lines.count(_.startsWith("!")) <= maxSegments)
       false
     else {
       val statCols = segs.flatMap(_.stats.keys).distinct
@@ -460,12 +463,24 @@ final class TableStore(val root: String, spark: SparkSession) {
     // range layout: globally range-partition + sort on the key so each
     // parquet file (and each row group) covers a tight key interval —
     // manifest pruning works at segment level, this makes parquet's
-    // min/max row-group skipping surgical below it
-    val layout = rangeBy.filter(df.columns.contains) match {
-      case Nil => df
-      case ks => df.repartitionByRange(ks.map(col): _*)
-        .sortWithinPartitions(ks.map(col): _*)
+    // min/max row-group skipping surgical below it.
+    // repartitionByRange SAMPLES its input to pick boundaries, then reads
+    // it again for the exchange — an unpersisted merge result (joins over
+    // dest + staging) would execute its whole subtree twice, so pin it.
+    val rangeKeys = rangeBy.filter(df.columns.contains)
+    val pinned = Option.when(rangeKeys.nonEmpty)(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val layout = pinned match {
+      case None => df
+      case Some(p) => p.repartitionByRange(rangeKeys.map(col): _*)
+        .sortWithinPartitions(rangeKeys.map(col): _*)
     }
+    try writeLayout(table, df, layout, seg, cols)
+    finally pinned.foreach(_.unpersist(blocking = false))
+  }
+
+  private def writeLayout(table: String, df: DataFrame, layout: DataFrame,
+      seg: String, cols: Seq[String]): Segment = {
     val (toWrite, obs) =
       if (cols.isEmpty) (layout, None)
       else {
