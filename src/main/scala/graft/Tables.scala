@@ -49,7 +49,12 @@ object Tables {
       try leafBytes(new java.io.File(s"$dir/$name.parquet"))
       catch { case _: Throwable => Long.MaxValue }
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val naturalSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    // overflow-safe ceiling: the unreadable-size fallback is
+    // Long.MaxValue, and `bytes + maxSplit - 1` would wrap negative —
+    // collapsing naturalSplits to 1 and firing the re-spread on exactly
+    // the "assume huge, leave it alone" case
+    val naturalSplits =
+      math.max(1L, bytes / maxSplit + (if (bytes % maxSplit == 0L) 0L else 1L))
     if (naturalSplits < cores / 2) df.repartition(cores) else df
   }
 

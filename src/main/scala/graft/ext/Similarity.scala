@@ -135,14 +135,21 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       "trainFraction must be in (0,1]")
-    val sampled =
-      if (trainFraction >= 1.0) corpus
-      else graft.operators.HashSplit.sample(corpus, id, trainFraction)
-    val train =
-      if (sampled.limit(4 * nlist).count() >= 4L * nlist) sampled else corpus
-    new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__fv").setPredictionCol("__list")
-      .fit(train.withColumn("__fv", array_to_vector(col(vec))))
+    def fit(train: DataFrame) =
+      new KMeans().setK(nlist).setSeed(seed)
+        .setFeaturesCol("__fv").setPredictionCol("__list")
+        .fit(train.withColumn("__fv", array_to_vector(col(vec))))
+    if (trainFraction >= 1.0) fit(corpus)
+    else {
+      // pin the sample ONCE: the size guard's count doubles as the cache
+      // materialization KMeans's iterative passes then reuse — the
+      // previous limit-count was a separate uncached sample scan per
+      // index build, pure overhead at scale
+      val pinned = graft.operators.HashSplit.sample(corpus, id, trainFraction)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try fit(if (pinned.count() >= 4L * nlist) pinned else corpus)
+      finally pinned.unpersist(blocking = false)
+    }
   }
 
   /** IVF approximate top-k: per query, rank centroids by euclidean

@@ -275,7 +275,7 @@ object OpsQueries {
         |  SELECT d.lang,
         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS bkt,
         |    n.n, m.min_n
-        |  FROM documents d JOIN n ON d.lang = n.lang, m)
+        |  FROM documents d JOIN n ON d.lang IS NOT DISTINCT FROM n.lang, m)
         |SELECT lang, count(*) AS n_kept FROM b
         |WHERE bkt < round(min_n::DOUBLE / n * 4294967296)
         |GROUP BY 1 ORDER BY lang""".stripMargin,

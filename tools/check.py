@@ -85,13 +85,17 @@ def main():
         # Type assertion: the driver's hasher distinguishes HUGEINT/DECIMAL
         # from BIGINT even when every value matches (round-1/2 failures).
         # canon() stringifies, erasing types — so compare DESCRIBE output.
+        # A DESCRIBE failure must not silently pass the type assertion —
+        # flag it on the result line so a weakened check is visible.
+        type_check_skipped = None
         try:
             got_types = dict((r[0], r[1]) for r in con.execute(
                 f"DESCRIBE SELECT * FROM '{d}/*.parquet'").fetchall())
             exp_types = dict((r[0], r[1]) for r in con.execute(
                 "DESCRIBE " + oracle[name]).fetchall())
-        except Exception:
+        except Exception as e:
             got_types, exp_types = {}, {}
+            type_check_skipped = e
         type_diffs = [
             (c, got_types.get(c), exp_types.get(c))
             for c in sorted(set(got_types) | set(exp_types))
@@ -108,7 +112,9 @@ def main():
             diffs = [(a, b) for a, b in zip(gr, er) if a != b][:3]
             results[name] = f"VALUE_MISMATCH first_diffs={diffs}"
         else:
-            results[name] = f"OK({len(gr)})"
+            results[name] = f"OK({len(gr)})" + (
+                f" TYPE_CHECK_SKIPPED({type_check_skipped})"
+                if type_check_skipped else "")
 
     for n in sorted(oracle):
         if n not in results:
