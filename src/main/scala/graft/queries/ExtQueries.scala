@@ -171,7 +171,8 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
-    // xxhash64-defined output → rows-only check (no SQL-equivalent hash)
+    // md5-derived token hash → the DuckDB oracle re-derives the full
+    // simhash + pigeonhole-band pipeline in SQL bit arithmetic
     "dedup_simhash" -> q { c =>
       Dedup.simhashPairs(c.t("documents"), "doc_id", "text", maxHamming = 6)
         .orderBy("id_a", "id_b")
@@ -328,6 +329,39 @@ object ExtQueries {
 
     "text_fingerprint" ->
       s"SELECT doc_id, md5($canonSql) AS fp FROM documents ORDER BY doc_id",
+
+    // full simhash pipeline in DuckDB bit arithmetic: per-token 64-bit
+    // hash from the two md5 halves (same construction as the engine's
+    // Dedup.tokenHash64), 64 per-bit majority votes, packed UBIGINT
+    // simhash, 7 pigeonhole 9-bit blocks, exact hamming verify
+    "dedup_simhash" -> {
+      val sums = (0 until 64).map(b =>
+        s"sum(((h >> $b) & 1)::BIGINT) AS s$b").mkString(", ")
+      // literal 2^b values: DuckDB's << overflows at bit 63 even under
+      // an UBIGINT cast, a plain literal casts fine
+      val pack = (0 until 64).map(b =>
+        s"(CASE WHEN 2 * s$b > n THEN ${BigInt(1) << b}::UBIGINT ELSE 0::UBIGINT END)")
+        .mkString(" | ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($canonSql, ' ')) AS tok
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 8))::UBIGINT * 4294967296::UBIGINT
+         |      + ('0x' || substr(md5(tok), 9, 8))::UBIGINT AS h
+         |  FROM toks),
+         |votes AS (SELECT doc_id, count(*) AS n, $sums FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, $pack AS sh FROM votes),
+         |banded AS (
+         |  SELECT doc_id, sh, gs.b AS blk, (sh >> (gs.b * 9)) & 511 AS blk_val
+         |  FROM sh, generate_series(0, 6) gs(b))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "text_gopher" ->
       """WITH t AS (

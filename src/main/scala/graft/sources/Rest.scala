@@ -177,22 +177,100 @@ object Rest {
     * reference's add_limit page/time variants (items_transform.py:
     * 174-239) applied where they are meaningful on Spark — at the
     * generator: pagination stops after `maxPages` pages or once
-    * `maxTime` has elapsed (the page in flight still lands). */
+    * `maxTime` has elapsed (the page in flight still lands).
+    * `stopWhen` is the `can_close` hook (see [[outOfWindowStop]]):
+    * when a fetched page satisfies it, that page still lands (its
+    * in-window rows are kept by the incremental filter downstream) but
+    * no further page is requested. */
   def fetchPages(startUrl: String, transport: Transport, paginator: Paginator,
                  maxPages: Int = 10000,
-                 maxTime: Option[scala.concurrent.duration.Duration] = None): Seq[String] = {
+                 maxTime: Option[scala.concurrent.duration.Duration] = None,
+                 stopWhen: String => Boolean = _ => false): Seq[String] = {
     val deadline = maxTime.map(t => System.nanoTime() + t.toNanos)
     @tailrec
     def loop(url: String, idx: Int, acc: Vector[String]): Vector[String] = {
       val resp = transport(url)
       val pages = acc :+ resp.body
-      if (idx + 1 >= maxPages || deadline.exists(System.nanoTime() >= _)) pages
+      if (idx + 1 >= maxPages || deadline.exists(System.nanoTime() >= _) ||
+          stopWhen(resp.body)) pages
       else paginator.next(url, resp, idx) match {
         case Some(nextUrl) => loop(nextUrl, idx + 1, pages)
         case None => pages
       }
     }
     loop(startUrl, 0, Vector.empty)
+  }
+
+  /** Declared source ordering by the cursor (reference `row_order`,
+    * dlt/extract/incremental/__init__.py:126-133): when the order is
+    * known, pagination can CLOSE once the cursor leaves the incremental
+    * window instead of walking the full history. */
+  sealed trait RowOrder
+  object RowOrder {
+    case object Asc extends RowOrder
+    case object Desc extends RowOrder
+  }
+
+  /** The `can_close` page predicate (reference out-of-range flags,
+    * dlt/extract/incremental/transform.py:255-263, 505-516): true once a
+    * page carries a cursor value OUTSIDE the incremental window on the
+    * side the ordering makes terminal —
+    *  - descending source + window start: a value below `startValue`
+    *    means every later page is older still;
+    *  - ascending source + backfill end: a value at/past `endValue`
+    *    means every later page is newer still.
+    * Without this, a descending API (the common "latest first" shape)
+    * fetches its entire history on every incremental run. The closing
+    * page itself is kept — the incremental window filter drops its
+    * out-of-range rows — matching the reference, which closes the pipe
+    * but loads the in-range remainder of the batch. Values compare
+    * numerically when both sides parse as numbers, else as strings
+    * (ISO timestamps order lexicographically). */
+  def outOfWindowStop(rowOrder: RowOrder, cursorField: String,
+      startValue: Option[String] = None, endValue: Option[String] = None,
+      itemsPath: Option[String] = None): String => Boolean = { body =>
+    val vals = cursorValues(body, itemsPath, cursorField)
+    rowOrder match {
+      case RowOrder.Desc => startValue.exists(s => vals.exists(v => cmpVals(v, s) < 0))
+      case RowOrder.Asc => endValue.exists(e => vals.exists(v => cmpVals(v, e) >= 0))
+    }
+  }
+
+  /** [[outOfWindowStop]] wired from an incremental config + state the
+    * way [[incrementalParams]] is: start = the (lag-aware) resume
+    * value, end = the backfill bound. */
+  def outOfWindowStop(cfg: graft.incremental.Incremental.Config,
+      state: graft.incremental.Incremental.State, rowOrder: RowOrder,
+      itemsPath: Option[String]): String => Boolean =
+    outOfWindowStop(rowOrder, cfg.cursorColumn,
+      startValue = graft.incremental.Incremental.startValue(cfg, state),
+      endValue = cfg.endValue, itemsPath = itemsPath)
+
+  private def cmpVals(a: String, b: String): Int =
+    (scala.util.Try(BigDecimal(a)), scala.util.Try(BigDecimal(b))) match {
+      case (scala.util.Success(x), scala.util.Success(y)) => x.compare(y)
+      case _ => a.compareTo(b)
+    }
+
+  /** Cursor values of every item on a page (driver-side Jackson walk —
+    * pages are bounded API responses, never bulk data). `itemsPath`
+    * and `cursorField` accept dotted paths. */
+  private def cursorValues(body: String, itemsPath: Option[String],
+      cursorField: String): Seq[String] = {
+    import com.fasterxml.jackson.databind.JsonNode
+    def at(node: JsonNode, path: String): Option[JsonNode] =
+      path.split("\\.").foldLeft(Option(node)) { (n, seg) =>
+        n.flatMap(x => Option(x.get(seg)))
+      }
+    scala.util.Try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val items = itemsPath.fold(Option(root))(p => at(root, p)).toSeq
+      val nodes = items.flatMap { n =>
+        if (n.isArray) (0 until n.size).map(n.get) else Seq(n)
+      }
+      nodes.flatMap(n => at(n, cursorField))
+        .filterNot(_.isNull).map(_.asText)
+    }.getOrElse(Nil)
   }
 
   /** Endpoint → DataFrame: pages are parsed as JSON arrays/objects with

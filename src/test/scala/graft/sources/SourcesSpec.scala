@@ -233,4 +233,49 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 2)
     assert(df.select("parent").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("rest: descending source stops after the first out-of-window page") {
+    // 10 pages of descending ids (99,98 | 97,96 | ...); resume value 95
+    // → page 1 (99,98) and page 2 (97,96) are in-window, page 3 (95,94)
+    // carries 94 < 95 under a closed start: can_close fires there
+    var calls = 0
+    val transport: Rest.Transport = url => {
+      calls += 1
+      val page = url.split("page=").lift(1).map(_.takeWhile(_.isDigit).toInt).getOrElse(1)
+      val hi = 99 - (page - 1) * 2
+      Rest.Response(s"""{"data":[{"id":$hi},{"id":${hi - 1}}]}""")
+    }
+    val count = (body: String) => "\"id\":".r.findAllIn(body).length
+    val stop = Rest.outOfWindowStop(Rest.RowOrder.Desc, "id",
+      startValue = Some("95"), itemsPath = Some("data"))
+    val pages = Rest.fetchPages("http://api/items?page=1", transport,
+      Rest.PageNumber(itemCount = count), stopWhen = stop)
+    assert(calls == 3, s"descending fetch should stop at page 3, made $calls calls")
+    assert(pages.size == 3) // the closing page still lands
+  }
+
+  test("rest: ascending backfill stops once the end bound is reached") {
+    var calls = 0
+    val transport: Rest.Transport = url => {
+      calls += 1
+      val page = url.split("page=").lift(1).map(_.takeWhile(_.isDigit).toInt).getOrElse(1)
+      val lo = (page - 1) * 2
+      Rest.Response(s"""{"data":[{"ts":"2024-0${lo / 2 + 1}-01"},{"ts":"2024-0${lo / 2 + 1}-15"}]}""")
+    }
+    val count = (body: String) => "\"ts\":".r.findAllIn(body).length
+    // end bound 2024-03-01 (open): page 3 carries 2024-03-01 → stop there
+    val stop = Rest.outOfWindowStop(Rest.RowOrder.Asc, "ts",
+      endValue = Some("2024-03-01"), itemsPath = Some("data"))
+    Rest.fetchPages("http://api/items?page=1", transport,
+      Rest.PageNumber(itemCount = count), maxPages = 6, stopWhen = stop)
+    assert(calls == 3, s"ascending backfill should stop at page 3, made $calls calls")
+  }
+
+  test("rest: config-wired can_close derives the window from state") {
+    val cfg = Incremental.Config(cursorColumn = "id", initialValue = Some("0"))
+    val stop = Rest.outOfWindowStop(cfg,
+      Incremental.State(Some("95"), Nil), Rest.RowOrder.Desc, Some("data"))
+    assert(stop("""{"data":[{"id":94}]}"""))
+    assert(!stop("""{"data":[{"id":97}]}"""))
+  }
 }
