@@ -51,6 +51,27 @@ final case class Resource(
       when(cond, lit(true))
         .otherwise(assert_true(cond, lit(s"row validation failed: $cond")).isNull)
     })
+  /** Typed PER-FIELD validation (reference pydantic models,
+    * dlt/common/libs/pydantic.py: per-field typed errors + raise/filter
+    * modes; [[graft.schema.Validation]]): raise mode fails the load with
+    * the structured (field, expected, value) violation list, filter mode
+    * drops violating rows. For dead-letter routing use
+    * [[withDeadLetter]]. */
+  def addValidateFields(rules: Seq[graft.schema.Validation.FieldRule],
+      raiseOnViolation: Boolean = true): Resource =
+    if (raiseOnViolation)
+      copy(frame = graft.schema.Validation.validateOrRaise(frame, rules))
+    else copy(frame = graft.schema.Validation.validateFilter(frame, rules))
+
+  /** Dead-letter mode of [[addValidateFields]]: this resource keeps the
+    * valid rows; the returned second resource (`<name>__dead_letters`)
+    * carries the violating rows plus their JSON-serialized violations,
+    * loadable alongside via the same `Pipeline.run`. */
+  def withDeadLetter(rules: Seq[graft.schema.Validation.FieldRule]): (Resource, Resource) = {
+    val (valid, dead) = graft.schema.Validation.split(frame, rules)
+    (copy(frame = valid), Resource(s"${name}__dead_letters", dead))
+  }
+
   /** MetricsItem (items_transform.py:242-257) — pass-through side-channel
     * metrics, collected via `Dataset.observe` during the load action
     * (zero extra scans). Read them back with [[Pipeline.metrics]]. */

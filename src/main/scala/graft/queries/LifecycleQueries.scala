@@ -27,6 +27,34 @@ object LifecycleQueries {
         .orderBy("o_orderkey")
     },
 
+    // typed per-field validation: dead-letter split with structured
+    // (field, expected, value) violations; output = per-field violation
+    // counts + the surviving row count, both re-derivable in SQL
+    "plane_validate_fields" -> q { c =>
+      import graft.schema.Validation
+      import graft.schema.Validation.FieldRule
+      val src = c.t("orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, col("o_orderpriority"))
+          .otherwise(substring(col("o_orderpriority"), 1, 1)).as("prio"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("status"))
+      val rules = Seq(
+        FieldRule("prio", dataType = Some(org.apache.spark.sql.types.IntegerType)),
+        FieldRule("status", required = true,
+          check = Some(s => s.isin("O", "F")), checkDesc = "in {O,F}"))
+      val (valid, dead) = Validation.split(src, rules)
+      val deadCounts = dead
+        .select(explode(from_json(col(Validation.ViolationsCol),
+          "array<struct<field:string,expected:string,value:string>>",
+          Map.empty[String, String])).as("v"))
+        .groupBy(col("v.field").as("field"), col("v.expected").as("expected"))
+        .agg(count(lit(1)).as("n"))
+      val validRow = valid.agg(count(lit(1)).as("n"))
+        .select(lit("_valid").as("field"), lit("rows").as("expected"), col("n"))
+      deadCounts.unionByName(validRow).orderBy("field", "expected")
+    },
+
     // zero-copy ingestion: parquet registered as segments, never rewritten
     "src_file_import" -> q { c =>
       val store = new TableStore(tmp("graft-imp"), c.spark)
@@ -180,6 +208,27 @@ object LifecycleQueries {
         |ORDER BY version, event_id""".stripMargin,
     "plane_table_dispatch" ->
       """SELECT event_id, event_type, user_id FROM events
-        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+    "plane_validate_fields" ->
+      """WITH src AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+        |         ELSE substr(o_orderpriority, 1, 1) END AS prio,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE o_orderstatus END AS status
+        |  FROM orders),
+        |v AS (
+        |  SELECT
+        |    (prio IS NOT NULL AND TRY_CAST(prio AS INTEGER) IS NULL) AS v_prio,
+        |    (status IS NULL) AS v_status_null,
+        |    (status IS NOT NULL AND status NOT IN ('O', 'F')) AS v_status_chk
+        |  FROM src)
+        |SELECT 'prio' AS field, 'int' AS expected, count(*)::BIGINT AS n
+        |FROM v WHERE v_prio
+        |UNION ALL SELECT 'status', 'non-null', count(*) FROM v WHERE v_status_null
+        |UNION ALL SELECT 'status', 'in {O,F}', count(*) FROM v WHERE v_status_chk
+        |UNION ALL SELECT '_valid', 'rows', count(*)
+        |FROM v WHERE NOT (v_prio OR v_status_null OR v_status_chk)
+        |ORDER BY field, expected""".stripMargin
   )
 }

@@ -271,6 +271,30 @@ class SourcesSpec extends SparkSpec {
     assert(calls == 3, s"ascending backfill should stop at page 3, made $calls calls")
   }
 
+  test("jdbc sink: append, merge and replace round-trip on in-memory derby") {
+    import graft.write.JdbcSink
+    val cfg = graft.sources.JdbcTableConfig(
+      url = "jdbc:derby:memory:graftsink;create=true", table = "t_users")
+    def readBack = Jdbc.read(spark, cfg)
+      .select("id", "v").as[(Long, String)].collect().toMap
+
+    JdbcSink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), cfg)
+    assert(readBack == Map(1L -> "a", 2L -> "b"))
+
+    // merge: key 2 updates, key 3 inserts, key 1 untouched
+    JdbcSink.mergeDeleteInsert(
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), cfg, keys = Seq("id"))
+    assert(readBack == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+
+    JdbcSink.replace(Seq((9L, "z")).toDF("id", "v"), cfg)
+    assert(readBack == Map(9L -> "z"))
+
+    // first-load merge creates the destination from the staging shape
+    val cfg2 = cfg.copy(table = "t_fresh")
+    JdbcSink.mergeDeleteInsert(Seq((5L, "e")).toDF("id", "v"), cfg2, Seq("id"))
+    assert(Jdbc.read(spark, cfg2).count() == 1)
+  }
+
   test("rest: config-wired can_close derives the window from state") {
     val cfg = Incremental.Config(cursorColumn = "id", initialValue = Some("0"))
     val stop = Rest.outOfWindowStop(cfg,
