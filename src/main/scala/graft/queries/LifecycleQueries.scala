@@ -43,14 +43,16 @@ object LifecycleQueries {
         FieldRule("prio", dataType = Some(org.apache.spark.sql.types.IntegerType)),
         FieldRule("status", required = true,
           check = Some(s => s.isin("O", "F")), checkDesc = "in {O,F}"))
-      val (valid, dead) = Validation.split(src, rules)
-      val deadCounts = dead
-        .select(explode(from_json(col(Validation.ViolationsCol),
-          "array<struct<field:string,expected:string,value:string>>",
-          Map.empty[String, String])).as("v"))
+      // count violations straight off the annotated structs (the JSON
+      // serialization is the dead-letter SINK contract, not needed for
+      // aggregation — the round trip cost ~6s at sf0.1)
+      val ann = Validation.annotate(src, rules)
+      val deadCounts = ann
+        .select(explode(col(Validation.ViolationsCol)).as("v"))
         .groupBy(col("v.field").as("field"), col("v.expected").as("expected"))
         .agg(count(lit(1)).as("n"))
-      val validRow = valid.agg(count(lit(1)).as("n"))
+      val validRow = ann.filter(size(col(Validation.ViolationsCol)) === 0)
+        .agg(count(lit(1)).as("n"))
         .select(lit("_valid").as("field"), lit("rows").as("expected"), col("n"))
       deadCounts.unionByName(validRow).orderBy("field", "expected")
     },

@@ -31,28 +31,37 @@ object Validation {
 
   final class FieldViolation(msg: String) extends RuntimeException(msg)
 
-  private def ruleViolations(r: FieldRule): Seq[Column] = {
+  private val EntryType = "array<struct<field:string,expected:string,value:string>>"
+
+  /** (violated?, violation entry) pairs of one rule. */
+  private def ruleViolations(r: FieldRule): Seq[(Column, Column)] = {
     val v = col(r.field)
     def entry(expected: String): Column =
       struct(lit(r.field).as("field"), lit(expected).as("expected"),
         v.cast("string").as("value"))
     val typed = r.dataType.map(dt =>
-      when(v.isNotNull && v.try_cast(dt).isNull, entry(dt.simpleString)))
-    val req = Option.when(r.required)(when(v.isNull, entry("non-null")))
+      (v.isNotNull && v.try_cast(dt).isNull, entry(dt.simpleString)))
+    val req = Option.when(r.required)((v.isNull, entry("non-null")))
     val pred = r.check.map(f =>
-      when(v.isNotNull && !coalesce(f(v), lit(false)), entry(r.checkDesc)))
+      (v.isNotNull && !coalesce(f(v), lit(false)), entry(r.checkDesc)))
     (typed ++ req ++ pred).toSeq
   }
 
   /** Annotate every row with its `_violations` array (empty = valid).
-    * One vectorized projection; no shuffle, no row interpreter. */
+    * One vectorized projection; no shuffle, no row interpreter. Built
+    * as concat-of-conditional-singletons rather than a filter() HOF —
+    * higher-order functions fall out of whole-stage codegen, and this
+    * runs per row of every validated load. */
   def annotate(df: DataFrame, rules: Seq[FieldRule]): DataFrame = {
     require(rules.nonEmpty, "at least one field rule required")
     val entries = rules.filter(r => df.columns.contains(r.field))
       .flatMap(ruleViolations)
+    val empty = array().cast(EntryType)
     val arr =
-      if (entries.isEmpty) array().cast("array<struct<field:string,expected:string,value:string>>")
-      else filter(array(entries: _*), _.isNotNull)
+      if (entries.isEmpty) empty
+      else concat(entries.map { case (cond, e) =>
+        when(cond, array(e)).otherwise(empty)
+      }: _*)
     df.withColumn(ViolationsCol, arr)
   }
 

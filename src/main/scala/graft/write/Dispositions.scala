@@ -35,7 +35,16 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
 
   val LoadsTable = "_dlt_loads"
 
-  def newLoadId(): String = (System.currentTimeMillis() / 1000.0).toString
+  /** Monotone unique load id (reference: epoch-seconds float,
+    * load_package.py). Epoch seconds alone collide for two loads in the
+    * same second — likely under `runParallel` — so ids are forced
+    * strictly increasing at microsecond granularity. */
+  def newLoadId(): String = {
+    val micros = Dispositions.lastLoadMicros.updateAndGet(prev =>
+      math.max(prev + 1, System.currentTimeMillis() * 1000))
+    val s = java.math.BigDecimal.valueOf(micros, 6).toPlainString
+    s
+  }
 
   def append(table: String, df: DataFrame, loadId: String): Unit = {
     store.append(table, stamp(df, loadId))
@@ -221,6 +230,10 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
 }
 
 object Dispositions {
+
+  /** Last issued load-id timestamp in microseconds (JVM-wide so two
+    * Dispositions instances over one store can't collide either). */
+  private val lastLoadMicros = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The segment-pruned merge commit, shared by the instance `merge`
     * path and [[MergeChain]]'s root table (round-2 gap: the chain root

@@ -124,4 +124,18 @@ class PlanSpec extends SparkSpec {
       s"cursor window must push down below the anti-join:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("per-field validation annotates without a shuffle or a UDF") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.IntegerType
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+    val rules = Seq(
+      graft.schema.Validation.FieldRule("o_orderpriority", dataType = Some(IntegerType)),
+      graft.schema.Validation.FieldRule("o_orderstatus", required = true))
+    val p = graft.schema.Validation.annotate(df, rules)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"validation must stay a projection:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      "validation must compile to native expressions")
+  }
 }
