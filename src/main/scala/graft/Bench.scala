@@ -56,8 +56,45 @@ object Bench {
     // query must not read as a regression. All runs land in
     // BENCH_LOCAL.json for variance analysis.
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2).max(1)
-    val allRuns = (1 to runs).map { _ =>
-      selected.map { case (name, fn) =>
+    // lower-middle for even N: with 2 runs this reports the FASTER one,
+    // so a one-off cold-start/JIT stall cannot masquerade as a regression
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted; s((s.length - 1) / 2)
+    }
+    def f3(v: Double): String = java.math.BigDecimal.valueOf(v)
+      .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+    // The driver captures only a ~2 KB stdout tail: at 119 queries a
+    // single JSON line is ~3 KB and truncates mid-map (BENCH_r01/r02
+    // "parsed": null). So: per-query detail goes FIRST (and to
+    // BENCH_LOCAL.json for post-hoc analysis); the LAST stdout line is a
+    // tiny total-only JSON (<100 bytes) no tail window can truncate.
+    // Both lines re-emit AFTER EVERY COMPLETED RUN, so a harness that
+    // kills the process mid-run still tail-parses the last finished
+    // run's totals instead of registering nothing.
+    def emit(allRuns: Seq[Map[String, Double]]): String = {
+      val results: Map[String, Double] =
+        selected.keys.map(n => n -> median(allRuns.map(_(n)))).toMap
+      val qs = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val runsJson = allRuns.zipWithIndex.map { case (r, i) =>
+        "\"run" + (i + 1) + "\":" + r.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+      }.mkString(",")
+      val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"runs":{$runsJson},"sf":"$sfDir"}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+      println(full)
+      val tiny = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}"""
+      println(tiny)
+      tiny
+    }
+    var lastTiny = ""
+    val allRuns = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    (1 to runs).foreach { _ =>
+      allRuns += selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // toRdd.count() materializes every output row (count() alone lets
         // Catalyst prune the projections away) without driver transfer
@@ -68,35 +105,9 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
+      lastTiny = emit(allRuns.toSeq)
     }
-    // lower-middle for even N: with 2 runs this reports the FASTER one,
-    // so a one-off cold-start/JIT stall cannot masquerade as a regression
-    def median(vs: Seq[Double]): Double = {
-      val s = vs.sorted; s((s.length - 1) / 2)
-    }
-    val results: Map[String, Double] =
-      selected.keys.map(n => n -> median(allRuns.map(_(n)))).toMap
-    // The driver captures only a ~2 KB stdout tail: at 118 queries a
-    // single JSON line is ~3 KB and truncates mid-map (BENCH_r01/r02
-    // "parsed": null). So: per-query detail goes FIRST (and to a file
-    // for post-hoc analysis); the LAST stdout line is a tiny total-only
-    // JSON (<100 bytes) that no tail window can truncate.
-    def f3(v: Double): String = java.math.BigDecimal.valueOf(v)
-      .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val runsJson = allRuns.zipWithIndex.map { case (r, i) =>
-      "\"run" + (i + 1) + "\":" + r.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    }.mkString(",")
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"runs":{$runsJson},"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
-    println(full)
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
+    println(lastTiny)
   }
 }
