@@ -41,19 +41,25 @@ object MergeChain {
       cfg: MergeConfig, destRoot: Option[DataFrame], stagedRoot: DataFrame): Unit = {
 
     // root ids whose rows are being replaced or hard-deleted: match on
-    // EITHER key group (OR of AND-groups, as in Merge.deleteInsert)
+    // EITHER key group (OR of AND-groups, as in Merge.deleteInsert).
+    // Pinned: every child's tombstone write re-reads this set, so a
+    // multi-child chain would re-run the dest⋈staged semi-joins once
+    // per child.
     val replacedRootIds = destRoot match {
       case None => None
       case Some(d) =>
         Some(Merge.keyGroups(cfg).map(g =>
             d.join(stagedRoot.select(g.map(col): _*).distinct(), g, "left_semi"))
           .reduce(_ unionByName _)
-          .select(col(Ids.DltId).as(Ids.DltRootId)).distinct())
+          .select(col(Ids.DltId).as(Ids.DltRootId)).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
-    // root ids that are (re-)inserted — children of these come from staging
+    // root ids that are (re-)inserted — children of these come from
+    // staging; pinned for the same per-child reuse
     val insertedRoot = Merge.insertSet(stagedRoot, cfg)
     val insertedRootIds = insertedRoot
       .select(col(Ids.DltId).as(Ids.DltRootId)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // children first on delete side, committed before the root.
     // MERGE-ON-READ: deleting the children of replaced roots writes a
@@ -83,5 +89,7 @@ object MergeChain {
     // rewrote the entire root here for a sliver of changed keys
     Dispositions.mergePruned(store, chain.root, stagedRoot, cfg,
       MergeStrategy.DeleteInsert)
+    replacedRootIds.foreach(_.unpersist(blocking = false))
+    insertedRootIds.unpersist(blocking = false)
   }
 }
