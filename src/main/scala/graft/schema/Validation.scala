@@ -54,8 +54,14 @@ object Validation {
     * runs per row of every validated load. */
   def annotate(df: DataFrame, rules: Seq[FieldRule]): DataFrame = {
     require(rules.nonEmpty, "at least one field rule required")
-    val entries = rules.filter(r => df.columns.contains(r.field))
-      .flatMap(ruleViolations)
+    val (present, absent) = rules.partition(r => df.columns.contains(r.field))
+    // a rule on a column the frame doesn't carry is a violation of
+    // EVERY row (schema drift / renamed field), not a silently dropped
+    // rule — pydantic's missing-required-field error
+    val absentEntries = absent.map(r =>
+      (lit(true), struct(lit(r.field).as("field"), lit("column present").as("expected"),
+        lit(null).cast("string").as("value"))))
+    val entries = present.flatMap(ruleViolations) ++ absentEntries
     val empty = array().cast(EntryType)
     val arr =
       if (entries.isEmpty) empty

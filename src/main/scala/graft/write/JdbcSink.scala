@@ -21,11 +21,17 @@ object JdbcSink {
     * columns with their exact DataFrame case. */
   private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
 
+  /** Rows per INSERT batch. Deliberately NOT cfg.fetchSize — that is a
+    * read-side cursor hint; coupling them would let a read-memory tune
+    * silently degrade write throughput. Override via the standard
+    * `batchsize` entry in cfg.properties. */
+  private val DefaultWriteBatch = 10000
+
   private def writer(df: DataFrame, cfg: JdbcTableConfig, table: String) = {
     var w = df.write.format("jdbc")
       .option("url", cfg.url)
       .option("dbtable", table)
-      .option("batchsize", cfg.fetchSize.toString)
+      .option("batchsize", DefaultWriteBatch.toString)
     cfg.properties.foreach { case (k, v) => w = w.option(k, v) }
     w
   }
@@ -44,7 +50,9 @@ object JdbcSink {
   /** Merge delete-insert (reference gen_merge_sql, sql_jobs.py:633-654):
     * stage the batch with the distributed writer, then inside the
     * database delete destination rows whose key appears in staging and
-    * insert the staged rows. The staging table is dropped afterwards.
+    * insert the staged rows, IN ONE TRANSACTION — an autocommitted
+    * DELETE followed by a failing INSERT would permanently lose the
+    * deleted destination rows. The staging table is dropped afterwards.
     * Statements run in one driver-side connection; rows never transit
     * the driver. */
   def mergeDeleteInsert(df: DataFrame, cfg: JdbcTableConfig,
@@ -59,6 +67,7 @@ object JdbcSink {
         p.setProperty(k, v); p
       })
     try {
+      conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
         // destination may not exist on first load: create it empty from
@@ -72,12 +81,23 @@ object JdbcSink {
         st.executeUpdate(
           s"INSERT INTO ${cfg.table} ($cols) SELECT $cols FROM $staging")
         st.executeUpdate(s"DROP TABLE $staging")
+        conn.commit()
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: Throwable => () }
+          throw e
       } finally st.close()
     } finally conn.close()
   }
 
+  /** Does `table` exist in the CONNECTION'S current catalog/schema?
+    * An unscoped metadata scan would match a same-named table in any
+    * other schema and wrongly skip destination creation. */
   private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+    val (cat, sch) =
+      (scala.util.Try(conn.getCatalog).getOrElse(null),
+        scala.util.Try(conn.getSchema).getOrElse(null))
+    val rs = conn.getMetaData.getTables(cat, sch, null, Array("TABLE"))
     try {
       var found = false
       while (!found && rs.next())
