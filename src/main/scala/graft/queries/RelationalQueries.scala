@@ -294,19 +294,21 @@ object RelationalQueries {
     },
 
     // --- exact interpolated quantiles (delegated to the engine in dlt;
-    // Spark `percentile` and DuckDB `quantile_cont` share the standard
-    // (n-1)·q linear-interpolation definition; outputs are quantized to
-    // scaled BIGINT for representation-stable hashing) ---
+    // the shared (n-1)·q interpolation definition, computed DISTRIBUTED
+    // via graft.operators.Percentiles — Spark's own `percentile`
+    // aggregate buffers a per-group value map on one reducer, the one
+    // memory-concentration plan this engine refuses; outputs are
+    // quantized to scaled BIGINT for representation-stable hashing) ---
     "rel_percentile" -> q { c =>
-      c.t("lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          (percentile(col("l_extendedprice"), lit(0.5)).cast("decimal(18,4)") * 10000)
-            .cast("long").as("med_price"),
-          (percentile(col("l_extendedprice"), lit(0.95)).cast("decimal(18,4)") * 10000)
-            .cast("long").as("p95_price"),
-          (percentile(col("l_quantity"), lit(0.25)).cast("decimal(18,4)") * 10000)
-            .cast("long").as("q1_qty"))
+      import graft.operators.Percentiles, Percentiles.QuantileSpec
+      Percentiles.groupQuantiles(c.t("lineitem"), Seq("l_returnflag"), Seq(
+          QuantileSpec("l_extendedprice", 0.5, "med_raw"),
+          QuantileSpec("l_extendedprice", 0.95, "p95_raw"),
+          QuantileSpec("l_quantity", 0.25, "q1_raw")))
+        .select(col("l_returnflag"),
+          (col("med_raw").cast("decimal(18,4)") * 10000).cast("long").as("med_price"),
+          (col("p95_raw").cast("decimal(18,4)") * 10000).cast("long").as("p95_price"),
+          (col("q1_raw").cast("decimal(18,4)") * 10000).cast("long").as("q1_qty"))
         .orderBy("l_returnflag")
     },
 

@@ -125,6 +125,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("exact percentile runs as a spillable sort, not a value-map aggregate") {
+    val p = plan("rel_percentile")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"no per-group value-map aggregation buffers allowed:\n$p")
+    assert(p.contains("Window"), s"expected the sort-based quantile path:\n$p")
+  }
+
   test("per-field validation annotates without a shuffle or a UDF") {
     import spark.implicits._
     import org.apache.spark.sql.types.IntegerType

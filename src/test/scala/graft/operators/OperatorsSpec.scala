@@ -239,4 +239,49 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  // --- distributed exact percentiles ---------------------------------
+
+  import Percentiles.QuantileSpec
+
+  test("grouped quantiles are bit-equal to Spark's percentile aggregate") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ours = Percentiles.groupQuantiles(li, Seq("l_returnflag"), Seq(
+        QuantileSpec("l_extendedprice", 0.5, "med"),
+        QuantileSpec("l_extendedprice", 0.95, "p95"),
+        QuantileSpec("l_quantity", 0.25, "q1")))
+      .orderBy("l_returnflag")
+      .as[(String, Double, Double, Double)].collect().toSeq
+    val builtin = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"),
+        percentile(col("l_quantity"), lit(0.25)).as("q1"))
+      .orderBy("l_returnflag")
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(ours === builtin) // exact ==, not tolerance: same double formula
+  }
+
+  test("quantiles handle single-row groups, nulls and exact positions") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", Some(2.0)), ("a", None),
+      ("b", Some(42.0)),
+      ("c", Some(10.0)), ("c", Some(20.0)))
+      .toDF("k", "v")
+    val out = Percentiles.groupQuantiles(df, Seq("k"),
+        Seq(QuantileSpec("v", 0.5, "med"), QuantileSpec("v", 1.0, "hi")))
+      .orderBy("k").as[(String, Double, Double)].collect().toSeq
+    // a: nulls ignored → {1,2,3}, median lands exactly on 2; b: n=1;
+    // c: median interpolates halfway
+    assert(out === Seq(("a", 2.0, 3.0), ("b", 42.0, 42.0), ("c", 15.0, 20.0)))
+  }
+
+  test("quantile plan has one exchange and no value-map aggregation") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val plan = Percentiles.groupQuantiles(li, Seq("l_returnflag"),
+        Seq(QuantileSpec("l_extendedprice", 0.5, "med")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"percentile must not buffer value maps:\n$plan")
+    assert(plan.contains("Window"), s"expected the sort-based path:\n$plan")
+  }
 }
