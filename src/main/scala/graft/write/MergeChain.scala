@@ -55,12 +55,23 @@ object MergeChain {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
     // root ids that are (re-)inserted — children of these come from
-    // staging; pinned for the same per-child reuse
+    // staging; pinned for the same per-child reuse. Unpersists sit in a
+    // finally: a failed chain load must not leak cache entries into a
+    // long-lived session (they survive the job and hold block storage).
     val insertedRoot = Merge.insertSet(stagedRoot, cfg)
     val insertedRootIds = insertedRoot
       .select(col(Ids.DltId).as(Ids.DltRootId)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try runChainLoad(store, chain, cfg, stagedRoot, replacedRootIds, insertedRootIds)
+    finally {
+      replacedRootIds.foreach(_.unpersist(blocking = false))
+      insertedRootIds.unpersist(blocking = false)
+    }
+  }
 
+  private def runChainLoad(store: TableStore, chain: TableChain,
+      cfg: MergeConfig, stagedRoot: DataFrame,
+      replacedRootIds: Option[DataFrame], insertedRootIds: DataFrame): Unit = {
     // children first on delete side, committed before the root.
     // MERGE-ON-READ: deleting the children of replaced roots writes a
     // TOMBSTONE (the replaced root-id set) instead of rewriting the
@@ -89,7 +100,5 @@ object MergeChain {
     // rewrote the entire root here for a sliver of changed keys
     Dispositions.mergePruned(store, chain.root, stagedRoot, cfg,
       MergeStrategy.DeleteInsert)
-    replacedRootIds.foreach(_.unpersist(blocking = false))
-    insertedRootIds.unpersist(blocking = false)
   }
 }

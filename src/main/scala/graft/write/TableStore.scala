@@ -280,6 +280,36 @@ final class TableStore(val root: String, spark: SparkSession) {
     commit(to, absolute, tombs)
   }
 
+  /** Physical copy of `from`'s current snapshot into `to`, committed as
+    * a replace. Data FILES are copied byte-for-byte — the warehouse
+    * `INSERT INTO dest SELECT * FROM staging` analog: the destination
+    * owns its own physical copy (unlike [[clone]]'s shared pointers),
+    * but no Spark decode/re-encode round runs and no executor job is
+    * scheduled. Pruning stats ride along unchanged since the bytes do.
+    * On a real cluster this binds to the storage layer's server-side
+    * copy (S3 CopyObject / DistCp), still O(bytes moved), never
+    * O(bytes decoded). Source must be tombstone-free (true for fresh
+    * staging tables by construction). */
+  def copyInto(from: String, to: String): Unit = synchronized {
+    val segs = currentSegments(from)
+    require(segs.nonEmpty, s"table $from does not exist")
+    require(currentTombstones(from).isEmpty,
+      s"copyInto needs a tombstone-free source, $from has live tombstones")
+    val copied = segs.map { s =>
+      val segName = s"data/${UUID.randomUUID().toString.take(12)}"
+      val dstDir = tableDir(to).resolve(segName)
+      Files.createDirectories(dstDir)
+      listDir(resolve(from, s.name))
+        .filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith(".") &&
+          !p.getFileName.toString.startsWith("_"))
+        .foreach(p => Files.copy(p, dstDir.resolve(p.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING))
+      s.copy(name = segName)
+    }
+    commit(to, copied)
+  }
+
   /** Direct file import: register existing parquet files as live
     * segments WITHOUT reading or rewriting them (reference import-files
     * normalizer, dlt/normalize/items_normalizers/file_import.py, and the

@@ -52,6 +52,24 @@ class WriteSpec extends SparkSpec {
       === Array(2L, 3L, 4L))
   }
 
+  test("copyInto gives the destination its own physical bytes and keeps stats") {
+    val store = newStore()
+    store.overwrite("stg", load1.toDF("id", "v", "ver"), statsFor = Seq("id"))
+    store.copyInto("stg", "dest")
+    // stats survive the byte copy (no re-scan needed to keep pruning)
+    assert(store.segments("dest").forall(_.stats.contains("id")))
+    // destination is independent of the source's files: drop the source,
+    // the copy still reads (clone would dangle here)
+    store.drop("stg")
+    assert(store.read("dest").select("id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L))
+    // replace semantics: a second copy fully supersedes the first
+    store.overwrite("stg2", load2.toDF("id", "v", "ver"))
+    store.copyInto("stg2", "dest")
+    assert(store.read("dest").select("id").as[Long].collect().sorted
+      === Array(2L, 4L))
+  }
+
   test("replace strategies all end with only the new load") {
     for (s <- Seq(ReplaceStrategy.TruncateAndInsert, ReplaceStrategy.InsertFromStaging,
       ReplaceStrategy.StagingOptimized)) {
@@ -188,5 +206,24 @@ class WriteSpec extends SparkSpec {
     val items = store.read("root__items")
     assert(items.count() == 5) // 3 (a) + 1 (b) + 1 (c)
     assert(items.select("value").as[Long].collect().sorted.toSeq == Seq(3L, 5L, 7L, 8L, 9L))
+  }
+
+  test("a failing chain load leaves no pinned caches behind") {
+    val store = newStore()
+    val cfg = MergeConfig(primaryKey = Seq("k"))
+    val root1 = Seq(("a", "id_a"), ("b", "id_b")).toDF("k", "_dlt_id")
+    MergeChain.deleteInsert(store, TableChain("root", root1,
+      Map("root__items" -> Seq(("id_a", 1L)).toDF("_dlt_root_id", "value"))),
+      cfg, "1")
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    // second load's child lacks _dlt_root_id → the child semi-join throws
+    // AFTER the root-id sets are pinned; the finally must release them
+    intercept[org.apache.spark.sql.AnalysisException] {
+      MergeChain.deleteInsert(store, TableChain("root",
+        Seq(("a", "id_a2")).toDF("k", "_dlt_id"),
+        Map("root__items" -> Seq(Tuple1(7L)).toDF("value"))), cfg, "2")
+    }
+    assert(cm.isEmpty, "failed chain load must unpersist its pinned id sets")
   }
 }
