@@ -55,9 +55,14 @@ object Bench {
     // dedup_containment), and a one-off GC/sandbox stall on an unchanged
     // query must not read as a regression. All runs land in
     // BENCH_LOCAL.json for variance analysis.
-    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2).max(1)
+    // 3 runs by default: the driver box swings up to 8x between runs on
+    // identical queries, and 2 runs cannot distinguish "both unlucky"
+    // from a real regression — with totals re-emitted after every
+    // completed run, the extra run is pure upside even if killed mid-way
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3).max(1)
     // lower-middle for even N: with 2 runs this reports the FASTER one,
-    // so a one-off cold-start/JIT stall cannot masquerade as a regression
+    // so a one-off cold-start/JIT stall cannot masquerade as a regression;
+    // with 3 completed runs the reported number is the true middle
     def median(vs: Seq[Double]): Double = {
       val s = vs.sorted; s((s.length - 1) / 2)
     }
@@ -103,6 +108,10 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           -1L
         }
+        // drop caches the dedup pair generators pinned for this query:
+        // 119 queries x 3 runs would otherwise accumulate pinned
+        // MEMORY_AND_DISK entries across the whole bench process
+        graft.ext.Dedup.releasePins()
         name -> (System.nanoTime() - t0) / 1e9
       }
       lastTiny = emit(allRuns.toSeq)

@@ -30,6 +30,23 @@ class ExtSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("withPins releases every pinned cache on exit, even on failure") {
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    Dedup.withPins {
+      Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5).collect()
+      assert(!cm.isEmpty, "pair generation should pin its shingle index")
+    }
+    assert(cm.isEmpty, "scope exit must unpersist every pin")
+    intercept[RuntimeException] {
+      Dedup.withPins {
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).collect()
+        throw new RuntimeException("consumer failed")
+      }
+    }
+    assert(cm.isEmpty, "a failing scope must still release its pins")
+  }
+
   test("minhashLshPairs agrees with exact jaccard at high threshold") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
       .select("id_a", "id_b", "jaccard").collect().toSet
