@@ -2,7 +2,51 @@ package graft.write
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
 
+import graft.schema.Naming
 import graft.sources.JdbcTableConfig
+
+/** Destination capability caps for an external SQL database (reference
+  * dlt/common/destination/capabilities.py:142-214 — every destination
+  * publishes its identifier limits and SQL dialect features, and the
+  * load plane shapes identifiers/statements to fit). Inferred from the
+  * JDBC URL by [[JdbcCapabilities.forUrl]]; override for exotic setups. */
+final case class JdbcCapabilities(
+    /** Hard cap on table/column identifier length — a 70-char normalized
+      * name the lakehouse accepts would fail on a 63-byte Postgres. */
+    maxIdentifierLength: Int,
+    /** Dialect has `MERGE INTO` (upsert runs as one statement); without
+      * it upsert falls back to portable UPDATE + INSERT. */
+    supportsMerge: Boolean,
+    /** The fold the engine applies to UNQUOTED identifiers (reference
+      * capabilities.py `casefold_identifier`). Table names are folded
+      * BEFORE quoting so our always-quoted statements name the same
+      * table a user's unquoted SQL reaches — quoting a lowercase name
+      * on an upper-folding engine (Derby/Oracle/DB2) would create a
+      * table invisible to unquoted queries. */
+    casefold: String => String = identity,
+    /** Identifier quote character (MySQL backtick vs ANSI `"`). */
+    quoteChar: Char = '"')
+
+object JdbcCapabilities {
+  /** Per-engine defaults keyed on the JDBC URL scheme (the same limits
+    * the reference hardcodes per destination: postgres 63, mysql 64,
+    * mssql/oracle/derby 128). Unknown engines get the most conservative
+    * common cap. */
+  def forUrl(url: String): JdbcCapabilities = {
+    val scheme = url.stripPrefix("jdbc:").takeWhile(_ != ':').toLowerCase
+    scheme match {
+      case "postgresql" => JdbcCapabilities(63, supportsMerge = false)
+      case "mysql" | "mariadb" =>
+        JdbcCapabilities(64, supportsMerge = false, quoteChar = '`')
+      case "derby" =>
+        JdbcCapabilities(128, supportsMerge = true, casefold = _.toUpperCase)
+      case "oracle" | "db2" =>
+        JdbcCapabilities(128, supportsMerge = true, casefold = _.toUpperCase)
+      case "sqlserver" => JdbcCapabilities(128, supportsMerge = true)
+      case _ => JdbcCapabilities(63, supportsMerge = false)
+    }
+  }
+}
 
 /** JDBC destination (reference dlt/destinations/impl/postgres/ and the
   * shared SQL load jobs, dlt/destinations/sql_jobs.py) — the "load into
@@ -10,16 +54,27 @@ import graft.sources.JdbcTableConfig
   * reusing the reader-side [[JdbcTableConfig]].
   *
   * Data movement is Spark's distributed JDBC writer (one connection per
-  * partition, `batchsize` inserts); merge follows the reference's
+  * partition, `batchsize` inserts); merges follow the reference's
   * staging-table protocol: load staging via the distributed writer,
-  * then a constant number of driver-side DML statements (DELETE via
-  * EXISTS + INSERT .. SELECT) that run INSIDE the database — the driver
-  * never holds rows, so the pattern survives any staging size. */
+  * then a constant number of driver-side DML statements that run INSIDE
+  * the database — the driver never holds rows, so the pattern survives
+  * any staging size.
+  *
+  * Every table/column identifier is routed through the snake_case
+  * naming convention with the destination's max identifier length
+  * ([[JdbcCapabilities]]) and consistently QUOTED in both the Spark
+  * writer (`dbtable`) and the driver-side DDL/DML — so mixed-case or
+  * reserved-word names can't diverge between the two paths, and names
+  * the lakehouse accepts shorten deterministically to fit the database. */
 object JdbcSink {
 
-  /** Quoted identifier, matching Spark's JDBC writer which creates
-    * columns with their exact DataFrame case. */
-  private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+  /** Quoted identifier in the destination's quote style. Columns keep
+    * their exact DataFrame case (matching how Spark's JDBC writer
+    * creates them); table names are casefolded first via [[tableIdent]]. */
+  private def q(ident: String, c: JdbcCapabilities): String = {
+    val ch = c.quoteChar.toString
+    ch + ident.replace(ch, ch + ch) + ch
+  }
 
   /** Rows per INSERT batch. Deliberately NOT cfg.fetchSize — that is a
     * read-side cursor hint; coupling them would let a read-memory tune
@@ -27,41 +82,146 @@ object JdbcSink {
     * `batchsize` entry in cfg.properties. */
   private val DefaultWriteBatch = 10000
 
-  private def writer(df: DataFrame, cfg: JdbcTableConfig, table: String) = {
+  private def caps(cfg: JdbcTableConfig): JdbcCapabilities =
+    JdbcCapabilities.forUrl(cfg.url)
+
+  /** Destination-normalized table name: snake_case + the destination's
+    * length cap (reference naming.py:137 shortening) + the engine's
+    * unquoted-identifier fold, so the quoted name our statements use is
+    * the one a user's unquoted SQL resolves to. */
+  private def tableIdent(name: String, c: JdbcCapabilities): String =
+    c.casefold(Naming.normalizeTableName(name, c.maxIdentifierLength))
+
+  private def destTable(cfg: JdbcTableConfig): String =
+    tableIdent(cfg.table, caps(cfg))
+
+  /** Normalize the frame's column names to the destination convention
+    * and cap. Collisions after shortening raise (two distinct columns
+    * must not silently merge). */
+  private def normalizeColumns(df: DataFrame, cap: Int): DataFrame = {
+    val renamed = df.columns.map(c => Naming.normalizeIdentifier(c, cap))
+    require(renamed.distinct.length == renamed.length,
+      s"column names collide after normalization to $cap chars: " +
+        renamed.diff(renamed.distinct).mkString(", "))
+    df.toDF(renamed.toIndexedSeq: _*)
+  }
+
+  private def writer(df: DataFrame, cfg: JdbcTableConfig, quotedTable: String) = {
     var w = df.write.format("jdbc")
       .option("url", cfg.url)
-      .option("dbtable", table)
+      .option("dbtable", quotedTable)
       .option("batchsize", DefaultWriteBatch.toString)
     cfg.properties.foreach { case (k, v) => w = w.option(k, v) }
     w
   }
 
   /** Append disposition: distributed INSERTs, table created on demand. */
-  def append(df: DataFrame, cfg: JdbcTableConfig): Unit =
-    writer(df, cfg, cfg.table).mode(SaveMode.Append).save()
+  def append(df: DataFrame, cfg: JdbcTableConfig): Unit = {
+    val c = caps(cfg)
+    writer(normalizeColumns(df, c.maxIdentifierLength), cfg, q(destTable(cfg), c))
+      .mode(SaveMode.Append).save()
+  }
 
   /** Replace disposition (truncate-and-insert when the database supports
     * TRUNCATE, drop-and-recreate otherwise — Spark's overwrite modes). */
   def replace(df: DataFrame, cfg: JdbcTableConfig,
-      truncate: Boolean = false): Unit =
-    writer(df, cfg, cfg.table).mode(SaveMode.Overwrite)
-      .option("truncate", truncate.toString).save()
+      truncate: Boolean = false): Unit = {
+    val c = caps(cfg)
+    writer(normalizeColumns(df, c.maxIdentifierLength), cfg, q(destTable(cfg), c))
+      .mode(SaveMode.Overwrite).option("truncate", truncate.toString).save()
+  }
 
   /** Merge delete-insert (reference gen_merge_sql, sql_jobs.py:633-654):
     * stage the batch with the distributed writer, then inside the
     * database delete destination rows whose key appears in staging and
     * insert the staged rows, IN ONE TRANSACTION — an autocommitted
     * DELETE followed by a failing INSERT would permanently lose the
-    * deleted destination rows. The staging table is dropped afterwards.
-    * Statements run in one driver-side connection; rows never transit
-    * the driver. */
+    * deleted destination rows. Statements run in one driver-side
+    * connection; rows never transit the driver. */
   def mergeDeleteInsert(df: DataFrame, cfg: JdbcTableConfig,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String], loadId: String = ""): Unit =
+    stagedMerge(df, cfg, keys, loadId) { (st, dest, stg, ks, cols) =>
+      val c = caps(cfg)
+      val keyMatch = ks.map(k => s"s.${q(k, c)} = $dest.${q(k, c)}").mkString(" AND ")
+      st.executeUpdate(
+        s"DELETE FROM $dest WHERE EXISTS " +
+          s"(SELECT 1 FROM $stg s WHERE $keyMatch)")
+      val colList = cols.map(q(_, c)).mkString(", ")
+      st.executeUpdate(s"INSERT INTO $dest ($colList) SELECT $colList FROM $stg")
+    }
+
+  /** Merge upsert (reference sql_jobs.py:741-837): matched destination
+    * rows update in place, unmatched staged rows insert. One `MERGE
+    * INTO` where the dialect has it; otherwise the portable SQL-92
+    * UPDATE-with-correlated-subquery + anti-INSERT pair. Staging is
+    * assumed pre-deduped (one row per key), as in the reference. */
+  def mergeUpsert(df: DataFrame, cfg: JdbcTableConfig,
+      keys: Seq[String], loadId: String = ""): Unit =
+    stagedMerge(df, cfg, keys, loadId) { (st, dest, stg, ks, cols) =>
+      val c = caps(cfg)
+      val keyMatch = ks.map(k => s"s.${q(k, c)} = $dest.${q(k, c)}").mkString(" AND ")
+      val nonKeys = cols.filterNot(ks.contains)
+      val colList = cols.map(q(_, c)).mkString(", ")
+      if (c.supportsMerge) {
+        val updates =
+          if (nonKeys.isEmpty) ""
+          else "WHEN MATCHED THEN UPDATE SET " +
+            nonKeys.map(n => s"${q(n, c)} = s.${q(n, c)}").mkString(", ") + " "
+        st.executeUpdate(
+          s"MERGE INTO $dest USING $stg s ON ($keyMatch) " + updates +
+            s"WHEN NOT MATCHED THEN INSERT ($colList) VALUES " +
+            cols.map(n => s"s.${q(n, c)}").mkString("(", ", ", ")"))
+      } else {
+        if (nonKeys.nonEmpty)
+          st.executeUpdate(
+            s"UPDATE $dest SET " +
+              nonKeys.map(n => s"${q(n, c)} = (SELECT s.${q(n, c)} FROM $stg s " +
+                s"WHERE $keyMatch)").mkString(", ") +
+              s" WHERE EXISTS (SELECT 1 FROM $stg s WHERE $keyMatch)")
+        st.executeUpdate(
+          s"INSERT INTO $dest ($colList) SELECT $colList FROM $stg s " +
+            s"WHERE NOT EXISTS (SELECT 1 FROM $dest WHERE $keyMatch)")
+      }
+    }
+
+  /** Merge insert-only (reference sql_jobs.py:762-773): only staged keys
+    * ABSENT from the destination insert; existing rows never change. */
+  def mergeInsertOnly(df: DataFrame, cfg: JdbcTableConfig,
+      keys: Seq[String], loadId: String = ""): Unit =
+    stagedMerge(df, cfg, keys, loadId) { (st, dest, stg, ks, cols) =>
+      val c = caps(cfg)
+      val keyMatch = ks.map(k => s"s.${q(k, c)} = $dest.${q(k, c)}").mkString(" AND ")
+      val colList = cols.map(q(_, c)).mkString(", ")
+      st.executeUpdate(
+        s"INSERT INTO $dest ($colList) SELECT $colList FROM $stg s " +
+          s"WHERE NOT EXISTS (SELECT 1 FROM $dest WHERE $keyMatch)")
+    }
+
+  /** Shared staging protocol for the merge family. Stages the batch
+    * under a LOAD-SCOPED name (`<table>__staging_<loadId>` — two
+    * concurrent merges into one destination must not clobber each
+    * other's staging rows), creates the destination on first load, runs
+    * `dml` in one transaction, and drops the staging table in a finally
+    * (best-effort — a failed merge must not leak staging tables).
+    * `dml` receives (statement, quotedDest, quotedStaging,
+    * normalizedKeys, normalizedCols). */
+  private def stagedMerge(df: DataFrame, cfg: JdbcTableConfig,
+      keys: Seq[String], loadId: String)(
+      dml: (java.sql.Statement, String, String, Seq[String], Seq[String]) => Unit): Unit = {
     require(keys.nonEmpty, "merge needs key columns")
-    val staging = s"${cfg.table}__staging"
-    writer(df, cfg, staging).mode(SaveMode.Overwrite).save()
-    val cols = df.columns.map(q).mkString(", ")
-    val keyMatch = keys.map(k => s"s.${q(k)} = t.${q(k)}").mkString(" AND ")
+    val c = caps(cfg)
+    val cap = c.maxIdentifierLength
+    val dest = destTable(cfg)
+    val suffix = if (loadId.nonEmpty) loadId else
+      java.util.UUID.randomUUID().toString.take(8)
+    // normalizeTableName caps the COMBINED name, so a near-cap dest name
+    // shortens rather than producing an over-long staging identifier
+    val staging = tableIdent(s"${cfg.table}__staging_$suffix", c)
+    val normalized = normalizeColumns(df, cap)
+    val ks = keys.map(Naming.normalizeIdentifier(_, cap))
+    require(ks.forall(normalized.columns.contains),
+      s"merge keys ${ks.mkString(",")} missing from ${normalized.columns.mkString(",")}")
+    writer(normalized, cfg, q(staging, c)).mode(SaveMode.Overwrite).save()
     val conn = java.sql.DriverManager.getConnection(cfg.url,
       cfg.properties.foldLeft(new java.util.Properties) { case (p, (k, v)) =>
         p.setProperty(k, v); p
@@ -71,22 +231,23 @@ object JdbcSink {
       val st = conn.createStatement()
       try {
         // destination may not exist on first load: create it empty from
-        // the staging shape, then the delete matches nothing
-        if (!tableExists(conn, cfg.table))
+        // the staging shape, then the merge matches nothing
+        if (!tableExists(conn, dest))
           st.executeUpdate(
-            s"CREATE TABLE ${cfg.table} AS SELECT * FROM $staging WITH NO DATA")
-        st.executeUpdate(
-          s"DELETE FROM ${cfg.table} t WHERE EXISTS " +
-            s"(SELECT 1 FROM $staging s WHERE $keyMatch)")
-        st.executeUpdate(
-          s"INSERT INTO ${cfg.table} ($cols) SELECT $cols FROM $staging")
-        st.executeUpdate(s"DROP TABLE $staging")
+            s"CREATE TABLE ${q(dest, c)} AS SELECT * FROM ${q(staging, c)} WITH NO DATA")
+        dml(st, q(dest, c), q(staging, c), ks, normalized.columns.toSeq)
         conn.commit()
       } catch {
         case e: Throwable =>
           try conn.rollback() catch { case _: Throwable => () }
           throw e
-      } finally st.close()
+      } finally {
+        try {
+          st.executeUpdate(s"DROP TABLE ${q(staging, c)}")
+          conn.commit()
+        } catch { case _: Throwable => () }
+        st.close()
+      }
     } finally conn.close()
   }
 

@@ -295,6 +295,64 @@ class SourcesSpec extends SparkSpec {
     assert(Jdbc.read(spark, cfg2).count() == 1)
   }
 
+  test("jdbc sink: upsert and insert-only strategies on in-memory derby") {
+    import graft.write.JdbcSink
+    val base = graft.sources.JdbcTableConfig(
+      url = "jdbc:derby:memory:graftsink2;create=true", table = "t_up")
+    def readBack(c: graft.sources.JdbcTableConfig) = Jdbc.read(spark, c)
+      .select("id", "v").as[(Long, String)].collect().toMap
+
+    // upsert (MERGE path on derby): matched updates, unmatched inserts
+    JdbcSink.mergeUpsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), base, Seq("id"))
+    JdbcSink.mergeUpsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), base, Seq("id"))
+    assert(readBack(base) == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+
+    // insert-only: existing key 2 never changes, fresh key 4 inserts
+    val cfgIo = base.copy(table = "t_io")
+    JdbcSink.mergeInsertOnly(Seq((2L, "x")).toDF("id", "v"), cfgIo, Seq("id"))
+    JdbcSink.mergeInsertOnly(Seq((2L, "y"), (4L, "d")).toDF("id", "v"), cfgIo, Seq("id"))
+    assert(readBack(cfgIo) == Map(2L -> "x", 4L -> "d"))
+
+    // all-key-columns upsert degenerates to insert-of-unmatched
+    val cfgK = base.copy(table = "t_keysonly")
+    JdbcSink.mergeUpsert(Seq(Tuple1(1L)).toDF("id"), cfgK, Seq("id"))
+    JdbcSink.mergeUpsert(Seq(Tuple1(1L), Tuple1(2L)).toDF("id"), cfgK, Seq("id"))
+    assert(Jdbc.read(spark, cfgK).count() == 2)
+  }
+
+  test("jdbc sink: identifiers normalize, casefold and shorten to the destination cap") {
+    import graft.write.{JdbcCapabilities, JdbcSink}
+    // capability inference is per engine (reference capabilities.py)
+    assert(JdbcCapabilities.forUrl("jdbc:postgresql://h/db").maxIdentifierLength == 63)
+    assert(JdbcCapabilities.forUrl("jdbc:mysql://h/db").quoteChar == '`')
+    assert(JdbcCapabilities.forUrl("jdbc:derby:memory:x").supportsMerge)
+
+    // a table name over derby's 128-char cap: normalized, shortened with
+    // the stable tag, casefolded, and fully usable through merge + read
+    val longName = "Event Log " + ("x" * 140)
+    val cfg = graft.sources.JdbcTableConfig(
+      url = "jdbc:derby:memory:graftsink3;create=true", table = longName)
+    JdbcSink.mergeDeleteInsert(
+      Seq((1L, "a")).toDF("id", "the Value"), cfg, keys = Seq("id"))
+    JdbcSink.mergeUpsert(
+      Seq((1L, "A"), (2L, "b")).toDF("id", "the Value"), cfg, keys = Seq("id"))
+    val out = Jdbc.read(spark, cfg.copy(table =
+      graft.schema.Naming.normalizeTableName(longName, 128).toUpperCase))
+    // column names ride the same normalization ("the Value" → the_value)
+    assert(out.columns.toSeq == Seq("id", "the_value"))
+    assert(out.select("id", "the_value").as[(Long, String)].collect().toMap
+      == Map(1L -> "A", 2L -> "b"))
+
+    // two merges into one destination stage under DIFFERENT load-scoped
+    // names: neither clobbers the other's staging rows
+    val cfg2 = cfg.copy(table = "t_conc")
+    JdbcSink.mergeDeleteInsert(Seq((1L, "a")).toDF("id", "v"), cfg2,
+      Seq("id"), loadId = "load1")
+    JdbcSink.mergeDeleteInsert(Seq((2L, "b")).toDF("id", "v"), cfg2,
+      Seq("id"), loadId = "load2")
+    assert(Jdbc.read(spark, cfg2).count() == 2)
+  }
+
   test("rest: config-wired can_close derives the window from state") {
     val cfg = Incremental.Config(cursorColumn = "id", initialValue = Some("0"))
     val stop = Rest.outOfWindowStop(cfg,
