@@ -58,7 +58,15 @@ object JsonIngest {
     val docs = df.select(col(column)).filter(col(column).isNotNull)
     val n = docs.count()
     if (n <= sampleCap) docs
-    else graft.operators.HashSplit.sample(docs, column, sampleCap.toDouble / n)
+    else {
+      // no-silent-caps: a field dropped because it never entered the
+      // sample must be diagnosable from the logs
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"JSON schema inference sampling ~$sampleCap of $n documents of " +
+          s"'$column'; fields appearing only outside the sample are dropped " +
+          "this batch (parseColumnFull scans every document)")
+      graft.operators.HashSplit.sample(docs, column, sampleCap.toDouble / n)
+    }
   }
 
   /** Parse a JSON string column into Spark 4's `VariantType` — the

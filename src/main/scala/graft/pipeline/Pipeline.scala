@@ -160,12 +160,25 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
       val futures = resources.map(r => scala.concurrent.Future(r.name -> runOne(r, loadId)))
-      val out = scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futures),
-        scala.concurrent.duration.Duration.Inf).toMap
+      val out = awaitAll(futures).toMap
       syncSystemTables(loadId)
       out
     } finally pool.shutdown()
+  }
+
+  /** Wait for ALL futures to SETTLE, then either return the results or
+    * throw the first failure. A bare `Await.result(Future.sequence(..))`
+    * rethrows on the first failure while sibling loads keep committing
+    * on the pool in the background — racing caller cleanup or an
+    * immediate retry of the same pipeline against the same store. */
+  private def awaitAll[A](futures: Seq[scala.concurrent.Future[A]])(
+      implicit ec: scala.concurrent.ExecutionContext): Seq[A] = {
+    val settled = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(
+        futures.map(_.transform(t => scala.util.Success(t)))),
+      scala.concurrent.duration.Duration.Inf)
+    settled.collectFirst { case scala.util.Failure(e) => e }.foreach(e => throw e)
+    settled.collect { case scala.util.Success(a) => a }
   }
 
   private def runOne(r: Resource, loadId: String): Seq[String] =
@@ -200,9 +213,8 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
                 runOneTable(slice, loadId)
               }
             }
-            scala.concurrent.Await.result(
-              scala.concurrent.Future.sequence(futures),
-              scala.concurrent.duration.Duration.Inf).flatten
+            // settle ALL slices before propagating a failure — see awaitAll
+            awaitAll(futures).flatten
           } finally pool.shutdown()
         } finally cached.unpersist(blocking = false)
     }
