@@ -77,13 +77,20 @@ object NormalizeQueries {
         .orderBy("event_id")
     },
 
-    // deterministic content-hash row ids (row_hash) — ids are engine
-    // internal, so rows-only check; determinism is unit-tested
+    // deterministic id modes (row_hash + key_hash), HASH-MATCHED: the
+    // ids are base64(first 15 bytes of sha256(to_json(sorted payload)))
+    // — every step re-derivable in DuckDB SQL, so the oracle recomputes
+    // them from scratch (same portability move as dedup_simhash); only
+    // the `random` mode stays uncheckable by construction
     "norm_row_hash_ids" -> q { c =>
-      val tables = Normalizer.normalize(
-        c.t("documents").select("doc_id", "lang", "source"),
-        "documents", cfg.copy(rootIdType = RootIdType.RowHash))
-      tables("documents").select("doc_id", "_dlt_id").orderBy("doc_id")
+      val src = c.t("documents").select("doc_id", "lang", "source")
+      val rh = Normalizer.normalize(src, "documents",
+          cfg.copy(rootIdType = RootIdType.RowHash))("documents")
+        .select(col("doc_id"), col("_dlt_id").as("row_hash_id"))
+      val kh = Normalizer.normalize(src, "documents",
+          cfg.copy(rootIdType = RootIdType.KeyHash(Seq("doc_id"))))("documents")
+        .select(col("doc_id"), col("_dlt_id").as("key_hash_id"))
+      rh.join(kh, "doc_id").orderBy("doc_id")
     }
   )
 
@@ -111,6 +118,19 @@ object NormalizeQueries {
     "norm_autodetect" ->
       """SELECT o_orderkey AS key_txt, o_orderdate AS date_txt,
         |  o_orderpriority AS prio_txt
-        |FROM orders ORDER BY key_txt""".stripMargin
+        |FROM orders ORDER BY key_txt""".stripMargin,
+    // re-derives both deterministic id modes from first principles:
+    // base64(first 15 bytes of sha256(to_json of the sorted payload
+    // struct)) — DuckDB and Spark render this JSON identically for
+    // non-null BIGINT/VARCHAR fields
+    "norm_row_hash_ids" ->
+      """SELECT doc_id,
+        |  to_base64(from_hex(substr(sha256(to_json(struct_pack(
+        |    doc_id := doc_id, lang := lang, source := source
+        |  ))::VARCHAR), 1, 30))) AS row_hash_id,
+        |  to_base64(from_hex(substr(sha256(to_json(struct_pack(
+        |    doc_id := doc_id
+        |  ))::VARCHAR), 1, 30))) AS key_hash_id
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
