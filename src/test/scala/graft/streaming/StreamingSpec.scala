@@ -122,6 +122,76 @@ class StreamingSpec extends SparkSpec {
     assert(p1.states.load("sinc", "rows/ts").lastValue === Some("30"))
   }
 
+  test("intoPipeline + incremental lag: reopened window composes with merge") {
+    import graft.incremental.Incremental
+    val srcDir = tmp("st-lag-src")
+    val root = tmp("st-lag-out")
+    // lag reopens the window by 10 cursor units each run; re-processed
+    // rows are expected and the MERGE disposition absorbs them (the
+    // reference's documented lag + merge pairing) — boundary dedup is
+    // intentionally off under lag
+    val inc = Incremental.Config("ts", primaryKey = Seq("id"), lag = Some(10.0))
+    val mrg = graft.write.MergeConfig(primaryKey = Seq("id"))
+    def drain(): Unit = {
+      val p = new Pipeline("slag", root, spark)
+      Streaming.intoPipeline(p,
+        Streaming.fileStream(spark, srcDir,
+          schema = Some(Seq((0L, 0L, "x")).toDF("id", "ts", "v").schema)),
+        b => Resource("rows", b).withMerge(mrg).withIncremental(inc))
+    }
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "ts", "v")
+      .write.mode("append").parquet(srcDir)
+    drain()
+    val p0 = new Pipeline("slag", root, spark)
+    assert(p0.states.load("slag", "rows/ts").lastValue === Some("20"))
+    // fresh checkpoint: everything re-delivers. The lagged window opens
+    // at 20-10=10, so the replayed ts=10 row re-processes (merge keeps it
+    // single), a LATE row at ts=15 that a plain cursor would cut now
+    // loads, and ts=25 advances the cursor.
+    Seq((5L, 15L, "late"), (4L, 25L, "d")).toDF("id", "ts", "v")
+      .write.mode("append").parquet(srcDir)
+    drain()
+    val out = p0.store.read("rows")
+    assert(out.orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(1L, 2L, 4L, 5L))
+    val p1 = new Pipeline("slag", root, spark)
+    assert(p1.states.load("slag", "rows/ts").lastValue === Some("25"))
+  }
+
+  test("intoPipeline + custom last_value_func composes with boundary dedup") {
+    import graft.incremental.Incremental
+    val srcDir = tmp("st-cf-src")
+    val root = tmp("st-cf-out")
+    // custom window: max aggregate with an INCLUSIVE accepts — boundary
+    // rows re-enter the window every run and only the fingerprint dedup
+    // keeps them exactly-once
+    val inc = Incremental.Config("ts", primaryKey = Seq("id"),
+      lastValueFunc = Incremental.CustomFunc(
+        agg = c => max(c), accepts = (last, cur) => cur >= last))
+    def drain(): Unit = {
+      val p = new Pipeline("scf", root, spark)
+      Streaming.intoPipeline(p,
+        Streaming.fileStream(spark, srcDir,
+          schema = Some(Seq((0L, 0L, "x")).toDF("id", "ts", "v").schema)),
+        b => Resource("rows", b).withIncremental(inc))
+    }
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "ts", "v")
+      .write.mode("append").parquet(srcDir)
+    drain()
+    // fresh checkpoint replays the old file: the boundary row (id=2,
+    // ts=20) passes the custom window but must dedup; the boundary
+    // NEWCOMER (id=3, ts=20) and a later row load
+    Seq((3L, 20L, "c"), (6L, 40L, "f")).toDF("id", "ts", "v")
+      .write.mode("append").parquet(srcDir)
+    drain()
+    val p0 = new Pipeline("scf", root, spark)
+    val out = p0.store.read("rows")
+    assert(out.count() === 4)
+    assert(out.orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(1L, 2L, 3L, 6L))
+    assert(p0.states.load("scf", "rows/ts").lastValue === Some("40"))
+  }
+
   test("dedupByKeyUnbounded keeps one row per key") {
     val store = new TableStore(tmp("st-dd"), spark)
     val src = Streaming.fileStream(spark, writeSourceDir())
