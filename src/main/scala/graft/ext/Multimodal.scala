@@ -208,4 +208,76 @@ object Multimodal {
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
+
+  /** Toy deterministic VIDEO CONTAINER (`GVID`) — the stand-in for an
+    * MP4/MKV demuxer this environment cannot ship. The container is a
+    * REAL binary format (magic + LE header + per-frame records) built
+    * and re-parsed byte-for-byte, so the Spark-side plumbing — binary
+    * payload column, per-partition demuxer loop, frame explosion WITHOUT
+    * copying payload bytes per frame — is exactly what a javacv/ffmpeg
+    * demuxer would ride; only the codec bitstream is fake (a checksum
+    * standing in for compressed frame data).
+    *
+    * Layout: `GVID` magic · width LE16 · height LE16 · fps LE16 ·
+    * n_frames LE32 · then per frame: keyframe flag byte · checksum LE32.
+    */
+  object Gvid {
+    private val Magic = Array('G', 'V', 'I', 'D').map(_.toByte)
+
+    /** One demuxed (sampled) frame; pts derives from fps at parse time. */
+    final case class VideoFrame(media_id: Long, width: Int, height: Int,
+      fps: Int, n_frames: Int, frame_idx: Int, is_key: Int,
+      checksum: Long, pts_micros: Long)
+
+    /** Serialize a container: header + `checksums.length` frame records;
+      * every `keyEvery`-th frame is flagged as a keyframe. */
+    def build(width: Int, height: Int, fps: Int, checksums: Seq[Long],
+        keyEvery: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer
+        .allocate(14 + 5 * checksums.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(Magic)
+      buf.putShort(width.toShort).putShort(height.toShort).putShort(fps.toShort)
+      buf.putInt(checksums.length)
+      checksums.zipWithIndex.foreach { case (cs, i) =>
+        buf.put(if (i % keyEvery == 0) 1.toByte else 0.toByte)
+        buf.putInt((cs & 0xffffffffL).toInt)
+      }
+      buf.array()
+    }
+
+    /** Demux one container into its sampled frames (every `stride`-th).
+      * The stride applies DURING the byte walk — unsampled frame records
+      * are skipped, never materialized, which is what keeps a 1000-frame
+      * payload from exploding 1000 rows when 10 are wanted. Non-GVID
+      * payloads yield no frames (a demuxer skips what it cannot read). */
+    def parse(item: MediaItem, stride: Int): Iterator[VideoFrame] = {
+      val p = item.payload
+      if (p.length < 14 || !p.take(4).sameElements(Magic)) return Iterator.empty
+      val buf = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.position(4)
+      val (w, h, fps) = (buf.getShort & 0xffff, buf.getShort & 0xffff, buf.getShort & 0xffff)
+      val n = buf.getInt
+      require(p.length >= 14 + 5 * n.toLong, s"truncated GVID payload: $n frames")
+      Iterator.range(0, n, math.max(1, stride)).map { i =>
+        val off = 14 + 5 * i
+        val key = p(off) & 0xff
+        val cs = ((p(off + 1) & 0xffL)) | ((p(off + 2) & 0xffL) << 8) |
+          ((p(off + 3) & 0xffL) << 16) | ((p(off + 4) & 0xffL) << 24)
+        VideoFrame(item.media_id, w, h, fps, n, i, key, cs,
+          i.toLong * 1000000L / math.max(1, fps))
+      }
+    }
+
+    /** Demux a media Dataset: one row per sampled frame, typed schema,
+      * demuxer state per PARTITION (the batch shape a native demuxer
+      * needs — open/close contexts once, not per row). */
+    def explodeFrames(media: Dataset[MediaItem], stride: Int): Dataset[VideoFrame] = {
+      import media.sparkSession.implicits._
+      media.mapPartitions { it =>
+        // per-partition demuxer init would go here (once, not per row)
+        it.flatMap(parse(_, stride))
+      }
+    }
+  }
 }

@@ -259,6 +259,25 @@ object ExtQueries {
           Multimodal.asMedia(c.t("documents"), "doc_id", "text",
             modality = "video")), stride = 4)
         .orderBy("media_id", "frame_idx")
+    },
+
+    // REAL binary video containers (GVID), synthesized deterministically
+    // per document, demuxed back by the byte-walking parser with
+    // stride-sampling during the walk — the oracle re-derives every
+    // frame field from the same arithmetic, so the build→parse→explode
+    // path is exact end to end
+    "mm_video_container" -> q { c =>
+      import c.spark.implicits._
+      val media = c.t("documents").select(col("doc_id")).as[Long].map { id =>
+        val n = (id % 7 + 1).toInt
+        val cs = (0 until n).map(i => (id * 2654435761L + i * 40503L) % 4294967296L)
+        Multimodal.MediaItem(id, "video",
+          Multimodal.Gvid.build(320 + (id % 4).toInt * 80, 240, 24, cs, keyEvery = 4))
+      }
+      Multimodal.Gvid.explodeFrames(media, stride = 2)
+        .toDF().select("media_id", "width", "height", "fps", "n_frames",
+          "frame_idx", "is_key", "checksum", "pts_micros")
+        .orderBy("media_id", "frame_idx")
     }
   )
 
@@ -578,6 +597,22 @@ object ExtQueries {
         |    (octet_length(encode(text)) // 32 + 1)::INT AS n_frames
         |  FROM documents)
         |SELECT media_id, n_frames, unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
-        |FROM meta ORDER BY media_id, frame_idx""".stripMargin
+        |FROM meta ORDER BY media_id, frame_idx""".stripMargin,
+
+    "mm_video_container" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, (doc_id % 7)::BIGINT, 2)) AS i
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  (320 + (doc_id % 4) * 80)::INT AS width,
+        |  240::INT AS height,
+        |  24::INT AS fps,
+        |  (doc_id % 7 + 1)::INT AS n_frames,
+        |  i::INT AS frame_idx,
+        |  (CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END)::INT AS is_key,
+        |  (doc_id * 2654435761 + i * 40503) % 4294967296 AS checksum,
+        |  (i * 1000000 // 24)::BIGINT AS pts_micros
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin
   )
 }

@@ -47,6 +47,31 @@ class ExtSpec extends SparkSpec {
     assert(cm.isEmpty, "a failing scope must still release its pins")
   }
 
+  test("gvid container round-trips build → parse with stride sampling") {
+    import Multimodal.{Gvid, MediaItem}
+    val cs = Seq(100L, 200L, 4294967295L, 0L, 7L) // incl. max-u32 edge
+    val bytes = Gvid.build(width = 1920, height = 1080, fps = 30, cs, keyEvery = 2)
+    // full parse reconstructs every field exactly
+    val all = Gvid.parse(MediaItem(9L, "video", bytes), stride = 1).toSeq
+    assert(all.map(_.checksum) === cs)
+    assert(all.map(_.is_key) === Seq(1, 0, 1, 0, 1))
+    assert(all.head.width === 1920 && all.head.height === 1080)
+    assert(all.map(_.pts_micros) === Seq(0L, 33333L, 66666L, 100000L, 133333L))
+    // stride applies during the byte walk — only sampled frames surface
+    val sampled = Gvid.parse(MediaItem(9L, "video", bytes), stride = 2).toSeq
+    assert(sampled.map(_.frame_idx) === Seq(0, 2, 4))
+    // non-GVID payloads demux to nothing; truncated containers refuse
+    assert(Gvid.parse(MediaItem(1L, "video", "notavideo".getBytes), 1).isEmpty)
+    intercept[IllegalArgumentException](
+      Gvid.parse(MediaItem(1L, "video", bytes.take(20)), 1).toSeq)
+    // distributed demux matches the local parse
+    val ds = spark.createDataset(Seq(MediaItem(9L, "video", bytes)))(
+      org.apache.spark.sql.Encoders.product[MediaItem])
+    val viaSpark = Gvid.explodeFrames(ds, stride = 2)
+      .orderBy("frame_idx").collect().toSeq
+    assert(viaSpark === sampled)
+  }
+
   test("minhashLshPairs agrees with exact jaccard at high threshold") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
       .select("id_a", "id_b", "jaccard").collect().toSet
