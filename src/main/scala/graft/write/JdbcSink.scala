@@ -184,6 +184,70 @@ object JdbcSink {
       }
     }
 
+  /** SCD2 merge on the external destination (reference
+    * sql_jobs.py:903-1021): row identity is the same content digest the
+    * lakehouse SCD2 uses ([[graft.normalize.Ids.rowHash]]), computed in
+    * Spark and staged alongside the validity columns; retire + insert
+    * then run as two in-database statements in one transaction —
+    *  1. retire: active destination rows whose hash is absent from
+    *     staging get `valid_to = boundaryTs` (with `cfg.mergeKey`, only
+    *     entities present in staging can retire — partitioned SCD2);
+    *  2. insert: staged rows whose hash is not currently active enter
+    *     with `valid_from = boundaryTs`, open `valid_to`.
+    * History rows are never touched: the UPDATE's active predicate
+    * excludes them, so a load costs O(active + staged) in the database
+    * exactly as the lakehouse path does in segments. */
+  def scd2(df: DataFrame, jcfg: JdbcTableConfig, cfg: Scd2Config,
+      loadId: String = ""): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val openTo = cfg.activeRecordTs
+      .map(ts => to_timestamp(lit(ts)))
+      .getOrElse(lit(null).cast("timestamp"))
+    val staged = df
+      .withColumn(cfg.rowHashColumn, graft.normalize.Ids.rowHash(
+        cfg.trackedColumns.filterNot(Seq(cfg.validFromColumn, cfg.validToColumn,
+          cfg.rowHashColumn).contains)))
+      .withColumn(cfg.validFromColumn, to_timestamp(lit(cfg.boundaryTs)))
+      .withColumn(cfg.validToColumn, openTo)
+    // the digest is exactly 20 chars; pin its column type so dialects
+    // that map StringType to CLOB (Derby) still allow the equality
+    // compares the retire/insert statements need — CLOBs are not
+    // comparable. User string merge keys can pass the same
+    // `createTableColumnTypes` hint through cfg.properties.
+    val hashIdent = Naming.normalizeIdentifier(cfg.rowHashColumn,
+      caps(jcfg).maxIdentifierLength)
+    val typeHint = s"$hashIdent VARCHAR(20)"
+    val hinted = jcfg.copy(properties = jcfg.properties +
+      ("createTableColumnTypes" -> jcfg.properties.get("createTableColumnTypes")
+        .map(_ + ", " + typeHint).getOrElse(typeHint)))
+    stagedMerge(staged, hinted, keys = Seq(cfg.rowHashColumn), loadId) {
+      (st, dest, stg, ks, cols) =>
+        val c = caps(jcfg)
+        val cap = c.maxIdentifierLength
+        def n(ident: String) = Naming.normalizeIdentifier(ident, cap)
+        val (hash, vto) = (q(n(cfg.rowHashColumn), c), q(n(cfg.validToColumn), c))
+        // JDBC timestamp escape — the DRIVER translates it per dialect
+        // (Derby rejects the ANSI TIMESTAMP '...' literal form)
+        def tsLiteral(s: String) = "{ts '" + s.replace("'", "''") + "'}"
+        val active = cfg.activeRecordTs match {
+          case None => s"$dest.$vto IS NULL"
+          case Some(ts) => s"$dest.$vto = ${tsLiteral(ts)}"
+        }
+        val keyScope = cfg.mergeKey.map(n).map(k =>
+          s" AND EXISTS (SELECT 1 FROM $stg s WHERE s.${q(k, c)} = $dest.${q(k, c)})")
+          .mkString
+        st.executeUpdate(
+          s"UPDATE $dest SET $vto = ${tsLiteral(cfg.boundaryTs)} " +
+            s"WHERE $active$keyScope " +
+            s"AND NOT EXISTS (SELECT 1 FROM $stg s WHERE s.$hash = $dest.$hash)")
+        val colList = cols.map(q(_, c)).mkString(", ")
+        st.executeUpdate(
+          s"INSERT INTO $dest ($colList) SELECT $colList FROM $stg s " +
+            s"WHERE NOT EXISTS (SELECT 1 FROM $dest WHERE $active " +
+            s"AND $dest.$hash = s.$hash)")
+    }
+  }
+
   /** Merge insert-only (reference sql_jobs.py:762-773): only staged keys
     * ABSENT from the destination insert; existing rows never change. */
   def mergeInsertOnly(df: DataFrame, cfg: JdbcTableConfig,

@@ -320,6 +320,31 @@ class SourcesSpec extends SparkSpec {
     assert(Jdbc.read(spark, cfgK).count() == 2)
   }
 
+  test("jdbc sink: scd2 retires and versions in-database on derby") {
+    import graft.write.{JdbcSink, Scd2Config}
+    val cfg = graft.sources.JdbcTableConfig(
+      url = "jdbc:derby:memory:graftscd;create=true", table = "dim_users")
+    def cfgFor(ts: String) = Scd2Config(
+      trackedColumns = Seq("id", "v"), mergeKey = Seq("id"), boundaryTs = ts)
+
+    JdbcSink.scd2(Seq((1L, "a1"), (2L, "b1")).toDF("id", "v"), cfg,
+      cfgFor("2024-01-01 00:00:00"))
+    // entity 1 revises; entity 2 absent from the batch must NOT retire
+    JdbcSink.scd2(Seq((1L, "a2")).toDF("id", "v"), cfg,
+      cfgFor("2024-01-02 00:00:00"))
+    val out = Jdbc.read(spark, cfg)
+      .select("id", "v", "_dlt_valid_to")
+      .as[(Long, String, Option[java.sql.Timestamp])].collect().toSeq
+    assert(out.size === 3) // a1 retired, a2 + b1 active
+    assert(out.filter(_._3.isEmpty).map(r => (r._1, r._2)).sorted
+      === Seq((1L, "a2"), (2L, "b1")))
+    assert(out.filter(_._3.nonEmpty).map(_._2) === Seq("a1"))
+    // an identical re-delivery is a no-op (hash survives as active)
+    JdbcSink.scd2(Seq((1L, "a2")).toDF("id", "v"), cfg,
+      cfgFor("2024-01-03 00:00:00"))
+    assert(Jdbc.read(spark, cfg).count() === 3)
+  }
+
   test("jdbc sink: identifiers normalize, casefold and shorten to the destination cap") {
     import graft.write.{JdbcCapabilities, JdbcSink}
     // capability inference is per engine (reference capabilities.py)
