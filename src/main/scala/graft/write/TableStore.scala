@@ -64,6 +64,14 @@ final case class Tombstone(name: String, column: String, covered: Set[String])
   * only segments whose key range overlaps the staged keys (see
   * [[Dispositions.merge]]); replace commits a fresh segment list.
   *
+  * Concurrency contract: commits are serialized per STORE INSTANCE
+  * (`synchronized`), the same single-writer-per-table model the
+  * reference runs (one load package writer per table). Two processes
+  * committing to one table concurrently can lose the earlier commit's
+  * manifest entry (last `_CURRENT` swap wins) — run one writer per
+  * table, or bind dispositions onto Delta/Iceberg (whose logs do
+  * optimistic concurrency) when multi-writer tables are required.
+  *
   * Segment stats are captured with `Dataset.observe` riding the write
   * action — no extra scan of the data.
   */

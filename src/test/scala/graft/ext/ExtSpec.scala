@@ -47,6 +47,14 @@ class ExtSpec extends SparkSpec {
     assert(cm.isEmpty, "a failing scope must still release its pins")
   }
 
+  test("resolveNearDups keeps one canonical doc per cluster") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val survivors = Dedup.resolveNearDups(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // cluster {1,2,4} collapses to its minimum (1); 3 is untouched
+    assert(survivors === Seq(1L, 3L))
+  }
+
   test("gvid container round-trips build → parse with stride sampling") {
     import Multimodal.{Gvid, MediaItem}
     val cs = Seq(100L, 200L, 4294967295L, 0L, 7L) // incl. max-u32 edge
