@@ -48,7 +48,7 @@ object Bench {
         System.err.println(s"[bench] warmup write cycle failed: $e")
       }
     }
-    // Every query runs SPARK_GRAFT_RUNS times (default 2) and reports
+    // Every query runs SPARK_GRAFT_RUNS times (default 3) and reports
     // the median (lower-middle, so 2 runs report the faster one): first
     // executions carry multi-second JIT/codegen costs the warmup can't
     // fully cover (measured 36s→0.9s on norm_flatten_json, 61s→8s on

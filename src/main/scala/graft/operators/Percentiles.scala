@@ -55,12 +55,18 @@ object Percentiles {
       .select(keys.map(col) :+ col("sv.src").as("__src") :+ col("sv.v").as("__v"): _*)
       .filter(col("__v").isNotNull)
 
-    // one Window exec, two frames over the same sort: running row_number
-    // and the full-partition count (no second exchange)
+    // one Window exec, two frames over the same sort: a running count as
+    // the 0-based rank (LONG — row_number() is an Int and would wrap
+    // negative past 2^31 rows in one partition, exactly the huge-group
+    // case this operator exists for) and the full-partition count. Rank
+    // ties are arbitrary but tied rows carry equal __v, so the
+    // interpolation is unaffected. Double rank is exact to 2^53 rows.
     val part = (keys :+ "__src").map(col)
     val w = Window.partitionBy(part: _*).orderBy(col("__v"))
     val ranked = stacked
-      .withColumn("__i", row_number().over(w).cast("double") - 1d) // 0-based
+      .withColumn("__i", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double") - 1d) // 0-based
       .withColumn("__n", count(lit(1)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
 

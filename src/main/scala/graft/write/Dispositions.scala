@@ -62,10 +62,13 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
         // SELECT analog. The previous read-back-and-rewrite decoded and
         // re-encoded the identical bytes through a second full Spark job
         // per load (2x the cost, and the r4 driver-bench regression).
+        // Drop rides a finally: a failed copy must not leak a live
+        // `<table>__staging` into the store (it would read as a nested
+        // child table of `table` to the pipeline's `__`-prefix scan).
         val staging = s"${table}__staging"
         store.overwrite(staging, stamp(df, loadId))
-        store.copyInto(staging, table)
-        store.drop(staging)
+        try store.copyInto(staging, table)
+        finally store.drop(staging)
       case ReplaceStrategy.StagingOptimized =>
         val staging = s"${table}__staging"
         store.overwrite(staging, stamp(df, loadId))

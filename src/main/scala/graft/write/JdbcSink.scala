@@ -25,7 +25,14 @@ final case class JdbcCapabilities(
       * table invisible to unquoted queries. */
     casefold: String => String = identity,
     /** Identifier quote character (MySQL backtick vs ANSI `"`). */
-    quoteChar: Char = '"')
+    quoteChar: Char = '"',
+    /** Statement creating an EMPTY `dest` with `src`'s shape — the ANSI
+      * `CREATE TABLE .. AS SELECT .. WITH NO DATA` is Derby/Postgres
+      * only; MySQL/DB2 have `CREATE TABLE .. LIKE ..`, Oracle takes a
+      * never-true CTAS predicate, SQL Server uses `SELECT INTO`.
+      * Arguments are pre-quoted identifiers. */
+    createEmptyLike: (String, String) => String =
+      (dest, src) => s"CREATE TABLE $dest AS SELECT * FROM $src WITH NO DATA")
 
 object JdbcCapabilities {
   /** Per-engine defaults keyed on the JDBC URL scheme (the same limits
@@ -37,12 +44,19 @@ object JdbcCapabilities {
     scheme match {
       case "postgresql" => JdbcCapabilities(63, supportsMerge = false)
       case "mysql" | "mariadb" =>
-        JdbcCapabilities(64, supportsMerge = false, quoteChar = '`')
+        JdbcCapabilities(64, supportsMerge = false, quoteChar = '`',
+          createEmptyLike = (d, s) => s"CREATE TABLE $d LIKE $s")
       case "derby" =>
         JdbcCapabilities(128, supportsMerge = true, casefold = _.toUpperCase)
-      case "oracle" | "db2" =>
-        JdbcCapabilities(128, supportsMerge = true, casefold = _.toUpperCase)
-      case "sqlserver" => JdbcCapabilities(128, supportsMerge = true)
+      case "oracle" =>
+        JdbcCapabilities(128, supportsMerge = true, casefold = _.toUpperCase,
+          createEmptyLike = (d, s) => s"CREATE TABLE $d AS SELECT * FROM $s WHERE 1 = 0")
+      case "db2" =>
+        JdbcCapabilities(128, supportsMerge = true, casefold = _.toUpperCase,
+          createEmptyLike = (d, s) => s"CREATE TABLE $d LIKE $s")
+      case "sqlserver" =>
+        JdbcCapabilities(128, supportsMerge = true,
+          createEmptyLike = (d, s) => s"SELECT * INTO $d FROM $s WHERE 1 = 0")
       case _ => JdbcCapabilities(63, supportsMerge = false)
     }
   }
@@ -233,9 +247,14 @@ object JdbcSink {
           case None => s"$dest.$vto IS NULL"
           case Some(ts) => s"$dest.$vto = ${tsLiteral(ts)}"
         }
-        val keyScope = cfg.mergeKey.map(n).map(k =>
-          s" AND EXISTS (SELECT 1 FROM $stg s WHERE s.${q(k, c)} = $dest.${q(k, c)})")
-          .mkString
+        // ONE exists over the full key TUPLE — independent per-column
+        // EXISTS would let two different staging rows each satisfy one
+        // column and wrongly retire an entity absent from the batch
+        val keyScope =
+          if (cfg.mergeKey.isEmpty) ""
+          else " AND EXISTS (SELECT 1 FROM " + stg + " s WHERE " +
+            cfg.mergeKey.map(n).map(k =>
+              s"s.${q(k, c)} = $dest.${q(k, c)}").mkString(" AND ") + ")"
         st.executeUpdate(
           s"UPDATE $dest SET $vto = ${tsLiteral(cfg.boundaryTs)} " +
             s"WHERE $active$keyScope " +
@@ -295,10 +314,10 @@ object JdbcSink {
       val st = conn.createStatement()
       try {
         // destination may not exist on first load: create it empty from
-        // the staging shape, then the merge matches nothing
+        // the staging shape (dialect-specific statement), then the
+        // merge matches nothing
         if (!tableExists(conn, dest))
-          st.executeUpdate(
-            s"CREATE TABLE ${q(dest, c)} AS SELECT * FROM ${q(staging, c)} WITH NO DATA")
+          st.executeUpdate(c.createEmptyLike(q(dest, c), q(staging, c)))
         dml(st, q(dest, c), q(staging, c), ks, normalized.columns.toSeq)
         conn.commit()
       } catch {

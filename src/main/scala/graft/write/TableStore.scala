@@ -307,12 +307,16 @@ final class TableStore(val root: String, spark: SparkSession) {
       val segName = s"data/${UUID.randomUUID().toString.take(12)}"
       val dstDir = tableDir(to).resolve(segName)
       Files.createDirectories(dstDir)
-      listDir(resolve(from, s.name))
-        .filter(p => Files.isRegularFile(p) &&
+      val src = resolve(from, s.name)
+      // a segment is normally a parquet directory, but importFiles
+      // registers bare files as segments — copy either shape
+      val files =
+        if (Files.isRegularFile(src)) Seq(src)
+        else listDir(src).filter(p => Files.isRegularFile(p) &&
           !p.getFileName.toString.startsWith(".") &&
           !p.getFileName.toString.startsWith("_"))
-        .foreach(p => Files.copy(p, dstDir.resolve(p.getFileName.toString),
-          StandardCopyOption.REPLACE_EXISTING))
+      files.foreach(p => Files.copy(p, dstDir.resolve(p.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING))
       s.copy(name = segName)
     }
     commit(to, copied)

@@ -343,6 +343,28 @@ class SourcesSpec extends SparkSpec {
     JdbcSink.scd2(Seq((1L, "a2")).toDF("id", "v"), cfg,
       cfgFor("2024-01-03 00:00:00"))
     assert(Jdbc.read(spark, cfg).count() === 3)
+
+    // COMPOSITE merge key scopes on the full TUPLE: a batch holding
+    // (1,_) and (_,20) entities must not retire untouched (1,20) —
+    // per-column EXISTS would match it through two different rows
+    val cfg2 = cfg.copy(table = "dim_comp")
+    def compCfg(ts: String) = Scd2Config(
+      trackedColumns = Seq("tenant", "acct", "v"),
+      mergeKey = Seq("tenant", "acct"), boundaryTs = ts)
+    JdbcSink.scd2(
+      Seq((1L, 20L, "keep"), (1L, 30L, "x"), (2L, 20L, "y"))
+        .toDF("tenant", "acct", "v"),
+      cfg2, compCfg("2024-01-01 00:00:00"))
+    JdbcSink.scd2(
+      Seq((1L, 30L, "x2"), (2L, 20L, "y2")).toDF("tenant", "acct", "v"),
+      cfg2, compCfg("2024-01-02 00:00:00"))
+    val comp = Jdbc.read(spark, cfg2)
+      .select("tenant", "acct", "v", "_dlt_valid_to")
+      .as[(Long, Long, String, Option[java.sql.Timestamp])].collect().toSeq
+    // (1,20) untouched-active; x and y retired; x2, y2 active
+    assert(comp.count(_._4.isEmpty) === 3)
+    assert(comp.find(r => r._1 == 1L && r._2 == 20L).get._4.isEmpty,
+      "entity absent from the batch must stay active under a composite key")
   }
 
   test("jdbc sink: identifiers normalize, casefold and shorten to the destination cap") {

@@ -2,6 +2,8 @@ package graft.write
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
@@ -68,6 +70,19 @@ class WriteSpec extends SparkSpec {
     store.copyInto("stg2", "dest")
     assert(store.read("dest").select("id").as[Long].collect().sorted
       === Array(2L, 4L))
+    // bare-FILE segments (importFiles registers files, not dirs) copy too
+    val dir = Files.createTempDirectory("graft-cif")
+    load1.toDF("id", "v", "ver").coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("p").toString)
+    val one = {
+      val s = Files.list(dir.resolve("p"))
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    store.importFiles("stg3", Seq(one.toString))
+    store.copyInto("stg3", "dest")
+    assert(store.read("dest").count() === 3)
   }
 
   test("replace strategies all end with only the new load") {
