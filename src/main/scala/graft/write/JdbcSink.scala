@@ -32,7 +32,11 @@ final case class JdbcCapabilities(
       * never-true CTAS predicate, SQL Server uses `SELECT INTO`.
       * Arguments are pre-quoted identifiers. */
     createEmptyLike: (String, String) => String =
-      (dest, src) => s"CREATE TABLE $dest AS SELECT * FROM $src WITH NO DATA")
+      (dest, src) => s"CREATE TABLE $dest AS SELECT * FROM $src WITH NO DATA",
+    /** ALTER adding one column — Oracle wants the parenthesized form.
+      * Arguments: pre-quoted table, column definition (`"c" BIGINT`). */
+    addColumnSql: (String, String) => String =
+      (table, colDef) => s"ALTER TABLE $table ADD COLUMN $colDef")
 
 object JdbcCapabilities {
   /** Per-engine defaults keyed on the JDBC URL scheme (the same limits
@@ -50,7 +54,8 @@ object JdbcCapabilities {
         JdbcCapabilities(128, supportsMerge = true, casefold = _.toUpperCase)
       case "oracle" =>
         JdbcCapabilities(128, supportsMerge = true, casefold = _.toUpperCase,
-          createEmptyLike = (d, s) => s"CREATE TABLE $d AS SELECT * FROM $s WHERE 1 = 0")
+          createEmptyLike = (d, s) => s"CREATE TABLE $d AS SELECT * FROM $s WHERE 1 = 0",
+          addColumnSql = (t, d) => s"ALTER TABLE $t ADD ($d)")
       case "db2" =>
         JdbcCapabilities(128, supportsMerge = true, casefold = _.toUpperCase,
           createEmptyLike = (d, s) => s"CREATE TABLE $d LIKE $s")
@@ -129,11 +134,54 @@ object JdbcSink {
     w
   }
 
-  /** Append disposition: distributed INSERTs, table created on demand. */
+  private def withConnection[A](cfg: JdbcTableConfig)(
+      body: java.sql.Connection => A): A = {
+    val conn = java.sql.DriverManager.getConnection(cfg.url,
+      cfg.properties.foldLeft(new java.util.Properties) { case (p, (k, v)) =>
+        p.setProperty(k, v); p
+      })
+    try body(conn) finally conn.close()
+  }
+
+  /** Destination schema evolution (reference DDL sync before each load
+    * — dlt migrates destination tables to the schema's new columns):
+    * ALTER the table to add any staged column it lacks, typed through
+    * Spark's JDBC dialect mapping, nullable. WIDEN-ONLY, as in the
+    * reference: never drops or retypes; destination-only columns read
+    * NULL on newly loaded rows. */
+  private def evolveSchema(conn: java.sql.Connection, table: String,
+      df: DataFrame, cfg: JdbcTableConfig): Unit = {
+    val c = caps(cfg)
+    val (cat, sch) =
+      (scala.util.Try(conn.getCatalog).getOrElse(null),
+        scala.util.Try(conn.getSchema).getOrElse(null))
+    val rs = conn.getMetaData.getColumns(cat, sch, table, null)
+    val existing = scala.collection.mutable.Set.empty[String]
+    try while (rs.next()) existing += rs.getString("COLUMN_NAME").toLowerCase
+    finally rs.close()
+    if (existing.isEmpty) return // table absent: creation handles shape
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(cfg.url)
+    df.schema.fields.filterNot(f => existing(f.name.toLowerCase)).foreach { f =>
+      val tpe = dialect.getJDBCType(f.dataType)
+        .orElse(org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+          .getCommonJDBCType(f.dataType))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no JDBC type mapping for column ${f.name}: ${f.dataType}"))
+        .databaseTypeDefinition
+      val st = conn.createStatement()
+      try st.executeUpdate(c.addColumnSql(q(table, c), s"${q(f.name, c)} $tpe"))
+      finally st.close()
+    }
+  }
+
+  /** Append disposition: distributed INSERTs, table created on demand;
+    * an existing destination first evolves to cover new staged columns
+    * (Spark's JDBC appender fails on columns the table lacks). */
   def append(df: DataFrame, cfg: JdbcTableConfig): Unit = {
     val c = caps(cfg)
-    writer(normalizeColumns(df, c.maxIdentifierLength), cfg, q(destTable(cfg), c))
-      .mode(SaveMode.Append).save()
+    val normalized = normalizeColumns(df, c.maxIdentifierLength)
+    withConnection(cfg)(conn => evolveSchema(conn, destTable(cfg), normalized, cfg))
+    writer(normalized, cfg, q(destTable(cfg), c)).mode(SaveMode.Append).save()
   }
 
   /** Replace disposition (truncate-and-insert when the database supports
@@ -305,19 +353,17 @@ object JdbcSink {
     require(ks.forall(normalized.columns.contains),
       s"merge keys ${ks.mkString(",")} missing from ${normalized.columns.mkString(",")}")
     writer(normalized, cfg, q(staging, c)).mode(SaveMode.Overwrite).save()
-    val conn = java.sql.DriverManager.getConnection(cfg.url,
-      cfg.properties.foldLeft(new java.util.Properties) { case (p, (k, v)) =>
-        p.setProperty(k, v); p
-      })
-    try {
+    withConnection(cfg) { conn =>
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
         // destination may not exist on first load: create it empty from
         // the staging shape (dialect-specific statement), then the
-        // merge matches nothing
+        // merge matches nothing; an existing destination evolves to
+        // cover any new staged columns first
         if (!tableExists(conn, dest))
           st.executeUpdate(c.createEmptyLike(q(dest, c), q(staging, c)))
+        else evolveSchema(conn, dest, normalized, cfg)
         dml(st, q(dest, c), q(staging, c), ks, normalized.columns.toSeq)
         conn.commit()
       } catch {
@@ -331,7 +377,7 @@ object JdbcSink {
         } catch { case _: Throwable => () }
         st.close()
       }
-    } finally conn.close()
+    }
   }
 
   /** Does `table` exist in the CONNECTION'S current catalog/schema?

@@ -367,6 +367,25 @@ class SourcesSpec extends SparkSpec {
       "entity absent from the batch must stay active under a composite key")
   }
 
+  test("jdbc sink: destinations evolve to new staged columns (widen-only)") {
+    import graft.write.JdbcSink
+    val cfg = graft.sources.JdbcTableConfig(
+      url = "jdbc:derby:memory:graftevo;create=true", table = "t_evo")
+    JdbcSink.append(Seq((1L, "a")).toDF("id", "v"), cfg)
+    // second load carries a NEW column: destination ALTERs, old rows null
+    JdbcSink.append(Seq((2L, "b", 7L)).toDF("id", "v", "score"), cfg)
+    val out = Jdbc.read(spark, cfg).select("id", "v", "score")
+      .as[(Long, String, Option[Long])].collect()
+      .map { case (i, v, s) => i -> (v, s) }.toMap
+    assert(out === Map(1L -> ("a", None), 2L -> ("b", Some(7L))))
+    // merge path evolves too
+    JdbcSink.mergeDeleteInsert(
+      Seq((2L, "B", 8L, 0.5)).toDF("id", "v", "score", "w"), cfg, Seq("id"))
+    val evolved = Jdbc.read(spark, cfg)
+    assert(evolved.columns.toSeq == Seq("id", "v", "score", "w"))
+    assert(evolved.count() === 2)
+  }
+
   test("jdbc sink: identifiers normalize, casefold and shorten to the destination cap") {
     import graft.write.{JdbcCapabilities, JdbcSink}
     // capability inference is per engine (reference capabilities.py)
