@@ -69,6 +69,45 @@ object HashSplit {
       .drop("__stratum", "__n", "__min_n")
   }
 
+  /** TEMPERATURE mixing (the multilingual-LM data-mixing dial, e.g.
+    * XLM-R's α-smoothed sampling): kept counts follow n_s^α — α = 1
+    * keeps everything (proportional), α = 0 equalizes to the smallest
+    * stratum ([[equalizeMix]] is the α = 0 special case), between
+    * flattens the source distribution while favoring larger sources.
+    * Downsample-only realization: rate_s = (n_min / n_s)^(1−α), which
+    * keeps the smallest stratum whole and scales every other toward
+    * it. Same md5-bucket membership (deterministic, nested as α
+    * grows), same one-tiny-aggregate-broadcast plan as equalizeMix. */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0,1]")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{broadcast, count => cnt, lit => l, min => mn}
+    val counts = df.groupBy(strataCol).agg(cnt(l(1)).as("__n"))
+      .withColumnRenamed(strataCol, "__stratum")
+    val minN = counts.agg(mn("__n").as("__min_n"))
+    df.join(broadcast(counts), col(strataCol) <=> col("__stratum"))
+      .crossJoin(broadcast(minN))
+      .filter(bucket(col(idCol)) <
+        round(pow(col("__min_n").cast("double") / col("__n"), 1.0 - alpha) * Buckets))
+      .drop("__stratum", "__n", "__min_n")
+  }
+
+  /** PER-DOMAIN CAP (the RefinedWeb/C4-style host-level limit): keep at
+    * most `cap` documents per domain, preferring the highest `rankBy`
+    * value with the id as a deterministic tie-break. One shuffle on the
+    * domain; WindowGroupLimit prunes past the cap during the sort at
+    * scale, so a million-page domain never materializes fully ranked. */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+      cap: Int, rankBy: String): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col(rankBy).desc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+  }
+
   /** STRATIFIED deterministic sampling: a per-stratum keep rate (the
     * training-mix dial — e.g. keep 100% of a rare language, 10% of the
     * dominant one). Still a pure projection: the rate lookup compiles

@@ -130,6 +130,26 @@ object OpsQueries {
         .orderBy("lang")
     },
 
+    // temperature-smoothed source mixing (XLM-R α-sampling as a
+    // downsample): kept counts follow n^α; α=0.5 here, realized as
+    // rate = sqrt(min_n / n) per lang through the same md5 membership
+    "ops_mix_temperature" -> q { c =>
+      graft.operators.HashSplit.temperatureMix(c.t("documents"), "doc_id",
+          "lang", alpha = 0.5)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    },
+
+    // per-domain cap (RefinedWeb/C4 host-level limit): at most 20 docs
+    // per source, highest n_chars first, id tie-break
+    "ops_domain_cap" -> q { c =>
+      graft.operators.HashSplit.domainCap(c.t("documents"), "doc_id",
+          "source", cap = 20, rankBy = "n_chars")
+        .groupBy("source").agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    },
+
     // HLL approximate distinct vs exact: the estimate is deterministic
     // (hash-based, order-independent merge), the gate asserts the
     // published error bound holds (rsd 0.02 → well inside 5%)
@@ -279,6 +299,30 @@ object OpsQueries {
         |SELECT lang, count(*) AS n_kept FROM b
         |WHERE bkt < round(min_n::DOUBLE / n * 4294967296)
         |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // rate = sqrt(min_n/n): both engines' pow/sqrt are IEEE doubles over
+    // identical count ratios, so the threshold rounds identically
+    "ops_mix_temperature" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS min_n FROM n),
+        |b AS (
+        |  SELECT d.lang,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS bkt,
+        |    n.n, m.min_n
+        |  FROM documents d JOIN n ON d.lang IS NOT DISTINCT FROM n.lang, m)
+        |SELECT lang, count(*) AS n_kept FROM b
+        |WHERE bkt < round(pow(min_n::DOUBLE / n, 0.5) * 4294967296)
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "ops_domain_cap" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept, sum(n_chars)::BIGINT AS sum_chars
+        |FROM r WHERE rn <= 20
+        |GROUP BY 1 ORDER BY source""".stripMargin,
 
     // the oracle asserts the same exact counts and that the HLL bound
     // held on the Spark side (within_5pct must come back all-true)

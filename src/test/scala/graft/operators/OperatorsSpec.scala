@@ -178,6 +178,33 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.join(grown, Seq("id"), "left_anti").isEmpty)
   }
 
+  test("temperature mix: alpha 0 equalizes, alpha 1 keeps everything") {
+    val rows = spark.range(6000)
+      .select(col("id"), when(col("id") < 4500, "big").otherwise("small").as("s"))
+    val all = HashSplit.temperatureMix(rows, "id", "s", alpha = 1.0)
+    assert(all.count() === 6000L) // rate (min/n)^0 = 1 everywhere
+    val eq = HashSplit.temperatureMix(rows, "id", "s", alpha = 0.0)
+    val eqViaMin = HashSplit.equalizeMix(rows, "id", "s")
+    assert(eq.select("id").as[Long].collect().sorted.toSeq
+      === eqViaMin.select("id").as[Long].collect().sorted.toSeq)
+    // alpha between: big stratum lands between its equalized and full size
+    val midDf = HashSplit.temperatureMix(rows, "id", "s", alpha = 0.5)
+    val mid = midDf.filter(col("s") === "big").count()
+    assert(mid > eq.filter(col("s") === "big").count() && mid < 4500L)
+    // membership nests as alpha grows (rates only increase)
+    assert(eq.join(midDf, Seq("id"), "left_anti").isEmpty)
+  }
+
+  test("domain cap keeps at most N docs per domain, highest rank first") {
+    val rows = Seq(
+      ("d1", 1L, 10L), ("d1", 2L, 30L), ("d1", 3L, 20L),
+      ("d2", 4L, 5L)).toDF("dom", "id", "score")
+    val capped = HashSplit.domainCap(rows, "id", "dom", cap = 2, rankBy = "score")
+      .orderBy("dom", "id").select("dom", "id").as[(String, Long)].collect().toSeq
+    // d1 keeps its two highest scores (30, 20 → ids 2, 3); d2 under cap
+    assert(capped === Seq(("d1", 2L), ("d1", 3L), ("d2", 4L)))
+  }
+
   // --- range join ----------------------------------------------------
 
   private def pts = Seq((1L, 5L), (2L, 100L), (3L, 250L), (4L, 999L))
