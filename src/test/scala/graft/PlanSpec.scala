@@ -125,6 +125,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("domain cap prunes past the cap inside the window sort") {
+    // WindowGroupLimit stops a million-page domain from materializing
+    // fully ranked — the property that makes the cap viable at 100 TB
+    val p = graft.operators.HashSplit.domainCap(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "source", cap = 20, rankBy = "n_chars")
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("WindowGroupLimit"), s"expected rank pushdown:\n$p")
+  }
+
+  test("temperature mix joins its tiny count aggregates by broadcast") {
+    val p = graft.operators.HashSplit.temperatureMix(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "lang", alpha = 0.5)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"per-stratum counts must broadcast, not shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-wide shuffle join:\n$p")
+  }
+
   test("exact percentile runs as a spillable sort, not a value-map aggregate") {
     val p = plan("rel_percentile")
     assert(!p.contains("ObjectHashAggregate"),
