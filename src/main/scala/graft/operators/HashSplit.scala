@@ -46,15 +46,28 @@ object HashSplit {
 
   /** MIX EQUALIZATION: deterministically downsample every stratum to
     * (approximately) the size of the smallest one — the "balance the
-    * source mix" step of training-data assembly. Rates are DERIVED from
-    * the data (min count / stratum count) rather than configured, then
-    * applied through the same md5-bucket threshold, so membership stays
-    * reproducible run-to-run as long as the corpus is unchanged. Plan:
-    * one tiny per-stratum count aggregate broadcast back onto a pure
-    * projection filter — no extra pass over the data. */
+    * source mix" step of training-data assembly. The α = 0 point of
+    * [[temperatureMix]] (pow(x, 1.0) is exactly x, so membership is
+    * bit-identical to the direct min/n threshold). */
   def equalizeMix(df: DataFrame, idCol: String,
-      strataCol: String): DataFrame = {
-    val spark = df.sparkSession
+      strataCol: String): DataFrame =
+    temperatureMix(df, idCol, strataCol, alpha = 0.0)
+
+  /** TEMPERATURE mixing (the multilingual-LM data-mixing dial, e.g.
+    * XLM-R's α-smoothed sampling): kept counts follow n_s^α — α = 1
+    * keeps everything (proportional), α = 0 equalizes to the smallest
+    * stratum ([[equalizeMix]]), between flattens the source
+    * distribution while favoring larger sources. Downsample-only
+    * realization: rate_s = (n_min / n_s)^(1−α), which keeps the
+    * smallest stratum whole and scales every other toward it; rates
+    * are DERIVED from the data, then applied through the same
+    * md5-bucket threshold, so membership is reproducible run-to-run
+    * and NESTED as α grows. Plan: one tiny per-stratum count aggregate
+    * broadcast back onto a pure projection filter — no extra pass over
+    * the data. */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0,1]")
     import org.apache.spark.sql.functions.{broadcast, count => cnt, lit => l, min => mn}
     val counts = df.groupBy(strataCol).agg(cnt(l(1)).as("__n"))
       .withColumnRenamed(strataCol, "__stratum")
@@ -62,30 +75,6 @@ object HashSplit {
     // null-safe join (<=>): the groupBy emits a NULL-stratum count row,
     // but plain equality never matches NULL — a = join would silently
     // drop every NULL-stratum row while stratifiedSample keeps them
-    df.join(broadcast(counts), col(strataCol) <=> col("__stratum"))
-      .crossJoin(broadcast(minN))
-      .filter(bucket(col(idCol)) <
-        round(col("__min_n").cast("double") / col("__n") * Buckets))
-      .drop("__stratum", "__n", "__min_n")
-  }
-
-  /** TEMPERATURE mixing (the multilingual-LM data-mixing dial, e.g.
-    * XLM-R's α-smoothed sampling): kept counts follow n_s^α — α = 1
-    * keeps everything (proportional), α = 0 equalizes to the smallest
-    * stratum ([[equalizeMix]] is the α = 0 special case), between
-    * flattens the source distribution while favoring larger sources.
-    * Downsample-only realization: rate_s = (n_min / n_s)^(1−α), which
-    * keeps the smallest stratum whole and scales every other toward
-    * it. Same md5-bucket membership (deterministic, nested as α
-    * grows), same one-tiny-aggregate-broadcast plan as equalizeMix. */
-  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
-      alpha: Double): DataFrame = {
-    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0,1]")
-    val spark = df.sparkSession
-    import org.apache.spark.sql.functions.{broadcast, count => cnt, lit => l, min => mn}
-    val counts = df.groupBy(strataCol).agg(cnt(l(1)).as("__n"))
-      .withColumnRenamed(strataCol, "__stratum")
-    val minN = counts.agg(mn("__n").as("__min_n"))
     df.join(broadcast(counts), col(strataCol) <=> col("__stratum"))
       .crossJoin(broadcast(minN))
       .filter(bucket(col(idCol)) <

@@ -70,10 +70,15 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
         try store.copyInto(staging, table)
         finally store.drop(staging)
       case ReplaceStrategy.StagingOptimized =>
+        // adopt, not clone: clone would leave `<table>__staging` live
+        // (its absolute segment pointers forbid dropping it), and a
+        // registered staging table reads as a nested child of `table`
+        // to the pipeline's `__`-prefix scan. Adoption renames the
+        // segment dirs into the destination — still zero-copy — and
+        // drops the staging table in the same call.
         val staging = s"${table}__staging"
         store.overwrite(staging, stamp(df, loadId))
-        store.drop(table)
-        store.clone(staging, table)
+        store.adopt(staging, table)
     }
     recordLoad(loadId)
   }

@@ -61,7 +61,8 @@ object JdbcCapabilities {
           createEmptyLike = (d, s) => s"CREATE TABLE $d LIKE $s")
       case "sqlserver" =>
         JdbcCapabilities(128, supportsMerge = true,
-          createEmptyLike = (d, s) => s"SELECT * INTO $d FROM $s WHERE 1 = 0")
+          createEmptyLike = (d, s) => s"SELECT * INTO $d FROM $s WHERE 1 = 0",
+          addColumnSql = (t, d) => s"ALTER TABLE $t ADD $d") // no COLUMN kw in T-SQL
       case _ => JdbcCapabilities(63, supportsMerge = false)
     }
   }
@@ -155,7 +156,14 @@ object JdbcSink {
     val (cat, sch) =
       (scala.util.Try(conn.getCatalog).getOrElse(null),
         scala.util.Try(conn.getSchema).getOrElse(null))
-    val rs = conn.getMetaData.getColumns(cat, sch, table, null)
+    val md = conn.getMetaData
+    // getColumns treats the table name as a LIKE pattern — every '_' in
+    // a snake_case name is a single-char wildcard that would pull in a
+    // sibling table's columns and suppress a required ALTER; escape it
+    val esc = scala.util.Try(md.getSearchStringEscape).getOrElse("\\")
+    val pattern = table.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
+    val rs = md.getColumns(cat, sch, pattern, null)
     val existing = scala.collection.mutable.Set.empty[String]
     try while (rs.next()) existing += rs.getString("COLUMN_NAME").toLowerCase
     finally rs.close()
@@ -185,11 +193,17 @@ object JdbcSink {
   }
 
   /** Replace disposition (truncate-and-insert when the database supports
-    * TRUNCATE, drop-and-recreate otherwise — Spark's overwrite modes). */
+    * TRUNCATE, drop-and-recreate otherwise — Spark's overwrite modes).
+    * Truncate keeps the old table shape, so it evolves first — a new
+    * staged column would otherwise fail the INSERT after the rows are
+    * already gone. */
   def replace(df: DataFrame, cfg: JdbcTableConfig,
       truncate: Boolean = false): Unit = {
     val c = caps(cfg)
-    writer(normalizeColumns(df, c.maxIdentifierLength), cfg, q(destTable(cfg), c))
+    val normalized = normalizeColumns(df, c.maxIdentifierLength)
+    if (truncate)
+      withConnection(cfg)(conn => evolveSchema(conn, destTable(cfg), normalized, cfg))
+    writer(normalized, cfg, q(destTable(cfg), c))
       .mode(SaveMode.Overwrite).option("truncate", truncate.toString).save()
   }
 
@@ -308,10 +322,18 @@ object JdbcSink {
             s"WHERE $active$keyScope " +
             s"AND NOT EXISTS (SELECT 1 FROM $stg s WHERE s.$hash = $dest.$hash)")
         val colList = cols.map(q(_, c)).mkString(", ")
+        // the insert's active-duplicate check is ALSO key-scoped: the
+        // lakehouse path derives active hashes from in-scope entities
+        // only (Scd2.applySplit scopedActive) — without the key
+        // equality, an identical hash on ANOTHER entity (mergeKey not
+        // required to be inside trackedColumns) would suppress this
+        // entity's insert and leave it with no active row
+        val insKeyScope = cfg.mergeKey.map(n).map(k =>
+          s" AND $dest.${q(k, c)} = s.${q(k, c)}").mkString
         st.executeUpdate(
           s"INSERT INTO $dest ($colList) SELECT $colList FROM $stg s " +
             s"WHERE NOT EXISTS (SELECT 1 FROM $dest WHERE $active " +
-            s"AND $dest.$hash = s.$hash)")
+            s"AND $dest.$hash = s.$hash$insKeyScope)")
     }
   }
 

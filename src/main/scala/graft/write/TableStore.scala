@@ -288,6 +288,36 @@ final class TableStore(val root: String, spark: SparkSession) {
     commit(to, absolute, tombs)
   }
 
+  /** Zero-copy ADOPTION: atomically MOVE `from`'s current data segments
+    * into `to`, commit them as `to`'s new content (a replace), then
+    * drop `from`. The staging-optimized replace path: same zero-copy
+    * cost as [[clone]] (directory renames, no bytes), but the
+    * destination OWNS its files afterwards — no absolute pointers left
+    * into a still-registered staging table (which would both dangle on
+    * staging cleanup and read as a nested `<t>__staging` child table to
+    * the pipeline's `__`-prefix scan). Source segments must be
+    * store-owned (relative): adopting an imported absolute-path segment
+    * would move a file out of the user's original location — use
+    * [[copyInto]] for those. */
+  def adopt(from: String, to: String): Unit = synchronized {
+    val segs = currentSegments(from)
+    require(segs.nonEmpty, s"table $from does not exist")
+    require(currentTombstones(from).isEmpty,
+      s"adopt needs a tombstone-free source, $from has live tombstones")
+    require(segs.forall(s => !Paths.get(s.name).isAbsolute),
+      s"adopt requires store-owned segments (use copyInto for imports)")
+    Files.createDirectories(tableDir(to))
+    val moved = segs.map { s =>
+      val segName = s"data/${UUID.randomUUID().toString.take(12)}"
+      val dst = tableDir(to).resolve(segName)
+      Files.createDirectories(dst.getParent)
+      Files.move(resolve(from, s.name), dst, StandardCopyOption.ATOMIC_MOVE)
+      s.copy(name = segName)
+    }
+    commit(to, moved)
+    drop(from)
+  }
+
   /** Physical copy of `from`'s current snapshot into `to`, committed as
     * a replace. Data FILES are copied byte-for-byte — the warehouse
     * `INSERT INTO dest SELECT * FROM staging` analog: the destination

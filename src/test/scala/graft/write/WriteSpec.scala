@@ -85,6 +85,29 @@ class WriteSpec extends SparkSpec {
     assert(store.read("dest").count() === 3)
   }
 
+  test("clone is zero-copy shallow; adopt moves ownership and drops the source") {
+    val store = newStore()
+    store.overwrite("src", load1.toDF("id", "v", "ver"), statsFor = Seq("id"))
+    // clone: shared files (absolute pointers), snapshot-isolated
+    store.clone("src", "c")
+    assert(store.segments("c").forall(s =>
+      java.nio.file.Paths.get(s.name).isAbsolute))
+    store.append("src", Seq((9L, "z", 9)).toDF("id", "v", "ver"))
+    assert(store.read("c").count() === 3, "clone must not see later appends")
+    // adopt: destination owns the moved segments, source is GONE
+    store.overwrite("stg", load2.toDF("id", "v", "ver"), statsFor = Seq("id"))
+    store.adopt("stg", "adopted")
+    assert(!store.exists("stg"), "adopt must drop the source table")
+    assert(store.read("adopted").select("id").as[Long].collect().sorted
+      === Array(2L, 4L))
+    assert(store.segments("adopted").forall(s =>
+      !java.nio.file.Paths.get(s.name).isAbsolute && s.stats.contains("id")))
+    // a staging-optimized replace leaves NO staging table registered
+    val d = dispo(store)
+    d.replace("t", load1.toDF("id", "v", "ver"), "1", ReplaceStrategy.StagingOptimized)
+    assert(!store.tables.contains("t__staging"))
+  }
+
   test("replace strategies all end with only the new load") {
     for (s <- Seq(ReplaceStrategy.TruncateAndInsert, ReplaceStrategy.InsertFromStaging,
       ReplaceStrategy.StagingOptimized)) {
