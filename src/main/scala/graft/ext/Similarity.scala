@@ -36,7 +36,7 @@ object Similarity {
     * whole-stage codegen, evaluated in one corpus scan. */
   def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit): _*)
+      val plane = array(p.toIndexedSeq.map(lit): _*)
       when(dot(vec, plane) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))

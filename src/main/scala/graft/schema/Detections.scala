@@ -44,7 +44,7 @@ object Detections {
           col(c).try_cast(LongType).isNotNull, 1)).as(s"int_$c"),
         count(when(regexp_like(col(c), lit(IntRe)), 1)).as(s"bigdec_$c"))
     }
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val r = df.agg(aggs.head, aggs.toIndexedSeq.tail: _*).head()
     def n(name: String): Long = r.getAs[Long](name)
 
     candidates.foldLeft(df) { (acc, c) =>
