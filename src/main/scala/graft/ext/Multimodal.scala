@@ -258,7 +258,10 @@ object Multimodal {
       buf.position(4)
       val (w, h, fps) = (buf.getShort & 0xffff, buf.getShort & 0xffff, buf.getShort & 0xffff)
       val n = buf.getInt
-      require(p.length >= 14 + 5 * n.toLong, s"truncated GVID payload: $n frames")
+      // a truncated container is skipped exactly like a wrong-magic one
+      // (a demuxer skips what it cannot read) — one corrupt payload must
+      // not abort the whole explodeFrames job
+      if (n < 0 || p.length < 14 + 5 * n.toLong) return Iterator.empty
       Iterator.range(0, n, math.max(1, stride)).map { i =>
         val off = 14 + 5 * i
         val key = p(off) & 0xff

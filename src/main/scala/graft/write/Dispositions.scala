@@ -186,17 +186,44 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
     * evicted. */
   private val MaxRecorded = 4096
   private val recordedLoads =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, String), java.lang.Boolean](64, 0.75f, false) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, String), java.lang.Boolean]): Boolean =
-          size() > MaxRecorded
-      })
+    new java.util.LinkedHashMap[(String, String), java.lang.Boolean](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), java.lang.Boolean]): Boolean =
+        size() > MaxRecorded
+    }
+  /** Highest load id recorded per schema — ENFORCES the strictly-
+    * increasing contract the bounded dedup set assumes: an id older
+    * than the newest seen that is no longer in the set would silently
+    * double-append, so it fails loudly instead. */
+  private val lastRecorded = scala.collection.mutable.Map.empty[String, String]
+
+  /** newLoadId ids are decimal micros; compare numerically when both
+    * sides parse (lexicographic would break across a digit rollover),
+    * lexicographically for caller-supplied opaque ids. */
+  private def loadIdBefore(a: String, b: String): Boolean =
+    (scala.util.Try(BigDecimal(a)), scala.util.Try(BigDecimal(b))) match {
+      case (scala.util.Success(x), scala.util.Success(y)) => x < y
+      case _ => a < b
+    }
 
   def recordLoad(loadId: String, schemaName: String = "graft",
                  versionHash: String = ""): Unit = {
     import spark.implicits._
-    if (recordedLoads.put((loadId, schemaName), java.lang.Boolean.TRUE) == null) {
+    val fresh = recordedLoads.synchronized {
+      if (recordedLoads.containsKey((loadId, schemaName))) false
+      else {
+        lastRecorded.get(schemaName).foreach { last =>
+          require(!loadIdBefore(loadId, last),
+            s"load id $loadId precedes the newest recorded id $last for " +
+              s"schema $schemaName — load ids must be offered in increasing " +
+              "order (the bounded duplicate guard cannot vouch for older ids)")
+        }
+        recordedLoads.put((loadId, schemaName), java.lang.Boolean.TRUE)
+        lastRecorded.update(schemaName, loadId)
+        true
+      }
+    }
+    if (fresh) {
       val row = Seq((loadId, schemaName, 0, java.time.Instant.now().toString, versionHash))
         .toDF("load_id", "schema_name", "status", "inserted_at", "schema_version_hash")
       store.append(LoadsTable, row)

@@ -75,7 +75,15 @@ object Scd2 {
         (active, active.limit(0))
       case Some(a0) =>
         val activeRows = withHash(a0.drop(cfg.rowHashColumn), cfg)
-        val stagedHashes = staged.select(col(cfg.rowHashColumn)).distinct()
+        // hash compares are PER-ENTITY scoped: mergeKey need not be a
+        // subset of trackedColumns, so two entities can share a row
+        // hash — an unscoped retire would let entity A's identical hash
+        // keep entity B's stale row active, and an unscoped insert
+        // would suppress B's new row. Same scoping as the JDBC path
+        // (JdbcSink.scd2 entityScope). With mergeKey empty this is the
+        // plain hash join.
+        val hashKey = cfg.rowHashColumn +: cfg.mergeKey
+        val stagedHashes = staged.select(hashKey.map(col): _*).distinct()
 
         val scopedActive =
           if (cfg.mergeKey.isEmpty) activeRows
@@ -86,17 +94,17 @@ object Scd2 {
           else activeRows.join(staging.select(cfg.mergeKey.map(col): _*).distinct(),
             cfg.mergeKey, "left_anti")
 
-        // 1. retire active in-scope rows whose hash disappeared
+        // 1. retire active in-scope rows whose (entity, hash) disappeared
         val retired = scopedActive
-          .join(stagedHashes, Seq(cfg.rowHashColumn), "left_anti")
+          .join(stagedHashes, hashKey, "left_anti")
           .withColumn(cfg.validToColumn, boundary)
         val survivors = scopedActive
-          .join(stagedHashes, Seq(cfg.rowHashColumn), "left_semi")
+          .join(stagedHashes, hashKey, "left_semi")
 
-        // 2. insert staged rows with a hash not currently active
-        val activeHashes = scopedActive.select(col(cfg.rowHashColumn)).distinct()
+        // 2. insert staged rows whose (entity, hash) is not currently active
+        val activeHashes = scopedActive.select(hashKey.map(col): _*).distinct()
         val inserted = staged
-          .join(activeHashes, Seq(cfg.rowHashColumn), "left_anti")
+          .join(activeHashes, hashKey, "left_anti")
           .withColumn(cfg.validFromColumn, boundary)
           .withColumn(cfg.validToColumn, openTo)
 

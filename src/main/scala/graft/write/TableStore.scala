@@ -338,15 +338,28 @@ final class TableStore(val root: String, spark: SparkSession) {
       val dstDir = tableDir(to).resolve(segName)
       Files.createDirectories(dstDir)
       val src = resolve(from, s.name)
-      // a segment is normally a parquet directory, but importFiles
-      // registers bare files as segments — copy either shape
-      val files =
-        if (Files.isRegularFile(src)) Seq(src)
-        else listDir(src).filter(p => Files.isRegularFile(p) &&
-          !p.getFileName.toString.startsWith(".") &&
-          !p.getFileName.toString.startsWith("_"))
-      files.foreach(p => Files.copy(p, dstDir.resolve(p.getFileName.toString),
-        StandardCopyOption.REPLACE_EXISTING))
+      // a segment is normally a flat parquet directory, but importFiles
+      // registers bare files and a future writer may emit partitioned
+      // subtrees — walk the FULL tree (preserving relative layout) so
+      // nested content is copied, never silently dropped
+      def hidden(p: java.nio.file.Path) = {
+        val n = p.getFileName.toString
+        n.startsWith(".") || n.startsWith("_")
+      }
+      if (Files.isRegularFile(src))
+        Files.copy(src, dstDir.resolve(src.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)
+      else {
+        val walk = Files.walk(src)
+        try walk.filter(p => Files.isRegularFile(p) && !hidden(p)).forEach { p =>
+          val rel = src.relativize(p)
+          if (!(0 until rel.getNameCount - 1).exists(i => hidden(rel.getName(i)))) {
+            val dst = dstDir.resolve(rel.toString)
+            Files.createDirectories(dst.getParent)
+            Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally walk.close()
+      }
       s.copy(name = segName)
     }
     commit(to, copied)
