@@ -136,6 +136,53 @@ object PlaneQueries {
         .orderBy("event_id")
     },
 
+    // sql_database source END-TO-END against a real SQL engine (embedded
+    // Derby — the zero-egress stand-in for the warehouse): fixture rows
+    // land via the sink's distributed writer, then read back PARTITIONED
+    // (8 executor-side connections splitting the key range) with the
+    // incremental window pushed into the database as a dbtable WHERE
+    // subquery over the REFLECTED cursor identifier
+    "src_jdbc" -> q { c =>
+      import graft.sources.{Jdbc, JdbcTableConfig}
+      val url = "jdbc:derby:memory:graftsrc_" +
+        java.util.UUID.randomUUID().toString.take(8) + ";create=true"
+      val cfg = JdbcTableConfig(url, table = "orders_src")
+      val orders = c.t("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      graft.write.JdbcSink.append(orders, cfg)
+      val hi = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      Jdbc.read(c.spark, cfg.copy(
+        partitionColumn = Some("o_orderkey"), numPartitions = 8,
+        lowerBound = Some("0"), upperBound = Some((hi + 1).toString),
+        incremental = Some(Incremental.Config(cursorColumn = "o_orderkey",
+          initialValue = Some("1000")))))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+
+    // incremental filesystem listing: run 2 re-lists EVERYTHING but loads
+    // only files that arrived after run 1 (mtime cursor, path-fingerprint
+    // boundary dedup) — union of the two runs is exactly-once per file
+    "src_files_incremental" -> q { c =>
+      import graft.sources.Filesystem
+      val dir = Files.createTempDirectory("graft-fsi").toString
+      val ev = c.t("events").select("event_id", "user_id", "event_type")
+      val mid = ev.agg((max(col("event_id")) / 2).cast("long")).head().getLong(0)
+      ev.filter(col("event_id") <= mid).write.parquet(s"$dir/batch_a")
+      val glob = s"$dir/*/*.parquet"
+      val (run1, st1) = Filesystem.listIncremental(c.spark, glob,
+        Incremental.State.empty)
+      val files1 = run1.select("file_url").collect().map(_.getString(0))
+      ev.filter(col("event_id") > mid).write.parquet(s"$dir/batch_b")
+      val (run2, _) = Filesystem.listIncremental(c.spark, glob, st1)
+      val files2 = run2.select("file_url").collect().map(_.getString(0))
+      require(files2.forall(_.contains("batch_b")),
+        "run 2 must re-load no run-1 file")
+      c.spark.read.parquet((files1 ++ files2).toIndexedSeq: _*)
+        .select("event_id", "user_id", "event_type").orderBy("event_id")
+    },
+
     // filesystem source: csv write + distributed read with provenance
     "src_csv_roundtrip" -> q { c =>
       val dir = Files.createTempDirectory("graft-csv").toString
@@ -201,6 +248,11 @@ object PlaneQueries {
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
 
+    "src_jdbc" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey >= 1000 ORDER BY o_orderkey""".stripMargin,
+    "src_files_incremental" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "src_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "src_rest_pages" ->

@@ -45,11 +45,15 @@ object Jdbc {
     else "\"" + c.replace("\"", "\"\"") + "\""
 
   /** The WHERE clause pushed into the source database for an incremental
-    * window (reference incremental/sql.py:61-165). */
-  def incrementalWhere(cfg: Incremental.Config, state: Incremental.State): Option[String] = {
+    * window (reference incremental/sql.py:61-165). `render` maps the
+    * cursor column name to the SQL identifier text — the default passes
+    * plain names through unquoted (the database applies its own fold);
+    * [[reader]] substitutes the REFLECTED exact name instead. */
+  def incrementalWhere(cfg: Incremental.Config, state: Incremental.State,
+      render: String => String = ident): Option[String] = {
     // a custom last_value_func is an arbitrary predicate — not pushable
     if (cfg.lastValueFunc.isInstanceOf[Incremental.CustomFunc]) return None
-    val cursor = ident(cfg.cursorColumn)
+    val cursor = render(cfg.cursorColumn)
     // startValue is lag-aware: the pushed WHERE opens the same window
     // the DataFrame filter would
     val start = Incremental.startValue(cfg, state).map { v =>
@@ -81,12 +85,46 @@ object Jdbc {
     }
   }
 
+  /** Resolve the cursor column against the REFLECTED table schema and
+    * quote the exact stored name (the reference reflects tables via
+    * SQLAlchemy and renders reflected Column objects — sql_database/
+    * helpers.py:86-407 — so its WHERE never depends on the engine's
+    * identifier fold). Matters both ways: a table created by Spark's
+    * JDBC writer has quoted LOWERCASE columns an unquoted identifier
+    * misses on a fold-up engine (Derby/Oracle), while a hand-created
+    * table has folded-UPPERCASE columns a quoted lowercase name misses.
+    * Quoting the exact reflected name is correct in both worlds; an
+    * unresolvable or non-simple name falls back to [[ident]]. */
+  private def reflectedIdent(spark: SparkSession, cfg: JdbcTableConfig)(
+      c: String): String = {
+    if (!c.matches("[A-Za-z_][A-Za-z0-9_]*")) return ident(c)
+    val names = scala.util.Try {
+      var r = spark.read.format("jdbc")
+        .option("url", cfg.url).option("dbtable", cfg.table)
+      cfg.properties.foreach { case (k, v) => r = r.option(k, v) }
+      r.load().schema.fieldNames.toSeq
+    }.getOrElse(Nil)
+    val exact = names.find(_ == c).orElse(names.filter(_.equalsIgnoreCase(c)) match {
+      case Seq(one) => Some(one)
+      case _ => None // absent or ambiguous: let the database fold it
+    })
+    exact match {
+      case Some(name) =>
+        val q = graft.write.JdbcCapabilities.forUrl(cfg.url).quoteChar.toString
+        q + name.replace(q, q + q) + q
+      case None => ident(c)
+    }
+  }
+
   /** Build the partitioned JDBC reader. The incremental window folds into
     * the pushed-down table subquery. */
   def reader(spark: SparkSession, cfg: JdbcTableConfig): DataFrameReader = {
-    val where = cfg.incremental.flatMap(incrementalWhere(_, cfg.incrementalState))
+    val where = cfg.incremental.flatMap(
+      incrementalWhere(_, cfg.incrementalState, reflectedIdent(spark, cfg)))
     val dbtable = where match {
-      case Some(w) => s"(SELECT * FROM ${cfg.table} WHERE $w) AS __graft_src"
+      // the alias must start with a letter: several engines (Derby among
+      // them) reject unquoted leading-underscore identifiers
+      case Some(w) => s"(SELECT * FROM ${cfg.table} WHERE $w) AS graft_src"
       case None => cfg.table
     }
     var r = spark.read.format("jdbc")

@@ -110,6 +110,55 @@ class SourcesSpec extends SparkSpec {
     assert(rows.select("id").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("jdbc source: reflected incremental pushdown reaches the database subquery") {
+    import graft.write.JdbcSink
+    val cfg = graft.sources.JdbcTableConfig(
+      url = "jdbc:derby:memory:graftsrcinc;create=true", table = "t_inc")
+    // Spark's JDBC writer creates QUOTED lowercase columns — an unquoted
+    // cursor identifier would fold to uppercase in Derby and miss them;
+    // the reader must resolve the reflected name
+    JdbcSink.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), cfg)
+    val read = Jdbc.read(spark, cfg.copy(
+      partitionColumn = Some("id"), numPartitions = 2,
+      lowerBound = Some("0"), upperBound = Some("4"),
+      incremental = Some(Incremental.Config(cursorColumn = "id",
+        initialValue = Some("2")))))
+    // the window runs IN the database: the relation's table is the
+    // WHERE subquery over the quoted reflected identifier
+    val rel = read.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.toString
+    }.mkString
+    assert(rel.contains("WHERE") && rel.contains("\"id\" >= 2"), rel)
+    assert(read.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("filesystem incremental: mtime cursor with path dedup across listings") {
+    val dir = Files.createTempDirectory("graft-fsinc2").toString
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(s"$dir/f_a")
+    val glob = s"$dir/*/*.parquet"
+    val (r1, st1) = Filesystem.listIncremental(spark, glob,
+      Incremental.State.empty)
+    assert(r1.count() === 1)
+    // re-listing with nothing new: boundary dedup by path drops the file
+    val (r1b, _) = Filesystem.listIncremental(spark, glob, st1)
+    assert(r1b.count() === 0)
+    // a new file arrives → only it loads
+    Seq((2L, "b")).toDF("id", "v").coalesce(1).write.parquet(s"$dir/f_b")
+    val (r2, st2) = Filesystem.listIncremental(spark, glob, st1)
+    val newFiles = r2.select("file_url").as[String].collect()
+    assert(newFiles.length === 1 && newFiles.head.contains("f_b"))
+    // a REWRITTEN file (same path, newer mtime) re-delivers — the
+    // reference's new-and-changed semantics
+    val partA = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f_a"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.setLastModifiedTime(partA,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 2000))
+    val (r3, _) = Filesystem.listIncremental(spark, glob, st2)
+    val redelivered = r3.select("file_url").as[String].collect()
+    assert(redelivered.length === 1 && redelivered.head.contains("f_a"))
+  }
+
   test("rest: incremental window rides the request as query params") {
     val cfg = Incremental.Config(cursorColumn = "updated_at",
       initialValue = Some("2024-01-01"), endValue = Some("2024-06-01"))
