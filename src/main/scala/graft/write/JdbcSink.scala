@@ -217,14 +217,23 @@ object JdbcSink {
   def mergeDeleteInsert(df: DataFrame, cfg: JdbcTableConfig,
       keys: Seq[String], loadId: String = ""): Unit =
     stagedMerge(df, cfg, keys, loadId) { (st, dest, stg, ks, cols) =>
-      val c = caps(cfg)
-      val keyMatch = ks.map(k => s"s.${q(k, c)} = $dest.${q(k, c)}").mkString(" AND ")
-      st.executeUpdate(
-        s"DELETE FROM $dest WHERE EXISTS " +
-          s"(SELECT 1 FROM $stg s WHERE $keyMatch)")
-      val colList = cols.map(q(_, c)).mkString(", ")
-      st.executeUpdate(s"INSERT INTO $dest ($colList) SELECT $colList FROM $stg")
+      deleteInsertStatements(caps(cfg), dest, stg, ks, cols)
+        .foreach(st.executeUpdate)
     }
+
+  /** The delete-insert statement pair, rendered for one dialect; `dest`
+    * and `stg` arrive pre-quoted. Pure — golden-tested per dialect
+    * without a live engine. */
+  private[write] def deleteInsertStatements(c: JdbcCapabilities,
+      dest: String, stg: String, ks: Seq[String],
+      cols: Seq[String]): Seq[String] = {
+    val keyMatch = ks.map(k => s"s.${q(k, c)} = $dest.${q(k, c)}").mkString(" AND ")
+    val colList = cols.map(q(_, c)).mkString(", ")
+    Seq(
+      s"DELETE FROM $dest WHERE EXISTS " +
+        s"(SELECT 1 FROM $stg s WHERE $keyMatch)",
+      s"INSERT INTO $dest ($colList) SELECT $colList FROM $stg")
+  }
 
   /** Merge upsert (reference sql_jobs.py:741-837): matched destination
     * rows update in place, unmatched staged rows insert. One `MERGE
@@ -234,31 +243,38 @@ object JdbcSink {
   def mergeUpsert(df: DataFrame, cfg: JdbcTableConfig,
       keys: Seq[String], loadId: String = ""): Unit =
     stagedMerge(df, cfg, keys, loadId) { (st, dest, stg, ks, cols) =>
-      val c = caps(cfg)
-      val keyMatch = ks.map(k => s"s.${q(k, c)} = $dest.${q(k, c)}").mkString(" AND ")
-      val nonKeys = cols.filterNot(ks.contains)
-      val colList = cols.map(q(_, c)).mkString(", ")
-      if (c.supportsMerge) {
-        val updates =
-          if (nonKeys.isEmpty) ""
-          else "WHEN MATCHED THEN UPDATE SET " +
-            nonKeys.map(n => s"${q(n, c)} = s.${q(n, c)}").mkString(", ") + " "
-        st.executeUpdate(
-          s"MERGE INTO $dest USING $stg s ON ($keyMatch) " + updates +
-            s"WHEN NOT MATCHED THEN INSERT ($colList) VALUES " +
-            cols.map(n => s"s.${q(n, c)}").mkString("(", ", ", ")"))
-      } else {
-        if (nonKeys.nonEmpty)
-          st.executeUpdate(
-            s"UPDATE $dest SET " +
-              nonKeys.map(n => s"${q(n, c)} = (SELECT s.${q(n, c)} FROM $stg s " +
-                s"WHERE $keyMatch)").mkString(", ") +
-              s" WHERE EXISTS (SELECT 1 FROM $stg s WHERE $keyMatch)")
-        st.executeUpdate(
-          s"INSERT INTO $dest ($colList) SELECT $colList FROM $stg s " +
-            s"WHERE NOT EXISTS (SELECT 1 FROM $dest WHERE $keyMatch)")
-      }
+      upsertStatements(caps(cfg), dest, stg, ks, cols).foreach(st.executeUpdate)
     }
+
+  /** The upsert statement(s) for one dialect (MERGE or the portable
+    * UPDATE+INSERT pair). Pure; golden-tested per dialect. */
+  private[write] def upsertStatements(c: JdbcCapabilities, dest: String,
+      stg: String, ks: Seq[String], cols: Seq[String]): Seq[String] = {
+    val keyMatch = ks.map(k => s"s.${q(k, c)} = $dest.${q(k, c)}").mkString(" AND ")
+    val nonKeys = cols.filterNot(ks.contains)
+    val colList = cols.map(q(_, c)).mkString(", ")
+    if (c.supportsMerge) {
+      val updates =
+        if (nonKeys.isEmpty) ""
+        else "WHEN MATCHED THEN UPDATE SET " +
+          nonKeys.map(n => s"${q(n, c)} = s.${q(n, c)}").mkString(", ") + " "
+      Seq(
+        s"MERGE INTO $dest USING $stg s ON ($keyMatch) " + updates +
+          s"WHEN NOT MATCHED THEN INSERT ($colList) VALUES " +
+          cols.map(n => s"s.${q(n, c)}").mkString("(", ", ", ")"))
+    } else {
+      val update =
+        if (nonKeys.isEmpty) Nil
+        else Seq(
+          s"UPDATE $dest SET " +
+            nonKeys.map(n => s"${q(n, c)} = (SELECT s.${q(n, c)} FROM $stg s " +
+              s"WHERE $keyMatch)").mkString(", ") +
+            s" WHERE EXISTS (SELECT 1 FROM $stg s WHERE $keyMatch)")
+      update :+
+        (s"INSERT INTO $dest ($colList) SELECT $colList FROM $stg s " +
+          s"WHERE NOT EXISTS (SELECT 1 FROM $dest WHERE $keyMatch)")
+    }
+  }
 
   /** SCD2 merge on the external destination (reference
     * sql_jobs.py:903-1021): row identity is the same content digest the
@@ -298,43 +314,49 @@ object JdbcSink {
         .map(_ + ", " + typeHint).getOrElse(typeHint)))
     stagedMerge(staged, hinted, keys = Seq(cfg.rowHashColumn), loadId) {
       (st, dest, stg, ks, cols) =>
-        val c = caps(jcfg)
-        val cap = c.maxIdentifierLength
-        def n(ident: String) = Naming.normalizeIdentifier(ident, cap)
-        val (hash, vto) = (q(n(cfg.rowHashColumn), c), q(n(cfg.validToColumn), c))
-        // JDBC timestamp escape — the DRIVER translates it per dialect
-        // (Derby rejects the ANSI TIMESTAMP '...' literal form)
-        def tsLiteral(s: String) = "{ts '" + s.replace("'", "''") + "'}"
-        val active = cfg.activeRecordTs match {
-          case None => s"$dest.$vto IS NULL"
-          case Some(ts) => s"$dest.$vto = ${tsLiteral(ts)}"
-        }
-        // ONE exists over the full key TUPLE — independent per-column
-        // EXISTS would let two different staging rows each satisfy one
-        // column and wrongly retire an entity absent from the batch
-        val keyScope =
-          if (cfg.mergeKey.isEmpty) ""
-          else " AND EXISTS (SELECT 1 FROM " + stg + " s WHERE " +
-            cfg.mergeKey.map(n).map(k =>
-              s"s.${q(k, c)} = $dest.${q(k, c)}").mkString(" AND ") + ")"
-        st.executeUpdate(
-          s"UPDATE $dest SET $vto = ${tsLiteral(cfg.boundaryTs)} " +
-            s"WHERE $active$keyScope " +
-            s"AND NOT EXISTS (SELECT 1 FROM $stg s WHERE s.$hash = $dest.$hash)")
-        val colList = cols.map(q(_, c)).mkString(", ")
-        // the insert's active-duplicate check is ALSO key-scoped: the
-        // lakehouse path derives active hashes from in-scope entities
-        // only (Scd2.applySplit scopedActive) — without the key
-        // equality, an identical hash on ANOTHER entity (mergeKey not
-        // required to be inside trackedColumns) would suppress this
-        // entity's insert and leave it with no active row
-        val insKeyScope = cfg.mergeKey.map(n).map(k =>
-          s" AND $dest.${q(k, c)} = s.${q(k, c)}").mkString
-        st.executeUpdate(
-          s"INSERT INTO $dest ($colList) SELECT $colList FROM $stg s " +
-            s"WHERE NOT EXISTS (SELECT 1 FROM $dest WHERE $active " +
-            s"AND $dest.$hash = s.$hash$insKeyScope)")
+        scd2Statements(caps(jcfg), dest, stg, cols, cfg).foreach(st.executeUpdate)
     }
+  }
+
+  /** The SCD2 retire + insert statement pair for one dialect. Pure;
+    * golden-tested per dialect. */
+  private[write] def scd2Statements(c: JdbcCapabilities, dest: String,
+      stg: String, cols: Seq[String], cfg: Scd2Config): Seq[String] = {
+    val cap = c.maxIdentifierLength
+    def n(ident: String) = Naming.normalizeIdentifier(ident, cap)
+    val (hash, vto) = (q(n(cfg.rowHashColumn), c), q(n(cfg.validToColumn), c))
+    // JDBC timestamp escape — the DRIVER translates it per dialect
+    // (Derby rejects the ANSI TIMESTAMP '...' literal form)
+    def tsLiteral(s: String) = "{ts '" + s.replace("'", "''") + "'}"
+    val active = cfg.activeRecordTs match {
+      case None => s"$dest.$vto IS NULL"
+      case Some(ts) => s"$dest.$vto = ${tsLiteral(ts)}"
+    }
+    // ONE exists over the full key TUPLE — independent per-column
+    // EXISTS would let two different staging rows each satisfy one
+    // column and wrongly retire an entity absent from the batch
+    val keyScope =
+      if (cfg.mergeKey.isEmpty) ""
+      else " AND EXISTS (SELECT 1 FROM " + stg + " s WHERE " +
+        cfg.mergeKey.map(n).map(k =>
+          s"s.${q(k, c)} = $dest.${q(k, c)}").mkString(" AND ") + ")"
+    // both hash subqueries are PER-ENTITY scoped (s.key = dest.key):
+    // mergeKey need not be a subset of trackedColumns, so two
+    // entities can share a row hash — an unscoped retire would let
+    // entity A's identical hash keep entity B's stale row active,
+    // and an unscoped insert would suppress B's new row. Same
+    // scoping as the lakehouse path (Scd2.applySplit).
+    val entityScope = cfg.mergeKey.map(n).map(k =>
+      s" AND $dest.${q(k, c)} = s.${q(k, c)}").mkString
+    val colList = cols.map(q(_, c)).mkString(", ")
+    Seq(
+      s"UPDATE $dest SET $vto = ${tsLiteral(cfg.boundaryTs)} " +
+        s"WHERE $active$keyScope " +
+        s"AND NOT EXISTS (SELECT 1 FROM $stg s WHERE s.$hash = $dest.$hash" +
+        s"$entityScope)",
+      s"INSERT INTO $dest ($colList) SELECT $colList FROM $stg s " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM $dest WHERE $active " +
+        s"AND $dest.$hash = s.$hash$entityScope)")
   }
 
   /** Merge insert-only (reference sql_jobs.py:762-773): only staged keys
@@ -342,13 +364,19 @@ object JdbcSink {
   def mergeInsertOnly(df: DataFrame, cfg: JdbcTableConfig,
       keys: Seq[String], loadId: String = ""): Unit =
     stagedMerge(df, cfg, keys, loadId) { (st, dest, stg, ks, cols) =>
-      val c = caps(cfg)
-      val keyMatch = ks.map(k => s"s.${q(k, c)} = $dest.${q(k, c)}").mkString(" AND ")
-      val colList = cols.map(q(_, c)).mkString(", ")
-      st.executeUpdate(
-        s"INSERT INTO $dest ($colList) SELECT $colList FROM $stg s " +
-          s"WHERE NOT EXISTS (SELECT 1 FROM $dest WHERE $keyMatch)")
+      insertOnlyStatements(caps(cfg), dest, stg, ks, cols)
+        .foreach(st.executeUpdate)
     }
+
+  /** The insert-only statement for one dialect. Pure; golden-tested. */
+  private[write] def insertOnlyStatements(c: JdbcCapabilities, dest: String,
+      stg: String, ks: Seq[String], cols: Seq[String]): Seq[String] = {
+    val keyMatch = ks.map(k => s"s.${q(k, c)} = $dest.${q(k, c)}").mkString(" AND ")
+    val colList = cols.map(q(_, c)).mkString(", ")
+    Seq(
+      s"INSERT INTO $dest ($colList) SELECT $colList FROM $stg s " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM $dest WHERE $keyMatch)")
+  }
 
   /** Shared staging protocol for the merge family. Stages the batch
     * under a LOAD-SCOPED name (`<table>__staging_<loadId>` — two
