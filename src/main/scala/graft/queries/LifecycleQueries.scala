@@ -78,6 +78,20 @@ object LifecycleQueries {
       store.read("t").orderBy("o_orderkey")
     },
 
+    // replace via truncate-and-insert (the default strategy): the commit
+    // that lands load 2 atomically drops load 1's segments
+    "write_replace_truncate" -> q { c =>
+      val store = new TableStore(tmp("graft-rt"), c.spark)
+      val d = new Dispositions(store, c.spark)
+      val l1 = c.t("orders").filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+      val l2 = c.t("orders").filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice")
+      d.replace("t", l1, "1", ReplaceStrategy.TruncateAndInsert)
+      d.replace("t", l2, "2", ReplaceStrategy.TruncateAndInsert)
+      store.read("t").orderBy("o_orderkey")
+    },
+
     // replace via zero-copy clone of the staging table
     "write_replace_clone" -> q { c =>
       val store = new TableStore(tmp("graft-rc"), c.spark)
@@ -176,6 +190,9 @@ object LifecycleQueries {
     "src_file_import" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "write_replace_staging" ->
+      """SELECT o_orderkey, o_totalprice, '2' AS _dlt_load_id
+        |FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""".stripMargin,
+    "write_replace_truncate" ->
       """SELECT o_orderkey, o_totalprice, '2' AS _dlt_load_id
         |FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""".stripMargin,
     "write_replace_clone" ->
