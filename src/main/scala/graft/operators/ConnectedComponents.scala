@@ -14,43 +14,53 @@ import org.apache.spark.storage.StorageLevel
   * among itself and its neighbors; stop when no label changes. Rounds
   * needed = graph diameter — near-duplicate clusters are small and
   * dense (diameter 2-4), so a handful of hash-shuffle joins suffices;
-  * `maxIter` bounds pathological chains. Labels persist per round and
-  * the previous round unpersists — no lineage blow-up, no driver-side
-  * graph. (GraphX solves the general case; for dedup clusters this
-  * stays in the DataFrame plane with exact-oracle semantics.)
+  * `maxIter` bounds pathological chains. Labels are lineage-truncated
+  * per round and the previous round's blocks release — no lineage
+  * blow-up, no driver-side graph. (GraphX solves the general case; for
+  * dedup clusters this stays in the DataFrame plane with exact-oracle
+  * semantics.)
   */
 object ConnectedComponents {
 
   /** Returns (`idCol`, component) for every node appearing in `edges`,
-    * where component = the minimum node id in the component. */
+    * where component = the minimum node id in the component.
+    *
+    * `checkpointDir` selects the lineage-truncation mode: None uses
+    * eager `localCheckpoint` (blocks live on executors — fine single-
+    * box, but one lost executor kills a mid-iteration job with no
+    * recovery); a directory switches to RELIABLE checkpointing on that
+    * (shared/HDFS) path, the right mode on a multi-executor cluster.
+    * The iteration shape is identical in both. */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
-      idCol: String = "id", maxIter: Int = 20): DataFrame = {
+      idCol: String = "id", maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     // symmetrize once: propagation then only needs one direction
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (eager), NOT persist: each round's plan references
-    // the previous round's twice (propagation + convergence check), so
-    // without lineage truncation the logical tree doubles per round and
-    // an 11-hop chain OOMs the driver on plan strings alone. On a
-    // cluster swap in reliable checkpointing; the iteration shape is
-    // identical.
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels = snap(sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = sym
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), "b")
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      // the PREVIOUS label rides along as `old`, so convergence needs no
+      // second join over the labels — the checkpoint materializes the
+      // propagation (the only shuffle of the round) and the convergence
+      // probe below is a plain scan of the checkpointed partitions
+      val next = snap(labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("old")))
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select("id", "label")
       iter += 1
     }
     sym.unpersist(blocking = false)

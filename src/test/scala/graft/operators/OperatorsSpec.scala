@@ -124,6 +124,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Seq(1L))
   }
 
+  test("connected components use reliable checkpointing when a dir is supplied") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = ConnectedComponents.components(edges, "a", "b",
+      checkpointDir = Some(dir))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+    // checkpoint data actually landed on the reliable path
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, s"no checkpoint files under $dir")
+  }
+
   test("interval overlap join matches brute force and emits each pair once") {
     val a = Seq((1L, 0L, 100L), (2L, 250L, 500L), (3L, 900L, 901L))
       .toDF("ia", "sa", "ea")
