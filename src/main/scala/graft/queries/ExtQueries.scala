@@ -221,21 +221,42 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
-    // IVF (k-means inverted file) ANN — approximate → rows-only check
+    // IVF (k-means inverted file) ANN — approximate, so no SQL oracle;
+    // instead the query SELF-GATES on recall@k against the exact top-k
+    // and carries per-query recall as a column
     "sim_ivf_ann" -> q { c =>
       val vecs = c.t("embeddings")
-      Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
-        .withColumn("rank", col("rank").cast("long"))
+      val queries = vecs.filter(col("vec_id") < 10)
+      val approx = Similarity.ivfTopK(vecs, queries,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8)
+      val exact = Similarity.bruteForceTopK(vecs, queries,
+        "vec_id", "embedding", k = 5)
+      val gated = Similarity.recallAtK(approx, exact, 5)
+      // overall recall measured over the EXACT result (a fully-missed
+      // query counts as 0, it cannot vanish from the average)
+      val hits = exact.join(approx, Seq("query_id", "match_id"), "left_semi").count()
+      val overall = hits.toDouble / exact.count()
+      require(overall >= 0.9, f"IVF recall@5 = $overall%.3f under the 0.9 gate")
+      gated.withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
 
-    // approximate by construction (recall < 1) → rows-only check
+    // LSH ANN — same recall@k self-gate as the IVF variant
     "sim_lsh_ann" -> q { c =>
       val vecs = c.t("embeddings")
-      Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 10),
+      val queries = vecs.filter(col("vec_id") < 10)
+      // 16 narrow bands (width 4): recall 1-(1-p⁴)¹⁶ clears 0.9 where
+      // the old 4×4 construction sat near 0.3; candidates stay bucket-
+      // bounded and the exact re-rank trims them
+      val approx = Similarity.lshTopK(vecs, queries, "vec_id", "embedding",
+        k = 5, bits = 64, bands = 16)
+      val exact = Similarity.bruteForceTopK(vecs, queries,
         "vec_id", "embedding", k = 5)
-        .withColumn("rank", col("rank").cast("long"))
+      val gated = Similarity.recallAtK(approx, exact, 5)
+      val hits = exact.join(approx, Seq("query_id", "match_id"), "left_semi").count()
+      val overall = hits.toDouble / exact.count()
+      require(overall >= 0.9, f"LSH recall@5 = $overall%.3f under the 0.9 gate")
+      gated.withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
 
