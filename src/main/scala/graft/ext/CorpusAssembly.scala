@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.{HashSplit, SequencePack}
+
+/** Knobs for one end-to-end corpus assembly run; defaults follow the
+  * published web-corpus pipelines the individual operators cite
+  * (Gopher §A1.1 bands, CCNet/Dolma line dedup, MinHash near-dup,
+  * RefinedWeb host caps, XLM-R α-sampling). */
+final case class AssemblyConfig(
+    lang: String = "en",
+    /** a trimmed line in >= this many docs is boilerplate */
+    lineMinDocs: Int = 2,
+    shingleN: Int = 3,
+    nearDupThreshold: Double = 0.9,
+    /** drop docs with >= this share of shingles found in the benchmark */
+    maxContaminatedShare: Double = 0.2,
+    /** temperature-mix α over the domain column (1 = proportional) */
+    mixAlpha: Double = 1.0,
+    /** max docs kept per domain (rank: longest first) */
+    domainCap: Int = 1000,
+    /** token budget per packed training chunk */
+    packBudget: Long = 2048L)
+
+/** CORPUS ASSEMBLY — the composed training-data pipeline the individual
+  * operators exist for: language-ID → Gopher quality gate → corpus-level
+  * boilerplate line strip → MinHash near-dup resolution → benchmark
+  * decontamination → temperature source mixing → per-domain cap →
+  * sequence packing. One call, one lazy plan per stage, stage
+  * boundaries pinned so no stage re-runs its predecessors.
+  *
+  * Tokenization discipline (the cost that dominates at 100 TB): each
+  * stage tokenizes AT MOST once —
+  *  - langid + quality run single-pass codegen kernels on the raw text;
+  *  - the BPE-ish token count is computed ONCE on the post-strip text
+  *    and CARRIED as a column; ranking (domain cap) and sequence
+  *    packing both consume the carried column, never re-tokenizing;
+  *  - the near-dup and decontamination stages each build ONE pinned
+  *    shingle index internally ([[Dedup.withPins]] scope) that all
+  *    their sub-plans (size filter, candidate join, exact verify)
+  *    share.
+  */
+object CorpusAssembly {
+
+  /** Stage-boundary survivor counts, in pipeline order. */
+  final case class StageCounts(counts: Seq[(String, Long)]) {
+    def apply(stage: String): Long = counts.find(_._1 == stage).get._2
+  }
+
+  /** Run the assembly and hand the packed result to `consume` while the
+    * stage pins are alive (loan pattern: the frames are lazy — consumed
+    * outside, they would recompute the whole chain unpinned). The
+    * packed frame carries (id, domain, n_tokens, tok_offset,
+    * first_chunk, last_chunk) plus the cleaned text. */
+  def assemble[A](docs: DataFrame, id: String, text: String, domain: String,
+      benchmark: DataFrame, cfg: AssemblyConfig = AssemblyConfig())(
+      consume: (DataFrame, StageCounts) => A): A = {
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def boundary(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      pinned += p
+      p
+    }
+    try Dedup.withPins {
+      val base = docs.select(col(id), col(domain), col(text).as("__text"))
+
+      // 1. language gate — one codegen kernel pass over the raw text
+      val lid = boundary(base.filter(TextOps.langId(col("__text")) === cfg.lang))
+
+      // 2. Gopher quality bands — codegen kernels, still the raw text
+      val qual = boundary(lid.filter(TextOps.Gopher.passes(col("__text"))))
+
+      // 3. corpus-level boilerplate line strip; the cleaned text becomes
+      //    THE text, and the token count is computed ONCE here and
+      //    carried — later stages never re-tokenize
+      val cleaned = boundary(
+        Dedup.stripDuplicateLines(qual, id, "__text", cfg.lineMinDocs)
+          .join(qual.drop("__text"), Seq(id))
+          .select(col(id), col(domain), col("clean_text").as("__text"))
+          .withColumn("n_tokens", TextOps.bpeTokenCount(col("__text"))))
+
+      // 4. near-duplicate resolution: LSH pairs → components → keeper
+      val deduped = boundary(Dedup.resolveNearDups(cleaned, id,
+        Dedup.minhashLshPairs(cleaned, id, "__text",
+          n = cfg.shingleN, threshold = cfg.nearDupThreshold)))
+
+      // 5. benchmark decontamination (inverted-index overlap share)
+      val bench = benchmark.select(col(id), col(text).as("__text"))
+      val dropIds = Dedup.contaminationScores(deduped, bench, id,
+          "__text", cfg.shingleN)
+        .filter(col("contaminated_share") >= cfg.maxContaminatedShare)
+        .select(col(id))
+      val decontaminated = boundary(deduped.join(dropIds, Seq(id), "left_anti"))
+
+      // 6-7. temperature mix (pure projection filter over broadcast
+      //      counts) then the domain cap ranking on the CARRIED token
+      //      count — no tokenizer in either stage
+      val capped = boundary(HashSplit.domainCap(
+        HashSplit.temperatureMix(decontaminated, id, domain, cfg.mixAlpha),
+        id, domain, cfg.domainCap, rankBy = "n_tokens"))
+
+      // 8. sequence packing consumes the carried count as well
+      val packed = SequencePack.chunkAssignments(capped, id, "n_tokens",
+        cfg.packBudget)
+
+      val stages = StageCounts(Seq(
+        "langid" -> lid.count(),
+        "quality" -> qual.count(),
+        "line_strip" -> cleaned.count(),
+        "near_dup" -> deduped.count(),
+        "decontaminated" -> decontaminated.count(),
+        "mixed_capped" -> capped.count()))
+      consume(packed, stages)
+    } finally pinned.foreach(_.unpersist(blocking = false))
+  }
+}

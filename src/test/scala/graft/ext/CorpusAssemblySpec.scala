@@ -1,0 +1,122 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.operators.HashSplit
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus assembly: the stages compose, each gate drops
+  * exactly the documents it should, and the token count tokenized once
+  * after the line strip is the count the packer consumes. */
+class CorpusAssemblySpec extends SparkSpec {
+  import spark.implicits._
+
+  // >= 50-word English doc: a short common preamble carrying the Gopher
+  // stop words, then a MAJORITY of doc-unique filler words so distinct
+  // tags are far below any near-duplicate threshold (same tag = same
+  // text, the near-dup case)
+  private def en(tag: String): String = {
+    val unique = (0 until 30).map(i => s"${tag}unit$i").mkString(" ")
+    "the quick brown fox jumps to the river and people have come with " +
+      "bread that they be selling of course at the market today " + unique
+  }
+
+  private val boiler = "subscribe to our newsletter now for daily updates"
+
+  private def es: String =
+    ("el la de que y en un ser se no por con para como estar tener " +
+      "le lo todo pero mas hacer o poder decir este ir otro ") * 3
+
+  test("assembly drops the right docs at each stage and packs carried token counts") {
+    val bench = Seq((900L, "benchmark question about ancient rivers and " +
+      "golden mountains that models must never memorize during training"))
+      .toDF("doc_id", "text")
+
+    val contaminated = en("contap") + " " +
+      "benchmark question about ancient rivers and golden mountains " +
+      "that models must never memorize during training"
+
+    val docs = Seq(
+      // good english docs across three domains; 1 and 2 share a
+      // boilerplate line; 3 is a near-duplicate of 1
+      (1L, "a.com", en("alpha") + "\n" + boiler),
+      (2L, "a.com", en("beta") + "\n" + boiler),
+      (3L, "a.com", en("alpha") + " tiny extra tail"),
+      (4L, "a.com", en("gamma") + " additional trailing content meant to " +
+        "make this particular document clearly the longest of its domain " +
+        "so the cap ranking keeps it ahead of its two shorter siblings"),
+      (5L, "b.com", en("delta")),
+      (6L, "b.com", en("epsilon")),
+      (7L, "c.com", en("zeta")),
+      // dropped at stage gates:
+      (10L, "a.com", es), // spanish → langid
+      (11L, "b.com", es), // spanish → langid
+      (12L, "a.com", en("symbols") + " " + ("### " * 12)), // gopher symbol band
+      (13L, "c.com", contaminated)) // benchmark overlap
+      .toDF("doc_id", "domain", "text")
+
+    val cfg = AssemblyConfig(lineMinDocs = 2, nearDupThreshold = 0.9,
+      maxContaminatedShare = 0.15, mixAlpha = 1.0, domainCap = 2,
+      packBudget = 64L)
+
+    CorpusAssembly.assemble(docs, "doc_id", "text", "domain", bench, cfg) {
+      (packed, stages) =>
+        val rows = packed.select(col("doc_id"), col("domain"),
+          col("n_tokens").cast("long"), col("tok_offset"),
+          col("first_chunk"), col("last_chunk"), col("__text"))
+          .orderBy("doc_id").collect()
+
+        // stage-by-stage survivors
+        assert(stages("langid") === 9) // spanish 10,11 out
+        assert(stages("quality") === 8) // symbol-heavy 12 out
+        assert(stages("line_strip") === 8) // strip changes text, not rows
+        assert(stages("near_dup") === 7) // 3 collapses into keeper 1
+        assert(stages("decontaminated") === 6) // 13 out
+        // α=1 keeps everything; cap=2 trims a.com (1,2,4) to its two
+        // longest — 4 is the longest by construction
+        assert(stages("mixed_capped") === 5)
+
+        val ids = rows.map(_.getLong(0)).toSeq
+        assert(ids.contains(4L), "longest a.com doc must survive the cap")
+        assert(rows.map(r => r.getString(1)).groupBy(identity)
+          .forall(_._2.length <= 2), "per-domain cap violated")
+
+        // boilerplate line is gone from every surviving text
+        assert(rows.forall(!_.getString(6).contains(boiler)))
+
+        // the carried n_tokens IS the tokenizer's count of the cleaned
+        // text (no silent re-tokenization drift anywhere downstream)
+        val recount = packed
+          .select(col("doc_id"), col("n_tokens"),
+            TextOps.bpeTokenCount(col("__text")).as("again"))
+          .filter(col("n_tokens") =!= col("again")).count()
+        assert(recount === 0)
+
+        // tok_offset is the exclusive prefix sum of n_tokens in id order
+        val byId = rows.sortBy(_.getLong(0))
+        var run = 0L
+        byId.foreach { r =>
+          assert(r.getLong(3) === run,
+            s"doc ${r.getLong(0)} offset ${r.getLong(3)} != $run")
+          run += r.getLong(2)
+        }
+        // chunk interval honors the budget
+        byId.foreach { r =>
+          assert(r.getLong(4) === r.getLong(3) / 64L)
+          assert(r.getLong(5) ===
+            (r.getLong(3) + math.max(r.getLong(2), 1L) - 1L) / 64L)
+        }
+    }
+  }
+
+  test("temperature-mix subsets stay nested as alpha grows") {
+    val docs = (0L until 40L).map(i =>
+      (i, if (i % 8 == 0) "rare.com" else "big.com", en(s"t$i")))
+      .toDF("doc_id", "domain", "text")
+    def ids(alpha: Double): Set[Long] =
+      HashSplit.temperatureMix(docs, "doc_id", "domain", alpha)
+        .select("doc_id").as[Long].collect().toSet
+    val (a0, a5, a1) = (ids(0.0), ids(0.5), ids(1.0))
+    assert(a0.subsetOf(a5) && a5.subsetOf(a1))
+    assert(a1.size === 40)
+  }
+}
