@@ -12,6 +12,13 @@ import graft.operators.{HashSplit, SequencePack}
   * RefinedWeb host caps, XLM-R α-sampling). */
 final case class AssemblyConfig(
     lang: String = "en",
+    /** the quality gate over the raw text column; defaults to the full
+      * Gopher band composite. Pluggable because real pipelines tune the
+      * bands per corpus (Gopher itself reports per-source tuning) —
+      * e.g. a synthetic or non-web corpus may need a different
+      * stop-word floor. */
+    quality: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      TextOps.Gopher.passes,
     /** a trimmed line in >= this many docs is boilerplate */
     lineMinDocs: Int = 2,
     shingleN: Int = 3,
@@ -70,8 +77,9 @@ object CorpusAssembly {
       // 1. language gate — one codegen kernel pass over the raw text
       val lid = boundary(base.filter(TextOps.langId(col("__text")) === cfg.lang))
 
-      // 2. Gopher quality bands — codegen kernels, still the raw text
-      val qual = boundary(lid.filter(TextOps.Gopher.passes(col("__text"))))
+      // 2. quality bands (Gopher by default) — codegen kernels, still
+      //    the raw text
+      val qual = boundary(lid.filter(cfg.quality(col("__text"))))
 
       // 3. corpus-level boilerplate line strip; the cleaned text becomes
       //    THE text, and the token count is computed ONCE here and
@@ -87,11 +95,15 @@ object CorpusAssembly {
         Dedup.minhashLshPairs(cleaned, id, "__text",
           n = cfg.shingleN, threshold = cfg.nearDupThreshold)))
 
-      // 5. benchmark decontamination (inverted-index overlap share)
+      // 5. benchmark decontamination (inverted-index overlap share).
+      //    The threshold compares counts (n_cont >= n_sh * s), not the
+      //    rounded share column — the exact same arithmetic an external
+      //    SQL re-derivation uses, no FP-rounding boundary drift
       val bench = benchmark.select(col(id), col(text).as("__text"))
       val dropIds = Dedup.contaminationScores(deduped, bench, id,
           "__text", cfg.shingleN)
-        .filter(col("contaminated_share") >= cfg.maxContaminatedShare)
+        .filter(col("n_contaminated").cast("double") >=
+          col("n_shingles").cast("double") * cfg.maxContaminatedShare)
         .select(col(id))
       val decontaminated = boundary(deduped.join(dropIds, Seq(id), "left_anti"))
 

@@ -260,6 +260,45 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- corpus assembly: the composed pipeline, oracle-gated ----------
+    // langid → quality bands → boilerplate line strip → near-dup
+    // resolution → decontamination → mix(α=1) → domain cap → sequence
+    // pack, end to end through CorpusAssembly.assemble; the DuckDB
+    // oracle re-derives EVERY stage (the same fragments that gate the
+    // individual operators, composed). Quality = Gopher bands with the
+    // stop-word floor lifted (the synthetic corpus has no English stop
+    // words; bands are corpus-tuned in the published pipelines).
+    "ops_corpus_assembly" -> q { c =>
+      import graft.ext.{AssemblyConfig, CorpusAssembly}
+      val docs = c.tw("documents")
+        .withColumn("ltext", replace(col("text"), lit(" table "), lit("\n")))
+      val corpus = docs.filter(col("doc_id") >= 25)
+        .select("doc_id", "source", "ltext")
+      val bench = docs.filter(col("doc_id") < 25).select("doc_id", "ltext")
+      val cfg = AssemblyConfig(
+        quality = t => {
+          import TextOps.Gopher._
+          val n = TextOps.tokenCount(t)
+          n >= MinWords && n <= MaxWords &&
+            TextOps.meanTokenLen(t) >= MinMeanWordLen &&
+            TextOps.meanTokenLen(t) <= MaxMeanWordLen &&
+            symbolRatio(t) <= MaxSymbolRatio &&
+            alphaWordRatio(t) >= MinAlphaWordRatio
+        },
+        lineMinDocs = 2, shingleN = 3, nearDupThreshold = 0.9,
+        maxContaminatedShare = 0.2, mixAlpha = 1.0, domainCap = 10,
+        packBudget = 512L)
+      CorpusAssembly.assemble(corpus, "doc_id", "ltext", "source", bench, cfg) {
+        (packed, _) =>
+          // materialize while the stage pins are alive (loan contract)
+          packed.select(col("doc_id"), col("source"),
+            col("n_tokens").cast("long").as("n_tokens"), col("tok_offset"),
+            col("first_chunk"), col("last_chunk"))
+            .orderBy("doc_id")
+            .localCheckpoint(true)
+      }
+    },
+
     // ---- multimodal plumbing (stub codec, real plan shape) --------------
     "mm_decode_meta" -> q { c =>
       Multimodal.decodeMeta(
@@ -504,6 +543,133 @@ object ExtQueries {
       s"""SELECT md5($canonSql) AS fp, min(doc_id) AS keeper_id,
          |  count(*) AS dup_count
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    // the composed pipeline: every stage re-derived with the same SQL
+    // fragments that gate the standalone operators
+    "ops_corpus_assembly" -> {
+      val scores = TextOps.LangProfiles.map { case (l, ws) =>
+        s"""len(list_filter(string_split_regex(trim(t), '\\s+'),
+           |        w -> w IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l""".stripMargin
+      }.mkString(",\n    ")
+      val langs = TextOps.LangProfiles.map(_._1)
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs
+        .map(l => s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'")
+        .mkString("\n         ")
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, source, replace(text, ' table ', chr(10)) AS t
+         |  FROM documents WHERE doc_id >= 25),
+         |lidscore AS (
+         |  SELECT doc_id,
+         |    $scores
+         |  FROM d),
+         |lid AS (
+         |  SELECT d.* FROM d JOIN (
+         |    SELECT doc_id,
+         |      CASE $cases
+         |           ELSE 'und' END AS lang_pred
+         |    FROM lidscore) lp USING (doc_id)
+         |  WHERE lp.lang_pred = 'en'),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(t)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(t), '\\s+')) END AS n_words,
+         |    length(regexp_replace(t, '\\s+', '', 'g')) AS n_nonspace,
+         |    len(regexp_extract_all(t, '#|\\.\\.\\.')) AS n_sym,
+         |    len(list_filter(string_split_regex(trim(t), '\\s+'),
+         |        w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha
+         |  FROM lid),
+         |qual AS (
+         |  SELECT lid.* FROM lid JOIN g USING (doc_id)
+         |  WHERE n_words >= 50 AND n_words <= 100000
+         |    AND n_nonspace::DOUBLE / n_words >= 3.0
+         |    AND n_nonspace::DOUBLE / n_words <= 10.0
+         |    AND n_sym::DOUBLE / n_words <= 0.1
+         |    AND n_alpha::DOUBLE / n_words >= 0.8),
+         |l AS (
+         |  SELECT doc_id, i - 1 AS idx, ls[i] AS line, trim(ls[i]) AS norm
+         |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM qual),
+         |       LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g2),
+         |b AS (
+         |  SELECT norm AS dup FROM l WHERE norm <> ''
+         |  GROUP BY norm HAVING count(DISTINCT doc_id) >= 2),
+         |clean AS (
+         |  SELECT l.doc_id,
+         |    coalesce(string_agg(line, chr(10) ORDER BY idx)
+         |      FILTER (WHERE b.dup IS NULL), '') AS tc
+         |  FROM l LEFT JOIN b ON l.norm = b.dup
+         |  GROUP BY l.doc_id),
+         |cleand AS (
+         |  SELECT c.doc_id, q.source, c.tc,
+         |    len(regexp_extract_all(c.tc, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         |      AS n_tokens
+         |  FROM clean c JOIN qual q USING (doc_id)),
+         |toks AS (
+         |  SELECT doc_id,
+         |    string_split(lower(regexp_replace(trim(tc), '\\s+', ' ', 'g')), ' ') AS ts
+         |  FROM cleand),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g3
+         |  UNION
+         |  SELECT doc_id, array_to_string(ts, ' ') AS shingle
+         |  FROM toks WHERE len(ts) < 3),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |  WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.9),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id),
+         |losers AS (
+         |  SELECT id AS doc_id
+         |  FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |  WHERE id <> component),
+         |dedup AS (
+         |  SELECT * FROM cleand WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |benchtoks AS (
+         |  SELECT doc_id, string_split(lower(regexp_replace(
+         |    trim(replace(text, ' table ', chr(10))), '\\s+', ' ', 'g')), ' ') AS ts
+         |  FROM documents WHERE doc_id < 25),
+         |benchsh AS (
+         |  SELECT DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM benchtoks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g4
+         |  UNION
+         |  SELECT DISTINCT array_to_string(ts, ' ') FROM benchtoks WHERE len(ts) < 3),
+         |dsh AS (SELECT doc_id, shingle FROM sh JOIN dedup USING (doc_id)),
+         |contam AS (
+         |  SELECT d2.doc_id, count(*) AS n_shingles, count(bs.shingle) AS n_contaminated
+         |  FROM dsh d2 LEFT JOIN benchsh bs USING (shingle)
+         |  GROUP BY 1),
+         |kept AS (
+         |  SELECT dedup.* FROM dedup JOIN contam USING (doc_id)
+         |  WHERE NOT (n_contaminated::DOUBLE >= n_shingles::DOUBLE * 0.2)),
+         |capped AS (
+         |  SELECT doc_id, source, n_tokens FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY n_tokens DESC, doc_id) AS rn FROM kept)
+         |  WHERE rn <= 10),
+         |packed AS (
+         |  SELECT doc_id, source, n_tokens::BIGINT AS n_tokens,
+         |    coalesce(sum(n_tokens::BIGINT) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS tok_offset
+         |  FROM capped)
+         |SELECT doc_id, source, n_tokens, tok_offset,
+         |  tok_offset // 512 AS first_chunk,
+         |  (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS last_chunk
+         |FROM packed ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_ngram_jaccard" -> (jaccardSql(0.8) + " ORDER BY id_a, id_b"),
 
