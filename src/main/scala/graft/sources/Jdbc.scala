@@ -142,4 +142,44 @@ object Jdbc {
   }
 
   def read(spark: SparkSession, cfg: JdbcTableConfig): DataFrame = reader(spark, cfg).load()
+
+  /** Reflect the connection's CURRENT catalog/schema and list its table
+    * names (the reference's schema-level `sql_database()` source
+    * enumerates every table and emits one resource per table —
+    * sql_database/__init__.py:37-57; `sql_table()` is the single-table
+    * form this maps to via [[read]]). Scoped to the connection's own
+    * catalog+schema so a same-named table in another schema is never
+    * pulled in. */
+  def listTables(url: String,
+      properties: Map[String, String] = Map.empty): Seq[String] = {
+    val conn = java.sql.DriverManager.getConnection(url,
+      properties.foldLeft(new java.util.Properties) { case (p, (k, v)) =>
+        p.setProperty(k, v); p
+      })
+    try {
+      val (cat, sch) =
+        (scala.util.Try(conn.getCatalog).getOrElse(null),
+          scala.util.Try(conn.getSchema).getOrElse(null))
+      val rs = conn.getMetaData.getTables(cat, sch, null, Array("TABLE"))
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      try while (rs.next()) names += rs.getString("TABLE_NAME")
+      finally rs.close()
+      names.toSeq.sorted
+    } finally conn.close()
+  }
+
+  /** The whole-schema source: one lazily-planned DataFrame per
+    * reflected table, keyed by table name. `configure` customizes the
+    * per-table config (partition column, incremental cursor) — the
+    * default reads each table unpartitioned. Frames are lazy: no scan
+    * runs until a table is actually consumed, so reflecting a
+    * 500-table schema costs one metadata round trip. */
+  def readAllTables(spark: SparkSession, url: String,
+      properties: Map[String, String] = Map.empty,
+      configure: String => JdbcTableConfig = null): Map[String, DataFrame] = {
+    val mk: String => JdbcTableConfig =
+      if (configure != null) configure
+      else t => JdbcTableConfig(url, t, properties = properties)
+    listTables(url, properties).map(t => t -> read(spark, mk(t))).toMap
+  }
 }

@@ -133,6 +133,21 @@ class SourcesSpec extends SparkSpec {
     assert(read.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("jdbc source: whole-schema reflection lists and reads every table") {
+    import graft.write.JdbcSink
+    val url = "jdbc:derby:memory:graftschema;create=true"
+    val mk = (t: String) => graft.sources.JdbcTableConfig(url, t)
+    JdbcSink.append(Seq((1L, "a")).toDF("id", "v"), mk("t_alpha"))
+    JdbcSink.append(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), mk("t_beta"))
+    val tables = Jdbc.listTables(url)
+    assert(tables === Seq("T_ALPHA", "T_BETA")) // derby folds unquoted up
+    val all = Jdbc.readAllTables(spark, url)
+    assert(all.keySet === Set("T_ALPHA", "T_BETA"))
+    assert(all("T_ALPHA").count() === 1 && all("T_BETA").count() === 2)
+    assert(all("T_BETA").select("id").as[Long].collect().sorted.toSeq
+      === Seq(2L, 3L))
+  }
+
   test("filesystem incremental: mtime cursor with path dedup across listings") {
     val dir = Files.createTempDirectory("graft-fsinc2").toString
     Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(s"$dir/f_a")
