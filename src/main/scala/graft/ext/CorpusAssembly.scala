@@ -30,7 +30,12 @@ final case class AssemblyConfig(
     /** max docs kept per domain (rank: longest first) */
     domainCap: Int = 1000,
     /** token budget per packed training chunk */
-    packBudget: Long = 2048L)
+    packBudget: Long = 2048L,
+    /** collect per-stage survivor counts (one small action per stage
+      * boundary). Observability for interactive runs; switch off in a
+      * throughput path — the boundaries then materialize once, inside
+      * the single consuming action, and StageCounts reads -1. */
+    collectStageCounts: Boolean = true)
 
 /** CORPUS ASSEMBLY — the composed training-data pipeline the individual
   * operators exist for: language-ID → Gopher quality gate → corpus-level
@@ -74,12 +79,12 @@ object CorpusAssembly {
     try Dedup.withPins {
       val base = docs.select(col(id), col(domain), col(text).as("__text"))
 
-      // 1. language gate — one codegen kernel pass over the raw text
-      val lid = boundary(base.filter(TextOps.langId(col("__text")) === cfg.lang))
-
-      // 2. quality bands (Gopher by default) — codegen kernels, still
-      //    the raw text
-      val qual = boundary(lid.filter(cfg.quality(col("__text"))))
+      // 1-2. language gate then quality bands — single-consumer stages
+      //    stay UNPINNED so both codegen kernel passes fuse into the
+      //    line-strip shuffle's map side (a boundary here would pay a
+      //    persist + an extra job for zero reuse)
+      val lid = base.filter(TextOps.langId(col("__text")) === cfg.lang)
+      val qual = lid.filter(cfg.quality(col("__text")))
 
       // 3. corpus-level boilerplate line strip; the cleaned text becomes
       //    THE text, and the token count is computed ONCE here and
@@ -110,6 +115,9 @@ object CorpusAssembly {
       // 6-7. temperature mix (pure projection filter over broadcast
       //      counts) then the domain cap ranking on the CARRIED token
       //      count — no tokenizer in either stage
+      // mix is a pure projection filter (single consumer — unpinned);
+      // the capped boundary IS pinned: sequence packing reads it twice
+      // (bucket-offset aggregate + the join back)
       val capped = boundary(HashSplit.domainCap(
         HashSplit.temperatureMix(decontaminated, id, domain, cfg.mixAlpha),
         id, domain, cfg.domainCap, rankBy = "n_tokens"))
@@ -118,13 +126,14 @@ object CorpusAssembly {
       val packed = SequencePack.chunkAssignments(capped, id, "n_tokens",
         cfg.packBudget)
 
+      def n(df: DataFrame): Long = if (cfg.collectStageCounts) df.count() else -1L
       val stages = StageCounts(Seq(
-        "langid" -> lid.count(),
-        "quality" -> qual.count(),
-        "line_strip" -> cleaned.count(),
-        "near_dup" -> deduped.count(),
-        "decontaminated" -> decontaminated.count(),
-        "mixed_capped" -> capped.count()))
+        "langid" -> n(lid),
+        "quality" -> n(qual),
+        "line_strip" -> n(cleaned),
+        "near_dup" -> n(deduped),
+        "decontaminated" -> n(decontaminated),
+        "mixed_capped" -> n(capped)))
       consume(packed, stages)
     } finally pinned.foreach(_.unpersist(blocking = false))
   }

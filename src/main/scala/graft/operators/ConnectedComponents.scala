@@ -66,4 +66,69 @@ object ConnectedComponents {
     sym.unpersist(blocking = false)
     labels.select(col("id").as(idCol), col("label").as("component"))
   }
+
+  /** Size-adaptive components: below `collectThreshold` edges the graph
+    * collects to the driver and a union-find labels it in one pass;
+    * above it (or for id types without a natural order) the distributed
+    * propagation runs unchanged. Near-duplicate graphs are sparse —
+    * edges ∝ duplicate clusters, not corpus size — so the common case
+    * pays ONE job instead of diameter × (join + checkpoint + scan)
+    * rounds whose fixed latency dwarfs the actual work; the decision is
+    * data-driven and the distributed path remains the unbounded
+    * fallback. Semantics identical: component = minimum member id. */
+  def componentsAuto(edges: DataFrame, srcCol: String, dstCol: String,
+      idCol: String = "id", maxIter: Int = 20,
+      checkpointDir: Option[String] = None,
+      collectThreshold: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    def integral(t: org.apache.spark.sql.types.DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val (srcT, dstT) = (edges.schema(srcCol).dataType, edges.schema(dstCol).dataType)
+    val orderable = (integral(srcT) && integral(dstT)) ||
+      (srcT == StringType && dstT == StringType)
+    if (!orderable)
+      return components(edges, srcCol, dstCol, idCol, maxIter, checkpointDir)
+    val pinned = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (pinned.count() > collectThreshold)
+        components(pinned, srcCol, dstCol, idCol, maxIter, checkpointDir)
+      else {
+        val spark = edges.sparkSession
+        val idType = edges.schema(srcCol).dataType
+        val lt: (Any, Any) => Boolean = idType match {
+          case StringType => (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+          case _ => (a, b) =>
+            a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
+        }
+        // union-find with min-id roots (path compression on find)
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val next = parent(c); parent(c) = r; c = next
+          }
+          r
+        }
+        pinned.select(col(srcCol), col(dstCol)).collect().foreach { row =>
+          val (a, b) = (find(row.get(0)), find(row.get(1)))
+          if (a != b) {
+            if (lt(a, b)) parent(b) = a else parent(a) = b
+          }
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol, idType),
+          org.apache.spark.sql.types.StructField("component", idType)))
+        val rows = parent.keys.toSeq.map(k =>
+          org.apache.spark.sql.Row(k, find(k)))
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      }
+    } finally pinned.unpersist(blocking = false)
+  }
 }

@@ -287,7 +287,10 @@ object ExtQueries {
         },
         lineMinDocs = 2, shingleN = 3, nearDupThreshold = 0.9,
         maxContaminatedShare = 0.2, mixAlpha = 1.0, domainCap = 10,
-        packBudget = 512L)
+        packBudget = 512L,
+        // throughput path: boundaries materialize once, inside the
+        // final checkpoint, instead of one count action per stage
+        collectStageCounts = false)
       CorpusAssembly.assemble(corpus, "doc_id", "ltext", "source", bench, cfg) {
         (packed, _) =>
           // materialize while the stage pins are alive (loan contract)

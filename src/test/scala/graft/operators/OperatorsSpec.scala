@@ -124,6 +124,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Seq(1L))
   }
 
+  test("size-adaptive components agree with the distributed propagation") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 5L), (9L, 9L))
+      .toDF("a", "b")
+    val expected = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (5L, 5L), (6L, 5L), (7L, 5L), (9L, 9L))
+    // driver union-find (under threshold)
+    val fast = ConnectedComponents.componentsAuto(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(fast === expected)
+    // forced distributed fallback (threshold 0) — identical labels
+    val dist = ConnectedComponents.componentsAuto(edges, "a", "b",
+      collectThreshold = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(dist === expected)
+    // string ids order lexicographically on both paths
+    val sEdges = Seq(("b", "a"), ("b", "c")).toDF("a", "b")
+    assert(ConnectedComponents.componentsAuto(sEdges, "a", "b")
+      .orderBy("id").as[(String, String)].collect().toSeq
+      === Seq(("a", "a"), ("b", "a"), ("c", "a")))
+  }
+
   test("connected components use reliable checkpointing when a dir is supplied") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
