@@ -141,6 +141,15 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
   private def syncSystemTables(loadId: String): Unit = {
     registry.save(s"$root/_schemas")
     dispositions.recordVersion(name, registry.versionHash, registry.toJson)
+    syncState(loadId)
+  }
+
+  /** Re-sync the CURRENT local state snapshot to `_dlt_pipeline_state`
+    * under `loadId`. For source helpers that advance cursor state AFTER
+    * a successful `run` (e.g. incremental file listings) so the
+    * destination copy carries the advanced cursor in the same load
+    * rather than trailing by one package. */
+  def syncState(loadId: String): Unit = {
     val state = states.dump(name)
     if (state.nonEmpty) dispositions.recordState(name, loadId, state)
   }

@@ -40,9 +40,11 @@ object Filesystem {
 
   /** FileItem listing (reference FileItem): one row per file with path,
     * size and modification time — `binaryFile` gives the metadata without
-    * reading content (content column dropped). */
+    * reading content (content column dropped). A glob matching NOTHING
+    * (e.g. the first incremental run against a still-empty prefix)
+    * lists as empty instead of throwing. */
   def listFiles(spark: SparkSession, globPath: String): DataFrame =
-    spark.read.format("binaryFile")
+    try spark.read.format("binaryFile")
       .option("pathGlobFilter", "*")
       .load(globPath)
       .select(
@@ -50,6 +52,49 @@ object Filesystem {
         element_at(split(col("path"), "/"), -1).as("file_name"),
         col("modificationTime").as("modification_date"),
         col("length").as("size_in_bytes"))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getErrorClass).exists(_.startsWith("PATH_NOT_FOUND")) =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(
+            StructField("file_url", StringType),
+            StructField("file_name", StringType),
+            StructField("modification_date", TimestampType),
+            StructField("size_in_bytes", LongType))))
+    }
+
+  /** PIPELINE-NATIVE incremental file loading (the reference composes
+    * the filesystem source with `dlt.sources.incremental` and the
+    * pipeline persists the cursor — filesystem/__init__.py + pipeline
+    * state): window the listing by the pipeline's persisted mtime
+    * cursor, read ONLY the new/changed files through `readFiles`, load
+    * them into `table`, then advance and re-sync the cursor so
+    * `_dlt_pipeline_state` carries it under the same load id. Returns
+    * the written tables, or empty WITHOUT running a load when no new
+    * files exist (no empty load package, no spurious `_dlt_loads` row).
+    *
+    * State advances only AFTER a successful load (a failed load re-runs
+    * from the old cursor; path-fingerprint dedup makes the overlap
+    * exactly-once). A fresh machine restoring state from the
+    * destination resumes from the last synced cursor. */
+  def runIncremental(p: graft.pipeline.Pipeline, table: String,
+      globPath: String, loadId: String)(
+      readFiles: (SparkSession, Seq[String]) => DataFrame): Map[String, Seq[String]] = {
+    val key = s"$table/__files__"
+    val st = p.states.load(p.name, key)
+    val (fresh, newState) = listIncremental(p.spark, globPath, st)
+    // the file list is driver-small by contract — it IS the work list
+    val files = fresh.select("file_url").collect().map(_.getString(0)).toSeq
+    if (files.isEmpty) Map.empty
+    else {
+      val out = p.run(
+        Seq(graft.pipeline.Resource(table, readFiles(p.spark, files))), loadId)
+      p.states.save(p.name, key, newState)
+      p.syncState(loadId)
+      out
+    }
+  }
 
   /** read_csv transformer (readers.py) with file provenance column. */
   def readCsv(spark: SparkSession, path: String, header: Boolean = true,

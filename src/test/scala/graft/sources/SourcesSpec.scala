@@ -174,6 +174,36 @@ class SourcesSpec extends SparkSpec {
     assert(redelivered.length === 1 && redelivered.head.contains("f_a"))
   }
 
+  test("pipeline-native incremental file loads: exactly-once, empty runs skip") {
+    val dir = Files.createTempDirectory("graft-fsrun").toString
+    val p = new graft.pipeline.Pipeline("fsr",
+      Files.createTempDirectory("graft-fsr-pipe").toString, spark)
+    val glob = s"$dir/*/*.parquet"
+    def run(loadId: String) =
+      Filesystem.runIncremental(p, "ev", glob, loadId)(
+        (s, fs) => s.read.parquet(fs: _*))
+    def ids = p.store.read("ev").select("id").as[Long].collect().sorted.toSeq
+
+    // empty prefix: no load package at all
+    assert(run("1").isEmpty)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$dir/batch_a")
+    assert(run("2").nonEmpty)
+    assert(ids === Seq(1L, 2L))
+    // second batch arrives: only its rows append
+    Seq((3L, "c")).toDF("id", "v").coalesce(1).write.parquet(s"$dir/batch_b")
+    run("3")
+    assert(ids === Seq(1L, 2L, 3L))
+    // nothing new: no-op (no extra load id recorded)
+    assert(run("4").isEmpty)
+    assert(ids === Seq(1L, 2L, 3L))
+    // the advanced cursor was synced to the destination state table
+    val st = p.store.read("_dlt_pipeline_state")
+      .orderBy(col("version").desc).select("state").limit(1)
+      .as[String].collect().head
+    assert(st.contains("ev%2F__files__"))
+  }
+
   test("rest: incremental window rides the request as query params") {
     val cfg = Incremental.Config(cursorColumn = "updated_at",
       initialValue = Some("2024-01-01"), endValue = Some("2024-06-01"))
