@@ -90,8 +90,14 @@ object Streaming {
       template: DataFrame => Resource,
       checkpoint: Option[String] = None): Unit =
     drainAvailableNow(source, checkpoint) { (batch, id) =>
-      if (!batch.isEmpty) pipeline.run(Seq(template(batch)), s"s$id")
+      if (!batch.isEmpty) pipeline.run(Seq(template(batch)), loadIdOf(id))
     }
+
+  /** Micro-batch load id, ZERO-PADDED so ids stay monotone under the
+    * string ordering the load-recording duplicate guard falls back to
+    * for non-numeric ids — a bare "s10" would sort before "s2" and trip
+    * the increasing-load-id contract at batch 10. */
+  private def loadIdOf(id: Long): String = f"s$id%012d"
 
   /** Stream micro-batches into the MERGE family: each batch is staged
     * (deduped per key by `dedupSort`) and merged into `table` through
@@ -103,7 +109,8 @@ object Streaming {
       checkpoint: Option[String] = None): Unit = {
     val d = new Dispositions(store, source.sparkSession)
     drainAvailableNow(source, checkpoint) { (batch, id) =>
-      if (!batch.isEmpty) d.merge(table, Merge.dedup(batch, cfg), cfg, s"s$id", strategy)
+      if (!batch.isEmpty)
+        d.merge(table, Merge.dedup(batch, cfg), cfg, loadIdOf(id), strategy)
     }
   }
 
@@ -121,7 +128,7 @@ object Streaming {
         val cfg = cfgFor(id)
         require(cfg.mergeKey.nonEmpty,
           "streaming scd2 requires a mergeKey: a micro-batch is not a full snapshot")
-        d.scd2(table, batch, cfg, s"s$id")
+        d.scd2(table, batch, cfg, loadIdOf(id))
       }
     }
   }

@@ -37,7 +37,9 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() === 3)
     // pipeline system columns present; load id carries the batch id
     assert(out.columns.contains("_dlt_id"))
-    assert(out.select("_dlt_load_id").distinct().as[String].collect().toSet === Set("s0"))
+    // (zero-padded so ids stay monotone past batch 9)
+    assert(out.select("_dlt_load_id").distinct().as[String].collect().toSet
+      === Set("s000000000000"))
   }
 
   test("intoMerge upserts across genuine micro-batches (checkpoint resume)") {
