@@ -85,9 +85,10 @@ object ConnectedComponents {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+    // SAME type on both sides: mixed Int/Long ids would box to keys
+    // that never compare equal in the union-find map
     val (srcT, dstT) = (edges.schema(srcCol).dataType, edges.schema(dstCol).dataType)
-    val orderable = (integral(srcT) && integral(dstT)) ||
-      (srcT == StringType && dstT == StringType)
+    val orderable = srcT == dstT && (integral(srcT) || srcT == StringType)
     if (!orderable)
       return components(edges, srcCol, dstCol, idCol, maxIter, checkpointDir)
     val pinned = edges.persist(StorageLevel.MEMORY_AND_DISK)
