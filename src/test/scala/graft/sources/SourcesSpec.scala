@@ -174,6 +174,23 @@ class SourcesSpec extends SparkSpec {
     assert(redelivered.length === 1 && redelivered.head.contains("f_a"))
   }
 
+  test("incremental listing pushes the mtime window into the binaryFile scan") {
+    val dir = Files.createTempDirectory("graft-fspush").toString
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(s"$dir/f_a")
+    val st = Incremental.State(Some("2020-01-01 00:00:00"), Nil)
+    val (df, _) = Filesystem.listIncremental(spark, s"$dir/*/*.parquet", st)
+    // the window must reach the file scan as a pushed filter — at scale
+    // the listing prunes files by metadata, it does not read-then-drop
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(modificationTime"),
+      s"mtime window not pushed: $pushed")
+    assert(df.count() === 1)
+  }
+
   test("pipeline-native incremental file loads: exactly-once, empty runs skip") {
     val dir = Files.createTempDirectory("graft-fsrun").toString
     val p = new graft.pipeline.Pipeline("fsr",
