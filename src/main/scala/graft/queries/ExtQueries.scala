@@ -329,6 +329,23 @@ object ExtQueries {
     // stride-sampling during the walk — the oracle re-derives every
     // frame field from the same arithmetic, so the build→parse→explode
     // path is exact end to end
+    // REAL pixel decode: deterministic P6 images built per doc (pixel
+    // values are pure integer formulas of (doc_id, x, y)), decoded by
+    // the actual PPM byte-walk with full + strided sums in ONE raster
+    // pass — the DuckDB oracle recomputes the same sums from the
+    // formulas over the pixel grid, so the decode is hash-checked
+    "mm_pixel_decode" -> q { c =>
+      import c.spark.implicits._
+      val items = c.t("documents").select(col("doc_id").cast("long")).as[Long]
+        .map { d =>
+          Multimodal.MediaItem(d, "image", Multimodal.Ppm.build(32, 16,
+            (x, y) => (((d + x) % 256).toInt, ((d * 31 + y) % 256).toInt,
+              ((x.toLong * y + d) % 256).toInt)))
+        }
+      Multimodal.Ppm.decodeStats(items, stride = 4).toDF()
+        .orderBy("media_id")
+    },
+
     "mm_video_container" -> q { c =>
       import c.spark.implicits._
       val media = c.t("documents").select(col("doc_id")).as[Long].map { id =>
@@ -788,6 +805,23 @@ object ExtQueries {
         |  FROM documents)
         |SELECT media_id, n_frames, unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
         |FROM meta ORDER BY media_id, frame_idx""".stripMargin,
+
+    "mm_pixel_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, x.x, y.y,
+        |    (doc_id + x.x) % 256 AS r,
+        |    (doc_id * 31 + y.y) % 256 AS g,
+        |    (x.x * y.y + doc_id) % 256 AS b
+        |  FROM documents,
+        |       (SELECT unnest(generate_series(0, 31)) AS x) x,
+        |       (SELECT unnest(generate_series(0, 15)) AS y) y)
+        |SELECT doc_id AS media_id, 32 AS width, 16 AS height,
+        |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+        |  sum(b)::BIGINT AS sum_b,
+        |  sum(CASE WHEN x % 4 = 0 AND y % 4 = 0 THEN r ELSE 0 END)::BIGINT AS s_sum_r,
+        |  sum(CASE WHEN x % 4 = 0 AND y % 4 = 0 THEN g ELSE 0 END)::BIGINT AS s_sum_g,
+        |  sum(CASE WHEN x % 4 = 0 AND y % 4 = 0 THEN b ELSE 0 END)::BIGINT AS s_sum_b
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "mm_video_container" ->
       """WITH f AS (

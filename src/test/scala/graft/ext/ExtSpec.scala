@@ -55,6 +55,37 @@ class ExtSpec extends SparkSpec {
     assert(survivors === Seq(1L, 3L))
   }
 
+  test("ppm codec: build → decode round-trip, strided sums, real downsample") {
+    import Multimodal.{MediaItem, Ppm}
+    val img = Ppm.build(8, 4, (x, y) => (x * 10, y * 20, x + y))
+    val st = Ppm.stats(MediaItem(7L, "image", img), stride = 2).toSeq
+    assert(st.size === 1)
+    val s = st.head
+    assert((s.width, s.height) === (8, 4))
+    // independent arithmetic over the generating formulas
+    val grid = for (x <- 0 until 8; y <- 0 until 4) yield (x, y)
+    assert(s.sum_r === grid.map { case (x, _) => x * 10L }.sum)
+    assert(s.sum_g === grid.map { case (_, y) => y * 20L }.sum)
+    assert(s.sum_b === grid.map { case (x, y) => (x + y).toLong }.sum)
+    val sampled = grid.filter { case (x, y) => x % 2 == 0 && y % 2 == 0 }
+    assert(s.s_sum_r === sampled.map { case (x, _) => x * 10L }.sum)
+    assert(s.s_sum_b === sampled.map { case (x, y) => (x + y).toLong }.sum)
+    // downsample RE-ENCODES a valid smaller P6: decode it again
+    val small = Ppm.downsample(MediaItem(7L, "image", img), 2)
+    val st2 = Ppm.stats(small, stride = 1).toSeq.head
+    assert((st2.width, st2.height) === (4, 2))
+    assert(st2.sum_r === sampled.map { case (x, _) => x * 10L }.sum)
+    // corrupt payloads are skipped, not fatal; non-PPM passes through
+    assert(Ppm.stats(MediaItem(1L, "image", img.take(10)), 1).isEmpty)
+    assert(Ppm.stats(MediaItem(1L, "image", "nope".getBytes), 1).isEmpty)
+    assert(Ppm.downsample(MediaItem(1L, "image", "nope".getBytes), 2)
+      .payload.sameElements("nope".getBytes))
+    // distributed decode matches the local one
+    val ds = spark.createDataset(Seq(MediaItem(7L, "image", img)))(
+      org.apache.spark.sql.Encoders.product[MediaItem])
+    assert(Ppm.decodeStats(ds, 2).collect().toSeq === st)
+  }
+
   test("gvid container round-trips build → parse with stride sampling") {
     import Multimodal.{Gvid, MediaItem}
     val cs = Seq(100L, 200L, 4294967295L, 0L, 7L) // incl. max-u32 edge
