@@ -346,6 +346,20 @@ object ExtQueries {
         .orderBy("media_id")
     },
 
+    // REAL audio decode: deterministic PCM16 WAVs built per doc (sample
+    // values are integer formulas of (doc_id, frame, channel)), decoded
+    // by the actual RIFF chunk walk + one pass over the samples with
+    // full + strided sums — the oracle recomputes the sums arithmetically
+    "mm_audio_decode" -> q { c =>
+      import c.spark.implicits._
+      val items = c.t("documents").select(col("doc_id").cast("long")).as[Long]
+        .map { d =>
+          Multimodal.MediaItem(d, "audio", Multimodal.Wav.build(16000, 2, 200,
+            (f, ch) => (((d * 7 + f * 13 + ch * 29) % 65536) - 32768).toInt))
+        }
+      Multimodal.Wav.decodeStats(items, stride = 4).toDF().orderBy("media_id")
+    },
+
     "mm_video_container" -> q { c =>
       import c.spark.implicits._
       val media = c.t("documents").select(col("doc_id")).as[Long].map { id =>
@@ -822,6 +836,20 @@ object ExtQueries {
         |  sum(CASE WHEN x % 4 = 0 AND y % 4 = 0 THEN g ELSE 0 END)::BIGINT AS s_sum_g,
         |  sum(CASE WHEN x % 4 = 0 AND y % 4 = 0 THEN b ELSE 0 END)::BIGINT AS s_sum_b
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "mm_audio_decode" ->
+      """WITH sm AS (
+        |  SELECT doc_id, f.f, c.c,
+        |    (doc_id * 7 + f.f * 13 + c.c * 29) % 65536 - 32768 AS v
+        |  FROM documents,
+        |       (SELECT unnest(generate_series(0, 199)) AS f) f,
+        |       (SELECT unnest(generate_series(0, 1)) AS c) c)
+        |SELECT doc_id AS media_id, 16000 AS sample_rate, 2 AS channels,
+        |  200::BIGINT AS n_frames,
+        |  sum(v)::BIGINT AS sum_amp, sum(abs(v))::BIGINT AS sum_abs,
+        |  sum(CASE WHEN f % 4 = 0 THEN v ELSE 0 END)::BIGINT AS s_sum_amp,
+        |  sum(CASE WHEN f % 4 = 0 THEN abs(v) ELSE 0 END)::BIGINT AS s_sum_abs
+        |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "mm_video_container" ->
       """WITH f AS (

@@ -86,6 +86,29 @@ class ExtSpec extends SparkSpec {
     assert(Ppm.decodeStats(ds, 2).collect().toSeq === st)
   }
 
+  test("wav codec: build → decode round-trip with strided frame sums") {
+    import Multimodal.{MediaItem, Wav}
+    def s(f: Int, c: Int) = f * 100 - 5000 + c // mixes signs
+    val clip = Wav.build(8000, 2, 64, s)
+    val st = Wav.stats(MediaItem(3L, "audio", clip), stride = 4).toSeq
+    assert(st.size === 1)
+    val w = st.head
+    assert((w.sample_rate, w.channels, w.n_frames) === (8000, 2, 64L))
+    val all = for (f <- 0 until 64; c <- 0 until 2) yield s(f, c).toLong
+    assert(w.sum_amp === all.sum)
+    assert(w.sum_abs === all.map(math.abs).sum)
+    val kept = for (f <- 0 until 64 if f % 4 == 0; c <- 0 until 2)
+      yield s(f, c).toLong
+    assert(w.s_sum_amp === kept.sum && w.s_sum_abs === kept.map(math.abs).sum)
+    // truncated / foreign payloads skip
+    assert(Wav.stats(MediaItem(1L, "audio", clip.take(30)), 1).isEmpty)
+    assert(Wav.stats(MediaItem(1L, "audio", "noise".getBytes), 1).isEmpty)
+    // distributed decode matches the local one
+    val ds = spark.createDataset(Seq(MediaItem(3L, "audio", clip)))(
+      org.apache.spark.sql.Encoders.product[MediaItem])
+    assert(Wav.decodeStats(ds, 4).collect().toSeq === st)
+  }
+
   test("gvid container round-trips build → parse with stride sampling") {
     import Multimodal.{Gvid, MediaItem}
     val cs = Seq(100L, 200L, 4294967295L, 0L, 7L) // incl. max-u32 edge
