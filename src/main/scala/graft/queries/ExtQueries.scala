@@ -346,6 +346,26 @@ object ExtQueries {
         .orderBy("media_id")
     },
 
+    // REAL compressed decode: spec-compliant truecolor PNGs built per
+    // doc (formula pixels, per-row cycling filters, split IDAT), then
+    // decoded through the actual compressed path — CRC-verified chunk
+    // walk, multi-IDAT zlib INFLATE, all-five-filter scanline
+    // reconstruction — with sums accumulated during the walk; the
+    // oracle recomputes the sums from the pixel formulas, so the
+    // whole compressed round trip is hash-checked end to end
+    "mm_png_decode" -> q { c =>
+      import c.spark.implicits._
+      val items = c.t("documents").select(col("doc_id").cast("long")).as[Long]
+        .map { d =>
+          Multimodal.MediaItem(d, "image", Multimodal.Png.build(24, 15,
+            (x, y) => (((d * 3 + 5 * x + 7 * y) % 256).toInt,
+              ((d * 5 + x.toLong * y) % 256).toInt,
+              ((d + 2 * x + 9 * y) % 256).toInt)))
+        }
+      Multimodal.Png.decodeStats(items, stride = 3).toDF()
+        .orderBy("media_id")
+    },
+
     // REAL audio decode: deterministic PCM16 WAVs built per doc (sample
     // values are integer formulas of (doc_id, frame, channel)), decoded
     // by the actual RIFF chunk walk + one pass over the samples with
@@ -835,6 +855,23 @@ object ExtQueries {
         |  sum(CASE WHEN x % 4 = 0 AND y % 4 = 0 THEN r ELSE 0 END)::BIGINT AS s_sum_r,
         |  sum(CASE WHEN x % 4 = 0 AND y % 4 = 0 THEN g ELSE 0 END)::BIGINT AS s_sum_g,
         |  sum(CASE WHEN x % 4 = 0 AND y % 4 = 0 THEN b ELSE 0 END)::BIGINT AS s_sum_b
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "mm_png_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, x.x, y.y,
+        |    (doc_id * 3 + 5 * x.x + 7 * y.y) % 256 AS r,
+        |    (doc_id * 5 + x.x * y.y) % 256 AS g,
+        |    (doc_id + 2 * x.x + 9 * y.y) % 256 AS b
+        |  FROM documents,
+        |       (SELECT unnest(generate_series(0, 23)) AS x) x,
+        |       (SELECT unnest(generate_series(0, 14)) AS y) y)
+        |SELECT doc_id AS media_id, 24 AS width, 15 AS height,
+        |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+        |  sum(b)::BIGINT AS sum_b,
+        |  sum(CASE WHEN x % 3 = 0 AND y % 3 = 0 THEN r ELSE 0 END)::BIGINT AS s_sum_r,
+        |  sum(CASE WHEN x % 3 = 0 AND y % 3 = 0 THEN g ELSE 0 END)::BIGINT AS s_sum_g,
+        |  sum(CASE WHEN x % 3 = 0 AND y % 3 = 0 THEN b ELSE 0 END)::BIGINT AS s_sum_b
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "mm_audio_decode" ->

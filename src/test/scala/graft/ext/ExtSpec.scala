@@ -86,6 +86,42 @@ class ExtSpec extends SparkSpec {
     assert(Ppm.decodeStats(ds, 2).collect().toSeq === st)
   }
 
+  test("png codec: compressed build → inflate → unfilter round-trip") {
+    import Multimodal.{MediaItem, Png}
+    // 5+ rows exercise every filter type (row y filters with y % 5);
+    // noisy pixels defeat DEFLATE so the stream splits across IDATs
+    def px(x: Int, y: Int) = (((x * 2654435761L + y * 40503L) % 256).toInt,
+      (x * 7 + y * 3) % 256, (x ^ y) & 0xff)
+    val img = Png.build(64, 32, px)
+    // spec-compliance probes: magic, and the stream spans ≥ 2 IDATs
+    assert(img.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val nIdat = img.sliding(4).count(_.sameElements("IDAT".getBytes("US-ASCII")))
+    assert(nIdat >= 2, s"expected multi-IDAT, got $nIdat")
+    val st = Png.stats(MediaItem(5L, "image", img), sampleStride = 4).toSeq
+    assert(st.size === 1)
+    val s = st.head
+    assert((s.width, s.height) === (64, 32))
+    val grid = for (x <- 0 until 64; y <- 0 until 32) yield (x, y)
+    assert(s.sum_r === grid.map { case (x, y) => px(x, y)._1.toLong }.sum)
+    assert(s.sum_g === grid.map { case (x, y) => px(x, y)._2.toLong }.sum)
+    assert(s.sum_b === grid.map { case (x, y) => px(x, y)._3.toLong }.sum)
+    val kept = grid.filter { case (x, y) => x % 4 == 0 && y % 4 == 0 }
+    assert(s.s_sum_r === kept.map { case (x, y) => px(x, y)._1.toLong }.sum)
+    assert(s.s_sum_b === kept.map { case (x, y) => px(x, y)._3.toLong }.sum)
+    // a flipped bit inside an IDAT body fails that chunk's CRC → skip
+    val corrupt = img.clone()
+    val idatOff = img.indexOfSlice("IDAT".getBytes("US-ASCII"))
+    corrupt(idatOff + 10) = (corrupt(idatOff + 10) ^ 0x40).toByte
+    assert(Png.stats(MediaItem(1L, "image", corrupt), 1).isEmpty)
+    // truncation and foreign payloads skip, never abort
+    assert(Png.stats(MediaItem(1L, "image", img.take(40)), 1).isEmpty)
+    assert(Png.stats(MediaItem(1L, "image", "notapng".getBytes), 1).isEmpty)
+    // distributed decode matches the local one
+    val ds = spark.createDataset(Seq(MediaItem(5L, "image", img)))(
+      org.apache.spark.sql.Encoders.product[MediaItem])
+    assert(Png.decodeStats(ds, 4).collect().toSeq === st)
+  }
+
   test("wav codec: build → decode round-trip with strided frame sums") {
     import Multimodal.{MediaItem, Wav}
     def s(f: Int, c: Int) = f * 100 - 5000 + c // mixes signs
