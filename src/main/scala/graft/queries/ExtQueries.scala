@@ -366,6 +366,25 @@ object ExtQueries {
         .orderBy("media_id")
     },
 
+    // REAL compressed decode #2: GIF89a per doc — pixel indices and the
+    // 256-entry palette are integer formulas, the index raster goes
+    // through the actual GIF-LZW encoder (variable-width codes, clear
+    // codes) and back through the real LZW decoder, which must
+    // reproduce it byte-exactly before palette mapping; the oracle
+    // recomputes palette(index(x,y)) sums arithmetically, so a single
+    // mis-decoded bit anywhere in the LZW stream breaks the hash
+    "mm_gif_decode" -> q { c =>
+      import c.spark.implicits._
+      val items = c.t("documents").select(col("doc_id").cast("long")).as[Long]
+        .map { d =>
+          Multimodal.MediaItem(d, "image", Multimodal.Gif.build(20, 12,
+            (x, y) => ((7 * x + 13 * y + d) % 256).toInt,
+            i => (((2 * i + d) % 256).toInt, (3 * i + 1) % 256, (i * i) % 256)))
+        }
+      Multimodal.Gif.decodeStats(items, stride = 2).toDF()
+        .orderBy("media_id")
+    },
+
     // REAL audio decode: deterministic PCM16 WAVs built per doc (sample
     // values are integer formulas of (doc_id, frame, channel)), decoded
     // by the actual RIFF chunk walk + one pass over the samples with
@@ -873,6 +892,26 @@ object ExtQueries {
         |  sum(CASE WHEN x % 3 = 0 AND y % 3 = 0 THEN g ELSE 0 END)::BIGINT AS s_sum_g,
         |  sum(CASE WHEN x % 3 = 0 AND y % 3 = 0 THEN b ELSE 0 END)::BIGINT AS s_sum_b
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "mm_gif_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, x.x, y.y,
+        |    (7 * x.x + 13 * y.y + doc_id) % 256 AS i
+        |  FROM documents,
+        |       (SELECT unnest(generate_series(0, 19)) AS x) x,
+        |       (SELECT unnest(generate_series(0, 11)) AS y) y),
+        |cl AS (
+        |  SELECT doc_id, x, y,
+        |    (2 * i + doc_id) % 256 AS r, (3 * i + 1) % 256 AS g,
+        |    (i * i) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id AS media_id, 20 AS width, 12 AS height,
+        |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+        |  sum(b)::BIGINT AS sum_b,
+        |  sum(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN r ELSE 0 END)::BIGINT AS s_sum_r,
+        |  sum(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN g ELSE 0 END)::BIGINT AS s_sum_g,
+        |  sum(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN b ELSE 0 END)::BIGINT AS s_sum_b
+        |FROM cl GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "mm_audio_decode" ->
       """WITH sm AS (

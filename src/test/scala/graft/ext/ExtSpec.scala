@@ -122,6 +122,57 @@ class ExtSpec extends SparkSpec {
     assert(Png.decodeStats(ds, 4).collect().toSeq === st)
   }
 
+  test("gif codec: real LZW round-trips, incl. table-full resets and KwKwK") {
+    import Multimodal.{Gif, MediaItem}
+    // adversarial streams straight through the codec pair:
+    // (a) noisy enough to fill the 4096-entry table → CLEAR reset path
+    val rng = new scala.util.Random(42)
+    val noisy = Array.fill(20000)(rng.nextInt(256).toByte)
+    assert(Gif.lzwDecode(Gif.lzwEncode(noisy, 8), 8, noisy.length)
+      .sameElements(noisy))
+    // (b) the KwKwK self-reference case: aaa… emits code == nextCode
+    val runs = Array.fill(500)(7.toByte)
+    assert(Gif.lzwDecode(Gif.lzwEncode(runs, 8), 8, runs.length)
+      .sameElements(runs))
+    // (c) small alphabet → 3-bit min code size, rapid width growth
+    val tri = Array.tabulate(3000)(i => (i * i % 4).toByte)
+    assert(Gif.lzwDecode(Gif.lzwEncode(tri, 2), 2, tri.length)
+      .sameElements(tri))
+    // a truncated stream decodes to null, not garbage
+    val enc = Gif.lzwEncode(noisy, 8)
+    assert(Gif.lzwDecode(enc.take(enc.length / 2), 8, noisy.length) == null)
+
+    // full container: build → parse → palette-mapped sums
+    def idx(x: Int, y: Int) = (x * 3 + y * 11) % 256
+    def pal(i: Int) = ((i * 5) % 256, (255 - i) % 256, (i * i + 3) % 256)
+    val img = Gif.build(16, 10, idx, pal)
+    assert(img.take(6).sameElements("GIF89a".getBytes("US-ASCII")))
+    val st = Gif.stats(MediaItem(11L, "image", img), stride = 2).toSeq
+    assert(st.size === 1)
+    val s = st.head
+    assert((s.width, s.height) === (16, 10))
+    val grid = for (x <- 0 until 16; y <- 0 until 10) yield pal(idx(x, y))
+    assert(s.sum_r === grid.map(_._1.toLong).sum)
+    assert(s.sum_g === grid.map(_._2.toLong).sum)
+    assert(s.sum_b === grid.map(_._3.toLong).sum)
+    val kept = for (x <- 0 until 16 by 2; y <- 0 until 10 by 2) yield pal(idx(x, y))
+    assert(s.s_sum_r === kept.map(_._1.toLong).sum)
+    assert(s.s_sum_g === kept.map(_._2.toLong).sum)
+    // corrupt / truncated / foreign payloads skip, never abort
+    assert(Gif.stats(MediaItem(1L, "image", img.take(img.length / 2)), 1).isEmpty)
+    assert(Gif.stats(MediaItem(1L, "image", "notagif".getBytes), 1).isEmpty)
+    val flipped = img.clone()
+    flipped(flipped.length - 10) = (flipped(flipped.length - 10) ^ 0x55).toByte
+    // a flipped byte near the stream tail either yields a malformed LZW
+    // stream (skip) or decodes to a wrong-length raster (skip) — in no
+    // case an exception
+    Gif.stats(MediaItem(1L, "image", flipped), 1).toSeq
+    // distributed decode matches the local one
+    val ds = spark.createDataset(Seq(MediaItem(11L, "image", img)))(
+      org.apache.spark.sql.Encoders.product[MediaItem])
+    assert(Gif.decodeStats(ds, 2).collect().toSeq === st)
+  }
+
   test("wav codec: build → decode round-trip with strided frame sums") {
     import Multimodal.{MediaItem, Wav}
     def s(f: Int, c: Int) = f * 100 - 5000 + c // mixes signs
