@@ -399,6 +399,27 @@ object ExtQueries {
       Multimodal.Wav.decodeStats(items, stride = 4).toDF().orderBy("media_id")
     },
 
+    // REAL compressed decode #3 (audio): IMA-ADPCM WAVs per doc — the
+    // block headers and 4-bit nibble stream are integer formulas, the
+    // engine walks the real adaptive quantizer (step table, index
+    // adaptation, clamp) over two blocks, and the oracle replays the
+    // SAME state machine as a recursive CTE: every decoded sample
+    // depends on the entire nibble prefix, so one wrong step anywhere
+    // diverges the hash
+    "mm_adpcm_decode" -> q { c =>
+      import c.spark.implicits._
+      val items = c.t("documents").select(col("doc_id").cast("long")).as[Long]
+        .map { d =>
+          Multimodal.MediaItem(d, "audio", Multimodal.Adpcm.build(
+            sampleRate = 8000, blockAlign = 68, blocks = 2,
+            header = b => (((d * 37 + b * 101) % 4096 - 2048).toInt,
+              ((d + b * 11) % 32).toInt),
+            nibble = (b, k) => ((d + b * 131 + k * 7) % 16).toInt))
+        }
+      Multimodal.Adpcm.decodeStats(items, stride = 4).toDF()
+        .orderBy("media_id")
+    },
+
     "mm_video_container" -> q { c =>
       import c.spark.implicits._
       val media = c.t("documents").select(col("doc_id")).as[Long].map { id =>
@@ -926,6 +947,46 @@ object ExtQueries {
         |  sum(CASE WHEN f % 4 = 0 THEN v ELSE 0 END)::BIGINT AS s_sum_amp,
         |  sum(CASE WHEN f % 4 = 0 THEN abs(v) ELSE 0 END)::BIGINT AS s_sum_abs
         |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "mm_adpcm_decode" -> {
+      val steps = "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37," +
+        "41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209," +
+        "230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963," +
+        "1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327," +
+        "3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442," +
+        "11487,12635,13899,15289,16818,18500,20350,22385,24623,27086," +
+        "29794,32767]"
+      val idxAdj = "[-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8]"
+      s"""WITH RECURSIVE dec AS (
+         |  SELECT d.doc_id, b.b AS b, 0 AS k,
+         |    ((d.doc_id * 37 + b.b * 101) % 4096 - 2048) AS pred,
+         |    ((d.doc_id + b.b * 11) % 32) AS idx
+         |  FROM documents d,
+         |       (SELECT unnest(generate_series(0, 1)) AS b) b
+         |  UNION ALL
+         |  SELECT doc_id, b, k + 1,
+         |    greatest(-32768, least(32767,
+         |      CASE WHEN n >= 8 THEN pred - diff ELSE pred + diff END)) AS pred,
+         |    greatest(0, least(88, idx + ($idxAdj)[n + 1])) AS idx
+         |  FROM (
+         |    SELECT doc_id, b, k, pred, idx,
+         |      (doc_id + b * 131 + (k + 1) * 7) % 16 AS n,
+         |      ($steps)[idx + 1] AS st,
+         |      (st // 8)
+         |        + CASE WHEN n % 2 = 1 THEN st // 4 ELSE 0 END
+         |        + CASE WHEN (n // 2) % 2 = 1 THEN st // 2 ELSE 0 END
+         |        + CASE WHEN (n // 4) % 2 = 1 THEN st ELSE 0 END AS diff
+         |    FROM dec WHERE k < 128) s
+         |)
+         |SELECT doc_id AS media_id, 8000 AS sample_rate, 2 AS n_blocks,
+         |  258::BIGINT AS n_samples,
+         |  sum(pred)::BIGINT AS sum_amp, sum(abs(pred))::BIGINT AS sum_abs,
+         |  sum(CASE WHEN (b * 129 + k) % 4 = 0 THEN pred ELSE 0 END)::BIGINT
+         |    AS s_sum_amp,
+         |  sum(CASE WHEN (b * 129 + k) % 4 = 0 THEN abs(pred) ELSE 0 END)::BIGINT
+         |    AS s_sum_abs
+         |FROM dec GROUP BY doc_id ORDER BY media_id""".stripMargin
+    },
 
     "mm_video_container" ->
       """WITH f AS (

@@ -196,6 +196,45 @@ class ExtSpec extends SparkSpec {
     assert(Wav.decodeStats(ds, 4).collect().toSeq === st)
   }
 
+  test("adpcm codec: real IMA quantizer encodes and decodes audio") {
+    import Multimodal.{Adpcm, MediaItem}
+    // the REAL codec property: a smooth signal survives 4:1 compression
+    // with small error — the adaptive step tracks the waveform
+    val pcm = Array.tabulate(1000)(i =>
+      (6000 * math.sin(i / 25.0)).toInt.toShort)
+    val clip = Adpcm.encode(pcm, 8000, 68)
+    val st = Adpcm.stats(MediaItem(21L, "audio", clip), stride = 1).toSeq
+    assert(st.size === 1)
+    val s = st.head
+    assert(s.sample_rate === 8000)
+    // 1000 samples → 8 blocks of 129 → 1032 decoded samples (padded)
+    assert((s.n_blocks, s.n_samples) === (8, 1032L))
+    // stride=1 → strided sums must equal the full sums
+    assert(s.s_sum_amp === s.sum_amp && s.s_sum_abs === s.sum_abs)
+    // quality: decoded mean abs amplitude within 5% of the source's
+    val srcAbs = pcm.map(v => math.abs(v.toLong)).sum
+    assert(math.abs(s.sum_abs - srcAbs).toDouble / srcAbs < 0.05,
+      s"lossy error too large: decoded=${s.sum_abs} source=$srcAbs")
+    // formula-built container decodes deterministically and the strided
+    // sums partition consistently (stride 2 keeps even global indices)
+    val built = Adpcm.build(8000, 68, 2,
+      b => (b * 500 - 250, b * 7), (b, k) => (b + k * 3) % 16)
+    val s1 = Adpcm.stats(MediaItem(1L, "audio", built), stride = 1).toSeq.head
+    val s2 = Adpcm.stats(MediaItem(1L, "audio", built), stride = 2).toSeq.head
+    assert(s1.n_samples === 258L && s2.sum_amp === s1.sum_amp)
+    assert(math.abs(s2.s_sum_abs * 2 - s1.sum_abs) <= s1.sum_abs,
+      "strided abs sum should be roughly half of the full abs sum")
+    // foreign/PCM WAVs and truncations skip, never abort
+    val pcmWav = Multimodal.Wav.build(8000, 1, 10, (f, _) => f * 100)
+    assert(Adpcm.stats(MediaItem(1L, "audio", pcmWav), 1).isEmpty)
+    assert(Adpcm.stats(MediaItem(1L, "audio", clip.take(40)), 1).isEmpty)
+    assert(Adpcm.stats(MediaItem(1L, "audio", "noise".getBytes), 1).isEmpty)
+    // distributed decode matches the local one
+    val ds = spark.createDataset(Seq(MediaItem(21L, "audio", clip)))(
+      org.apache.spark.sql.Encoders.product[MediaItem])
+    assert(Adpcm.decodeStats(ds, 1).collect().toSeq === st)
+  }
+
   test("gvid container round-trips build → parse with stride sampling") {
     import Multimodal.{Gvid, MediaItem}
     val cs = Seq(100L, 200L, 4294967295L, 0L, 7L) // incl. max-u32 edge
