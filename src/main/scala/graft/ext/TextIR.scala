@@ -101,6 +101,79 @@ object TextIR {
       .select(col(id), col("term"), col("tfidf"), col("rnk"))
   }
 
+  /** CCNet-style language-model perplexity filter (Wenzek et al. 2019,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data"; the same head/middle/tail mechanism feeds the
+    * LLaMA/RedPajama pipelines): score every document's per-token
+    * cross-entropy under a bigram LM with add-one smoothing, then band
+    * the corpus at the cross-entropy terciles — `head` (lowest
+    * perplexity) is the highest-quality third.
+    *
+    * CCNet trains KenLM on a reference corpus and treats the model as
+    * a broadcast artifact; here the LM is trained ON the scored corpus
+    * itself (the Dolma-style corpus-statistics variant), which keeps
+    * the whole operator a closed Spark plan:
+    *  - ONE tokenize pass, bigrams formed per row by array slicing
+    *    (zero shuffle until aggregation);
+    *  - unigram + bigram counts: hash aggregates with map-side combine;
+    *  - scoring joins the per-occurrence bigrams back to the count
+    *    tables on their keys — shuffle hash joins that AQE broadcasts
+    *    when the vocabulary is small; never a doc×vocab product;
+    *  - corpus constants (token count, vocab size) and the two tercile
+    *    thresholds are 1-row broadcasts — no global sort, no ntile
+    *    over a single partition.
+    * Per-token log-probabilities are cast to DECIMAL(28,12) before the
+    * per-document sum so the aggregation is order-independent (exact
+    * decimal adds), making the rounded cross-entropy engine-stable.
+    *
+    * Output: (id, n_scored, ce, band); blank documents are unscoreable
+    * and excluded. The first token scores against the unigram
+    * distribution, every later token against its bigram context. */
+  def lmPerplexityBands(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = docs
+      .select(col(id), TextOps.tokens(col(text)).as("_toks"))
+      .where(length(element_at(col("_toks"), 1)) > 0)
+    val uni = toks.select(explode(col("_toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val stats = uni.agg(sum("cu").cast("double").as("n_tok"),
+      count(lit(1)).cast("double").as("v"))
+    val pairs = toks
+      .withColumn("_prev", slice(col("_toks"), lit(1), size(col("_toks")) - 1))
+      .withColumn("_curr", slice(col("_toks"), lit(2), size(col("_toks")) - 1))
+      .select(col(id), explode(arrays_zip(col("_prev"), col("_curr"))).as("bg"))
+      .select(col(id), col("bg._prev").as("p"), col("bg._curr").as("w"))
+    val bi = pairs.groupBy("p", "w").agg(count(lit(1)).as("cb"))
+    // first token: unigram log-prob (cu+1)/(N+V); later tokens: bigram
+    // (cb+1)/(cu_prev+V) — the standard Laplace-smoothed chain
+    val first = toks.select(col(id), element_at(col("_toks"), 1).as("w"))
+      .join(uni, "w")
+      .crossJoin(broadcast(stats))
+      .select(col(id),
+        (-log((col("cu") + 1).cast("double") / (col("n_tok") + col("v"))))
+          .cast("decimal(28,12)").as("lp"))
+    val rest = pairs
+      .join(bi, Seq("p", "w"))
+      .join(uni.withColumnRenamed("w", "p").withColumnRenamed("cu", "cup"), Seq("p"))
+      .crossJoin(broadcast(stats))
+      .select(col(id),
+        (-log((col("cb") + 1).cast("double") / (col("cup") + col("v"))))
+          .cast("decimal(28,12)").as("lp"))
+    val scored = first.unionByName(rest)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_scored"),
+        round(sum("lp").cast("double") / count(lit(1)), 6).as("ce"))
+    // tercile thresholds over the ROUNDED cross-entropy: a 1-row exact
+    // percentile broadcast, not a single-partition ntile window
+    val th = scored.agg(
+      expr("percentile(ce, array(1.0D/3.0D, 2.0D/3.0D))").as("t"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("band",
+        when(col("ce") <= element_at(col("t"), 1), "head")
+          .when(col("ce") <= element_at(col("t"), 2), "middle")
+          .otherwise("tail"))
+      .select(col(id), col("n_scored"), col("ce"), col("band"))
+  }
+
   /** Corpus-wide top-`k` word `n`-grams by count: (ngram, cnt).
     * Deterministic cut: count desc, then gram text. */
   def topNgrams(docs: DataFrame, text: String, n: Int = 2,

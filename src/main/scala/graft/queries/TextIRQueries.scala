@@ -31,6 +31,16 @@ object TextIRQueries {
         .orderBy("doc_id", "rnk")
     },
 
+    // CCNet-style perplexity filter: bigram-LM cross-entropy per doc,
+    // banded head/middle/tail at the terciles (Wenzek et al. 2019 §4.3
+    // — the quality signal behind the LLaMA/RedPajama data pipelines);
+    // the LM trains on the corpus in the same plan, thresholds ride a
+    // 1-row broadcast
+    "text_lm_perplexity" -> q { c =>
+      TextIR.lmPerplexityBands(c.tw("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // corpus-wide top-50 bigrams (boilerplate mining): explode → hash
     // aggregate with map-side combine → TakeOrdered top-k
     "text_ngram_topk" -> q { c =>
@@ -90,6 +100,43 @@ object TextIRQueries {
          |    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
          |FROM postings p JOIN dfs USING (term) JOIN lens USING (doc_id), stats
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "text_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |uni AS (
+        |  SELECT tok AS w, count(*)::BIGINT AS cu
+        |  FROM (SELECT unnest(ts) AS tok FROM toks) t GROUP BY 1),
+        |stats AS (
+        |  SELECT sum(cu)::DOUBLE AS n_tok, count(*)::DOUBLE AS v FROM uni),
+        |pairs AS (
+        |  SELECT doc_id, ts[i] AS p, ts[i+1] AS w
+        |  FROM toks,
+        |       LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g),
+        |bi AS (SELECT p, w, count(*)::BIGINT AS cb FROM pairs GROUP BY 1, 2),
+        |s1 AS (
+        |  SELECT doc_id,
+        |    CAST(-ln((cu + 1)::DOUBLE / (n_tok + v)) AS DECIMAL(28,12)) AS lp
+        |  FROM (SELECT doc_id, ts[1] AS w FROM toks) f JOIN uni USING (w), stats),
+        |s2 AS (
+        |  SELECT pr.doc_id,
+        |    CAST(-ln((cb + 1)::DOUBLE / (cu + v)) AS DECIMAL(28,12)) AS lp
+        |  FROM pairs pr
+        |  JOIN bi USING (p, w)
+        |  JOIN uni u ON u.w = pr.p, stats),
+        |sc AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_scored,
+        |    round(sum(lp)::DOUBLE / count(*), 6) AS ce
+        |  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) u GROUP BY 1),
+        |th AS (
+        |  SELECT quantile_cont(ce, 1.0/3) AS t1, quantile_cont(ce, 2.0/3) AS t2
+        |  FROM sc)
+        |SELECT doc_id, n_scored, ce,
+        |  CASE WHEN ce <= t1 THEN 'head'
+        |       WHEN ce <= t2 THEN 'middle'
+        |       ELSE 'tail' END AS band
+        |FROM sc, th ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH postings AS ($postingsSql),

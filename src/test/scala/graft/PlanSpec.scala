@@ -80,6 +80,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
   }
 
+  test("lm perplexity broadcasts corpus stats and never sorts globally") {
+    val p = plan("text_lm_perplexity")
+    // corpus constants + tercile thresholds are 1-row broadcasts
+    assert(p.contains("BroadcastExchange"), s"stats must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+    // banding must not fall back to a single-partition global window
+    // (ntile/row_number without PARTITION BY) — the scale-killer shape;
+    // the thresholds come from a percentile AGGREGATE, so the plan
+    // contains no Window exec at all
+    assert(!p.contains("Window"), s"no global window allowed:\n$p")
+  }
+
   test("trigram language id stays inside whole-stage codegen") {
     assert(codegenPlan("text_langid_trigram").contains("WholeStageCodegen"))
   }

@@ -55,6 +55,31 @@ class ExtSpec extends SparkSpec {
     assert(survivors === Seq(1L, 3L))
   }
 
+  test("lm perplexity bands rank predictable text below gibberish") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog again"),
+      (4L, "zxqv wpolk mnbt erqa uiyh gfds"), // unseen-everything gibberish
+      (5L, "the quick brown fox naps under the lazy dog"),
+      (6L, ""), // blank: unscoreable, excluded
+      (7L, "the quick brown fox jumps over the lazy cat")
+    ).toDF("doc_id", "text")
+    val out = TextIR.lmPerplexityBands(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // blank doc 6 is excluded; everything else is scored
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 7L))
+    val ce = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ce")).toMap
+    val band = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("band")).toMap
+    // the thrice-repeated sentence is the most predictable; gibberish
+    // of singleton tokens is the least
+    assert(ce(1L) < ce(5L) && ce(5L) <= ce(4L))
+    assert(ce(4L) === ce.values.max)
+    assert(band(1L) === "head" && band(4L) === "tail")
+    // n_scored = token count (every position scores exactly once)
+    assert(out.head.getAs[Long]("n_scored") === 9L)
+  }
+
   test("ppm codec: build → decode round-trip, strided sums, real downsample") {
     import Multimodal.{MediaItem, Ppm}
     val img = Ppm.build(8, 4, (x, y) => (x * 10, y * 20, x + y))
