@@ -399,6 +399,25 @@ object ExtQueries {
       Multimodal.Wav.decodeStats(items, stride = 4).toDF().orderBy("media_id")
     },
 
+    // REAL compressed decode #4: baseline JPEG per doc — each image is
+    // 8 constant 8x8 blocks (values = integer formulas), encoded
+    // through the real pipeline (FDCT → quantize → zigzag → canonical
+    // Huffman with DC prediction) and decoded through the full T.81
+    // path (DHT-driven Huffman decode, dequant, IDCT); with DC step 8
+    // constant blocks survive the lossy pipeline bit-exactly (see
+    // Jpeg scaladoc), so the oracle re-derives the sums analytically
+    // while the engine runs the complete bitstream machinery
+    "mm_jpeg_decode" -> q { c =>
+      import c.spark.implicits._
+      val items = c.t("documents").select(col("doc_id").cast("long")).as[Long]
+        .map { d =>
+          Multimodal.MediaItem(d, "image", graft.ext.Jpeg.build(32, 16,
+            (x, y) => ((d * 11 + (x / 8) * 17 + (y / 8) * 29) % 256).toInt))
+        }
+      graft.ext.Jpeg.decodeStats(items, stride = 4).toDF()
+        .orderBy("media_id")
+    },
+
     // REAL compressed decode #3 (audio): IMA-ADPCM WAVs per doc — the
     // block headers and 4-bit nibble stream are integer formulas, the
     // engine walks the real adaptive quantizer (step table, index
@@ -947,6 +966,18 @@ object ExtQueries {
         |  sum(CASE WHEN f % 4 = 0 THEN v ELSE 0 END)::BIGINT AS s_sum_amp,
         |  sum(CASE WHEN f % 4 = 0 THEN abs(v) ELSE 0 END)::BIGINT AS s_sum_abs
         |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "mm_jpeg_decode" ->
+      """WITH blk AS (
+        |  SELECT doc_id, bx.bx, by.by,
+        |    (doc_id * 11 + bx.bx * 17 + by.by * 29) % 256 AS v
+        |  FROM documents,
+        |       (SELECT unnest(generate_series(0, 3)) AS bx) bx,
+        |       (SELECT unnest(generate_series(0, 1)) AS by) by)
+        |SELECT doc_id AS media_id, 32 AS width, 16 AS height, 8 AS n_blocks,
+        |  sum(64 * v)::BIGINT AS sum_y,
+        |  sum(4 * v)::BIGINT AS s_sum_y
+        |FROM blk GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "mm_adpcm_decode" -> {
       val steps = "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37," +

@@ -221,6 +221,53 @@ class ExtSpec extends SparkSpec {
     assert(Wav.decodeStats(ds, 4).collect().toSeq === st)
   }
 
+  test("jpeg codec: real transform coding — lossy round-trip, exact DC path") {
+    import Multimodal.MediaItem
+    // (a) REAL lossy behavior: a smooth textured image round-trips
+    // within quantization error — exercises nonzero ACs, zigzag
+    // run-lengths and the full Huffman code space
+    def tex(x: Int, y: Int) = (128 + 90 * math.sin(x / 3.0) *
+      math.cos(y / 4.0)).toInt.max(0).min(255)
+    val img = Jpeg.build(48, 40, tex)
+    val dec = Jpeg.decodeRaster(img)
+    assert(dec != null)
+    val (w, h, raster) = dec
+    assert((w, h) === (48, 40))
+    val errs = for (y <- 0 until h; x <- 0 until w)
+      yield math.abs((raster(y * w + x) & 0xff) - tex(x, y))
+    assert(errs.max <= 40, s"max pixel error ${errs.max} beyond quant bound")
+    assert(errs.sum.toDouble / errs.size <= 8.0,
+      s"mean pixel error ${errs.sum.toDouble / errs.size} too large for smooth input")
+    // (b) exact DC path: constant blocks with qDc=8 survive bit-exactly
+    def blocky(x: Int, y: Int) = (37 + (x / 8) * 41 + (y / 8) * 23) % 256
+    val img2 = Jpeg.build(32, 24, blocky)
+    val (_, _, r2) = Jpeg.decodeRaster(img2)
+    for (y <- 0 until 24; x <- 0 until 32)
+      assert((r2(y * 32 + x) & 0xff) === blocky(x, y), s"($x,$y)")
+    // (c) stats with stride accumulate during the walk
+    val st = Jpeg.stats(MediaItem(3L, "image", img2), stride = 4).toSeq.head
+    assert((st.width, st.height, st.n_blocks) === (32, 24, 12))
+    val grid = for (x <- 0 until 32; y <- 0 until 24) yield blocky(x, y).toLong
+    assert(st.sum_y === grid.sum)
+    val kept = for (x <- 0 until 32 by 4; y <- 0 until 24 by 4)
+      yield blocky(x, y).toLong
+    assert(st.s_sum_y === kept.sum)
+    // (d) non-aligned dimensions: border-replicated blocks trim back
+    val img3 = Jpeg.build(13, 9, blocky)
+    val (w3, h3, _) = Jpeg.decodeRaster(img3)
+    assert((w3, h3) === (13, 9))
+    // (e) corrupt / truncated / foreign payloads skip, never abort
+    assert(Jpeg.stats(MediaItem(1L, "image", img.take(60)), 1).isEmpty)
+    assert(Jpeg.stats(MediaItem(1L, "image", "notajpeg".getBytes), 1).isEmpty)
+    val flipped = img.clone()
+    flipped(flipped.length - 8) = (flipped(flipped.length - 8) ^ 0x2a).toByte
+    Jpeg.stats(MediaItem(1L, "image", flipped), 1).toSeq // must not throw
+    // (f) distributed decode matches the local one
+    val ds = spark.createDataset(Seq(MediaItem(3L, "image", img2)))(
+      org.apache.spark.sql.Encoders.product[MediaItem])
+    assert(Jpeg.decodeStats(ds, 4).collect().toSeq === Seq(st))
+  }
+
   test("adpcm codec: real IMA quantizer encodes and decodes audio") {
     import Multimodal.{Adpcm, MediaItem}
     // the REAL codec property: a smooth signal survives 4:1 compression
