@@ -515,3 +515,149 @@ object Jpeg {
     }
   }
 }
+
+/** REAL video: Motion-JPEG in a REAL AVI (RIFF) container — the video
+  * plane's honest upgrade from the GVID stand-in: the container is the
+  * actual AVI layout (RIFF/AVI LIST tree: hdrl → avih + strl/strh/strf
+  * BITMAPINFOHEADER, movi → one `00dc` chunk per frame, word-aligned)
+  * and every frame payload is a complete baseline JPEG decoded by the
+  * real [[Jpeg]] transform pipeline. MJPEG is what DV cameras and
+  * capture cards actually emit, so this is a decodable-today format,
+  * not a toy.
+  *
+  * The demux walk honors the sampling stride DURING the chunk walk:
+  * unsampled frames are SKIPPED — never entropy-decoded, never copied
+  * (the per-frame JPEG decode is ~1000× the cost of the chunk-header
+  * hop, so stride-8 sampling cuts ~8× of the work, which is the whole
+  * point of demux-time sampling at 100 TB). Corrupt containers and
+  * frames skip, never abort. */
+object Mjpeg {
+
+  /** One demuxed + decoded (sampled) frame. */
+  final case class MjpegFrame(media_id: Long, frame_idx: Int, n_frames: Int,
+    width: Int, height: Int, pts_micros: Long, sum_y: Long)
+
+  private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Serialize an AVI/MJPEG video: `frame(f)` returns the JPEG payload
+    * of frame f (encode with [[Jpeg.build]]). */
+  def build(width: Int, height: Int, usPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(fcc(id)).putInt(body.length).put(body)
+      b.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(kind) ++ body)
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+      .putInt(width).putInt(height)
+      .array() // + 16 reserved zero bytes already in the buffer
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(fcc("vids")).put(fcc("MJPG"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(usPerFrame).putInt(1000000) // scale/rate: fps = rate/scale
+      .putInt(0).putInt(frames.length).putInt(0).putInt(-1).putInt(0)
+      .array()
+    val strf = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .put(fcc("MJPG")).putInt(width * height * 3)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    chunk("RIFF", fcc("AVI ") ++ hdrl ++ movi)
+  }
+
+  /** Demux + decode the sampled frames (every `stride`-th): the walk
+    * hops chunk headers and only sampled `00dc` payloads reach the
+    * JPEG decoder. Non-AVI / truncated payloads yield nothing; a frame
+    * that fails to decode is skipped, the rest of the video survives. */
+  def parse(item: MediaItem, stride: Int): Iterator[MjpegFrame] = {
+    val p = item.payload
+    def le32(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+      ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+    def tag(o: Int) = new String(p, o, 4, "US-ASCII")
+    if (p.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ")
+      return Iterator.empty
+    val riffEnd = math.min(p.length.toLong, 8L + le32(4)).toInt
+    // top-level LIST walk: find avih (for usPerFrame/n_frames) and movi
+    var (o, usPerFrame, nFrames, moviOff, moviEnd) = (12, -1, -1, -1, -1)
+    while (o + 8 <= riffEnd && moviOff < 0) {
+      val (id, len) = (tag(o), le32(o + 4))
+      if (len < 0 || o + 8 + len > riffEnd) return Iterator.empty
+      if (id == "LIST" && len >= 4) {
+        val kind = tag(o + 8)
+        if (kind == "movi") { moviOff = o + 12; moviEnd = o + 8 + len }
+        else if (kind == "hdrl") {
+          // one level down: avih sits first in hdrl
+          var q = o + 12
+          while (q + 8 <= o + 8 + len && usPerFrame < 0) {
+            if (tag(q) == "avih" && le32(q + 4) >= 24) {
+              usPerFrame = le32(q + 8)
+              nFrames = le32(q + 8 + 16)
+            }
+            q += 8 + le32(q + 4) + (le32(q + 4) & 1)
+          }
+        }
+      }
+      o += 8 + len + (len & 1)
+    }
+    if (moviOff < 0 || usPerFrame <= 0 || nFrames < 0) return Iterator.empty
+    val step = math.max(1, stride)
+    val (mo, me, us, nf) = (moviOff, moviEnd, usPerFrame, nFrames)
+    new Iterator[MjpegFrame] {
+      private var off = mo
+      private var idx = 0
+      private var nextFrame: MjpegFrame = advance()
+      private def advance(): MjpegFrame = {
+        while (off + 8 <= me) {
+          val len = le32(off + 4)
+          if (len < 0 || off + 8 + len > me) return null
+          val (id, start) = (tag(off), off + 8)
+          val fi = idx
+          off += 8 + len + (len & 1)
+          if (id == "00dc") {
+            idx += 1
+            if (fi % step == 0) {
+              // only sampled frames pay the transform decode
+              val dec = Jpeg.decodeRaster(
+                java.util.Arrays.copyOfRange(p, start, start + len))
+              if (dec != null) {
+                val (w, h, raster) = dec
+                var s = 0L
+                var i = 0
+                while (i < raster.length) { s += raster(i) & 0xff; i += 1 }
+                return MjpegFrame(item.media_id, fi, nf, w, h,
+                  fi.toLong * us, s)
+              } // undecodable frame: skip it, keep demuxing
+            }
+          }
+        }
+        null
+      }
+      def hasNext: Boolean = nextFrame != null
+      def next(): MjpegFrame = {
+        val f = nextFrame; nextFrame = advance(); f
+      }
+    }
+  }
+
+  /** Distributed demux+decode: one row per sampled frame, decoder
+    * state per PARTITION, stride applied during the chunk walk. */
+  def explodeFrames(media: Dataset[MediaItem], stride: Int): Dataset[MjpegFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition demuxer/decoder init would go here (once, not per row)
+      it.flatMap(parse(_, stride))
+    }
+  }
+}

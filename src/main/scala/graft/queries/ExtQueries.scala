@@ -439,6 +439,29 @@ object ExtQueries {
         .orderBy("media_id")
     },
 
+    // REAL video: AVI/MJPEG per doc — a real RIFF/AVI container whose
+    // 00dc frames are complete baseline JPEGs (constant-block, so the
+    // transform decode is exact); the demux walk samples every 2nd
+    // frame WITHOUT decoding the skipped ones, then each sampled frame
+    // runs the full T.81 decode; the oracle re-derives every frame's
+    // sum from the block formulas
+    "mm_mjpeg_video" -> q { c =>
+      import c.spark.implicits._
+      val items = c.t("documents").select(col("doc_id").cast("long")).as[Long]
+        .map { d =>
+          val frames = (0 until (d % 5 + 2).toInt).map { f =>
+            graft.ext.Jpeg.build(16, 8,
+              (x, _) => ((d * 7 + f * 31 + (x / 8) * 13) % 256).toInt)
+          }
+          Multimodal.MediaItem(d, "video",
+            graft.ext.Mjpeg.build(16, 8, usPerFrame = 83333, frames))
+        }
+      graft.ext.Mjpeg.explodeFrames(items, stride = 2).toDF()
+        .select("media_id", "frame_idx", "n_frames", "width", "height",
+          "pts_micros", "sum_y")
+        .orderBy("media_id", "frame_idx")
+    },
+
     "mm_video_container" -> q { c =>
       import c.spark.implicits._
       val media = c.t("documents").select(col("doc_id")).as[Long].map { id =>
@@ -1018,6 +1041,22 @@ object ExtQueries {
          |    AS s_sum_abs
          |FROM dec GROUP BY doc_id ORDER BY media_id""".stripMargin
     },
+
+    "mm_mjpeg_video" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, (doc_id % 5 + 1)::BIGINT, 2)) AS fi
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, fi, bx.bx,
+        |    (doc_id * 7 + fi * 31 + bx.bx * 13) % 256 AS v
+        |  FROM f, (SELECT unnest(generate_series(0, 1)) AS bx) bx)
+        |SELECT doc_id AS media_id, fi::INT AS frame_idx,
+        |  (doc_id % 5 + 2)::INT AS n_frames,
+        |  16 AS width, 8 AS height,
+        |  (fi * 83333)::BIGINT AS pts_micros,
+        |  sum(64 * v)::BIGINT AS sum_y
+        |FROM s GROUP BY doc_id, fi ORDER BY media_id, frame_idx""".stripMargin,
 
     "mm_video_container" ->
       """WITH f AS (

@@ -307,6 +307,41 @@ class ExtSpec extends SparkSpec {
     assert(Adpcm.decodeStats(ds, 1).collect().toSeq === st)
   }
 
+  test("mjpeg/avi: real container demux, per-frame transform decode") {
+    import Multimodal.MediaItem
+    def frameJpeg(f: Int) = Jpeg.build(16, 8,
+      (x, _) => (40 + f * 50 + (x / 8) * 30) % 256)
+    val vid = Mjpeg.build(16, 8, usPerFrame = 83333,
+      (0 until 5).map(frameJpeg))
+    // full demux decodes every frame; values match the standalone
+    // JPEG decode of the same payloads (constant blocks → exact)
+    val all = Mjpeg.parse(MediaItem(9L, "video", vid), stride = 1).toSeq
+    assert(all.map(_.frame_idx) === Seq(0, 1, 2, 3, 4))
+    assert(all.forall(f => f.n_frames == 5 && f.width == 16 && f.height == 8))
+    assert(all.map(_.pts_micros) === Seq(0L, 83333L, 166666L, 249999L, 333332L))
+    val expect = (0 until 5).map { f =>
+      Jpeg.stats(MediaItem(0L, "image", frameJpeg(f)), 1).toSeq.head.sum_y
+    }
+    assert(all.map(_.sum_y) === expect)
+    // stride sampling skips frames during the chunk walk
+    val sampled = Mjpeg.parse(MediaItem(9L, "video", vid), stride = 2).toSeq
+    assert(sampled.map(_.frame_idx) === Seq(0, 2, 4))
+    // one undecodable frame skips; the rest of the video survives
+    val broken = Mjpeg.build(16, 8, 83333,
+      Seq(frameJpeg(0), "garbage-frame".getBytes, frameJpeg(2)))
+    val ok = Mjpeg.parse(MediaItem(1L, "video", broken), stride = 1).toSeq
+    assert(ok.map(_.frame_idx) === Seq(0, 2))
+    assert(ok.forall(_.n_frames == 3))
+    // foreign / truncated containers yield nothing
+    assert(Mjpeg.parse(MediaItem(1L, "video", "notavi".getBytes), 1).isEmpty)
+    assert(Mjpeg.parse(MediaItem(1L, "video", vid.take(60)), 1).isEmpty)
+    // distributed demux matches the local parse
+    val ds = spark.createDataset(Seq(MediaItem(9L, "video", vid)))(
+      org.apache.spark.sql.Encoders.product[MediaItem])
+    assert(Mjpeg.explodeFrames(ds, 2).orderBy("frame_idx").collect().toSeq
+      === sampled)
+  }
+
   test("gvid container round-trips build → parse with stride sampling") {
     import Multimodal.{Gvid, MediaItem}
     val cs = Seq(100L, 200L, 4294967295L, 0L, 7L) // incl. max-u32 edge
