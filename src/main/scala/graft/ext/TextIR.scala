@@ -130,18 +130,23 @@ object TextIR {
     * and excluded. The first token scores against the unigram
     * distribution, every later token against its bigram context. */
   def lmPerplexityBands(docs: DataFrame, id: String, text: String): DataFrame = {
-    val toks = docs
+    // the tokenized corpus fans out to four consumers (unigram counts,
+    // bigram pairs, first-token frame, and through them the count
+    // joins) — pin it, or the scan+tokenize re-executes per branch
+    // (lifecycle shared with Dedup's pin scopes; Bench/Verify release
+    // pins per query)
+    val toks = Dedup.pin(docs
       .select(col(id), TextOps.tokens(col(text)).as("_toks"))
-      .where(length(element_at(col("_toks"), 1)) > 0)
-    val uni = toks.select(explode(col("_toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cu"))
+      .where(length(element_at(col("_toks"), 1)) > 0))
+    val uni = Dedup.pin(toks.select(explode(col("_toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu")))
     val stats = uni.agg(sum("cu").cast("double").as("n_tok"),
       count(lit(1)).cast("double").as("v"))
-    val pairs = toks
+    val pairs = Dedup.pin(toks
       .withColumn("_prev", slice(col("_toks"), lit(1), size(col("_toks")) - 1))
       .withColumn("_curr", slice(col("_toks"), lit(2), size(col("_toks")) - 1))
       .select(col(id), explode(arrays_zip(col("_prev"), col("_curr"))).as("bg"))
-      .select(col(id), col("bg._prev").as("p"), col("bg._curr").as("w"))
+      .select(col(id), col("bg._prev").as("p"), col("bg._curr").as("w")))
     val bi = pairs.groupBy("p", "w").agg(count(lit(1)).as("cb"))
     // first token: unigram log-prob (cu+1)/(N+V); later tokens: bigram
     // (cb+1)/(cu_prev+V) — the standard Laplace-smoothed chain
@@ -158,10 +163,12 @@ object TextIR {
       .select(col(id),
         (-log((col("cb") + 1).cast("double") / (col("cup") + col("v"))))
           .cast("decimal(28,12)").as("lp"))
-    val scored = first.unionByName(rest)
+    // scored feeds both the tercile aggregate and the banded output —
+    // pinned so the scoring joins run once
+    val scored = Dedup.pin(first.unionByName(rest)
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_scored"),
-        round(sum("lp").cast("double") / count(lit(1)), 6).as("ce"))
+        round(sum("lp").cast("double") / count(lit(1)), 6).as("ce")))
     // tercile thresholds over the ROUNDED cross-entropy: a 1-row exact
     // percentile broadcast, not a single-partition ntile window
     val th = scored.agg(
