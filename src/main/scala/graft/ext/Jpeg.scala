@@ -600,12 +600,17 @@ object Mjpeg {
         else if (kind == "hdrl") {
           // one level down: avih sits first in hdrl
           var q = o + 12
-          while (q + 8 <= o + 8 + len && usPerFrame < 0) {
-            if (tag(q) == "avih" && le32(q + 4) >= 24) {
-              usPerFrame = le32(q + 8)
-              nFrames = le32(q + 8 + 16)
+          var walking = true
+          while (walking && q + 8 <= o + 8 + len && usPerFrame < 0) {
+            val l = le32(q + 4)
+            if (l < 0) walking = false // crafted length: never walk back
+            else {
+              if (tag(q) == "avih" && l >= 24) {
+                usPerFrame = le32(q + 8)
+                nFrames = le32(q + 8 + 16)
+              }
+              q += 8 + l + (l & 1)
             }
-            q += 8 + le32(q + 4) + (le32(q + 4) & 1)
           }
         }
       }

@@ -150,13 +150,19 @@ object Multimodal {
       else if (isWav(p)) {
         // walk RIFF chunks for fmt (format) and data (payload length)
         var (o, ch, rate, bits, dataLen) = (12, 1, 0, 8, 0L)
-        while (o + 8 <= p.length) {
+        var walking = true
+        while (walking && o + 8 <= p.length) {
           val id = new String(p, o, 4, "US-ASCII")
           val len = le32(p, o + 4)
-          if (id == "fmt " && o + 24 <= p.length) {
-            ch = le16(p, o + 10); rate = le32(p, o + 12); bits = le16(p, o + 22)
-          } else if (id == "data") dataLen = len.toLong & 0xffffffffL
-          o += 8 + len + (len & 1) // chunks are word-aligned
+          // a negative length (crafted/corrupt) would walk BACKWARDS —
+          // an infinite loop, which on a cluster is a hung executor
+          if (len < 0) walking = false
+          else {
+            if (id == "fmt " && o + 24 <= p.length) {
+              ch = le16(p, o + 10); rate = le32(p, o + 12); bits = le16(p, o + 22)
+            } else if (id == "data") dataLen = len.toLong & 0xffffffffL
+            o += 8 + len + (len & 1) // chunks are word-aligned
+          }
         }
         val blockAlign = math.max(1, ch * math.max(1, bits / 8))
         MediaMeta(item.media_id, "audio", p.length.toLong,
@@ -480,6 +486,10 @@ object Multimodal {
         }
       }
       if (!ok || !done || w <= 0 || h <= 0) return Iterator.empty
+      // cap the reconstruction buffer: a crafted IHDR with huge
+      // dimensions must not drive a multi-GB allocation (or Int
+      // overflow in h*(1+3w)) before the inflate even starts
+      if (h.toLong * (1L + 3L * w) > Int.MaxValue) return Iterator.empty
       val rowBytes = 3 * w
       val raw = new Array[Byte](h * (1 + rowBytes))
       val infl = new java.util.zip.Inflater
@@ -841,6 +851,7 @@ object Multimodal {
       var (o, rate, channels, dataOff, dataLen) = (12, -1, -1, -1, -1)
       while (o + 8 <= p.length && (rate < 0 || dataOff < 0)) {
         val (id, len) = (new String(p.slice(o, o + 4), "US-ASCII"), le32(o + 4))
+        if (len < 0) return Iterator.empty // crafted length: never walk back
         if (id == "fmt " && o + 24 <= p.length) {
           if (le16(o + 8) != 1 || le16(o + 22) != 16) return Iterator.empty
           channels = le16(o + 10); rate = le32(o + 12)
@@ -1014,6 +1025,7 @@ object Multimodal {
       var (o, rate, blockAlign, dataOff, dataLen) = (12, -1, -1, -1, -1)
       while (o + 8 <= p.length && (rate < 0 || dataOff < 0)) {
         val (id, len) = (new String(p, o, 4, "US-ASCII"), le32(o + 4))
+        if (len < 0) return Iterator.empty // crafted length: never walk back
         if (id == "fmt " && o + 24 <= p.length) {
           if (le16(o + 8) != 0x11 || le16(o + 10) != 1 || le16(o + 22) != 4)
             return Iterator.empty

@@ -342,6 +342,46 @@ class ExtSpec extends SparkSpec {
       === sampled)
   }
 
+  test("codec fuzz: no parser throws or hangs on corrupt payloads") {
+    import Multimodal.{Adpcm, Gif, Gvid, HeaderCodec, MediaItem, Png, Ppm, Wav}
+    // the corrupt-payload contract across EVERY decoder: worst case is
+    // an empty iterator or garbage stats — never an exception, and
+    // never a backwards chunk walk (a hung executor at scale). Seeded,
+    // so failures reproduce.
+    val rng = new scala.util.Random(1234567)
+    val valid: Seq[Array[Byte]] = Seq(
+      Png.build(16, 12, (x, y) => (x * 5 % 256, y * 9 % 256, (x + y) % 256)),
+      Gif.build(12, 9, (x, y) => (x * 3 + y) % 256, i => (i, i, i)),
+      Jpeg.build(24, 16, (x, y) => (x * 7 + y * 5) % 256),
+      Ppm.build(10, 6, (x, y) => (x, y, x + y)),
+      Wav.build(8000, 2, 40, (f, c) => f * 50 + c),
+      Adpcm.build(8000, 36, 2, b => (b * 100, b * 3), (b, k) => (b + k) % 16),
+      Mjpeg.build(16, 8, 40000, Seq(Jpeg.build(16, 8, (x, _) => x * 16 % 256))),
+      Gvid.build(320, 240, 24, Seq(1L, 2L, 3L), 2))
+    def decodeAll(p: Array[Byte]): Unit = {
+      val item = MediaItem(1L, "any", p)
+      Png.stats(item, 2).toSeq; Gif.stats(item, 2).toSeq
+      Jpeg.stats(item, 2).toSeq; Ppm.stats(item, 2).toSeq
+      Wav.stats(item, 2).toSeq; Adpcm.stats(item, 2).toSeq
+      Mjpeg.parse(item, 2).toSeq; Gvid.parse(item, 2).toSeq
+      HeaderCodec.decode(item)
+      ()
+    }
+    valid.foreach(decodeAll) // sanity: originals decode under every parser
+    for (src <- valid; _ <- 0 until 12) {
+      // truncation at a random point
+      decodeAll(src.take(rng.nextInt(src.length)))
+      // 1-8 random byte flips (breaks CRCs, lengths, Huffman streams,
+      // chunk sizes — including NEGATIVE chunk lengths in RIFF walks)
+      val flipped = src.clone()
+      for (_ <- 0 to rng.nextInt(8))
+        flipped(rng.nextInt(flipped.length)) = rng.nextInt(256).toByte
+      decodeAll(flipped)
+    }
+    for (_ <- 0 until 60) // pure noise, various sizes
+      decodeAll(Array.fill(rng.nextInt(400) + 1)(rng.nextInt(256).toByte))
+  }
+
   test("gvid container round-trips build → parse with stride sampling") {
     import Multimodal.{Gvid, MediaItem}
     val cs = Seq(100L, 200L, 4294967295L, 0L, 7L) // incl. max-u32 edge
