@@ -31,6 +31,11 @@ final case class AssemblyConfig(
     domainCap: Int = 1000,
     /** token budget per packed training chunk */
     packBudget: Long = 2048L,
+    /** CCNet perplexity gate (Wenzek et al. 2019): keep only these
+      * cross-entropy tercile bands ("head" = most fluent third) under
+      * the corpus-trained bigram LM. None disables the stage — CCNet
+      * itself ships head+middle for most languages. */
+    perplexityKeep: Option[Set[String]] = None,
     /** collect per-stage survivor counts (one small action per stage
       * boundary). Observability for interactive runs; switch off in a
       * throughput path — the boundaries then materialize once, inside
@@ -112,6 +117,20 @@ object CorpusAssembly {
         .select(col(id))
       val decontaminated = boundary(deduped.join(dropIds, Seq(id), "left_anti"))
 
+      // 5b (optional). CCNet perplexity gate: band the survivors under
+      //     the corpus-trained bigram LM and keep the configured
+      //     terciles. The LM's pins ride this scope; the kept set is a
+      //     semi-join on ids (the heavy text column never shuffles
+      //     through the scoring plan's aggregates)
+      val fluent = cfg.perplexityKeep match {
+        case None => decontaminated
+        case Some(keep) =>
+          val keepIds = TextIR.lmPerplexityBands(decontaminated, id, "__text")
+            .filter(col("band").isin(keep.toSeq: _*))
+            .select(col(id))
+          boundary(decontaminated.join(keepIds, Seq(id), "left_semi"))
+      }
+
       // 6-7. temperature mix (pure projection filter over broadcast
       //      counts) then the domain cap ranking on the CARRIED token
       //      count — no tokenizer in either stage
@@ -119,7 +138,7 @@ object CorpusAssembly {
       // the capped boundary IS pinned: sequence packing reads it twice
       // (bucket-offset aggregate + the join back)
       val capped = boundary(HashSplit.domainCap(
-        HashSplit.temperatureMix(decontaminated, id, domain, cfg.mixAlpha),
+        HashSplit.temperatureMix(fluent, id, domain, cfg.mixAlpha),
         id, domain, cfg.domainCap, rankBy = "n_tokens"))
 
       // 8. sequence packing consumes the carried count as well
@@ -132,8 +151,9 @@ object CorpusAssembly {
         "quality" -> n(qual),
         "line_strip" -> n(cleaned),
         "near_dup" -> n(deduped),
-        "decontaminated" -> n(decontaminated),
-        "mixed_capped" -> n(capped)))
+        "decontaminated" -> n(decontaminated)) ++
+        cfg.perplexityKeep.map(_ => "perplexity" -> n(fluent)) ++
+        Seq("mixed_capped" -> n(capped)))
       consume(packed, stages)
     } finally pinned.foreach(_.unpersist(blocking = false))
   }

@@ -108,6 +108,60 @@ class CorpusAssemblySpec extends SparkSpec {
     }
   }
 
+  test("optional CCNet perplexity stage gates by band between decon and mix") {
+    val bench = Seq((900L, "benchmark question unseen here")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a.com", en("alpha") + "\n" + boiler),
+      (2L, "a.com", en("beta") + "\n" + boiler),
+      (4L, "a.com", en("gamma")),
+      (5L, "b.com", en("delta")),
+      (6L, "b.com", en("epsilon")),
+      (7L, "c.com", en("zeta"))).toDF("doc_id", "domain", "text")
+    val base = AssemblyConfig(lineMinDocs = 2, nearDupThreshold = 0.9,
+      maxContaminatedShare = 0.15, mixAlpha = 1.0, domainCap = 2,
+      packBudget = 64L)
+
+    // keeping ALL bands makes the stage a no-op: identical survivors,
+    // but the perplexity count now appears between decon and cap
+    val all = base.copy(perplexityKeep = Some(Set("head", "middle", "tail")))
+    CorpusAssembly.assemble(docs, "doc_id", "text", "domain", bench, all) {
+      (packed, stages) =>
+        assert(stages("perplexity") === stages("decontaminated"))
+        assert(stages.counts.map(_._1).containsSlice(
+          Seq("decontaminated", "perplexity", "mixed_capped")))
+        assert(packed.select("doc_id").as[Long].collect().length
+          === stages("mixed_capped").toInt)
+    }
+
+    // keeping only the head band must keep exactly the docs the
+    // standalone operator bands as head on the same corpus. The corpus
+    // varies REAL fluency: 1/2 repeat a phrase (predictable bigrams →
+    // low cross-entropy), 4/5 are plain, 6/7 carry double the
+    // singleton vocabulary (high cross-entropy)
+    val fluent1 = en("alpha") + (" people come to the market with bread" * 8)
+    val fluent2 = en("beta") + (" the fox jumps over the river again" * 8)
+    def verbose(tag: String) =
+      en(tag) + " " + (0 until 30).map(i => s"${tag}extra$i").mkString(" ")
+    val varied = Seq(
+      (1L, "a.com", fluent1), (2L, "b.com", fluent2),
+      (4L, "a.com", en("gamma")), (5L, "b.com", en("delta")),
+      (6L, "c.com", verbose("epsilon")), (7L, "c.com", verbose("zeta")))
+      .toDF("doc_id", "domain", "text")
+    val headIds = TextIR.lmPerplexityBands(varied, "doc_id", "text")
+      .filter(col("band") === "head").select("doc_id").as[Long].collect().toSet
+    assert(headIds.nonEmpty && headIds.size < 6)
+    assert(headIds.forall(Set(1L, 2L)),
+      s"phrase-repeating docs should be the most fluent, got $headIds")
+    val headOnly = base.copy(perplexityKeep = Some(Set("head")))
+    CorpusAssembly.assemble(varied, "doc_id", "text", "domain", bench, headOnly) {
+      (packed, stages) =>
+        assert(stages("perplexity") === headIds.size.toLong)
+        val survivors = packed.select("doc_id").as[Long].collect().toSet
+        assert(survivors.subsetOf(headIds),
+          s"survivors $survivors must come from the head band $headIds")
+    }
+  }
+
   test("temperature-mix subsets stay nested as alpha grows") {
     val docs = (0L until 40L).map(i =>
       (i, if (i % 8 == 0) "rare.com" else "big.com", en(s"t$i")))
