@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus BPE tokenizer TRAINING (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units") — the
+  * operator a training-data pipeline runs before any token count is
+  * meaningful: learn the merge table from the corpus itself.
+  *
+  * Shape, 100 TB first:
+  *  - the trainer never iterates over documents — it works on the
+  *    DISTINCT WORD table (vocabulary-sized, orders of magnitude
+  *    smaller than the corpus) with word-type counts as weights, the
+  *    standard Sennrich formulation;
+  *  - one corpus tokenize pass builds that table (hash aggregate with
+  *    map-side combine), pinned for the training loop;
+  *  - each round is: per-word adjacent-symbol pairs (array slicing,
+  *    no shuffle) → weighted count (vocabulary-sized shuffle) → a
+  *    1-ROW argmax collected to the driver. The driver sync per round
+  *    is the algorithm's inherent sequential dependency (merge r+1
+  *    depends on merge r), not a scale defect: the collected row is a
+  *    single (pair, score).
+  *
+  * Merge application is LEFTMOST NON-OVERLAPPING literal replace on
+  * the space-delimited symbol string (" A B " → " AB "). Both the JVM
+  * and RE2/DuckDB implement literal replace with identical leftmost
+  * semantics, which is what lets an external SQL engine re-derive the
+  * whole iterative training run exactly — including the corner where
+  * consecutive occurrences share a delimiter space ("A B A B": the
+  * first replacement consumes the shared space, the second pair
+  * merges next round). Classic BPE's strict left-to-right greedy
+  * differs only in that corner; the deviation is deterministic and
+  * engine-portable, which this engine values over bug-compatibility.
+  * Ties break on (score DESC, symbol-pair bytes ASC) — a total order.
+  *
+  * No end-of-word marker symbols: merges are within-word (the per-word
+  * symbol strings never span words), the common no-marker variant. */
+object BpeTrainer {
+
+  /** One learned merge: `merged = merge_a ++ merge_b`. */
+  final case class BpeMerge(round: Int, merge_a: String, merge_b: String,
+    merged: String, score: Long)
+
+  /** Learn `rounds` merges from the corpus; returns the merge table
+    * (round, merge_a, merge_b, merged, score) in learning order.
+    * Stops early if the vocabulary runs out of adjacent pairs. */
+  def train(docs: DataFrame, text: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    // distinct words with counts; symbol rep = " c h a r s " (padded,
+    // single-spaced) via a capture-group rewrite both regex engines
+    // (java.util.regex / RE2) perform identically
+    val words = Dedup.pin(
+      docs.select(explode(TextOps.tokens(col(text))).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .withColumn("rep",
+          concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))))
+
+    var reps = words.select(col("cnt"), col("rep"))
+    val merges = Seq.newBuilder[BpeMerge]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val syms = reps.withColumn("_l", split(trim(col("rep")), " "))
+      val best = syms
+        .withColumn("_a", slice(col("_l"), lit(1), size(col("_l")) - 1))
+        .withColumn("_b", slice(col("_l"), lit(2), size(col("_l")) - 1))
+        .select(col("cnt"), explode(arrays_zip(col("_a"), col("_b"))).as("p"))
+        .groupBy(col("p._a").as("a"), col("p._b").as("b"))
+        .agg(sum("cnt").as("total"))
+        .orderBy(col("total").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val Row(a: String, b: String, total: Long) = best.head
+        merges += BpeMerge(r, a, b, a + b, total)
+        reps = reps.withColumn("rep",
+          call_function("replace", col("rep"),
+            lit(s" $a $b "), lit(s" $a$b ")))
+        r += 1
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.result(), 1).map(m =>
+        Row(m.round, m.merge_a, m.merge_b, m.merged, m.score)),
+      StructType(Seq(
+        StructField("round", IntegerType, nullable = false),
+        StructField("merge_a", StringType, nullable = false),
+        StructField("merge_b", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("score", LongType, nullable = false))))
+  }
+
+  /** The DuckDB re-derivation of [[train]]: `rounds` unrolled CTE
+    * stages (pair count → argmax → replace), mirroring the engine's
+    * arithmetic and tie-break exactly. Generated, like the simhash
+    * oracle's 64 bit-sums. */
+  def oracleSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { i =>
+      s"""p$i AS (
+         |  SELECT l[s.j] AS a, l[s.j + 1] AS b, sum(cnt)::BIGINT AS total
+         |  FROM (SELECT cnt, string_split(trim(rep), ' ') AS l FROM w${i - 1}),
+         |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS j) s
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, total FROM p$i ORDER BY total DESC, a, b LIMIT 1),
+         |w$i AS (
+         |  SELECT cnt,
+         |    replace(rep, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS rep
+         |  FROM w${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map(i =>
+      s"SELECT $i AS round, a AS merge_a, b AS merge_b, a || b AS merged, " +
+        s"total AS score FROM b$i").mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT count(*)::BIGINT AS cnt,
+       |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS rep
+       |  FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    FROM documents) t
+       |  WHERE length(w) > 0
+       |  GROUP BY w),
+       |$stages
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{BpeTrainer, Dedup, Multimodal, Similarity, TextOps}
 
 /** Training-data extensions (SURVEY.md §7.8): text analysis, dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
@@ -120,6 +120,13 @@ object ExtQueries {
     "dedup_exact" -> q { c =>
       Dedup.exactGroups(c.t("documents"), "doc_id", "text")
         .orderBy("fp")
+    },
+
+    // corpus BPE tokenizer training: 8 merges learned from the distinct
+    // word table (Sennrich'16); oracle is the generated 8-stage DuckDB
+    // re-derivation of the same iterative argmax+replace
+    "text_bpe_train" -> q { c =>
+      BpeTrainer.train(c.t("documents"), "text", rounds = 8)
     },
 
     // benchmark decontamination: docs 0-24 stand in for the eval set;
@@ -623,6 +630,8 @@ object ExtQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\+\d[\d ()-]{6,}\d', '[PHONE]', 'g') AS clean
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_train" -> BpeTrainer.oracleSql(rounds = 8),
 
     "text_contamination" ->
       s"""WITH toks AS (

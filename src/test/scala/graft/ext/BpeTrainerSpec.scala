@@ -1,0 +1,63 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** BPE trainer semantics pinned by hand-computed fixtures: weighted
+  * argmax, (score DESC, a, b) tie-break, leftmost non-overlapping merge
+  * application including the shared-delimiter "A B A B" corner, and
+  * early exhaustion when the vocabulary runs out of adjacent pairs. */
+class BpeTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def train(rounds: Int, docs: String*) =
+    BpeTrainer.train(
+      docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      "text", rounds)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+
+  test("weighted argmax learns merges in frequency order and exhausts early") {
+    // words: "aa" ×2 → " a a ", "ab" ×1 → " a b "
+    // r1: (a,a)=2 beats (a,b)=1; r2: only (a,b)=1 remains; r3: no pairs
+    val m = train(rounds = 5, "aa aa ab")
+    assert(m === Seq(
+      (1, "a", "a", "aa", 2L),
+      (2, "a", "b", "ab", 1L)))
+  }
+
+  test("ties break on symbol-pair bytes ascending after score") {
+    // "xy" and "zw" both count 1 → tie; (x,y) < (z,w) lexicographically
+    val m = train(rounds = 1, "xy zw")
+    assert(m === Seq((1, "x", "y", "xy", 1L)))
+  }
+
+  test("leftmost non-overlapping replace: the shared-space A B A B corner") {
+    // word "abab" → " a b a b ": r1 scores (a,b)=2 (both occurrences
+    // count) but the shared delimiter space means only the FIRST
+    // occurrence merges (" ab a b "); the second pair merges in r2;
+    // r3 joins the halves
+    val m = train(rounds = 3, "abab")
+    assert(m === Seq(
+      (1, "a", "b", "ab", 2L),
+      (2, "a", "b", "ab", 1L),
+      (3, "ab", "ab", "abab", 1L)))
+  }
+
+  test("word frequency weights the pair counts (Sennrich formulation)") {
+    // "st" appears in 3 distinct word TYPES but 6 tokens; counts are
+    // token-weighted: (s,t) = 4+1+1 = 6
+    val m = train(rounds = 1, "stop stop stop stop step stem")
+    assert(m.head === ((1, "s", "t", "st", 6L)))
+  }
+
+  test("generated oracle unrolls one CTE stage per round") {
+    val sql = BpeTrainer.oracleSql(3)
+    for (i <- 1 to 3) {
+      assert(sql.contains(s"p$i AS ("))
+      assert(sql.contains(s"b$i AS ("))
+      assert(sql.contains(s"w$i AS ("))
+    }
+    assert(!sql.contains("p4 AS ("))
+    assert(sql.contains("ORDER BY round"))
+  }
+}
