@@ -46,7 +46,32 @@ object BpeTrainer {
   /** Learn `rounds` merges from the corpus; returns the merge table
     * (round, merge_a, merge_b, merged, score) in learning order.
     * Stops early if the vocabulary runs out of adjacent pairs. */
-  def train(docs: DataFrame, text: String, rounds: Int): DataFrame = {
+  def train(docs: DataFrame, text: String, rounds: Int): DataFrame =
+    run(docs, text, rounds)._1
+
+  /** Tokenizer APPLICATION — the other half of the loop: per-document
+    * token counts under the merge table [[train]] learns from the same
+    * corpus. The segmented vocabulary is vocabulary-sized, so the apply
+    * join is (corpus tokens ⋈ vocab) on the word — a shuffle join whose
+    * build side is the distinct-word table, never the corpus squared.
+    * Output: (id, n_words, n_bpe_tokens). */
+  def segmentCounts(docs: DataFrame, id: String, text: String,
+      rounds: Int): DataFrame = {
+    val vocab = run(docs, text, rounds)._2
+      .select(col("w"), size(split(trim(col("rep")), " ")).as("n_sym"))
+    docs.select(col(id), explode(TextOps.tokens(col(text))).as("w"))
+      .where(length(col("w")) > 0)
+      .join(vocab, "w")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym").cast("long")).as("n_bpe_tokens"))
+      .orderBy(id)
+  }
+
+  /** The shared training loop: (merge table, segmented vocabulary
+    * (w, cnt, rep) after all merges applied). */
+  private def run(docs: DataFrame, text: String, rounds: Int)
+      : (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     // distinct words with counts; symbol rep = " c h a r s " (padded,
     // single-spaced) via a capture-group rewrite both regex engines
@@ -58,7 +83,7 @@ object BpeTrainer {
         .withColumn("rep",
           concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))))
 
-    var reps = words.select(col("cnt"), col("rep"))
+    var reps = words.select(col("w"), col("cnt"), col("rep"))
     val merges = Seq.newBuilder[BpeMerge]
     var r = 1
     var exhausted = false
@@ -82,7 +107,7 @@ object BpeTrainer {
         r += 1
       }
     }
-    spark.createDataFrame(
+    val mergeTable = spark.createDataFrame(
       spark.sparkContext.parallelize(merges.result(), 1).map(m =>
         Row(m.round, m.merge_a, m.merge_b, m.merged, m.score)),
       StructType(Seq(
@@ -91,13 +116,15 @@ object BpeTrainer {
         StructField("merge_b", StringType, nullable = false),
         StructField("merged", StringType, nullable = false),
         StructField("score", LongType, nullable = false))))
+    (mergeTable, reps)
   }
 
-  /** The DuckDB re-derivation of [[train]]: `rounds` unrolled CTE
-    * stages (pair count → argmax → replace), mirroring the engine's
-    * arithmetic and tie-break exactly. Generated, like the simhash
-    * oracle's 64 bit-sums. */
-  def oracleSql(rounds: Int): String = {
+  /** The shared CTE prefix of both oracles: w0 (distinct words with
+    * counts and padded symbol reps) through w`rounds` (all merges
+    * applied), one (pair count → argmax → replace) stage per round,
+    * mirroring the engine's arithmetic and tie-break exactly.
+    * Generated, like the simhash oracle's 64 bit-sums. */
+  private def stagesSql(rounds: Int): String = {
     val stages = (1 to rounds).map { i =>
       s"""p$i AS (
          |  SELECT l[s.j] AS a, l[s.j + 1] AS b, sum(cnt)::BIGINT AS total
@@ -106,23 +133,45 @@ object BpeTrainer {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT a, b, total FROM p$i ORDER BY total DESC, a, b LIMIT 1),
          |w$i AS (
-         |  SELECT cnt,
+         |  SELECT w, cnt,
          |    replace(rep, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS rep
          |  FROM w${i - 1}, b$i)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to rounds).map(i =>
-      s"SELECT $i AS round, a AS merge_a, b AS merge_b, a || b AS merged, " +
-        s"total AS score FROM b$i").mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
-       |  SELECT count(*)::BIGINT AS cnt,
+    s"""w0 AS (
+       |  SELECT w, count(*)::BIGINT AS cnt,
        |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS rep
        |  FROM (
        |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
        |    FROM documents) t
        |  WHERE length(w) > 0
        |  GROUP BY w),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  /** The DuckDB re-derivation of [[train]]. */
+  def oracleSql(rounds: Int): String = {
+    val out = (1 to rounds).map(i =>
+      s"SELECT $i AS round, a AS merge_a, b AS merge_b, a || b AS merged, " +
+        s"total AS score FROM b$i").mkString("\nUNION ALL ")
+    s"""WITH ${stagesSql(rounds)}
        |$out
        |ORDER BY round""".stripMargin
   }
+
+  /** The DuckDB re-derivation of [[segmentCounts]]: re-derive the
+    * trained vocabulary, then join each document's tokens to its
+    * word's post-merge symbol count. */
+  def segmentOracleSql(rounds: Int): String =
+    s"""WITH ${stagesSql(rounds)},
+       |seg AS (
+       |  SELECT w, len(string_split(trim(rep), ' ')) AS n_sym FROM w$rounds),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents)
+       |SELECT doc_id, count(*)::BIGINT AS n_words,
+       |  sum(n_sym)::BIGINT AS n_bpe_tokens
+       |FROM dw JOIN seg USING (w)
+       |WHERE length(w) > 0
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }

@@ -129,6 +129,12 @@ object ExtQueries {
       BpeTrainer.train(c.t("documents"), "text", rounds = 8)
     },
 
+    // tokenizer APPLY: per-doc token counts under the corpus-trained
+    // merge table — the vocab join is vocabulary-sized, never corpus²
+    "text_bpe_segment" -> q { c =>
+      BpeTrainer.segmentCounts(c.t("documents"), "doc_id", "text", rounds = 8)
+    },
+
     // benchmark decontamination: docs 0-24 stand in for the eval set;
     // every other doc is scored by distinct-shingle overlap with it
     "text_contamination" -> q { c =>
@@ -632,6 +638,8 @@ object ExtQueries {
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "text_bpe_train" -> BpeTrainer.oracleSql(rounds = 8),
+
+    "text_bpe_segment" -> BpeTrainer.segmentOracleSql(rounds = 8),
 
     "text_contamination" ->
       s"""WITH toks AS (

@@ -50,6 +50,18 @@ class BpeTrainerSpec extends SparkSpec {
     assert(m.head === ((1, "s", "t", "st", 6L)))
   }
 
+  test("segmentCounts: per-doc token counts under the learned merges") {
+    val docs = Seq((0L, "aa aa ab"), (1L, "ab aa")).toDF("doc_id", "text")
+    // rounds=1 learns only (a,a): "aa" → 1 symbol, "ab" stays 2
+    val one = BpeTrainer.segmentCounts(docs, "doc_id", "text", rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(one === Seq((0L, 3L, 4L), (1L, 2L, 3L)))
+    // rounds=2 also learns (a,b): every word is 1 token
+    val two = BpeTrainer.segmentCounts(docs, "doc_id", "text", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(two === Seq((0L, 3L, 3L), (1L, 2L, 2L)))
+  }
+
   test("generated oracle unrolls one CTE stage per round") {
     val sql = BpeTrainer.oracleSql(3)
     for (i <- 1 to 3) {
