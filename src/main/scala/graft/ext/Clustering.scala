@@ -1,0 +1,145 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.VectorFunctions
+
+/** Distributed Lloyd's k-means (Lloyd 1982, "Least squares quantization
+  * in PCM") over an embedding column — the clustering stage of
+  * SemDeDup-style semantic dedup (Abbas et al. 2023) and of topic
+  * balancing, hand-rolled so an external SQL engine can re-derive every
+  * iteration exactly (the spark.ml KMeans in [[Similarity.ivfTrain]]
+  * stays for IVF, where centroid provenance doesn't matter; here the
+  * assignment IS the output).
+  *
+  * 100 TB shape, per iteration:
+  *  - assignment is a MAP-ONLY pass: the k centroids ride the plan as
+  *    broadcast literals inside a native codegen argmin (one
+  *    [[graft.functions.SqDist]] per centroid in an array column) — no
+  *    join, no shuffle, no per-row allocation beyond the k-element
+  *    array;
+  *  - the update is one posexplode + hash aggregate with map-side
+  *    combine: the shuffle carries partitions × k × dim partial rows,
+  *    not the corpus; the driver sync per iteration is k × dim doubles
+  *    (the algorithm's inherent sequential dependency).
+  *
+  * Cross-engine determinism (the oracle re-derives, not approximates):
+  *  - init = the k lowest-id vectors (deterministic, no RNG);
+  *  - ties in the argmin break to the lowest cluster index on both
+  *    sides (array_position finds the FIRST minimum; the oracle orders
+  *    by (distance, cl));
+  *  - centroid means: components are cast DECIMAL(28,12) pre-sum so the
+  *    distributed sum is order-independent and exact, then the exact
+  *    decimal is cast to double and divided by the member count — both
+  *    engines perform the same two correctly-rounded operations;
+  *  - an empty cluster keeps its previous centroid on both sides. */
+object Clustering {
+
+  /** Final (id, cluster, dist) assignment after `iters` Lloyd rounds
+    * with k = `k`; `dist` is the euclidean distance to the winning
+    * centroid rounded to 6 places. */
+  def lloydAssign(vecs: DataFrame, id: String, vec: String,
+      k: Int, iters: Int): DataFrame = {
+    val assigned = lloydAssignRaw(vecs, id, vec, k, iters)
+    assigned.select(col("__id").as(id), col("__cl").as("cluster"),
+      round(sqrt(col("__d")), 6).as("dist"))
+      .orderBy(id)
+  }
+
+  /** [[lloydAssign]] before the presentation projection: (__id, __e,
+    * __cl, __d) with __d the SQUARED distance — for composition
+    * ([[Dedup.semanticPairs]] needs the vector and the cluster). */
+  private[ext] def lloydAssignRaw(vecs: DataFrame, id: String, vec: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 1, "k and iters must be positive")
+    val v = Dedup.pin(
+      vecs.select(col(id).as("__id"), col(vec).cast("array<double>").as("__e")))
+
+    // init: the k lowest-id vectors (driver-small: k rows)
+    var centroids: Array[Array[Double]] =
+      v.orderBy("__id").limit(k).collect()
+        .map(_.getSeq[Double](1).toArray)
+
+    for (_ <- 1 to iters) {
+      val stats = assign(v, centroids)
+        .select(col("__cl"), posexplode(col("__e")).as(Seq("__i", "__x")))
+        .groupBy("__cl", "__i")
+        .agg(sum(col("__x").cast(DecimalType(28, 12))).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        // exact decimal → double, then one double division: both
+        // correctly rounded, so the oracle's (sum::DOUBLE)/count matches
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getDecimal(2).doubleValue / r.getLong(3)
+      }
+      centroids = next
+    }
+    assign(v, centroids)
+  }
+
+  /** Map-only argmin assignment: adds __cl (winning cluster, first
+    * minimum wins ties) and __d (squared distance to it). */
+  private def assign(v: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val ds: Column = array(centroids.toIndexedSeq.map(c =>
+      VectorFunctions.sqDist(col("__e"), typedLit(c.toSeq))): _*)
+    v.withColumn("__ds", ds)
+      .withColumn("__d", array_min(col("__ds")))
+      .withColumn("__cl",
+        (array_position(col("__ds"), col("__d")) - 1).cast("int"))
+      .drop("__ds")
+  }
+
+  /** The `iters`-stage unrolled CTE prefix shared by the k-means oracles:
+    * e (vectors as DOUBLE[]), c0 (first-k init) and c1..c`iters`
+    * (assign → decimal-mean → coalesce-empty per round). */
+  private[ext] def stagesSql(k: Int, iters: Int): String = {
+    def assignSql(i: Int, from: String): String =
+      s"""a$i AS (
+         |  SELECT vec_id, e, cl, d FROM (
+         |    SELECT vec_id, e, cl, list_distance(e, c) AS d,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY list_distance(e, c), cl) AS rn
+         |    FROM e CROSS JOIN $from) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""${assignSql(i, s"c${i - 1}")},
+         |m$i AS (
+         |  SELECT cl, list(avg ORDER BY i) AS c FROM (
+         |    SELECT cl, g.i AS i,
+         |      (sum(e[g.i]::DECIMAL(28,12))::DOUBLE) / count(*) AS avg
+         |    FROM a$i, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
+         |    GROUP BY cl, g.i) GROUP BY cl),
+         |c$i AS (
+         |  SELECT p.cl, coalesce(m.c, p.c) AS c
+         |  FROM c${i - 1} p LEFT JOIN m$i m USING (cl))""".stripMargin
+    }.mkString(",\n")
+    val prefix =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e AS c
+         |  FROM (SELECT vec_id, e FROM e ORDER BY vec_id LIMIT $k)),
+         |$rounds,
+         |${assignSql(iters + 1, s"c$iters")}""".stripMargin
+    prefix
+  }
+
+  /** DuckDB re-derivation of [[lloydAssign]]. */
+  def oracleSql(k: Int, iters: Int): String =
+    s"""WITH ${stagesSql(k, iters)}
+       |SELECT vec_id, cl AS cluster, round(d, 6) AS dist
+       |FROM a${iters + 1} ORDER BY vec_id""".stripMargin
+
+  /** DuckDB re-derivation of [[Dedup.semanticPairs]]: the same k-means
+    * stages, then within-cluster pairs over the final assignment. */
+  def semanticOracleSql(k: Int, iters: Int, threshold: Double): String =
+    s"""WITH ${stagesSql(k, iters)}
+       |SELECT l.cl AS cluster, l.vec_id AS id_a, r.vec_id AS id_b,
+       |  round(list_cosine_similarity(l.e, r.e), 6) AS cosine
+       |FROM a${iters + 1} l JOIN a${iters + 1} r
+       |  ON l.cl = r.cl AND l.vec_id < r.vec_id
+       |WHERE list_cosine_similarity(l.e, r.e) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+}

@@ -129,6 +129,46 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** sqdist(a, b) = Σ (aᵢ−bᵢ)² in double precision, sequential — the
+  * k-means assignment metric (argmin over it ≡ argmin over euclidean). */
+case class SqDist(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "graft_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (lt, rt) = (elemType(left), elemType(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = getD(x, lt, i) - getD(y, rt, i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xa, ya) => {
+      val (n, s) = (ctx.freshName("n"), ctx.freshName("s"))
+      val (i, d) = (ctx.freshName("i"), ctx.freshName("d"))
+      s"""
+         |int $n = java.lang.Math.min($xa.numElements(), $ya.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${getJ(xa, elemType(left), i)} - ${getJ(ya, elemType(right), i)};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API front door for the vector kernels. */
 object VectorFunctions {
   def dotp(a: Column, b: Column): Column =
@@ -136,4 +176,7 @@ object VectorFunctions {
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(SqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

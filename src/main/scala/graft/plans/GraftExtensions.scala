@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.SparkSession
 
-import graft.functions.{CosineSim, DotProduct}
+import graft.functions.{CosineSim, DotProduct, SqDist}
 
 /** Catalyst integration point: registers graft's native codegen
   * expressions as SQL functions, so `spark.sql` users (and BI tools
@@ -40,7 +40,8 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       binary("graft_dot", DotProduct.apply),
-      binary("graft_cosine", CosineSim.apply))
+      binary("graft_cosine", CosineSim.apply),
+      binary("graft_sqdist", SqDist.apply))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

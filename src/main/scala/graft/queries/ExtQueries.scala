@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{BpeTrainer, Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{BpeTrainer, Clustering, Dedup, Multimodal, Similarity, TextOps}
 
 /** Training-data extensions (SURVEY.md §7.8): text analysis, dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
@@ -203,6 +203,23 @@ object ExtQueries {
     "dedup_embedding_tiled" -> q { c =>
       Dedup.embeddingCosinePairsTiled(c.t("embeddings"), "vec_id", "embedding",
         threshold = 0.45, tiles = 8).orderBy("id_a", "id_b")
+    },
+
+    // SemDeDup: near-dup search restricted to k-means cluster mates —
+    // the pair space is Σ|cluster|², never n²; the oracle re-derives the
+    // identical clustering so the within-cluster pairs hash-match
+    "dedup_semantic" -> q { c =>
+      Dedup.semanticPairs(c.t("embeddings"), "vec_id", "embedding",
+        k = 4, iters = 3, threshold = 0.45)
+        .orderBy("id_a", "id_b")
+    },
+
+    // hand-rolled Lloyd's k-means: deterministic first-k init, 3 rounds,
+    // decimal-exact centroid means — the oracle re-derives every
+    // iteration (assignment is a map-only broadcast-literal argmin)
+    "sim_kmeans_assign" -> q { c =>
+      Clustering.lloydAssign(c.t("embeddings"), "vec_id", "embedding",
+        k = 4, iters = 3)
     },
 
     // ---- similarity search ----------------------------------------------
@@ -869,6 +886,11 @@ object ExtQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_semantic" ->
+      Clustering.semanticOracleSql(k = 4, iters = 3, threshold = 0.45),
+
+    "sim_kmeans_assign" -> Clustering.oracleSql(k = 4, iters = 3),
 
     "sim_radius_search" ->
       """SELECT q.vec_id AS query_id, v.vec_id AS match_id,

@@ -1,0 +1,78 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Lloyd's k-means semantics on hand fixtures: convergence to the true
+  * partition, first-index tie-break, empty-cluster carry-over, and the
+  * map-only (no shuffle, no join) shape of the assignment pass. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Double])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("two well-separated groups converge to the true partition") {
+    val v = vecs(
+      0L -> Seq(0.0, 0.0), 1L -> Seq(0.0, 1.0), 2L -> Seq(1.0, 0.0),
+      3L -> Seq(10.0, 10.0), 4L -> Seq(10.0, 11.0), 5L -> Seq(11.0, 10.0))
+    val out = Clustering.lloydAssign(v, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out(0L) === out(1L) && out(1L) === out(2L))
+    assert(out(3L) === out(4L) && out(4L) === out(5L))
+    assert(out(0L) !== out(3L))
+  }
+
+  test("equidistant vectors break ties to the lowest cluster index") {
+    // centroids stay at (0,0) and (2,0); (1,0) is equidistant → cluster 0
+    val v = vecs(0L -> Seq(0.0, 0.0), 1L -> Seq(2.0, 0.0), 2L -> Seq(1.0, 0.0))
+    val out = Clustering.lloydAssign(v, "vec_id", "embedding", k = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out(2L) === 0)
+  }
+
+  test("an emptied cluster keeps its previous centroid (no crash, k holds)") {
+    // init seeds clusters 0 and 1 on the SAME point: cluster 1 never
+    // wins a tie, so it empties immediately and must carry its centroid
+    val v = vecs(0L -> Seq(0.0, 0.0), 1L -> Seq(0.0, 0.0), 2L -> Seq(5.0, 5.0), 3L -> Seq(5.0, 6.0))
+    val out = Clustering.lloydAssign(v, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out(0L) === 0 && out(1L) === 0)
+    assert(out(2L) === 2 && out(3L) === 2)
+  }
+
+  test("distances are euclidean to the winning centroid, rounded") {
+    val v = vecs(0L -> Seq(0.0, 0.0), 1L -> Seq(0.0, 2.0))
+    // k=1: centroid converges to the mean (0,1); both dists = 1.0
+    val out = Clustering.lloydAssign(v, "vec_id", "embedding", k = 1, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.toSeq === Seq((0L, 1.0), (1L, 1.0)))
+  }
+
+  test("semanticPairs: within-cluster pairs only (the SemDeDup trade)") {
+    // all four colinear → every cosine is 1.0, but k-means separates the
+    // two magnitude groups, so only within-cluster pairs survive
+    val v = vecs(
+      0L -> Seq(0.9, 0.0), 1L -> Seq(1.1, 0.0),
+      2L -> Seq(90.0, 0.0), 3L -> Seq(110.0, 0.0))
+    val out = Dedup.semanticPairs(v, "vec_id", "embedding",
+      k = 2, iters = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out === Set((0L, 1L, 1.0), (2L, 3L, 1.0)))
+    Dedup.releasePins()
+  }
+
+  test("the assignment pass is map-only: no exchange below the final sort") {
+    val v = vecs(
+      0L -> Seq(0.0, 0.0), 1L -> Seq(0.0, 1.0),
+      2L -> Seq(10.0, 10.0), 3L -> Seq(10.0, 11.0))
+    val out = Clustering.lloydAssign(v, "vec_id", "embedding", k = 2, iters = 1)
+    // one exchange for the presentation orderBy is allowed; the argmin
+    // itself must not shuffle or join
+    val plan = out.queryExecution.executedPlan
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.size <= 1, s"assignment shuffled:\n$plan")
+    assert(!plan.toString.contains("Join"), s"assignment joined:\n$plan")
+    Dedup.releasePins()
+  }
+}
