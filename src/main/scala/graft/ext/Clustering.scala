@@ -57,10 +57,12 @@ object Clustering {
     val v = Dedup.pin(
       vecs.select(col(id).as("__id"), col(vec).cast("array<double>").as("__e")))
 
-    // init: the k lowest-id vectors (driver-small: k rows)
+    // init: the k lowest-id vectors (driver-small: k rows); fewer than
+    // k distinct vectors just lowers the effective k
     var centroids: Array[Array[Double]] =
       v.orderBy("__id").limit(k).collect()
         .map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, "k-means needs a non-empty vector input")
 
     for (_ <- 1 to iters) {
       val stats = assign(v, centroids)

@@ -49,6 +49,19 @@ class ClusteringSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1.0), (1L, 1.0)))
   }
 
+  test("k larger than the corpus lowers the effective k; empty input is loud") {
+    val v = vecs(0L -> Seq(0.0, 0.0), 1L -> Seq(9.0, 9.0))
+    val out = Clustering.lloydAssign(v, "vec_id", "embedding", k = 5, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out === Map(0L -> 0, 1L -> 1))
+    val empty = vecs()
+    val e = intercept[IllegalArgumentException] {
+      Clustering.lloydAssign(empty, "vec_id", "embedding", k = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("non-empty"))
+    Dedup.releasePins()
+  }
+
   test("semanticPairs: within-cluster pairs only (the SemDeDup trade)") {
     // all four colinear → every cosine is 1.0, but k-means separates the
     // two magnitude groups, so only within-cluster pairs survive
