@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided TPC-H-ish parquet tables
   * (see TESTDATA.md). Every `SparkEntry.queries` entry receives the
@@ -13,7 +15,31 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    nanosNormalize(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** The testdata contract every query codes against: `events.ts` is
+    * epoch-NANOS LongType (= DuckDB `epoch_ns(ts)`; integer-exact
+    * `DIV` arithmetic at 1e18 scale) and `*date` columns are DateType.
+    * Testdata generations differ in physical encoding — TIMESTAMP(NANOS)
+    * (unrepresentable in Spark, read as exactly the nanos long under
+    * `legacy.parquet.nanosAsLong`), TIMESTAMP(MICROS) (reads as
+    * TIMESTAMP_NTZ), or DATE for the date columns. Normalize at load:
+    * date-named timestamp columns (midnight-valued by generation) back
+    * to DateType, every other timestamp column to epoch-nanos longs
+    * (sessions pin tz=UTC, so the NTZ wall clock IS the epoch reading,
+    * matching DuckDB's epoch_ns on a TIMESTAMP). Column pruning still
+    * reaches the scan (projection only); ts-range filters give up
+    * parquet row-group pushdown, which no gated query relies on. */
+  def nanosNormalize(df: DataFrame): DataFrame = {
+    val tsCols = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType || f.dataType == TimestampType => f.name
+    }
+    tsCols.foldLeft(df)((d, c0) =>
+      if (c0.toLowerCase.endsWith("date"))
+        d.withColumn(c0, col(c0).cast(org.apache.spark.sql.types.DateType))
+      else
+        d.withColumn(c0, unix_micros(col(c0).cast(TimestampType)) * 1000L))
+  }
 
   /** Load for COMPUTE-DENSE consumers (the text/shingle kernels run
     * ~0.1 ms/row of regex + hashing; relational rows cost nanoseconds).

@@ -116,7 +116,7 @@ object NormalizeQueries {
       """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
     "norm_autodetect" ->
-      """SELECT o_orderkey AS key_txt, o_orderdate AS date_txt,
+      """SELECT o_orderkey AS key_txt, CAST(o_orderdate AS DATE) AS date_txt,
         |  o_orderpriority AS prio_txt
         |FROM orders ORDER BY key_txt""".stripMargin,
     // re-derives both deterministic id modes from first principles:

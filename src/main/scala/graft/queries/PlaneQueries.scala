@@ -249,7 +249,8 @@ object PlaneQueries {
         |ORDER BY event_id""".stripMargin,
 
     "src_jdbc" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM orders WHERE o_orderkey >= 1000 ORDER BY o_orderkey""".stripMargin,
     "src_files_incremental" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",

@@ -47,7 +47,8 @@ object StreamQueries {
     "stream_window_tumbling" -> q { c =>
       val ss = streamSession(c)
       val store = new TableStore(Files.createTempDirectory("graft-stw").toString, c.spark)
-      val src = Streaming.fileStream(ss, s"${c.dir}/events.parquet")
+      val src = graft.Tables.nanosNormalize(
+          Streaming.fileStream(ss, s"${c.dir}/events.parquet"))
         .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
       val agg = Streaming.tumblingCounts(src, "ets", "1 hour", "event_type")
       Streaming.drainAvailableNow(agg, outputMode = "complete") {
@@ -140,7 +141,8 @@ object StreamQueries {
     "stream_session_window" -> q { c =>
       val ss = streamSession(c)
       val store = new TableStore(Files.createTempDirectory("graft-stsw").toString, c.spark)
-      val src = Streaming.fileStream(ss, s"${c.dir}/events.parquet")
+      val src = graft.Tables.nanosNormalize(
+          Streaming.fileStream(ss, s"${c.dir}/events.parquet"))
         .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
       val sessions = Streaming.sessionCounts(src, "ets", "30 minutes", "user_id")
       Streaming.drainAvailableNow(sessions, outputMode = "complete") {
@@ -156,7 +158,8 @@ object StreamQueries {
       val ss = streamSession(c)
       val store = new TableStore(Files.createTempDirectory("graft-stj").toString, c.spark)
       def side(t: String, idAs: String, tsAs: String) =
-        Streaming.fileStream(ss, s"${c.dir}/events.parquet")
+        graft.Tables.nanosNormalize(
+            Streaming.fileStream(ss, s"${c.dir}/events.parquet"))
           .filter(col("event_type") === t)
           .select(col("user_id"), col("event_id").as(idAs),
             timestamp_micros(expr("ts DIV 1000")).as(tsAs))
