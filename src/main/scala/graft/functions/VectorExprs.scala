@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -169,6 +169,93 @@ case class SqDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** argmin over a whole CENTROID MATRIX in one expression: returns
+  * struct(cl: int, d: double) — the first centroid index achieving the
+  * minimum squared distance, and that distance.
+  *
+  * The k-wide alternative (an `array(sqdist(e, c₀), …, sqdist(e, cₖ₋₁))`
+  * literal per row) is the ideal map-only plan for small k but embeds k
+  * expression subtrees: at SemDeDup-scale k (10⁴–10⁵ clusters, Abbas et
+  * al. 2023 use ~100k) the codegen'd tree and the task closure explode.
+  * Here the matrix rides the plan as ONE reference object (k × dim
+  * doubles, shipped once per executor with the task binary) and the
+  * generated code is a tight two-level loop — still map-only, still
+  * whole-stage codegen, plan size constant in k.
+  *
+  * Tie-break matches the literal-array formulation exactly: strict `<`
+  * scanning in index order ≡ array_position's first-minimum. */
+case class CentroidArgMin(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def prettyName: String = "graft_centroid_argmin"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cl", IntegerType, nullable = false),
+    StructField("d", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${t.sql}")
+  }
+
+  private def elemT: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var best = -1
+    var bd = Double.PositiveInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val n = math.min(x.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = (elemT match {
+          case FloatType => x.getFloat(i).toDouble
+          case _ => x.getDouble(i)
+        }) - cv(i)
+        s += d * d
+        i += 1
+      }
+      if (s < bd) { bd = s; best = c }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bd)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xa => {
+      val mat = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val getX = elemT match {
+        case FloatType => (i: String) => s"(double) $xa.getFloat($i)"
+        case _ => (i: String) => s"$xa.getDouble($i)"
+      }
+      val (best, bd) = (ctx.freshName("best"), ctx.freshName("bd"))
+      val (c, cv, n) = (ctx.freshName("c"), ctx.freshName("cv"), ctx.freshName("n"))
+      val (s, i, d) = (ctx.freshName("s"), ctx.freshName("i"), ctx.freshName("d"))
+      s"""
+         |int $best = -1;
+         |double $bd = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $mat.length; $c++) {
+         |  double[] $cv = $mat[$c];
+         |  int $n = java.lang.Math.min($xa.numElements(), $cv.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ${getX(i)} - $cv[$i];
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $bd) { $bd = $s; $best = $c; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ java.lang.Integer.valueOf($best), java.lang.Double.valueOf($bd) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API front door for the vector kernels. */
 object VectorFunctions {
   def dotp(a: Column, b: Column): Column =
@@ -179,4 +266,7 @@ object VectorFunctions {
 
   def sqDist(a: Column, b: Column): Column =
     ColumnBridge.column(SqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def centroidArgMin(e: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(CentroidArgMin(ColumnBridge.expression(e), centroids))
 }

@@ -62,6 +62,42 @@ class BpeTrainerSpec extends SparkSpec {
     assert(two === Seq((0L, 3L, 3L), (1L, 2L, 2L)))
   }
 
+  test("driver-local merge loop is byte-identical to the distributed loop") {
+    // rich enough corpus that 20 rounds exercise ties, overlaps and
+    // multi-symbol merges on both paths
+    val docs = Seq((0L, "the quick brown fox jumps over the lazy dog the fox"),
+      (1L, "pack my box with five dozen liquor jugs the box"),
+      (2L, "abab abab baba aa bb ab ba the the the"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val dist = rows(BpeTrainer.train(docs, "text", rounds = 20))
+    val local = rows(BpeTrainer.trainLocal(docs, "text", rounds = 20))
+    assert(local === dist)
+  }
+
+  test("256+ rounds auto-select the driver loop and finish in seconds") {
+    // 400 distinct 8-char words over 20 letters: thousands of distinct
+    // adjacent pairs, so 300 merge rounds never exhaust
+    val words = (0 until 400).map { i =>
+      val sb = new StringBuilder
+      var x = i * 2654435761L
+      for (_ <- 0 until 8) { sb += ('a' + (x % 20).toInt).toChar; x = x / 20 + i + 1 }
+      sb.result()
+    }
+    val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val m = BpeTrainer.train(docs, "text", rounds = 300).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(m.length === 300, s"expected 300 merges, got ${m.length}")
+    assert(m.map(_.getInt(0)).toSeq === (1 to 300))
+    // scores never increase out of order beyond ties is NOT guaranteed
+    // (merges create new pairs), but every score is positive
+    assert(m.forall(_.getLong(4) > 0))
+    assert(secs < 60.0, f"300-round train took $secs%.1f s — driver loop not selected?")
+  }
+
   test("generated oracle unrolls one CTE stage per round") {
     val sql = BpeTrainer.oracleSql(3)
     for (i <- 1 to 3) {
