@@ -27,10 +27,27 @@ final class GraftDataset(val store: TableStore, val registry: SchemaRegistry,
   }
   def apply(name: String): Relation = table(name)
 
+  /** Temp views registered by [[query]]: table → the snapshot id the
+    * view was built from. Re-registering every stored table on EVERY
+    * query call is O(tables) driver work (manifest read + plan build
+    * per table); a view only needs rebuilding when its table gained a
+    * commit. The snapshot id IS the store generation marker — checking
+    * it is one directory listing, not a plan build. */
+  private val registeredViews = scala.collection.mutable.Map.empty[String, Long]
+
   /** Raw SQL passthrough (reference dataset.query, dataset.py:228-262):
-    * every stored table is exposed as a temp view. */
+    * every stored table is exposed as a temp view, registered once per
+    * table snapshot (new commits re-register; dropped tables drop). */
   def query(sql: String): DataFrame = {
-    store.tables.foreach(t => store.read(t).createOrReplaceTempView(t))
+    val current = store.tables.map(t => t -> store.snapshots(t).lastOption.getOrElse(0L))
+    current.foreach { case (t, snap) =>
+      if (!registeredViews.get(t).contains(snap)) {
+        store.read(t).createOrReplaceTempView(t)
+        registeredViews(t) = snap
+      }
+    }
+    val gone = registeredViews.keySet -- current.map(_._1)
+    gone.foreach { t => spark.catalog.dropTempView(t); registeredViews -= t }
     spark.sql(sql)
   }
 

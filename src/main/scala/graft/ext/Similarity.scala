@@ -179,6 +179,16 @@ object Similarity {
       trainFraction: Double = 0.25): DataFrame = {
     val (assigned, centroids) =
       ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
+    ivfProbe(assigned, centroids, queries, id, vec, k, nprobe)
+  }
+
+  /** The probe stage of [[ivfTopK]], factored out so a PERSISTED index
+    * ([[graft.write.VectorSink]]) probes with byte-identical math to the
+    * in-memory path: centroid ranking, nprobe list selection, exact
+    * cosine re-rank, (cosine DESC, match_id) tie-break. `assigned` must
+    * carry (`id`, `vec`, `__list`); `centroids` (`__list`, `__centroid`). */
+  def ivfProbe(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
     // distance² = |q|² − 2·q·c + |c|²; ranking ignores the |q|² term
     val qc = q.crossJoin(broadcast(centroids))

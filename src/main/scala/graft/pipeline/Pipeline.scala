@@ -25,7 +25,8 @@ final case class Resource(
     maxNesting: Int = 1000,
     propagateRootKey: Boolean = false,
     metrics: Seq[(String, Column)] = Nil,
-    dispatchColumn: Option[String] = None) {
+    dispatchColumn: Option[String] = None,
+    deadlineNanos: Option[Long] = None) {
 
   /** MapItem (items_transform.py:103-122) — 1→1 transform. */
   def addMap(f: DataFrame => DataFrame): Resource = copy(frame = f(frame))
@@ -39,6 +40,21 @@ final case class Resource(
     * .fetchPages]] takes `maxPages` and `maxTime` — a lazy Spark plan
     * has no wall-clock to bound. */
   def addLimit(n: Int): Resource = copy(frame = frame.limit(n))
+  /** Full LimitItem parity on a generic resource: `maxRows` is the row
+    * budget (`frame.limit`); `maxTime` binds a wall-clock deadline at
+    * THIS call — the reference starts its clock when the transform
+    * binds to the pipe (items_transform.py:185-194) — and a resource
+    * whose extraction begins after the deadline loads NOTHING (the
+    * reference's exhausted pipe drops late items, :214-216). A single
+    * lazy frame is one "batch", so mid-extraction cutoff has no analog
+    * here; CHUNKED extraction gets the reference's full batch-by-batch
+    * semantics via [[Limits.bounded]]. `maxRows = Some(0)` loads
+    * nothing, matching `add_limit(0)` (:234-236). */
+  def addLimit(maxRows: Option[Int], maxTime: Option[scala.concurrent.duration.Duration]): Resource = {
+    val rowed = maxRows.fold(this)(n => copy(frame = frame.limit(n)))
+    maxTime.fold(rowed)(t =>
+      rowed.copy(deadlineNanos = Some(System.nanoTime() + t.toNanos)))
+  }
   /** ValidateItem (items_transform.py:148-171, libs/pydantic.py):
     * per-row predicate validation. `raiseOnViolation = true` fails the
     * load on the first violating row (the pydantic raise mode);
@@ -190,7 +206,14 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     settled.collect { case scala.util.Success(a) => a }
   }
 
-  private def runOne(r: Resource, loadId: String): Seq[String] =
+  private def runOne(r0: Resource, loadId: String): Seq[String] = {
+    // time budget (addLimit maxTime): extraction starting past the
+    // deadline admits nothing — the empty load still records the table
+    // (schema evolution, loads ledger), like an exhausted reference pipe
+    val r =
+      if (r0.deadlineNanos.exists(System.nanoTime() >= _))
+        r0.copy(frame = r0.frame.limit(0))
+      else r0
     r.dispatchColumn match {
       case None => runOneTable(r, loadId)
       case Some(c) =>
@@ -227,6 +250,7 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
           } finally pool.shutdown()
         } finally cached.unpersist(blocking = false)
     }
+  }
 
   private def runOneTable(r: Resource, loadId: String): Seq[String] = {
     val tableName = Naming.normalizeTableName(r.name)

@@ -251,6 +251,23 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
+    // the PERSISTED index path (VectorSink): write the IVF collection
+    // through the lakehouse sink, then probe it from a COLD read —
+    // nprobe = nlist ≡ exact, so the brute-force oracle gates the whole
+    // write→commit→read→probe cycle, not just the probe math
+    "sim_ivf_persisted" -> q { c =>
+      val store = new graft.write.TableStore(
+        java.nio.file.Files.createTempDirectory("graft-vs").toString, c.spark)
+      val vecs = c.t("embeddings")
+      graft.write.VectorSink.writeIvf(store, "emb", vecs,
+        "vec_id", "embedding", nlist = 16)
+      graft.write.VectorSink.topK(store, "emb",
+        vecs.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 16)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // IVF (k-means inverted file) ANN — approximate, so no SQL oracle;
     // instead the query SELF-GATES on recall@k against the exact top-k
     // and carries per-query recall as a column
@@ -917,6 +934,21 @@ object ExtQueries {
 
     // nprobe = nlist ≡ exact: the brute-force oracle applies verbatim
     "sim_ivf_exact" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (
+        |  SELECT query_id, match_id, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, match_id, round(cs, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the persisted collection probes with the same exact math at
+    // nprobe = nlist, so the identical brute-force oracle gates it
+    "sim_ivf_persisted" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
         |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs

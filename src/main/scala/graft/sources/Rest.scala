@@ -173,6 +173,78 @@ object Rest {
   def withParams(url: String, params: Map[String, String]): String =
     params.toSeq.sortBy(_._1).foldLeft(url) { case (u, (k, v)) => setParam(u, k, v) }
 
+  /** Declarative per-response hooks (reference response_actions,
+    * rest_api/config_setup.py:565-671, wired at rest_api/__init__.py:
+    * 274): each action is a matcher — status code and/or a content
+    * substring; both present means AND (config_setup.py:600-612) —
+    * plus what to do on match. Actions are evaluated in declaration
+    * order, first match wins:
+    *  - [[RespIgnore]] — the reference's `"action": "ignore"`
+    *    (IgnoreResponseException, client.py:273-274): pagination stops
+    *    CLEANLY and the matched page is NOT landed (a 404-means-empty
+    *    endpoint yields whatever earlier pages produced);
+    *  - [[RespTransform]] — a callable action (config_setup.py:625-627):
+    *    rewrite the response (re-encode, redact a field) and continue
+    *    the normal flow.
+    * An ERROR status (>= 400) no action matches falls through to the
+    * default raise-for-status (config_setup.py:641-643 "fallback_hooks")
+    * — except the retryable set (429 + 5xx, the reference session's
+    * DEFAULT_RETRY_STATUS, requests/retry.py:39), which is retried up
+    * to `maxRetries` times honoring a numeric `Retry-After` header
+    * (retry.py:98-125) before raising. */
+  sealed trait RespOutcome
+  case object RespIgnore extends RespOutcome
+  final case class RespTransform(f: Response => Response) extends RespOutcome
+  final case class ResponseAction(
+      statusCode: Option[Int] = None,
+      contentSubstr: Option[String] = None,
+      outcome: RespOutcome = RespIgnore) {
+    def matches(r: Response): Boolean = (statusCode, contentSubstr) match {
+      case (Some(s), Some(c)) => r.status == s && r.body.contains(c)
+      case (Some(s), None) => r.status == s
+      case (None, Some(c)) => r.body.contains(c)
+      case (None, None) => false
+    }
+  }
+
+  /** Unhandled HTTP error status — the raise-for-status fallback. */
+  final class HttpStatusException(val status: Int, val body: String)
+    extends RuntimeException(s"HTTP $status: ${body.take(200)}")
+
+  private object IgnoreSignal extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** One request through the response-action / retry pipeline: returns
+    * the (possibly transformed) response, throws [[IgnoreSignal]] on an
+    * ignore match, [[HttpStatusException]] on an unhandled error after
+    * retries are exhausted. `sleep` is injectable so specs don't wait. */
+  private def sendWithActions(url: String, transport: Transport,
+      actions: Seq[ResponseAction], maxRetries: Int,
+      sleep: Long => Unit): Response = {
+    var attempt = 0
+    while (true) {
+      val resp = transport(url)
+      actions.find(_.matches(resp)) match {
+        case Some(a) => a.outcome match {
+          case RespIgnore => throw IgnoreSignal
+          case RespTransform(f) => return f(resp)
+        }
+        case None =>
+          if (resp.status == 429 || resp.status >= 500) {
+            if (attempt >= maxRetries) throw new HttpStatusException(resp.status, resp.body)
+            val retryAfterMs = resp.headers.get("Retry-After")
+              .flatMap(v => scala.util.Try(v.trim.toLong * 1000L).toOption)
+            sleep(retryAfterMs.getOrElse(100L << attempt)) // exp backoff fallback
+            attempt += 1
+          } else if (resp.status >= 400) {
+            throw new HttpStatusException(resp.status, resp.body)
+          } else return resp
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Fetch all pages (driver-side). `maxPages` and `maxTime` are the
     * reference's add_limit page/time variants (items_transform.py:
     * 174-239) applied where they are meaningful on Spark — at the
@@ -181,15 +253,21 @@ object Rest {
     * `stopWhen` is the `can_close` hook (see [[outOfWindowStop]]):
     * when a fetched page satisfies it, that page still lands (its
     * in-window rows are kept by the incremental filter downstream) but
-    * no further page is requested. */
+    * no further page is requested. `responseActions` + `maxRetries`
+    * run every request through [[sendWithActions]]. */
   def fetchPages(startUrl: String, transport: Transport, paginator: Paginator,
                  maxPages: Int = 10000,
                  maxTime: Option[scala.concurrent.duration.Duration] = None,
-                 stopWhen: String => Boolean = _ => false): Seq[String] = {
+                 stopWhen: String => Boolean = _ => false,
+                 responseActions: Seq[ResponseAction] = Nil,
+                 maxRetries: Int = 3,
+                 retrySleep: Long => Unit = Thread.sleep): Seq[String] = {
     val deadline = maxTime.map(t => System.nanoTime() + t.toNanos)
     @tailrec
     def loop(url: String, idx: Int, acc: Vector[String]): Vector[String] = {
-      val resp = transport(url)
+      val resp =
+        try sendWithActions(url, transport, responseActions, maxRetries, retrySleep)
+        catch { case IgnoreSignal => return acc }
       val pages = acc :+ resp.body
       if (idx + 1 >= maxPages || deadline.exists(System.nanoTime() >= _) ||
           stopWhen(resp.body)) pages

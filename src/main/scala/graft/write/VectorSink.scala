@@ -1,0 +1,74 @@
+package graft.write
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** Embedding-collection destination — the role of the reference's
+  * vector-store adapters (dlt/destinations/impl/{qdrant,weaviate,
+  * lancedb}/: write vectors + build an index so readers query without
+  * re-scanning), re-expressed lakehouse-first: a "collection" is a set
+  * of manifest-committed tables in a [[TableStore]], IVF-list-bucketed
+  * so a probe reads nprobe/nlist of the corpus from a cold start.
+  *
+  * Layout for collection `t`:
+  *  - `t`              — the corpus rows + `__list` (nearest coarse
+  *    centroid), segment RANGE-PARTITIONED by `__list` with min/max
+  *    stats, so list-targeted reads prune to the probed segments;
+  *  - `t__centroids`   — (`__list`, `__centroid`): the coarse quantizer,
+  *    nlist rows (driver-small by construction);
+  *  - `t__ivf_meta`    — one row of index parameters (nlist, seed,
+  *    train_fraction, metric, dim) — the manifest a reader validates
+  *    probes against, as the lancedb adapter stores index config.
+  *
+  * 100 TB shape: the one expensive step (k-means fit on a hash-sample +
+  * one assignment pass) happens ONCE at write; every subsequent query
+  * is a broadcast centroid ranking + a pruned equi-join on `__list`.
+  * Rebuilding the index per query session — what the in-memory
+  * [[Similarity.ivfTopK]] does — is the thing this sink amortizes away.
+  */
+object VectorSink {
+
+  final case class IvfMeta(nlist: Int, seed: Long, trainFraction: Double,
+      metric: String, dim: Int)
+
+  /** Index `corpus` and commit the collection through `store`.
+    * Overwrites any previous generation of the collection atomically
+    * (each table's commit is atomic; readers resolve each table's
+    * `_CURRENT` independently). */
+  def writeIvf(store: TableStore, table: String, corpus: DataFrame,
+      id: String, vec: String, nlist: Int = 16, seed: Long = 42L,
+      trainFraction: Double = 0.25): Unit = {
+    val (assigned, centroids) =
+      Similarity.ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
+    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    store.overwrite(table, assigned,
+      statsFor = Seq("__list"), rangeBy = Seq("__list"))
+    store.overwrite(s"${table}__centroids", centroids)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    store.overwrite(s"${table}__ivf_meta",
+      Seq((nlist, seed, trainFraction, "cosine", dim))
+        .toDF("nlist", "seed", "train_fraction", "metric", "dim"))
+  }
+
+  def readMeta(store: TableStore, table: String): IvfMeta = {
+    val r = store.read(s"${table}__ivf_meta").head()
+    IvfMeta(r.getAs[Int]("nlist"), r.getAs[Long]("seed"),
+      r.getAs[Double]("train_fraction"), r.getAs[String]("metric"),
+      r.getAs[Int]("dim"))
+  }
+
+  /** Top-k over the PERSISTED collection: cold-read the centroids and
+    * the bucketed corpus, probe with [[Similarity.ivfProbe]] — the same
+    * math as the in-memory path, so `nprobe = nlist` is exact. */
+  def topK(store: TableStore, table: String, queries: DataFrame,
+      id: String, vec: String, k: Int, nprobe: Int): DataFrame = {
+    val meta = readMeta(store, table)
+    require(nprobe >= 1 && nprobe <= meta.nlist,
+      s"nprobe $nprobe outside [1, ${meta.nlist}]")
+    Similarity.ivfProbe(store.read(table), store.read(s"${table}__centroids"),
+      queries, id, vec, k, nprobe)
+  }
+}

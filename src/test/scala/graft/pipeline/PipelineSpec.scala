@@ -194,4 +194,18 @@ class PipelineSpec extends SparkSpec {
     val out = p.dataset.query("SELECT COUNT(*) AS n FROM t1")
     assert(out.as[Long].head() == 1L)
   }
+
+  test("dataset.query registers views once per table snapshot, not per call") {
+    val p = newPipeline()
+    p.run(Seq(Resource("q1", Seq((1, "a")).toDF("id", "v"))), "1")
+    val ds = p.dataset
+    assert(ds.query("SELECT count(*) AS n FROM q1").as[Long].head() === 1L)
+    // same snapshot: a second query must NOT rebuild the view — drop it
+    // behind the cache's back and prove the cached plan still serves
+    p.spark.catalog.dropTempView("q1")
+    intercept[Exception] { ds.query("SELECT count(*) AS n FROM q1").head() }
+    // a new commit (new snapshot) re-registers and sees the new rows
+    p.run(Seq(Resource("q1", Seq((2, "b")).toDF("id", "v"))), "2")
+    assert(ds.query("SELECT count(*) AS n FROM q1").as[Long].head() === 2L)
+  }
 }

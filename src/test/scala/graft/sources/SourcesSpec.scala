@@ -276,6 +276,78 @@ class SourcesSpec extends SparkSpec {
     assert(calls === 1)
   }
 
+  test("rest: response_actions — 404-ignore ends pagination without the page") {
+    // page 1 ok, page 2 is a 404: with the ignore action the fetch
+    // yields page 1 only (404-means-empty); without it, raise-for-status
+    val transport: Rest.Transport = {
+      case u if u.contains("offset=2") => Rest.Response("not here", status = 404)
+      case _ => Rest.Response("""{"data":[{"id":1},{"id":2}]}""")
+    }
+    def count(b: String) = """\{"id"""".r.findAllIn(b).length
+    val pag = Rest.Offset(limit = 2, itemCount = count)
+    val pages = Rest.fetchPages("http://api/i?limit=2&offset=0", transport, pag,
+      responseActions = Seq(Rest.ResponseAction(statusCode = Some(404))))
+    assert(pages === Seq("""{"data":[{"id":1},{"id":2}]}"""))
+    val e = intercept[Rest.HttpStatusException] {
+      Rest.fetchPages("http://api/i?limit=2&offset=0", transport, pag)
+    }
+    assert(e.status === 404)
+  }
+
+  test("rest: response_actions — 429 retries honoring Retry-After, 5xx raises") {
+    // two 429s (Retry-After: 7) then success; sleep is injected/recorded
+    var attempts = 0
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val flaky: Rest.Transport = _ => {
+      attempts += 1
+      if (attempts <= 2) Rest.Response("slow down", Map("Retry-After" -> "7"), status = 429)
+      else Rest.Response("""[{"id":1}]""")
+    }
+    val pages = Rest.fetchPages("http://api/x", flaky, Rest.SinglePage,
+      retrySleep = slept.append(_))
+    assert(pages === Seq("""[{"id":1}]""") && attempts === 3)
+    assert(slept.toSeq === Seq(7000L, 7000L))
+    // a persistent 500 exhausts maxRetries then raises; backoff is
+    // exponential when no Retry-After header is present
+    var tries = 0
+    val broken: Rest.Transport = _ => { tries += 1; Rest.Response("boom", status = 500) }
+    val slept2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val e = intercept[Rest.HttpStatusException] {
+      Rest.fetchPages("http://api/x", broken, Rest.SinglePage,
+        maxRetries = 2, retrySleep = slept2.append(_))
+    }
+    assert(e.status === 500 && tries === 3)
+    assert(slept2.toSeq === Seq(100L, 200L))
+  }
+
+  test("rest: response_actions — content match, AND semantics, transform, order") {
+    // content-substring alone matches any status; status+content is AND
+    val t404: Rest.Transport = _ => Rest.Response("""{"error":"Not found"}""", status = 404)
+    assert(Rest.fetchPages("http://api/x", t404, Rest.SinglePage,
+      responseActions = Seq(Rest.ResponseAction(contentSubstr = Some("Not found")))) === Nil)
+    // AND: status matches but content doesn't → no match → raise
+    intercept[Rest.HttpStatusException] {
+      Rest.fetchPages("http://api/x", t404, Rest.SinglePage,
+        responseActions = Seq(Rest.ResponseAction(
+          statusCode = Some(404), contentSubstr = Some("gone"))))
+    }
+    // transform: a callable action rewrites the body and flow continues
+    val ok: Rest.Transport = _ => Rest.Response("""[{"id":1,"email":"x@y.z"}]""")
+    val redacted = Rest.fetchPages("http://api/x", ok, Rest.SinglePage,
+      responseActions = Seq(Rest.ResponseAction(statusCode = Some(200),
+        outcome = Rest.RespTransform(r =>
+          r.copy(body = r.body.replaceAll(""","email":"[^"]*"""", ""))))))
+    assert(redacted === Seq("""[{"id":1}]"""))
+    // declaration order: first matching action wins
+    val first = Rest.fetchPages("http://api/x", ok, Rest.SinglePage,
+      responseActions = Seq(
+        Rest.ResponseAction(statusCode = Some(200),
+          outcome = Rest.RespTransform(r => r.copy(body = "first"))),
+        Rest.ResponseAction(statusCode = Some(200),
+          outcome = Rest.RespTransform(r => r.copy(body = "second")))))
+    assert(first === Seq("first"))
+  }
+
   test("rest: auth strategies set headers and query params") {
     var seen: (String, Map[String, String]) = ("", Map.empty)
     val ht: Rest.HeaderTransport = (url, headers) => {

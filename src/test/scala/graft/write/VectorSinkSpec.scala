@@ -1,0 +1,57 @@
+package graft.write
+
+import graft.SparkSpec
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+
+/** The persisted IVF collection: cold-read equivalence with the
+  * in-memory probe, meta round-trip, and nprobe validation. */
+class VectorSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0L until 64L).map { i =>
+    (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("persisted probe ≡ in-memory probe (same params, cold store read)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec").toString
+    VectorSink.writeIvf(new TableStore(dir, spark), "emb", corpus,
+      "vec_id", "embedding", nlist = 4)
+    // a FRESH store instance: nothing survives but the committed files
+    val cold = new TableStore(dir, spark)
+    val q = corpus.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val persisted = rows(VectorSink.topK(cold, "emb", q,
+      "vec_id", "embedding", k = 3, nprobe = 4))
+    val inMemory = rows(Similarity.ivfTopK(corpus, q,
+      "vec_id", "embedding", k = 3, nlist = 4, nprobe = 4))
+    assert(persisted === inMemory)
+    assert(persisted.map(_._1).distinct.toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("meta round-trips and bounds nprobe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec2").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4, seed = 7L, trainFraction = 0.5)
+    val meta = VectorSink.readMeta(store, "emb")
+    assert(meta === VectorSink.IvfMeta(4, 7L, 0.5, "cosine", 8))
+    val e = intercept[IllegalArgumentException] {
+      VectorSink.topK(store, "emb", corpus.limit(1), "vec_id", "embedding",
+        k = 1, nprobe = 99)
+    }
+    assert(e.getMessage.contains("nprobe"))
+  }
+
+  test("collection segments carry __list stats for pruned probes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec3").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding", nlist = 4)
+    val segs = store.segments("emb")
+    assert(segs.nonEmpty)
+    assert(segs.forall(_.stats.contains("__list")),
+      s"segments lack __list stats: $segs")
+  }
+}
