@@ -208,7 +208,6 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
 
   def recordLoad(loadId: String, schemaName: String = "graft",
                  versionHash: String = ""): Unit = {
-    import spark.implicits._
     val fresh = recordedLoads.synchronized {
       if (recordedLoads.containsKey((loadId, schemaName))) false
       else {
@@ -224,9 +223,14 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
       }
     }
     if (fresh) {
-      val row = Seq((loadId, schemaName, 0, java.time.Instant.now().toString, versionHash))
-        .toDF("load_id", "schema_name", "status", "inserted_at", "schema_version_hash")
-      store.append(LoadsTable, row)
+      // driver-direct 1-row append (TinyParquet): a Spark job per ledger
+      // row is ~100-300 ms of pure submission overhead per load package
+      import TinyParquet._
+      store.appendDriverFile(LoadsTable)(p => TinyParquet.write(p, Seq(Seq(
+        "load_id" -> SCell(loadId), "schema_name" -> SCell(schemaName),
+        "status" -> ICell(0),
+        "inserted_at" -> SCell(java.time.Instant.now().toString),
+        "schema_version_hash" -> SCell(versionHash)))))
     }
   }
 
@@ -237,18 +241,19 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
 
   def recordVersion(schemaName: String, versionHash: String,
                     schemaJson: String): Unit = {
-    import spark.implicits._
     val already = seenVersionHashes(versionHash) ||
       store.readOption(VersionTable).exists(df =>
         df.filter(df("version_hash") === versionHash).limit(1).count() > 0)
     seenVersionHashes += versionHash
     if (!already) {
       val version = nextVersion(VersionTable)
-      store.append(VersionTable,
-        Seq((version, 1L, java.time.Instant.now().toString, schemaName,
-          versionHash, schemaJson))
-          .toDF("version", "engine_version", "inserted_at", "schema_name",
-            "version_hash", "schema"))
+      import TinyParquet._
+      store.appendDriverFile(VersionTable)(p => TinyParquet.write(p, Seq(Seq(
+        "version" -> LCell(version), "engine_version" -> LCell(1L),
+        "inserted_at" -> SCell(java.time.Instant.now().toString),
+        "schema_name" -> SCell(schemaName),
+        "version_hash" -> SCell(versionHash),
+        "schema" -> SCell(schemaJson)))))
     }
   }
 
@@ -264,13 +269,13 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
         .map(_.asInstanceOf[Number].longValue())).getOrElse(0L) + 1
 
   def recordState(pipelineName: String, loadId: String, stateJson: String): Unit = {
-    import spark.implicits._
     val version = nextVersion(StateTable)
-    store.append(StateTable,
-      Seq((version, 4L, pipelineName, stateJson,
-        java.time.Instant.now().toString, loadId))
-        .toDF("version", "engine_version", "pipeline_name", "state",
-          "created_at", "_dlt_load_id"))
+    import TinyParquet._
+    store.appendDriverFile(StateTable)(p => TinyParquet.write(p, Seq(Seq(
+      "version" -> LCell(version), "engine_version" -> LCell(4L),
+      "pipeline_name" -> SCell(pipelineName), "state" -> SCell(stateJson),
+      "created_at" -> SCell(java.time.Instant.now().toString),
+      "_dlt_load_id" -> SCell(loadId)))))
   }
 
   val VersionTable = "_dlt_version"

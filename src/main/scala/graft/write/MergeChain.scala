@@ -40,33 +40,34 @@ object MergeChain {
   private def deleteInsertPersisted(store: TableStore, chain: TableChain,
       cfg: MergeConfig, destRoot: Option[DataFrame], stagedRoot: DataFrame): Unit = {
 
-    // root ids whose rows are being replaced or hard-deleted: match on
-    // EITHER key group (OR of AND-groups, as in Merge.deleteInsert).
-    // Pinned: every child's tombstone write re-reads this set, so a
-    // multi-child chain would re-run the dest⋈staged semi-joins once
-    // per child.
-    val replacedRootIds = destRoot match {
+    // ONE pinned frame carries BOTH root-id sets, tagged: replaced ids
+    // (destination rows matching EITHER key group — OR of AND-groups,
+    // as in Merge.deleteInsert) and inserted ids. Every child's
+    // tombstone write and insert semi-join re-reads these sets, so a
+    // multi-child chain would otherwise re-run the dest⋈staged
+    // semi-joins once per child — and two separate persists cost two
+    // materialization jobs per load where the union costs one.
+    // Unpersist sits in a finally: a failed chain load must not leak
+    // cache entries into a long-lived session.
+    val replaced = destRoot match {
       case None => None
       case Some(d) =>
         Some(Merge.keyGroups(cfg).map(g =>
             d.join(stagedRoot.select(g.map(col): _*).distinct(), g, "left_semi"))
           .reduce(_ unionByName _)
-          .select(col(Ids.DltId).as(Ids.DltRootId)).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .select(col(Ids.DltId).as(Ids.DltRootId)).distinct())
     }
-    // root ids that are (re-)inserted — children of these come from
-    // staging; pinned for the same per-child reuse. Unpersists sit in a
-    // finally: a failed chain load must not leak cache entries into a
-    // long-lived session (they survive the job and hold block storage).
-    val insertedRoot = Merge.insertSet(stagedRoot, cfg)
-    val insertedRootIds = insertedRoot
+    val inserted = Merge.insertSet(stagedRoot, cfg)
       .select(col(Ids.DltId).as(Ids.DltRootId)).distinct()
+    val tagged = replaced.fold(inserted.withColumn("__set", lit("i")))(r =>
+      r.withColumn("__set", lit("r"))
+        .unionByName(inserted.withColumn("__set", lit("i"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val replacedRootIds = replaced.map(_ =>
+      tagged.filter(col("__set") === "r").drop("__set"))
+    val insertedRootIds = tagged.filter(col("__set") === "i").drop("__set")
     try runChainLoad(store, chain, cfg, stagedRoot, replacedRootIds, insertedRootIds)
-    finally {
-      replacedRootIds.foreach(_.unpersist(blocking = false))
-      insertedRootIds.unpersist(blocking = false)
-    }
+    finally tagged.unpersist(blocking = false)
   }
 
   private def runChainLoad(store: TableStore, chain: TableChain,

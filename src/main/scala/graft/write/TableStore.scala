@@ -371,6 +371,21 @@ final class TableStore(val root: String, spark: SparkSession) {
     * arrow direct-import fast path, items_normalizers/arrow.py:161-210).
     * At 100 TB this is the difference between an O(bytes) rewrite and an
     * O(1) metadata commit — the `CONVERT TO DELTA`/`ADD FILES` analog. */
+  /** Commit a DRIVER-WRITTEN parquet file as a new segment — the
+    * tiny-append fast path for system-table ledger rows (see
+    * [[TinyParquet]]): `write` receives the destination path inside the
+    * table's data dir; the commit is the same atomic manifest swap an
+    * executor-written segment gets. */
+  def appendDriverFile(table: String)(write: java.nio.file.Path => Unit): Unit =
+    synchronized {
+      val name = s"data/${UUID.randomUUID().toString.take(12)}.parquet"
+      val p = tableDir(table).resolve(name)
+      Files.createDirectories(p.getParent)
+      write(p)
+      commit(table, currentSegments(table) :+ Segment(name, Map.empty),
+        currentTombstones(table))
+    }
+
   def importFiles(table: String, paths: Seq[String]): Unit = synchronized {
     require(paths.nonEmpty, "importFiles needs at least one path")
     val absolute = paths.map(p =>
@@ -552,7 +567,17 @@ final class TableStore(val root: String, spark: SparkSession) {
     // repartitionByRange SAMPLES its input to pick boundaries, then reads
     // it again for the exchange — an unpersisted merge result (joins over
     // dest + staging) would execute its whole subtree twice, so pin it.
-    val rangeKeys = rangeBy.filter(df.columns.contains)
+    // size-aware: below ~one split of data the whole segment is a
+    // couple of row groups — manifest min/max stats prune it as one
+    // unit and there is nothing for an in-file range layout to skip, so
+    // the sampling pass + exchange (one extra job + a persist per
+    // segment write, the dominant fixed cost of a small load) buys
+    // nothing. The Catalyst size estimate errs HIGH on join plans
+    // (row-product), so an underestimate that skips a layout a huge
+    // segment wanted is the rare direction.
+    val sizeEst = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val layoutWorthIt = sizeEst > spark.sessionState.conf.filesMaxPartitionBytes
+    val rangeKeys = if (layoutWorthIt) rangeBy.filter(df.columns.contains) else Nil
     val pinned = Option.when(rangeKeys.nonEmpty)(
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val layout = pinned match {
