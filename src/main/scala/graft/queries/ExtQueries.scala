@@ -165,6 +165,13 @@ object ExtQueries {
         n = 3, threshold = 0.9).orderBy("id_a", "id_b")
     },
 
+    // exact-substring duplicate spans (Lee et al. 2022): per-doc count
+    // and ratio of token windows shared verbatim with another document
+    "dedup_substring_spans" -> q { c =>
+      Dedup.substringDupSpans(c.tw("documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    },
+
     // asymmetric CONTAINMENT (near-subset) pairs: catches a short doc
     // wholly quoted inside a long one, which jaccard's union term
     // swamps; one-sided prefix filter + exact inverted-index verify
@@ -859,6 +866,21 @@ object ExtQueries {
     },
 
     "dedup_ngram_jaccard" -> (jaccardSql(0.8) + " ORDER BY id_a, id_b"),
+
+    "dedup_substring_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
+         |sh AS (
+         |$shingleSql),
+         |dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1),
+         |tot AS (SELECT doc_id, count(*) AS n_windows FROM sh GROUP BY doc_id),
+         |dups AS (
+         |  SELECT doc_id, count(*) AS n_dup_windows
+         |  FROM sh JOIN dup USING (shingle) GROUP BY doc_id)
+         |SELECT t.doc_id, n_windows,
+         |  coalesce(n_dup_windows, 0) AS n_dup_windows,
+         |  round(coalesce(n_dup_windows, 0)::DOUBLE / n_windows, 6) AS dup_ratio
+         |FROM tot t LEFT JOIN dups USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "dedup_components" ->
       s"""WITH RECURSIVE toks AS (
