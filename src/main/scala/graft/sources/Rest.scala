@@ -356,9 +356,11 @@ object Rest {
     * body (e.g. "data"). */
   def read(spark: SparkSession, startUrl: String, transport: Transport,
            paginator: Paginator, itemsPath: Option[String] = None,
-           maxPages: Int = 10000): DataFrame = {
+           maxPages: Int = 10000,
+           responseActions: Seq[ResponseAction] = Nil): DataFrame = {
     import spark.implicits._
-    val pages = fetchPages(startUrl, transport, paginator, maxPages)
+    val pages = fetchPages(startUrl, transport, paginator, maxPages,
+      responseActions = responseActions)
     val raw = spark.read.json(spark.createDataset(pages))
     itemsPath match {
       case Some(p) =>
@@ -379,7 +381,8 @@ object Rest {
       parent: Option[String] = None,
       parentKey: Option[String] = None,
       paginator: Paginator = SinglePage,
-      itemsPath: Option[String] = None)
+      itemsPath: Option[String] = None,
+      responseActions: Seq[ResponseAction] = Nil)
 
   /** Resolve a whole endpoint dependency graph (reference rest_api
     * source build: endpoints form a tree, children resolve path params
@@ -401,12 +404,13 @@ object Rest {
       ready.foreach { e =>
         val df = e.parent match {
           case None =>
-            read(spark, e.url, transport, e.paginator, e.itemsPath, maxPages)
+            read(spark, e.url, transport, e.paginator, e.itemsPath, maxPages,
+              e.responseActions)
           case Some(p) =>
             val key = e.parentKey.getOrElse(throw new IllegalArgumentException(
               s"endpoint ${e.name}: parent set but no parentKey"))
             readChild(spark, done(p), key, e.url, transport, e.paginator,
-              e.itemsPath, maxPages)
+              e.itemsPath, maxPages, e.responseActions)
         }
         done += e.name -> df
       }
@@ -422,13 +426,17 @@ object Rest {
     * set lands in one distributed frame. */
   def readChild(spark: SparkSession, parent: DataFrame, parentKey: String,
                 urlTemplate: String, transport: Transport, paginator: Paginator,
-                itemsPath: Option[String] = None, maxPages: Int = 1000): DataFrame = {
+                itemsPath: Option[String] = None, maxPages: Int = 1000,
+                responseActions: Seq[ResponseAction] = Nil): DataFrame = {
     import spark.implicits._
     val ids = parent.select(parentKey).distinct().collect().map(_.get(0).toString)
     // the placeholder may be the generic {id} or the parent column name
+    // (a per-parent 404 under an ignore action yields that child empty,
+    // the reference's missing-subresource shape)
     val pages = ids.toSeq.flatMap { id =>
       val url = urlTemplate.replace("{id}", id).replace(s"{$parentKey}", id)
-      fetchPages(url, transport, paginator, maxPages)
+      fetchPages(url, transport, paginator, maxPages,
+        responseActions = responseActions)
     }
     spark.read.json(spark.createDataset(pages)) match {
       case raw if itemsPath.isDefined =>

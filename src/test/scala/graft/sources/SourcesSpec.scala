@@ -348,6 +348,25 @@ class SourcesSpec extends SparkSpec {
     assert(first === Seq("first"))
   }
 
+  test("rest: endpoint-level response_actions flow through the graph resolver") {
+    // child endpoint 404s for one parent id; the ignore action makes
+    // that child empty instead of failing the whole graph
+    val transport: Rest.Transport = {
+      case u if u.endsWith("/parents") =>
+        Rest.Response("""[{"id":1},{"id":2}]""")
+      case u if u.endsWith("/parents/2/items") =>
+        Rest.Response("gone", status = 404)
+      case u => Rest.Response(s"""[{"pid":${u.split("/")(4)}}]""")
+    }
+    val out = Rest.readGraph(spark, Seq(
+      Rest.Endpoint("parents", "http://api/parents"),
+      Rest.Endpoint("items", "http://api/parents/{id}/items",
+        parent = Some("parents"), parentKey = Some("id"),
+        responseActions = Seq(Rest.ResponseAction(statusCode = Some(404))))),
+      transport)
+    assert(out("items").select("pid").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("rest: auth strategies set headers and query params") {
     var seen: (String, Map[String, String]) = ("", Map.empty)
     val ht: Rest.HeaderTransport = (url, headers) => {
