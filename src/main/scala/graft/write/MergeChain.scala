@@ -81,7 +81,12 @@ object MergeChain {
     // sliver per load. Inserted children land as a fresh segment the
     // tombstone does not cover (re-inserted roots keep their new rows);
     // compaction folds dead rows away once tombstones accumulate.
-    chain.children.foreach { case (childTable, stagedChild) =>
+    // every table in the chain targets a DISTINCT store table, so the
+    // child loads and the root merge run CONCURRENTLY (per-table store
+    // locks): the same cross-table non-atomicity the reference's
+    // sequential statements have, minus the convoy. Spark schedules the
+    // overlapping write jobs against shared cached inputs.
+    def childLoad(childTable: String, stagedChild: DataFrame): Unit = {
       val insertChild = stagedChild.join(insertedRootIds, Seq(Ids.DltRootId), "left_semi")
       (store.exists(childTable), replacedRootIds) match {
         case (false, _) =>
@@ -94,12 +99,28 @@ object MergeChain {
           store.compact(childTable)
       }
     }
-
     // root rides the same SEGMENT-PRUNED merge commit as single-table
     // merge (Dispositions.mergePruned): only destination segments whose
     // key ranges overlap the staged keys are read/rewritten — round 2
     // rewrote the entire root here for a sliver of changed keys
-    Dispositions.mergePruned(store, chain.root, stagedRoot, cfg,
-      MergeStrategy.DeleteInsert)
+    def rootLoad(): Unit =
+      Dispositions.mergePruned(store, chain.root, stagedRoot, cfg,
+        MergeStrategy.DeleteInsert)
+
+    val work: Seq[() => Unit] =
+      chain.children.toSeq.map { case (t, df) => () => childLoad(t, df) } :+
+        (() => rootLoad())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, work.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = work.map(f => scala.concurrent.Future(f()))
+      // settle ALL before propagating a failure: sibling commits must
+      // not race caller cleanup (same rule as Pipeline.awaitAll)
+      val settled = futures.map(f =>
+        scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf).value.get)
+      settled.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+    } finally pool.shutdown()
   }
 }

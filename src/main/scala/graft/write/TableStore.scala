@@ -64,18 +64,37 @@ final case class Tombstone(name: String, column: String, covered: Set[String])
   * only segments whose key range overlaps the staged keys (see
   * [[Dispositions.merge]]); replace commits a fresh segment list.
   *
-  * Concurrency contract: commits are serialized per STORE INSTANCE
-  * (`synchronized`), the same single-writer-per-table model the
-  * reference runs (one load package writer per table). Two processes
-  * committing to one table concurrently can lose the earlier commit's
-  * manifest entry (last `_CURRENT` swap wins) — run one writer per
-  * table, or bind dispositions onto Delta/Iceberg (whose logs do
-  * optimistic concurrency) when multi-writer tables are required.
+  * Concurrency contract: commits are serialized PER TABLE (a lock per
+  * table name), the same single-writer-per-table model the reference
+  * runs (one load package writer per table) — but writes to DIFFERENT
+  * tables proceed concurrently, which is what makes
+  * [[graft.pipeline.Pipeline.runParallel]] and the chain load's
+  * child ∥ root commits actually overlap instead of convoying on one
+  * store-wide lock. Two-table operations (clone/adopt/copyInto) take
+  * both locks in name order (no deadlock cycle possible). Two
+  * PROCESSES committing to one table concurrently can still lose the
+  * earlier commit's manifest entry (last `_CURRENT` swap wins) — run
+  * one writer per table, or bind dispositions onto Delta/Iceberg
+  * (whose logs do optimistic concurrency) when multi-writer tables
+  * are required.
   *
   * Segment stats are captured with `Dataset.observe` riding the write
   * action — no extra scan of the data.
   */
 final class TableStore(val root: String, spark: SparkSession) {
+
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(t: String): Object =
+    tableLocks.computeIfAbsent(t, _ => new Object)
+  private def locked[A](t: String)(body: => A): A =
+    lockFor(t).synchronized(body)
+  /** Both locks in NAME order — concurrent two-table ops cannot form a
+    * lock cycle. */
+  private def locked2[A](a: String, b: String)(body: => A): A = {
+    val s = Seq(a, b).sorted
+    lockFor(s.head).synchronized(lockFor(s.last).synchronized(body))
+  }
 
   private def tableDir(table: String): Path = Paths.get(root, table)
 
@@ -194,7 +213,7 @@ final class TableStore(val root: String, spark: SparkSession) {
     * child-table path: deleting the children of replaced roots from a
     * 100 TB child table must not rewrite it. */
   def appendWithTombstone(table: String, df: DataFrame, tombColumn: String,
-      ids: DataFrame, statsFor: Seq[String] = Nil): Unit = synchronized {
+      ids: DataFrame, statsFor: Seq[String] = Nil): Unit = locked(table) {
     require(ids.columns.toSeq == Seq(tombColumn),
       s"tombstone ids must be a single '$tombColumn' column")
     val existing = currentSegments(table)
@@ -230,7 +249,7 @@ final class TableStore(val root: String, spark: SparkSession) {
     * `statsFor` columns get min/max stats for later merge pruning.
     * Existing tombstones survive — they never cover the new segment. */
   def append(table: String, df: DataFrame, statsFor: Seq[String] = Nil): Unit =
-    synchronized {
+    locked(table) {
       val seg = writeSegment(table, df, statsFor)
       commit(table, currentSegments(table) :+ seg, currentTombstones(table))
     }
@@ -240,7 +259,7 @@ final class TableStore(val root: String, spark: SparkSession) {
     * Tombstones are dropped: the content is fully replaced. */
   def overwrite(table: String, df: DataFrame, statsFor: Seq[String] = Nil,
       rangeBy: Seq[String] = Nil): Unit =
-    synchronized {
+    locked(table) {
       commit(table, Seq(writeSegment(table, df, statsFor, rangeBy)))
     }
 
@@ -255,7 +274,7 @@ final class TableStore(val root: String, spark: SparkSession) {
   /** Commit `keep` (untouched segments) plus a new segment holding
     * `newData` — the pruned-merge commit. */
   def replaceSegments(table: String, keep: Seq[Segment], newData: DataFrame,
-      statsFor: Seq[String] = Nil, rangeBy: Seq[String] = Nil): Unit = synchronized {
+      statsFor: Seq[String] = Nil, rangeBy: Seq[String] = Nil): Unit = locked(table) {
     commit(table, keep :+ writeSegment(table, newData, statsFor, rangeBy),
       liveTombstones(table, keep))
   }
@@ -264,7 +283,7 @@ final class TableStore(val root: String, spark: SparkSession) {
     * stats entries stamped into the manifest (e.g. SCD2's active/closed
     * segment marker) — they ride the existing stats encoding. */
   def commitSegments(table: String, keep: Seq[Segment],
-      writes: Seq[SegmentWrite]): Unit = synchronized {
+      writes: Seq[SegmentWrite]): Unit = locked(table) {
     val segs = writes.map { w =>
       val s = writeSegment(table, w.df, w.statsFor, w.rangeBy)
       s.copy(stats = s.stats ++ w.tags)
@@ -275,7 +294,7 @@ final class TableStore(val root: String, spark: SparkSession) {
   /** Zero-copy clone: new table points at the source's current segments
     * (reference staging-optimized replace / Delta SHALLOW CLONE,
     * dlt/destinations/sql_jobs.py:117-131). */
-  def clone(from: String, to: String): Unit = synchronized {
+  def clone(from: String, to: String): Unit = locked2(from, to) {
     val segs = currentSegments(from)
     require(segs.nonEmpty, s"table $from does not exist")
     Files.createDirectories(tableDir(to))
@@ -299,7 +318,7 @@ final class TableStore(val root: String, spark: SparkSession) {
     * store-owned (relative): adopting an imported absolute-path segment
     * would move a file out of the user's original location — use
     * [[copyInto]] for those. */
-  def adopt(from: String, to: String): Unit = synchronized {
+  def adopt(from: String, to: String): Unit = locked2(from, to) {
     val segs = currentSegments(from)
     require(segs.nonEmpty, s"table $from does not exist")
     require(currentTombstones(from).isEmpty,
@@ -328,7 +347,7 @@ final class TableStore(val root: String, spark: SparkSession) {
     * copy (S3 CopyObject / DistCp), still O(bytes moved), never
     * O(bytes decoded). Source must be tombstone-free (true for fresh
     * staging tables by construction). */
-  def copyInto(from: String, to: String): Unit = synchronized {
+  def copyInto(from: String, to: String): Unit = locked2(from, to) {
     val segs = currentSegments(from)
     require(segs.nonEmpty, s"table $from does not exist")
     require(currentTombstones(from).isEmpty,
@@ -377,7 +396,7 @@ final class TableStore(val root: String, spark: SparkSession) {
     * table's data dir; the commit is the same atomic manifest swap an
     * executor-written segment gets. */
   def appendDriverFile(table: String)(write: java.nio.file.Path => Unit): Unit =
-    synchronized {
+    locked(table) {
       val name = s"data/${UUID.randomUUID().toString.take(12)}.parquet"
       val p = tableDir(table).resolve(name)
       Files.createDirectories(p.getParent)
@@ -386,7 +405,7 @@ final class TableStore(val root: String, spark: SparkSession) {
         currentTombstones(table))
     }
 
-  def importFiles(table: String, paths: Seq[String]): Unit = synchronized {
+  def importFiles(table: String, paths: Seq[String]): Unit = locked(table) {
     require(paths.nonEmpty, "importFiles needs at least one path")
     val absolute = paths.map(p =>
       Segment(Paths.get(p).toAbsolutePath.toString, Map.empty))
@@ -457,7 +476,7 @@ final class TableStore(val root: String, spark: SparkSession) {
     * Tombstones are folded in (dead rows physically dropped) and
     * cleared. Stats are recomputed for every column any segment
     * tracked. Returns true when a compaction ran. */
-  def compact(table: String, maxSegments: Int = 16): Boolean = synchronized {
+  def compact(table: String, maxSegments: Int = 16): Boolean = locked(table) {
     // one manifest read decides the (common) no-op case — this runs
     // after every chain child load, so the guard must not re-list state
     val lines = manifestLines(table)
@@ -483,7 +502,7 @@ final class TableStore(val root: String, spark: SparkSession) {
     * at the SOURCE table's directories by absolute path — vacuuming a
     * table that has live clones can delete data out from under them.
     * Returns the number of directories deleted. */
-  def vacuum(table: String, retainManifests: Int = 2): Int = synchronized {
+  def vacuum(table: String, retainManifests: Int = 2): Int = locked(table) {
     val dir = tableDir(table)
     if (!Files.exists(dir.resolve("_CURRENT"))) return 0
     val current = new String(Files.readAllBytes(dir.resolve("_CURRENT")),
@@ -525,7 +544,7 @@ final class TableStore(val root: String, spark: SparkSession) {
     deleted
   }
 
-  def drop(table: String): Unit = synchronized {
+  def drop(table: String): Unit = locked(table) {
     val dir = tableDir(table)
     if (Files.exists(dir)) {
       Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
@@ -536,7 +555,7 @@ final class TableStore(val root: String, spark: SparkSession) {
   /** Empty the table but KEEP its schema (reference drop_data refresh
     * truncates without dropping, pipeline/drop.py): the committed state
     * becomes a single schema-only parquet segment. */
-  def truncate(table: String): Unit = synchronized {
+  def truncate(table: String): Unit = locked(table) {
     if (exists(table)) {
       currentSegments(table) match {
         case Nil => ()
