@@ -246,6 +246,44 @@ class WriteSpec extends SparkSpec {
     assert(items.select("value").as[Long].collect().sorted.toSeq == Seq(3L, 5L, 7L, 8L, 9L))
   }
 
+  test("concurrent appends to ONE table lose nothing (per-table lock safety)") {
+    val store = newStore()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = (1 to 8).map(i => scala.concurrent.Future {
+        store.append("hot", Seq((i, s"w$i")).toDF("id", "w"))
+      })
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    // a read-modify-write race on the manifest would drop segments
+    assert(store.segments("hot").size === 8)
+    assert(store.read("hot").count() === 8)
+  }
+
+  test("concurrent writers on DIFFERENT tables interleave safely") {
+    val store = newStore()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = (1 to 6).map(i => scala.concurrent.Future {
+        val t = s"t$i"
+        store.overwrite(t, Seq((i, "a")).toDF("id", "w"))
+        store.append(t, Seq((i + 100, "b")).toDF("id", "w"))
+      })
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    (1 to 6).foreach { i =>
+      assert(store.read(s"t$i").count() === 2, s"table t$i lost a write")
+    }
+  }
+
   test("a failing chain load leaves no pinned caches behind") {
     val store = newStore()
     val cfg = MergeConfig(primaryKey = Seq("k"))
