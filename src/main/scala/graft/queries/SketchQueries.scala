@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dsir
+import graft.operators.Sketches
+
+/** Sketch-plane queries: mergeable HLL / KMV / CMS rollups
+  * ([[graft.operators.Sketches]]) and DSIR importance selection
+  * ([[graft.ext.Dsir]]). Every sketch here is md5-deterministic, so the
+  * DuckDB oracle replays the REGISTERS/counters exactly — the gate
+  * covers the whole estimate path, not just an error band. */
+object SketchQueries {
+
+  val defs: Map[String, Q] = Map(
+    // HLL distinct-users rollup: daily sketches per event type, merged
+    // (max per register) to per-type totals, then estimated — the
+    // estimate after the merge hash-matches the oracle's direct
+    // computation, proving the rollup path is lossless
+    "ops_hll_rollup" -> q { c =>
+      val ev = c.t("events")
+      val daily = Sketches.hllRegisters(
+        ev.withColumn("day", expr("ts div 86400000000000")),
+        Seq("event_type", "day"), "user_id", m = 64)
+      val merged = Sketches.hllMerge(daily.drop("day"), Seq("event_type"))
+      val est = Sketches.hllEstimate(merged, Seq("event_type"), m = 64)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, Seq("event_type")).orderBy("event_type")
+    },
+
+    // KMV bottom-64 sketches per event type; pairwise Jaccard overlap
+    // of the user sets estimated purely from the sketch rows
+    "ops_kmv_overlap" -> q { c =>
+      val sk = Sketches.kmv(c.t("events"), Seq("event_type"), "user_id",
+        k = 64)
+      Sketches.kmvJaccard(sk, "event_type", k = 64).orderBy("ga", "gb")
+    },
+
+    // count-min frequency estimates for the top-10 users: est >= exact
+    // always (collisions only add); registers replayed by the oracle
+    "ops_cms_freq" -> q { c =>
+      val ev = c.t("events")
+      val counters = Sketches.cmsCounters(ev, "user_id",
+        depth = 4, width = 256)
+      val top = graft.ext.Dedup.pin(
+        ev.select(col("user_id").cast("string").as("key"))
+          .groupBy("key").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("key")).limit(10))
+      Sketches.cmsEstimate(counters, top, depth = 4, width = 256)
+        .join(top, Seq("key"))
+        .select("key", "exact_n", "cms_est")
+        .orderBy(col("exact_n").desc, col("key"))
+    },
+
+    // DSIR (Xie et al. 2023): select the 100 non-English docs whose
+    // hashed unigram+bigram distribution best matches the English
+    // target slice — the domain-match selection step of a pretraining
+    // mixture
+    "text_dsir_select" -> q { c =>
+      val docs = c.t("documents")
+      Dsir.select(
+        raw = docs.filter(col("lang") =!= "en"),
+        target = docs.filter(col("lang") === "en"),
+        id = "doc_id", text = "text", m = 1024, k = 100)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ops_hll_rollup" ->
+      """WITH h AS (
+        |  SELECT event_type, user_id, md5(user_id::VARCHAR) AS hx
+        |  FROM events),
+        |regs AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(hx, 1, 3))::BIGINT % 64 AS register,
+        |    max(33 - length(ltrim(bin(('0x' || substr(hx, 4, 8))::BIGINT), '0'))) AS rank
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, count(*) AS present,
+        |    sum(power(0.5, rank)) AS s_hit, 64 - count(*) AS zeros
+        |  FROM regs GROUP BY 1),
+        |est AS (
+        |  SELECT event_type, present, zeros,
+        |    0.709 * 64 * 64 / (s_hit + zeros) AS raw_e
+        |  FROM agg)
+        |SELECT e.event_type, e.present,
+        |  round(CASE WHEN raw_e <= 160.0 AND zeros > 0
+        |    THEN 64.0 * ln(64.0 / zeros) ELSE raw_e END, 2) AS estimate,
+        |  x.exact_users
+        |FROM est e JOIN (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY 1) x USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "ops_kmv_overlap" ->
+      """WITH sk AS (
+        |  SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |    FROM (SELECT DISTINCT event_type,
+        |            ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
+        |          FROM events))
+        |  WHERE rn <= 64),
+        |pairs AS (
+        |  SELECT a.event_type AS ga, b.event_type AS gb
+        |  FROM (SELECT DISTINCT event_type FROM sk) a,
+        |       (SELECT DISTINCT event_type FROM sk) b
+        |  WHERE a.event_type < b.event_type),
+        |u AS (
+        |  SELECT p.ga, p.gb, s.h,
+        |    max(CASE WHEN s.event_type = p.ga THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN s.event_type = p.gb THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN sk s ON s.event_type IN (p.ga, p.gb)
+        |  GROUP BY 1, 2, 3),
+        |ku AS (
+        |  SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+        |  FROM u)
+        |SELECT ga, gb, count(*) AS k_union,
+        |  sum(in_a * in_b)::BIGINT AS n_shared,
+        |  round(sum(in_a * in_b)::DOUBLE / count(*), 6) AS jaccard_est
+        |FROM ku WHERE rn <= 64
+        |GROUP BY 1, 2 ORDER BY ga, gb""".stripMargin,
+
+    "ops_cms_freq" ->
+      """WITH c AS (
+        |  SELECT j,
+        |    ('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT
+        |      % 256 AS idx,
+        |    count(*) AS cnt
+        |  FROM (SELECT user_id, unnest([0, 1, 2, 3]) AS j FROM events)
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT user_id::VARCHAR AS key, count(*) AS exact_n
+        |  FROM events GROUP BY 1
+        |  ORDER BY exact_n DESC, key LIMIT 10),
+        |probes AS (
+        |  SELECT key, exact_n, j,
+        |    ('0x' || substr(md5(j::VARCHAR || ':' || key), 1, 8))::BIGINT
+        |      % 256 AS idx
+        |  FROM (SELECT key, exact_n, unnest([0, 1, 2, 3]) AS j FROM top))
+        |SELECT key, exact_n, min(cnt)::BIGINT AS cms_est
+        |FROM probes JOIN c USING (j, idx)
+        |GROUP BY 1, 2 ORDER BY exact_n DESC, key""".stripMargin,
+
+    "text_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |grams AS (
+        |  SELECT doc_id, lang, unnest(ts) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, lang, ts[i] || ' ' || ts[i + 1] AS g
+        |  FROM (SELECT doc_id, lang, ts,
+        |          unnest(range(1, len(ts))) AS i FROM toks)),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b,
+        |    count(*) AS cnt
+        |  FROM grams GROUP BY 1, 2, 3),
+        |ct AS (SELECT b, sum(cnt) AS ct FROM feats WHERE lang = 'en' GROUP BY 1),
+        |cq AS (SELECT b, sum(cnt) AS cq FROM feats WHERE lang != 'en' GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT sum(cnt) FROM feats WHERE lang = 'en') AS t_tot,
+        |  (SELECT sum(cnt) FROM feats WHERE lang != 'en') AS q_tot),
+        |terms AS (
+        |  SELECT f.doc_id, f.cnt,
+        |    (f.cnt * (ln(coalesce(ct.ct, 0) + 1) - ln(cq.cq + 1)))::DECIMAL(28,12) AS term
+        |  FROM feats f JOIN cq USING (b) LEFT JOIN ct USING (b)
+        |  WHERE f.lang != 'en')
+        |SELECT doc_id, n_grams, weight FROM (
+        |  SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
+        |    round(sum(term)::DOUBLE
+        |      + sum(cnt) * (ln(q_tot + 1024) - ln(t_tot + 1024)), 6) AS weight
+        |  FROM terms, tot GROUP BY doc_id, q_tot, t_tot)
+        |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin
+  )
+}

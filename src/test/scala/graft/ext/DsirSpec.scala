@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** DSIR semantics the oracle gate can't see: directionality (docs that
+  * look like the target outrank docs that don't), featurization edges,
+  * and determinism across re-partitioning. */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val target = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat ate the fish"),
+    (3L, "a cat and the mat")
+  ).toDF("doc_id", "text")
+
+  private val raw = Seq(
+    (10L, "the cat sat on the mat"),       // verbatim target-style
+    (11L, "stock market index futures"),   // out-of-domain
+    (12L, "the cat sat near a mat"),       // close to target
+    (13L, "quantum flux capacitor array")  // out-of-domain
+  ).toDF("doc_id", "text")
+
+  test("target-like documents outrank out-of-domain documents") {
+    val w = Dsir.importanceWeights(raw, target, "doc_id", "text", m = 1024)
+      .select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    assert(w(10L) > w(11L) && w(10L) > w(13L))
+    assert(w(12L) > w(11L) && w(12L) > w(13L))
+  }
+
+  test("select returns top-k in weight-desc, id-asc order") {
+    val sel = Dsir.select(raw, target, "doc_id", "text", m = 1024, k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(sel.length == 2)
+    assert(sel.contains(10L)) // the verbatim-style doc must make the cut
+  }
+
+  test("features: blank docs contribute nothing; single-token docs have no bigrams") {
+    val docs = Seq((1L, "  "), (2L, "solo"), (3L, "a b")).toDF("doc_id", "text")
+    val f = Dsir.features(docs, "doc_id", "text", m = 64)
+    val perDoc = f.groupBy("doc_id").agg(sum("cnt").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(!perDoc.contains(1L))
+    assert(perDoc(2L) == 1L)     // one unigram, zero bigrams
+    assert(perDoc(3L) == 3L)     // two unigrams + one bigram
+  }
+
+  test("weights are invariant to input partitioning") {
+    val a = Dsir.importanceWeights(raw, target, "doc_id", "text", m = 256)
+      .orderBy("doc_id").collect().toSeq
+    val b = Dsir.importanceWeights(raw.repartition(7), target.repartition(3),
+        "doc_id", "text", m = 256)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
