@@ -1,0 +1,185 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MatrixFunctions
+
+/** Distributed PCA / whitening over an embedding column — the
+  * preprocessing stage of the embedding pipelines (SemDeDup-style
+  * clustering, ANN indexing) that want decorrelated, variance-scaled
+  * vectors before distance work.
+  *
+  * Scale shape (100 TB of vectors, dim d in the hundreds):
+  *  - the ONLY distributed pass is the second-moment aggregate
+  *    ([[graft.functions.GramMatrixAgg]]): per-partition (n, Σx, ΣxxT)
+  *    partials of 1+d+d(d+1)/2 doubles, associative merge, one row
+  *    out. No (i, j) explode, no shuffle wider than the partial
+  *    buffers.
+  *  - the eigen solve is driver-side cyclic Jacobi on the d×d
+  *    covariance — microseconds for embedding dims, and d×d is
+  *    broadcast-sized by construction (the same boundary the k-means
+  *    centroid matrix lives at, [[Clustering]]).
+  *  - projection / whitening is a map-only codegen'd
+  *    [[graft.functions.MatVecMul]] with the components matrix as one
+  *    plan reference object.
+  *
+  * The oracle-gated covariance query uses [[covariance]] — a
+  * decimal-exact declarative formulation (explode + equi-join on the
+  * vector id) that DuckDB replays bit-for-bit; [[gram]] is the
+  * double-accumulating fast path, spec-compared against it.
+  */
+object Pca {
+
+  /** Fitted model: `mean` (d), `components` (r×d, orthonormal rows,
+    * eigenvalue-descending), `variances` (r, the eigenvalues). */
+  final case class PcaModel(mean: Array[Double],
+      components: Array[Array[Double]], variances: Array[Double])
+
+  /** Decimal-exact population covariance entries of the embedding
+    * coordinates: (i, j, cov) for 1-based i <= j, cov rounded to 6
+    * decimals. Element products are cast DECIMAL(28,12) per row before
+    * the sums, so aggregation is order-independent and engine-stable;
+    * the final cov arithmetic is a fixed double formula both engines
+    * evaluate identically. Quadratic in d per row (the oracle-checkable
+    * path — [[gram]] is the one-pass scale path). */
+  def covariance(df: DataFrame, id: String, vec: String): DataFrame = {
+    val x = Dedup.pin(df
+      .select(col(id).as("_vid"), posexplode(col(vec)).as(Seq("_p", "_xv")))
+      .select(col("_vid"), (col("_p") + 1).as("i"),
+        col("_xv").cast("double").as("xv")))
+    val x1 = x.toDF("_vid", "i", "xi")
+    val x2 = x.toDF("_vid", "j", "xj")
+    val prods = x1.join(x2, Seq("_vid")).where(col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        (col("xi") * col("xj")).cast("decimal(28,12)").as("xx"))
+      .groupBy("i", "j").agg(sum("xx").as("sxx"))
+    val moms = x.groupBy("i")
+      .agg(sum(col("xv").cast("decimal(28,12)")).as("s"),
+        count(lit(1)).as("n"))
+    val mi = moms.toDF("i", "si", "ni")
+    val mj = moms.toDF("j", "sj", "nj")
+    prods.join(broadcast(mi), Seq("i")).join(broadcast(mj), Seq("j"))
+      .select(col("i"), col("j"),
+        // + 0.0 folds IEEE negative zero into 0.0 (repr-identical
+        // across engines after rounding)
+        (round(col("sxx").cast("double") / col("ni")
+          - (col("si").cast("double") / col("ni"))
+            * (col("sj").cast("double") / col("nj")), 6) + 0.0).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  /** One-pass second moments via [[graft.functions.GramMatrixAgg]]:
+    * returns (n, mean, covariance d×d) driver-side. */
+  def gram(df: DataFrame, vec: String, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val buf = df.agg(MatrixFunctions.gramAgg(col(vec), dim).as("g"))
+      .head().getSeq[Double](0).toArray
+    val n = buf(0)
+    require(n > 0, "pca: empty input")
+    val mean = Array.tabulate(dim)(i => buf(1 + i) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val g = buf(1 + dim + i * dim - i * (i - 1) / 2 + (j - i))
+        val c = g / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1
+      }
+      i += 1
+    }
+    (n.toLong, mean, cov)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues descending, eigenvectors as rows, matched order,
+    * canonical sign: largest-|component| positive). Driver-side — a is
+    * d×d with d = embedding dim. */
+  def eigenSym(a: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a.length
+    val m = Array.tabulate(d, d)((i, j) => a(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += m(i)(j) * m(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (offDiag() > 1e-20 && sweep < 100) {
+      var p = 0
+      while (p < d) {
+        var q = p + 1
+        while (q < d) {
+          val apq = m(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (m(q)(q) - m(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = m(k)(p); val akq = m(k)(q)
+              m(k)(p) = c * akp - s * akq
+              m(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = m(p)(k); val aqk = m(q)(k)
+              m(p)(k) = c * apk - s * aqk
+              m(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // eigenpairs: value m(i)(i), vector = column i of v; sort desc
+    val pairs = (0 until d).map { i =>
+      val vec = Array.tabulate(d)(k => v(k)(i))
+      // canonical sign: the largest-|component| entry is positive
+      var bi = 0
+      var k = 1
+      while (k < d) { if (math.abs(vec(k)) > math.abs(vec(bi))) bi = k; k += 1 }
+      if (vec(bi) < 0) { k = 0; while (k < d) { vec(k) = -vec(k); k += 1 } }
+      (m(i)(i), vec)
+    }.sortBy(-_._1)
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
+  /** Fit a rank-`r` PCA on `vec` (dimension `dim`): one distributed
+    * pass + driver Jacobi. */
+  def fit(df: DataFrame, vec: String, dim: Int, r: Int): PcaModel = {
+    require(r >= 1 && r <= dim, "rank must be in [1, dim]")
+    val (_, mean, cov) = gram(df, vec, dim)
+    val (values, vectors) = eigenSym(cov)
+    PcaModel(mean, vectors.take(r), values.take(r))
+  }
+
+  /** Projection column for `vec` under `model`: y = V (x − μ), an
+    * `array<double>` of length r. `whiten = true` scales component i
+    * by 1/sqrt(λᵢ) (unit variance; zero-variance components stay
+    * unscaled). Map-only, codegen'd, matrix as one reference object. */
+  def projection(model: PcaModel, vec: Column, whiten: Boolean = false): Column = {
+    val mat =
+      if (!whiten) model.components
+      else model.components.zip(model.variances).map { case (row, lam) =>
+        if (lam > 1e-12) row.map(_ / math.sqrt(lam)) else row.clone()
+      }
+    MatrixFunctions.matVecMul(vec, mat, model.mean)
+  }
+}

@@ -67,7 +67,6 @@ case class GramMatrixAgg(child: Expression, dim: Int,
       }
       buf(0) += 1.0
       i = 0
-      var t = 1 + dim
       while (i < n) {
         buf(1 + i) += x(i)
         var j = i
@@ -78,7 +77,6 @@ case class GramMatrixAgg(child: Expression, dim: Int,
         }
         i += 1
       }
-      t = t // (silence unused; offsets computed inline)
     }
     buf
   }

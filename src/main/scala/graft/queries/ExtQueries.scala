@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{BpeTrainer, Clustering, Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{BpeTrainer, Clustering, Dedup, Multimodal, Pca, Similarity, TextOps}
 
 /** Training-data extensions (SURVEY.md §7.8): text analysis, dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
@@ -227,6 +227,58 @@ object ExtQueries {
     "sim_kmeans_assign" -> q { c =>
       Clustering.lloydAssign(c.t("embeddings"), "vec_id", "embedding",
         k = 4, iters = 3)
+    },
+
+    // decimal-exact covariance of the embedding coordinates — the
+    // oracle-checkable face of the PCA plane (the one-pass GramMatrixAgg
+    // scale path is spec-compared against this declarative formulation)
+    "sim_pca_covariance" -> q { c =>
+      Pca.covariance(c.t("embeddings"), "vec_id", "embedding")
+    },
+
+    // rank-4 PCA fit (one-pass gram aggregate + driver Jacobi) and
+    // map-only codegen projection; self-gated in-query: the empirical
+    // population variance of each component must equal its eigenvalue
+    // (rel. 1e-6), the component rows must be orthonormal, eigenvalues
+    // non-increasing
+    "sim_pca_project" -> q { c =>
+      val emb = c.t("embeddings")
+      val model = Pca.fit(emb, "embedding", dim = 64, r = 4)
+      val orthOk = {
+        val v = model.components
+        val r = v.length
+        var worst = 0.0
+        for (i <- 0 until r; j <- 0 until r) {
+          val dot = v(i).zip(v(j)).map { case (a, b) => a * b }.sum
+          worst = math.max(worst, math.abs(dot - (if (i == j) 1.0 else 0.0)))
+        }
+        worst < 1e-8
+      }
+      val varSorted = model.variances.sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1))
+      val proj = graft.ext.Dedup.pin(c.t("embeddings")
+        .select(col("vec_id"),
+          Pca.projection(model, col("embedding")).as("pc")))
+      val lams = model.variances.zipWithIndex
+        .map { case (l, i) => (i, l) }.toSeq
+      val lamDf = c.spark.createDataFrame(lams).toDF("k", "lam")
+      val varGate = proj
+        .select(posexplode(col("pc")).as(Seq("k", "y")))
+        .groupBy("k").agg(avg(col("y") * col("y")).as("m2"),
+          avg(col("y")).as("m1"))
+        .join(broadcast(lamDf), Seq("k"))
+        .agg(max(abs(col("m2") - col("m1") * col("m1") - col("lam"))
+          / col("lam")).as("worst"))
+        .select((col("worst") < 1e-6).as("var_matches"))
+      proj.crossJoin(broadcast(varGate))
+        .select(col("vec_id"),
+          round(element_at(col("pc"), 1), 4).as("pc1"),
+          round(element_at(col("pc"), 2), 4).as("pc2"),
+          round(element_at(col("pc"), 3), 4).as("pc3"),
+          col("var_matches"),
+          lit(orthOk).as("orthonormal_ok"),
+          lit(varSorted).as("variance_sorted"))
+        .orderBy("vec_id")
     },
 
     // ---- similarity search ----------------------------------------------
@@ -928,6 +980,31 @@ object ExtQueries {
 
     "dedup_semantic" ->
       Clustering.semanticOracleSql(k = 4, iters = 3, threshold = 0.45),
+
+    // decimal-exact covariance: element products cast DECIMAL(28,12)
+    // per row pre-sum; final cov arithmetic is the same fixed double
+    // formula on both engines
+    "sim_pca_covariance" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, unnest(v) AS xv,
+        |    unnest(range(1, len(v) + 1)) AS i
+        |  FROM e),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    (a.xv * b.xv)::DECIMAL(28,12) AS xx
+        |  FROM x a JOIN x b USING (vec_id)
+        |  WHERE a.i <= b.i),
+        |s2 AS (SELECT i, j, sum(xx) AS sxx FROM p GROUP BY 1, 2),
+        |m AS (
+        |  SELECT i, sum(xv::DECIMAL(28,12)) AS s, count(*) AS n
+        |  FROM x GROUP BY 1)
+        |SELECT s2.i AS i, s2.j AS j,
+        |  round(sxx::DOUBLE / ma.n
+        |    - (ma.s::DOUBLE / ma.n) * (mb.s::DOUBLE / mb.n), 6) + 0.0 AS cov
+        |FROM s2 JOIN m ma ON ma.i = s2.i JOIN m mb ON mb.i = s2.j
+        |ORDER BY s2.i, s2.j""".stripMargin,
 
     "sim_kmeans_assign" -> Clustering.oracleSql(k = 4, iters = 3),
 

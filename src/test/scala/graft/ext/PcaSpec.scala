@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PCA invariants beyond the oracle gate: the one-pass GramMatrixAgg
+  * path agrees with the decimal-exact declarative covariance, the
+  * Jacobi solve is a true eigendecomposition, whitening produces unit
+  * variances, and everything is partition-invariant up to fp noise. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic correlated 2-blob data in 6 dims
+  private def vecs(n: Int, d: Int = 6) = (1 to n).map { i =>
+    val base = if (i % 2 == 0) 1.0 else -1.0
+    (i.toLong, Array.tabulate(d)(k =>
+      (base * (k + 1) * 0.3 + math.sin(i * 0.7 + k) * 0.1).toFloat))
+  }.toDF("id", "v")
+
+  test("gram-agg covariance matches the declarative decimal path") {
+    val df = vecs(400)
+    val (_, _, cov) = Pca.gram(df, "v", dim = 6)
+    val decl = Pca.covariance(df, "id", "v")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    for (i <- 0 until 6; j <- i until 6) {
+      assert(math.abs(cov(i)(j) - decl((i + 1, j + 1))) < 1e-5,
+        s"cov($i,$j): agg=${cov(i)(j)} decl=${decl((i + 1, j + 1))}")
+    }
+  }
+
+  test("gram-agg merge: result invariant to input partitioning") {
+    val df = vecs(300)
+    val (n1, m1, c1) = Pca.gram(df, "v", dim = 6)
+    val (n2, m2, c2) = Pca.gram(df.repartition(13), "v", dim = 6)
+    assert(n1 == n2)
+    for (i <- 0 until 6) assert(math.abs(m1(i) - m2(i)) < 1e-9)
+    for (i <- 0 until 6; j <- 0 until 6)
+      assert(math.abs(c1(i)(j) - c2(i)(j)) < 1e-9)
+  }
+
+  test("jacobi: A v = lambda v, orthonormal vectors, descending values") {
+    val a = Array(
+      Array(4.0, 1.0, 0.5, 0.0),
+      Array(1.0, 3.0, 0.2, 0.1),
+      Array(0.5, 0.2, 2.0, 0.3),
+      Array(0.0, 0.1, 0.3, 1.0))
+    val (values, vectors) = Pca.eigenSym(a)
+    assert(values.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    for (e <- values.indices) {
+      val v = vectors(e)
+      // residual ||A v - lambda v||
+      for (i <- a.indices) {
+        val av = a(i).indices.map(j => a(i)(j) * v(j)).sum
+        assert(math.abs(av - values(e) * v(i)) < 1e-9,
+          s"eigen residual at ($e, $i)")
+      }
+    }
+    for (e1 <- vectors.indices; e2 <- vectors.indices) {
+      val dot = vectors(e1).zip(vectors(e2)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - (if (e1 == e2) 1.0 else 0.0)) < 1e-9)
+    }
+    // trace preserved
+    assert(math.abs(values.sum - (4.0 + 3.0 + 2.0 + 1.0)) < 1e-9)
+  }
+
+  test("projection variances equal eigenvalues; whitening gives unit variance") {
+    val df = vecs(500)
+    val model = Pca.fit(df, "v", dim = 6, r = 3)
+    def componentVars(whiten: Boolean): Map[Int, Double] =
+      df.select(posexplode(Pca.projection(model, col("v"), whiten))
+          .as(Seq("k", "y")))
+        .groupBy("k")
+        .agg((avg(col("y") * col("y")) - avg("y") * avg("y")).as("variance"))
+        .as[(Int, Double)].collect().toMap
+    val raw = componentVars(whiten = false)
+    for (k <- 0 until 3)
+      assert(math.abs(raw(k) - model.variances(k))
+        <= 1e-8 * math.max(1.0, model.variances(k)), s"var pc$k")
+    val white = componentVars(whiten = true)
+    for (k <- 0 until 3)
+      assert(math.abs(white(k) - 1.0) < 1e-6, s"whitened var pc$k = ${white(k)}")
+  }
+
+  test("top component separates the two blobs") {
+    val df = vecs(200)
+    val model = Pca.fit(df, "v", dim = 6, r = 1)
+    val signs = df.select(col("id"),
+        element_at(Pca.projection(model, col("v")), 1).as("pc1"))
+      .as[(Long, Double)].collect()
+    val even = signs.filter(_._1 % 2 == 0).map(_._2)
+    val odd = signs.filter(_._1 % 2 == 1).map(_._2)
+    // the blobs land on opposite sides of the first component
+    assert(even.forall(_ > 0) != even.forall(_ < 0) || even.nonEmpty)
+    assert(math.signum(even.sum) != math.signum(odd.sum))
+  }
+}
