@@ -44,17 +44,30 @@ object Pca {
     * evaluate identically. Quadratic in d per row (the oracle-checkable
     * path — [[gram]] is the one-pass scale path). */
   def covariance(df: DataFrame, id: String, vec: String): DataFrame = {
-    val x = Dedup.pin(df
-      .select(col(id).as("_vid"), posexplode(col(vec)).as(Seq("_p", "_xv")))
-      .select(col("_vid"), (col("_p") + 1).as("i"),
-        col("_xv").cast("double").as("xv")))
-    val x1 = x.toDF("_vid", "i", "xi")
-    val x2 = x.toDF("_vid", "j", "xj")
-    val prods = x1.join(x2, Seq("_vid")).where(col("i") <= col("j"))
-      .select(col("i"), col("j"),
-        (col("xi") * col("xj")).cast("decimal(28,12)").as("xx"))
-      .groupBy("i", "j").agg(sum("xx").as("sxx"))
-    val moms = x.groupBy("i")
+    // product sums via the ONE-PASS exact-decimal Gram aggregate: no
+    // pair explode, no self-join — the shuffle carries per-task partial
+    // buffers (d(d+1)/2 decimals), not n·d(d+1)/2 product rows. The
+    // per-product CAST(double AS DECIMAL(28,12)) runs through Spark's
+    // own Decimal conversion inside the aggregate, so the sums are
+    // bit-identical to the declarative `sum(cast(xi*xj as decimal))`
+    // the DuckDB oracle replays.
+    val spark = df.sparkSession
+    val v = Dedup.pin(df.select(col(vec).cast("array<double>").as("_v")))
+    val d = v.select(size(col("_v"))).head().getInt(0)
+    val flat = v.agg(
+      graft.functions.MatrixFunctions.decimalGramAgg(col("_v"), d).as("g"))
+    // tiny packed-index → (i, j) map (d(d+1)/2 rows), broadcast
+    val idx = for {
+      i <- 0 until d; j <- i until d
+    } yield (i * d - i * (i - 1) / 2 + (j - i), i + 1, j + 1)
+    val idxDf = spark.createDataFrame(idx).toDF("_k", "i", "j")
+    val prods = flat
+      .select(posexplode(col("g")).as(Seq("_k", "sxx")))
+      .join(broadcast(idxDf), Seq("_k"))
+    val moms = v
+      .select(posexplode(col("_v")).as(Seq("_p", "xv")))
+      .select((col("_p") + 1).as("i"), col("xv"))
+      .groupBy("i")
       .agg(sum(col("xv").cast("decimal(28,12)")).as("s"),
         count(lit(1)).as("n"))
     val mi = moms.toDF("i", "si", "ni")

@@ -109,6 +109,198 @@ case class GramMatrixAgg(child: Expression, dim: Int,
     copy(child = newChild)
 }
 
+/** Decimal-EXACT second-moment product sums: for each (i <= j) pair of
+  * coordinates, Σ over rows of `CAST(xᵢ·xⱼ AS DECIMAL(28,12))`,
+  * accumulated in exact java BigDecimals — bit-identical to the SQL
+  * `sum(cast(xi * xj as decimal(28,12)))` of the declarative explode
+  * formulation (each product goes through Spark's own `Decimal`
+  * double→decimal conversion before the add), but ONE pass with
+  * sketch-sized partials instead of an n·d(d+1)/2-row shuffle. Output:
+  * `array<decimal(38,12)>` of length d(d+1)/2, packed row-major upper
+  * triangle. The oracle-checkable face of [[GramMatrixAgg]]. */
+case class DecimalGramAgg(child: Expression, dim: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DecimalGramAgg.Buf]
+  with UnaryLike[Expression] {
+  import DecimalGramAgg.Buf
+
+  private val triLen = dim * (dim + 1) / 2
+
+  override def prettyName: String = "graft_decimal_gram_agg"
+  override def dataType: DataType =
+    ArrayType(DecimalType(38, 12), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${t.sql}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def createAggregationBuffer(): Buf = Buf(new Array[Long](triLen), null)
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val n = math.min(dim, a.numElements())
+      val x = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        x(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        val base = i * dim - i * (i - 1) / 2 - i
+        var j = i
+        while (j < n) {
+          val p = x(i) * x(j)
+          // Fast path: the SQL cast rounds the shortest decimal repr of
+          // p HALF_UP to scale 12. Away from a .5 rounding boundary the
+          // numeric result is identical and needs no BigDecimal: for
+          // |p| <= 10 the combined repr+multiply error is < 3e-3
+          // unscaled units, so a 0.01 guard band is conservative.
+          val y = p * 1e12
+          val ay = math.abs(y)
+          // non-finite products: SQL cast yields null -> sum skips
+          var done = java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p)
+          if (ay < 1e13) { // |p| <= 10: combined error < 3e-3 unscaled
+            val f = ay - math.floor(ay)
+            if (math.abs(f - 0.5) > 0.01) {
+              val mag = if (f > 0.5) math.floor(ay) + 1.0 else math.floor(ay)
+              buf.addLong(base + j, (if (y < 0) -mag else mag).toLong)
+              done = true
+            }
+          }
+          if (!done) {
+            // boundary/huge values: the exact string-based conversion
+            // (what Spark's Decimal.set(Double) does), HALF_UP scale 12
+            val scaled = java.math.BigDecimal.valueOf(p)
+              .setScale(12, java.math.RoundingMode.HALF_UP)
+            if (scaled.precision() <= 28) { // CAST overflow -> null -> skip
+              buf.add(base + j, scaled)
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = b1.mergeFrom(b2)
+
+  override def eval(buf: Buf): Any = {
+    val out = new Array[Any](triLen)
+    var i = 0
+    while (i < triLen) {
+      val d = org.apache.spark.sql.types.Decimal(scala.math.BigDecimal(buf.total(i)))
+      d.changePrecision(38, 12)
+      out(i) = d
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(triLen)
+    var i = 0
+    while (i < triLen) {
+      val bytes = buf.total(i).unscaledValue().toByteArray
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val big = new Array[java.math.BigDecimal](n)
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      big(i) = new java.math.BigDecimal(new java.math.BigInteger(b), 12)
+      i += 1
+    }
+    Buf(new Array[Long](n), big)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): DecimalGramAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): DecimalGramAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): DecimalGramAgg =
+    copy(child = newChild)
+}
+
+object DecimalGramAgg {
+  /** Exact scale-12 accumulator: hot path sums UNSCALED LONGS (one
+    * Math.addExact per product — embeddings keep unscaled values far
+    * under 2^63); a rare magnitude/sum overflow spills that slot into a
+    * lazily-allocated exact BigDecimal side array, so the result is
+    * exact at ANY scale. */
+  final case class Buf(longs: Array[Long], var big: Array[java.math.BigDecimal]) {
+    private def spill(k: Int, v: java.math.BigDecimal): Unit = {
+      if (big == null) big = new Array[java.math.BigDecimal](longs.length)
+      big(k) = if (big(k) == null) v else big(k).add(v)
+    }
+
+    def add(k: Int, scaled: java.math.BigDecimal): Unit = {
+      val unscaled = scaled.unscaledValue()
+      if (unscaled.bitLength() < 63) addLong(k, unscaled.longValue())
+      else spill(k, scaled)
+    }
+
+    /** Accumulate an unscaled scale-12 long with overflow spill. */
+    def addLong(k: Int, l: Long): Unit = {
+      val prev = longs(k)
+      val next = prev + l
+      // overflow check (addExact semantics without the throw)
+      if (((prev ^ next) & (l ^ next)) < 0) {
+        longs(k) = 0L
+        spill(k, java.math.BigDecimal.valueOf(prev, 12).add(
+          java.math.BigDecimal.valueOf(l, 12)))
+      } else longs(k) = next
+    }
+
+    def mergeFrom(o: Buf): Buf = {
+      var i = 0
+      while (i < longs.length) {
+        val l = o.longs(i)
+        if (l != 0L) {
+          val prev = longs(i)
+          val next = prev + l
+          if (((prev ^ next) & (l ^ next)) < 0) {
+            longs(i) = 0L
+            spill(i, java.math.BigDecimal.valueOf(prev, 12).add(
+              java.math.BigDecimal.valueOf(l, 12)))
+          } else longs(i) = next
+        }
+        if (o.big != null && o.big(i) != null) spill(i, o.big(i))
+        i += 1
+      }
+      this
+    }
+
+    def total(k: Int): java.math.BigDecimal = {
+      val l = java.math.BigDecimal.valueOf(longs(k), 12)
+      if (big != null && big(k) != null) l.add(big(k)) else l
+    }
+  }
+}
+
 /** y = M · (x − c): project an embedding onto `matrix` rows after
   * centering — the PCA/whitening transform as one codegen'd map-only
   * expression. The components matrix and center ride the plan as
@@ -184,6 +376,10 @@ case class MatVecMul(child: Expression, matrix: Array[Array[Double]],
 object MatrixFunctions {
   def gramAgg(e: Column, dim: Int): Column =
     ColumnBridge.column(GramMatrixAgg(ColumnBridge.expression(e), dim)
+      .toAggregateExpression())
+
+  def decimalGramAgg(e: Column, dim: Int): Column =
+    ColumnBridge.column(DecimalGramAgg(ColumnBridge.expression(e), dim)
       .toAggregateExpression())
 
   def matVecMul(e: Column, matrix: Array[Array[Double]],

@@ -333,8 +333,11 @@ object ExtQueries {
     "sim_ivf_ann" -> q { c =>
       val vecs = c.t("embeddings")
       val queries = vecs.filter(col("vec_id") < 10)
+      // nprobe 12/16: the round-7 regenerated embeddings pack the
+      // true neighbors tighter (nprobe=8 measured recall@5 0.880 at
+      // sf0.1 — under the gate); 12 measures 0.96/1.0/1.0 across SFs
       val approx = Similarity.ivfTopK(vecs, queries,
-        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8)
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 12)
       val exact = Similarity.bruteForceTopK(vecs, queries,
         "vec_id", "embedding", k = 5)
       val gated = Similarity.recallAtK(approx, exact, 5)
@@ -351,11 +354,12 @@ object ExtQueries {
     "sim_lsh_ann" -> q { c =>
       val vecs = c.t("embeddings")
       val queries = vecs.filter(col("vec_id") < 10)
-      // 16 narrow bands (width 4): recall 1-(1-p⁴)¹⁶ clears 0.9 where
-      // the old 4×4 construction sat near 0.3; candidates stay bucket-
-      // bounded and the exact re-rank trims them
+      // 20 width-3 bands: recall 1-(1-p³)²⁰ — the 16×4 construction
+      // measured 0.880 at sf0.1 on the round-7 regenerated embeddings;
+      // width 3 admits more candidates per band (the exact re-rank
+      // trims them) and measures 0.98/1.0/1.0 across SFs
       val approx = Similarity.lshTopK(vecs, queries, "vec_id", "embedding",
-        k = 5, bits = 64, bands = 16)
+        k = 5, bits = 60, bands = 20)
       val exact = Similarity.bruteForceTopK(vecs, queries,
         "vec_id", "embedding", k = 5)
       val gated = Similarity.recallAtK(approx, exact, 5)

@@ -39,6 +39,42 @@ class PcaSpec extends SparkSpec {
       assert(math.abs(c1(i)(j) - c2(i)(j)) < 1e-9)
   }
 
+  test("decimal gram agg equals a pure-BigDecimal reference (fast path exactness)") {
+    // adversarial magnitudes: tiny, ~1, large (still < 10 product),
+    // negative — exercises both the long fast path and the guard band
+    val data = (1 to 300).map { i =>
+      (i.toLong, Array.tabulate(4)(k =>
+        (math.sin(i * 1.3 + k) * math.pow(10.0, (i + k) % 4 - 2)).toFloat))
+    }
+    val df = data.toDF("id", "v")
+    val got = Pca.covariance(df, "id", "v")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // reference: exact BigDecimal sums of CAST(xi*xj AS DECIMAL(28,12))
+    val d = 4
+    val sums = Array.fill(d, d)(java.math.BigDecimal.ZERO)
+    val mSums = Array.fill(d)(java.math.BigDecimal.ZERO)
+    data.foreach { case (_, arr) =>
+      val xs = arr.map(_.toDouble)
+      for (i <- 0 until d) {
+        mSums(i) = mSums(i).add(java.math.BigDecimal.valueOf(xs(i))
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+        for (j <- i until d)
+          sums(i)(j) = sums(i)(j).add(java.math.BigDecimal.valueOf(xs(i) * xs(j))
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+      }
+    }
+    val n = data.size.toDouble
+    for (i <- 0 until d; j <- i until d) {
+      val expect = BigDecimal(
+        sums(i)(j)).toDouble / n -
+        (BigDecimal(mSums(i)).toDouble / n) * (BigDecimal(mSums(j)).toDouble / n)
+      val rounded = BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+      assert(got((i + 1, j + 1)) == rounded,
+        s"($i,$j): got ${got((i + 1, j + 1))}, expect $rounded")
+    }
+  }
+
   test("jacobi: A v = lambda v, orthonormal vectors, descending values") {
     val a = Array(
       Array(4.0, 1.0, 0.5, 0.0),
