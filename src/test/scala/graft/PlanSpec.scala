@@ -177,4 +177,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
       "validation must compile to native expressions")
   }
+
+  test("kmv sketches push the bottom-k into a window group limit") {
+    val p = plan("ops_kmv_overlap")
+    assert(p.contains("WindowGroupLimit"),
+      s"bottom-k must prune map-side before the shuffle:\n$p")
+    // the only nested-loop allowed is the tiny group-pair enumeration
+    // (|groups|^2 inequality join of two dimension lists)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("cms estimate joins the counter table by broadcast") {
+    val p = plan("ops_cms_freq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"sketch-sized counter join must broadcast:\n$p")
+  }
+
+  test("dsir scoring joins the log-ratio model by broadcast, no doc x vocab product") {
+    val p = plan("text_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=m-row ratio table must broadcast:\n$p")
+    // 1-row corpus totals ride BroadcastNestedLoopJoin crosses (fine);
+    // the feature-to-model join must never shuffle-sort
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("pca covariance runs as one object-agg pass, never a pair self-join") {
+    val p = plan("sim_pca_covariance")
+    assert(p.contains("graft_decimal_gram_agg"),
+      s"expected the one-pass decimal gram aggregate:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no n*d^2 pair self-join allowed:\n$p")
+  }
+
+  test("pca projection stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val model = graft.ext.Pca.fit(emb, "embedding", dim = 64, r = 4)
+    val proj = emb.select(col("vec_id"),
+      graft.ext.Pca.projection(model, col("embedding")).as("pc"))
+    assert(proj.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      .contains("WholeStageCodegen"))
+    val p = proj.queryExecution.executedPlan.toString()
+    assert(p.contains("graft_matvec_mul"))
+  }
 }
