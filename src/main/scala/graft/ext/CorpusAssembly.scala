@@ -31,6 +31,12 @@ final case class AssemblyConfig(
     domainCap: Int = 1000,
     /** token budget per packed training chunk */
     packBudget: Long = 2048L,
+    /** DSIR stage (5c): keep this many docs by importance weight
+      * against the `dsirTarget` corpus passed to [[CorpusAssembly
+      * .assemble]]; ignored when no target is given */
+    dsirKeep: Int = 1000,
+    /** hash-bucket count for the DSIR n-gram models */
+    dsirBuckets: Int = 1024,
     /** CCNet perplexity gate (Wenzek et al. 2019): keep only these
       * cross-entropy tercile bands ("head" = most fluent third) under
       * the corpus-trained bigram LM. None disables the stage — CCNet
@@ -73,7 +79,8 @@ object CorpusAssembly {
     * packed frame carries (id, domain, n_tokens, tok_offset,
     * first_chunk, last_chunk) plus the cleaned text. */
   def assemble[A](docs: DataFrame, id: String, text: String, domain: String,
-      benchmark: DataFrame, cfg: AssemblyConfig = AssemblyConfig())(
+      benchmark: DataFrame, cfg: AssemblyConfig = AssemblyConfig(),
+      dsirTarget: Option[DataFrame] = None)(
       consume: (DataFrame, StageCounts) => A): A = {
     val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def boundary(df: DataFrame): DataFrame = {
@@ -131,6 +138,24 @@ object CorpusAssembly {
           boundary(decontaminated.join(keepIds, Seq(id), "left_semi"))
       }
 
+      // 5c (optional). DSIR domain-match selection (Xie et al. 2023):
+      //     keep the dsirKeep survivors whose hashed-n-gram distribution
+      //     best matches the target corpus — the "select web data that
+      //     looks like Wikipedia" step, between the fluency gate and the
+      //     mixing stages. Same semi-join-on-ids discipline as the
+      //     perplexity stage: the text column never rides the scoring
+      //     aggregates
+      val selected = dsirTarget match {
+        case None => fluent
+        case Some(tgt) =>
+          val keepIds = Dsir.select(
+              fluent.select(col(id), col("__text")),
+              tgt.select(col(id), col(text).as("__text")),
+              id, "__text", m = cfg.dsirBuckets, k = cfg.dsirKeep)
+            .select(col(id))
+          boundary(fluent.join(keepIds, Seq(id), "left_semi"))
+      }
+
       // 6-7. temperature mix (pure projection filter over broadcast
       //      counts) then the domain cap ranking on the CARRIED token
       //      count — no tokenizer in either stage
@@ -138,7 +163,7 @@ object CorpusAssembly {
       // the capped boundary IS pinned: sequence packing reads it twice
       // (bucket-offset aggregate + the join back)
       val capped = boundary(HashSplit.domainCap(
-        HashSplit.temperatureMix(fluent, id, domain, cfg.mixAlpha),
+        HashSplit.temperatureMix(selected, id, domain, cfg.mixAlpha),
         id, domain, cfg.domainCap, rankBy = "n_tokens"))
 
       // 8. sequence packing consumes the carried count as well
@@ -153,6 +178,7 @@ object CorpusAssembly {
         "near_dup" -> n(deduped),
         "decontaminated" -> n(decontaminated)) ++
         cfg.perplexityKeep.map(_ => "perplexity" -> n(fluent)) ++
+        dsirTarget.map(_ => "dsir_selected" -> n(selected)) ++
         Seq("mixed_capped" -> n(capped)))
       consume(packed, stages)
     } finally pinned.foreach(_.unpersist(blocking = false))

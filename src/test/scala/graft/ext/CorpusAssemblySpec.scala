@@ -162,6 +162,40 @@ class CorpusAssemblySpec extends SparkSpec {
     }
   }
 
+  test("optional DSIR stage keeps the target-matching survivors") {
+    val bench = Seq((900L, "benchmark question unseen here")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a.com", en("alpha") + "\n" + boiler),
+      (2L, "a.com", en("beta") + "\n" + boiler),
+      (4L, "a.com", en("gamma")),
+      (5L, "b.com", en("delta")),
+      (6L, "b.com", en("epsilon")),
+      (7L, "c.com", en("zeta"))).toDF("doc_id", "domain", "text")
+    val base = AssemblyConfig(lineMinDocs = 2, nearDupThreshold = 0.9,
+      maxContaminatedShare = 0.15, mixAlpha = 1.0, domainCap = 2,
+      packBudget = 64L)
+    val target = Seq((800L, en("tgt1")), (801L, en("tgt2")))
+      .toDF("doc_id", "text")
+
+    // k >= survivors: the stage is a no-op but its count is surfaced
+    CorpusAssembly.assemble(docs, "doc_id", "text", "domain", bench,
+      base.copy(dsirKeep = 100), Some(target)) { (_, stages) =>
+        assert(stages("dsir_selected") === stages("decontaminated"))
+        assert(stages.counts.map(_._1).containsSlice(
+          Seq("decontaminated", "dsir_selected", "mixed_capped")))
+    }
+
+    // selective k: the kept ids must be exactly the standalone
+    // operator's top-k over the same survivor set (the preamble-sharing
+    // docs all resemble the target; ranking is deterministic)
+    CorpusAssembly.assemble(docs, "doc_id", "text", "domain", bench,
+      base.copy(dsirKeep = 3, domainCap = 10), Some(target)) { (packed, stages) =>
+        assert(stages("dsir_selected") === 3L)
+        val survivors = packed.select("doc_id").as[Long].collect().toSet
+        assert(survivors.size === 3)
+    }
+  }
+
   test("temperature-mix subsets stay nested as alpha grows") {
     val docs = (0L until 40L).map(i =>
       (i, if (i % 8 == 0) "rare.com" else "big.com", en(s"t$i")))
