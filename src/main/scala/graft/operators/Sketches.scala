@@ -121,12 +121,25 @@ object Sketches {
     * bottom-k per group BEFORE the shuffle, so the exchange carries
     * O(k · groups) rows per task, not the distinct set. */
   def kmv(df: DataFrame, groups: Seq[String], value: String,
-      k: Int = 256): DataFrame = {
-    val hashes = df
+      k: Int = 256, minDistinctHint: Option[Long] = None): DataFrame = {
+    val hashed = df
       .select(groups.map(col) :+ hash32(col(value)).as("h"): _*)
-      .distinct()
+    // Scale valve: the distinct's map-side combine still ships every
+    // locally-distinct hash through the first exchange. With a LOWER
+    // bound on each cell's distinct count, a pure-projection ceiling
+    // filter drops the hashes that cannot reach the bottom-k first:
+    // h_k concentrates near k/n·2^32, so a 16× ceiling keeps the
+    // result identical up to a e^-Θ(k) tail while shrinking the
+    // shuffle by ~n·(1 − 16k/n). Hint too high ⇒ possible recall loss
+    // — use a safe lower bound (e.g. yesterday's estimate / 4).
+    val pruned = minDistinctHint match {
+      case Some(n) if n > 16L * k =>
+        hashed.filter(col("h") < lit(
+          math.min(HashSpace, 16L * k * (HashSpace / math.max(n, 1L)))))
+      case _ => hashed
+    }
     val w = Window.partitionBy(groups.map(col): _*).orderBy(col("h"))
-    hashes.withColumn("__rn", row_number().over(w))
+    pruned.distinct().withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
 

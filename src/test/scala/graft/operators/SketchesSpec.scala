@@ -54,6 +54,16 @@ class SketchesSpec extends SparkSpec {
     assert(est == 20.0)
   }
 
+  test("kmv with a distinct-count hint prunes without changing the sketch") {
+    val df = (1 to 20000).map(i => ("g", s"u${i % 5000}")).toDF("g", "v")
+    val plain = Sketches.kmv(df, Seq("g"), "v", k = 128)
+      .orderBy("h").collect().toSeq
+    val hinted = Sketches.kmv(df, Seq("g"), "v", k = 128,
+      minDistinctHint = Some(5000L))
+      .orderBy("h").collect().toSeq
+    assert(hinted == plain)
+  }
+
   test("kmv estimate tracks true cardinality when full") {
     val df = (1 to 10000).map(i => ("g", s"u$i")).toDF("g", "v")
     val est = Sketches.kmvEstimate(
