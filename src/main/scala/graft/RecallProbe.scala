@@ -32,7 +32,7 @@ object RecallProbe {
         k = 5, nlist = 16, nprobe = nprobe))
       println(f"IVF nlist=16 nprobe=$nprobe recall=$r%.3f  (${(System.nanoTime()-t0)/1e9}%.1f s)")
     }
-    for ((bits, bands) <- Seq((64, 16), (60, 20), (48, 16), (60, 12))) {
+    for ((bits, bands) <- Seq((60, 20), (96, 16), (144, 24), (128, 16), (192, 24))) {
       val t0 = System.nanoTime()
       val r = recall(Similarity.lshTopK(vecs, queries, "vec_id", "embedding",
         k = 5, bits = bits, bands = bands))

@@ -42,19 +42,26 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Corpus bucketed by LSH signature bands: one row per (vector, band).
-    * `bits` hyperplane bits split into `bands` bands; vectors sharing any
-    * band value are near-neighbour candidates. Materialize this once
-    * (e.g. bucketed/partitioned by (band, sig)) and reuse across queries. */
+  /** Corpus bucketed by LSH signature bands: one row per (vector, band),
+    * bucket = that band's own `width = bits/bands` hyperplane sign bits.
+    * Each band hashes against its OWN plane block, so bands × width is
+    * unconstrained by any packing word (the old single-long signature
+    * capped bits at 64, which at corpus scale forces degenerate narrow
+    * bands: bucket count must track corpus size — width ~ log₂(n/target
+    * occupancy) — and more bands buy recall). Vectors sharing any band
+    * value are near-neighbour candidates. Materialize once (e.g.
+    * bucketed/partitioned by (band, bucket)) and reuse across queries. */
   def hyperplaneBuckets(vecs: DataFrame, id: String, vec: String,
       bits: Int = 16, bands: Int = 4, seed: Long = 42L, dim: Int = 64): DataFrame = {
     val width = bits / bands
-    val sig = hyperplaneSignature(col(vec), hyperplanes(dim, bits, seed))
-    vecs.select(col(id).as("_id"), col(vec).as("_vec"), sig.as("_sig"))
+    require(width >= 1 && width <= 62, s"band width $width out of range")
+    val planes = hyperplanes(dim, bands * width, seed)
+    val bandSigs = (0 until bands).map { b =>
+      hyperplaneSignature(col("_vec"), planes.slice(b * width, (b + 1) * width))
+    }
+    vecs.select(col(id).as("_id"), col(vec).as("_vec"))
       .select(col("_id"), col("_vec"),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("_sig"), b * width)
-            .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("band", "bucket")))
+        posexplode(array(bandSigs: _*)).as(Seq("band", "bucket")))
   }
 
   /** Recall@k self-check for approximate search: measures, per query,
