@@ -228,15 +228,19 @@ object Similarity {
     val cb = hyperplaneBuckets(corpus, id, vec, bits, bands, seed, dim)
     val qb = hyperplaneBuckets(queries, id, vec, bits, bands, seed, dim)
       .withColumnRenamed("_id", "query_id").withColumnRenamed("_vec", "q_vec")
+    // score INSIDE the bucket join, before the candidate dedup: a pair
+    // colliding in c bands costs c codegen'd cosines (cheap) but the
+    // dedup shuffle then carries (ids, cosine) scalars instead of two
+    // dim-float vectors per collision — the shuffle, not the math, is
+    // the scale cost. max() is a no-op combiner (all copies equal).
     val cand = qb.join(cb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("_id"))
-      .select(col("query_id"), col("q_vec"),
-        col("_id").as("match_id"), col("_vec").as("c_vec"))
-      .dropDuplicates("query_id", "match_id")
+      .select(col("query_id"), col("_id").as("match_id"),
+        Dedup.cosine(col("q_vec"), col("_vec")).as("cosine"))
+      .groupBy("query_id", "match_id").agg(max("cosine").as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("match_id"))
-    cand.withColumn("cosine", Dedup.cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(w))
+    cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("match_id"),
         round(col("cosine"), 6).as("cosine"))

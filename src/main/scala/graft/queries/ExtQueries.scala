@@ -336,10 +336,12 @@ object ExtQueries {
       // nprobe 12/16: the round-7 regenerated embeddings pack the
       // true neighbors tighter (nprobe=8 measured recall@5 0.880 at
       // sf0.1 — under the gate); 12 measures 0.96/1.0/1.0 across SFs
-      val approx = Similarity.ivfTopK(vecs, queries,
-        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 12)
-      val exact = Similarity.bruteForceTopK(vecs, queries,
-        "vec_id", "embedding", k = 5)
+      // both tiny frames feed the recall join AND the two gate counts:
+      // pinned, the bucket/scan lineage runs once per side
+      val approx = Dedup.pin(Similarity.ivfTopK(vecs, queries,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 12))
+      val exact = Dedup.pin(Similarity.bruteForceTopK(vecs, queries,
+        "vec_id", "embedding", k = 5))
       val gated = Similarity.recallAtK(approx, exact, 5)
       // overall recall measured over the EXACT result (a fully-missed
       // query counts as 0, it cannot vanish from the average)
@@ -358,10 +360,10 @@ object ExtQueries {
       // measured 0.880 at sf0.1 on the round-7 regenerated embeddings;
       // width 3 admits more candidates per band (the exact re-rank
       // trims them) and measures 0.98/1.0/1.0 across SFs
-      val approx = Similarity.lshTopK(vecs, queries, "vec_id", "embedding",
-        k = 5, bits = 60, bands = 20)
-      val exact = Similarity.bruteForceTopK(vecs, queries,
-        "vec_id", "embedding", k = 5)
+      val approx = Dedup.pin(Similarity.lshTopK(vecs, queries,
+        "vec_id", "embedding", k = 5, bits = 60, bands = 20))
+      val exact = Dedup.pin(Similarity.bruteForceTopK(vecs, queries,
+        "vec_id", "embedding", k = 5))
       val gated = Similarity.recallAtK(approx, exact, 5)
       val hits = exact.join(approx, Seq("query_id", "match_id"), "left_semi").count()
       val overall = hits.toDouble / exact.count()
