@@ -189,6 +189,25 @@ object Sketches {
         round(col("n_shared").cast("double") / col("k_union"), 6))
   }
 
+  // ------------------------------------------------------------- SAMPLE
+
+  /** Deterministic value-sample sketch — the quantile/distribution
+    * member of the sketch family: keep the rows whose md5 row-key
+    * bucket falls under `rate`·2^32 and project `keep`. Mergeable by
+    * plain UNION across partitions/loads (row keys are disjoint),
+    * NESTED as `rate` grows (sample(0.1) ⊆ sample(0.2) — re-sketching
+    * at higher fidelity keeps every stored row), and deterministic, so
+    * an external engine replays the exact sample. Quantile estimates
+    * come from running exact percentiles over the sketch rows
+    * ([[graft.operators.Percentiles]]) — sample-rank error
+    * O(1/√(rate·n)). */
+  def sampleSketch(df: DataFrame, keep: Seq[String], rowKey: Column,
+      rate: Double): DataFrame = {
+    require(rate > 0.0 && rate <= 1.0, "rate must be in (0,1]")
+    df.filter(HashSplit.bucket(rowKey) < math.round(rate * HashSpace))
+      .select(keep.map(col): _*)
+  }
+
   // ---------------------------------------------------------------- CMS
 
   /** Count-min counter table over `value`: depth × width counters,

@@ -53,6 +53,34 @@ object SketchQueries {
         .orderBy(col("exact_n").desc, col("key"))
     },
 
+    // sample-sketch quantiles: median price per return flag estimated
+    // from a deterministic 10% row sample (the mergeable / replayable
+    // quantile sketch), gated both ways — the sample is hash-exact AND
+    // the estimate must land inside the exact p45..p55 rank band
+    "ops_sample_quantile" -> q { c =>
+      import graft.operators.Percentiles, Percentiles.QuantileSpec
+      val li = c.t("lineitem")
+      val key = concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))
+      val sk = Sketches.sampleSketch(li,
+        Seq("l_returnflag", "l_extendedprice"), key, rate = 0.1)
+      val est = Percentiles.groupQuantiles(sk, Seq("l_returnflag"),
+        Seq(QuantileSpec("l_extendedprice", 0.5, "est_raw")))
+      val exact = Percentiles.groupQuantiles(li, Seq("l_returnflag"), Seq(
+        QuantileSpec("l_extendedprice", 0.45, "lo_raw"),
+        QuantileSpec("l_extendedprice", 0.5, "med_raw"),
+        QuantileSpec("l_extendedprice", 0.55, "hi_raw")))
+      est.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          (col("est_raw").cast("decimal(18,4)") * 10000).cast("long")
+            .as("est_med_e4"),
+          (col("med_raw").cast("decimal(18,4)") * 10000).cast("long")
+            .as("exact_med_e4"),
+          (col("est_raw") >= col("lo_raw") && col("est_raw") <= col("hi_raw"))
+            .as("within_rank_band"))
+        .orderBy("l_returnflag")
+    },
+
     // DSIR (Xie et al. 2023): select the 100 non-English docs whose
     // hashed unigram+bigram distribution best matches the English
     // target slice — the domain-match selection step of a pretraining
@@ -142,6 +170,28 @@ object SketchQueries {
         |SELECT key, exact_n, min(cnt)::BIGINT AS cms_est
         |FROM probes JOIN c USING (j, idx)
         |GROUP BY 1, 2 ORDER BY exact_n DESC, key""".stripMargin,
+
+    "ops_sample_quantile" ->
+      """WITH sk AS (
+        |  SELECT l_returnflag, l_extendedprice FROM lineitem
+        |  WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || '-'
+        |      || l_linenumber::VARCHAR), 1, 8))::BIGINT < 429496730),
+        |est AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.5) AS est_raw
+        |  FROM sk GROUP BY 1),
+        |ex AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.45) AS lo_raw,
+        |    quantile_cont(l_extendedprice, 0.5) AS med_raw,
+        |    quantile_cont(l_extendedprice, 0.55) AS hi_raw
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  CAST(CAST(est_raw AS DECIMAL(18,4)) * 10000 AS BIGINT) AS est_med_e4,
+        |  CAST(CAST(med_raw AS DECIMAL(18,4)) * 10000 AS BIGINT) AS exact_med_e4,
+        |  est_raw >= lo_raw AND est_raw <= hi_raw AS within_rank_band
+        |FROM est JOIN ex USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
 
     "text_dsir_select" ->
       """WITH toks AS (

@@ -87,6 +87,25 @@ class SketchesSpec extends SparkSpec {
     assert(j(("b", "c")) == 0.0)
   }
 
+  test("sample sketch: union-mergeable, nested in rate, rank-accurate quantiles") {
+    val df = (1 to 20000).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "k", "v")
+    val key = col("k").cast("string")
+    val s10 = Sketches.sampleSketch(df, Seq("g", "v"), key, 0.1)
+    val s20 = Sketches.sampleSketch(df, Seq("g", "v"), key, 0.2)
+    // nested: every 10% row is in the 20% sketch
+    assert(s10.join(s20, Seq("g", "v"), "left_anti").count() == 0)
+    // mergeable by union: sketching two halves = sketching the whole
+    val h1 = Sketches.sampleSketch(df.filter(col("k") % 2 === 0), Seq("g", "v"), key, 0.1)
+    val h2 = Sketches.sampleSketch(df.filter(col("k") % 2 === 1), Seq("g", "v"), key, 0.1)
+    assert(h1.unionByName(h2).orderBy("v").collect().toSeq ==
+      s10.orderBy("v").collect().toSeq)
+    // the sample median sits near the true median (rank error O(1/sqrt(rate n)))
+    val estMed = graft.operators.Percentiles.groupQuantiles(s10, Seq("g"),
+      Seq(graft.operators.Percentiles.QuantileSpec("v", 0.5, "m")))
+      .select("m").as[Double].head()
+    assert(math.abs(estMed - 10000.0) / 10000.0 < 0.05, s"median $estMed")
+  }
+
   test("cms estimates are one-sided: est >= true count, exact for heavy keys") {
     val rows = (1 to 3000).map(i => s"u${i % 50}") ++ Seq.fill(500)("heavy")
     val df = rows.toDF("v")
