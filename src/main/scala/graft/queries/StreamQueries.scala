@@ -43,6 +43,25 @@ object StreamQueries {
         .select("event_id", "user_id", "event_type").orderBy("event_id")
     },
 
+    // streaming sketch maintenance: each micro-batch appends its HLL
+    // register rows to the store (sketch-sized commits — the raw batch
+    // is never retained); the distinct-user estimate over the merged
+    // registers hash-matches the oracle computed directly from ALL raw
+    // rows, proving the incremental rollup is lossless
+    "stream_hll_rollup" -> q { c =>
+      val store = new TableStore(
+        Files.createTempDirectory("graft-shll").toString, c.spark)
+      val src = Streaming.fileStream(c.spark, s"${c.dir}/events.parquet")
+      Streaming.drainAvailableNow(src) { (batch, _) =>
+        store.append("regs", graft.operators.Sketches.hllRegisters(
+          batch, Seq("event_type"), "user_id", m = 64))
+      }
+      val merged = graft.operators.Sketches.hllMerge(
+        store.read("regs"), Seq("event_type"))
+      graft.operators.Sketches.hllEstimate(merged, Seq("event_type"), m = 64)
+        .orderBy("event_type")
+    },
+
     // event-time tumbling window counts, complete mode → overwrite
     "stream_window_tumbling" -> q { c =>
       val ss = streamSession(c)
@@ -193,6 +212,24 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "stream_pipeline_append" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "stream_hll_rollup" ->
+      """WITH h AS (
+        |  SELECT event_type, md5(user_id::VARCHAR) AS hx FROM events),
+        |regs AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(hx, 1, 3))::BIGINT % 64 AS register,
+        |    max(33 - length(ltrim(bin(('0x' || substr(hx, 4, 8))::BIGINT), '0'))) AS rank
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, count(*) AS present,
+        |    sum(power(0.5, rank)) AS s_hit, 64 - count(*) AS zeros
+        |  FROM regs GROUP BY 1)
+        |SELECT event_type, present,
+        |  round(CASE WHEN raw_e <= 160.0 AND zeros > 0
+        |    THEN 64.0 * ln(64.0 / zeros) ELSE raw_e END, 2) AS estimate
+        |FROM (SELECT *, 0.709 * 64 * 64 / (s_hit + zeros) AS raw_e FROM agg)
+        |ORDER BY event_type""".stripMargin,
+
     "stream_window_tumbling" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
         |  event_type, count(*) AS n
