@@ -96,4 +96,50 @@ object Dsir {
     importanceWeights(raw, target, id, text, m)
       .orderBy(col("weight").desc, col(id))
       .limit(k)
+
+  /** Single-corpus variant: when target and raw live in ONE table split
+    * by a predicate, featurize the corpus ONCE (one tokenize+hash pass
+    * instead of two scans) and derive both models from conditional
+    * sums over the flagged features. Same math, same output as
+    * [[select]] on the two slices. */
+  def selectByPredicate(docs: DataFrame, id: String, text: String,
+      isTarget: org.apache.spark.sql.Column, m: Int = 1024,
+      k: Int = 100): DataFrame = {
+    // the flag rides the tokenize→explode→groupBy pass as an extra
+    // (functionally id-dependent) grouping column — no join-back
+    val toks = docs.withColumn("__tgt", isTarget)
+      .select(col(id), col("__tgt"), TextOps.tokens(col(text)).as("_toks"))
+      .where(length(element_at(col("_toks"), 1)) > 0)
+    val grams = toks
+      .withColumn("_prev", slice(col("_toks"), lit(1), size(col("_toks")) - 1))
+      .withColumn("_curr", slice(col("_toks"), lit(2), size(col("_toks")) - 1))
+      .withColumn("_bi",
+        zip_with(col("_prev"), col("_curr"), (a, b) => concat(a, lit(" "), b)))
+      .select(col(id), col("__tgt"),
+        explode(concat(col("_toks"), col("_bi"))).as("g"))
+    val feats = Dedup.pin(grams
+      .select(col(id), col("__tgt"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % m).as("b"))
+      .groupBy(col(id), col("__tgt"), col("b")).agg(count(lit(1)).as("cnt")))
+    val stats = feats.groupBy("b").agg(
+      sum(when(col("__tgt"), col("cnt")).otherwise(0L)).as("ct"),
+      sum(when(!col("__tgt"), col("cnt")).otherwise(0L)).as("cq"))
+    val ratios = stats.filter(col("cq") > 0)
+      .select(col("b"), (log(col("ct") + 1) - log(col("cq") + 1)).as("lr"))
+    val totals = stats
+      .agg(sum("ct").as("t_tot"), sum("cq").as("q_tot"))
+      .select((log(col("q_tot") + m) - log(col("t_tot") + m)).as("norm"))
+    feats.filter(!col("__tgt"))
+      .join(broadcast(ratios), Seq("b"))
+      .select(col(id), col("cnt"),
+        (col("cnt") * col("lr")).cast("decimal(28,12)").as("term"))
+      .groupBy(col(id))
+      .agg(sum("cnt").as("n_grams"), sum("term").as("s"))
+      .crossJoin(broadcast(totals))
+      .select(col(id), col("n_grams"),
+        round(col("s").cast("double") + col("n_grams") * col("norm"), 6)
+          .as("weight"))
+      .orderBy(col("weight").desc, col(id))
+      .limit(k)
+  }
 }

@@ -86,11 +86,11 @@ object SketchQueries {
     // target slice — the domain-match selection step of a pretraining
     // mixture
     "text_dsir_select" -> q { c =>
-      val docs = c.t("documents")
-      Dsir.select(
-        raw = docs.filter(col("lang") =!= "en"),
-        target = docs.filter(col("lang") === "en"),
-        id = "doc_id", text = "text", m = 1024, k = 100)
+      // single-corpus path: one tokenize+hash pass with the target flag
+      // carried through the feature aggregation (identical math/output
+      // to featurizing the two slices separately)
+      Dsir.selectByPredicate(c.t("documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", m = 1024, k = 100)
     }
   )
 

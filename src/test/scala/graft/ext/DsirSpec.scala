@@ -47,6 +47,17 @@ class DsirSpec extends SparkSpec {
     assert(perDoc(3L) == 3L)     // two unigrams + one bigram
   }
 
+  test("selectByPredicate equals select over the two slices") {
+    val docs = target.withColumn("lang", lit("en"))
+      .unionByName(raw.withColumn("lang", lit("xx")))
+    val fused = Dsir.selectByPredicate(docs, "doc_id", "text",
+        isTarget = col("lang") === "en", m = 512, k = 4)
+      .collect().toSeq
+    val sliced = Dsir.select(raw, target, "doc_id", "text", m = 512, k = 4)
+      .collect().toSeq
+    assert(fused == sliced)
+  }
+
   test("weights are invariant to input partitioning") {
     val a = Dsir.importanceWeights(raw, target, "doc_id", "text", m = 256)
       .orderBy("doc_id").collect().toSeq
