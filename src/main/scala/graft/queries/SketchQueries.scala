@@ -81,6 +81,15 @@ object SketchQueries {
         .orderBy("l_returnflag")
     },
 
+    // one-pass table profile (the Deequ/describe analog): per-column
+    // counts, nulls, lexicographic min/max, decimal-exact mean, and an
+    // HLL distinct estimate from ONE melted scan + two aggregations
+    "ops_profile_table" -> q { c =>
+      graft.operators.Profile.profile(c.t("lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity",
+          "l_returnflag", "l_linestatus"), hllM = 256)
+    },
+
     // DSIR (Xie et al. 2023): select the 100 non-English docs whose
     // hashed unigram+bigram distribution best matches the English
     // target slice — the domain-match selection step of a pretraining
@@ -170,6 +179,41 @@ object SketchQueries {
         |SELECT key, exact_n, min(cnt)::BIGINT AS cms_est
         |FROM probes JOIN c USING (j, idx)
         |GROUP BY 1, 2 ORDER BY exact_n DESC, key""".stripMargin,
+
+    "ops_profile_table" ->
+      """WITH m AS (
+        |  SELECT 'l_orderkey' AS "column", l_orderkey::VARCHAR AS s,
+        |    l_orderkey::DOUBLE AS x FROM lineitem
+        |  UNION ALL SELECT 'l_linenumber', l_linenumber::VARCHAR,
+        |    l_linenumber::DOUBLE FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', l_quantity::VARCHAR,
+        |    l_quantity FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag', l_returnflag, NULL FROM lineitem
+        |  UNION ALL SELECT 'l_linestatus', l_linestatus, NULL FROM lineitem),
+        |base AS (
+        |  SELECT "column", count(*) AS n_rows,
+        |    count(*) - count(s) AS n_nulls,
+        |    min(s) AS min_str, max(s) AS max_str,
+        |    round(sum(x::DECIMAL(28,12))::DOUBLE / count(x), 6) AS mean
+        |  FROM m GROUP BY 1),
+        |regs AS (
+        |  SELECT "column",
+        |    ('0x' || substr(md5(s), 1, 3))::BIGINT % 256 AS register,
+        |    max(33 - length(ltrim(bin(('0x' || substr(md5(s), 4, 8))::BIGINT), '0'))) AS rank
+        |  FROM m WHERE s IS NOT NULL GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT "column", count(*) AS present,
+        |    sum(power(0.5, rank)) AS s_hit, 256 - count(*) AS zeros
+        |  FROM regs GROUP BY 1),
+        |est AS (
+        |  SELECT "column",
+        |    round(CASE WHEN raw_e <= 640.0 AND zeros > 0
+        |      THEN 256.0 * ln(256.0 / zeros) ELSE raw_e END, 2) AS distinct_est
+        |  FROM (SELECT *, (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+        |          / (s_hit + zeros) AS raw_e FROM agg))
+        |SELECT b."column", n_rows, n_nulls, distinct_est, min_str, max_str, mean
+        |FROM base b JOIN est USING ("column")
+        |ORDER BY "column"""".stripMargin,
 
     "ops_sample_quantile" ->
       """WITH sk AS (
