@@ -134,14 +134,21 @@ object Sketches {
     // — use a safe lower bound (e.g. yesterday's estimate / 4).
     val pruned = minDistinctHint match {
       case Some(n) if n > 16L * k =>
-        hashed.filter(col("h") < lit(
-          math.min(HashSpace, 16L * k * (HashSpace / math.max(n, 1L)))))
+        hashed.filter(col("h") < lit(kmvCeiling(k, n)))
       case _ => hashed
     }
     val w = Window.partitionBy(groups.map(col): _*).orderBy(col("h"))
     pruned.distinct().withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** Hash ceiling for the hinted bottom-k pre-filter: ~16× the expected
+    * k-th-smallest hash (k/n·2^32). Multiplies BEFORE dividing — the
+    * naive 2^32/n truncates to ZERO once n exceeds the 32-bit hash
+    * space (routine at corpus scale) and would filter every hash out;
+    * 16k·2^32 fits a long for any k ≤ 2^25. Clamped to [1, 2^32]. */
+  private[operators] def kmvCeiling(k: Int, n: Long): Long =
+    math.max(1L, math.min(HashSpace, 16L * k * HashSpace / math.max(n, 1L)))
 
   /** Distinct-cardinality estimate from a KMV sketch: (k−1)·2^32 / h_k
     * when the sketch is full; exact count when fewer than k distinct

@@ -62,6 +62,12 @@ class SketchesSpec extends SparkSpec {
       minDistinctHint = Some(5000L))
       .orderBy("h").collect().toSeq
     assert(hinted == plain)
+    // corpus-scale hints (n beyond the 32-bit hash space): the ceiling
+    // must scale down smoothly, never truncate to zero
+    assert(Sketches.kmvCeiling(128, 5000L) == math.min(Sketches.HashSpace,
+      16L * 128 * Sketches.HashSpace / 5000L))
+    assert(Sketches.kmvCeiling(128, 10_000_000_000L) == 879L)
+    assert(Sketches.kmvCeiling(128, Long.MaxValue) == 1L)
   }
 
   test("kmv estimate tracks true cardinality when full") {
