@@ -23,6 +23,7 @@ object SparkEntry {
     (ExtQueries.defs, ExtQueries.oracles),
     (TextIRQueries.defs, TextIRQueries.oracles),
     (OpsQueries.defs, OpsQueries.oracles),
+    (CleanQueries.defs, CleanQueries.oracles),
     (SketchQueries.defs, SketchQueries.oracles),
     (StreamQueries.defs, StreamQueries.oracles),
     (LifecycleQueries.defs, LifecycleQueries.oracles)

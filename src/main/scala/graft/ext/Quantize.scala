@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Embedding compression: per-dimension int8 scalar quantization — the
+  * standard 4× storage cut (float32 → int8) an embedding store applies
+  * before vectors land in a collection (pairs with `write/VectorSink`;
+  * FAISS's SQ8 is the reference shape).
+  *
+  * Plan, 100 TB first: ONE distributed stats pass (posexplode →
+  * d-key hash aggregate with map-side combine — the shuffle carries
+  * partitions × d rows, never the corpus) collapsed to a single row of
+  * (mins, maxs) arrays, broadcast onto a map-only projection running
+  * the codegen [[graft.functions.QuantizeInt8]] kernel. No join, no
+  * second pass, no driver loop.
+  */
+object Quantize {
+
+  /** Per-dimension (min, max) over the corpus as ONE row of two
+    * dim-ordered double arrays. */
+  def dimStats(emb: DataFrame, vec: String): DataFrame =
+    emb.select(posexplode(col(vec)).as(Seq("__dim", "__x")))
+      .groupBy("__dim")
+      .agg(min(col("__x").cast("double")).as("__mn"),
+        max(col("__x").cast("double")).as("__mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("__dim"), col("__mn")))).as("__a"),
+        array_sort(collect_list(struct(col("__dim"), col("__mx")))).as("__b"))
+      // one-row frame: the HOF extraction runs once, not per corpus row
+      .select(transform(col("__a"), s => s("__mn")).as("mins"),
+        transform(col("__b"), s => s("__mx")).as("maxs"))
+
+  /** Quantize every vector to int8 codes against the corpus stats:
+    * (id, q array<int>, qsum, max_err). `max_err` is the worst
+    * per-element reconstruction error — the quality dial that says
+    * whether SQ8 is safe for this corpus or a finer codec is needed. */
+  def int8(emb: DataFrame, id: String, vec: String): DataFrame =
+    emb.crossJoin(broadcast(dimStats(emb, vec)))
+      .select(col(id),
+        VectorFunctions.quantizeInt8(col(vec), col("mins"), col("maxs")).as("__s"))
+      .select(col(id), col("__s.q").as("q"), col("__s.qsum").as("qsum"),
+        round(col("__s.max_err"), 6).as("max_err"))
+
+  /** The DuckDB re-derivation over `embeddings(vec_id, embedding)`:
+    * same stats, same `r = round(t·255)` codes, same reconstruction
+    * arithmetic (division before multiply before add), list re-packed
+    * in dimension order. */
+  val OracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, unnest(v) AS xv,
+      |    unnest(range(1, len(v) + 1)) AS i
+      |  FROM e),
+      |st AS (SELECT i, min(xv) AS mn, max(xv) AS mx FROM x GROUP BY 1),
+      |r AS (
+      |  SELECT vec_id, x.i, xv, mn, mx,
+      |    CASE WHEN mx > mn
+      |         THEN CAST(round((xv - mn) / (mx - mn) * 255) AS BIGINT)
+      |         ELSE 0 END AS rr
+      |  FROM x JOIN st USING (i)),
+      |qx AS (
+      |  SELECT vec_id, i, CAST(rr - 128 AS INT) AS q,
+      |    abs(xv - (CASE WHEN mx > mn
+      |                   THEN mn + rr / 255.0 * (mx - mn)
+      |                   ELSE mn END)) AS err
+      |  FROM r)
+      |SELECT vec_id, list(q ORDER BY i) AS q,
+      |  CAST(sum(q) AS BIGINT) AS qsum,
+      |  round(max(err), 6) AS max_err
+      |FROM qx GROUP BY vec_id ORDER BY vec_id""".stripMargin
+}

@@ -226,8 +226,111 @@ case class TrigramWeightSum(child: Expression, profile: Seq[(String, Int)])
     copy(child = newChild)
 }
 
+/** Unicode canonical composition (NFC) — the first step of corpus text
+  * canonicalization (the CCNet/ftfy discipline: compose combining
+  * sequences so "e"+U+0301 and the precomposed "é" hash, shingle and
+  * dedup identically). JDK `java.text.Normalizer` implements UAX #15,
+  * the same standard DuckDB's `nfc_normalize` (utf8proc) implements, so
+  * the transform is engine-portable and oracle-checkable. The
+  * quick-check fast path returns the INPUT UTF8String untouched for
+  * already-NFC text (≈ all ASCII corpora), so the common case costs one
+  * scan and zero allocation. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_nfc_normalize"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.sql}")
+  }
+
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(a: Any): Any = normalize(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcNorm", this, classOf[NfcNormalize].getName)
+    defineCodeGen(ctx, ev, s => s"$ref.normalize($s)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Registered domains of every URL occurrence in the text, in order of
+  * appearance, duplicates kept — one pass over the string, no regex
+  * machinery at runtime. A "URL" is `https?://` followed by non-space
+  * characters (the conventional web-text extraction form, ≡ the RE2/
+  * Java pattern `https?://[^ ]+`); its host runs to the first `/` (or
+  * URL end) and reduces to the LAST TWO dot-labels (the registered
+  * domain under generic TLDs). Feeding [[CountInSet]] with a blocklist
+  * gives the RefinedWeb-style URL filter as two codegen kernels. */
+case class UrlDomains(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_url_domains"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.sql}")
+  }
+
+  def domains(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new java.util.ArrayList[UTF8String](4)
+    var i = 0
+    while (i >= 0 && i < str.length) {
+      i = str.indexOf("http", i)
+      if (i >= 0) {
+        val rest = str.substring(i)
+        val scheme =
+          if (rest.startsWith("https://")) 8
+          else if (rest.startsWith("http://")) 7
+          else -1
+        if (scheme < 0) i += 4
+        else {
+          var end = i + scheme
+          while (end < str.length && str.charAt(end) != ' ') end += 1
+          if (end > i + scheme) { // non-empty remainder = a URL match
+            var hostEnd = i + scheme
+            while (hostEnd < end && str.charAt(hostEnd) != '/') hostEnd += 1
+            val host = str.substring(i + scheme, hostEnd)
+            val lastDot = host.lastIndexOf('.')
+            val prevDot = if (lastDot > 0) host.lastIndexOf('.', lastDot - 1) else -1
+            out.add(UTF8String.fromString(host.substring(prevDot + 1)))
+          }
+          i = end
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(a: Any): Any = domains(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("urlDomains", this, classOf[UrlDomains].getName)
+    defineCodeGen(ctx, ev, s => s"$ref.domains($s)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API front door for the text kernels. */
 object TextFunctions {
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  def urlDomains(text: Column): Column =
+    ColumnBridge.column(UrlDomains(ColumnBridge.expression(text)))
+
   def countInSet(tokens: Column, words: Seq[String],
       distinct: Boolean = false): Column =
     ColumnBridge.column(CountInSet(ColumnBridge.expression(tokens), words, distinct))

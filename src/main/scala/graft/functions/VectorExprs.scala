@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -256,8 +256,94 @@ case class CentroidArgMin(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Per-dimension int8 scalar quantization (the FAISS-SQ8 shape): for
+  * element i with corpus stats (mn_i, mx_i),
+  * `r = round((x − mn) / (mx − mn) · 255)`, code `q = r − 128`, and the
+  * reconstruction `deq = mn + r / 255 · (mx − mn)`. Returns
+  * `(q array<int>, qsum long, max_err double)` in ONE pass — codes,
+  * their checksum, and the worst per-element |x − deq|. A zero-span
+  * dimension (mx = mn) keeps r = 0 (code −128) with deq = mn. Stats arrive as two
+  * array columns (a 1-row broadcast from the stats aggregation), so
+  * the kernel stays a pure projection — map-only at any corpus size.
+  * Double arithmetic in index order, `Math.round` ≡ SQL `round` for
+  * the non-negative operand, so a SQL engine re-derives every code and
+  * error bit-exactly. */
+case class QuantizeInt8(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "graft_quantize_int8"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("qsum", LongType, nullable = false),
+    StructField("max_err", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def vecOk(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    def dblOk(e: Expression) = e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (vecOk(first) && dblOk(second) && dblOk(third))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<double>, array<double>), got " +
+        s"${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql}")
+  }
+
+  private def elemT: DataType = first.dataType.asInstanceOf[ArrayType].elementType
+
+  def quantize(xa: ArrayData, mna: ArrayData, mxa: ArrayData): Any = {
+    val n = math.min(xa.numElements(), math.min(mna.numElements(), mxa.numElements()))
+    val q = new Array[Int](n)
+    var qsum = 0L
+    var maxErr = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elemT match {
+        case FloatType => xa.getFloat(i).toDouble
+        case _ => xa.getDouble(i)
+      }
+      val mn = mna.getDouble(i)
+      val mx = mxa.getDouble(i)
+      var deq = mn
+      var r = 0L
+      if (mx > mn) {
+        r = Math.round((x - mn) / (mx - mn) * 255.0)
+        deq = mn + r / 255.0 * (mx - mn)
+      }
+      q(i) = (r - 128L).toInt
+      qsum += q(i)
+      val err = Math.abs(x - deq)
+      if (err > maxErr) maxErr = err
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      new GenericArrayData(q), qsum, maxErr)
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    quantize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("quantizeInt8", this, classOf[QuantizeInt8].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.quantize($a, $b, $c);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
 /** Column-API front door for the vector kernels. */
 object VectorFunctions {
+  def quantizeInt8(vec: Column, mins: Column, maxs: Column): Column =
+    ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(vec),
+      ColumnBridge.expression(mins), ColumnBridge.expression(maxs)))
+
   def dotp(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

@@ -97,6 +97,31 @@ object HashSplit {
       .filter(col("__rn") <= cap).drop("__rn")
   }
 
+  /** DETERMINISTIC GLOBAL SHUFFLE into training shards — the "randomize
+    * the example order" step before writing training data, without a
+    * single grain of `rand()`: shard = md5(id ⊕ salt) mod `nShards`,
+    * within-shard position = rank of the same hash. Changing the salt
+    * re-deals the whole corpus (one salt per epoch); keeping it makes
+    * the order reproducible run-to-run and engine-portable. Plan: one
+    * shuffle on the shard key + a per-shard sort (the window partitions
+    * by shard, so no global single-partition sort); at 100 TB each
+    * shard sorts independently across executors and writes its own
+    * file — exactly the training-shard layout. The id joins the hash in
+    * the sort key so even a hash collision keeps a total order. */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int,
+      salt: String): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = md5(concat(col(idCol).cast("string"), lit("#"), lit(salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
+
   /** STRATIFIED deterministic sampling: a per-stratum keep rate (the
     * training-mix dial — e.g. keep 100% of a rare language, 10% of the
     * dominant one). Still a pure projection: the rate lookup compiles

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{BpeTrainer, Clustering, Dedup, Multimodal, Pca, Similarity, TextOps}
+import graft.ext.{BpeTrainer, Clustering, Dedup, Multimodal, Pca, Quantize, Similarity, TextOps}
 
 /** Training-data extensions (SURVEY.md §7.8): text analysis, dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
@@ -234,6 +234,15 @@ object ExtQueries {
     // scale path is spec-compared against this declarative formulation)
     "sim_pca_covariance" -> q { c =>
       Pca.covariance(c.t("embeddings"), "vec_id", "embedding")
+    },
+
+    // int8 scalar quantization of the embedding corpus (FAISS-SQ8
+    // shape): one stats pass → 1-row broadcast → map-only codegen
+    // kernel; the oracle re-derives every code and the reconstruction
+    // error bit-exactly
+    "sim_quantize_int8" -> q { c =>
+      Quantize.int8(c.t("embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")
     },
 
     // rank-4 PCA fit (one-pass gram aggregate + driver Jacobi) and
@@ -1013,6 +1022,8 @@ object ExtQueries {
         |ORDER BY s2.i, s2.j""".stripMargin,
 
     "sim_kmeans_assign" -> Clustering.oracleSql(k = 4, iters = 3),
+
+    "sim_quantize_int8" -> Quantize.OracleSql,
 
     "sim_radius_search" ->
       """SELECT q.vec_id AS query_id, v.vec_id AS match_id,
