@@ -20,10 +20,15 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_RELEASE=1 releases operator pins between iterations —
+    // the bench's per-query behavior — so warm iters measure the true
+    // fresh-execution cost instead of cache reuse
+    val release = sys.env.get("SPARK_GRAFT_RELEASE").contains("1")
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       println(f"iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$n")
+      if (release) graft.ext.Dedup.releasePins()
     }
     spark.stop()
   }

@@ -25,30 +25,63 @@ object Profile {
   /** Profile `cols` of `df`: one row per column —
     * (column, n_rows, n_nulls, distinct_est, min_str, max_str, mean).
     * String min/max are lexicographic on the string form; `mean` is
-    * null for non-numeric columns. */
+    * null for non-numeric columns.
+    *
+    * ONE streaming pass: the melt feeds a single hash-aggregate keyed
+    * on (column, HLL register) — counts, null counts, min/max,
+    * decimal-exact partial sums AND the register max-rank all
+    * accumulate in the same map-side-combined pass, so nothing
+    * corpus-sized is ever cached or scanned twice (an earlier version
+    * pinned the full melted frame for two aggregations; the pin
+    * materialization WAS the cost — and a corpus-sized cache is
+    * exactly what a 100 TB profile cannot afford). Only the grouped
+    * register table (≤ cols × (m+1) rows) is pinned for its two tiny
+    * consumers (stat rollup + HLL estimate). Null values take register
+    * −1: present in the count/null rollup, excluded from the distinct
+    * estimate — byte-identical results to the two-pass form. */
   def profile(df: DataFrame, cols: Seq[String], hllM: Int = 256): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
+    require(hllM >= 16 && hllM <= 4096 && (hllM & (hllM - 1)) == 0,
+      "hllM must be a power of two in [16, 4096]")
     val numericCols = df.schema.fields
       .filter(f => cols.contains(f.name))
       .filter(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       .map(_.name).toSet
     // melt: (column, s = string form, x = numeric value or null)
-    val melted = graft.ext.Dedup.pin(df.select(cols.map(c =>
+    val melted = df.select(cols.map(c =>
         struct(lit(c).as("column"), col(c).cast("string").as("s"),
           (if (numericCols(c)) col(c).cast("double") else lit(null).cast("double"))
             .as("x")).as(c)): _*)
       .select(explode(array(cols.map(col): _*)).as("m"))
-      .select(col("m.column"), col("m.s"), col("m.x")))
-    val base = melted.groupBy("column").agg(
-      count(lit(1)).as("n_rows"),
-      count(lit(1)).minus(count(col("s"))).as("n_nulls"),
-      min("s").as("min_str"),
-      max("s").as("max_str"),
-      round(sum(col("x").cast("decimal(28,12)")).cast("double")
-        / count(col("x")), 6).as("mean"))
+      .select(col("m.column"), col("m.s"), col("m.x"))
+    // same hash/register math as Sketches.hllRegisters (md5 prefix
+    // register, 32-bit-suffix leading-zero rank) so external replay
+    // is unchanged
+    val h = md5(col("s"))
+    val reg = when(col("s").isNull, lit(-1L))
+      .otherwise(conv(substring(h, 1, 3), 16, 10).cast("long") % hllM)
+    val rank = lit(33) - length(ltrim(bin(
+      conv(substring(h, 4, 8), 16, 10).cast("long")), "0"))
+    val grouped = graft.ext.Dedup.pin(melted
+      .withColumn("register", reg)
+      .withColumn("rank", rank)
+      .groupBy("column", "register")
+      .agg(count(lit(1)).as("g_rows"),
+        count(col("s")).as("g_vals"),
+        min("s").as("g_min"),
+        max("s").as("g_max"),
+        sum(col("x").cast("decimal(28,12)")).as("g_sum"),
+        count(col("x")).as("g_nx"),
+        max("rank").as("rank")))
+    val base = grouped.groupBy("column").agg(
+      sum("g_rows").as("n_rows"),
+      sum("g_rows").minus(sum("g_vals")).as("n_nulls"),
+      min("g_min").as("min_str"),
+      max("g_max").as("max_str"),
+      round(sum("g_sum").cast("double") / sum("g_nx"), 6).as("mean"))
     val distinct = Sketches.hllEstimate(
-        Sketches.hllRegisters(melted.where(col("s").isNotNull),
-          Seq("column"), "s", m = hllM),
+        grouped.where(col("register") >= 0)
+          .select("column", "register", "rank"),
         Seq("column"), m = hllM)
       .select(col("column"), col("estimate").as("distinct_est"))
     base.join(distinct, Seq("column"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{BpeTrainer, Clustering, Dedup, Multimodal, Pca, Quantize, Similarity, TextOps}
+import graft.ext.{BpeTrainer, Clustering, Dedup, IncrementalDedup, Multimodal, Pca, Quantize, Similarity, TextOps}
 
 /** Training-data extensions (SURVEY.md §7.8): text analysis, dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
@@ -163,6 +163,24 @@ object ExtQueries {
     "dedup_minhash_lsh" -> q { c =>
       Dedup.minhashLshPairs(c.t("documents"), "doc_id", "text",
         n = 3, threshold = 0.9).orderBy("id_a", "id_b")
+    },
+
+    // INCREMENTAL dedup against a persisted index: docs 0-249 are
+    // indexed through the lakehouse sink (corpus + banded signatures),
+    // then docs 250+ arrive as a new batch and are checked against the
+    // STORED index — the old corpus is re-shingled only for colliding
+    // candidates. Oracle = the full cross-set exact jaccard, so the
+    // gate proves the index round-trip loses no pair
+    "dedup_incremental" -> q { c =>
+      val store = new graft.write.TableStore(
+        java.nio.file.Files.createTempDirectory("graft-incdedup").toString,
+        c.spark)
+      val docs = c.tw("documents")
+      IncrementalDedup.indexCorpus(store, "corpus",
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      IncrementalDedup.checkBatch(store, "corpus",
+        docs.filter(col("doc_id") >= 250), "doc_id", "text")
+        .orderBy("new_id", "old_id")
     },
 
     // exact-substring duplicate spans (Lee et al. 2022): per-doc count
@@ -975,6 +993,24 @@ object ExtQueries {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> (jaccardSql(0.9) + " ORDER BY id_a, id_b"),
+
+    "dedup_incremental" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
+         |sh AS (
+         |$shingleSql),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT b.doc_id AS new_id, a.doc_id AS old_id, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < 250 AND b.doc_id >= 250
+         |  GROUP BY 1, 2)
+         |SELECT new_id, old_id,
+         |  round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON old_id = sa.doc_id JOIN sz sb ON new_id = sb.doc_id
+         |WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.9
+         |ORDER BY new_id, old_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

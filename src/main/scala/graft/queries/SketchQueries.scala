@@ -85,7 +85,10 @@ object SketchQueries {
     // counts, nulls, lexicographic min/max, decimal-exact mean, and an
     // HLL distinct estimate from ONE melted scan + two aggregations
     "ops_profile_table" -> q { c =>
-      graft.operators.Profile.profile(c.t("lineitem"),
+      // tw: the melt is compute-dense (5x string casts + hashes per
+      // row) and the single-row-group testdata scan would otherwise
+      // serialize it on one core (see Tables.loadWide)
+      graft.operators.Profile.profile(c.tw("lineitem"),
         Seq("l_orderkey", "l_linenumber", "l_quantity",
           "l_returnflag", "l_linestatus"), hllM = 256)
     },
