@@ -251,4 +251,46 @@ object Sketches {
       .na.fill(0, Seq("cnt"))
       .groupBy("key").agg(min("cnt").as("cms_est"))
   }
+
+  // -------------------------------------------------------------- BLOOM
+
+  /** Bloom bit table over `value`: k salted md5 hashes per value each
+    * set one of m bits; output = the distinct set bits (≤ m rows —
+    * sketch-sized, persistable, mergeable by union+distinct, see
+    * [[bloomMerge]]). The "have we ever seen this fingerprint/URL?"
+    * membership sketch: at 100 TB the bit table answers the question
+    * without touching the corpus (one-sided error — false positives
+    * only — so a hit falls back to an exact corpus lookup, a miss is
+    * definitive). One explode(×k) + distinct; map-side partial
+    * aggregation caps the shuffle at m rows per task. */
+  def bloomBits(df: DataFrame, value: String, m: Int = 4096,
+      k: Int = 4): DataFrame = {
+    require(m >= 64 && m <= (1 << 24) && (m & (m - 1)) == 0, "m: power of two")
+    require(k >= 1 && k <= 8, "k in [1, 8]")
+    df.select(col(value).cast("string").as("__v"))
+      .select(explode(sequence(lit(0), lit(k - 1))).as("j"), col("__v"))
+      .select((conv(substring(md5(concat(col("j"), lit("#"), col("__v"))),
+        1, 8), 16, 10).cast("long") % m).as("bit"))
+      .distinct()
+  }
+
+  /** Merge bloom bit tables (same m, k): bits union. */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).distinct()
+
+  /** Membership probes against a bit table: might_contain(v) ⇔ all k
+    * bits of v are set. Output: one row per distinct probe value
+    * (value, might_contain). The bit table rides a broadcast; the
+    * probe side is a projection + explode(×k) — no corpus access. */
+  def bloomMightContain(bits: DataFrame, probes: DataFrame, value: String,
+      m: Int = 4096, k: Int = 4): DataFrame =
+    probes.select(col(value).cast("string").as("__v")).distinct()
+      .select(explode(sequence(lit(0), lit(k - 1))).as("j"), col("__v"))
+      .select(col("__v"),
+        (conv(substring(md5(concat(col("j"), lit("#"), col("__v"))),
+          1, 8), 16, 10).cast("long") % m).as("bit"))
+      .join(broadcast(bits.withColumn("__hit", lit(1))), Seq("bit"), "left")
+      .groupBy("__v")
+      .agg((count(col("__hit")) === k).as("might_contain"))
+      .select(col("__v").as(value), col("might_contain"))
 }

@@ -33,6 +33,28 @@ object ExtQueries {
       |  SELECT doc_id, array_to_string(ts, ' ') AS shingle
       |  FROM toks WHERE len(ts) < 3""".stripMargin
 
+  /** Cross-set exact jaccard (old half vs new half, j >= 0.9) — the
+    * oracle for both the batch and the streaming incremental-dedup
+    * paths (the streaming query checks the same static seed index, so
+    * both reduce to this full re-derivation). */
+  private[queries] val incrementalDedupOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
+       |sh AS (
+       |$shingleSql),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT b.doc_id AS new_id, a.doc_id AS old_id, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |  WHERE a.doc_id < 250 AND b.doc_id >= 250
+       |  GROUP BY 1, 2)
+       |SELECT new_id, old_id,
+       |  round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON old_id = sa.doc_id JOIN sz sb ON new_id = sb.doc_id
+       |WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.9
+       |ORDER BY new_id, old_id""".stripMargin
+
   /** Exact n-gram jaccard pair SQL shared by the jaccard + minhash oracles. */
   private def jaccardSql(threshold: Double): String =
     s"""WITH toks AS (
@@ -994,23 +1016,7 @@ object ExtQueries {
 
     "dedup_minhash_lsh" -> (jaccardSql(0.9) + " ORDER BY id_a, id_b"),
 
-    "dedup_incremental" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
-         |sh AS (
-         |$shingleSql),
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT b.doc_id AS new_id, a.doc_id AS old_id, count(*) AS n_inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
-         |  WHERE a.doc_id < 250 AND b.doc_id >= 250
-         |  GROUP BY 1, 2)
-         |SELECT new_id, old_id,
-         |  round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-         |FROM inter
-         |JOIN sz sa ON old_id = sa.doc_id JOIN sz sb ON new_id = sb.doc_id
-         |WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.9
-         |ORDER BY new_id, old_id""".stripMargin,
+    "dedup_incremental" -> incrementalDedupOracle,
 
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -81,6 +81,31 @@ object SketchQueries {
         .orderBy("l_returnflag")
     },
 
+    // Bloom membership sketch: set-bit table built over the OLD half's
+    // canonical fingerprints, probed by the NEW half — a miss is a
+    // definitive "never seen" (the corpus untouched), a hit falls back
+    // to the exact lookup; the gate carries both the sketch verdict and
+    // the exact membership so the one-sided-error contract is checked
+    // row by row
+    "ops_bloom_filter" -> q { c =>
+      import graft.ext.TextOps
+      val docs = c.t("documents")
+      val fp = docs.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      val bits = Sketches.bloomBits(
+        fp.filter(col("doc_id") < 250), "fp", m = 2048, k = 4)
+      val probes = fp.filter(col("doc_id") >= 250)
+      val verdicts = Sketches.bloomMightContain(bits, probes, "fp",
+        m = 2048, k = 4)
+      val oldFps = fp.filter(col("doc_id") < 250)
+        .select(col("fp")).distinct().withColumn("__in", lit(1))
+      probes.join(verdicts, Seq("fp"))
+        .join(oldFps, Seq("fp"), "left")
+        .select(col("doc_id"), col("might_contain"),
+          col("__in").isNotNull.as("actual"))
+        .orderBy("doc_id")
+    },
+
     // one-pass table profile (the Deequ/describe analog): per-column
     // counts, nulls, lexicographic min/max, decimal-exact mean, and an
     // HLL distinct estimate from ONE melted scan + two aggregations
@@ -107,6 +132,32 @@ object SketchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ops_bloom_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(j || '#' || fp), 1, 8))::BIGINT % 2048 AS bit
+        |  FROM f, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) g
+        |  WHERE doc_id < 250),
+        |pb AS (
+        |  SELECT doc_id, fp,
+        |    ('0x' || substr(md5(j || '#' || fp), 1, 8))::BIGINT % 2048 AS bit
+        |  FROM f, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) g
+        |  WHERE doc_id >= 250),
+        |mc AS (
+        |  SELECT doc_id, count(b.bit) = 4 AS might_contain
+        |  FROM pb LEFT JOIN bits b ON pb.bit = b.bit
+        |  GROUP BY doc_id),
+        |o AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250)
+        |SELECT p.doc_id, mc.might_contain, (o.fp IS NOT NULL) AS actual
+        |FROM (SELECT doc_id, fp FROM f WHERE doc_id >= 250) p
+        |JOIN mc USING (doc_id)
+        |LEFT JOIN o USING (fp)
+        |ORDER BY doc_id""".stripMargin,
+
     "ops_hll_rollup" ->
       """WITH h AS (
         |  SELECT event_type, user_id, md5(user_id::VARCHAR) AS hx

@@ -206,6 +206,35 @@ object StreamQueries {
       val deduped = Streaming.dedupByKeyUnbounded(src, Seq("event_id"))
       Streaming.drainAvailableNow(deduped)((batch, _) => store.append("dd", batch))
       store.read("dd").orderBy("event_id")
+    },
+
+    // streaming near-dup screening against the persisted MinHash index
+    // (the "nightly index, streaming checks" topology): docs 0-249 are
+    // indexed once; the arriving half is split into 3 files so
+    // AvailableNow delivers real micro-batches (maxFilesPerTrigger=1),
+    // each checked against the STORED index and its pairs committed per
+    // batch. Batches are checked against the static seed index, so the
+    // result is batch-order independent and the full cross-set jaccard
+    // oracle gates it exactly
+    "stream_incremental_dedup" -> q { c =>
+      val ss = streamSession(c)
+      val store = new TableStore(
+        Files.createTempDirectory("graft-sid").toString, c.spark)
+      val docs = c.tw("documents")
+      graft.ext.IncrementalDedup.indexCorpus(store, "corpus",
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      val srcDir = Files.createTempDirectory("graft-sid-src").toString
+      docs.filter(col("doc_id") >= 250)
+        .repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(srcDir)
+      val src = Streaming.fileStream(ss, srcDir,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      Streaming.drainAvailableNow(src) { (batch, _) =>
+        if (!batch.isEmpty)
+          store.append("pairs", graft.ext.IncrementalDedup.checkBatch(
+            store, "corpus", batch, "doc_id", "text"))
+      }
+      store.read("pairs").orderBy("new_id", "old_id")
     }
   )
 
@@ -244,6 +273,8 @@ object StreamQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "stream_dedup_exactly_once" ->
       "SELECT event_id, user_id FROM events ORDER BY event_id",
+
+    "stream_incremental_dedup" -> ExtQueries.incrementalDedupOracle,
 
     // partitioned SCD2 over the stream: keys absent from batch 2
     // (o_orderkey % 7 = 0) are NOT retired — only keys present in a

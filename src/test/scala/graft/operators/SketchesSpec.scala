@@ -139,4 +139,29 @@ class SketchesSpec extends SparkSpec {
     assert(merged.orderBy("j", "idx").collect().toSeq ==
       whole.orderBy("j", "idx").collect().toSeq)
   }
+
+  test("bloom has no false negatives and few false positives") {
+    val members = (1 to 300).map(i => s"doc$i").toDF("v")
+    val bits = Sketches.bloomBits(members, "v", m = 4096, k = 4)
+    val probes = ((1 to 300).map(i => s"doc$i") ++
+      (1 to 300).map(i => s"other$i")).toDF("v")
+    val verdicts = Sketches.bloomMightContain(bits, probes, "v",
+      m = 4096, k = 4).as[(String, Boolean)].collect().toMap
+    (1 to 300).foreach(i =>
+      assert(verdicts(s"doc$i"), s"false negative on doc$i"))
+    val fps = (1 to 300).count(i => verdicts(s"other$i"))
+    // m/n ≈ 13.7 bits/element, k=4 -> theoretical FPR ~0.6%; allow 5%
+    assert(fps <= 15, s"$fps false positives out of 300")
+  }
+
+  test("bloom bit tables merge by union into the whole-set sketch") {
+    val a = (1 to 100).map(i => s"a$i").toDF("v")
+    val b = (1 to 100).map(i => s"b$i").toDF("v")
+    val whole = Sketches.bloomBits(a.unionByName(b), "v", m = 1024, k = 4)
+    val merged = Sketches.bloomMerge(
+      Sketches.bloomBits(a, "v", m = 1024, k = 4),
+      Sketches.bloomBits(b, "v", m = 1024, k = 4))
+    assert(merged.orderBy("bit").collect().toSeq ===
+      whole.orderBy("bit").collect().toSeq)
+  }
 }
