@@ -91,6 +91,63 @@ object BpeTrainer {
       .orderBy(id)
   }
 
+  /** Tokenizer ENCODE — the full loop closed: per-document TOKEN-ID
+    * sequences under the corpus-trained merge table. Token ids are the
+    * dense rank of the post-merge symbol set in UTF-8 byte order — the
+    * id table is BOUNDED BY CONSTRUCTION (alphabet + one new symbol
+    * per merge round), so its ranking window is sketch-sized at any
+    * corpus scale and the id join broadcasts. Document encoding is the
+    * per-word symbol expansion joined through the (vocabulary-sized)
+    * segmented-word table, reassembled in (word position, symbol
+    * position) order. Output: (id, n_tokens, token_ids). */
+  def encode(docs: DataFrame, id: String, text: String,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reps = run(docs, text, rounds)._2
+    val wordSyms = Dedup.pin(
+      reps.select(col("w"), split(trim(col("rep")), " ").as("syms")))
+    val vocab = wordSyms.select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("tok_id",
+        row_number().over(Window.orderBy("sym")).cast("long"))
+    val wordIds = wordSyms
+      .select(col("w"), posexplode(col("syms")).as(Seq("spos", "sym")))
+      .join(broadcast(vocab), "sym")
+    docs.select(col(id), posexplode(TextOps.tokens(col(text))).as(Seq("pos", "w")))
+      .where(length(col("w")) > 0)
+      .join(wordIds, "w")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(array_sort(collect_list(
+          struct(col("pos"), col("spos"), col("tok_id")))),
+          x => x("tok_id")).as("token_ids"))
+      .orderBy(id)
+  }
+
+  /** The DuckDB re-derivation of [[encode]]. */
+  def encodeOracleSql(rounds: Int): String =
+    s"""WITH ${stagesSql(rounds)},
+       |seg AS (SELECT w, string_split(trim(rep), ' ') AS syms FROM w$rounds),
+       |vocab AS (
+       |  SELECT sym, row_number() OVER (ORDER BY sym) AS tok_id
+       |  FROM (SELECT DISTINCT unnest(syms) AS sym FROM seg)),
+       |ws AS (
+       |  SELECT w, s.spos, s.sym
+       |  FROM seg, LATERAL (
+       |    SELECT unnest(syms) AS sym,
+       |      unnest(generate_series(1, len(syms))) AS spos) s),
+       |dw AS (
+       |  SELECT doc_id, t.w, t.pos
+       |  FROM documents, LATERAL (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w,
+       |      unnest(generate_series(1,
+       |        len(string_split_regex(trim(text), '\\s+')))) AS pos) t
+       |  WHERE length(t.w) > 0)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  list(tok_id ORDER BY pos, spos) AS token_ids
+       |FROM dw JOIN ws USING (w) JOIN vocab USING (sym)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** The shared training loop: (merge table, segmented vocabulary
     * (w, cnt, rep) after all merges applied). */
   private def run(docs: DataFrame, text: String, rounds: Int,

@@ -157,6 +157,13 @@ object ExtQueries {
       BpeTrainer.segmentCounts(c.t("documents"), "doc_id", "text", rounds = 8)
     },
 
+    // tokenizer ENCODE: actual per-doc token-ID sequences (dense-rank
+    // symbol ids, bounded by alphabet + merge rounds); every id in
+    // every position re-derived by the oracle
+    "text_bpe_encode" -> q { c =>
+      BpeTrainer.encode(c.t("documents"), "doc_id", "text", rounds = 8)
+    },
+
     // benchmark decontamination: docs 0-24 stand in for the eval set;
     // every other doc is scored by distinct-shingle overlap with it
     "text_contamination" -> q { c =>
@@ -788,6 +795,8 @@ object ExtQueries {
     "text_bpe_train" -> BpeTrainer.oracleSql(rounds = 8),
 
     "text_bpe_segment" -> BpeTrainer.segmentOracleSql(rounds = 8),
+
+    "text_bpe_encode" -> BpeTrainer.encodeOracleSql(rounds = 8),
 
     "text_contamination" ->
       s"""WITH toks AS (

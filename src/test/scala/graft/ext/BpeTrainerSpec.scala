@@ -108,4 +108,22 @@ class BpeTrainerSpec extends SparkSpec {
     assert(!sql.contains("p4 AS ("))
     assert(sql.contains("ORDER BY round"))
   }
+
+  test("encode emits dense in-range token ids matching the segmentation") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab b")).toDF("doc_id", "text")
+    // 1 round: merge (a,a) -> "aa"; segmentations: aa->[aa], ab->[a,b]
+    // vocab sorted: a=1, aa=2, b=3
+    val out = BpeTrainer.encode(docs, "doc_id", "text", rounds = 1)
+      .collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_tokens"),
+        r.getAs[scala.collection.Seq[Long]]("token_ids"))).toMap
+    assert(byId(1L) === ((4L, Seq(2L, 1L, 3L, 2L))))  // aa, a b, aa
+    assert(byId(2L) === ((3L, Seq(1L, 3L, 3L))))      // a b, b
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") ===
+        r.getAs[scala.collection.Seq[Long]]("token_ids").length.toLong)
+    }
+  }
 }
