@@ -222,4 +222,55 @@ class PlanSpec extends SparkSpec {
     val p = proj.queryExecution.executedPlan.toString()
     assert(p.contains("graft_matvec_mul"))
   }
+
+  test("unicode clean and url audit stay inside whole-stage codegen") {
+    Seq("text_unicode_clean", "text_url_domains").foreach { name =>
+      val cg = codegenPlan(name)
+      assert(cg.contains("WholeStageCodegen"), s"$name fell out of codegen")
+      val p = plan(name)
+      // pure projection: the ONLY exchange is the presentation sort's
+      // range partitioning — no aggregate, no join
+      assert("Exchange".r.findAllIn(p).length == 1 &&
+        p.contains("rangepartitioning"),
+        s"$name must stay a pure projection up to the sort:\n$p")
+    }
+  }
+
+  test("chunk windows is projection + explode: no shuffle before the sort") {
+    val p = plan("text_chunk_windows")
+    // the only exchange allowed is the presentation orderBy's range part
+    assert(p.contains("Generate explode"), s"expected the chunk explode:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
+      s"chunking must not aggregate or join:\n$p")
+  }
+
+  test("shard shuffle sorts per shard, never in one partition") {
+    val p = plan("ops_shard_shuffle")
+    assert(p.contains("Window"), s"expected the per-shard rank window:\n$p")
+    // the window partitions by shard => hashpartitioning exchange, not a
+    // single-partition global sort
+    assert(p.contains("hashpartitioning(shard"),
+      s"window must partition by shard:\n$p")
+  }
+
+  test("quantization is one stats aggregate plus a map-only kernel pass") {
+    val p = plan("sim_quantize_int8")
+    assert(p.contains("graft_quantize_int8"), s"expected the kernel:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row stats frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-sized join allowed:\n$p")
+  }
+
+  test("bloom probes broadcast the bit table") {
+    val p = plan("ops_bloom_filter")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the sketch-sized bit table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("incremental dedup joins band keys by hash, no corpus rescan join") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"band join degraded:\n$p")
+  }
 }
