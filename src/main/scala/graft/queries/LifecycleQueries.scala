@@ -105,6 +105,21 @@ object LifecycleQueries {
       store.read("t").orderBy("o_orderkey")
     },
 
+    // Z-ORDER clustered layout: lineitem laid out as 8 Morton-ordered
+    // segments on (l_orderkey, l_quantity); the gated read prunes on
+    // the NON-LEADING dimension through the manifest stats and must
+    // lose no qualifying row vs the direct filter over the raw table
+    "write_zorder_layout" -> q { c =>
+      val store = new TableStore(tmp("graft-zo"), c.spark)
+      val li = c.t("lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      graft.write.Zorder.overwrite(store, "t", li,
+        Seq("l_orderkey", "l_quantity"), segments = 8)
+      store.readPruned("t", "l_quantity", Some("10"), Some("20"))
+        .filter(col("l_quantity") >= 10 && col("l_quantity") <= 20)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // MetricsItem: observed metrics ride the load action (no extra scan)
     "plane_metrics_observe" -> q { c =>
       val p = new Pipeline("mx", tmp("graft-mx"), c.spark)
@@ -200,6 +215,10 @@ object LifecycleQueries {
         |FROM orders WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""".stripMargin,
     "plane_metrics_observe" ->
       "SELECT count(*) AS n_rows, sum(event_id)::BIGINT AS sum_ids FROM events",
+    "write_zorder_layout" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 10 AND l_quantity <= 20
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "lifecycle_refresh" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
