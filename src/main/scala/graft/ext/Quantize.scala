@@ -44,6 +44,89 @@ object Quantize {
       .select(col(id), col("__s.q").as("q"), col("__s.qsum").as("qsum"),
         round(col("__s.max_err"), 6).as("max_err"))
 
+  /** Quantized-shortlist top-k with exact re-rank — the ADC search
+    * pattern a compressed vector store runs: score EVERY corpus vector
+    * against the query on its DEQUANTIZED form (the store scans 4×
+    * less data), keep a `shortlist`-sized candidate set per query,
+    * then fetch ONLY those candidates' full-precision vectors (a
+    * point-read join back to the corpus, shortlist-sized) for the
+    * exact cosine re-rank. The full vectors never ride the scan —
+    * that is the whole memory story at 100 TB. Deterministic ties
+    * (score DESC, id) at both stages keep the pipeline
+    * oracle-replayable. */
+  def rerankTopK(emb: DataFrame, id: String, vec: String,
+      queries: DataFrame, k: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, "shortlist must cover k")
+    val stats = broadcast(dimStats(emb, vec))
+    val deq = emb.crossJoin(stats)
+      .select(col(id).as("match_id"),
+        VectorFunctions.dequantizeInt8(
+          VectorFunctions.quantizeInt8(col(vec), col("mins"), col("maxs"))("q"),
+          col("mins"), col("maxs")).as("__deq"))
+    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("__qv")))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("match_id"))
+    val short = deq.join(q, col("query_id") =!= col("match_id"))
+      .withColumn("adc", Dedup.cosine(col("__qv"), col("__deq")))
+      .withColumn("__ar", row_number().over(wa))
+      .filter(col("__ar") <= shortlist)
+      .select("query_id", "match_id")
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("match_id"))
+    short
+      .join(emb.select(col(id).as("match_id"), col(vec).as("__cv")), "match_id")
+      .join(q, "query_id")
+      .withColumn("cosine", Dedup.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(we).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("match_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** DuckDB re-derivation of [[rerankTopK]] (k=5, shortlist=20,
+    * queries = vec_id < 10): quantize→dequantize replayed per
+    * dimension, ADC shortlist, exact re-rank. */
+  val RerankOracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, unnest(v) AS xv,
+      |    unnest(range(1, len(v) + 1)) AS i
+      |  FROM e),
+      |st AS (SELECT i, min(xv) AS mn, max(xv) AS mx FROM x GROUP BY 1),
+      |dq AS (
+      |  SELECT vec_id,
+      |    list(CASE WHEN mx > mn
+      |              THEN mn + CAST(round((xv - mn) / (mx - mn) * 255) AS BIGINT)
+      |                   / 255.0 * (mx - mn)
+      |              ELSE mn END ORDER BY i) AS deq
+      |  FROM x JOIN st USING (i) GROUP BY vec_id),
+      |approx AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+      |    list_cosine_similarity(q.v, c.deq) AS adc
+      |  FROM e q JOIN dq c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      |short AS (
+      |  SELECT query_id, match_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY adc DESC, match_id) AS ar
+      |  FROM approx),
+      |exact AS (
+      |  SELECT s.query_id, s.match_id,
+      |    list_cosine_similarity(q.v, c.v) AS cs
+      |  FROM short s
+      |  JOIN e q ON q.vec_id = s.query_id
+      |  JOIN e c ON c.vec_id = s.match_id
+      |  WHERE s.ar <= 20)
+      |SELECT query_id,
+      |  row_number() OVER (PARTITION BY query_id
+      |                     ORDER BY cs DESC, match_id) AS rank,
+      |  match_id, round(cs, 6) AS cosine
+      |FROM exact
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** The DuckDB re-derivation over `embeddings(vec_id, embedding)`:
     * same stats, same `r = round(t·255)` codes, same reconstruction
     * arithmetic (division before multiply before add), list re-packed

@@ -338,10 +338,68 @@ case class QuantizeInt8(first: Expression, second: Expression, third: Expression
       t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
+/** Reconstruction of [[QuantizeInt8]] codes back to doubles:
+  * `deq_i = mn_i + (q_i + 128) / 255 · (mx_i − mn_i)` — the exact
+  * arithmetic the quantizer's error column measures, so distances over
+  * dequantized vectors (asymmetric distance computation, ADC) are
+  * engine-replayable bit-for-bit. */
+case class DequantizeInt8(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "graft_dequantize_int8"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def intOk(e: Expression) = e.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    def dblOk(e: Expression) = e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (intOk(first) && dblOk(second) && dblOk(third))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int>, array<double>, array<double>), got " +
+        s"${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql}")
+  }
+
+  def dequantize(qa: ArrayData, mna: ArrayData, mxa: ArrayData): Any = {
+    val n = math.min(qa.numElements(), math.min(mna.numElements(), mxa.numElements()))
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val mn = mna.getDouble(i)
+      val mx = mxa.getDouble(i)
+      val r = qa.getInt(i) + 128L
+      out(i) = if (mx > mn) mn + r / 255.0 * (mx - mn) else mn
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    dequantize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dequantizeInt8", this, classOf[DequantizeInt8].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.dequantize($a, $b, $c);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
 /** Column-API front door for the vector kernels. */
 object VectorFunctions {
   def quantizeInt8(vec: Column, mins: Column, maxs: Column): Column =
     ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(vec),
+      ColumnBridge.expression(mins), ColumnBridge.expression(maxs)))
+
+  def dequantizeInt8(q: Column, mins: Column, maxs: Column): Column =
+    ColumnBridge.column(DequantizeInt8(ColumnBridge.expression(q),
       ColumnBridge.expression(mins), ColumnBridge.expression(maxs)))
 
   def dotp(a: Column, b: Column): Column =

@@ -292,6 +292,18 @@ object ExtQueries {
         .orderBy("vec_id")
     },
 
+    // ADC search over the quantized corpus: dequantized-cosine
+    // shortlist (the scan that reads 4x less data), then exact re-rank
+    // of ONLY the shortlist's full-precision vectors — the whole
+    // quantize→dequantize→shortlist→re-rank pipeline re-derived by the
+    // oracle
+    "sim_quantized_rerank" -> q { c =>
+      val vecs = c.t("embeddings")
+      Quantize.rerankTopK(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") < 10), k = 5, shortlist = 20)
+        .orderBy("query_id", "rank")
+    },
+
     // rank-4 PCA fit (one-pass gram aggregate + driver Jacobi) and
     // map-only codegen projection; self-gated in-query: the empirical
     // population variance of each component must equal its eigenvalue
@@ -1075,6 +1087,8 @@ object ExtQueries {
     "sim_kmeans_assign" -> Clustering.oracleSql(k = 4, iters = 3),
 
     "sim_quantize_int8" -> Quantize.OracleSql,
+
+    "sim_quantized_rerank" -> Quantize.RerankOracleSql,
 
     "sim_radius_search" ->
       """SELECT q.vec_id AS query_id, v.vec_id AS match_id,

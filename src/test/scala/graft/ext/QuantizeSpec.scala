@@ -44,6 +44,22 @@ class QuantizeSpec extends SparkSpec {
     assert(r.getAs[Double]("max_err") === 0.0)
   }
 
+  test("rerank returns exact top-k when the shortlist covers the corpus") {
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Array(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") <= 2)
+    val got = Quantize.rerankTopK(vecs, "vec_id", "embedding", qs,
+      k = 3, shortlist = 39).orderBy("query_id", "rank")
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    val exact = graft.ext.Similarity.bruteForceTopK(vecs, qs,
+      "vec_id", "embedding", k = 3).orderBy("query_id", "rank")
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    // shortlist = whole corpus -> the exact re-rank IS brute force
+    assert(got === exact)
+    assert(got.forall { case (q, m) => q != m })
+  }
+
   test("stats pass emits one row of dim-ordered arrays") {
     val s = Quantize.dimStats(emb, "embedding").collect()
     assert(s.length === 1)

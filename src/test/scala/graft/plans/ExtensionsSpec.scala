@@ -26,6 +26,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.count() === 4)
   }
 
+  test("text and quantize kernels are callable from SQL") {
+    GraftExtensions.register(spark)
+    val combiningAcute = new String(Character.toChars(0x0301))
+    val precomposed = new String(Character.toChars(0x00E9)) // é
+    val r = spark.sql(
+      s"""SELECT graft_nfc_normalize('cafe$combiningAcute') AS n,
+         |  graft_url_domains('see https://a.b.example.com/x') AS d,
+         |  graft_quantize_int8(array(0.0F, 1.0F),
+         |    array(0.0D, 0.0D), array(1.0D, 1.0D)).q AS q""".stripMargin)
+      .head()
+    assert(r.getAs[String]("n") === s"caf$precomposed")
+    assert(r.getAs[scala.collection.Seq[String]]("d") === Seq("example.com"))
+    assert(r.getAs[scala.collection.Seq[Int]]("q") === Seq(-128, 127))
+  }
+
   test("the extensions class wires the same functions via injectFunction") {
     // a fresh session built WITH the extensions conf resolves the names
     val s = org.apache.spark.sql.SparkSession.builder()
