@@ -103,6 +103,31 @@ object TextClean {
        |  LATERAL (SELECT ts[i * $stride + 1 : i * $stride + $width] AS ck) c
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** HTML → text extraction (the first stage of every web-corpus
+    * pipeline; the trafilatura-lite core): drop script/style blocks
+    * WITH their content, strip remaining tags, decode the five XML
+    * entities plus nbsp, then [[clean]]. Engine-portable by
+    * construction: block patterns are spelled per tag (RE2 has no
+    * backreferences, so `</\1>` is off the table), `(?is)` + lazy
+    * `.*?` are common to RE2 and java.util.regex, and entity decoding
+    * is a literal replace chain with `&amp;` LAST (decoding it first
+    * would double-decode `&amp;lt;`). */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = Seq("script", "style").foldLeft(html)((c, t) =>
+      regexp_replace(c, s"(?is)<$t[^>]*>.*?</$t>", " "))
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    clean(decoded)
+  }
+
+  /** Count of markup tags the extraction strips — the "how HTML was
+    * this document" signal. */
+  def tagCount(html: Column): Column =
+    regexp_count(html, lit("<[^>]*>")).cast("int")
+
   /** URL / domain audit per document — the RefinedWeb-style URL
     * filtering primitive: extract every URL's registered domain
     * (native one-pass kernel, no regex at runtime), count blocklist

@@ -64,6 +64,25 @@ object CleanQueries {
     "ops_shard_shuffle" -> q { c =>
       HashSplit.shardShuffle(c.t("documents").select("doc_id"),
         "doc_id", nShards = 8, salt = "ep0").orderBy("shard", "pos")
+    },
+
+    // HTML -> text extraction: each doc wrapped in deterministic markup
+    // (title/style/script blocks, attributes, the five XML entities,
+    // nbsp, a raw '<' inside script); block-content drop, tag strip and
+    // entity decode all checked byte-for-byte
+    "text_html_extract" -> q { c =>
+      val html = concat(
+        lit("<html><head><title>D"), col("doc_id"),
+        lit("</title><style>p {color: red}</style></head><body><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><p class=\"body\">"), col("text"),
+        lit(" &amp; more &lt;tags&gt; &quot;quoted&quot; A&nbsp;B</p>" +
+          "<script>var x = 1 < 2;</script></body></html>"))
+      c.t("documents").select(col("doc_id"), html.as("h"))
+        .select(col("doc_id"),
+          TextClean.tagCount(col("h")).as("n_tags"),
+          TextClean.htmlToText(col("h")).as("clean"))
+        .orderBy("doc_id")
     }
   )
 
@@ -118,6 +137,30 @@ object CleanQueries {
         |  array_to_string(list_sort(list_distinct(ds)), ',') AS domains,
         |  nb = 0 AS keep
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_html_extract" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>D' || doc_id ||
+         |    '</title><style>p {color: red}</style></head><body><h1>Doc ' ||
+         |    doc_id || '</h1><p class="body">' || text ||
+         |    ' &amp; more &lt;tags&gt; &quot;quoted&quot; A&nbsp;B</p>' ||
+         |    '<script>var x = 1 < 2;</script></body></html>' AS html
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT) AS n_tags,
+         |  trim(regexp_replace(regexp_replace(nfc_normalize(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(html,
+         |            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |        '<[^>]*>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')),
+         |    '$CtrlSql', ' ', 'g'), '\\s+', ' ', 'g')) AS clean
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "ops_shard_shuffle" ->
       """WITH h AS (

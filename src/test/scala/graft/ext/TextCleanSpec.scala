@@ -65,6 +65,24 @@ class TextCleanSpec extends SparkSpec {
     assert(chunks.head.getAs[Int]("n_tokens") === 5)
   }
 
+  test("htmlToText drops blocks, strips tags, and decodes entities once") {
+    val df = Seq(
+      (1L, "<html><style>p{x}</style><body><h1>T</h1>" +
+        "<p>hello &amp;lt; world &quot;q&quot; A&nbsp;B</p>" +
+        "<script>if (1 < 2) alert('x')</script>done</body></html>"),
+      (2L, "no markup at all")
+    ).toDF("id", "h")
+    val out = df.select(col("id"),
+      TextClean.htmlToText(col("h")).as("t"),
+      TextClean.tagCount(col("h")).as("n"))
+      .orderBy("id").collect()
+    // &amp;lt; decodes to the literal text "&lt;" (single decode only)
+    assert(out(0).getAs[String]("t") === "T hello &lt; world \"q\" A B done")
+    assert(out(0).getAs[Int]("n") > 5)
+    assert(out(1).getAs[String]("t") === "no markup at all")
+    assert(out(1).getAs[Int]("n") === 0)
+  }
+
   test("urlDomainAudit extracts registered domains and flags blocklist hits") {
     val df = Seq(
       (1L, "see https://a.b.example.com/x and http://tracker.bad/y?z=1 done"),
