@@ -105,6 +105,20 @@ object LifecycleQueries {
       store.read("t").orderBy("o_orderkey")
     },
 
+    // filesystem DESTINATION (dlt filesystem analog): two jsonl load
+    // packages land as layout-named files
+    // ({table_name}/{load_id}.{file_id}.jsonl), then the reader side of
+    // the layout contract re-assembles the table across loads
+    "write_filesystem_jsonl" -> q { c =>
+      val sink = new graft.write.FilesystemSink(tmp("graft-fsd"), c.spark)
+      val ev = c.t("events").select("event_id", "user_id", "event_type")
+      sink.write("events", ev.filter(col("event_id") % 2 === 0), "l1")
+      sink.write("events", ev.filter(col("event_id") % 2 === 1), "l2")
+      sink.read("events", "jsonl", Some(ev.schema))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+
     // Z-ORDER clustered layout: lineitem laid out as 8 Morton-ordered
     // segments on (l_orderkey, l_quantity); the gated read prunes on
     // the NON-LEADING dimension through the manifest stats and must
@@ -219,6 +233,8 @@ object LifecycleQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity >= 10 AND l_quantity <= 20
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "write_filesystem_jsonl" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "lifecycle_refresh" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,

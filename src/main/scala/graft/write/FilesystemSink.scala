@@ -1,0 +1,119 @@
+package graft.write
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Filesystem DESTINATION — the dlt filesystem-destination analog
+  * (reference: dlt/destinations/impl/filesystem/filesystem.py, layout
+  * resolution dlt/destinations/path_utils.py): loads land as
+  * layout-patterned data files (`{table_name}/{load_id}.{file_id}.{ext}`
+  * by default) in jsonl / csv / parquet — the "export the corpus as
+  * training shards" sink, and the staging shape warehouse destinations
+  * load from.
+  *
+  * Spark writes a DIRECTORY of part files per job; dlt's contract is
+  * individually named files. The bridge: write to a scratch dir with
+  * full cluster parallelism, then RENAME each part into its layout name
+  * (a driver-side metadata operation, O(files) and data-free — the same
+  * trick TableStore's importFiles uses in reverse). Parallelism,
+  * partitioning and column pruning stay Spark-native; only the naming
+  * is driver work.
+  *
+  * Dispositions: `append` adds a load's files next to earlier loads;
+  * `replace` removes the table's earlier files in the same driver step
+  * after the new load is fully materialized (crash between = both
+  * loads present, re-runnable — mirroring dlt's followup-job model
+  * rather than TableStore's manifest atomicity; the lakehouse sink is
+  * the atomic path).
+  */
+final class FilesystemSink(val root: String, spark: SparkSession,
+    layout: String = "{table_name}/{load_id}.{file_id}.{ext}") {
+
+  private def ext(format: String): String = format match {
+    case "jsonl" => "jsonl"
+    case "csv" => "csv"
+    case "parquet" => "parquet"
+    case other => throw new IllegalArgumentException(s"unsupported format: $other")
+  }
+
+  private def resolve(table: String, loadId: String, fileId: Int,
+      format: String): Path =
+    Paths.get(root, layout
+      .replace("{table_name}", table)
+      .replace("{load_id}", loadId)
+      .replace("{file_id}", fileId.toString)
+      .replace("{ext}", ext(format)))
+
+  /** Write one load package for `table`. Returns the laid-out files. */
+  def write(table: String, df: DataFrame, loadId: String,
+      format: String = "jsonl", replace: Boolean = false): Seq[Path] = {
+    val scratch = Files.createTempDirectory(s"graft-fs-$table")
+    val out = scratch.resolve("out").toString
+    format match {
+      case "jsonl" => df.write.json(out)
+      case "csv" => df.write.option("header", "true").csv(out)
+      case "parquet" => df.write.parquet(out)
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    val suffix = if (format == "jsonl") ".json" else s".$format"
+    val parts = Files.list(Paths.get(out)).iterator()
+    val sorted = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (parts.hasNext) {
+      val p = parts.next()
+      if (p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(suffix)) sorted += p
+    }
+    val previous = if (replace) listFiles(table, format) else Nil
+    val placed = sorted.sortBy(_.getFileName.toString).zipWithIndex.map {
+      case (part, i) =>
+        val target = resolve(table, loadId, i, format)
+        Files.createDirectories(target.getParent)
+        Files.move(part, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        target
+    }.toSeq
+    previous.filterNot(placed.contains).foreach(Files.deleteIfExists(_))
+    placed
+  }
+
+  /** The table's current data files for `format` under the layout. */
+  def listFiles(table: String, format: String): Seq[Path] = {
+    val dir = resolve(table, "x", 0, format).getParent
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val e = ext(format)
+      val it = Files.list(dir).iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(s".$e")) out += p
+      }
+      out.sortBy(_.toString).toSeq
+    }
+  }
+
+  /** Read a table back (all loads), with the load id parsed from the
+    * file name as provenance — the reader side of the layout contract.
+    * `schema` pins types for the text formats (jsonl/csv infer loosely;
+    * the caller knows the written schema). */
+  def read(table: String, format: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val files = listFiles(table, format).map(_.toString)
+    require(files.nonEmpty, s"no $format files for table $table")
+    val r = spark.read
+    val withSchema = schema.fold(r.option("inferSchema", "true"))(r.schema)
+    val df = format match {
+      case "jsonl" => withSchema.json(files: _*)
+      case "csv" => withSchema.option("header", "true").csv(files: _*)
+      case _ => spark.read.parquet(files: _*)
+    }
+    // greedy [^/]+ backtracks just enough for the trailing
+    // .{file_id}.{ext}, so DOTTED load ids (dlt's epoch.counter form)
+    // survive the parse intact
+    df.withColumn("_dlt_load_id",
+      regexp_extract(input_file_name(), "/([^/]+)\\.\\d+\\.[a-z]+$", 1))
+  }
+}
