@@ -33,10 +33,12 @@ import graft.write.TableStore
   */
 object IncrementalDedup {
 
-  /** Index a corpus: write the docs and their banded signatures. */
+  /** Index a corpus: write the docs and their banded signatures. Both
+    * loads complete inside the call, so the shared pin is scoped here
+    * and released on exit — safe to call per batch forever. */
   def indexCorpus(store: TableStore, table: String, docs: DataFrame,
       id: String, text: String, n: Int = 3,
-      perms: Int = 64, bands: Int = 16): Unit = {
+      perms: Int = 64, bands: Int = 16): Unit = Dedup.withPins {
     val pinned = Dedup.pin(docs.select(col(id).as("_id"), col(text).as("_text")))
     store.append(table, pinned)
     store.append(s"${table}__minhash_bands",
@@ -45,7 +47,14 @@ object IncrementalDedup {
 
   /** Near-dup pairs of a NEW batch against the indexed corpus:
     * (new_id, old_id, jaccard >= threshold). Batch ids must be
-    * disjoint from indexed ids (the corpus id contract). */
+    * disjoint from indexed ids (the corpus id contract).
+    *
+    * PIN LIFECYCLE: the returned frame is lazy and the batch's shingle
+    * index is pinned into the AMBIENT pin scope while it is consumed —
+    * a long-lived caller (per-micro-batch screening) must wrap each
+    * consume in [[Dedup.withPins]] (or call [[Dedup.releasePins]]
+    * after it), or each batch permanently adds a persisted index to
+    * the cache. One-shot jobs can ignore this. */
   def checkBatch(store: TableStore, table: String, batch: DataFrame,
       id: String, text: String, n: Int = 3, threshold: Double = 0.9,
       perms: Int = 64, bands: Int = 16): DataFrame = {

@@ -265,12 +265,15 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
 /** Registered domains of every URL occurrence in the text, in order of
   * appearance, duplicates kept — one pass over the string, no regex
-  * machinery at runtime. A "URL" is `https?://` followed by non-space
-  * characters (the conventional web-text extraction form, ≡ the RE2/
-  * Java pattern `https?://[^ ]+`); its host runs to the first `/` (or
-  * URL end) and reduces to the LAST TWO dot-labels (the registered
-  * domain under generic TLDs). Feeding [[CountInSet]] with a blocklist
-  * gives the RefinedWeb-style URL filter as two codegen kernels. */
+  * machinery at runtime. A "URL" is `https?://` followed by
+  * non-whitespace characters, where "whitespace" is the EXPLICIT set
+  * {space, \t, \n, \r, \f, \x0B} — the Java∩RE2 portable class (≡ the
+  * pattern `https?://[^ \t\n\r\f\x0B]+`; a bare `[^ ]` would swallow a
+  * newline after the URL into the host and let a blocklisted domain
+  * slip past); its host runs to the first `/` (or URL end) and reduces
+  * to the LAST TWO dot-labels (the registered domain under generic
+  * TLDs). Feeding [[CountInSet]] with a blocklist gives the
+  * RefinedWeb-style URL filter as two codegen kernels. */
 case class UrlDomains(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_url_domains"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -280,6 +283,9 @@ case class UrlDomains(child: Expression) extends UnaryExpression {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires string input, got ${other.sql}")
   }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 11.toChar
 
   def domains(s: UTF8String): ArrayData = {
     val str = s.toString
@@ -296,7 +302,7 @@ case class UrlDomains(child: Expression) extends UnaryExpression {
         if (scheme < 0) i += 4
         else {
           var end = i + scheme
-          while (end < str.length && str.charAt(end) != ' ') end += 1
+          while (end < str.length && !isWs(str.charAt(end))) end += 1
           if (end > i + scheme) { // non-empty remainder = a URL match
             var hostEnd = i + scheme
             while (hostEnd < end && str.charAt(hostEnd) != '/') hostEnd += 1

@@ -122,7 +122,8 @@ object CleanQueries {
         |  FROM documents),
         |u AS (
         |  SELECT doc_id,
-        |    list_transform(regexp_extract_all(ptext, 'https?://[^ ]+'),
+        |    list_transform(
+        |      regexp_extract_all(ptext, 'https?://[^ \t\n\r\f\x0B]+'),
         |      u -> array_to_string(
         |        (string_split(regexp_extract(u, '^https?://([^/]+)', 1),
         |          '.'))[-2:], '.')) AS ds

@@ -230,9 +230,13 @@ object StreamQueries {
       val src = Streaming.fileStream(ss, srcDir,
         options = Map("maxFilesPerTrigger" -> "1"))
       Streaming.drainAvailableNow(src) { (batch, _) =>
-        if (!batch.isEmpty)
+        // per-batch pin scope: checkBatch pins the batch's shingle
+        // index; without the scope a long stream grows the cache per
+        // batch (the Dedup.pin contract)
+        if (!batch.isEmpty) graft.ext.Dedup.withPins {
           store.append("pairs", graft.ext.IncrementalDedup.checkBatch(
             store, "corpus", batch, "doc_id", "text"))
+        }
       }
       store.read("pairs").orderBy("new_id", "old_id")
     }

@@ -39,6 +39,8 @@ final class FilesystemSink(val root: String, spark: SparkSession,
     case other => throw new IllegalArgumentException(s"unsupported format: $other")
   }
 
+  private val Formats = Seq("jsonl", "csv", "parquet")
+
   private def resolve(table: String, loadId: String, fileId: Int,
       format: String): Path =
     Paths.get(root, layout
@@ -47,36 +49,69 @@ final class FilesystemSink(val root: String, spark: SparkSession,
       .replace("{file_id}", fileId.toString)
       .replace("{ext}", ext(format)))
 
-  /** Write one load package for `table`. Returns the laid-out files. */
+  /** The layout as a regex over root-relative paths for one table and
+    * format: literal segments quoted, `{load_id}` → `[^/]+`,
+    * `{file_id}` → `\d+`. This — not "everything in the directory" —
+    * scopes listing/replace to THIS table's files, so flat layouts
+    * (no `{table_name}/` prefix) cannot read or delete a sibling
+    * table's data. */
+  private def layoutPattern(table: String, format: String): java.util.regex.Pattern = {
+    val lit = layout.replace("{table_name}", table).replace("{ext}", ext(format))
+    val rx = lit.split("\\{load_id\\}", -1).map(
+        _.split("\\{file_id\\}", -1)
+          .map(s => if (s.isEmpty) "" else java.util.regex.Pattern.quote(s))
+          .mkString("\\d+"))
+      .mkString("[^/]+")
+    java.util.regex.Pattern.compile(rx)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+
+  /** Write one load package for `table`. Returns the laid-out files.
+    * `replace` clears the table's earlier files in EVERY format after
+    * the new load is fully placed (a format switch must not leave a
+    * stale divergent copy behind). */
   def write(table: String, df: DataFrame, loadId: String,
       format: String = "jsonl", replace: Boolean = false): Seq[Path] = {
     val scratch = Files.createTempDirectory(s"graft-fs-$table")
-    val out = scratch.resolve("out").toString
-    format match {
-      case "jsonl" => df.write.json(out)
-      case "csv" => df.write.option("header", "true").csv(out)
-      case "parquet" => df.write.parquet(out)
-      case other => throw new IllegalArgumentException(s"unsupported format: $other")
-    }
-    val suffix = if (format == "jsonl") ".json" else s".$format"
-    val parts = Files.list(Paths.get(out)).iterator()
-    val sorted = scala.collection.mutable.ArrayBuffer.empty[Path]
-    while (parts.hasNext) {
-      val p = parts.next()
-      if (p.getFileName.toString.startsWith("part-") &&
-        p.getFileName.toString.endsWith(suffix)) sorted += p
-    }
-    val previous = if (replace) listFiles(table, format) else Nil
-    val placed = sorted.sortBy(_.getFileName.toString).zipWithIndex.map {
-      case (part, i) =>
-        val target = resolve(table, loadId, i, format)
-        Files.createDirectories(target.getParent)
-        Files.move(part, target,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        target
-    }.toSeq
-    previous.filterNot(placed.contains).foreach(Files.deleteIfExists(_))
-    placed
+    try {
+      val out = scratch.resolve("out").toString
+      format match {
+        case "jsonl" => df.write.json(out)
+        case "csv" => df.write.option("header", "true").csv(out)
+        case "parquet" => df.write.parquet(out)
+        case other => throw new IllegalArgumentException(s"unsupported format: $other")
+      }
+      val suffix = if (format == "jsonl") ".json" else s".$format"
+      val sorted = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val parts = Files.list(Paths.get(out))
+      try {
+        val it = parts.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(suffix)) sorted += p
+        }
+      } finally parts.close()
+      val previous =
+        if (replace) Formats.flatMap(f => listFiles(table, f)) else Nil
+      val placed = sorted.sortBy(_.getFileName.toString).zipWithIndex.map {
+        case (part, i) =>
+          val target = resolve(table, loadId, i, format)
+          Files.createDirectories(target.getParent)
+          Files.move(part, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          target
+      }.toSeq
+      previous.filterNot(placed.contains).foreach(Files.deleteIfExists(_))
+      placed
+    } finally deleteRecursively(scratch)
   }
 
   /** The table's current data files for `format` under the layout. */
@@ -84,14 +119,19 @@ final class FilesystemSink(val root: String, spark: SparkSession,
     val dir = resolve(table, "x", 0, format).getParent
     if (!Files.isDirectory(dir)) Nil
     else {
-      val e = ext(format)
-      val it = Files.list(dir).iterator()
-      val out = scala.collection.mutable.ArrayBuffer.empty[Path]
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.getFileName.toString.endsWith(s".$e")) out += p
-      }
-      out.sortBy(_.toString).toSeq
+      val rootPath = Paths.get(root)
+      val pattern = layoutPattern(table, format)
+      val s = Files.list(dir)
+      try {
+        val it = s.iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val p = it.next()
+          val rel = rootPath.relativize(p).toString
+          if (pattern.matcher(rel).matches()) out += p
+        }
+        out.sortBy(_.toString).toSeq
+      } finally s.close()
     }
   }
 

@@ -46,7 +46,11 @@ object Zorder {
     val zkey = (for (b <- 0 until bits; i <- 0 until d) yield
         shiftleft(shiftright(scaled(i), b).bitwiseAND(lit(1L)), b * d + i))
       .foldLeft(lit(0L): Column)(_ + _) // disjoint bit positions: + = OR
-    keyed.select(df.columns.map(col) :+ zkey.as(keyCol): _*)
+    // a null clustered value (or a value whose double cast nulls) nulls
+    // the whole key — key those rows as -1 so they cluster together in
+    // the first segment instead of silently matching NO segment filter
+    keyed.select(df.columns.map(col) :+
+      coalesce(zkey, lit(-1L)).as(keyCol): _*)
   }
 
   /** Overwrite `table` with `df` laid out as `segments` z-ordered

@@ -103,6 +103,21 @@ class TextCleanSpec extends SparkSpec {
     assert(r(3).getAs[String]("domains") === "site.org")
   }
 
+  test("urlDomainAudit terminates URLs at any whitespace, not just space") {
+    val df = Seq(
+      (1L, "visit http://ads.tracker.bad\nmore text"),
+      (2L, "see https://ok.example.org\tthen stop")
+    ).toDF("id", "t")
+    val r = TextClean.urlDomainAudit(df, "id", "t", Seq("tracker.bad"))
+      .orderBy("id").collect()
+    // a newline after the URL must NOT be swallowed into the host —
+    // the blocklisted domain still matches
+    assert(r(0).getAs[String]("domains") === "tracker.bad")
+    assert(r(0).getAs[Int]("n_blocked") === 1)
+    assert(!r(0).getAs[Boolean]("keep"))
+    assert(r(1).getAs[String]("domains") === "example.org")
+  }
+
   test("shardShuffle is a salt-keyed deterministic permutation") {
     val df = (1L to 200L).toDF("doc_id")
     val a = HashSplit.shardShuffle(df, "doc_id", nShards = 8, salt = "ep0")

@@ -50,6 +50,17 @@ class ZorderSpec extends SparkSpec {
     assert(pruned.count() === df.filter(col("b") >= 3 && col("b") <= 4).count())
   }
 
+  test("null clustered values survive the overwrite in the first segment") {
+    val store = freshStore()
+    val df = Seq((Some(1), Some(10), "a"), (None, Some(20), "b"),
+      (Some(3), None, "c"), (None, None, "d"), (Some(5), Some(50), "e"))
+      .toDF("a", "b", "v")
+    Zorder.overwrite(store, "t", df, Seq("a", "b"), segments = 2)
+    assert(store.read("t").count() === 5)
+    assert(store.read("t").select("v").as[String].collect().sorted.toSeq ===
+      Seq("a", "b", "c", "d", "e"))
+  }
+
   test("z-order overwrite round-trips every row") {
     val store = freshStore()
     val df = (0 until 1000).map(i => (i, (i * 37) % 100, s"v$i"))
