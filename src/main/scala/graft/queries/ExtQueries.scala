@@ -174,6 +174,26 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // TRAIN/EVAL split with a leakage guard — the eval-hygiene
+    // composition: deterministic 90/10 md5 split, then every train doc
+    // sharing >= 50% of its distinct shingles with the eval side is
+    // DROPPED from train (count comparison, no FP-rounding boundary);
+    // 5 leaky docs trip the guard at sf0.01
+    "ops_train_eval_split" -> q { c =>
+      import graft.operators.HashSplit
+      val split = HashSplit.assign(c.tw("documents"), "doc_id",
+        Seq("train" -> 0.9, "eval" -> 0.1))
+      val train = split.filter(col("split") === "train")
+      val ev = split.filter(col("split") === "eval")
+      val leaky = Dedup.contaminationScores(train, ev, "doc_id", "text", n = 3)
+        .filter(col("n_contaminated") * 2 >= col("n_shingles"))
+        .select("doc_id")
+      train.join(leaky, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("split"))
+        .unionByName(ev.select(col("doc_id"), col("split")))
+        .orderBy("split", "doc_id")
+    },
+
     // corpus-level duplicate-line (boilerplate) removal; the synthetic
     // corpus is single-line, so lines are derived by splitting on a
     // frequent word IDENTICALLY on both sides
@@ -827,6 +847,36 @@ object ExtQueries {
          |    AS contaminated_share
          |FROM counts LEFT JOIN hits ON counts.doc_id = hits.doc_id
          |ORDER BY counts.doc_id""".stripMargin,
+
+    "ops_train_eval_split" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+         |              < 3865470566
+         |         THEN 'train' ELSE 'eval' END AS split
+         |  FROM documents),
+         |toks AS (SELECT doc_id, string_split($canonSql, ' ') AS ts FROM s),
+         |sh AS (
+         |$shingleSql),
+         |evs AS (
+         |  SELECT DISTINCT shingle FROM sh JOIN s USING (doc_id)
+         |  WHERE split = 'eval'),
+         |tr AS (
+         |  SELECT sh.doc_id AS doc_id, shingle FROM sh JOIN s USING (doc_id)
+         |  WHERE split = 'train'),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY 1),
+         |hits AS (
+         |  SELECT t.doc_id, count(*) AS n_hit
+         |  FROM tr t JOIN evs USING (shingle) GROUP BY 1),
+         |leaky AS (
+         |  SELECT counts.doc_id FROM counts JOIN hits USING (doc_id)
+         |  WHERE 2 * n_hit >= n_sh)
+         |SELECT doc_id, split FROM s WHERE split = 'eval'
+         |UNION ALL
+         |SELECT doc_id, 'train' AS split FROM s
+         |WHERE split = 'train'
+         |  AND doc_id NOT IN (SELECT doc_id FROM leaky)
+         |ORDER BY split, doc_id""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH toks AS (
