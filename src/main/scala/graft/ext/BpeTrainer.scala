@@ -67,6 +67,12 @@ object BpeTrainer {
   def train(docs: DataFrame, text: String, rounds: Int): DataFrame =
     run(docs, text, rounds)._1
 
+  /** (merge table, segmented vocabulary (w, cnt, rep)) — the full
+    * artifact pair a tokenizer store persists ([[BpeStore]]). */
+  def trainWithVocab(docs: DataFrame, text: String,
+      rounds: Int): (DataFrame, DataFrame) =
+    run(docs, text, rounds)
+
   /** [[train]] with the driver-local loop forced on (spec hook; the
     * public path selects it automatically past [[DriverLoopRounds]]). */
   private[ext] def trainLocal(docs: DataFrame, text: String, rounds: Int): DataFrame =
@@ -101,9 +107,15 @@ object BpeTrainer {
     * segmented-word table, reassembled in (word position, symbol
     * position) order. Output: (id, n_tokens, token_ids). */
   def encode(docs: DataFrame, id: String, text: String,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    encodeWith(docs, id, text, run(docs, text, rounds)._2)
+
+  /** [[encode]] against an EXISTING segmented vocabulary (w, …, rep) —
+    * the apply path when the tokenizer is a stored artifact
+    * ([[BpeStore]]) rather than trained in the same plan. */
+  def encodeWith(docs: DataFrame, id: String, text: String,
+      reps: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val reps = run(docs, text, rounds)._2
     val wordSyms = Dedup.pin(
       reps.select(col("w"), split(trim(col("rep")), " ").as("syms")))
     val vocab = wordSyms.select(explode(col("syms")).as("sym")).distinct()

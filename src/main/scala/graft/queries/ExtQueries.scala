@@ -164,6 +164,18 @@ object ExtQueries {
       BpeTrainer.encode(c.t("documents"), "doc_id", "text", rounds = 8)
     },
 
+    // tokenizer as a PERSISTED artifact: train once, commit the merge
+    // table + segmented vocabulary through the lakehouse sink, then
+    // encode from the COLD-read artifact — same oracle as the in-plan
+    // encode, so the store round-trip provably changes nothing
+    "text_bpe_persisted" -> q { c =>
+      val store = new graft.write.TableStore(
+        java.nio.file.Files.createTempDirectory("graft-bpe").toString, c.spark)
+      val docs = c.t("documents")
+      graft.ext.BpeStore.save(store, "tok", docs, "text", rounds = 8)
+      graft.ext.BpeStore.encodeFrom(store, "tok", docs, "doc_id", "text")
+    },
+
     // benchmark decontamination: docs 0-24 stand in for the eval set;
     // every other doc is scored by distinct-shingle overlap with it
     "text_contamination" -> q { c =>
@@ -829,6 +841,8 @@ object ExtQueries {
     "text_bpe_segment" -> BpeTrainer.segmentOracleSql(rounds = 8),
 
     "text_bpe_encode" -> BpeTrainer.encodeOracleSql(rounds = 8),
+
+    "text_bpe_persisted" -> BpeTrainer.encodeOracleSql(rounds = 8),
 
     "text_contamination" ->
       s"""WITH toks AS (

@@ -109,6 +109,24 @@ class BpeTrainerSpec extends SparkSpec {
     assert(sql.contains("ORDER BY round"))
   }
 
+  test("stored tokenizer artifact encodes later corpora without retraining") {
+    import org.apache.spark.sql.functions._
+    val store = new graft.write.TableStore(
+      java.nio.file.Files.createTempDirectory("graft-bpes").toString, spark)
+    val corpus = Seq((1L, "aa ab aa"), (2L, "ab b")).toDF("doc_id", "text")
+    BpeStore.save(store, "tok", corpus, "text", rounds = 1)
+    // merge table is the portable artifact
+    val m = BpeStore.merges(store, "tok").collect()
+    assert(m.length === 1 && m.head.getAs[String]("merged") === "aa")
+    // a LATER batch encodes from the cold artifact; OOV words drop
+    // (closed-vocab contract)
+    val batch = Seq((9L, "aa zz ab")).toDF("doc_id", "text")
+    val enc = BpeStore.encodeFrom(store, "tok", batch, "doc_id", "text")
+      .head()
+    assert(enc.getAs[Long]("n_tokens") === 3L) // aa=1 sym, zz OOV, ab=2 syms
+    assert(enc.getAs[scala.collection.Seq[Long]]("token_ids") === Seq(2L, 1L, 3L))
+  }
+
   test("encode emits dense in-range token ids matching the segmentation") {
     import org.apache.spark.sql.functions._
     val docs = Seq((1L, "aa ab aa"), (2L, "ab b")).toDF("doc_id", "text")
