@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two loads — the data-quality
+  * check an ingestion pipeline runs before trusting a new batch (the
+  * Deequ/population-stability discipline; the reference's schema
+  * contracts catch TYPE drift, this catches VALUE drift the types
+  * cannot see).
+  *
+  * PSI (population stability index) over `bins` equal-width bins fixed
+  * by the BASELINE's min/max (out-of-range current values clamp to the
+  * edge bins, so a shifted distribution piles up visibly at the edge):
+  * `PSI = Σ_i (p_i − q_i) · ln(p_i / q_i)` with Laplace smoothing
+  * `(cnt + 0.5) / (n + 0.5·bins)` so empty bins stay finite. The usual
+  * reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+  *
+  * Scale shape: one aggregate per side (bin counts — map-side combined
+  * to ≤ bins rows), a bins-row merge, and the Σ as a DECIMAL(28,12)
+  * pre-summed aggregate (order-independent, engine-exact — the
+  * perplexity discipline), so the whole check costs two scans and
+  * kilobytes of shuffle at any volume. */
+object Drift {
+
+  /** Per-bin report plus the total: (bin, n_base, n_cur, term, psi) —
+    * `term` is each bin's smoothed contribution rounded to 6, `psi`
+    * the exact-decimal total (same on every row; ≤ bins rows). */
+  def psi(base: DataFrame, cur: DataFrame, value: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1024, "bins in [2, 1024]")
+    val stats = base.agg(
+      min(col(value).cast("double")).as("__mn"),
+      max(col(value).cast("double")).as("__mx"))
+    def binned(df: DataFrame, cnt: String): DataFrame =
+      df.crossJoin(broadcast(stats))
+        .where(col(value).isNotNull)
+        .select(when(col("__mx") > col("__mn"),
+          least(lit(bins - 1), greatest(lit(0),
+            floor((col(value).cast("double") - col("__mn")) /
+              ((col("__mx") - col("__mn")) / bins)).cast("int"))))
+          .otherwise(lit(0)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(cnt))
+    val grid = base.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    val merged = grid
+      .join(binned(base, "n_base"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val totals = broadcast(merged.agg(
+      sum("n_base").as("__tb"), sum("n_cur").as("__tc")))
+    val t = merged.crossJoin(totals)
+      .withColumn("__p", (col("n_base") + lit(0.5)) /
+        (col("__tb") + lit(0.5) * bins))
+      .withColumn("__q", (col("n_cur") + lit(0.5)) /
+        (col("__tc") + lit(0.5) * bins))
+      .withColumn("__term", (col("__p") - col("__q")) *
+        log(col("__p") / col("__q")))
+    val total = broadcast(t.agg(
+      round(sum(col("__term").cast("decimal(28,12)")).cast("double"), 6)
+        .as("psi")))
+    t.crossJoin(total)
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        round(col("__term"), 6).as("term"), col("psi"))
+      .orderBy("bin")
+  }
+}

@@ -81,6 +81,22 @@ object SketchQueries {
         .orderBy("l_returnflag")
     },
 
+    // PSI distribution drift between two loads: even-key orders are the
+    // baseline, odd-key orders arrive with a deterministic 25% price
+    // lift on a quarter of rows — the value-drift check schema
+    // contracts cannot see; per-bin terms and the exact-decimal total
+    // all re-derived by the oracle
+    "ops_drift_psi" -> q { c =>
+      val o = c.t("orders")
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_totalprice").cast("double").as("v"))
+      val cur = o.filter(col("o_orderkey") % 2 === 1)
+        .select((col("o_totalprice").cast("double") *
+          when(pmod(col("o_orderkey"), lit(4)) === 1, lit(1.25))
+            .otherwise(lit(1.0))).as("v"))
+      graft.operators.Drift.psi(base, cur, "v", bins = 10)
+    },
+
     // Bloom membership sketch: set-bit table built over the OLD half's
     // canonical fingerprints, probed by the NEW half — a miss is a
     // definitive "never seen" (the corpus untouched), a hit falls back
@@ -132,6 +148,45 @@ object SketchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ops_drift_psi" ->
+      """WITH b AS (
+        |  SELECT o_totalprice::DOUBLE AS v FROM orders WHERE o_orderkey % 2 = 0),
+        |c AS (
+        |  SELECT o_totalprice::DOUBLE *
+        |    (CASE WHEN o_orderkey % 4 = 1 THEN 1.25 ELSE 1.0 END) AS v
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |st AS (SELECT min(v) AS mn, max(v) AS mx FROM b),
+        |bb AS (
+        |  SELECT CASE WHEN mx > mn
+        |    THEN least(9, greatest(0,
+        |      CAST(floor((v - mn) / ((mx - mn) / 10)) AS INT)))
+        |    ELSE 0 END AS bin, count(*) AS n_base
+        |  FROM b, st GROUP BY 1),
+        |cb AS (
+        |  SELECT CASE WHEN mx > mn
+        |    THEN least(9, greatest(0,
+        |      CAST(floor((v - mn) / ((mx - mn) / 10)) AS INT)))
+        |    ELSE 0 END AS bin, count(*) AS n_cur
+        |  FROM c, st GROUP BY 1),
+        |grid AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |m AS (
+        |  SELECT g.bin, coalesce(n_base, 0) AS n_base,
+        |    coalesce(n_cur, 0) AS n_cur
+        |  FROM grid g LEFT JOIN bb ON g.bin = bb.bin
+        |  LEFT JOIN cb ON g.bin = cb.bin),
+        |tt AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM m),
+        |tm AS (
+        |  SELECT bin, n_base, n_cur, (p - q) * ln(p / q) AS term
+        |  FROM (
+        |    SELECT m.bin, n_base, n_cur,
+        |      (n_base + 0.5) / (tb + 0.5 * 10) AS p,
+        |      (n_cur + 0.5) / (tc + 0.5 * 10) AS q
+        |    FROM m, tt)),
+        |tot AS (
+        |  SELECT round(sum(term::DECIMAL(28,12))::DOUBLE, 6) AS psi FROM tm)
+        |SELECT bin, n_base, n_cur, round(term, 6) AS term, psi
+        |FROM tm, tot ORDER BY bin""".stripMargin,
+
     "ops_bloom_filter" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = (1 to 2000).map(i => (i % 100).toDouble).toDF("v")
+
+  test("identical distributions score near zero") {
+    val r = Drift.psi(base, base, "v", bins = 10).collect()
+    assert(r.length === 10)
+    assert(math.abs(r.head.getAs[Double]("psi")) < 1e-6)
+    assert(r.map(_.getAs[Int]("bin")).toSeq === (0 until 10))
+  }
+
+  test("a shifted distribution scores far above the 0.25 alarm line") {
+    val shifted = (1 to 2000).map(i => (i % 100).toDouble + 80.0).toDF("v")
+    val psi = Drift.psi(base, shifted, "v", bins = 10)
+      .head().getAs[Double]("psi")
+    assert(psi > 0.25, s"psi=$psi")
+  }
+
+  test("out-of-range current values clamp into the edge bins") {
+    val far = Seq.fill(500)(1e6).toDF("v")
+    val r = Drift.psi(base, far, "v", bins = 10).orderBy("bin").collect()
+    assert(r.last.getAs[Long]("n_cur") === 500L)
+    assert(r.init.forall(_.getAs[Long]("n_cur") === 0L))
+  }
+
+  test("null values are excluded from both sides") {
+    val withNulls = (Seq.fill(50)(Some(5.0)) ++ Seq.fill(50)(None))
+      .toDF("v")
+    val r = Drift.psi(withNulls, withNulls, "v", bins = 4).collect()
+    assert(r.map(_.getAs[Long]("n_base")).sum === 50L)
+    assert(r.map(_.getAs[Long]("n_cur")).sum === 50L)
+  }
+}
