@@ -427,6 +427,24 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF + SQ8: the collection persists INT8 CODES (4x less data under
+    // every probe) + dequantization stats; probe = centroid-ranked
+    // lists -> ADC shortlist over stored codes -> exact re-rank of the
+    // shortlist only. nprobe = nlist makes it exactly the ADC re-rank
+    // pipeline, so that oracle gates the whole cold
+    // write->commit->read->dequantize->probe cycle
+    "sim_ivf_sq8" -> q { c =>
+      val store = new graft.write.TableStore(
+        java.nio.file.Files.createTempDirectory("graft-vsq").toString, c.spark)
+      val vecs = c.t("embeddings")
+      graft.write.VectorSink.writeIvfQuantized(store, "emb", vecs,
+        "vec_id", "embedding", nlist = 16)
+      graft.write.VectorSink.topKQuantized(store, "emb", vecs,
+        vecs.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 16, shortlist = 20)
+        .orderBy("query_id", "rank")
+    },
+
     // IVF (k-means inverted file) ANN — approximate, so no SQL oracle;
     // instead the query SELF-GATES on recall@k against the exact top-k
     // and carries per-query recall as a column
@@ -1153,6 +1171,8 @@ object ExtQueries {
     "sim_quantize_int8" -> Quantize.OracleSql,
 
     "sim_quantized_rerank" -> Quantize.RerankOracleSql,
+
+    "sim_ivf_sq8" -> Quantize.RerankOracleSql,
 
     "sim_radius_search" ->
       """SELECT q.vec_id AS query_id, v.vec_id AS match_id,

@@ -71,4 +71,84 @@ object VectorSink {
     Similarity.ivfProbe(store.read(table), store.read(s"${table}__centroids"),
       queries, id, vec, k, nprobe)
   }
+
+  /** IVF + SQ8: the collection stores INT8 CODES instead of vectors
+    * (4× less data under every probe scan — the FAISS IVF-SQ8 layout).
+    * Extra table: `t__sq_stats` — one row of per-dimension (mins,
+    * maxs), the dequantization parameters. The corpus rows themselves
+    * hold only (id, `__list`, `__q`). */
+  def writeIvfQuantized(store: TableStore, table: String, corpus: DataFrame,
+      id: String, vec: String, nlist: Int = 16, seed: Long = 42L,
+      trainFraction: Double = 0.25): Unit = {
+    val (assigned, centroids) =
+      Similarity.ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
+    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    val stats = graft.ext.Quantize.dimStats(corpus, vec)
+    store.overwrite(s"${table}__sq_stats", stats)
+    val coded = assigned.crossJoin(broadcast(store.read(s"${table}__sq_stats")))
+      .select(col(id), col("__list"),
+        graft.functions.VectorFunctions.quantizeInt8(
+          col(vec), col("mins"), col("maxs"))("q").as("__q"))
+    store.overwrite(table, coded,
+      statsFor = Seq("__list"), rangeBy = Seq("__list"))
+    store.overwrite(s"${table}__centroids", centroids)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    store.overwrite(s"${table}__ivf_meta",
+      Seq((nlist, seed, trainFraction, "cosine-sq8", dim))
+        .toDF("nlist", "seed", "train_fraction", "metric", "dim"))
+  }
+
+  /** Top-k over the QUANTIZED collection: centroid-ranked probe lists,
+    * ADC (dequantized-cosine) shortlist over the stored codes, exact
+    * re-rank of ONLY the shortlist against `fullVectors` (the
+    * full-precision corpus — a point-read join, shortlist-sized). With
+    * `nprobe = nlist` this is exactly the ADC re-rank pipeline
+    * ([[graft.ext.Quantize.rerankTopK]]), which is what the gate
+    * exploits. */
+  def topKQuantized(store: TableStore, table: String,
+      fullVectors: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ext.Dedup
+    val meta = readMeta(store, table)
+    require(nprobe >= 1 && nprobe <= meta.nlist,
+      s"nprobe $nprobe outside [1, ${meta.nlist}]")
+    require(shortlist >= k, "shortlist must cover k")
+    val centroids = store.read(s"${table}__centroids")
+    val stats = broadcast(store.read(s"${table}__sq_stats"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
+    val qc = q.crossJoin(broadcast(centroids))
+      .withColumn("__d",
+        graft.functions.VectorFunctions.dotp(col("__centroid"), col("__centroid"))
+          - lit(2.0) * graft.functions.VectorFunctions.dotp(col("__qv"), col("__centroid")))
+    val probeW = Window.partitionBy("query_id").orderBy(col("__d"), col("__list"))
+    val probes = qc.withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__list"))
+    val deq = store.read(table).crossJoin(stats)
+      .select(col(id).as("match_id"), col("__list"),
+        graft.functions.VectorFunctions.dequantizeInt8(
+          col("__q"), col("mins"), col("maxs")).as("__deq"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("match_id"))
+    val short = probes.join(deq, Seq("__list"))
+      .filter(col("query_id") =!= col("match_id"))
+      .withColumn("adc", Dedup.cosine(col("__qv"), col("__deq")))
+      .withColumn("__ar", row_number().over(wa))
+      .filter(col("__ar") <= shortlist)
+      .select("query_id", "match_id")
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("match_id"))
+    short
+      .join(fullVectors.select(col(id).as("match_id"), col(vec).as("__cv")),
+        "match_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine", Dedup.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(we).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("match_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
 }

@@ -75,4 +75,19 @@ object Zorder {
     }.toSeq
     store.commitSegments(table, Nil, writes)
   }
+
+  /** MAINTENANCE: re-cluster `table` when appends have grown it past
+    * `maxSegments` live segments (each append lands outside the
+    * z-order, so skipping degrades as the un-clustered fraction
+    * grows — the OPTIMIZE ZORDER rewrite). Reads the current snapshot
+    * (tombstones fold in), rewrites it as `segments` z-ordered
+    * segments in one atomic swap. Returns whether it ran. */
+  def compact(store: TableStore, table: String, cols: Seq[String],
+      segments: Int, bits: Int = 16, maxSegments: Int = 32): Boolean = {
+    if (store.segments(table).length <= maxSegments) false
+    else {
+      overwrite(store, table, store.read(table), cols, segments, bits)
+      true
+    }
+  }
 }

@@ -54,4 +54,24 @@ class VectorSinkSpec extends SparkSpec {
     assert(segs.forall(_.stats.contains("__list")),
       s"segments lack __list stats: $segs")
   }
+
+  test("quantized collection stores codes only and probes exactly at full width") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec4").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfQuantized(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    // the corpus table holds codes, never vectors
+    assert(store.read("emb").columns.toSet === Set("vec_id", "__list", "__q"))
+    assert(VectorSink.readMeta(store, "emb").metric === "cosine-sq8")
+    val queries = corpus.limit(2)
+    val got = VectorSink.topKQuantized(store, "emb", corpus, queries,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 100)
+      .orderBy("query_id", "rank")
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    val exact = graft.ext.Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 3).orderBy("query_id", "rank")
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    // nprobe = nlist + corpus-wide shortlist => exact brute-force top-k
+    assert(got === exact)
+  }
 }

@@ -61,6 +61,25 @@ class ZorderSpec extends SparkSpec {
       Seq("a", "b", "c", "d", "e"))
   }
 
+  test("compact re-clusters a table grown past the segment budget") {
+    val store = freshStore()
+    (0 until 12).foreach { b =>
+      store.append("t", (0 until 100).map(i =>
+        (b * 100 + i, (b * 100 + i) % 50, s"r$b-$i")).toDF("a", "b", "v"))
+    }
+    assert(store.segments("t").length === 12)
+    assert(!Zorder.compact(store, "t", Seq("a", "b"), segments = 4,
+      maxSegments = 16), "under budget: must be a no-op")
+    assert(Zorder.compact(store, "t", Seq("a", "b"), segments = 4,
+      maxSegments = 8), "over budget: must rewrite")
+    assert(store.segments("t").length <= 4)
+    assert(store.read("t").count() === 1200)
+    // every segment now carries stats on BOTH clustered columns
+    store.segments("t").foreach { s =>
+      assert(s.stats.contains("a") && s.stats.contains("b"))
+    }
+  }
+
   test("z-order overwrite round-trips every row") {
     val store = freshStore()
     val df = (0 until 1000).map(i => (i, (i * 37) % 100, s"v$i"))
