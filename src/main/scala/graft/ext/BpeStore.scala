@@ -43,4 +43,39 @@ object BpeStore {
   def encodeFrom(store: TableStore, name: String, docs: DataFrame,
       id: String, text: String): DataFrame =
     BpeTrainer.encodeWith(docs, id, text, store.read(s"${name}__vocab"))
+
+  /** [[encodeFrom]] with CHARACTER FALLBACK — encoding becomes TOTAL:
+    * a word outside the stored vocabulary segments to its characters
+    * (the zero-merge segmentation), and characters outside the stored
+    * symbol set get NEW ids appended AFTER the artifact's — stored
+    * symbols keep their exact [[encodeFrom]] ids, so fallback encoding
+    * of an in-vocab corpus is bit-identical to the strict path (the
+    * artifact-stability contract; the byte-fallback convention of
+    * SentencePiece-style tokenizers). */
+  def encodeFromWithFallback(store: TableStore, name: String,
+      docs: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Dedup.pin(store.read(s"${name}__vocab"))
+    val words = docs
+      .select(explode(TextOps.tokens(col(text))).as("w"))
+      .where(length(col("w")) > 0).distinct()
+    val oov = words.join(vocab.select("w"), Seq("w"), "left_anti")
+      .select(col("w"), lit(0L).as("cnt"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("rep"))
+    val reps = Dedup.pin(vocab.select("w", "cnt", "rep").unionByName(oov))
+    // two-tier ids: stored symbols rank first (identical to strict
+    // encode), fallback characters append after the stored max
+    val storedSyms = Dedup.pin(vocab
+      .select(explode(split(trim(col("rep")), " ")).as("sym")).distinct()
+      .withColumn("tok_id",
+        row_number().over(Window.orderBy("sym")).cast("long")))
+    val offset = storedSyms.agg(count(lit(1))).head().getLong(0)
+    val fallbackSyms = oov
+      .select(explode(split(trim(col("rep")), " ")).as("sym")).distinct()
+      .join(storedSyms.select("sym"), Seq("sym"), "left_anti")
+      .withColumn("tok_id",
+        (row_number().over(Window.orderBy("sym")) + offset).cast("long"))
+    BpeTrainer.encodeWithIds(docs, id, text, reps,
+      Some(storedSyms.unionByName(fallbackSyms)))
+  }
 }

@@ -114,13 +114,23 @@ object BpeTrainer {
     * the apply path when the tokenizer is a stored artifact
     * ([[BpeStore]]) rather than trained in the same plan. */
   def encodeWith(docs: DataFrame, id: String, text: String,
-      reps: DataFrame): DataFrame = {
+      reps: DataFrame): DataFrame =
+    encodeWithIds(docs, id, text, reps, None)
+
+  /** [[encodeWith]] with an optional EXPLICIT (sym, tok_id) table —
+    * the hook [[BpeStore]]'s byte-fallback uses to keep stored-symbol
+    * ids stable while appending fallback ids after them. `None`
+    * derives ids as the dense rank of the rep symbols (the default
+    * contract). */
+  private[ext] def encodeWithIds(docs: DataFrame, id: String, text: String,
+      reps: DataFrame, ids: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wordSyms = Dedup.pin(
       reps.select(col("w"), split(trim(col("rep")), " ").as("syms")))
-    val vocab = wordSyms.select(explode(col("syms")).as("sym")).distinct()
-      .withColumn("tok_id",
-        row_number().over(Window.orderBy("sym")).cast("long"))
+    val vocab = ids.getOrElse(
+      wordSyms.select(explode(col("syms")).as("sym")).distinct()
+        .withColumn("tok_id",
+          row_number().over(Window.orderBy("sym")).cast("long")))
     val wordIds = wordSyms
       .select(col("w"), posexplode(col("syms")).as(Seq("spos", "sym")))
       .join(broadcast(vocab), "sym")

@@ -26,7 +26,8 @@ final case class Resource(
     propagateRootKey: Boolean = false,
     metrics: Seq[(String, Column)] = Nil,
     dispatchColumn: Option[String] = None,
-    deadlineNanos: Option[Long] = None) {
+    deadlineNanos: Option[Long] = None,
+    driftCheck: Option[Resource.DriftCheck] = None) {
 
   /** MapItem (items_transform.py:103-122) — 1→1 transform. */
   def addMap(f: DataFrame => DataFrame): Resource = copy(frame = f(frame))
@@ -102,6 +103,23 @@ final case class Resource(
     copy(mergeConfig = cfg, hints = hints.copy(writeDisposition = disposition,
       primaryKey = cfg.primaryKey, mergeKey = cfg.mergeKey))
   def withIncremental(cfg: Incremental.Config): Resource = copy(incremental = Some(cfg))
+
+  /** VALUE-drift gate on the load plane: before this resource's table
+    * is written, the incoming batch's `column` distribution is PSI-
+    * compared against the CURRENT table snapshot (the baseline); a
+    * score above `maxPsi` fails the load BEFORE anything commits —
+    * the raise semantics of a schema contract, applied to the values
+    * the types cannot see ([[graft.operators.Drift]]). First loads
+    * (no baseline yet) pass trivially. Costs one extra scan of batch
+    * and baseline; gate only columns worth it. */
+  def withDriftCheck(column: String, maxPsi: Double,
+      bins: Int = 10): Resource =
+    copy(driftCheck = Some(Resource.DriftCheck(column, maxPsi, bins)))
+}
+
+object Resource {
+  /** Config for [[Resource.withDriftCheck]]. */
+  final case class DriftCheck(column: String, maxPsi: Double, bins: Int = 10)
 }
 
 /** The pipeline orchestrator (reference pipeline.run = extract +
@@ -282,6 +300,21 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
         windowed.observe(obs, r.metrics.head._2.as(r.metrics.head._1),
           r.metrics.tail.map { case (n, c) => c.as(n) }: _*)
       case None => windowed
+    }
+
+    // value-drift gate: PSI of the incoming batch vs the CURRENT table
+    // snapshot, checked before anything of this load commits; no
+    // baseline yet (first load) passes trivially
+    r.driftCheck.foreach { dc =>
+      store.readOption(tableName).foreach { prev =>
+        val psi = graft.operators.Drift.psi(
+            prev.select(dc.column), frame.select(dc.column),
+            dc.column, dc.bins)
+          .select("psi").head().getDouble(0)
+        if (psi > dc.maxPsi) throw new IllegalStateException(
+          s"drift check failed for $tableName.${dc.column}: " +
+            f"PSI $psi%.6f > ${dc.maxPsi}")
+      }
     }
 
     // normalize: flatten + child tables + ids

@@ -127,6 +127,27 @@ class BpeTrainerSpec extends SparkSpec {
     assert(enc.getAs[scala.collection.Seq[Long]]("token_ids") === Seq(2L, 1L, 3L))
   }
 
+  test("character fallback makes encoding total without moving stored ids") {
+    import org.apache.spark.sql.functions._
+    val store = new graft.write.TableStore(
+      java.nio.file.Files.createTempDirectory("graft-bpef").toString, spark)
+    val corpus = Seq((1L, "aa ab aa"), (2L, "ab b")).toDF("doc_id", "text")
+    BpeStore.save(store, "tok", corpus, "text", rounds = 1)
+    // stored vocab: a=1, aa=2, b=3
+    // in-vocab corpus: fallback path must equal the strict path exactly
+    val strict = BpeStore.encodeFrom(store, "tok", corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq.map(_.toString)
+    val fb = BpeStore.encodeFromWithFallback(store, "tok", corpus,
+      "doc_id", "text").orderBy("doc_id").collect().toSeq.map(_.toString)
+    assert(fb === strict)
+    // OOV word "za" now encodes per character: z is a NEW symbol -> id 4
+    val batch = Seq((9L, "aa za")).toDF("doc_id", "text")
+    val enc = BpeStore.encodeFromWithFallback(store, "tok", batch,
+      "doc_id", "text").head()
+    assert(enc.getAs[Long]("n_tokens") === 3L) // aa + (z, a)
+    assert(enc.getAs[scala.collection.Seq[Long]]("token_ids") === Seq(2L, 4L, 1L))
+  }
+
   test("encode emits dense in-range token ids matching the segmentation") {
     import org.apache.spark.sql.functions._
     val docs = Seq((1L, "aa ab aa"), (2L, "ab b")).toDF("doc_id", "text")

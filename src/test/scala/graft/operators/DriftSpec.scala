@@ -30,6 +30,24 @@ class DriftSpec extends SparkSpec {
     assert(r.init.forall(_.getAs[Long]("n_cur") === 0L))
   }
 
+  test("pipeline drift gate fails a shifted load before it commits") {
+    import graft.pipeline.{Pipeline, Resource}
+    val p = new Pipeline("dg",
+      java.nio.file.Files.createTempDirectory("graft-dg").toString, spark)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      Resource("m", df).withDriftCheck("v", maxPsi = 0.25)
+    // first load: no baseline -> passes
+    p.run(Seq(res(base)), "1")
+    // similar second load: passes
+    p.run(Seq(res(base.filter(col("v") >= 0))), "2")
+    val before = p.store.read("m").count()
+    // shifted third load: must fail BEFORE committing anything
+    val shifted = (1 to 2000).map(i => (i % 100).toDouble + 80.0).toDF("v")
+    val e = intercept[IllegalStateException] { p.run(Seq(res(shifted)), "3") }
+    assert(e.getMessage.contains("drift check failed"))
+    assert(p.store.read("m").count() === before, "failed load must not commit")
+  }
+
   test("null values are excluded from both sides") {
     val withNulls = (Seq.fill(50)(Some(5.0)) ++ Seq.fill(50)(None))
       .toDF("v")
