@@ -26,13 +26,19 @@ import graft.write.TableStore
   * corpora. */
 object BpeStore {
 
-  /** Train on `docs` and persist the artifact under `name`. */
+  /** Train on `docs` and persist the artifact under `name` — a
+    * RE-SAVE REPLACES the previous artifact (retraining must never
+    * interleave two merge tables). Each table's commit is atomic; the
+    * vocab lands first and the merge table last, so a crash between
+    * the two leaves the previous merges alongside a newer vocab —
+    * re-run `save` to converge (single-writer maintenance op, like
+    * index builds). */
   def save(store: TableStore, name: String, docs: DataFrame,
       text: String, rounds: Int): Unit = Dedup.withPins {
     val (merges, reps) = BpeTrainer.trainWithVocab(docs, text, rounds)
     val pinned = Dedup.pin(reps)
-    store.append(s"${name}__merges", merges)
-    store.append(s"${name}__vocab", pinned.select("w", "cnt", "rep"))
+    store.overwrite(s"${name}__vocab", pinned.select("w", "cnt", "rep"))
+    store.overwrite(s"${name}__merges", merges)
   }
 
   /** The stored merge table in learning order. */
@@ -51,7 +57,15 @@ object BpeStore {
     * symbols keep their exact [[encodeFrom]] ids, so fallback encoding
     * of an in-vocab corpus is bit-identical to the strict path (the
     * artifact-stability contract; the byte-fallback convention of
-    * SentencePiece-style tokenizers). */
+    * SentencePiece-style tokenizers).
+    *
+    * Fallback ids are PERSISTED (`<name>__fallback`, appended as new
+    * characters first appear), so the same character encodes to the
+    * same id in every batch — token streams from different batches
+    * stay mutually consistent. Like the other index-maintenance ops,
+    * concurrent first-sightings of the same character are a
+    * single-writer contract (serialize encode-with-fallback calls per
+    * artifact). */
   def encodeFromWithFallback(store: TableStore, name: String,
       docs: DataFrame, id: String, text: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -64,18 +78,27 @@ object BpeStore {
         concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("rep"))
     val reps = Dedup.pin(vocab.select("w", "cnt", "rep").unionByName(oov))
     // two-tier ids: stored symbols rank first (identical to strict
-    // encode), fallback characters append after the stored max
+    // encode); fallback characters continue after the highest id ever
+    // assigned, with previously seen fallback chars keeping their ids
     val storedSyms = Dedup.pin(vocab
       .select(explode(split(trim(col("rep")), " ")).as("sym")).distinct()
       .withColumn("tok_id",
         row_number().over(Window.orderBy("sym")).cast("long")))
     val offset = storedSyms.agg(count(lit(1))).head().getLong(0)
-    val fallbackSyms = oov
+    val existing = store.readOption(s"${name}__fallback")
+    val nextAfter = existing.fold(offset)(e =>
+      e.agg(coalesce(max("tok_id"), lit(offset))).head().getLong(0))
+    val known = existing.fold(storedSyms.select("sym"))(e =>
+      storedSyms.select("sym").unionByName(e.select("sym")))
+    val newSyms = oov
       .select(explode(split(trim(col("rep")), " ")).as("sym")).distinct()
-      .join(storedSyms.select("sym"), Seq("sym"), "left_anti")
+      .join(known, Seq("sym"), "left_anti")
       .withColumn("tok_id",
-        (row_number().over(Window.orderBy("sym")) + offset).cast("long"))
+        (row_number().over(Window.orderBy("sym")) + nextAfter).cast("long"))
+    if (!newSyms.isEmpty) store.append(s"${name}__fallback", newSyms)
+    val fallback = store.readOption(s"${name}__fallback")
+      .fold(storedSyms.limit(0))(identity)
     BpeTrainer.encodeWithIds(docs, id, text, reps,
-      Some(storedSyms.unionByName(fallbackSyms)))
+      Some(storedSyms.unionByName(fallback)))
   }
 }

@@ -56,8 +56,6 @@ object Quantize {
     * oracle-replayable. */
   def rerankTopK(emb: DataFrame, id: String, vec: String,
       queries: DataFrame, k: Int, shortlist: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(shortlist >= k, "shortlist must cover k")
     val stats = broadcast(dimStats(emb, vec))
     val deq = emb.crossJoin(stats)
       .select(col(id).as("match_id"),
@@ -65,18 +63,34 @@ object Quantize {
           VectorFunctions.quantizeInt8(col(vec), col("mins"), col("maxs"))("q"),
           col("mins"), col("maxs")).as("__deq"))
     val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("__qv")))
+    shortlistRerank(deq.join(q, col("query_id") =!= col("match_id")),
+      emb, id, vec, k, shortlist)
+  }
+
+  /** The shared ADC tail: `cands` carries (query_id, __qv, match_id,
+    * __deq); dequantized-cosine shortlist per query, then exact cosine
+    * re-rank against `fullVectors` (point-read join, shortlist-sized).
+    * ONE implementation of the tie-break-sensitive rankings
+    * ((adc DESC, match_id), then (cosine DESC, match_id)) shared by
+    * the in-memory path and the persisted IVF-SQ8 probe
+    * ([[graft.write.VectorSink.topKQuantized]]) — the oracle
+    * equivalence of both gates depends on these staying identical. */
+  private[graft] def shortlistRerank(cands: DataFrame, fullVectors: DataFrame,
+      id: String, vec: String, k: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, "shortlist must cover k")
     val wa = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("match_id"))
-    val short = deq.join(q, col("query_id") =!= col("match_id"))
+    val short = cands
       .withColumn("adc", Dedup.cosine(col("__qv"), col("__deq")))
       .withColumn("__ar", row_number().over(wa))
       .filter(col("__ar") <= shortlist)
-      .select("query_id", "match_id")
+      .select("query_id", "__qv", "match_id")
     val we = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("match_id"))
     short
-      .join(emb.select(col(id).as("match_id"), col(vec).as("__cv")), "match_id")
-      .join(q, "query_id")
+      .join(fullVectors.select(col(id).as("match_id"), col(vec).as("__cv")),
+        "match_id")
       .withColumn("cosine", Dedup.cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(we).cast("long"))
       .filter(col("rank") <= k)

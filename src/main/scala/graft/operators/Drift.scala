@@ -32,15 +32,21 @@ object Drift {
     val stats = base.agg(
       min(col(value).cast("double")).as("__mn"),
       max(col(value).cast("double")).as("__mx"))
-    def binned(df: DataFrame, cnt: String): DataFrame =
+    // clamp BEFORE the int cast (a wildly out-of-range value overflows
+    // int and would wrap back into low bins); a CONSTANT baseline
+    // (mx = mn) bins by equality — a differing current value lands in
+    // the TOP bin, so the gate still sees the shift
+    def binned(df: DataFrame, cnt: String): DataFrame = {
+      val v = col(value).cast("double")
+      val raw = floor((v - col("__mn")) / ((col("__mx") - col("__mn")) / bins))
+      val clamped = least(lit(bins - 1), greatest(lit(0), raw)).cast("int")
+      val degenerate = when(v === col("__mn"), lit(0)).otherwise(lit(bins - 1))
       df.crossJoin(broadcast(stats))
         .where(col(value).isNotNull)
-        .select(when(col("__mx") > col("__mn"),
-          least(lit(bins - 1), greatest(lit(0),
-            floor((col(value).cast("double") - col("__mn")) /
-              ((col("__mx") - col("__mn")) / bins)).cast("int"))))
-          .otherwise(lit(0)).as("bin"))
+        .select(when(col("__mx") > col("__mn"), clamped)
+          .otherwise(degenerate).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(cnt))
+    }
     val grid = base.sparkSession.range(bins.toLong)
       .select(col("id").cast("int").as("bin"))
     val merged = grid

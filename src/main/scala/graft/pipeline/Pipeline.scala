@@ -304,16 +304,21 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
 
     // value-drift gate: PSI of the incoming batch vs the CURRENT table
     // snapshot, checked before anything of this load commits; no
-    // baseline yet (first load) passes trivially
+    // baseline yet (first load) passes trivially. A failing gate must
+    // release the incremental window's persist — the success/discard
+    // unpersist paths never run on this exit
     r.driftCheck.foreach { dc =>
       store.readOption(tableName).foreach { prev =>
         val psi = graft.operators.Drift.psi(
             prev.select(dc.column), frame.select(dc.column),
             dc.column, dc.bins)
           .select("psi").head().getDouble(0)
-        if (psi > dc.maxPsi) throw new IllegalStateException(
-          s"drift check failed for $tableName.${dc.column}: " +
-            f"PSI $psi%.6f > ${dc.maxPsi}")
+        if (psi > dc.maxPsi) {
+          if (newState.isDefined) windowed.unpersist(blocking = false)
+          throw new IllegalStateException(
+            s"drift check failed for $tableName.${dc.column}: " +
+              f"PSI $psi%.6f > ${dc.maxPsi}")
+        }
       }
     }
 

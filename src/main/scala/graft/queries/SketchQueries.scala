@@ -158,15 +158,17 @@ object SketchQueries {
         |st AS (SELECT min(v) AS mn, max(v) AS mx FROM b),
         |bb AS (
         |  SELECT CASE WHEN mx > mn
-        |    THEN least(9, greatest(0,
-        |      CAST(floor((v - mn) / ((mx - mn) / 10)) AS INT)))
-        |    ELSE 0 END AS bin, count(*) AS n_base
+        |    THEN CAST(least(9, greatest(0,
+        |      floor((v - mn) / ((mx - mn) / 10)))) AS INT)
+        |    ELSE (CASE WHEN v = mn THEN 0 ELSE 9 END) END AS bin,
+        |    count(*) AS n_base
         |  FROM b, st GROUP BY 1),
         |cb AS (
         |  SELECT CASE WHEN mx > mn
-        |    THEN least(9, greatest(0,
-        |      CAST(floor((v - mn) / ((mx - mn) / 10)) AS INT)))
-        |    ELSE 0 END AS bin, count(*) AS n_cur
+        |    THEN CAST(least(9, greatest(0,
+        |      floor((v - mn) / ((mx - mn) / 10)))) AS INT)
+        |    ELSE (CASE WHEN v = mn THEN 0 ELSE 9 END) END AS bin,
+        |    count(*) AS n_cur
         |  FROM c, st GROUP BY 1),
         |grid AS (SELECT unnest(generate_series(0, 9)) AS bin),
         |m AS (

@@ -96,6 +96,15 @@ final class TableStore(val root: String, spark: SparkSession) {
     lockFor(s.head).synchronized(lockFor(s.last).synchronized(body))
   }
 
+  /** Run `body` holding `table`'s store lock — for MAINTENANCE ops
+    * (read-then-rewrite like z-order compaction) that span multiple
+    * store calls and must not interleave with concurrent writers: a
+    * snapshot read followed by an overwrite would otherwise silently
+    * drop a segment appended in between. Reentrant (store ops inside
+    * re-acquire the same monitor), so wrapped code can call
+    * read/append/commit normally. */
+  def exclusively[A](table: String)(body: => A): A = locked(table)(body)
+
   private def tableDir(table: String): Path = Paths.get(root, table)
 
   /** Directory listing that CLOSES the underlying stream — a bare

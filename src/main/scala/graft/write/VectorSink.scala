@@ -111,11 +111,9 @@ object VectorSink {
       id: String, vec: String, k: Int, nprobe: Int,
       shortlist: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.ext.Dedup
     val meta = readMeta(store, table)
     require(nprobe >= 1 && nprobe <= meta.nlist,
       s"nprobe $nprobe outside [1, ${meta.nlist}]")
-    require(shortlist >= k, "shortlist must cover k")
     val centroids = store.read(s"${table}__centroids")
     val stats = broadcast(store.read(s"${table}__sq_stats"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
@@ -131,24 +129,11 @@ object VectorSink {
       .select(col(id).as("match_id"), col("__list"),
         graft.functions.VectorFunctions.dequantizeInt8(
           col("__q"), col("mins"), col("maxs")).as("__deq"))
-    val wa = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("match_id"))
-    val short = probes.join(deq, Seq("__list"))
-      .filter(col("query_id") =!= col("match_id"))
-      .withColumn("adc", Dedup.cosine(col("__qv"), col("__deq")))
-      .withColumn("__ar", row_number().over(wa))
-      .filter(col("__ar") <= shortlist)
-      .select("query_id", "match_id")
-    val we = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("match_id"))
-    short
-      .join(fullVectors.select(col(id).as("match_id"), col(vec).as("__cv")),
-        "match_id")
-      .join(broadcast(q), "query_id")
-      .withColumn("cosine", Dedup.cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(we).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("match_id"),
-        round(col("cosine"), 6).as("cosine"))
+    // ADC shortlist + exact re-rank: the ONE shared implementation of
+    // the tie-break-sensitive tail ([[graft.ext.Quantize.shortlistRerank]])
+    graft.ext.Quantize.shortlistRerank(
+      probes.join(deq, Seq("__list"))
+        .filter(col("query_id") =!= col("match_id")),
+      fullVectors, id, vec, k, shortlist)
   }
 }

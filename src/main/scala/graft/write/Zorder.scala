@@ -83,11 +83,15 @@ object Zorder {
     * (tombstones fold in), rewrites it as `segments` z-ordered
     * segments in one atomic swap. Returns whether it ran. */
   def compact(store: TableStore, table: String, cols: Seq[String],
-      segments: Int, bits: Int = 16, maxSegments: Int = 32): Boolean = {
-    if (store.segments(table).length <= maxSegments) false
-    else {
-      overwrite(store, table, store.read(table), cols, segments, bits)
-      true
+      segments: Int, bits: Int = 16, maxSegments: Int = 32): Boolean =
+    // the whole read-then-rewrite holds the table lock: an append
+    // landing between the snapshot read and the swap would otherwise
+    // be silently dropped by the keep=Nil commit
+    store.exclusively(table) {
+      if (store.segments(table).length <= maxSegments) false
+      else {
+        overwrite(store, table, store.read(table), cols, segments, bits)
+        true
+      }
     }
-  }
 }

@@ -146,6 +146,13 @@ class BpeTrainerSpec extends SparkSpec {
       "doc_id", "text").head()
     assert(enc.getAs[Long]("n_tokens") === 3L) // aa + (z, a)
     assert(enc.getAs[scala.collection.Seq[Long]]("token_ids") === Seq(2L, 4L, 1L))
+    // fallback ids persist: a LATER batch introducing q appends q=5
+    // while z keeps id 4 — "za" encodes identically across batches
+    val batch2 = Seq((10L, "qa za")).toDF("doc_id", "text")
+    val enc2 = BpeStore.encodeFromWithFallback(store, "tok", batch2,
+      "doc_id", "text").head()
+    assert(enc2.getAs[scala.collection.Seq[Long]]("token_ids") ===
+      Seq(5L, 1L, 4L, 1L)) // (q,a) then (z,a)
   }
 
   test("encode emits dense in-range token ids matching the segmentation") {

@@ -48,6 +48,28 @@ class DriftSpec extends SparkSpec {
     assert(p.store.read("m").count() === before, "failed load must not commit")
   }
 
+  test("a constant baseline still catches a shifted load") {
+    val const = Seq.fill(500)(0.0).toDF("v")
+    val shifted = (1 to 500).map(i => 500.0 + i).toDF("v")
+    // all current values differ from the constant -> top bin, PSI large
+    val psi = Drift.psi(const, shifted, "v", bins = 10)
+      .head().getAs[Double]("psi")
+    assert(psi > 0.25, s"psi=$psi")
+    // identical constants still score ~0
+    val same = Drift.psi(const, const, "v", bins = 10)
+      .head().getAs[Double]("psi")
+    assert(math.abs(same) < 1e-6)
+  }
+
+  test("absurdly out-of-range values clamp to the top bin, never wrap") {
+    val tight = (1 to 1000).map(i => i / 1000.0).toDF("v") // range ~(0,1]
+    val garbage = Seq.fill(200)(2.15e8).toDF("v") // would overflow int
+    val r = Drift.psi(tight, garbage, "v", bins = 10).orderBy("bin").collect()
+    assert(r.last.getAs[Long]("n_cur") === 200L,
+      "garbage must land in the TOP bin")
+    assert(r.head.getAs[Long]("n_cur") === 0L, "must not wrap into bin 0")
+  }
+
   test("null values are excluded from both sides") {
     val withNulls = (Seq.fill(50)(Some(5.0)) ++ Seq.fill(50)(None))
       .toDF("v")
