@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift detection between two loads — the data-quality
@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
   * kilobytes of shuffle at any volume. */
 object Drift {
 
+  /** The ONE bin-assignment implementation (shared by [[psi]] and
+    * [[psiProfile]] — tie-break/edge semantics must never diverge):
+    * clamp BEFORE the int cast (a wildly out-of-range value overflows
+    * int and would wrap back into low bins); a CONSTANT baseline
+    * (mx = mn) bins by equality — a differing current value lands in
+    * the TOP bin, so the gate still sees the shift. */
+  private def binExpr(v: Column, mn: Column, mx: Column,
+      bins: Int): Column = {
+    val raw = floor((v - mn) / ((mx - mn) / bins))
+    val clamped = least(lit(bins - 1), greatest(lit(0), raw)).cast("int")
+    val degenerate = when(v === mn, lit(0)).otherwise(lit(bins - 1))
+    when(mx > mn, clamped).otherwise(degenerate)
+  }
+
   /** Per-bin report plus the total: (bin, n_base, n_cur, term, psi) —
     * `term` is each bin's smoothed contribution rounded to 6, `psi`
     * the exact-decimal total (same on every row; ≤ bins rows). */
@@ -32,21 +46,12 @@ object Drift {
     val stats = base.agg(
       min(col(value).cast("double")).as("__mn"),
       max(col(value).cast("double")).as("__mx"))
-    // clamp BEFORE the int cast (a wildly out-of-range value overflows
-    // int and would wrap back into low bins); a CONSTANT baseline
-    // (mx = mn) bins by equality — a differing current value lands in
-    // the TOP bin, so the gate still sees the shift
-    def binned(df: DataFrame, cnt: String): DataFrame = {
-      val v = col(value).cast("double")
-      val raw = floor((v - col("__mn")) / ((col("__mx") - col("__mn")) / bins))
-      val clamped = least(lit(bins - 1), greatest(lit(0), raw)).cast("int")
-      val degenerate = when(v === col("__mn"), lit(0)).otherwise(lit(bins - 1))
+    def binned(df: DataFrame, cnt: String): DataFrame =
       df.crossJoin(broadcast(stats))
         .where(col(value).isNotNull)
-        .select(when(col("__mx") > col("__mn"), clamped)
-          .otherwise(degenerate).as("bin"))
+        .select(binExpr(col(value).cast("double"),
+          col("__mn"), col("__mx"), bins).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as(cnt))
-    }
     val grid = base.sparkSession.range(bins.toLong)
       .select(col("id").cast("int").as("bin"))
     val merged = grid
@@ -69,5 +74,50 @@ object Drift {
       .select(col("bin"), col("n_base"), col("n_cur"),
         round(col("__term"), 6).as("term"), col("psi"))
       .orderBy("bin")
+  }
+
+  /** Per-COLUMN drift profile in ONE pass over each side: melt the
+    * requested numeric columns to (column, v) with a single
+    * projection + explode (the Profile discipline), compute baseline
+    * stats per column, bin, smooth, and decimal-sum PSI per column —
+    * the whole-load drift report, never one scan per column.
+    * Output: (column, psi) — same semantics per column as [[psi]]
+    * (shared [[binExpr]], same smoothing and decimal Σ). */
+  def psiProfile(base: DataFrame, cur: DataFrame, cols: Seq[String],
+      bins: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    require(bins >= 2 && bins <= 1024, "bins in [2, 1024]")
+    def melt(df: DataFrame): DataFrame =
+      df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("column"), col(c).cast("double").as("v"))): _*)).as("m"))
+        .select(col("m.column"), col("m.v"))
+        .where(col("v").isNotNull)
+    val stats = melt(base).groupBy("column")
+      .agg(min("v").as("__mn"), max("v").as("__mx"))
+    def binned(df: DataFrame, cnt: String): DataFrame =
+      melt(df).join(broadcast(stats), "column")
+        .select(col("column"),
+          binExpr(col("v"), col("__mn"), col("__mx"), bins).as("bin"))
+        .groupBy("column", "bin").agg(count(lit(1)).as(cnt))
+    val grid = stats.select("column").crossJoin(
+      base.sparkSession.range(bins.toLong)
+        .select(col("id").cast("int").as("bin")))
+    val merged = grid
+      .join(binned(base, "n_base"), Seq("column", "bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("column", "bin"), "left")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val totals = merged.groupBy("column")
+      .agg(sum("n_base").as("__tb"), sum("n_cur").as("__tc"))
+    merged.join(broadcast(totals), "column")
+      .withColumn("__p", (col("n_base") + lit(0.5)) /
+        (col("__tb") + lit(0.5) * bins))
+      .withColumn("__q", (col("n_cur") + lit(0.5)) /
+        (col("__tc") + lit(0.5) * bins))
+      .withColumn("__term", (col("__p") - col("__q")) *
+        log(col("__p") / col("__q")))
+      .groupBy("column")
+      .agg(round(sum(col("__term").cast("decimal(28,12)")).cast("double"), 6)
+        .as("psi"))
+      .orderBy("column")
   }
 }

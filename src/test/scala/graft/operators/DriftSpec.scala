@@ -70,6 +70,23 @@ class DriftSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_cur") === 0L, "must not wrap into bin 0")
   }
 
+  test("psiProfile matches per-column psi in one melted pass") {
+    val b = (1 to 1000).map(i => ((i % 100).toDouble, (i % 7).toDouble))
+      .toDF("x", "y")
+    val c = (1 to 1000).map(i => ((i % 100).toDouble + 30.0, (i % 7).toDouble))
+      .toDF("x", "y")
+    val prof = Drift.psiProfile(b, c, Seq("x", "y"), bins = 10)
+      .collect().map(r => r.getAs[String]("column") -> r.getAs[Double]("psi"))
+      .toMap
+    val px = Drift.psi(b.select("x"), c.select("x"), "x", 10)
+      .head().getAs[Double]("psi")
+    val py = Drift.psi(b.select("y"), c.select("y"), "y", 10)
+      .head().getAs[Double]("psi")
+    assert(prof("x") === px)
+    assert(prof("y") === py)
+    assert(prof("x") > 0.25 && math.abs(prof("y")) < 1e-6)
+  }
+
   test("null values are excluded from both sides") {
     val withNulls = (Seq.fill(50)(Some(5.0)) ++ Seq.fill(50)(None))
       .toDF("v")
