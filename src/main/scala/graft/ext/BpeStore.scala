@@ -37,6 +37,14 @@ object BpeStore {
       text: String, rounds: Int): Unit = Dedup.withPins {
     val (merges, reps) = BpeTrainer.trainWithVocab(docs, text, rounds)
     val pinned = Dedup.pin(reps)
+    // the fallback id table is keyed to the OLD vocab's id space: a
+    // retrain re-ranks symbol ids, so stale fallback rows would both
+    // duplicate chars now in the vocab and numerically collide with
+    // new stored ids — the whole artifact is replaced, fallback
+    // included. Dropped FIRST: a crash mid-save then leaves old vocab
+    // + no fallback (regenerated on next encode), never new vocab +
+    // stale fallback.
+    store.drop(s"${name}__fallback")
     store.overwrite(s"${name}__vocab", pinned.select("w", "cnt", "rep"))
     store.overwrite(s"${name}__merges", merges)
   }
@@ -65,9 +73,16 @@ object BpeStore {
     * stay mutually consistent. Like the other index-maintenance ops,
     * concurrent first-sightings of the same character are a
     * single-writer contract (serialize encode-with-fallback calls per
-    * artifact). */
+    * artifact).
+    *
+    * PIN LIFECYCLE: the vocab/rep/symbol caches pinned here are scoped
+    * to this call ([[Dedup.withPins]]) — they serve the eager steps
+    * (offset count, new-symbol detection, fallback append) and release
+    * on return, so batch-after-batch callers don't grow the cache
+    * unboundedly. The RETURNED frame's inputs are all re-readable from
+    * the store, so it recomputes correctly after the pins release. */
   def encodeFromWithFallback(store: TableStore, name: String,
-      docs: DataFrame, id: String, text: String): DataFrame = {
+      docs: DataFrame, id: String, text: String): DataFrame = Dedup.withPins {
     import org.apache.spark.sql.expressions.Window
     val vocab = Dedup.pin(store.read(s"${name}__vocab"))
     val words = docs
@@ -96,8 +111,12 @@ object BpeStore {
       .withColumn("tok_id",
         (row_number().over(Window.orderBy("sym")) + nextAfter).cast("long"))
     if (!newSyms.isEmpty) store.append(s"${name}__fallback", newSyms)
+    // guard: a fallback row whose char is ALSO a stored symbol (only
+    // possible if a stale fallback table survived outside save()'s
+    // replace) would double-count every occurrence — stored ids win
     val fallback = store.readOption(s"${name}__fallback")
-      .fold(storedSyms.limit(0))(identity)
+      .fold(storedSyms.limit(0))(e =>
+        e.join(storedSyms.select("sym"), Seq("sym"), "left_anti"))
     BpeTrainer.encodeWithIds(docs, id, text, reps,
       Some(storedSyms.unionByName(fallback)))
   }

@@ -165,7 +165,7 @@ object BpeTrainer {
        |        len(string_split_regex(trim(text), '\\s+')))) AS pos) t
        |  WHERE length(t.w) > 0)
        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-       |  list(tok_id ORDER BY pos, spos) AS token_ids
+       |  array_to_string(list(tok_id ORDER BY pos, spos), ',') AS token_ids
        |FROM dw JOIN ws USING (w) JOIN vocab USING (sym)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin

@@ -26,12 +26,32 @@ import graft.write.TableStore
   * applies the same only-the-delta contract to the dedup plane, which
   * the reference has no equivalent for.
   *
-  * Tables written: `<table>` (canonical-id'd corpus rows) and
-  * `<table>__minhash_bands` (_id, band, bucket). Both ride the normal
+  * Tables written: `<table>` (canonical-id'd corpus rows),
+  * `<table>__minhash_bands` (_id, band, bucket) and
+  * `<table>__minhash_meta` (n, perms, bands — the hash-space
+  * parameters, pinned at first index time). All ride the normal
   * manifest-committed TableStore path, so index maintenance is atomic
   * with corpus growth.
   */
 object IncrementalDedup {
+
+  /** Require the caller's (n, perms, bands) to match the values the
+    * index was BUILT with (persisted in `<table>__minhash_meta`, the
+    * same discipline as VectorSink's `__ivf_meta`): band keys computed
+    * in a different hash space silently join to nothing — an empty
+    * pair set that reads as "no duplicates". Absent meta (pre-meta
+    * index) passes through for compatibility. */
+  private def requireMeta(store: TableStore, table: String,
+      n: Int, perms: Int, bands: Int): Unit =
+    store.readOption(s"${table}__minhash_meta").foreach { m =>
+      val r = m.select("n", "perms", "bands").head()
+      val (sn, sp, sb) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      require(sn == n && sp == perms && sb == bands,
+        s"minhash index '$table' was built with (n=$sn, perms=$sp, " +
+          s"bands=$sb) but (n=$n, perms=$perms, bands=$bands) was " +
+          "passed — band keys would land in a different hash space " +
+          "and silently match nothing")
+    }
 
   /** Index a corpus: write the docs and their banded signatures. Both
     * loads complete inside the call, so the shared pin is scoped here
@@ -39,10 +59,16 @@ object IncrementalDedup {
   def indexCorpus(store: TableStore, table: String, docs: DataFrame,
       id: String, text: String, n: Int = 3,
       perms: Int = 64, bands: Int = 16): Unit = Dedup.withPins {
+    requireMeta(store, table, n, perms, bands)
     val pinned = Dedup.pin(docs.select(col(id).as("_id"), col(text).as("_text")))
     store.append(table, pinned)
     store.append(s"${table}__minhash_bands",
       Dedup.bandedSig(Dedup.shingleIndex(pinned, "_id", "_text", n), perms, bands))
+    if (store.readOption(s"${table}__minhash_meta").isEmpty) {
+      import docs.sparkSession.implicits._
+      store.overwrite(s"${table}__minhash_meta",
+        Seq((n, perms, bands)).toDF("n", "perms", "bands"))
+    }
   }
 
   /** Near-dup pairs of a NEW batch against the indexed corpus:
@@ -58,6 +84,7 @@ object IncrementalDedup {
   def checkBatch(store: TableStore, table: String, batch: DataFrame,
       id: String, text: String, n: Int = 3, threshold: Double = 0.9,
       perms: Int = 64, bands: Int = 16): DataFrame = {
+    requireMeta(store, table, n, perms, bands)
     val newSh = Dedup.pin(Dedup.shingleIndex(batch, id, text, n))
     val newBands = Dedup.bandedSig(newSh, perms, bands)
     val oldBands = store.read(s"${table}__minhash_bands")

@@ -165,7 +165,7 @@ object Quantize {
       |                   THEN mn + rr / 255.0 * (mx - mn)
       |                   ELSE mn END)) AS err
       |  FROM r)
-      |SELECT vec_id, list(q ORDER BY i) AS q,
+      |SELECT vec_id, array_to_string(list(q ORDER BY i), ',') AS q,
       |  CAST(sum(q) AS BIGINT) AS qsum,
       |  round(max(err), 6) AS max_err
       |FROM qx GROUP BY vec_id ORDER BY vec_id""".stripMargin

@@ -82,7 +82,11 @@ object Drift {
     * stats per column, bin, smooth, and decimal-sum PSI per column —
     * the whole-load drift report, never one scan per column.
     * Output: (column, psi) — same semantics per column as [[psi]]
-    * (shared [[binExpr]], same smoothing and decimal Σ). */
+    * (shared [[binExpr]], same smoothing and decimal Σ). EVERY
+    * requested column gets a row: a column whose baseline values are
+    * entirely null has no bin range to drift against, so it reports
+    * `psi = null` (explicitly unknown) rather than silently vanishing
+    * from the profile — a caller gating per column always sees it. */
   def psiProfile(base: DataFrame, cur: DataFrame, cols: Seq[String],
       bins: Int = 10): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
@@ -108,7 +112,7 @@ object Drift {
       .na.fill(0L, Seq("n_base", "n_cur"))
     val totals = merged.groupBy("column")
       .agg(sum("n_base").as("__tb"), sum("n_cur").as("__tc"))
-    merged.join(broadcast(totals), "column")
+    val psiByCol = merged.join(broadcast(totals), "column")
       .withColumn("__p", (col("n_base") + lit(0.5)) /
         (col("__tb") + lit(0.5) * bins))
       .withColumn("__q", (col("n_cur") + lit(0.5)) /
@@ -118,6 +122,10 @@ object Drift {
       .groupBy("column")
       .agg(round(sum(col("__term").cast("decimal(28,12)")).cast("double"), 6)
         .as("psi"))
+    // left join from the REQUESTED list: all-null-baseline columns
+    // (absent from stats, hence from psiByCol) surface as psi = null
+    base.sparkSession.createDataFrame(cols.map(Tuple1.apply)).toDF("column")
+      .join(psiByCol, Seq("column"), "left")
       .orderBy("column")
   }
 }

@@ -159,9 +159,14 @@ object ExtQueries {
 
     // tokenizer ENCODE: actual per-doc token-ID sequences (dense-rank
     // symbol ids, bounded by alphabet + merge rounds); every id in
-    // every position re-derived by the oracle
+    // every position re-derived by the oracle. The id sequence is
+    // emitted as a canonical comma-joined string: the driver's
+    // comparison harness sorts result frames in pandas, which cannot
+    // sort array cells — scalars only in gate output
     "text_bpe_encode" -> q { c =>
       BpeTrainer.encode(c.t("documents"), "doc_id", "text", rounds = 8)
+        .withColumn("token_ids",
+          array_join(col("token_ids").cast("array<string>"), ","))
     },
 
     // tokenizer as a PERSISTED artifact: train once, commit the merge
@@ -174,6 +179,9 @@ object ExtQueries {
       val docs = c.t("documents")
       graft.ext.BpeStore.save(store, "tok", docs, "text", rounds = 8)
       graft.ext.BpeStore.encodeFrom(store, "tok", docs, "doc_id", "text")
+        // comma-joined ids: pandas-sortable scalars for the driver gate
+        .withColumn("token_ids",
+          array_join(col("token_ids").cast("array<string>"), ","))
     },
 
     // benchmark decontamination: docs 0-24 stand in for the eval set;
@@ -319,8 +327,11 @@ object ExtQueries {
     // shape): one stats pass → 1-row broadcast → map-only codegen
     // kernel; the oracle re-derives every code and the reconstruction
     // error bit-exactly
+    // the code vector is emitted comma-joined (scalar) — the driver's
+    // pandas comparison cannot sort array cells
     "sim_quantize_int8" -> q { c =>
       Quantize.int8(c.t("embeddings"), "vec_id", "embedding")
+        .withColumn("q", array_join(col("q").cast("array<string>"), ","))
         .orderBy("vec_id")
     },
 

@@ -148,7 +148,10 @@ final class FilesystemSink(val root: String, spark: SparkSession,
     val df = format match {
       case "jsonl" => withSchema.json(files: _*)
       case "csv" => withSchema.option("header", "true").csv(files: _*)
-      case _ => spark.read.parquet(files: _*)
+      // parquet self-describes, but a caller-passed schema still pins
+      // types (e.g. widening int32 segments to long) — honor it like
+      // the text formats instead of silently dropping it
+      case _ => schema.fold(spark.read)(spark.read.schema).parquet(files: _*)
     }
     // greedy [^/]+ backtracks just enough for the trailing
     // .{file_id}.{ext}, so DOTTED load ids (dlt's epoch.counter form)

@@ -155,6 +155,31 @@ class BpeTrainerSpec extends SparkSpec {
       Seq(5L, 1L, 4L, 1L)) // (q,a) then (z,a)
   }
 
+  test("retraining replaces the whole artifact, fallback ids included") {
+    import org.apache.spark.sql.functions._
+    val store = new graft.write.TableStore(
+      java.nio.file.Files.createTempDirectory("graft-bper").toString, spark)
+    val corpus = Seq((1L, "aa ab aa"), (2L, "ab b")).toDF("doc_id", "text")
+    BpeStore.save(store, "tok", corpus, "text", rounds = 1)
+    // first sighting of x persists a fallback id keyed to the OLD
+    // vocab's id space
+    BpeStore.encodeFromWithFallback(store, "tok",
+      Seq((9L, "xa")).toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(store.readOption("tok__fallback").isDefined)
+    // retrain on a corpus where x IS a vocab character: the stale
+    // fallback row would otherwise duplicate every x occurrence
+    val corpus2 = Seq((1L, "aa ab aa"), (2L, "ab b"), (3L, "bx bx"))
+      .toDF("doc_id", "text")
+    BpeStore.save(store, "tok", corpus2, "text", rounds = 1)
+    assert(store.readOption("tok__fallback").isEmpty,
+      "save must replace the fallback table with the rest of the artifact")
+    val strict = BpeStore.encodeFrom(store, "tok", corpus2, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq.map(_.toString)
+    val fb = BpeStore.encodeFromWithFallback(store, "tok", corpus2,
+      "doc_id", "text").orderBy("doc_id").collect().toSeq.map(_.toString)
+    assert(fb === strict)
+  }
+
   test("encode emits dense in-range token ids matching the segmentation") {
     import org.apache.spark.sql.functions._
     val docs = Seq((1L, "aa ab aa"), (2L, "ab b")).toDF("doc_id", "text")

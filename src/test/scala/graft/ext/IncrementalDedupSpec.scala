@@ -64,4 +64,22 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(out.isEmpty)
     }
   }
+
+  test("mismatched hash-space parameters fail loudly, never match nothing") {
+    val store = freshStore()
+    Dedup.withPins {
+      IncrementalDedup.indexCorpus(store, "c", corpus, "doc_id", "text")
+      val batch = Seq((10L, "anything at all")).toDF("doc_id", "text")
+      val e = intercept[IllegalArgumentException] {
+        IncrementalDedup.checkBatch(store, "c", batch, "doc_id", "text",
+          perms = 32)
+      }
+      assert(e.getMessage.contains("hash space"))
+      val e2 = intercept[IllegalArgumentException] {
+        IncrementalDedup.appendBatch(store, "c", batch, "doc_id", "text",
+          n = 5)
+      }
+      assert(e2.getMessage.contains("hash space"))
+    }
+  }
 }

@@ -94,4 +94,17 @@ class DriftSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_base")).sum === 50L)
     assert(r.map(_.getAs[Long]("n_cur")).sum === 50L)
   }
+
+  test("an all-null-baseline column reports psi null, never vanishes") {
+    val base = Seq((Some(1.0), None: Option[Double]),
+      (Some(2.0), None: Option[Double])).toDF("a", "b")
+    val cur = Seq((1.0, 5.0), (2.0, 6.0)).toDF("a", "b")
+    val out = Drift.psiProfile(base, cur, Seq("a", "b"), bins = 4).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b"),
+      "every requested column must have a row")
+    val byCol = out.map(r => r.getString(0) ->
+      Option(r.get(r.fieldIndex("psi")))).toMap
+    assert(byCol("b").isEmpty, "no baseline range -> psi is explicitly null")
+    assert(byCol("a").isDefined)
+  }
 }

@@ -51,4 +51,15 @@ class FilesystemSinkSpec extends SparkSpec {
       .select("id", "v").orderBy("id").as[(Long, String)]
       .collect().toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("a caller-passed schema pins parquet types like the text formats") {
+    import org.apache.spark.sql.types._
+    val sink = fresh()
+    sink.write("w", Seq((1, "a")).toDF("id", "v"), "l1", "parquet")
+    val pinned = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val back = sink.read("w", "parquet", Some(pinned))
+    assert(back.schema("id").dataType === LongType)
+    assert(back.select("id").as[Long].collect().toSeq === Seq(1L))
+  }
 }

@@ -17,6 +17,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+class DriverUnsortable(Exception):
+    """A cell type the DRIVER's comparison cannot handle.
+
+    The driver sorts result frames with pandas ``sort_values``, which
+    raises ``unhashable type`` on array/list/dict cells.  Round 7 hid
+    three queries from the hard gate because this script stringified
+    such cells and reported OK while the driver crashed — so mirror the
+    driver: any non-scalar cell fails the local gate too.  Gate
+    projections must serialize arrays to canonical strings
+    (``array_join`` ↔ ``array_to_string``).
+    """
+
+
 def canon(rows, cols):
     """Sort columns by name, stringify values canonically, sort rows."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -25,6 +38,12 @@ def canon(rows, cols):
         vals = []
         for i in order:
             v = r[i]
+            if isinstance(v, (list, tuple, dict, set)) or \
+                    v.__class__.__name__ == "ndarray":
+                raise DriverUnsortable(
+                    f"column '{cols[i]}' holds {type(v).__name__} cells — "
+                    "the driver's pandas sort crashes on these; emit a "
+                    "canonical string (array_join / array_to_string)")
             if isinstance(v, float):
                 vals.append(repr(v))
             elif isinstance(v, bytes):
@@ -100,8 +119,12 @@ def main():
             (c, got_types.get(c), exp_types.get(c))
             for c in sorted(set(got_types) | set(exp_types))
             if not _types_hash_equal(got_types.get(c), exp_types.get(c))]
-        gc, gr = canon(got_rows, got_cols)
-        ec, er = canon(exp_rows, exp_cols)
+        try:
+            gc, gr = canon(got_rows, got_cols)
+            ec, er = canon(exp_rows, exp_cols)
+        except DriverUnsortable as e:
+            results[name] = f"DRIVER_UNSORTABLE: {e}"
+            continue
         if gc != ec:
             results[name] = f"COLS_MISMATCH spark={gc} duck={ec}"
         elif type_diffs:
