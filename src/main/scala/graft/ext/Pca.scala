@@ -174,12 +174,168 @@ object Pca {
     (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
   }
 
+  /** Above this dimension [[fit]] switches from full Jacobi (O(d³) —
+    * microseconds at embedding dims, minutes past a few thousand) to
+    * [[eigenSymTop]] subspace iteration (O(d²·(r+overs)) per sweep):
+    * the driver solve stays seconds-fast at any practical vector
+    * width, since a pipeline wants r ≪ d components anyway. */
+  val JacobiDimLimit = 512
+
+  /** Truncated top-`r` eigendecomposition of a symmetric matrix by
+    * blocked subspace (orthogonal) iteration with Rayleigh–Ritz
+    * extraction (Halko/Martinsson/Tropp 2011, alg. 4.4/5.3 shape;
+    * deterministic seeded start so fits are reproducible): repeat
+    * Z = A·Q, Q = qr(Z) until the Ritz values stabilize, then solve
+    * the (r+overs)² projected problem with the exact [[eigenSym]].
+    * O(d²·(r+overs)) per sweep — the r ≪ d driver path that replaces
+    * Jacobi's O(d³) above [[JacobiDimLimit]]. Same output contract as
+    * [[eigenSym]] truncated to `r`: eigenvalue-descending rows,
+    * canonical sign. */
+  def eigenSymTop(a: Array[Array[Double]], r: Int, oversample: Int = 8,
+      maxSweeps: Int = 200, tol: Double = 1e-10,
+      seed: Long = 42L): (Array[Double], Array[Array[Double]]) = {
+    val d = a.length
+    require(r >= 1 && r <= d, "rank must be in [1, d]")
+    val p = math.min(d, r + oversample)
+    val rnd = new scala.util.Random(seed)
+    // Q: d×p, orthonormal columns
+    var q = Array.fill(d, p)(rnd.nextGaussian())
+    def mgs(m: Array[Array[Double]]): Array[Array[Double]] = {
+      var j = 0
+      while (j < p) {
+        var norm0 = 0.0
+        var i = 0
+        while (i < d) { norm0 += m(i)(j) * m(i)(j); i += 1 }
+        norm0 = math.sqrt(norm0)
+        // two projection passes ("twice is enough"): one MGS pass
+        // leaves O(eps·cond) non-orthogonality on near-dependent
+        // columns — exactly the rank-deficient case A·Q produces when
+        // the data has fewer than p principal directions
+        var pass = 0
+        while (pass < 2) {
+          var k = 0
+          while (k < j) {
+            var dot = 0.0
+            i = 0
+            while (i < d) { dot += m(i)(j) * m(i)(k); i += 1 }
+            i = 0
+            while (i < d) { m(i)(j) -= dot * m(i)(k); i += 1 }
+            k += 1
+          }
+          pass += 1
+        }
+        var nrm = 0.0
+        i = 0
+        while (i < d) { nrm += m(i)(j) * m(i)(j); i += 1 }
+        nrm = math.sqrt(nrm)
+        // a collapsed column (its direction already spanned — the
+        // matrix's rank is below p) restarts RANDOM and redoes this j:
+        // normalizing the post-projection rounding noise instead would
+        // hand back a column far from orthogonal to the basis, and the
+        // Ritz values then overshoot the true spectrum
+        if (nrm <= 1e-8 * (norm0 + 1e-300)) {
+          i = 0
+          while (i < d) { m(i)(j) = rnd.nextGaussian(); i += 1 }
+        } else {
+          i = 0
+          while (i < d) { m(i)(j) /= nrm; i += 1 }
+          j += 1
+        }
+      }
+      m
+    }
+    q = mgs(q)
+    def mulAQ(qm: Array[Array[Double]]): Array[Array[Double]] = {
+      val z = Array.ofDim[Double](d, p)
+      var i = 0
+      while (i < d) {
+        val ai = a(i)
+        var j = 0
+        while (j < p) {
+          var s = 0.0
+          var k = 0
+          while (k < d) { s += ai(k) * qm(k)(j); k += 1 }
+          z(i)(j) = s
+          j += 1
+        }
+        i += 1
+      }
+      z
+    }
+    var z = mulAQ(q)
+    // per sweep: Rayleigh–Ritz on the p×p projected problem (exact
+    // [[eigenSym]], cheap at p = r+overs), then the RESIDUAL test
+    // ‖A·v − λ·v‖ per top-r Ritz pair — Ritz VALUES converge
+    // quadratically while the vectors lag linearly, so a value-delta
+    // stop would hand back unconverged components. A·(Q·w) = Z·w, so
+    // residuals cost O(d·p) per pair, nothing extra vs the sweep.
+    var sweep = 0
+    var lams: Array[Double] = null
+    var w: Array[Array[Double]] = null
+    var converged = false
+    while (!converged && sweep <= maxSweeps) {
+      val b = Array.ofDim[Double](p, p)
+      var i = 0
+      while (i < p) {
+        var j = 0
+        while (j < p) {
+          var s = 0.0
+          var k = 0
+          while (k < d) { s += q(k)(i) * z(k)(j); k += 1 }
+          b(i)(j) = s
+          j += 1
+        }
+        i += 1
+      }
+      val (bl, bw) = eigenSym(b)
+      lams = bl; w = bw
+      converged = (0 until r).forall { kk =>
+        val wk = w(kk)
+        var res = 0.0
+        var ii = 0
+        while (ii < d) {
+          var av = 0.0 // (Z·wk)i = (A·v)i
+          var vv = 0.0 // (Q·wk)i = vi
+          var j = 0
+          while (j < p) { av += z(ii)(j) * wk(j); vv += q(ii)(j) * wk(j); j += 1 }
+          val e = av - lams(kk) * vv
+          res += e * e
+          ii += 1
+        }
+        math.sqrt(res) <= tol * math.max(1.0, math.abs(lams(kk)))
+      }
+      if (!converged && sweep < maxSweeps) {
+        q = mgs(z)
+        z = mulAQ(q)
+      }
+      sweep += 1
+    }
+    val comps = Array.tabulate(r) { kk =>
+      val wk = w(kk)
+      val vec = Array.tabulate(d) { ii =>
+        var s = 0.0
+        var j = 0
+        while (j < p) { s += q(ii)(j) * wk(j); j += 1 }
+        s
+      }
+      var bi = 0
+      var k = 1
+      while (k < d) { if (math.abs(vec(k)) > math.abs(vec(bi))) bi = k; k += 1 }
+      if (vec(bi) < 0) { k = 0; while (k < d) { vec(k) = -vec(k); k += 1 } }
+      vec
+    }
+    (lams.take(r), comps)
+  }
+
   /** Fit a rank-`r` PCA on `vec` (dimension `dim`): one distributed
-    * pass + driver Jacobi. */
+    * pass + a driver eigensolve — exact Jacobi at embedding dims,
+    * [[eigenSymTop]] subspace iteration past [[JacobiDimLimit]] so the
+    * driver never pays O(d³). */
   def fit(df: DataFrame, vec: String, dim: Int, r: Int): PcaModel = {
     require(r >= 1 && r <= dim, "rank must be in [1, dim]")
     val (_, mean, cov) = gram(df, vec, dim)
-    val (values, vectors) = eigenSym(cov)
+    val (values, vectors) =
+      if (dim <= JacobiDimLimit) eigenSym(cov) else eigenSymTop(cov, r)
     PcaModel(mean, vectors.take(r), values.take(r))
   }
 

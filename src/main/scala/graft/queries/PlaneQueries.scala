@@ -144,12 +144,15 @@ object PlaneQueries {
     // subquery over the REFLECTED cursor identifier
     "src_jdbc" -> q { c =>
       import graft.sources.{Jdbc, JdbcTableConfig}
-      val url = "jdbc:derby:memory:graftsrc_" +
-        java.util.UUID.randomUUID().toString.take(8) + ";create=true"
+      // FIXED in-memory db name + replace disposition: a per-run UUID
+      // db lived until JVM exit, so 3 bench runs + verify accumulated
+      // 150k-row copies that pressured every later query — reusing one
+      // db keeps exactly one copy alive regardless of run count
+      val url = "jdbc:derby:memory:graftsrc;create=true"
       val cfg = JdbcTableConfig(url, table = "orders_src")
       val orders = c.t("orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
-      graft.write.JdbcSink.append(orders, cfg)
+      graft.write.JdbcSink.replace(orders, cfg)
       val hi = orders.agg(max(col("o_orderkey"))).head().getLong(0)
       Jdbc.read(c.spark, cfg.copy(
         partitionColumn = Some("o_orderkey"), numPartitions = 8,

@@ -125,11 +125,62 @@ object Rest {
     override def queryParams: Map[String, String] =
       if (inQuery) Map(name -> value) else Map.empty
   }
-  /** oauth2 client-credentials: the supplier runs the token exchange once
-    * per source build; the result authenticates as a bearer. */
-  final case class OAuth2(fetchToken: () => String) extends Auth {
-    override def headers: Map[String, String] =
-      Map("Authorization" -> s"Bearer ${fetchToken()}")
+  /** oauth2 client-credentials with token EXPIRY (reference
+    * auth.py:148-207 `OAuth2ClientCredentials`): `obtainToken` runs
+    * the exchange and reports the token's `expires_in`; the token is
+    * cached and re-obtained only once expired (`is_token_expired` /
+    * `obtain_token`, expiry stamped at auth.py:190-191), with the
+    * reference's 3600 s `default_token_expiration` when the endpoint
+    * omits `expires_in`. A long extract that outlives the token
+    * re-authenticates mid-pagination instead of 401ing. `now` is
+    * injectable for deterministic expiry tests. */
+  final class OAuth2(obtainToken: () => OAuth2.Token,
+      defaultExpirationSeconds: Long = 3600,
+      now: () => Long = () => System.currentTimeMillis()) extends Auth {
+    // (token, expiry epoch-millis); guarded — the endpoint graph may
+    // fetch sibling endpoints from one auth binding
+    private[this] var current: Option[(String, Long)] = None
+    override def headers: Map[String, String] = synchronized {
+      val tok = current match {
+        case Some((t, expiry)) if now() < expiry => t
+        case _ =>
+          val t = obtainToken()
+          val ttl = t.expiresInSeconds.getOrElse(defaultExpirationSeconds)
+          current = Some((t.accessToken, now() + ttl * 1000L))
+          t.accessToken
+      }
+      Map("Authorization" -> s"Bearer $tok")
+    }
+  }
+  object OAuth2 {
+    /** One token exchange result; `expiresInSeconds` = the endpoint's
+      * `expires_in` (None → default expiration applies). */
+    final case class Token(accessToken: String,
+        expiresInSeconds: Option[Long] = None)
+
+    def apply(obtainToken: () => Token,
+        defaultExpirationSeconds: Long = 3600,
+        now: () => Long = () => System.currentTimeMillis()): OAuth2 =
+      new OAuth2(obtainToken, defaultExpirationSeconds, now)
+
+    /** Compatibility shape: a plain token fetcher with no expiry info —
+      * the default expiration governs refresh. */
+    def apply(fetchToken: () => String): OAuth2 =
+      new OAuth2(() => Token(fetchToken()))
+
+    /** Parse a token endpoint's JSON response (reference
+      * `parse_access_token` / `parse_expiration_in_seconds`,
+      * auth.py:205-210): `access_token` required, `expires_in`
+      * optional (number or numeric string, as real providers vary). */
+    def parseTokenResponse(json: String): Token = {
+      val tok = """"access_token"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+        .findFirstMatchIn(json).map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(
+          s"token response carries no access_token: $json"))
+      val exp = """"expires_in"\s*:\s*"?(\d+)"?""".r
+        .findFirstMatchIn(json).map(_.group(1).toLong)
+      Token(tok, exp)
+    }
   }
 
   /** A transport that accepts request headers (real HTTP clients do);

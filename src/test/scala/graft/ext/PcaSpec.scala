@@ -118,6 +118,64 @@ class PcaSpec extends SparkSpec {
       assert(math.abs(white(k) - 1.0) < 1e-6, s"whitened var pc$k = ${white(k)}")
   }
 
+  test("subspace iteration recovers a planted spectrum at d=2048 in seconds") {
+    // A = 9·uuᵀ + 4·wwᵀ + 1·I with orthonormal planted u, w: exact top
+    // eigenpairs (10, u), (5, w), bulk at 1 — analytic ground truth
+    // without an O(d³) reference solve
+    val d = 2048
+    val u = Array.tabulate(d)(i => math.sin(0.37 * i + 1))
+    val un = math.sqrt(u.map(x => x * x).sum)
+    for (i <- 0 until d) u(i) /= un
+    val w0 = Array.tabulate(d)(i => math.cos(0.53 * i))
+    val uw = u.zip(w0).map { case (a, b) => a * b }.sum
+    val w = w0.zip(u).map { case (b, a) => b - uw * a }
+    val wn = math.sqrt(w.map(x => x * x).sum)
+    for (i <- 0 until d) w(i) /= wn
+    val a = Array.tabulate(d, d)((i, j) =>
+      9.0 * u(i) * u(j) + 4.0 * w(i) * w(j) + (if (i == j) 1.0 else 0.0))
+    val t0 = System.nanoTime()
+    val (lams, vecs) = Pca.eigenSymTop(a, r = 2)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, s"d=2048 rank-2 solve took $secs s — the large-dim" +
+      " path must stay far below Jacobi's O(d^3)")
+    assert(math.abs(lams(0) - 10.0) < 1e-8 && math.abs(lams(1) - 5.0) < 1e-8,
+      s"planted eigenvalues, got ${lams.toSeq}")
+    def absDot(x: Array[Double], y: Array[Double]): Double =
+      math.abs(x.zip(y).map { case (p, q) => p * q }.sum)
+    assert(absDot(vecs(0), u) > 1 - 1e-8, "first component aligns with u")
+    assert(absDot(vecs(1), w) > 1 - 1e-8, "second component aligns with w")
+    // contract parity with eigenSym: orthonormal, canonical sign
+    assert(math.abs(absDot(vecs(0), vecs(0)) - 1.0) < 1e-9)
+    assert(absDot(vecs(0), vecs(1)) < 1e-8)
+  }
+
+  test("fit past JacobiDimLimit yields true eigenpairs of the gram covariance") {
+    val d = 600 // > JacobiDimLimit: exercises the subspace-iteration switch
+    assert(d > Pca.JacobiDimLimit)
+    val df = (1 to 80).map { i =>
+      (i.toLong, Array.tabulate(d)(k =>
+        (math.sin(i * 0.7 + k * 0.13) + (if (i % 2 == 0) 0.5 else -0.5)
+          * math.cos(k * 0.05)).toFloat))
+    }.toDF("id", "v")
+    val model = Pca.fit(df, "v", dim = d, r = 3)
+    assert(model.variances.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // eigenpair residual against the same covariance fit() solved:
+    // ||C v − λ v|| small relative to λ
+    val (_, _, cov) = Pca.gram(df, "v", d)
+    for (k <- 0 until 3) {
+      val v = model.components(k)
+      val lam = model.variances(k)
+      var worst = 0.0
+      for (i <- 0 until d) {
+        var av = 0.0
+        for (j <- 0 until d) av += cov(i)(j) * v(j)
+        worst = math.max(worst, math.abs(av - lam * v(i)))
+      }
+      assert(worst < 1e-8 * math.max(1.0, lam),
+        s"component $k residual $worst (lambda=$lam)")
+    }
+  }
+
   test("top component separates the two blobs") {
     val df = vecs(200)
     val model = Pca.fit(df, "v", dim = 6, r = 1)

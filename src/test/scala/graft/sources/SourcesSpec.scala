@@ -392,6 +392,46 @@ class SourcesSpec extends SparkSpec {
     assert(seen._2 === Map("Authorization" -> "Bearer t2") && exchanges === 1)
   }
 
+  test("rest: oauth2 re-obtains an expired token mid-pagination") {
+    var clock = 0L
+    var exchanges = 0
+    val auth = Rest.OAuth2(
+      () => { exchanges += 1; Rest.OAuth2.Token(s"t$exchanges", Some(10L)) },
+      now = () => clock)
+    var bearers = List.empty[String]
+    val ht: Rest.HeaderTransport = (url, headers) => {
+      bearers :+= headers("Authorization")
+      clock += 6000L // 6 s per page: the 10 s token dies before page 3
+      val page = url.split("page=").lift(1)
+        .map(_.takeWhile(_.isDigit).toInt).getOrElse(1)
+      Rest.Response(if (page > 3) "[]" else s"""[{"id":$page}]""")
+    }
+    val count = (body: String) => "\"id\":".r.findAllIn(body).length
+    val df = Rest.read(spark, "http://api/x", Rest.authed(ht, auth),
+      Rest.PageNumber(itemCount = count))
+    assert(df.count() === 3)
+    // pages 1+2 ride token 1; its expiry forces ONE re-exchange, and
+    // pages 3+4 ride token 2 — never a 401, never per-page exchanges
+    assert(exchanges === 2)
+    assert(bearers === List("Bearer t1", "Bearer t1", "Bearer t2", "Bearer t2"))
+  }
+
+  test("rest: oauth2 token-endpoint responses parse expires_in variants") {
+    val t1 = Rest.OAuth2.parseTokenResponse(
+      """{"access_token":"abc","token_type":"bearer","expires_in":7200}""")
+    assert(t1 === Rest.OAuth2.Token("abc", Some(7200L)))
+    // some providers return expires_in as a string
+    val t2 = Rest.OAuth2.parseTokenResponse(
+      """{"access_token":"xyz","expires_in":"900"}""")
+    assert(t2 === Rest.OAuth2.Token("xyz", Some(900L)))
+    // absent expires_in -> default expiration governs
+    val t3 = Rest.OAuth2.parseTokenResponse("""{"access_token":"q"}""")
+    assert(t3 === Rest.OAuth2.Token("q", None))
+    intercept[IllegalArgumentException] {
+      Rest.OAuth2.parseTokenResponse("""{"error":"invalid_client"}""")
+    }
+  }
+
   test("rest: endpoint graph resolves a three-level tree in order") {
     val transport: Rest.Transport = {
       case "http://api/customers" =>
