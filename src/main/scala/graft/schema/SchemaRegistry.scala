@@ -17,7 +17,14 @@ final case class TableHints(
     primaryKey: Seq[String] = Nil,
     mergeKey: Seq[String] = Nil,
     /** typed references powering reference-driven joins (typing.py:291-356) */
-    references: Seq[TableReference] = Nil)
+    references: Seq[TableReference] = Nil,
+    /** pipeline-internal `x-…` hints (the reference's processing hints,
+      * schema/utils.py:764 get_processing_hints — e.g. normalizer
+      * max-nesting). STRIPPED from import/export-folder copies: an
+      * externally edited schema must not carry one pipeline's
+      * machinery into another. Ordered pairs for a deterministic
+      * version hash. */
+    processingHints: Seq[(String, String)] = Nil)
 
 /** A foreign-key-ish reference: this table's `columns` point at
   * `referencedTable.referencedColumns`. */
@@ -37,6 +44,28 @@ final case class TableReference(
 final class SchemaRegistry(val name: String) {
   private var tables: ListMap[String, (StructType, TableHints)] = ListMap.empty
   private var previousHashes: List[String] = Nil
+  /** Hash of the import-folder schema this registry last synced from
+    * (reference `_imported_version_hash`, schema_storage.py:69-76):
+    * [[SchemaStorage.load]] overwrites the stored registry only when
+    * the import folder's hash moved past this. */
+  private[schema] var importedHash: Option[String] = None
+
+  def importedVersionHash: Option[String] = importedHash
+
+  /** Replace this registry's CONTENT with another's, linking lineage
+    * (reference `replace_schema_content(…, link_to_replaced_schema=
+    * True)`, schema_storage.py:161): the replaced version's hash joins
+    * `previous_hashes` so the overwrite is traceable. */
+  private[schema] def replaceContentWith(other: SchemaRegistry): Unit =
+    synchronized {
+      val old = versionHash
+      tables = other.snapshot
+      if (!previousHashes.headOption.contains(old))
+        previousHashes = old :: previousHashes
+    }
+
+  private[schema] def snapshot: ListMap[String, (StructType, TableHints)] =
+    tables
 
   def register(table: String, schema: StructType,
                hints: TableHints = TableHints()): Unit = synchronized {
@@ -110,8 +139,10 @@ final class SchemaRegistry(val name: String) {
   }
 
   /** Stored-schema JSON (the reference's stored schema form,
-    * schema/typing.py:396-408). */
-  def toJson: String = {
+    * schema/typing.py:396-408). `stripProcessingHints` drops the
+    * per-table `x-…` hints — the import/export-folder form
+    * (schema_storage.py:83-88, `remove_processing_hints=True`). */
+  def toJson(stripProcessingHints: Boolean): String = {
     val obj = tables.map { case (t, (s, h)) =>
       t -> Map(
         "schema" -> s.json,
@@ -121,15 +152,29 @@ final class SchemaRegistry(val name: String) {
         "merge_key" -> h.mergeKey.mkString(","),
         "references" -> h.references.map(r =>
           s"${r.columns.mkString("+")}->${r.referencedTable}.${r.referencedColumns.mkString("+")}")
-          .mkString(";"))
+          .mkString(";"),
+        "processing_hints" -> (if (stripProcessingHints) ""
+          else h.processingHints.map { case (k, v) => s"$k=$v" }.mkString(";")))
     }
     upickleFree(obj, versionHash, previousHashes)
   }
+
+  def toJson: String = toJson(stripProcessingHints = false)
 
   def save(dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
     Files.write(Paths.get(dir, s"$name.schema.json"),
       toJson.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Write the EXTERNAL form of this schema into `dir`: processing
+    * hints stripped (schema_storage.py:83-88) — the file a user edits
+    * in an import folder or consumes from an export folder. */
+  def exportTo(dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, s"$name.schema.json"),
+      toJson(stripProcessingHints = true).getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
@@ -150,8 +195,10 @@ final class SchemaRegistry(val name: String) {
     val tablesJson = obj.map { case (t, fields) =>
       jstr(t) + ":{" + fields.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString(",") + "}"
     }.mkString(",")
+    val imported = importedHash
+      .map(h => s""""imported_version_hash":${jstr(h)},""").getOrElse("")
     s"""{"name":${jstr(name)},"engine_version":${SchemaRegistry.EngineVersion},""" +
-      s""""version_hash":${jstr(hash)},""" +
+      s""""version_hash":${jstr(hash)},$imported""" +
       s""""previous_hashes":[${prev.map(jstr).mkString(",")}],"tables":{$tablesJson}}"""
   }
 }
@@ -198,11 +245,17 @@ object SchemaRegistry {
                                else s("write_disposition"),
             primaryKey = s("primary_key").split(",").filter(_.nonEmpty).toList,
             mergeKey = s("merge_key").split(",").filter(_.nonEmpty).toList,
-            references = refs))
+            references = refs,
+            processingHints = s("processing_hints").split(";")
+              .filter(_.nonEmpty).toList.map { kv =>
+                val Array(k, v) = kv.split("=", 2)
+                (k, v)
+              }))
         }
       // lineage comes from the file, not from the replayed registrations
       reg.previousHashes = obj.getOrElse("previous_hashes", Nil)
         .asInstanceOf[Seq[Any]].map(_.toString).toList
+      reg.importedHash = obj.get("imported_version_hash").map(_.toString)
       Some(reg)
     }
   }
