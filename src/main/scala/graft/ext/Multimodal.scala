@@ -254,8 +254,9 @@ object Multimodal {
     }
 
     /** Parse the P6 header: returns (width, height, rasterOffset) or
-      * null for non-PPM/truncated payloads (skipped, like Gvid). */
-    private def header(p: Array[Byte]): (Int, Int, Int) = {
+      * null for non-PPM/truncated payloads (skipped, like Gvid).
+      * `private[ext]`: [[Phash]] walks the same raster. */
+    private[ext] def header(p: Array[Byte]): (Int, Int, Int) = {
       if (p.length < 2 || p(0) != 'P' || p(1) != '6') return null
       var o = 2
       def ws(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{BpeTrainer, Clustering, Dedup, IncrementalDedup, Multimodal, Pca, Quantize, Similarity, TextOps}
+import graft.ext.{BpeTrainer, Clustering, Dedup, IncrementalDedup, Multimodal, Pca, Phash, Quantize, Similarity, TextOps}
 
 /** Training-data extensions (SURVEY.md §7.8): text analysis, dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
@@ -715,6 +715,32 @@ object ExtQueries {
         .toDF().select("media_id", "width", "height", "fps", "n_frames",
           "frame_idx", "is_key", "checksum", "pts_micros")
         .orderBy("media_id", "frame_idx")
+    },
+
+    // image NEAR-DUP: deterministic P6 rasters in 12 pattern groups ×
+    // 4 brightness variants (the variant brightens only the first
+    // dHash block column — the re-encode/levels-shift class of
+    // duplicate byte-level dedup cannot see); each image is dHashed by
+    // the REAL raster walk (integer luma block sums → 64 gradient-sign
+    // bits) and paired through the shared SimHash pigeonhole machinery
+    // (16-bit block equi-join + exact bit_count verify — never
+    // all-pairs). The oracle re-derives luma sums, hash bits, banding
+    // and hamming from the pixel formulas, so the whole decode→hash→
+    // bucket→verify pipeline is hash-checked end to end
+    "mm_phash_pairs" -> q { c =>
+      import c.spark.implicits._
+      val items = c.t("documents").select(col("doc_id").cast("long")).as[Long]
+        .filter(_ < 48)
+        .map { d =>
+          val k = d % 12
+          val v = d / 12
+          Multimodal.MediaItem(d, "image", Multimodal.Ppm.build(36, 16,
+            (x, y) => (
+              ((k * 7 + x * 13 + y * 5 + (if (x < 4) v * 2 else 0L)) % 256).toInt,
+              ((k * 11 + x * 3 + y * 17) % 256).toInt,
+              ((k * 5 + x.toLong * y) % 256).toInt)))
+        }
+      Phash.pairs(items, maxHamming = 3).orderBy("id_a", "id_b")
     }
   )
 
@@ -1419,6 +1445,46 @@ object ExtQueries {
         |  (CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END)::INT AS is_key,
         |  (doc_id * 2654435761 + i * 40503) % 4294967296 AS checksum,
         |  (i * 1000000 // 24)::BIGINT AS pts_micros
-        |FROM f ORDER BY media_id, frame_idx""".stripMargin
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // dHash re-derivation: block luma sums over the pixel formulas,
+    // gradient-sign bits packed UBIGINT (power(2, bit) is exact — 2^63
+    // fits a double; DuckDB's << overflows at bit 63, same workaround
+    // as the dedup_simhash oracle), 16-bit pigeonhole banding, exact
+    // bit_count(xor) verify — SQL-identical machinery to the engine's
+    "mm_phash_pairs" ->
+      """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+        |px AS (
+        |  SELECT doc_id, x.x AS x, y.y AS y,
+        |    (doc_id % 12 * 7 + x.x * 13 + y.y * 5 +
+        |     CASE WHEN x.x < 4 THEN doc_id // 12 * 2 ELSE 0 END) % 256 AS r,
+        |    (doc_id % 12 * 11 + x.x * 3 + y.y * 17) % 256 AS g,
+        |    (doc_id % 12 * 5 + x.x * y.y) % 256 AS b
+        |  FROM docs,
+        |    (SELECT unnest(generate_series(0, 35)) AS x) x,
+        |    (SELECT unnest(generate_series(0, 15)) AS y) y),
+        |blk AS (
+        |  SELECT doc_id, x // 4 AS gx, y // 2 AS gy,
+        |    sum(299 * r + 587 * g + 114 * b) AS lum
+        |  FROM px GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+        |  FROM blk a JOIN blk b ON b.doc_id = a.doc_id AND b.gy = a.gy
+        |    AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.lum > b.lum),
+        |ph AS (
+        |  SELECT d.doc_id,
+        |    coalesce(bit_or(CAST(power(2, bit) AS UBIGINT)), 0::UBIGINT) AS sh
+        |  FROM docs d LEFT JOIN bits ON bits.doc_id = d.doc_id
+        |  GROUP BY d.doc_id),
+        |banded AS (
+        |  SELECT doc_id, sh, gs.b AS blk, (sh >> (gs.b * 16)) & 65535 AS blk_val
+        |  FROM ph, generate_series(0, 3) gs(b))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.ext.Multimodal.MediaItem
+
+/** dHash semantics + pigeonhole pairing for the image near-dup plane. */
+class PhashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def img(id: Long, px: (Int, Int) => (Int, Int, Int),
+      w: Int = 36, h: Int = 16) =
+    MediaItem(id, "image", Multimodal.Ppm.build(w, h, px))
+
+  private def gradient(seed: Int)(x: Int, y: Int) =
+    ((x * 7 + seed) % 256, (y * 11 + seed) % 256, (x * y + seed) % 256)
+
+  test("identical images hash identically; exact pair at hamming 0") {
+    val media = Seq(img(1, gradient(3)), img(2, gradient(3))).toDS()
+    val pairs = Phash.pairs(media).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Long]("id_a") === 1L)
+    assert(pairs.head.getAs[Int]("hamming") === 0)
+  }
+
+  test("uniform brightness shift never changes the hash (gradient signs)") {
+    // cap at 215 so +40 never clips and the shift is truly uniform
+    val capped = img(3, (x, y) => {
+      val (r, g, b) = gradient(5)(x, y)
+      (r % 216, g % 216, b % 216)
+    })
+    val cappedBright = img(4, (x, y) => {
+      val (r, g, b) = gradient(5)(x, y)
+      (r % 216 + 40, g % 216 + 40, b % 216 + 40)
+    })
+    val hs = Phash.dhashTable(Seq(capped, cappedBright).toDS())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(3L) === hs(4L), "dHash must be brightness-invariant")
+  }
+
+  test("a local edit yields a small nonzero hamming; unrelated images none") {
+    val base = img(1, gradient(7))
+    val edited = img(2, (x, y) => {
+      val (r, g, b) = gradient(7)(x, y)
+      if (x < 4) ((r + 64) % 256, g, b) else (r, g, b) // one block column
+    })
+    val unrelated = img(3, (x, y) => ((255 - x * 5) % 256, (y * 29) % 256,
+      (x + y) % 256))
+    val pairs = Phash.pairs(Seq(base, edited, unrelated).toDS(), maxHamming = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+    val nearDup = pairs.filter(p => p._1 == 1L && p._2 == 2L)
+    assert(nearDup.length === 1, s"expected the edited near-dup, got ${pairs.toSeq}")
+    assert(nearDup.head._3 > 0 && nearDup.head._3 <= 8)
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      "structurally different images must not pair")
+  }
+
+  test("non-tiling dimensions and non-PPM payloads are skipped, not wrong") {
+    val odd = img(1, gradient(1), w = 35, h = 16) // 35 % 9 != 0
+    val junk = MediaItem(2, "image", Array[Byte](1, 2, 3))
+    val good = img(3, gradient(1))
+    val hs = Phash.dhashTable(Seq(odd, junk, good).toDS()).collect()
+    assert(hs.map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("pairs run through the pigeonhole equi-join, never a cartesian") {
+    val media = (1L to 20L).map(i => img(i, gradient((i % 4).toInt))).toDS()
+    val plan = Phash.pairs(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"pair generation must stay an equi-join:\n$plan")
+  }
+}
