@@ -581,7 +581,22 @@ object Mjpeg {
     * hops chunk headers and only sampled `00dc` payloads reach the
     * JPEG decoder. Non-AVI / truncated payloads yield nothing; a frame
     * that fails to decode is skipped, the rest of the video survives. */
-  def parse(item: MediaItem, stride: Int): Iterator[MjpegFrame] = {
+  def parse(item: MediaItem, stride: Int): Iterator[MjpegFrame] =
+    parseFrames(item, stride) { (fi, nf, w, h, pts, raster) =>
+      var s = 0L
+      var i = 0
+      while (i < raster.length) { s += raster(i) & 0xff; i += 1 }
+      MjpegFrame(item.media_id, fi, nf, w, h, pts, s)
+    }
+
+  /** The demux walk with a caller-supplied frame consumer:
+    * `emit(frameIdx, nFrames, width, height, ptsMicros, raster)` runs
+    * on each SAMPLED, successfully decoded frame — the shared walk
+    * behind [[parse]] (sum stats) and [[Phash.videoFrameHashes]]
+    * (per-frame perceptual hashes). Lazy: skipped frames are hopped by
+    * chunk header, never decoded. */
+  def parseFrames[T](item: MediaItem, stride: Int)(
+      emit: (Int, Int, Int, Int, Long, Array[Byte]) => T): Iterator[T] = {
     val p = item.payload
     def le32(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
       ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
@@ -619,14 +634,14 @@ object Mjpeg {
     if (moviOff < 0 || usPerFrame <= 0 || nFrames < 0) return Iterator.empty
     val step = math.max(1, stride)
     val (mo, me, us, nf) = (moviOff, moviEnd, usPerFrame, nFrames)
-    new Iterator[MjpegFrame] {
+    new Iterator[T] {
       private var off = mo
       private var idx = 0
-      private var nextFrame: MjpegFrame = advance()
-      private def advance(): MjpegFrame = {
+      private var nextFrame: Option[T] = advance()
+      private def advance(): Option[T] = {
         while (off + 8 <= me) {
           val len = le32(off + 4)
-          if (len < 0 || off + 8 + len > me) return null
+          if (len < 0 || off + 8 + len > me) return None
           val (id, start) = (tag(off), off + 8)
           val fi = idx
           off += 8 + len + (len & 1)
@@ -638,20 +653,16 @@ object Mjpeg {
                 java.util.Arrays.copyOfRange(p, start, start + len))
               if (dec != null) {
                 val (w, h, raster) = dec
-                var s = 0L
-                var i = 0
-                while (i < raster.length) { s += raster(i) & 0xff; i += 1 }
-                return MjpegFrame(item.media_id, fi, nf, w, h,
-                  fi.toLong * us, s)
+                return Some(emit(fi, nf, w, h, fi.toLong * us, raster))
               } // undecodable frame: skip it, keep demuxing
             }
           }
         }
-        null
+        None
       }
-      def hasNext: Boolean = nextFrame != null
-      def next(): MjpegFrame = {
-        val f = nextFrame; nextFrame = advance(); f
+      def hasNext: Boolean = nextFrame.isDefined
+      def next(): T = {
+        val f = nextFrame.get; nextFrame = advance(); f
       }
     }
   }

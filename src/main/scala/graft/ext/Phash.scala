@@ -84,4 +84,97 @@ object Phash {
     * as the text SimHash plane. */
   def pairs(media: Dataset[MediaItem], maxHamming: Int = 3): DataFrame =
     Dedup.hammingPairs(dhashTable(media), maxHamming)
+
+  // ---- video -------------------------------------------------------------
+
+  /** dHash of a single-channel raster (row-major bytes) — the
+    * grayscale form of [[dhash]] (JPEG/MJPEG frames decode to luma
+    * already); None when the dims don't tile the grid. */
+  def dhashGray(w: Int, h: Int, raster: Array[Byte]): Option[Long] = {
+    if (w % GridW != 0 || h % GridH != 0) return None
+    val (bw, bh) = (w / GridW, h / GridH)
+    val lum = Array.ofDim[Long](GridH, GridW)
+    var y = 0
+    while (y < h) {
+      val gy = y / bh
+      val row = y * w
+      var x = 0
+      while (x < w) { lum(gy)(x / bw) += raster(row + x) & 0xff; x += 1 }
+      y += 1
+    }
+    var ph = 0L
+    var gy = 0
+    while (gy < GridH) {
+      var gx = 0
+      while (gx < GridW - 1) {
+        if (lum(gy)(gx) > lum(gy)(gx + 1)) ph |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(ph)
+  }
+
+  /** One sampled frame's perceptual hash. */
+  final case class FrameHash(media_id: Long, frame_idx: Int,
+    n_frames: Int, sh: Long)
+
+  /** Per-sampled-frame dHash table over MJPEG/AVI videos: the
+    * [[graft.ext.Mjpeg]] demux walk (skipped frames never decode) with
+    * [[dhashGray]] on each decoded raster — one `mapPartitions` pass. */
+  def videoFrameHashes(media: Dataset[MediaItem],
+      stride: Int): Dataset[FrameHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition demuxer/decoder init would go here (once, not per row)
+      it.flatMap(item =>
+        Mjpeg.parseFrames(item, stride) { (fi, nf, w, h, _, raster) =>
+          dhashGray(w, h, raster).map(FrameHash(item.media_id, fi, nf, _))
+        }.flatten)
+    }
+  }
+
+  /** Video near-dup: two videos pair when at least `minMatchFrac` of
+    * their aligned sampled frames hash within `maxHamming` bits — the
+    * re-encoded/levels-shifted duplicate class over the video corpus.
+    * Output: (id_a, id_b, n_matching, n_compared, match_frac).
+    *
+    * Scale shape: candidates come from a (frame_idx, block, value)
+    * pigeonhole equi-join — the [[Dedup.hammingPairs]] banding with
+    * frame alignment added — so every within-budget aligned frame pair
+    * collides in ≥ 1 block (perfect recall of the match COUNT) and the
+    * join never goes all-pairs; per-video sampled-frame counts ride a
+    * separate ≤-videos-sized aggregate. */
+  def videoPairs(media: Dataset[MediaItem], stride: Int,
+      maxHamming: Int = 7, minMatchFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val fh = Dedup.pin(videoFrameHashes(media, stride).toDF())
+    val banded = fh.select(col("media_id"), col("frame_idx"), col("sh"),
+      posexplode(array((0 until blocks).map(b =>
+        shiftright(col("sh"), b * width)
+          .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("blk", "blk_val")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.blk") === col("b.blk") &&
+          col("a.blk_val") === col("b.blk_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.frame_idx").as("fi"), col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .distinct()
+    val matches = cand
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= maxHamming)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_matching"))
+    val counts = fh.groupBy("media_id").agg(count(lit(1)).as("ns"))
+    matches
+      .join(counts.select(col("media_id").as("id_a"), col("ns").as("na")), "id_a")
+      .join(counts.select(col("media_id").as("id_b"), col("ns").as("nb")), "id_b")
+      .withColumn("n_compared", least(col("na"), col("nb")))
+      .withColumn("match_frac",
+        round(col("n_matching").cast("double") / col("n_compared"), 6))
+      .filter(col("n_matching").cast("double") / col("n_compared")
+        >= minMatchFrac)
+      .select("id_a", "id_b", "n_matching", "n_compared", "match_frac")
+  }
 }

@@ -741,6 +741,39 @@ object ExtQueries {
               ((k * 5 + x.toLong * y) % 256).toInt)))
         }
       Phash.pairs(items, maxHamming = 3).orderBy("id_a", "id_b")
+    },
+
+    // video NEAR-DUP: real AVI/MJPEG videos (constant-block baseline
+    // JPEG frames — transform decode exact) in 12 groups × 4 first-
+    // block-brightness variants; every 2nd frame is demuxed + decoded
+    // + dHashed in one walk, and videos pair when ≥ half their aligned
+    // sampled frames hash within 7 bits — candidates from the
+    // (frame_idx, block, value) pigeonhole join, never all-pairs. The
+    // oracle re-derives frame hashes from the block formulas, replays
+    // the banding, match count and fraction
+    "mm_video_neardup" -> q { c =>
+      import c.spark.implicits._
+      val items = c.t("documents").select(col("doc_id").cast("long")).as[Long]
+        .filter(_ < 48)
+        .map { d =>
+          val k = d % 12
+          val vv = d / 12
+          val n = (d % 3).toInt + 4
+          val frames = (0 until n).map { f =>
+            graft.ext.Jpeg.build(72, 16, (x, y) => {
+              val bx = x / 8
+              val by = y / 8
+              // bx² and bx·k terms: group-specific, non-monotonic
+              // gradients, so cross-group videos don't hash alike
+              ((k * 37 + f * 29 + bx * bx * 13 + bx * k * 11 + by * 31 +
+                (if (bx == 0) vv * 3 else 0L)) % 256).toInt
+            })
+          }
+          Multimodal.MediaItem(d, "video",
+            graft.ext.Mjpeg.build(72, 16, usPerFrame = 83333, frames))
+        }
+      Phash.videoPairs(items, stride = 2, maxHamming = 7, minMatchFrac = 0.5)
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -1485,6 +1518,63 @@ object ExtQueries {
         |FROM banded a JOIN banded b
         |  ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // per-(video, sampled frame) dHash from the constant-block
+    // formulas (each 9×8 grid cell is one constant 8×8 JPEG block's
+    // slice, so cell compares ≡ block-value compares), then the
+    // frame-aligned pigeonhole join, match count and fraction — the
+    // engine's videoPairs replayed in SQL
+    "mm_video_neardup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id % 12 AS k, doc_id // 12 AS vv,
+        |    doc_id % 3 + 4 AS nf
+        |  FROM documents WHERE doc_id < 48),
+        |fr AS (
+        |  SELECT doc_id, k, vv,
+        |    unnest(generate_series(0, (nf - 1)::BIGINT, 2)) AS fi
+        |  FROM docs),
+        |cells AS (
+        |  SELECT doc_id, fi, g.gx, byy.byy,
+        |    (k * 37 + fi * 29 + g.gx * g.gx * 13 + g.gx * k * 11 +
+        |     byy.byy * 31 +
+        |     CASE WHEN g.gx = 0 THEN vv * 3 ELSE 0 END) % 256 AS v
+        |  FROM fr,
+        |    (SELECT unnest(generate_series(0, 8)) AS gx) g,
+        |    (SELECT unnest(generate_series(0, 1)) AS byy) byy),
+        |bits AS (
+        |  SELECT a.doc_id, a.fi, gy.gy * 8 + a.gx AS bit
+        |  FROM cells a
+        |  JOIN cells b ON b.doc_id = a.doc_id AND b.fi = a.fi
+        |    AND b.byy = a.byy AND b.gx = a.gx + 1,
+        |    (SELECT unnest(generate_series(0, 7)) AS gy) gy
+        |  WHERE a.gx < 8 AND gy.gy // 4 = a.byy AND a.v > b.v),
+        |ph AS (
+        |  SELECT f.doc_id, f.fi,
+        |    coalesce(bit_or(CAST(power(2, bit) AS UBIGINT)), 0::UBIGINT) AS sh
+        |  FROM fr f LEFT JOIN bits
+        |    ON bits.doc_id = f.doc_id AND bits.fi = f.fi
+        |  GROUP BY f.doc_id, f.fi),
+        |banded AS (
+        |  SELECT doc_id, fi, sh, gs.b AS blk, (sh >> (gs.b * 8)) & 255 AS blk_val
+        |  FROM ph, generate_series(0, 7) gs(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fi,
+        |    a.sh AS sa, b.sh AS sb
+        |  FROM banded a JOIN banded b ON a.fi = b.fi AND a.blk = b.blk
+        |    AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id),
+        |m AS (
+        |  SELECT id_a, id_b, count(*) AS n_matching
+        |  FROM cand WHERE bit_count(xor(sa, sb)) <= 7
+        |  GROUP BY id_a, id_b),
+        |cnt AS (SELECT doc_id, count(*) AS ns FROM ph GROUP BY doc_id)
+        |SELECT id_a, id_b, n_matching::BIGINT AS n_matching,
+        |  least(ca.ns, cb.ns)::BIGINT AS n_compared,
+        |  round(n_matching::DOUBLE / least(ca.ns, cb.ns), 6) AS match_frac
+        |FROM m
+        |JOIN cnt ca ON ca.doc_id = id_a
+        |JOIN cnt cb ON cb.doc_id = id_b
+        |WHERE n_matching::DOUBLE / least(ca.ns, cb.ns) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -63,6 +63,47 @@ class PhashSpec extends SparkSpec {
     assert(hs.map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("video near-dup: variant videos pair, unrelated ones don't") {
+    def video(id: Long, base: Int, shift: Int, n: Int) = {
+      val frames = (0 until n).map { f =>
+        Jpeg.build(72, 16, (x, y) => {
+          val bx = x / 8
+          ((base * 37 + f * 29 + bx * bx * 13 + bx * base * 11 + (y / 8) * 31 +
+            (if (bx == 0) shift else 0)) % 256)
+        })
+      }
+      MediaItem(id, "video", Mjpeg.build(72, 16, usPerFrame = 41666, frames))
+    }
+    val media = Seq(
+      video(1, base = 2, shift = 0, n = 6),
+      video(2, base = 2, shift = 3, n = 6), // same content, levels-shifted
+      video(3, base = 9, shift = 0, n = 6)  // different content
+    ).toDS()
+    val out = Phash.videoPairs(media, stride = 2, maxHamming = 7,
+      minMatchFrac = 0.5).collect()
+    assert(out.length === 1, s"got ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("id_a") === 1L && r.getAs[Long]("id_b") === 2L)
+    assert(r.getAs[Long]("n_compared") === 3L) // frames 0, 2, 4 sampled
+    assert(r.getAs[Double]("match_frac") >= 0.5)
+  }
+
+  test("dhashGray matches the color dhash on a gray raster") {
+    val (w, h) = (36, 16)
+    val gray = Array.tabulate(h, w)((y, x) => ((x * 7 + y * 3) % 256).toByte)
+    val flat = gray.flatten
+    val viaGray = Phash.dhashGray(w, h, flat).get
+    // same pixels as an r=g=b PPM through the color path: luma weights
+    // sum to 1000 so gradient signs are identical
+    val viaColor = Phash.dhash(MediaItem(1, "image",
+      Multimodal.Ppm.build(w, h, (x, y) => {
+        val v = (x * 7 + y * 3) % 256
+        (v, v, v)
+      }))).next()._2
+    assert(viaGray === viaColor)
+    assert(Phash.dhashGray(35, h, flat).isEmpty, "non-tiling dims skip")
+  }
+
   test("pairs run through the pigeonhole equi-join, never a cartesian") {
     val media = (1L to 20L).map(i => img(i, gradient((i % 4).toInt))).toDS()
     val plan = Phash.pairs(media).queryExecution.executedPlan.toString
