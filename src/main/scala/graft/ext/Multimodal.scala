@@ -839,29 +839,39 @@ object Multimodal {
       buf.array()
     }
 
-    /** Decode one clip's statistics; Iterator.empty for payloads that
-      * are not (complete) PCM16 WAV — corrupt clips skip, never abort. */
-    def stats(item: MediaItem, stride: Int): Iterator[WavStats] = {
-      val p = item.payload
+    /** Parse the RIFF/fmt/data layout of a complete PCM16 WAV:
+      * (rate, channels, dataOff, frames), or null for anything else.
+      * `private[ext]`: [[AudioFp]] walks the same samples. */
+    private[ext] def header(p: Array[Byte]): (Int, Int, Int, Int) = {
       if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
         p(3) != 'F' || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E')
-        return Iterator.empty
+        return null
       def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
       def le32(o: Int) = le16(o) | (le16(o + 2) << 16)
       // chunk walk: find fmt (PCM16) and data
       var (o, rate, channels, dataOff, dataLen) = (12, -1, -1, -1, -1)
       while (o + 8 <= p.length && (rate < 0 || dataOff < 0)) {
         val (id, len) = (new String(p.slice(o, o + 4), "US-ASCII"), le32(o + 4))
-        if (len < 0) return Iterator.empty // crafted length: never walk back
+        if (len < 0) return null // crafted length: never walk back
         if (id == "fmt " && o + 24 <= p.length) {
-          if (le16(o + 8) != 1 || le16(o + 22) != 16) return Iterator.empty
+          if (le16(o + 8) != 1 || le16(o + 22) != 16) return null
           channels = le16(o + 10); rate = le32(o + 12)
         } else if (id == "data") { dataOff = o + 8; dataLen = len }
         o += 8 + len + (len & 1) // chunks are word-aligned
       }
       if (rate < 0 || channels <= 0 || dataOff < 0 ||
-        p.length < dataOff.toLong + dataLen) return Iterator.empty
-      val frames = dataLen / (2 * channels)
+        p.length < dataOff.toLong + dataLen) return null
+      (rate, channels, dataOff, dataLen / (2 * channels))
+    }
+
+    /** Decode one clip's statistics; Iterator.empty for payloads that
+      * are not (complete) PCM16 WAV — corrupt clips skip, never abort. */
+    def stats(item: MediaItem, stride: Int): Iterator[WavStats] = {
+      val p = item.payload
+      val hd = header(p)
+      if (hd == null) return Iterator.empty
+      val (rate, channels, dataOff, frames) = hd
+      def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
       var (sa, sb, ssa, ssb) = (0L, 0L, 0L, 0L)
       var f = 0
       while (f < frames) {

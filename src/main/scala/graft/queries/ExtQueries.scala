@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{BpeTrainer, Clustering, Dedup, IncrementalDedup, Multimodal, Pca, Phash, Quantize, Similarity, TextOps}
+import graft.ext.{AudioFp, BpeTrainer, Clustering, Dedup, IncrementalDedup, Multimodal, Pca, Phash, Quantize, Similarity, TextOps}
 
 /** Training-data extensions (SURVEY.md §7.8): text analysis, dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
@@ -774,6 +774,28 @@ object ExtQueries {
         }
       Phash.videoPairs(items, stride = 2, maxHamming = 7, minMatchFrac = 0.5)
         .orderBy("id_a", "id_b")
+    },
+
+    // audio NEAR-DUP: real PCM16 WAV clips in 12 groups × 4 variants
+    // (the variant bumps three scattered windows' amplitude — the
+    // re-master/edit class of duplicate), energy-delta fingerprinted
+    // in one sample walk, paired through the shared pigeonhole
+    // machinery; the oracle re-derives window energies, slope bits,
+    // banding and hamming from the sample formula
+    "mm_audio_fingerprint" -> q { c =>
+      import c.spark.implicits._
+      val items = c.t("documents").select(col("doc_id").cast("long")).as[Long]
+        .filter(_ < 48)
+        .map { d =>
+          val k = d % 12
+          val vv = d / 12
+          Multimodal.MediaItem(d, "audio", Multimodal.Wav.build(
+            8000, 1, 650, (f, _) =>
+              (((k * 13 + f * 7) % 97) * 50 - 2400 +
+                (if (f / 10 == 0 || f / 10 == 5 || f / 10 == 9)
+                  vv * 900 else 0L)).toInt))
+        }
+      AudioFp.pairs(items, maxHamming = 7).orderBy("id_a", "id_b")
     }
   )
 
@@ -1575,6 +1597,38 @@ object ExtQueries {
         |JOIN cnt ca ON ca.doc_id = id_a
         |JOIN cnt cb ON cb.doc_id = id_b
         |WHERE n_matching::DOUBLE / least(ca.ns, cb.ns) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // energy-delta fingerprint re-derivation: 65 window abs-sums over
+    // the sample formula, slope-sign bits packed UBIGINT, 8-bit
+    // pigeonhole banding, exact hamming — SQL-identical to AudioFp
+    "mm_audio_fingerprint" ->
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id % 12 AS k, doc_id // 12 AS vv
+        |  FROM documents WHERE doc_id < 48),
+        |s AS (
+        |  SELECT doc_id, f.f // 10 AS w,
+        |    abs((k * 13 + f.f * 7) % 97 * 50 - 2400 +
+        |        CASE WHEN f.f // 10 IN (0, 5, 9) THEN vv * 900 ELSE 0 END) AS a
+        |  FROM docs, (SELECT unnest(generate_series(0, 649)) AS f) f),
+        |e AS (SELECT doc_id, w, sum(a) AS e FROM s GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT a.doc_id, a.w AS bit
+        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        |  WHERE a.w < 64 AND a.e > b.e),
+        |ph AS (
+        |  SELECT d.doc_id,
+        |    coalesce(bit_or(CAST(power(2, bit) AS UBIGINT)), 0::UBIGINT) AS sh
+        |  FROM docs d LEFT JOIN bits ON bits.doc_id = d.doc_id
+        |  GROUP BY d.doc_id),
+        |banded AS (
+        |  SELECT doc_id, sh, gs.b AS blk, (sh >> (gs.b * 8)) & 255 AS blk_val
+        |  FROM ph, generate_series(0, 7) gs(b))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 7
         |ORDER BY id_a, id_b""".stripMargin
   )
 }
