@@ -118,34 +118,38 @@ object Clustering {
 
   /** The `iters`-stage unrolled CTE prefix shared by the k-means oracles:
     * e (vectors as DOUBLE[]), c0 (first-k init) and c1..c`iters`
-    * (assign → decimal-mean → coalesce-empty per round). */
-  private[ext] def stagesSql(k: Int, iters: Int): String = {
+    * (assign → decimal-mean → coalesce-empty per round). `ns` prefixes
+    * every CTE name and `vecExpr` selects the (sub)vector — the hooks
+    * [[Pq]]'s per-subspace oracle uses to unroll m independent
+    * trainings in one statement. */
+  private[ext] def stagesSql(k: Int, iters: Int, ns: String = "",
+      vecExpr: String = "embedding::DOUBLE[]"): String = {
     def assignSql(i: Int, from: String): String =
-      s"""a$i AS (
+      s"""${ns}a$i AS (
          |  SELECT vec_id, e, cl, d FROM (
          |    SELECT vec_id, e, cl, list_distance(e, c) AS d,
          |      row_number() OVER (PARTITION BY vec_id
          |        ORDER BY list_distance(e, c), cl) AS rn
-         |    FROM e CROSS JOIN $from) WHERE rn = 1)""".stripMargin
+         |    FROM ${ns}e CROSS JOIN $from) WHERE rn = 1)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      s"""${assignSql(i, s"c${i - 1}")},
-         |m$i AS (
+      s"""${assignSql(i, s"${ns}c${i - 1}")},
+         |${ns}m$i AS (
          |  SELECT cl, list(avg ORDER BY i) AS c FROM (
          |    SELECT cl, g.i AS i,
          |      (sum(e[g.i]::DECIMAL(28,12))::DOUBLE) / count(*) AS avg
-         |    FROM a$i, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
+         |    FROM ${ns}a$i, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
          |    GROUP BY cl, g.i) GROUP BY cl),
-         |c$i AS (
+         |${ns}c$i AS (
          |  SELECT p.cl, coalesce(m.c, p.c) AS c
-         |  FROM c${i - 1} p LEFT JOIN m$i m USING (cl))""".stripMargin
+         |  FROM ${ns}c${i - 1} p LEFT JOIN ${ns}m$i m USING (cl))""".stripMargin
     }.mkString(",\n")
     val prefix =
-      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |c0 AS (
+      s"""${ns}e AS (SELECT vec_id, $vecExpr AS e FROM embeddings),
+         |${ns}c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e AS c
-         |  FROM (SELECT vec_id, e FROM e ORDER BY vec_id LIMIT $k)),
+         |  FROM (SELECT vec_id, e FROM ${ns}e ORDER BY vec_id LIMIT $k)),
          |$rounds,
-         |${assignSql(iters + 1, s"c$iters")}""".stripMargin
+         |${assignSql(iters + 1, s"${ns}c$iters")}""".stripMargin
     prefix
   }
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AudioFp, BpeTrainer, Clustering, Dedup, IncrementalDedup, Multimodal, Pca, Phash, Quantize, Similarity, TextOps}
+import graft.ext.{AudioFp, BpeTrainer, Clustering, Dedup, IncrementalDedup, Multimodal, Pca, Phash, Pq, Quantize, Similarity, TextOps}
 
 /** Training-data extensions (SURVEY.md §7.8): text analysis, dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
@@ -333,6 +333,33 @@ object ExtQueries {
       Quantize.int8(c.t("embeddings"), "vec_id", "embedding")
         .withColumn("q", array_join(col("q").cast("array<string>"), ","))
         .orderBy("vec_id")
+    },
+
+    // PRODUCT QUANTIZATION (Jégou'11): 4 subspaces × 4 centroids
+    // trained in one melted aggregate per Lloyd round, map-only encode
+    // to m-byte codes + reconstruction error; the oracle re-runs all
+    // four subspace k-means (namespaced stages) and re-derives every
+    // code and error
+    "sim_pq_codes" -> q { c =>
+      val vecs = c.t("embeddings")
+      val model = Pq.train(vecs, "vec_id", "embedding",
+        m = 4, ksub = 4, iters = 2)
+      Pq.encode(vecs, "vec_id", "embedding", model)
+        .withColumn("codes", array_join(col("codes").cast("array<string>"), ","))
+        .orderBy("vec_id")
+    },
+
+    // ADC search over PQ codes: the scan scores code RECONSTRUCTIONS
+    // (m bytes/vector), shortlists, then exact re-ranks only the
+    // shortlist's full vectors — the shared rerank tail, whole
+    // pipeline oracle-re-derived
+    "sim_pq_adc" -> q { c =>
+      val vecs = c.t("embeddings")
+      val model = Pq.train(vecs, "vec_id", "embedding",
+        m = 4, ksub = 4, iters = 2)
+      Pq.adcTopK(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") < 10), model, k = 5, shortlist = 20)
+        .orderBy("query_id", "rank")
     },
 
     // ADC search over the quantized corpus: dequantized-cosine
@@ -1261,6 +1288,11 @@ object ExtQueries {
     "sim_kmeans_assign" -> Clustering.oracleSql(k = 4, iters = 3),
 
     "sim_quantize_int8" -> Quantize.OracleSql,
+
+    "sim_pq_codes" -> Pq.encodeOracleSql(dim = 64, m = 4, ksub = 4, iters = 2),
+
+    "sim_pq_adc" -> Pq.adcOracleSql(dim = 64, m = 4, ksub = 4, iters = 2,
+      k = 5, shortlist = 20, maxQueryId = 10),
 
     "sim_quantized_rerank" -> Quantize.RerankOracleSql,
 
