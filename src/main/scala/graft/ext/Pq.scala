@@ -119,6 +119,19 @@ object Pq {
           (acc, p) => acc + p("d"))), 6).as("recon_err"))
   }
 
+  /** The codes column alone (array<int>, length m) — for callers that
+    * carry extra columns through the map (the IVF-PQ sink keeps
+    * `__list` alongside). Same argmin/tie-break as [[encode]]. */
+  def codes(vec: Column, model: PqModel): Column = {
+    val e = vec.cast("array<double>")
+    array((0 until model.m).map { j =>
+      val ds = array(model.codebooks(j).toIndexedSeq.map(c =>
+        VectorFunctions.sqDist(subCol(e, j, model.dsub),
+          typedLit(c.toSeq))): _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }: _*)
+  }
+
   /** The codebook reconstruction of a codes column: concat of
     * `element_at(codebook_j, code_j + 1)` — all codegen'd built-ins,
     * the codebooks ride the plan as literals. */

@@ -483,6 +483,22 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF + PQ (the FAISS IVFADC layout — m-byte codes, the
+    // billion-vector memory story): cold write->read->probe cycle over
+    // product-quantized codes; nprobe = nlist makes it exactly the PQ
+    // ADC pipeline, so that oracle gates the persisted collection
+    "sim_ivf_pq" -> q { c =>
+      val store = new graft.write.TableStore(
+        java.nio.file.Files.createTempDirectory("graft-vpq").toString, c.spark)
+      val vecs = c.t("embeddings")
+      graft.write.VectorSink.writeIvfPq(store, "emb", vecs,
+        "vec_id", "embedding", nlist = 8, m = 4, ksub = 4, iters = 2)
+      graft.write.VectorSink.topKPq(store, "emb", vecs,
+        vecs.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 8, shortlist = 20)
+        .orderBy("query_id", "rank")
+    },
+
     // IVF (k-means inverted file) ANN — approximate, so no SQL oracle;
     // instead the query SELF-GATES on recall@k against the exact top-k
     // and carries per-query recall as a column
@@ -1292,6 +1308,10 @@ object ExtQueries {
     "sim_pq_codes" -> Pq.encodeOracleSql(dim = 64, m = 4, ksub = 4, iters = 2),
 
     "sim_pq_adc" -> Pq.adcOracleSql(dim = 64, m = 4, ksub = 4, iters = 2,
+      k = 5, shortlist = 20, maxQueryId = 10),
+
+    // nprobe = nlist ≡ the full PQ ADC pipeline — same oracle
+    "sim_ivf_pq" -> Pq.adcOracleSql(dim = 64, m = 4, ksub = 4, iters = 2,
       k = 5, shortlist = 20, maxQueryId = 10),
 
     "sim_quantized_rerank" -> Quantize.RerankOracleSql,

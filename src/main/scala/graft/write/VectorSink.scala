@@ -99,6 +99,23 @@ object VectorSink {
         .toDF("nlist", "seed", "train_fraction", "metric", "dim"))
   }
 
+  /** Centroid-ranked probe lists per query: (query_id, __qv, __list)
+    * for the `nprobe` nearest coarse centroids — the shared head of
+    * every quantized probe path. */
+  private def probeLists(centroids: DataFrame, queries: DataFrame,
+      id: String, vec: String, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
+    val qc = q.crossJoin(broadcast(centroids))
+      .withColumn("__d",
+        graft.functions.VectorFunctions.dotp(col("__centroid"), col("__centroid"))
+          - lit(2.0) * graft.functions.VectorFunctions.dotp(col("__qv"), col("__centroid")))
+    val probeW = Window.partitionBy("query_id").orderBy(col("__d"), col("__list"))
+    qc.withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__list"))
+  }
+
   /** Top-k over the QUANTIZED collection: centroid-ranked probe lists,
     * ADC (dequantized-cosine) shortlist over the stored codes, exact
     * re-rank of ONLY the shortlist against `fullVectors` (the
@@ -110,27 +127,95 @@ object VectorSink {
       fullVectors: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int,
       shortlist: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val meta = readMeta(store, table)
     require(nprobe >= 1 && nprobe <= meta.nlist,
       s"nprobe $nprobe outside [1, ${meta.nlist}]")
-    val centroids = store.read(s"${table}__centroids")
     val stats = broadcast(store.read(s"${table}__sq_stats"))
-    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
-    val qc = q.crossJoin(broadcast(centroids))
-      .withColumn("__d",
-        graft.functions.VectorFunctions.dotp(col("__centroid"), col("__centroid"))
-          - lit(2.0) * graft.functions.VectorFunctions.dotp(col("__qv"), col("__centroid")))
-    val probeW = Window.partitionBy("query_id").orderBy(col("__d"), col("__list"))
-    val probes = qc.withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("__qv"), col("__list"))
+    val probes = probeLists(store.read(s"${table}__centroids"),
+      queries, id, vec, nprobe)
     val deq = store.read(table).crossJoin(stats)
       .select(col(id).as("match_id"), col("__list"),
         graft.functions.VectorFunctions.dequantizeInt8(
           col("__q"), col("mins"), col("maxs")).as("__deq"))
     // ADC shortlist + exact re-rank: the ONE shared implementation of
     // the tie-break-sensitive tail ([[graft.ext.Quantize.shortlistRerank]])
+    graft.ext.Quantize.shortlistRerank(
+      probes.join(deq, Seq("__list"))
+        .filter(col("query_id") =!= col("match_id")),
+      fullVectors, id, vec, k, shortlist)
+  }
+
+  /** IVF + PQ (Jégou'11 IVFADC; FAISS `IVFx,PQy`): the collection
+    * stores m-byte PRODUCT-QUANTIZED codes — m·log₂(ksub) bits per
+    * vector against SQ8's 8·d, the layout billion-vector indexes
+    * actually ship. Extra tables: `t__pq_codebooks` ((sub, cl,
+    * centroid) — m·ksub rows, sketch-sized) and `t__pq_meta` (m, ksub,
+    * iters, dim). Training follows the deterministic [[graft.ext.Pq]]
+    * contract, so a probe with `nprobe = nlist` is oracle-exact. */
+  def writeIvfPq(store: TableStore, table: String, corpus: DataFrame,
+      id: String, vec: String, nlist: Int = 16, seed: Long = 42L,
+      trainFraction: Double = 0.25, m: Int = 4, ksub: Int = 16,
+      iters: Int = 2): Unit = {
+    val (assigned, centroids) =
+      Similarity.ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
+    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    val model = graft.ext.Pq.train(corpus, id, vec, m, ksub, iters)
+    val coded = assigned.select(col(id), col("__list"),
+      graft.ext.Pq.codes(col(vec), model).as("__codes"))
+    store.overwrite(table, coded,
+      statsFor = Seq("__list"), rangeBy = Seq("__list"))
+    store.overwrite(s"${table}__centroids", centroids)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbRows = for {
+      j <- model.codebooks.indices
+      c <- model.codebooks(j).indices
+    } yield (j, c, model.codebooks(j)(c).toSeq)
+    store.overwrite(s"${table}__pq_codebooks",
+      cbRows.toDF("sub", "cl", "centroid"))
+    store.overwrite(s"${table}__pq_meta",
+      Seq((m, ksub, iters, dim)).toDF("m", "ksub", "iters", "dim"))
+    store.overwrite(s"${table}__ivf_meta",
+      Seq((nlist, seed, trainFraction, "cosine-pq", dim))
+        .toDF("nlist", "seed", "train_fraction", "metric", "dim"))
+  }
+
+  /** Rebuild the [[graft.ext.Pq.PqModel]] from the stored codebook
+    * table (m·ksub rows — a driver-small point read by contract). */
+  private def readPqModel(store: TableStore, table: String,
+      dim: Int): graft.ext.Pq.PqModel = {
+    val pm = store.read(s"${table}__pq_meta").head()
+    val (m, ksub) = (pm.getAs[Int]("m"), pm.getAs[Int]("ksub"))
+    val dsub = dim / m
+    val books = Array.ofDim[Array[Double]](m, ksub)
+    store.read(s"${table}__pq_codebooks").collect().foreach { r =>
+      books(r.getAs[Int]("sub"))(r.getAs[Int]("cl")) =
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray
+    }
+    require(books.forall(_.forall(_ != null)),
+      s"collection '$table' codebook table is incomplete")
+    graft.ext.Pq.PqModel(m, dsub, books.map(_.map(identity)))
+  }
+
+  /** Top-k over the PQ collection: probe lists, ADC shortlist over
+    * CODE RECONSTRUCTIONS (the scan reads m bytes per vector), exact
+    * re-rank of only the shortlist — the shared tail again, so
+    * `nprobe = nlist` reproduces [[graft.ext.Pq.adcTopK]] exactly. */
+  def topKPq(store: TableStore, table: String,
+      fullVectors: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    val meta = readMeta(store, table)
+    require(meta.metric == "cosine-pq",
+      s"collection '$table' is '${meta.metric}', not a PQ collection")
+    require(nprobe >= 1 && nprobe <= meta.nlist,
+      s"nprobe $nprobe outside [1, ${meta.nlist}]")
+    val model = readPqModel(store, table, meta.dim)
+    val probes = probeLists(store.read(s"${table}__centroids"),
+      queries, id, vec, nprobe)
+    val deq = store.read(table)
+      .select(col(id).as("match_id"), col("__list"),
+        graft.ext.Pq.reconstruction(col("__codes"), model).as("__deq"))
     graft.ext.Quantize.shortlistRerank(
       probes.join(deq, Seq("__list"))
         .filter(col("query_id") =!= col("match_id")),

@@ -74,4 +74,35 @@ class VectorSinkSpec extends SparkSpec {
     // nprobe = nlist + corpus-wide shortlist => exact brute-force top-k
     assert(got === exact)
   }
+
+  test("PQ collection stores m-byte codes and probes exactly at full width") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec5").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfPq(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4, m = 2, ksub = 8, iters = 2)
+    // the corpus table holds PQ codes, never vectors
+    assert(store.read("emb").columns.toSet === Set("vec_id", "__list", "__codes"))
+    assert(VectorSink.readMeta(store, "emb").metric === "cosine-pq")
+    assert(store.read("emb__pq_codebooks").count() === 16) // m * ksub
+    val queries = corpus.limit(2)
+    val got = VectorSink.topKPq(store, "emb", corpus, queries,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 100)
+      .orderBy("query_id", "rank")
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    // nprobe = nlist + corpus-wide shortlist: the exact re-rank sees
+    // every vector, so the result is the brute-force top-k
+    val exact = graft.ext.Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 3).orderBy("query_id", "rank")
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    assert(got === exact)
+    // a pruned probe still fills k and a non-PQ collection is rejected
+    assert(VectorSink.topKPq(store, "emb", corpus, queries,
+      "vec_id", "embedding", k = 3, nprobe = 1, shortlist = 10).count() === 6)
+    VectorSink.writeIvf(store, "plain", corpus, "vec_id", "embedding", nlist = 4)
+    val e = intercept[IllegalArgumentException] {
+      VectorSink.topKPq(store, "plain", corpus, queries,
+        "vec_id", "embedding", k = 3, nprobe = 1, shortlist = 10)
+    }
+    assert(e.getMessage.contains("not a PQ collection"))
+  }
 }
