@@ -42,8 +42,9 @@ object IncrementalDedup {
     * pair set that reads as "no duplicates". Absent meta (pre-meta
     * index) passes through for compatibility. */
   private def requireMeta(store: TableStore, table: String,
-      n: Int, perms: Int, bands: Int): Unit =
-    store.readOption(s"${table}__minhash_meta").foreach { m =>
+      n: Int, perms: Int, bands: Int): Boolean = {
+    val meta = store.readOption(s"${table}__minhash_meta")
+    meta.foreach { m =>
       val r = m.select("n", "perms", "bands").head()
       val (sn, sp, sb) = (r.getInt(0), r.getInt(1), r.getInt(2))
       require(sn == n && sp == perms && sb == bands,
@@ -52,6 +53,8 @@ object IncrementalDedup {
           "passed — band keys would land in a different hash space " +
           "and silently match nothing")
     }
+    meta.isDefined
+  }
 
   /** Index a corpus: write the docs and their banded signatures. Both
     * loads complete inside the call, so the shared pin is scoped here
@@ -59,12 +62,12 @@ object IncrementalDedup {
   def indexCorpus(store: TableStore, table: String, docs: DataFrame,
       id: String, text: String, n: Int = 3,
       perms: Int = 64, bands: Int = 16): Unit = Dedup.withPins {
-    requireMeta(store, table, n, perms, bands)
+    val hadMeta = requireMeta(store, table, n, perms, bands)
     val pinned = Dedup.pin(docs.select(col(id).as("_id"), col(text).as("_text")))
     store.append(table, pinned)
     store.append(s"${table}__minhash_bands",
       Dedup.bandedSig(Dedup.shingleIndex(pinned, "_id", "_text", n), perms, bands))
-    if (store.readOption(s"${table}__minhash_meta").isEmpty) {
+    if (!hadMeta) {
       import docs.sparkSession.implicits._
       store.overwrite(s"${table}__minhash_meta",
         Seq((n, perms, bands)).toDF("n", "perms", "bands"))

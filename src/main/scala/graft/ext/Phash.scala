@@ -31,31 +31,19 @@ object Phash {
   val GridW = 9
   val GridH = 8
 
-  /** One image's (media_id, dhash); empty for payloads that are not
-    * complete P6 rasters or whose dimensions don't tile the 9×8 grid
-    * evenly (equal-count blocks are what make sum-compares ≡
-    * mean-compares — production resizes to 9×8 anyway). */
-  def dhash(item: MediaItem): Iterator[(Long, Long)] = {
-    val hd = Multimodal.Ppm.header(item.payload)
-    if (hd == null) return Iterator.empty
-    val (w, h, off) = hd
-    if (w % GridW != 0 || h % GridH != 0) return Iterator.empty
-    val (bw, bh) = (w / GridW, h / GridH)
-    val p = item.payload
-    val lum = Array.ofDim[Long](GridH, GridW)
-    var y = 0
-    while (y < h) {
-      val gy = y / bh
-      val row = off + 3 * y * w
-      var x = 0
-      while (x < w) {
-        val o = row + 3 * x
-        lum(gy)(x / bw) += 299L * (p(o) & 0xff) +
-          587L * (p(o + 1) & 0xff) + 114L * (p(o + 2) & 0xff)
-        x += 1
-      }
-      y += 1
-    }
+  /** (block width, block height) when (w, h) tiles the grid evenly —
+    * equal-count blocks are what make sum-compares ≡ mean-compares;
+    * None otherwise (production resizes to 9×8 anyway). ONE owner of
+    * the geometry for the color and gray paths. */
+  private def tiles(w: Int, h: Int): Option[(Int, Int)] =
+    if (w % GridW != 0 || h % GridH != 0) None
+    else Some((w / GridW, h / GridH))
+
+  /** Gradient-sign packing of a filled luma grid — the single
+    * definition of the bit layout (bit gy·8 + gx = grid(gx) >
+    * grid(gx+1)) shared by [[dhash]] and [[dhashGray]]; the SQL
+    * oracles mirror exactly this. */
+  private def pack(lum: Array[Array[Long]]): Long = {
     var ph = 0L
     var gy = 0
     while (gy < GridH) {
@@ -66,7 +54,35 @@ object Phash {
       }
       gy += 1
     }
-    Iterator.single((item.media_id, ph))
+    ph
+  }
+
+  /** One image's (media_id, dhash); empty for payloads that are not
+    * complete P6 rasters or whose dimensions don't tile the grid. */
+  def dhash(item: MediaItem): Iterator[(Long, Long)] = {
+    val hd = Multimodal.Ppm.header(item.payload)
+    if (hd == null) return Iterator.empty
+    val (w, h, off) = hd
+    tiles(w, h) match {
+      case None => Iterator.empty
+      case Some((bw, bh)) =>
+        val p = item.payload
+        val lum = Array.ofDim[Long](GridH, GridW)
+        var y = 0
+        while (y < h) {
+          val gy = y / bh
+          val row = off + 3 * y * w
+          var x = 0
+          while (x < w) {
+            val o = row + 3 * x
+            lum(gy)(x / bw) += 299L * (p(o) & 0xff) +
+              587L * (p(o + 1) & 0xff) + 114L * (p(o + 2) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Iterator.single((item.media_id, pack(lum)))
+    }
   }
 
   /** Distributed dHash table (_id, sh) — the [[Dedup.hammingPairs]]
@@ -90,30 +106,19 @@ object Phash {
   /** dHash of a single-channel raster (row-major bytes) — the
     * grayscale form of [[dhash]] (JPEG/MJPEG frames decode to luma
     * already); None when the dims don't tile the grid. */
-  def dhashGray(w: Int, h: Int, raster: Array[Byte]): Option[Long] = {
-    if (w % GridW != 0 || h % GridH != 0) return None
-    val (bw, bh) = (w / GridW, h / GridH)
-    val lum = Array.ofDim[Long](GridH, GridW)
-    var y = 0
-    while (y < h) {
-      val gy = y / bh
-      val row = y * w
-      var x = 0
-      while (x < w) { lum(gy)(x / bw) += raster(row + x) & 0xff; x += 1 }
-      y += 1
-    }
-    var ph = 0L
-    var gy = 0
-    while (gy < GridH) {
-      var gx = 0
-      while (gx < GridW - 1) {
-        if (lum(gy)(gx) > lum(gy)(gx + 1)) ph |= 1L << (gy * 8 + gx)
-        gx += 1
+  def dhashGray(w: Int, h: Int, raster: Array[Byte]): Option[Long] =
+    tiles(w, h).map { case (bw, bh) =>
+      val lum = Array.ofDim[Long](GridH, GridW)
+      var y = 0
+      while (y < h) {
+        val gy = y / bh
+        val row = y * w
+        var x = 0
+        while (x < w) { lum(gy)(x / bw) += raster(row + x) & 0xff; x += 1 }
+        y += 1
       }
-      gy += 1
+      pack(lum)
     }
-    Some(ph)
-  }
 
   /** One sampled frame's perceptual hash. */
   final case class FrameHash(media_id: Long, frame_idx: Int,
@@ -148,13 +153,10 @@ object Phash {
   def videoPairs(media: Dataset[MediaItem], stride: Int,
       maxHamming: Int = 7, minMatchFrac: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.functions._
-    val blocks = maxHamming + 1
-    val width = 64 / blocks
     val fh = Dedup.pin(videoFrameHashes(media, stride).toDF())
     val banded = fh.select(col("media_id"), col("frame_idx"), col("sh"),
-      posexplode(array((0 until blocks).map(b =>
-        shiftright(col("sh"), b * width)
-          .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("blk", "blk_val")))
+      posexplode(Dedup.pigeonholeBlocks(col("sh"), maxHamming))
+        .as(Seq("blk", "blk_val")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.frame_idx") === col("b.frame_idx") &&
           col("a.blk") === col("b.blk") &&

@@ -84,14 +84,15 @@ final class SchemaRegistry(val name: String) {
 
   /** Content hash over sorted table schemas — stable across registration
     * order, sensitive to any column/hint change. */
-  def versionHash: String = {
-    val canonical = tables.toSeq.sortBy(_._1).map { case (t, (s, h)) =>
-      s"$t|${s.json}|${h.toString}"
-    }.mkString("\n")
-    val d = MessageDigest.getInstance("SHA-256")
-      .digest(canonical.getBytes(StandardCharsets.UTF_8))
-    Base64.getEncoder.encodeToString(d).take(27)
-  }
+  def versionHash: String = SchemaRegistry.hashOf(tables)
+
+  /** The version hash of the EXTERNAL (processing-hint-stripped) form —
+    * what [[exportTo]] embeds, so an exported file's hash matches its
+    * own content. */
+  def strippedVersionHash: String =
+    SchemaRegistry.hashOf(tables.map { case (t, (s, h)) =>
+      t -> (s, h.copy(processingHints = Nil))
+    })
 
   /** Merge an incoming table schema (evolution): union of columns, existing
     * types win (variant/coercion happens upstream). Returns merged schema. */
@@ -154,9 +155,15 @@ final class SchemaRegistry(val name: String) {
           s"${r.columns.mkString("+")}->${r.referencedTable}.${r.referencedColumns.mkString("+")}")
           .mkString(";"),
         "processing_hints" -> (if (stripProcessingHints) ""
-          else h.processingHints.map { case (k, v) => s"$k=$v" }.mkString(";")))
+          else h.processingHints.map { case (k, v) =>
+            s"${SchemaRegistry.escHint(k)}=${SchemaRegistry.escHint(v)}"
+          }.mkString(";")))
     }
-    upickleFree(obj, versionHash, previousHashes)
+    // the STRIPPED form embeds the hash of its own (stripped) content,
+    // so an exported file's hash field always matches what it carries
+    upickleFree(obj,
+      if (stripProcessingHints) strippedVersionHash else versionHash,
+      previousHashes)
   }
 
   def toJson: String = toJson(stripProcessingHints = false)
@@ -209,8 +216,38 @@ final class SchemaRegistry(val name: String) {
   * step by step before use). */
 object SchemaRegistry {
 
-  /** Engine v1 = round-1 files (no engine_version field); v2 adds it. */
-  val EngineVersion = 2
+  /** Engine v1 = round-1 files (no engine_version field); v2 adds it;
+    * v3 adds per-table `processing_hints` + top-level
+    * `imported_version_hash` (both optional on read, so the migration
+    * is a version stamp). */
+  val EngineVersion = 3
+
+  /** The canonical content hash. A table whose processingHints are
+    * EMPTY hashes byte-identically to the pre-v3 TableHints.toString
+    * form — every pre-existing schema file (which by definition
+    * carries no hints) keeps its hash, so lineage and import-folder
+    * change detection survive the format addition. */
+  /** Percent-escape the hint-pair delimiters so any key/value —
+    * including ones containing ';' or '=' — round-trips through the
+    * stored form (a raw join made the file unloadable). */
+  private[schema] def escHint(s: String): String =
+    s.replace("%", "%25").replace(";", "%3B").replace("=", "%3D")
+
+  private[schema] def unescHint(s: String): String =
+    s.replace("%3D", "=").replace("%3B", ";").replace("%25", "%")
+
+  private[schema] def hashOf(
+      tables: scala.collection.immutable.ListMap[String, (StructType, TableHints)]): String = {
+    val canonical = tables.toSeq.sortBy(_._1).map { case (t, (s, h)) =>
+      val hintStr = s"TableHints(${h.parent},${h.writeDisposition}," +
+        s"${h.primaryKey},${h.mergeKey},${h.references}" +
+        (if (h.processingHints.isEmpty) "" else s",${h.processingHints}") + ")"
+      s"$t|${s.json}|$hintStr"
+    }.mkString("\n")
+    val d = MessageDigest.getInstance("SHA-256")
+      .digest(canonical.getBytes(StandardCharsets.UTF_8))
+    Base64.getEncoder.encodeToString(d).take(27)
+  }
 
   /** Load a persisted registry, migrating older engine versions forward.
     * None when no file exists. */
@@ -248,8 +285,10 @@ object SchemaRegistry {
             references = refs,
             processingHints = s("processing_hints").split(";")
               .filter(_.nonEmpty).toList.map { kv =>
-                val Array(k, v) = kv.split("=", 2)
-                (k, v)
+                kv.split("=", 2) match {
+                  case Array(k, v) => (unescHint(k), unescHint(v))
+                  case Array(k) => (unescHint(k), "")
+                }
               }))
         }
       // lineage comes from the file, not from the replayed registrations
@@ -269,6 +308,11 @@ object SchemaRegistry {
       cur = v match {
         // v1 → v2: engine_version field introduced; payload unchanged
         case 1 => cur.updated("engine_version", 2)
+        // v2 → v3: per-table processing_hints + imported_version_hash
+        // introduced — both optional on read (absent → empty), and the
+        // version hash of hint-less tables is unchanged by
+        // construction (hashOf), so the stamp is the whole migration
+        case 2 => cur.updated("engine_version", 3)
         case other => throw new IllegalStateException(
           s"no migration from stored-schema engine v$other")
       }

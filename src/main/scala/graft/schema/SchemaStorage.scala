@@ -68,8 +68,7 @@ final class SchemaStorage(val dir: String,
       else {
         reg.exportTo(ip)
         // the stripped external file is what future loads will hash
-        val seeded = SchemaRegistry.load(ip, reg.name).get
-        reg.importedHash = Some(seeded.versionHash)
+        reg.importedHash = Some(reg.strippedVersionHash)
         true
       }
     }

@@ -171,15 +171,72 @@ object Rest {
     /** Parse a token endpoint's JSON response (reference
       * `parse_access_token` / `parse_expiration_in_seconds`,
       * auth.py:205-210): `access_token` required, `expires_in`
-      * optional (number or numeric string, as real providers vary). */
+      * optional (number or numeric string, as real providers vary).
+      * Fields are matched at the TOP LEVEL only (a nested object's
+      * `expires_in` must not win) and the token is JSON-unescaped. */
     def parseTokenResponse(json: String): Token = {
+      val top = topLevelJson(json)
       val tok = """"access_token"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-        .findFirstMatchIn(json).map(_.group(1))
+        .findFirstMatchIn(top).map(m => unescapeJson(m.group(1)))
         .getOrElse(throw new IllegalArgumentException(
           s"token response carries no access_token: $json"))
       val exp = """"expires_in"\s*:\s*"?(\d+)"?""".r
-        .findFirstMatchIn(json).map(_.group(1).toLong)
+        .findFirstMatchIn(top).map(_.group(1).toLong)
       Token(tok, exp)
+    }
+
+    /** The top level of a JSON object with nested objects/arrays
+      * blanked out (string-aware brace walk) — keeps field extraction
+      * regexes from matching inside sub-objects. */
+    private def topLevelJson(json: String): String = {
+      val sb = new StringBuilder(json.length)
+      var depth = 0
+      var inStr = false
+      var esc = false
+      json.foreach { c =>
+        if (inStr) {
+          if (depth <= 1) sb += c
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+        } else c match {
+          case '{' | '[' =>
+            depth += 1
+            if (depth <= 1) sb += c
+          case '}' | ']' =>
+            if (depth <= 1) sb += c
+            depth -= 1
+          case '"' =>
+            inStr = true
+            if (depth <= 1) sb += c
+          case _ =>
+            if (depth <= 1) sb += c
+        }
+      }
+      sb.toString
+    }
+
+    /** Standard JSON string unescape (\" \\ \/ \b \f \n \r \t \uXXXX). */
+    private def unescapeJson(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => sb += '\n'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case 'b' => sb += '\b'; i += 2
+            case 'f' => sb += '\f'; i += 2
+            case 'u' if i + 5 < s.length =>
+              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case other => sb += other; i += 2
+          }
+        } else { sb += c; i += 1 }
+      }
+      sb.toString
     }
   }
 

@@ -111,4 +111,20 @@ class PhashSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"pair generation must stay an equi-join:\n$plan")
   }
+
+  test("maxHamming 0 is an exact-equality band, not an everything-bucket") {
+    // 1L << 64 wraps to a zero mask in Scala: a maxHamming=0 call must
+    // band on the FULL hash (exact dup join), never collapse all rows
+    // into one bucket
+    val media = Seq(img(1, gradient(2)), img(2, gradient(2)),
+      img(3, gradient(9))).toDS()
+    val pairs = Phash.pairs(media, maxHamming = 0).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Long]("id_a") === 1L &&
+      pairs.head.getAs[Long]("id_b") === 2L &&
+      pairs.head.getAs[Int]("hamming") === 0)
+    intercept[IllegalArgumentException] {
+      Phash.pairs(media, maxHamming = 64).collect()
+    }
+  }
 }

@@ -176,10 +176,10 @@ class LifecycleSpec extends SparkSpec {
     assert(back.hints("customer").references.head.referencedTable === "nation")
     assert(back.lineage === reg.lineage)
 
-    // engine v1 file (no engine_version): migration ladder steps it to v2
+    // engine v1 file (no engine_version): migration ladder steps it up
     val p = java.nio.file.Paths.get(dir, "rt.schema.json")
     val v1 = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      .replace("\"engine_version\":2,", "")
+      .replace(s""""engine_version":${SchemaRegistry.EngineVersion},""", "")
     java.nio.file.Files.write(p, v1.getBytes("UTF-8"))
     val migrated = SchemaRegistry.load(dir, "rt").get
     assert(migrated.versionHash === reg.versionHash)

@@ -93,6 +93,52 @@ class SchemaStorageSpec extends AnyFunSuite {
     assert(r.importedVersionHash === Some(seeded.versionHash))
   }
 
+  test("hint keys/values containing delimiters round-trip the store") {
+    val (store, _, _) = dirs()
+    val ss = new SchemaStorage(store)
+    ss.save(reg("s7", "a", LongType,
+      hints = Seq("x-a" -> "1;2", "x-b=c" -> "v=w", "x-pct" -> "100%")))
+    val back = ss.load("s7").get.get("t").get._2.processingHints
+    assert(back === Seq("x-a" -> "1;2", "x-b=c" -> "v=w", "x-pct" -> "100%"))
+  }
+
+  test("an exported file's embedded hash matches its own stripped content") {
+    val (store, _, exp) = dirs()
+    val r = reg("s8", "a", LongType, hints = Seq("x-k" -> "v"))
+    r.exportTo(exp)
+    val loaded = SchemaRegistry.load(exp, "s8").get
+    // the re-loaded (stripped) registry recomputes the same hash the
+    // file carries — i.e. the export hashed WHAT IT WROTE
+    assert(loaded.versionHash === r.strippedVersionHash)
+    assert(loaded.versionHash !== r.versionHash,
+      "hints must change the full hash, or stripping is untested")
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(exp, "s8.schema.json")), "UTF-8")
+    assert(s.contains("\"version_hash\":\"" + r.strippedVersionHash + "\""))
+  }
+
+  test("hint-less tables hash identically to the pre-v3 form; v2 files migrate") {
+    val (store, _, _) = dirs()
+    val r = reg("s9", "a", LongType)
+    // pre-v3 canonical: table|schemaJson|TableHints(None,append,List(),List(),List())
+    val schema = r.get("t").get._1
+    val canonical = s"t|${schema.json}|TableHints(None,append,List(),List(),List())"
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canonical.getBytes("UTF-8"))
+    val legacy = java.util.Base64.getEncoder.encodeToString(d).take(27)
+    assert(r.versionHash === legacy,
+      "adding the processingHints field must not move hint-less hashes")
+    // a v2 file (no processing_hints / imported_version_hash) loads
+    r.save(store)
+    val p = java.nio.file.Paths.get(store, "s9.schema.json")
+    val edited = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replace("\"engine_version\":3", "\"engine_version\":2")
+      .replace("\"processing_hints\":\"\",", "")
+    java.nio.file.Files.write(p, edited.getBytes("UTF-8"))
+    val back = SchemaRegistry.load(store, "s9").get
+    assert(back.versionHash === legacy)
+  }
+
   test("no import path configured: plain store round-trip") {
     val (store, _, _) = dirs()
     val ss = new SchemaStorage(store)

@@ -430,6 +430,14 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Rest.OAuth2.parseTokenResponse("""{"error":"invalid_client"}""")
     }
+    // a NESTED object's expires_in must not shadow the top-level one
+    // (or its absence), and escaped tokens arrive unescaped
+    val t4 = Rest.OAuth2.parseTokenResponse(
+      """{"details":{"expires_in":5},"access_token":"t","expires_in":3600}""")
+    assert(t4 === Rest.OAuth2.Token("t", Some(3600L)))
+    val t5 = Rest.OAuth2.parseTokenResponse(
+      """{"scope":{"expires_in":7},"access_token":"a\"b\\cA"}""")
+    assert(t5 === Rest.OAuth2.Token("a\"b\\cA", None))
   }
 
   test("rest: endpoint graph resolves a three-level tree in order") {
