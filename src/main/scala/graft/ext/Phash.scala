@@ -101,6 +101,41 @@ object Phash {
   def pairs(media: Dataset[MediaItem], maxHamming: Int = 3): DataFrame =
     Dedup.hammingPairs(dhashTable(media), maxHamming)
 
+  // ---- incremental (persisted index) -------------------------------------
+
+  /** Persist a batch's image hashes into `<table>__phash` — the
+    * [[IncrementalDedup]] never-rescan contract applied to the
+    * perceptual plane, with a stronger property: the 64-bit hash IS
+    * the exact-verify input (no analog of MinHash's re-shingle), so
+    * the images themselves are never read again after indexing, and
+    * the banding is derived from the stored hashes at probe time —
+    * any Hamming budget works per call, nothing to pin. */
+  def indexMedia(store: graft.write.TableStore, table: String,
+      media: Dataset[MediaItem]): Unit =
+    store.append(s"${table}__phash", dhashTable(media))
+
+  /** Near-dup pairs of a NEW batch against the indexed corpus:
+    * (new_id, old_id, hamming ≤ maxHamming). Batch ids must be
+    * disjoint from indexed ids (the corpus id contract). Work per
+    * batch: hash the batch, pigeonhole-join against the stored hash
+    * table, exact bit_count on collisions — the old corpus rides the
+    * equi-join only. */
+  def checkBatch(store: graft.write.TableStore, table: String,
+      batch: Dataset[MediaItem], maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def banded(h: DataFrame) =
+      h.select(col("_id"), col("sh"),
+        posexplode(Dedup.pigeonholeBlocks(col("sh"), maxHamming))
+          .as(Seq("blk", "blk_val")))
+    banded(dhashTable(batch)).as("a")
+      .join(banded(store.read(s"${table}__phash")).as("b"),
+        col("a.blk") === col("b.blk") && col("a.blk_val") === col("b.blk_val"))
+      .select(col("a._id").as("new_id"), col("b._id").as("old_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---- video -------------------------------------------------------------
 
   /** dHash of a single-channel raster (row-major bytes) — the

@@ -786,6 +786,34 @@ object ExtQueries {
       Phash.pairs(items, maxHamming = 3).orderBy("id_a", "id_b")
     },
 
+    // INCREMENTAL image near-dup against a PERSISTED dHash index (the
+    // never-rescan contract on the perceptual plane — stronger than
+    // the MinHash analog: the stored hash IS the exact-verify input,
+    // so indexed images are never re-decoded): index two batches, then
+    // screen a third against the cold index; same fixture as
+    // mm_phash_pairs, oracle restricted to the (new × old) pair face
+    "mm_phash_incremental" -> q { c =>
+      import c.spark.implicits._
+      val store = new graft.write.TableStore(
+        java.nio.file.Files.createTempDirectory("graft-phinc").toString, c.spark)
+      def items(lo: Long, hi: Long) =
+        c.t("documents").select(col("doc_id").cast("long")).as[Long]
+          .filter(d => d >= lo && d < hi)
+          .map { d =>
+            val k = d % 12
+            val v = d / 12
+            Multimodal.MediaItem(d, "image", Multimodal.Ppm.build(36, 16,
+              (x, y) => (
+                ((k * 7 + x * 13 + y * 5 + (if (x < 4) v * 2 else 0L)) % 256).toInt,
+                ((k * 11 + x * 3 + y * 17) % 256).toInt,
+                ((k * 5 + x.toLong * y) % 256).toInt)))
+          }
+      Phash.indexMedia(store, "img", items(0, 24))
+      Phash.indexMedia(store, "img", items(24, 36))
+      Phash.checkBatch(store, "img", items(36, 48), maxHamming = 3)
+        .orderBy("new_id", "old_id")
+    },
+
     // video NEAR-DUP: real AVI/MJPEG videos (constant-block baseline
     // JPEG frames — transform decode exact) in 12 groups × 4 first-
     // block-brightness variants; every 2nd frame is demuxed + decoded
@@ -1593,6 +1621,44 @@ object ExtQueries {
         |  ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same dHash re-derivation, restricted to the (new >= 36) × (old
+    // < 36) cross-set face the incremental screen reports
+    "mm_phash_incremental" ->
+      """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+        |px AS (
+        |  SELECT doc_id, x.x AS x, y.y AS y,
+        |    (doc_id % 12 * 7 + x.x * 13 + y.y * 5 +
+        |     CASE WHEN x.x < 4 THEN doc_id // 12 * 2 ELSE 0 END) % 256 AS r,
+        |    (doc_id % 12 * 11 + x.x * 3 + y.y * 17) % 256 AS g,
+        |    (doc_id % 12 * 5 + x.x * y.y) % 256 AS b
+        |  FROM docs,
+        |    (SELECT unnest(generate_series(0, 35)) AS x) x,
+        |    (SELECT unnest(generate_series(0, 15)) AS y) y),
+        |blk AS (
+        |  SELECT doc_id, x // 4 AS gx, y // 2 AS gy,
+        |    sum(299 * r + 587 * g + 114 * b) AS lum
+        |  FROM px GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+        |  FROM blk a JOIN blk b ON b.doc_id = a.doc_id AND b.gy = a.gy
+        |    AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.lum > b.lum),
+        |ph AS (
+        |  SELECT d.doc_id,
+        |    coalesce(bit_or(CAST(power(2, bit) AS UBIGINT)), 0::UBIGINT) AS sh
+        |  FROM docs d LEFT JOIN bits ON bits.doc_id = d.doc_id
+        |  GROUP BY d.doc_id),
+        |banded AS (
+        |  SELECT doc_id, sh, gs.b AS blk, (sh >> (gs.b * 16)) & 65535 AS blk_val
+        |  FROM ph, generate_series(0, 3) gs(b))
+        |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id,
+        |  bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.blk = b.blk AND a.blk_val = b.blk_val
+        |WHERE a.doc_id >= 36 AND b.doc_id < 36
+        |  AND bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY new_id, old_id""".stripMargin,
 
     // per-(video, sampled frame) dHash from the constant-block
     // formulas (each 9×8 grid cell is one constant 8×8 JPEG block's

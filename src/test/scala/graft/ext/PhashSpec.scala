@@ -112,6 +112,28 @@ class PhashSpec extends SparkSpec {
       s"pair generation must stay an equi-join:\n$plan")
   }
 
+  test("incremental index: batches screen against stored hashes only") {
+    val store = new graft.write.TableStore(
+      java.nio.file.Files.createTempDirectory("graft-phs").toString, spark)
+    Phash.indexMedia(store, "img", Seq(img(1, gradient(3)),
+      img(2, gradient(8))).toDS())
+    // a near-dup of 1 (one-block edit) and a fresh image
+    val edited = img(10, (x, y) => {
+      val (r, g, b) = gradient(3)(x, y)
+      if (x < 4) ((r + 2) % 256, g, b) else (r, g, b)
+    })
+    val batch = Seq(edited, img(11, gradient(5))).toDS()
+    val pairs = Phash.checkBatch(store, "img", batch, maxHamming = 8)
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id")))
+    assert(pairs.toSeq === Seq((10L, 1L)))
+    // growing the index makes later batches see earlier ones
+    Phash.indexMedia(store, "img", batch)
+    val later = Phash.checkBatch(store, "img",
+      Seq(img(20, gradient(5))).toDS(), maxHamming = 0)
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id")))
+    assert(later.toSeq === Seq((20L, 11L)))
+  }
+
   test("maxHamming 0 is an exact-equality band, not an everything-bucket") {
     // 1L << 64 wraps to a zero mask in Scala: a maxHamming=0 call must
     // band on the FULL hash (exact dup join), never collapse all rows
