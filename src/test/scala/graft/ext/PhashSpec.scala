@@ -11,8 +11,11 @@ class PhashSpec extends SparkSpec {
       w: Int = 36, h: Int = 16) =
     MediaItem(id, "image", Multimodal.Ppm.build(w, h, px))
 
+  // seed changes SLOPES, not brightness — dHash is brightness-invariant
+  // by design, so an additive seed would make every image hash alike
   private def gradient(seed: Int)(x: Int, y: Int) =
-    ((x * 7 + seed) % 256, (y * 11 + seed) % 256, (x * y + seed) % 256)
+    ((x * (7 + 3 * seed) + seed) % 256, (y * (11 + 2 * seed)) % 256,
+      (x * y * (1 + seed)) % 256)
 
   test("identical images hash identically; exact pair at hamming 0") {
     val media = Seq(img(1, gradient(3)), img(2, gradient(3))).toDS()
@@ -39,10 +42,11 @@ class PhashSpec extends SparkSpec {
 
   test("a local edit yields a small nonzero hamming; unrelated images none") {
     val base = img(1, gradient(7))
-    val edited = img(2, (x, y) => {
-      val (r, g, b) = gradient(7)(x, y)
-      if (x < 4) ((r + 64) % 256, g, b) else (r, g, b) // one block column
-    })
+    // a white strip pasted over the first block column (watermark-style
+    // local edit): block 0's luma becomes the maximum, guaranteeing the
+    // block0-vs-block1 comparisons flip — bounded to ≤ 8 bits
+    val edited = img(2, (x, y) =>
+      if (x < 4) (255, 255, 255) else gradient(7)(x, y))
     val unrelated = img(3, (x, y) => ((255 - x * 5) % 256, (y * 29) % 256,
       (x + y) % 256))
     val pairs = Phash.pairs(Seq(base, edited, unrelated).toDS(), maxHamming = 8)
