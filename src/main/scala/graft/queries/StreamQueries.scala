@@ -239,6 +239,46 @@ object StreamQueries {
         }
       }
       store.read("pairs").orderBy("new_id", "old_id")
+    },
+
+    // streaming PERCEPTUAL screening: micro-batches of images checked
+    // against the persisted dHash index (the mm_phash_incremental
+    // machinery under AvailableNow) — stored hashes are the verify
+    // input, so per batch the old corpus rides the band equi-join only
+    "stream_phash_screen" -> q { c =>
+      import graft.ext.{Multimodal, Phash}
+      val ss = streamSession(c)
+      val store = new TableStore(
+        Files.createTempDirectory("graft-sps").toString, c.spark)
+      def mk(df: org.apache.spark.sql.DataFrame) = {
+        val s = df.sparkSession
+        import s.implicits._
+        df.select(col("doc_id").cast("long")).as[Long].map { d =>
+          val k = d % 12
+          val v = d / 12
+          Multimodal.MediaItem(d, "image", Multimodal.Ppm.build(36, 16,
+            (x, y) => (
+              ((k * 7 + x * 13 + y * 5 + (if (x < 4) v * 2 else 0L)) % 256).toInt,
+              ((k * 11 + x * 3 + y * 17) % 256).toInt,
+              ((k * 5 + x.toLong * y) % 256).toInt)))
+        }
+      }
+      Phash.indexMedia(store, "img",
+        mk(c.tw("documents").filter(col("doc_id") < 36)))
+      val srcDir = Files.createTempDirectory("graft-sps-src").toString
+      c.tw("documents").filter(col("doc_id") >= 36 && col("doc_id") < 48)
+        .select("doc_id")
+        .repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(srcDir)
+      val src = Streaming.fileStream(ss, srcDir,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      Streaming.drainAvailableNow(src) { (batch, _) =>
+        if (!batch.isEmpty) graft.ext.Dedup.withPins {
+          store.append("pairs",
+            Phash.checkBatch(store, "img", mk(batch), maxHamming = 3))
+        }
+      }
+      store.read("pairs").orderBy("new_id", "old_id")
     }
   )
 
@@ -279,6 +319,10 @@ object StreamQueries {
       "SELECT event_id, user_id FROM events ORDER BY event_id",
 
     "stream_incremental_dedup" -> ExtQueries.incrementalDedupOracle,
+
+    // identical fixture + split as the batch incremental screen — the
+    // streaming drain must change nothing
+    "stream_phash_screen" -> ExtQueries.oracles("mm_phash_incremental"),
 
     // partitioned SCD2 over the stream: keys absent from batch 2
     // (o_orderkey % 7 = 0) are NOT retired — only keys present in a
