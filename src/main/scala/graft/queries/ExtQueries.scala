@@ -814,6 +814,37 @@ object ExtQueries {
         .orderBy("new_id", "old_id")
     },
 
+    // CROSS-MODAL dedup composition — the full multimodal-corpus
+    // resolution pipeline: text near-dup pairs (MinHash recall + exact
+    // jaccard verify, corpus-wide) UNION image near-dup pairs (dHash
+    // over each doc's attached image, first 48 docs carry one) feed
+    // ONE pair graph; connected components collapse chains that no
+    // single modality sees whole. Every stage is the already-gated
+    // machinery; the oracle replays both pair faces and the recursive
+    // closure in one statement
+    "mm_crossmodal_dedup" -> q { c =>
+      import c.spark.implicits._
+      val textPairs = Dedup.minhashLshPairs(c.t("documents"),
+        "doc_id", "text", n = 3, threshold = 0.9)
+        .select("id_a", "id_b")
+      val items = c.t("documents").select(col("doc_id").cast("long")).as[Long]
+        .filter(_ < 48)
+        .map { d =>
+          val k = d % 12
+          val v = d / 12
+          Multimodal.MediaItem(d, "image", Multimodal.Ppm.build(36, 16,
+            (x, y) => (
+              ((k * 7 + x * 13 + y * 5 + (if (x < 4) v * 2 else 0L)) % 256).toInt,
+              ((k * 11 + x * 3 + y * 17) % 256).toInt,
+              ((k * 5 + x.toLong * y) % 256).toInt)))
+        }
+      val imgPairs = Phash.pairs(items, maxHamming = 3).select("id_a", "id_b")
+      graft.operators.ConnectedComponents.components(
+        textPairs.unionByName(imgPairs).distinct(), "id_a", "id_b",
+        idCol = "doc_id")
+        .orderBy("doc_id")
+    },
+
     // video NEAR-DUP: real AVI/MJPEG videos (constant-block baseline
     // JPEG frames — transform decode exact) in 12 groups × 4 first-
     // block-brightness variants; every 2nd frame is demuxed + decoded
@@ -1621,6 +1652,67 @@ object ExtQueries {
         |  ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // both pair faces + the recursive closure in one statement: the
+    // exact-jaccard text pairs, the dHash image pairs (48-doc face),
+    // their union, and min-label reachability
+    "mm_crossmodal_dedup" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
+         |sh AS (
+         |$shingleSql),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |tp AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |  WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.9),
+         |imgdocs AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+         |px AS (
+         |  SELECT doc_id, x.x AS x, y.y AS y,
+         |    (doc_id % 12 * 7 + x.x * 13 + y.y * 5 +
+         |     CASE WHEN x.x < 4 THEN doc_id // 12 * 2 ELSE 0 END) % 256 AS r,
+         |    (doc_id % 12 * 11 + x.x * 3 + y.y * 17) % 256 AS g,
+         |    (doc_id % 12 * 5 + x.x * y.y) % 256 AS b
+         |  FROM imgdocs,
+         |    (SELECT unnest(generate_series(0, 35)) AS x) x,
+         |    (SELECT unnest(generate_series(0, 15)) AS y) y),
+         |blk AS (
+         |  SELECT doc_id, x // 4 AS gx, y // 2 AS gy,
+         |    sum(299 * r + 587 * g + 114 * b) AS lum
+         |  FROM px GROUP BY 1, 2, 3),
+         |bits AS (
+         |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+         |  FROM blk a JOIN blk b ON b.doc_id = a.doc_id AND b.gy = a.gy
+         |    AND b.gx = a.gx + 1
+         |  WHERE a.gx < 8 AND a.lum > b.lum),
+         |iph AS (
+         |  SELECT d.doc_id,
+         |    coalesce(bit_or(CAST(power(2, bit) AS UBIGINT)), 0::UBIGINT) AS sh2
+         |  FROM imgdocs d LEFT JOIN bits ON bits.doc_id = d.doc_id
+         |  GROUP BY d.doc_id),
+         |banded AS (
+         |  SELECT doc_id, sh2, gs.b AS blk, (sh2 >> (gs.b * 16)) & 65535 AS blk_val
+         |  FROM iph, generate_series(0, 3) gs(b)),
+         |ip AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh2, b.sh2)) <= 3),
+         |pairs AS (SELECT id_a, id_b FROM tp UNION SELECT id_a, id_b FROM ip),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id)
+         |SELECT id AS doc_id, min(r) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // same dHash re-derivation, restricted to the (new >= 36) × (old
     // < 36) cross-set face the incremental screen reports
