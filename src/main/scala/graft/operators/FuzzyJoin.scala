@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (fuzzy string) join — the entity-resolution workhorse
+  * (matching customer/supplier/product names across sources that spell
+  * them slightly differently).
+  *
+  * Scale shape (Gravano et al. 2001, "Approximate string joins in a
+  * database (almost) for free"): never all-pairs over the corpus.
+  *  - LONG strings: each explodes to its q-gram MULTISET (an
+  *    inverted-index shuffle, work ∝ corpus size); candidates come
+  *    from the q-gram equi-join with the COUNT FILTER — strings within
+  *    edit distance k share ≥ max(|a|,|b|) − q + 1 − k·q q-grams (each
+  *    edit destroys at most q) — a bound with PERFECT RECALL whenever
+  *    it is positive, i.e. whenever the longer string has ≥ q·(k+1)
+  *    characters.
+  *  - SHORT strings (length < q·(k+1)): the bound is non-positive —
+  *    "ab"/"ac" at k=1 share zero bigrams — so they pair through their
+  *    DISTINCT VALUES: the short-value set is bounded by |Σ|^(q·(k+1)−1)
+  *    (a constant independent of corpus size), value pairs verify
+  *    exactly, and ids expand back through equi-joins. A short×long
+  *    pair with long ≥ q·(k+1) either shares a gram (covered by the
+  *    gram join) or exceeds k by the length gap alone.
+  * Only candidates pay the exact `levenshtein` verify (Spark builtin,
+  * codegen'd; classic unit costs — parity with the oracle's
+  * implementation pinned by the rel_edit_distance gate). */
+object FuzzyJoin {
+
+  private def grams(df: DataFrame, id: String, str: String,
+      q: Int): DataFrame =
+    df.select(col(id).as("_id"), col(str).as("_s"))
+      .where(length(col("_s")) >= q)
+      .select(col("_id"), length(col("_s")).as("_len"),
+        explode(transform(sequence(lit(1), length(col("_s")) - (q - 1)),
+          i => col("_s").substr(i, lit(q)))).as("_g"))
+      .groupBy("_id", "_len", "_g")
+      .agg(count(lit(1)).as("_c"))
+
+  /** Gram-join candidates with the count filter (recall-complete for
+    * pairs whose longer side has ≥ q·(k+1) chars). */
+  private def gramCandidates(ga: DataFrame, gb: DataFrame,
+      aId: String, bId: String, cond: Column, k: Int, q: Int): DataFrame =
+    ga.as("a").join(gb.as("b"), col("a._g") === col("b._g") && cond)
+      .groupBy(col("a._id").as(aId), col("b._id").as(bId),
+        col("a._len").as("_la"), col("b._len").as("_lb"))
+      .agg(sum(least(col("a._c"), col("b._c"))).as("_common"))
+      .filter(col("_common") >=
+        greatest(col("_la"), col("_lb")) - (q - 1) - k * q)
+      .select(aId, bId)
+
+  /** Distinct SHORT values of both sides paired all-ways (the value
+    * set is alphabet-bounded, never corpus-sized) and pre-verified;
+    * returns (value_a, value_b) pairs within distance k. */
+  private def shortValuePairs(a: DataFrame, b: DataFrame,
+      k: Int, q: Int): DataFrame = {
+    val lim = q * (k + 1)
+    val va = a.where(length(col("_vs")) < lim).distinct()
+    val vb = b.where(length(col("_vs")) < lim).distinct()
+      .withColumnRenamed("_vs", "_ws")
+    // constant-key hash join: all short-value pairs in one bucket —
+    // quadratic only in the alphabet-bounded distinct-value count
+    va.withColumn("_k1", lit(1))
+      .join(vb.withColumn("_k1", lit(1)), "_k1")
+      .filter(levenshtein(col("_vs"), col("_ws")) <= k)
+      .select("_vs", "_ws")
+  }
+
+  /** Self-join: (id_a, id_b, dist ≤ k) over one table's string column,
+    * id_a < id_b. `q` = gram width (2 is the classic default; larger q
+    * filters harder but needs longer strings). */
+  def selfJoin(df: DataFrame, id: String, str: String, k: Int,
+      q: Int = 2): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    require(q >= 1, "q must be positive")
+    val g = grams(df, id, str, q)
+    val gramCand = gramCandidates(g, g, "id_a", "id_b",
+      col("a._id") < col("b._id"), k, q)
+    val vals = df.select(col(str).as("_vs"))
+    val names = df.select(col(id).as("_nid"), col(str).as("_ns"))
+    val shortCand = shortValuePairs(vals, vals, k, q)
+      .join(names.select(col("_nid").as("id_a"), col("_ns").as("_vs")), "_vs")
+      .join(names.select(col("_nid").as("id_b"), col("_ns").as("_ws")), "_ws")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    verify(gramCand.unionByName(shortCand).distinct(), names,
+      "id_a", "id_b", k)
+  }
+
+  /** Two-table flavor: (left_id, right_id, dist ≤ k). */
+  def join(left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      k: Int, q: Int = 2): DataFrame = {
+    require(k >= 0 && q >= 1, "k >= 0 and q >= 1")
+    val gramCand = gramCandidates(
+      grams(left, leftId, leftStr, q), grams(right, rightId, rightStr, q),
+      "left_id", "right_id", lit(true), k, q)
+    val ln = left.select(col(leftId).as("_nid"), col(leftStr).as("_ns"))
+    val rn = right.select(col(rightId).as("_nid"), col(rightStr).as("_ns"))
+    val shortCand = shortValuePairs(
+        left.select(col(leftStr).as("_vs")),
+        right.select(col(rightStr).as("_vs")), k, q)
+      .join(ln.select(col("_nid").as("left_id"), col("_ns").as("_vs")), "_vs")
+      .join(rn.select(col("_nid").as("right_id"), col("_ns").as("_ws")), "_ws")
+      .select("left_id", "right_id")
+    val cand = gramCand.unionByName(shortCand).distinct()
+    cand
+      .join(ln.select(col("_nid").as("left_id"), col("_ns").as("_sa")), "left_id")
+      .join(rn.select(col("_nid").as("right_id"), col("_ns").as("_sb")), "right_id")
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
+      .filter(col("dist") <= k)
+      .select("left_id", "right_id", "dist")
+  }
+
+  private def verify(cand: DataFrame, names: DataFrame,
+      aId: String, bId: String, k: Int): DataFrame =
+    cand
+      .join(names.select(col("_nid").as(aId), col("_ns").as("_sa")), aId)
+      .join(names.select(col("_nid").as(bId), col("_ns").as("_sb")), bId)
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
+      .filter(col("dist") <= k)
+      .select(aId, bId, "dist")
+}

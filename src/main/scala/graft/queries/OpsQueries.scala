@@ -24,6 +24,18 @@ object OpsQueries {
   private def tsUs(c: String) = expr(s"`$c` div 1000")
 
   val defs: Map[String, Q] = Map(
+    // fuzzy (edit-distance) self-join on customer names: q-gram
+    // count-filter candidates (Gravano'01, provably no lost pairs),
+    // exact levenshtein verify on candidates only — never all-pairs.
+    // The oracle computes ground truth directly (the input face is
+    // small), so the filter's full recall is checked, not assumed
+    "ops_fuzzy_join" -> q { c =>
+      val names = c.t("customer").filter(col("c_custkey") <= 200)
+        .select(col("c_custkey").as("id"), col("c_name").as("s"))
+      graft.operators.FuzzyJoin.selfJoin(names, "id", "s", k = 1)
+        .orderBy("id_a", "id_b")
+    },
+
     // for each purchase, the user's latest click at-or-before it.
     // Right side pre-aggregated per (user, ts) so the asof pick is
     // engine-independent under ts collisions.
@@ -180,6 +192,15 @@ object OpsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ops_fuzzy_join" ->
+      """WITH n AS (
+        |  SELECT c_custkey AS id, c_name AS s FROM customer
+        |  WHERE c_custkey <= 200)
+        |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist
+        |FROM n a JOIN n b ON a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "ops_asof_join" ->
       """WITH p AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts
