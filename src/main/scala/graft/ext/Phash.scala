@@ -123,10 +123,7 @@ object Phash {
   def checkBatch(store: graft.write.TableStore, table: String,
       batch: Dataset[MediaItem], maxHamming: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions._
-    def banded(h: DataFrame) =
-      h.select(col("_id"), col("sh"),
-        posexplode(Dedup.pigeonholeBlocks(col("sh"), maxHamming))
-          .as(Seq("blk", "blk_val")))
+    def banded(h: DataFrame) = Dedup.bandedBlocks(h, "sh", maxHamming)
     banded(dhashTable(batch)).as("a")
       .join(banded(store.read(s"${table}__phash")).as("b"),
         col("a.blk") === col("b.blk") && col("a.blk_val") === col("b.blk_val"))
@@ -189,9 +186,8 @@ object Phash {
       maxHamming: Int = 7, minMatchFrac: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.functions._
     val fh = Dedup.pin(videoFrameHashes(media, stride).toDF())
-    val banded = fh.select(col("media_id"), col("frame_idx"), col("sh"),
-      posexplode(Dedup.pigeonholeBlocks(col("sh"), maxHamming))
-        .as(Seq("blk", "blk_val")))
+    val banded = Dedup.bandedBlocks(
+      fh.select("media_id", "frame_idx", "sh"), "sh", maxHamming)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.frame_idx") === col("b.frame_idx") &&
           col("a.blk") === col("b.blk") &&

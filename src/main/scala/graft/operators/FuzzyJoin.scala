@@ -59,10 +59,15 @@ object FuzzyJoin {
     val va = a.where(length(col("_vs")) < lim).distinct()
     val vb = b.where(length(col("_vs")) < lim).distinct()
       .withColumnRenamed("_vs", "_ws")
-    // constant-key hash join: all short-value pairs in one bucket —
-    // quadratic only in the alphabet-bounded distinct-value count
-    va.withColumn("_k1", lit(1))
-      .join(vb.withColumn("_k1", lit(1)), "_k1")
+    // recall-safe LENGTH-BAND equi-join (edit distance ≥ |len gap|, so
+    // each left value replicates to its k-neighborhood of lengths and
+    // keys on the right's exact length): distributes the quadratic
+    // pre-verify across length buckets and prunes cross-length pairs,
+    // instead of funneling every short pair into one constant-key task
+    va.select(col("_vs"),
+        explode(sequence(greatest(length(col("_vs")) - k, lit(0)),
+          length(col("_vs")) + k)).as("_lb"))
+      .join(vb.withColumn("_lb", length(col("_ws"))), "_lb")
       .filter(levenshtein(col("_vs"), col("_ws")) <= k)
       .select("_vs", "_ws")
   }
@@ -84,7 +89,7 @@ object FuzzyJoin {
       .join(names.select(col("_nid").as("id_b"), col("_ns").as("_ws")), "_ws")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    verify(gramCand.unionByName(shortCand).distinct(), names,
+    verify(gramCand.unionByName(shortCand).distinct(), names, names,
       "id_a", "id_b", k)
   }
 
@@ -104,20 +109,17 @@ object FuzzyJoin {
       .join(ln.select(col("_nid").as("left_id"), col("_ns").as("_vs")), "_vs")
       .join(rn.select(col("_nid").as("right_id"), col("_ns").as("_ws")), "_ws")
       .select("left_id", "right_id")
-    val cand = gramCand.unionByName(shortCand).distinct()
-    cand
-      .join(ln.select(col("_nid").as("left_id"), col("_ns").as("_sa")), "left_id")
-      .join(rn.select(col("_nid").as("right_id"), col("_ns").as("_sb")), "right_id")
-      .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
-      .filter(col("dist") <= k)
-      .select("left_id", "right_id", "dist")
+    verify(gramCand.unionByName(shortCand).distinct(), ln, rn,
+      "left_id", "right_id", k)
   }
 
-  private def verify(cand: DataFrame, names: DataFrame,
+  /** The ONE expand-and-verify tail: join the candidate ids back to
+    * their strings (per side) and keep exact distance ≤ k. */
+  private def verify(cand: DataFrame, aNames: DataFrame, bNames: DataFrame,
       aId: String, bId: String, k: Int): DataFrame =
     cand
-      .join(names.select(col("_nid").as(aId), col("_ns").as("_sa")), aId)
-      .join(names.select(col("_nid").as(bId), col("_ns").as("_sb")), bId)
+      .join(aNames.select(col("_nid").as(aId), col("_ns").as("_sa")), aId)
+      .join(bNames.select(col("_nid").as(bId), col("_ns").as("_sb")), bId)
       .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
       .filter(col("dist") <= k)
       .select(aId, bId, "dist")

@@ -72,6 +72,63 @@ object ExtQueries {
        |JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
        |WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= $threshold""".stripMargin
 
+  /** The shared perceptual-dedup image fixture: one deterministic P6
+    * raster per doc_id row of `df` — 12 pattern groups × brightness
+    * variants (the variant brightens only the first dHash block
+    * column). ONE owner for the four gate queries that build it
+    * (pairs / incremental / cross-modal / streaming screen) and — via
+    * [[phashCtes]] — their oracles: the Scala formula and the SQL
+    * formula must stay bit-identical, so both live once. */
+  private[queries] def phashMedia(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[Multimodal.MediaItem] = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long")).as[Long].map { d =>
+      val k = d % 12
+      val v = d / 12
+      Multimodal.MediaItem(d, "image", Multimodal.Ppm.build(36, 16,
+        (x, y) => (
+          ((k * 7 + x * 13 + y * 5 + (if (x < 4) v * 2 else 0L)) % 256).toInt,
+          ((k * 11 + x * 3 + y * 17) % 256).toInt,
+          ((k * 5 + x.toLong * y) % 256).toInt)))
+    }
+  }
+
+  /** The dHash re-derivation CTE block over `$docs` (a CTE providing
+    * doc_id): pixel formulas → block luma sums → gradient-sign bits →
+    * UBIGINT pack (power(2, bit) is exact — 2^63 fits a double;
+    * DuckDB's << overflows at bit 63) → 16-bit pigeonhole banding.
+    * `ns` prefixes the CTE names so the block embeds into statements
+    * with their own CTEs (the cross-modal oracle). Produces
+    * `${ns}banded(doc_id, sh, blk, blk_val)`. */
+  private def phashCtes(docs: String, ns: String = ""): String =
+    s"""${ns}px AS (
+       |  SELECT doc_id, x.x AS x, y.y AS y,
+       |    (doc_id % 12 * 7 + x.x * 13 + y.y * 5 +
+       |     CASE WHEN x.x < 4 THEN doc_id // 12 * 2 ELSE 0 END) % 256 AS r,
+       |    (doc_id % 12 * 11 + x.x * 3 + y.y * 17) % 256 AS g,
+       |    (doc_id % 12 * 5 + x.x * y.y) % 256 AS b
+       |  FROM $docs,
+       |    (SELECT unnest(generate_series(0, 35)) AS x) x,
+       |    (SELECT unnest(generate_series(0, 15)) AS y) y),
+       |${ns}blk AS (
+       |  SELECT doc_id, x // 4 AS gx, y // 2 AS gy,
+       |    sum(299 * r + 587 * g + 114 * b) AS lum
+       |  FROM ${ns}px GROUP BY 1, 2, 3),
+       |${ns}bits AS (
+       |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+       |  FROM ${ns}blk a JOIN ${ns}blk b ON b.doc_id = a.doc_id
+       |    AND b.gy = a.gy AND b.gx = a.gx + 1
+       |  WHERE a.gx < 8 AND a.lum > b.lum),
+       |${ns}ph AS (
+       |  SELECT d.doc_id,
+       |    coalesce(bit_or(CAST(power(2, bit) AS UBIGINT)), 0::UBIGINT) AS sh
+       |  FROM $docs d LEFT JOIN ${ns}bits ON ${ns}bits.doc_id = d.doc_id
+       |  GROUP BY d.doc_id),
+       |${ns}banded AS (
+       |  SELECT doc_id, sh, gs.b AS blk, (sh >> (gs.b * 16)) & 65535 AS blk_val
+       |  FROM ${ns}ph, generate_series(0, 3) gs(b))""".stripMargin
+
   val defs: Map[String, Q] = Map(
     // ---- text analysis ------------------------------------------------
     "text_token_count" -> q { c =>
@@ -771,19 +828,8 @@ object ExtQueries {
     // and hamming from the pixel formulas, so the whole decode→hash→
     // bucket→verify pipeline is hash-checked end to end
     "mm_phash_pairs" -> q { c =>
-      import c.spark.implicits._
-      val items = c.t("documents").select(col("doc_id").cast("long")).as[Long]
-        .filter(_ < 48)
-        .map { d =>
-          val k = d % 12
-          val v = d / 12
-          Multimodal.MediaItem(d, "image", Multimodal.Ppm.build(36, 16,
-            (x, y) => (
-              ((k * 7 + x * 13 + y * 5 + (if (x < 4) v * 2 else 0L)) % 256).toInt,
-              ((k * 11 + x * 3 + y * 17) % 256).toInt,
-              ((k * 5 + x.toLong * y) % 256).toInt)))
-        }
-      Phash.pairs(items, maxHamming = 3).orderBy("id_a", "id_b")
+      Phash.pairs(phashMedia(c.t("documents").filter(col("doc_id") < 48)),
+        maxHamming = 3).orderBy("id_a", "id_b")
     },
 
     // INCREMENTAL image near-dup against a PERSISTED dHash index (the
@@ -793,21 +839,10 @@ object ExtQueries {
     // screen a third against the cold index; same fixture as
     // mm_phash_pairs, oracle restricted to the (new × old) pair face
     "mm_phash_incremental" -> q { c =>
-      import c.spark.implicits._
       val store = new graft.write.TableStore(
         java.nio.file.Files.createTempDirectory("graft-phinc").toString, c.spark)
-      def items(lo: Long, hi: Long) =
-        c.t("documents").select(col("doc_id").cast("long")).as[Long]
-          .filter(d => d >= lo && d < hi)
-          .map { d =>
-            val k = d % 12
-            val v = d / 12
-            Multimodal.MediaItem(d, "image", Multimodal.Ppm.build(36, 16,
-              (x, y) => (
-                ((k * 7 + x * 13 + y * 5 + (if (x < 4) v * 2 else 0L)) % 256).toInt,
-                ((k * 11 + x * 3 + y * 17) % 256).toInt,
-                ((k * 5 + x.toLong * y) % 256).toInt)))
-          }
+      def items(lo: Long, hi: Long) = phashMedia(c.t("documents")
+        .filter(col("doc_id") >= lo && col("doc_id") < hi))
       Phash.indexMedia(store, "img", items(0, 24))
       Phash.indexMedia(store, "img", items(24, 36))
       Phash.checkBatch(store, "img", items(36, 48), maxHamming = 3)
@@ -823,22 +858,12 @@ object ExtQueries {
     // machinery; the oracle replays both pair faces and the recursive
     // closure in one statement
     "mm_crossmodal_dedup" -> q { c =>
-      import c.spark.implicits._
       val textPairs = Dedup.minhashLshPairs(c.t("documents"),
         "doc_id", "text", n = 3, threshold = 0.9)
         .select("id_a", "id_b")
-      val items = c.t("documents").select(col("doc_id").cast("long")).as[Long]
-        .filter(_ < 48)
-        .map { d =>
-          val k = d % 12
-          val v = d / 12
-          Multimodal.MediaItem(d, "image", Multimodal.Ppm.build(36, 16,
-            (x, y) => (
-              ((k * 7 + x * 13 + y * 5 + (if (x < 4) v * 2 else 0L)) % 256).toInt,
-              ((k * 11 + x * 3 + y * 17) % 256).toInt,
-              ((k * 5 + x.toLong * y) % 256).toInt)))
-        }
-      val imgPairs = Phash.pairs(items, maxHamming = 3).select("id_a", "id_b")
+      val imgPairs = Phash.pairs(
+        phashMedia(c.t("documents").filter(col("doc_id") < 48)),
+        maxHamming = 3).select("id_a", "id_b")
       graft.operators.ConnectedComponents.components(
         textPairs.unionByName(imgPairs).distinct(), "id_a", "id_b",
         idCol = "doc_id")
@@ -1613,45 +1638,17 @@ object ExtQueries {
         |  (i * 1000000 // 24)::BIGINT AS pts_micros
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
-    // dHash re-derivation: block luma sums over the pixel formulas,
-    // gradient-sign bits packed UBIGINT (power(2, bit) is exact — 2^63
-    // fits a double; DuckDB's << overflows at bit 63, same workaround
-    // as the dedup_simhash oracle), 16-bit pigeonhole banding, exact
+    // dHash re-derivation (shared [[phashCtes]] block), exact
     // bit_count(xor) verify — SQL-identical machinery to the engine's
     "mm_phash_pairs" ->
-      """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 48),
-        |px AS (
-        |  SELECT doc_id, x.x AS x, y.y AS y,
-        |    (doc_id % 12 * 7 + x.x * 13 + y.y * 5 +
-        |     CASE WHEN x.x < 4 THEN doc_id // 12 * 2 ELSE 0 END) % 256 AS r,
-        |    (doc_id % 12 * 11 + x.x * 3 + y.y * 17) % 256 AS g,
-        |    (doc_id % 12 * 5 + x.x * y.y) % 256 AS b
-        |  FROM docs,
-        |    (SELECT unnest(generate_series(0, 35)) AS x) x,
-        |    (SELECT unnest(generate_series(0, 15)) AS y) y),
-        |blk AS (
-        |  SELECT doc_id, x // 4 AS gx, y // 2 AS gy,
-        |    sum(299 * r + 587 * g + 114 * b) AS lum
-        |  FROM px GROUP BY 1, 2, 3),
-        |bits AS (
-        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
-        |  FROM blk a JOIN blk b ON b.doc_id = a.doc_id AND b.gy = a.gy
-        |    AND b.gx = a.gx + 1
-        |  WHERE a.gx < 8 AND a.lum > b.lum),
-        |ph AS (
-        |  SELECT d.doc_id,
-        |    coalesce(bit_or(CAST(power(2, bit) AS UBIGINT)), 0::UBIGINT) AS sh
-        |  FROM docs d LEFT JOIN bits ON bits.doc_id = d.doc_id
-        |  GROUP BY d.doc_id),
-        |banded AS (
-        |  SELECT doc_id, sh, gs.b AS blk, (sh >> (gs.b * 16)) & 65535 AS blk_val
-        |  FROM ph, generate_series(0, 3) gs(b))
-        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
-        |FROM banded a JOIN banded b
-        |  ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+         |${phashCtes("docs")}
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // both pair faces + the recursive closure in one statement: the
     // exact-jaccard text pairs, the dHash image pairs (48-doc face),
@@ -1671,37 +1668,12 @@ object ExtQueries {
          |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
          |  WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.9),
          |imgdocs AS (SELECT doc_id FROM documents WHERE doc_id < 48),
-         |px AS (
-         |  SELECT doc_id, x.x AS x, y.y AS y,
-         |    (doc_id % 12 * 7 + x.x * 13 + y.y * 5 +
-         |     CASE WHEN x.x < 4 THEN doc_id // 12 * 2 ELSE 0 END) % 256 AS r,
-         |    (doc_id % 12 * 11 + x.x * 3 + y.y * 17) % 256 AS g,
-         |    (doc_id % 12 * 5 + x.x * y.y) % 256 AS b
-         |  FROM imgdocs,
-         |    (SELECT unnest(generate_series(0, 35)) AS x) x,
-         |    (SELECT unnest(generate_series(0, 15)) AS y) y),
-         |blk AS (
-         |  SELECT doc_id, x // 4 AS gx, y // 2 AS gy,
-         |    sum(299 * r + 587 * g + 114 * b) AS lum
-         |  FROM px GROUP BY 1, 2, 3),
-         |bits AS (
-         |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
-         |  FROM blk a JOIN blk b ON b.doc_id = a.doc_id AND b.gy = a.gy
-         |    AND b.gx = a.gx + 1
-         |  WHERE a.gx < 8 AND a.lum > b.lum),
-         |iph AS (
-         |  SELECT d.doc_id,
-         |    coalesce(bit_or(CAST(power(2, bit) AS UBIGINT)), 0::UBIGINT) AS sh2
-         |  FROM imgdocs d LEFT JOIN bits ON bits.doc_id = d.doc_id
-         |  GROUP BY d.doc_id),
-         |banded AS (
-         |  SELECT doc_id, sh2, gs.b AS blk, (sh2 >> (gs.b * 16)) & 65535 AS blk_val
-         |  FROM iph, generate_series(0, 3) gs(b)),
+         |${phashCtes("imgdocs", ns = "i")},
          |ip AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b
+         |  FROM ibanded a JOIN ibanded b
          |    ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.sh2, b.sh2)) <= 3),
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
          |pairs AS (SELECT id_a, id_b FROM tp UNION SELECT id_a, id_b FROM ip),
          |edges AS (
          |  SELECT id_a AS a, id_b AS b FROM pairs
@@ -1717,40 +1689,15 @@ object ExtQueries {
     // same dHash re-derivation, restricted to the (new >= 36) × (old
     // < 36) cross-set face the incremental screen reports
     "mm_phash_incremental" ->
-      """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 48),
-        |px AS (
-        |  SELECT doc_id, x.x AS x, y.y AS y,
-        |    (doc_id % 12 * 7 + x.x * 13 + y.y * 5 +
-        |     CASE WHEN x.x < 4 THEN doc_id // 12 * 2 ELSE 0 END) % 256 AS r,
-        |    (doc_id % 12 * 11 + x.x * 3 + y.y * 17) % 256 AS g,
-        |    (doc_id % 12 * 5 + x.x * y.y) % 256 AS b
-        |  FROM docs,
-        |    (SELECT unnest(generate_series(0, 35)) AS x) x,
-        |    (SELECT unnest(generate_series(0, 15)) AS y) y),
-        |blk AS (
-        |  SELECT doc_id, x // 4 AS gx, y // 2 AS gy,
-        |    sum(299 * r + 587 * g + 114 * b) AS lum
-        |  FROM px GROUP BY 1, 2, 3),
-        |bits AS (
-        |  SELECT a.doc_id, a.gy * 8 + a.gx AS bit
-        |  FROM blk a JOIN blk b ON b.doc_id = a.doc_id AND b.gy = a.gy
-        |    AND b.gx = a.gx + 1
-        |  WHERE a.gx < 8 AND a.lum > b.lum),
-        |ph AS (
-        |  SELECT d.doc_id,
-        |    coalesce(bit_or(CAST(power(2, bit) AS UBIGINT)), 0::UBIGINT) AS sh
-        |  FROM docs d LEFT JOIN bits ON bits.doc_id = d.doc_id
-        |  GROUP BY d.doc_id),
-        |banded AS (
-        |  SELECT doc_id, sh, gs.b AS blk, (sh >> (gs.b * 16)) & 65535 AS blk_val
-        |  FROM ph, generate_series(0, 3) gs(b))
-        |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id,
-        |  bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
-        |FROM banded a JOIN banded b
-        |  ON a.blk = b.blk AND a.blk_val = b.blk_val
-        |WHERE a.doc_id >= 36 AND b.doc_id < 36
-        |  AND bit_count(xor(a.sh, b.sh)) <= 3
-        |ORDER BY new_id, old_id""".stripMargin,
+      s"""WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+         |${phashCtes("docs")}
+         |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id,
+         |  bit_count(xor(a.sh, b.sh))::INTEGER AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.blk = b.blk AND a.blk_val = b.blk_val
+         |WHERE a.doc_id >= 36 AND b.doc_id < 36
+         |  AND bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY new_id, old_id""".stripMargin,
 
     // per-(video, sampled frame) dHash from the constant-block
     // formulas (each 9×8 grid cell is one constant 8×8 JPEG block's

@@ -246,25 +246,12 @@ object StreamQueries {
     // machinery under AvailableNow) — stored hashes are the verify
     // input, so per batch the old corpus rides the band equi-join only
     "stream_phash_screen" -> q { c =>
-      import graft.ext.{Multimodal, Phash}
+      import graft.ext.Phash
       val ss = streamSession(c)
       val store = new TableStore(
         Files.createTempDirectory("graft-sps").toString, c.spark)
-      def mk(df: org.apache.spark.sql.DataFrame) = {
-        val s = df.sparkSession
-        import s.implicits._
-        df.select(col("doc_id").cast("long")).as[Long].map { d =>
-          val k = d % 12
-          val v = d / 12
-          Multimodal.MediaItem(d, "image", Multimodal.Ppm.build(36, 16,
-            (x, y) => (
-              ((k * 7 + x * 13 + y * 5 + (if (x < 4) v * 2 else 0L)) % 256).toInt,
-              ((k * 11 + x * 3 + y * 17) % 256).toInt,
-              ((k * 5 + x.toLong * y) % 256).toInt)))
-        }
-      }
-      Phash.indexMedia(store, "img",
-        mk(c.tw("documents").filter(col("doc_id") < 36)))
+      Phash.indexMedia(store, "img", ExtQueries.phashMedia(
+        c.tw("documents").filter(col("doc_id") < 36)))
       val srcDir = Files.createTempDirectory("graft-sps-src").toString
       c.tw("documents").filter(col("doc_id") >= 36 && col("doc_id") < 48)
         .select("doc_id")
@@ -272,11 +259,12 @@ object StreamQueries {
         .write.mode("overwrite").parquet(srcDir)
       val src = Streaming.fileStream(ss, srcDir,
         options = Map("maxFilesPerTrigger" -> "1"))
+      // no pin scope needed: unlike IncrementalDedup.checkBatch, the
+      // phash screen caches nothing (the stored hash IS the verify input)
       Streaming.drainAvailableNow(src) { (batch, _) =>
-        if (!batch.isEmpty) graft.ext.Dedup.withPins {
-          store.append("pairs",
-            Phash.checkBatch(store, "img", mk(batch), maxHamming = 3))
-        }
+        if (!batch.isEmpty)
+          store.append("pairs", Phash.checkBatch(store, "img",
+            ExtQueries.phashMedia(batch), maxHamming = 3))
       }
       store.read("pairs").orderBy("new_id", "old_id")
     }
