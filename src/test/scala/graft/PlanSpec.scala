@@ -273,4 +273,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"band join degraded:\n$p")
   }
+
+  test("perceptual pair generators stay pigeonhole equi-joins") {
+    for (q <- Seq("mm_phash_pairs", "mm_video_neardup",
+        "mm_audio_fingerprint", "mm_phash_incremental")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q pair generation degraded to all-pairs:\n$p")
+    }
+  }
+
+  test("fuzzy join candidates ride gram/length equi-joins, never all-pairs") {
+    val p = plan("ops_fuzzy_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degraded:\n$p")
+  }
+
+  test("pq encode rides broadcast-literal argmins: no join in the code path") {
+    val p = plan("sim_pq_codes")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"pq encode degraded:\n$p")
+    assert(p.contains("graft_sqdist"), s"expected the codegen kernel:\n$p")
+  }
 }
