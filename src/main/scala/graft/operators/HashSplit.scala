@@ -122,6 +122,34 @@ object HashSplit {
       .drop("__h")
   }
 
+  /** WEIGHTED (importance) sampling: per-row keep probability ∝ its
+    * weight — the quality-weighted corpus downsample (a document with
+    * twice the quality score survives twice as often). Keep iff
+    * bucket(id) < min(1, target·w/mean(w))·2³². Weights above
+    * mean/target clip at probability 1 (the standard importance
+    * clip), so the realized fraction ≈ `target` when few rows clip.
+    * Deterministic and ENGINE-EXACT: the mean is the decimal-exact Σ
+    * cast to double over the count (two correctly-rounded ops), the
+    * threshold is correctly-rounded double arithmetic only — no
+    * transcendentals — and membership compares the integer md5
+    * bucket, so an oracle replays it bit-for-bit. Plan: one 1-row
+    * broadcast onto a pure projection filter. Null/non-positive
+    * weights never survive. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      target: Double): DataFrame = {
+    require(target >= 0.0 && target <= 1.0, "target must be in [0,1]")
+    import org.apache.spark.sql.types.DecimalType
+    val m = df.agg(
+      (sum(col(weightCol).cast(DecimalType(28, 12))).cast("double")
+        / count(lit(1))).as("__mw"))
+    df.crossJoin(broadcast(m))
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .filter(bucket(col(idCol)) <
+        least(lit(1.0), lit(target) * col(weightCol) / col("__mw"))
+          * lit(Buckets.toDouble))
+      .drop("__mw")
+  }
+
   /** STRATIFIED deterministic sampling: a per-stratum keep rate (the
     * training-mix dial — e.g. keep 100% of a rare language, 10% of the
     * dominant one). Still a pure projection: the rate lookup compiles

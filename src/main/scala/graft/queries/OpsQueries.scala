@@ -36,6 +36,16 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // importance sampling ∝ document length (quality-weighted corpus
+    // downsample): engine-exact membership — decimal-exact mean, pure
+    // double threshold arithmetic, integer md5 bucket compare
+    "ops_weighted_sample" -> q { c =>
+      graft.operators.HashSplit.weightedSample(
+        c.tw("documents").withColumn("w", length(col("text")).cast("double")),
+        "doc_id", "w", target = 0.3)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // for each purchase, the user's latest click at-or-before it.
     // Right side pre-aggregated per (user, ts) so the asof pick is
     // engine-independent under ts collisions.
@@ -200,6 +210,16 @@ object OpsQueries {
         |FROM n a JOIN n b ON a.id < b.id
         |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ops_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, length(text)::DOUBLE AS wt FROM documents),
+        |m AS (
+        |  SELECT (sum(wt::DECIMAL(28,12))::DOUBLE) / count(*) AS mw FROM w)
+        |SELECT doc_id FROM w, m
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      < least(1.0, 0.3 * wt / mw) * 4294967296.0
+        |ORDER BY doc_id""".stripMargin,
 
     "ops_asof_join" ->
       """WITH p AS (

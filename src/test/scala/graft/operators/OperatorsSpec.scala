@@ -336,6 +336,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out === Seq(("a", 2.0, 3.0), ("b", 42.0, 42.0), ("c", 15.0, 20.0)))
   }
 
+  test("weighted sample: survival ∝ weight, nested in target, positive-only") {
+    val df = (1L to 4000L).map(i => (i, (i % 4 + 1).toDouble))
+      .toDF("id", "w")
+    val kept = HashSplit.weightedSample(df, "id", "w", target = 0.25)
+      .select("id", "w").as[(Long, Double)].collect()
+    // mean weight 2.5 → keep prob 0.1·w: rates per class ≈ 0.1, 0.2,
+    // 0.3, 0.4 (1000 rows each; ±4 sigma tolerance)
+    val byW = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    for (w <- 1 to 4) {
+      val rate = byW.getOrElse(w.toDouble, 0) / 1000.0
+      assert(math.abs(rate - 0.1 * w) < 0.05, s"w=$w rate=$rate")
+    }
+    // nested: raising the target only ADDS members
+    val lo = HashSplit.weightedSample(df, "id", "w", 0.15)
+      .select("id").as[Long].collect().toSet
+    val hi = HashSplit.weightedSample(df, "id", "w", 0.35)
+      .select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+    // null / zero / negative weights never survive
+    val edge = Seq((1L, Some(0.0)), (2L, Some(-3.0)),
+      (3L, None: Option[Double]), (4L, Some(5.0))).toDF("id", "w")
+    assert(HashSplit.weightedSample(edge, "id", "w", 1.0)
+      .select("id").as[Long].collect().toSeq === Seq(4L))
+  }
+
   test("quantile plan has one exchange and no value-map aggregation") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val plan = Percentiles.groupQuantiles(li, Seq("l_returnflag"),
