@@ -36,6 +36,29 @@ object OpsQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ENTITY RESOLUTION composition: fuzzy name match (k=1) blocked on
+    // nation → one pair graph → connected components → consolidated
+    // canonical records (size, best balance, canonical name) — the
+    // master-data pipeline built purely from gated operators; the
+    // oracle replays brute-force matching + the recursive closure
+    "ops_entity_resolution" -> q { c =>
+      val cust = c.t("customer").filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("id"), col("c_name").as("s"),
+          col("c_nationkey").as("nat"), col("c_acctbal").as("acct"))
+      val pairs = graft.operators.FuzzyJoin.selfJoin(cust, "id", "s", k = 1)
+        .join(cust.select(col("id").as("id_a"), col("nat").as("na")), "id_a")
+        .join(cust.select(col("id").as("id_b"), col("nat").as("nb")), "id_b")
+        .filter(col("na") === col("nb"))
+        .select("id_a", "id_b")
+      graft.operators.ConnectedComponents.components(pairs, "id_a", "id_b",
+          idCol = "id")
+        .join(cust, "id")
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"), max("acct").as("best_acct"),
+          min("s").as("canonical_name"))
+        .orderBy("component")
+    },
+
     // importance sampling ∝ document length (quality-weighted corpus
     // downsample): engine-exact membership — decimal-exact mean, pure
     // double threshold arithmetic, integer md5 bucket compare
@@ -210,6 +233,28 @@ object OpsQueries {
         |FROM n a JOIN n b ON a.id < b.id
         |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ops_entity_resolution" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT c_custkey AS id, c_name AS s, c_nationkey AS nat,
+        |    c_acctbal AS acct
+        |  FROM customer WHERE c_custkey <= 300),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b FROM n a JOIN n b
+        |  ON a.id < b.id AND a.nat = b.nat AND levenshtein(a.s, b.s) <= 1),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT component, count(*)::BIGINT AS n_members,
+        |  max(acct) AS best_acct, min(s) AS canonical_name
+        |FROM comp JOIN n USING (id)
+        |GROUP BY component ORDER BY component""".stripMargin,
 
     "ops_weighted_sample" ->
       """WITH w AS (
