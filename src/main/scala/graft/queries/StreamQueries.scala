@@ -267,6 +267,44 @@ object StreamQueries {
             ExtQueries.phashMedia(batch), maxHamming = 3))
       }
       store.read("pairs").orderBy("new_id", "old_id")
+    },
+
+    // streaming DRIFT MONITOR: every micro-batch's value distribution
+    // scores a PSI against a fixed baseline (the 'view' events) and
+    // the score commits to a monitor table — the continuous face of
+    // the load-plane drift gate. Batches carry a content-derived key
+    // (event_id % 3, one residue class per source file), so the
+    // monitor rows are deterministic under any trigger order
+    "stream_drift_monitor" -> q { c =>
+      val ss = streamSession(c)
+      val store = new TableStore(
+        Files.createTempDirectory("graft-sdm").toString, c.spark)
+      val srcDir = Files.createTempDirectory("graft-sdm-src").toString
+      val ev = c.tw("events").select("event_id", "event_type", "value")
+      (0 until 3).foreach { r =>
+        ev.filter(pmod(col("event_id"), lit(3)) === r)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      val src = Streaming.fileStream(ss, srcDir,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      Streaming.drainAvailableNow(src) { (batch, _) =>
+        if (!batch.isEmpty) {
+          val s2 = batch.sparkSession
+          import s2.implicits._
+          // baseline re-read in the batch's session (cross-session
+          // plans don't compose); a production monitor would persist
+          // the baseline's bin counts once instead
+          val baseline = graft.sources.Filesystem
+            .readParquet(s2, s"${c.dir}/events.parquet")
+            .filter(col("event_type") === "view")
+          val key = batch.agg(min(pmod(col("event_id"), lit(3))))
+            .head().getLong(0)
+          val psi = graft.operators.Drift.psi(baseline, batch, "value",
+            bins = 8).select("psi").head().getDouble(0)
+          store.append("monitor", Seq((key, psi)).toDF("batch_key", "psi"))
+        }
+      }
+      store.read("monitor").orderBy("batch_key")
     }
   )
 
@@ -311,6 +349,49 @@ object StreamQueries {
     // identical fixture + split as the batch incremental screen — the
     // streaming drain must change nothing
     "stream_phash_screen" -> ExtQueries.oracles("mm_phash_incremental"),
+
+    // per-residue-class PSI vs the view baseline, one statement: the
+    // Drift.psi pipeline (baseline-fixed bins, Laplace smoothing,
+    // decimal-exact Σ) grouped by batch key
+    "stream_drift_monitor" ->
+      """WITH b AS (
+        |  SELECT value::DOUBLE AS v FROM events WHERE event_type = 'view'),
+        |cur AS (SELECT event_id % 3 AS r, value::DOUBLE AS v FROM events),
+        |st AS (SELECT min(v) AS mn, max(v) AS mx FROM b),
+        |bb AS (
+        |  SELECT CASE WHEN mx > mn
+        |    THEN CAST(least(7, greatest(0,
+        |      floor((v - mn) / ((mx - mn) / 8)))) AS INT)
+        |    ELSE (CASE WHEN v = mn THEN 0 ELSE 7 END) END AS bin,
+        |    count(*) AS n_base
+        |  FROM b, st GROUP BY 1),
+        |cb AS (
+        |  SELECT r, CASE WHEN mx > mn
+        |    THEN CAST(least(7, greatest(0,
+        |      floor((v - mn) / ((mx - mn) / 8)))) AS INT)
+        |    ELSE (CASE WHEN v = mn THEN 0 ELSE 7 END) END AS bin,
+        |    count(*) AS n_cur
+        |  FROM cur, st GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT rr.r, g.bin
+        |  FROM (SELECT unnest(generate_series(0, 2)) AS r) rr,
+        |    (SELECT unnest(generate_series(0, 7)) AS bin) g),
+        |m AS (
+        |  SELECT grid.r, grid.bin, coalesce(bb.n_base, 0) AS n_base,
+        |    coalesce(cb.n_cur, 0) AS n_cur
+        |  FROM grid LEFT JOIN bb ON grid.bin = bb.bin
+        |  LEFT JOIN cb ON cb.r = grid.r AND cb.bin = grid.bin),
+        |tt AS (SELECT r, sum(n_base) AS tb, sum(n_cur) AS tc FROM m GROUP BY r),
+        |tm AS (
+        |  SELECT x.r, (p - q) * ln(p / q) AS term
+        |  FROM (
+        |    SELECT m.r, m.bin,
+        |      (n_base + 0.5) / (tb + 0.5 * 8) AS p,
+        |      (n_cur + 0.5) / (tc + 0.5 * 8) AS q
+        |    FROM m JOIN tt ON tt.r = m.r) x)
+        |SELECT r AS batch_key,
+        |  round(sum(term::DECIMAL(28,12))::DOUBLE, 6) AS psi
+        |FROM tm GROUP BY r ORDER BY batch_key""".stripMargin,
 
     // partitioned SCD2 over the stream: keys absent from batch 2
     // (o_orderkey % 7 = 0) are NOT retired — only keys present in a
