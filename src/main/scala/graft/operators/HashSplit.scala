@@ -139,11 +139,14 @@ object HashSplit {
       target: Double): DataFrame = {
     require(target >= 0.0 && target <= 1.0, "target must be in [0,1]")
     import org.apache.spark.sql.types.DecimalType
-    val m = df.agg(
+    // eligible rows only, for BOTH the mean and the filter: a mean
+    // over the full frame would let null/non-positive weights skew —
+    // or, with negative weights, invert — every keep probability
+    val eligible = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    val m = eligible.agg(
       (sum(col(weightCol).cast(DecimalType(28, 12))).cast("double")
         / count(lit(1))).as("__mw"))
-    df.crossJoin(broadcast(m))
-      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    eligible.crossJoin(broadcast(m))
       .filter(bucket(col(idCol)) <
         least(lit(1.0), lit(target) * col(weightCol) / col("__mw"))
           * lit(Buckets.toDouble))

@@ -45,13 +45,13 @@ object OpsQueries {
       val cust = c.t("customer").filter(col("c_custkey") <= 300)
         .select(col("c_custkey").as("id"), col("c_name").as("s"),
           col("c_nationkey").as("nat"), col("c_acctbal").as("acct"))
-      val pairs = graft.operators.FuzzyJoin.selfJoin(cust, "id", "s", k = 1)
-        .join(cust.select(col("id").as("id_a"), col("nat").as("na")), "id_a")
-        .join(cust.select(col("id").as("id_b"), col("nat").as("nb")), "id_b")
-        .filter(col("na") === col("nb"))
+      // GENUINE blocking: nation rides the candidate join keys, so
+      // cross-nation pairs never reach the count filter or the verify
+      val pairs = graft.operators.FuzzyJoin.selfJoin(cust, "id", "s",
+        k = 1, blockCol = Some("nat"))
         .select("id_a", "id_b")
-      graft.operators.ConnectedComponents.components(pairs, "id_a", "id_b",
-          idCol = "id")
+      graft.operators.ConnectedComponents.componentsAuto(pairs,
+          "id_a", "id_b", idCol = "id")
         .join(cust, "id")
         .groupBy("component")
         .agg(count(lit(1)).as("n_members"), max("acct").as("best_acct"),
@@ -258,7 +258,8 @@ object OpsQueries {
 
     "ops_weighted_sample" ->
       """WITH w AS (
-        |  SELECT doc_id, length(text)::DOUBLE AS wt FROM documents),
+        |  SELECT doc_id, length(text)::DOUBLE AS wt FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
         |m AS (
         |  SELECT (sum(wt::DECIMAL(28,12))::DOUBLE) / count(*) AS mw FROM w)
         |SELECT doc_id FROM w, m

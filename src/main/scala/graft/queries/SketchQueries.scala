@@ -150,11 +150,13 @@ object SketchQueries {
   val oracles: Map[String, String] = Map(
     "ops_drift_psi" ->
       """WITH b AS (
-        |  SELECT o_totalprice::DOUBLE AS v FROM orders WHERE o_orderkey % 2 = 0),
+        |  SELECT o_totalprice::DOUBLE AS v FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
         |c AS (
         |  SELECT o_totalprice::DOUBLE *
         |    (CASE WHEN o_orderkey % 4 = 1 THEN 1.25 ELSE 1.0 END) AS v
-        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |  FROM orders
+        |  WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL),
         |st AS (SELECT min(v) AS mn, max(v) AS mx FROM b),
         |bb AS (
         |  SELECT CASE WHEN mx > mn

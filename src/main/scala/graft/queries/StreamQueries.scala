@@ -280,7 +280,9 @@ object StreamQueries {
       val store = new TableStore(
         Files.createTempDirectory("graft-sdm").toString, c.spark)
       val srcDir = Files.createTempDirectory("graft-sdm-src").toString
-      val ev = c.tw("events").select("event_id", "event_type", "value")
+      // plain load (tw's wide repartition would be pure shuffle waste
+      // ahead of a coalesce(1) file write)
+      val ev = c.t("events").select("event_id", "event_type", "value")
       (0 until 3).foreach { r =>
         ev.filter(pmod(col("event_id"), lit(3)) === r)
           .coalesce(1).write.mode("append").parquet(srcDir)
@@ -355,8 +357,11 @@ object StreamQueries {
     // decimal-exact Σ) grouped by batch key
     "stream_drift_monitor" ->
       """WITH b AS (
-        |  SELECT value::DOUBLE AS v FROM events WHERE event_type = 'view'),
-        |cur AS (SELECT event_id % 3 AS r, value::DOUBLE AS v FROM events),
+        |  SELECT value::DOUBLE AS v FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL),
+        |cur AS (
+        |  SELECT event_id % 3 AS r, value::DOUBLE AS v FROM events
+        |  WHERE value IS NOT NULL),
         |st AS (SELECT min(v) AS mn, max(v) AS mx FROM b),
         |bb AS (
         |  SELECT CASE WHEN mx > mn

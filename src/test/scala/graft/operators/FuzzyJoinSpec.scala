@@ -57,6 +57,23 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.contains((4L, 5L, 1)), "the no-gram pair")
   }
 
+  test("blocking restricts matches to equal block values, long and short") {
+    val df = Seq(
+      (1L, "spark", "x"), (2L, "spork", "x"), (3L, "spark", "y"),
+      (4L, "ab", "x"), (5L, "ac", "x"), (6L, "ab", "y")
+    ).toDF("id", "s", "blk")
+    val got = FuzzyJoin.selfJoin(df, "id", "s", k = 1,
+        blockCol = Some("blk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1-2 (long, same block), 4-5 (short, same block); NEVER 1-3 or
+    // 4-6 despite distance 0 — they live in different blocks
+    assert(got === Set((1L, 2L), (4L, 5L)))
+    // unblocked, the cross-block exact dups appear
+    val open = FuzzyJoin.selfJoin(df, "id", "s", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(open.contains((1L, 3L)) && open.contains((4L, 6L)))
+  }
+
   test("candidates come from the gram equi-join, never a cartesian") {
     val plan = FuzzyJoin.selfJoin(words, "id", "s", k = 1)
       .queryExecution.executedPlan.toString

@@ -354,11 +354,18 @@ class OperatorsSpec extends SparkSpec {
     val hi = HashSplit.weightedSample(df, "id", "w", 0.35)
       .select("id").as[Long].collect().toSet
     assert(lo.subsetOf(hi))
-    // null / zero / negative weights never survive
+    // null / zero / negative weights never survive — and never SKEW:
+    // the mean is over eligible rows only, so junk weights cannot
+    // deflate (or, negative, invert) everyone else's keep probability
     val edge = Seq((1L, Some(0.0)), (2L, Some(-3.0)),
       (3L, None: Option[Double]), (4L, Some(5.0))).toDF("id", "w")
     assert(HashSplit.weightedSample(edge, "id", "w", 1.0)
       .select("id").as[Long].collect().toSeq === Seq(4L))
+    val negHeavy = Seq((1L, -10.0), (2L, -10.0), (3L, 1.0), (4L, 1.0))
+      .toDF("id", "w")
+    assert(HashSplit.weightedSample(negHeavy, "id", "w", 1.0)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(3L, 4L),
+      "a full-frame mean (-4.5) would have made the threshold negative")
   }
 
   test("quantile plan has one exchange and no value-map aggregation") {
