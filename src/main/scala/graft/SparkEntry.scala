@@ -14,7 +14,10 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val packs: Seq[(Map[String, Q], Map[String, String])] = Seq(
+  // a def, not a val: ExtQueries.oracles includes a model-derived
+  // oracle (sim_pca_project) deposited by the gate query at run time,
+  // so the oracle map must be re-read at dump time
+  private def packs: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (RelationalQueries.defs, RelationalQueries.oracles),
     (RelationalExtQueries.defs, RelationalExtQueries.oracles),
     (NormalizeQueries.defs, NormalizeQueries.oracles),

@@ -339,6 +339,53 @@ object Pca {
     PcaModel(mean, vectors.take(r), values.take(r))
   }
 
+  /** DuckDB oracle SQL for the `sim_pca_project` gate query, generated
+    * FROM a fitted model's canonical-sign components ([[eigenSym]]
+    * pins the sign: largest-|component| entry positive — so the fit is
+    * deterministic and the literals below are reproducible run to
+    * run). The projection itself is re-derived by DuckDB from the raw
+    * parquet embeddings as unrolled matrix-vector products: each dot
+    * is the same left-associated index-order sum of
+    * `v_k * (x_k − μ_k)` terms that [[graft.functions.MatVecMul]]'s
+    * loop accumulates, each `+`/`−`/`×` correctly rounded in both
+    * engines → bit-exact before the 4-decimal gate rounding. The
+    * self-gate booleans are asserted as literals: the oracle fails the
+    * hash compare if the engine-side gates (variance ≡ eigenvalue,
+    * orthonormality, sorted spectrum) ever report false.
+    *
+    * Double literals are emitted via `Double.toString` (shortest
+    * round-trip form) — DuckDB's correctly-rounded parse returns the
+    * identical bit pattern. */
+  def projectOracleSql(model: PcaModel, rOut: Int): String = {
+    def lit(d: Double): String = {
+      val s = java.lang.Double.toString(d)
+      // 1.0E-5 → DuckDB accepts E-notation as-is
+      s
+    }
+    def dot(row: Array[Double]): String =
+      row.indices.map { k =>
+        s"(${lit(row(k))} * (v[${k + 1}] - ${lit(model.mean(k))}))"
+      }.mkString(" + ")
+    val pcs = (0 until rOut).map { r =>
+      s"  round(${dot(model.components(r))}, 4) + 0.0 AS pc${r + 1}"
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT vec_id,
+       |$pcs,
+       |  TRUE AS var_matches,
+       |  TRUE AS orthonormal_ok,
+       |  TRUE AS variance_sorted
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
+
+  /** Post-run stash for the dynamically generated [[projectOracleSql]]:
+    * [[graft.Verify]] dumps `SparkEntry.oracleSql` AFTER running the
+    * gate queries, so the `sim_pca_project` query deposits its
+    * model-derived oracle here and the oracle map picks it up at dump
+    * time. Empty (→ rows-only check, the pre-r9 status) if the query
+    * did not run in this JVM. */
+  @volatile var projectOracleStash: Option[String] = None
+
   /** Projection column for `vec` under `model`: y = V (x − μ), an
     * `array<double>` of length r. `whiten = true` scales component i
     * by 1/sqrt(λᵢ) (unit variance; zero-variance components stay

@@ -439,6 +439,10 @@ object ExtQueries {
     "sim_pca_project" -> q { c =>
       val emb = c.t("embeddings")
       val model = Pca.fit(emb, "embedding", dim = 64, r = 4)
+      // deposit the model-derived DuckDB oracle (canonical-sign
+      // components as literals, projection re-derived from the raw
+      // parquet) for the post-run oracle dump — see Pca.projectOracleSql
+      Pca.projectOracleStash = Some(Pca.projectOracleSql(model, rOut = 3))
       val orthOk = {
         val v = model.components
         val r = v.length
@@ -467,9 +471,11 @@ object ExtQueries {
         .select((col("worst") < 1e-6).as("var_matches"))
       proj.crossJoin(broadcast(varGate))
         .select(col("vec_id"),
-          round(element_at(col("pc"), 1), 4).as("pc1"),
-          round(element_at(col("pc"), 2), 4).as("pc2"),
-          round(element_at(col("pc"), 3), 4).as("pc3"),
+          // + 0.0 folds IEEE negative zero (repr-distinct in the
+          // driver's pandas compare) into 0.0, same as the cov oracle
+          (round(element_at(col("pc"), 1), 4) + 0.0).as("pc1"),
+          (round(element_at(col("pc"), 2), 4) + 0.0).as("pc2"),
+          (round(element_at(col("pc"), 3), 4) + 0.0).as("pc3"),
           col("var_matches"),
           lit(orthOk).as("orthonormal_ok"),
           lit(varSorted).as("variance_sorted"))
@@ -926,7 +932,14 @@ object ExtQueries {
     }
   )
 
-  val oracles: Map[String, String] = Map(
+  /** Static oracles plus the model-derived `sim_pca_project` oracle
+    * deposited by the gate query at run time (the dump in
+    * [[graft.Verify]] happens after all queries ran, so the stash is
+    * populated by then; absent → rows-only check, as before round 9). */
+  def oracles: Map[String, String] =
+    staticOracles ++ Pca.projectOracleStash.map("sim_pca_project" -> _)
+
+  private val staticOracles: Map[String, String] = Map(
     "text_token_count" ->
       s"""SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN 0
