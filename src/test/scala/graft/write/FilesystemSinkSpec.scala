@@ -52,6 +52,113 @@ class FilesystemSinkSpec extends SparkSpec {
       .collect().toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  // ---- layout placeholder grammar (reference path_utils.py:25-75) ----
+
+  private val fixedClock: () => java.time.Instant =
+    // 2024-03-07T14:25:36.123456789Z — a Thursday in Q1
+    () => java.time.Instant.parse("2024-03-07T14:25:36.123456789Z")
+
+  test("date-partitioned layout resolves every datetime placeholder " +
+    "from one injected clock snapshot") {
+    val root = Files.createTempDirectory("graft-fss").toString
+    val sink = new FilesystemSink(root, spark,
+      layout = "{table_name}/{YYYY}/{MM}/{DD}/{HH}/{load_id}.{file_id}.{ext}",
+      clock = fixedClock)
+    val placed = sink.write("t", rows, "1700000000.1", "jsonl")
+    assert(placed.nonEmpty)
+    placed.foreach { p =>
+      val rel = java.nio.file.Paths.get(root).relativize(p).toString
+      assert(rel.matches("t/2024/03/07/14/1700000000\\.1\\.\\d+\\.jsonl"), rel)
+    }
+  }
+
+  test("name/word/epoch placeholders render like the reference " +
+    "(lowercased names, epoch seconds/millis, curr_date, quarter)") {
+    val root = Files.createTempDirectory("graft-fss").toString
+    val sink = new FilesystemSink(root, spark,
+      layout = "{table_name}/{curr_date}/{ddd}_{dddd}_{dd}_{d}/{MMM}_{MMMM}/" +
+        "q{Q}/{timestamp}.{timestamp_ms}.{load_id}.{file_id}.{ext}",
+      clock = fixedClock)
+    val placed = sink.write("t", rows.limit(1), "l1", "jsonl")
+    val rel = java.nio.file.Paths.get(root).relativize(placed.head)
+      .toString
+    // 2024-03-07 is a Thursday (d=4 with Sunday=0); epoch 1709821536(.123)
+    assert(rel.matches(
+      "t/2024-03-07/thu_thursday_th_4/mar_march/q1/" +
+        "1709821536\\.1709821536123\\.l1\\.0\\.jsonl"), rel)
+  }
+
+  test("load_package_timestamp binds from the write call; missing binding fails") {
+    val root = Files.createTempDirectory("graft-fss").toString
+    val sink = new FilesystemSink(root, spark,
+      layout = "{table_name}/{load_package_timestamp}/{load_id}.{file_id}.{ext}",
+      clock = fixedClock)
+    val placed = sink.write("t", rows.limit(1), "l1", "jsonl",
+      loadPackageTs = Some(java.time.Instant.ofEpochSecond(1600000000L)))
+    assert(java.nio.file.Paths.get(root).relativize(placed.head).toString
+      .matches("t/1600000000/l1\\.0\\.jsonl"))
+    val err = intercept[IllegalArgumentException] {
+      sink.write("t", rows.limit(1), "l2", "jsonl")
+    }
+    assert(err.getMessage.contains("load_package_timestamp"))
+  }
+
+  test("unknown placeholders fail fast at construction") {
+    val err = intercept[IllegalArgumentException] {
+      new FilesystemSink(Files.createTempDirectory("graft-fss").toString,
+        spark, layout = "{table_name}/{nope}/{load_id}.{file_id}.{ext}")
+    }
+    assert(err.getMessage.contains("{nope}"))
+  }
+
+  test("a layout without {ext} gets the extension appended") {
+    val root = Files.createTempDirectory("graft-fss").toString
+    val sink = new FilesystemSink(root, spark,
+      layout = "{table_name}/{load_id}.{file_id}", clock = fixedClock)
+    val placed = sink.write("t", rows.limit(1), "l1", "jsonl")
+    assert(placed.head.getFileName.toString === "l1.0.jsonl")
+  }
+
+  test("extra placeholders: static values and callbacks with the layout context") {
+    val root = Files.createTempDirectory("graft-fss").toString
+    val sink = new FilesystemSink(root, spark,
+      layout = "{env}/{owner_of_table}/{table_name}/{load_id}.{file_id}.{ext}",
+      extra = Map(
+        "env" -> (_ => "prod"),
+        "owner_of_table" -> (ctx => s"team-${ctx.table}")),
+      clock = fixedClock)
+    val placed = sink.write("t", rows.limit(1), "l1", "jsonl")
+    assert(java.nio.file.Paths.get(root).relativize(placed.head).toString
+      .matches("prod/team-t/t/l1\\.0\\.jsonl"))
+  }
+
+  test("listing, replace, and provenance stay table-scoped across date partitions") {
+    val root = Files.createTempDirectory("graft-fss").toString
+    // two sinks over the SAME root with different clock days — two date
+    // partitions of one table, plus a sibling table that must be untouched
+    val day1 = new FilesystemSink(root, spark,
+      layout = "{table_name}/{YYYY}/{MM}/{DD}/{load_id}.{file_id}.{ext}",
+      clock = () => java.time.Instant.parse("2024-03-07T00:00:00Z"))
+    val day2 = new FilesystemSink(root, spark,
+      layout = "{table_name}/{YYYY}/{MM}/{DD}/{load_id}.{file_id}.{ext}",
+      clock = () => java.time.Instant.parse("2024-03-08T00:00:00Z"))
+    day1.write("t", rows.filter(col("id") === 1), "l1", "jsonl")
+    day2.write("t", rows.filter(col("id") === 2), "l2", "jsonl")
+    day1.write("other", rows.filter(col("id") === 3), "l3", "jsonl")
+    // listing sees both partitions of t, not the sibling
+    assert(day2.listFiles("t", "jsonl").size === 2)
+    // provenance parses the load id out of the date-partitioned path
+    val back = day2.read("t", "jsonl", Some(rows.schema))
+    assert(back.select("_dlt_load_id").distinct().as[String]
+      .collect().toSet === Set("l1", "l2"))
+    // replace clears every partition of t and leaves the sibling alone
+    day2.write("t", rows.filter(col("id") === 3), "l4", "jsonl",
+      replace = true)
+    assert(day2.read("t", "jsonl", Some(rows.schema))
+      .select("id").as[Long].collect().toSeq === Seq(3L))
+    assert(day1.read("other", "jsonl", Some(rows.schema)).count() === 1)
+  }
+
   test("a caller-passed schema pins parquet types like the text formats") {
     import org.apache.spark.sql.types._
     val sink = fresh()
