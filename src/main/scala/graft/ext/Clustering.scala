@@ -123,14 +123,24 @@ object Clustering {
     * [[Pq]]'s per-subspace oracle uses to unroll m independent
     * trainings in one statement. */
   private[ext] def stagesSql(k: Int, iters: Int, ns: String = "",
-      vecExpr: String = "embedding::DOUBLE[]"): String = {
+      vecExpr: String = "embedding::DOUBLE[]", dim: Int = 64): String = {
+    // d2 = the engine's exact squared distance: the same left-
+    // associated index-order sum of (eᵢ−cᵢ)² that SqDist's loop
+    // accumulates (each op correctly rounded in both engines → bit-
+    // exact). Ordering by (d2, cl) replays the engine's first-minimum
+    // argmin without the sqrt-then-square double rounding that
+    // list_distance would introduce; d = sqrt(d2) is one further
+    // correctly-rounded op, matching round(sqrt(__d), 6) exactly.
+    val d2Expr = (1 to dim)
+      .map(i => s"(e[$i]-c[$i])*(e[$i]-c[$i])").mkString(" + ")
     def assignSql(i: Int, from: String): String =
       s"""${ns}a$i AS (
-         |  SELECT vec_id, e, cl, d FROM (
-         |    SELECT vec_id, e, cl, list_distance(e, c) AS d,
+         |  SELECT vec_id, e, cl, d2, sqrt(d2) AS d FROM (
+         |    SELECT vec_id, e, cl, d2,
          |      row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY list_distance(e, c), cl) AS rn
-         |    FROM ${ns}e CROSS JOIN $from) WHERE rn = 1)""".stripMargin
+         |        ORDER BY d2, cl) AS rn
+         |    FROM (SELECT vec_id, e, cl, $d2Expr AS d2
+         |          FROM ${ns}e CROSS JOIN $from)) WHERE rn = 1)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""${assignSql(i, s"${ns}c${i - 1}")},
          |${ns}m$i AS (

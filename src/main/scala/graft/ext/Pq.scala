@@ -53,7 +53,11 @@ object Pq {
     require(iters >= 1, "at least one round")
     val v = Dedup.pin(vecs.select(col(id).as("__id"),
       col(vec).cast("array<double>").as("__e")))
-    val d = v.select(size(col("__e"))).head().getInt(0)
+    // headOption, not head(): an empty corpus must fail with the
+    // explicit message below, not head()'s NoSuchElementException
+    val d = v.select(size(col("__e"))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("empty vector input"))
     require(d % m == 0, s"dim $d must split into $m even subspaces")
     val dsub = d / m
     // init: subvectors of the ksub lowest-id vectors — the same rows
@@ -172,12 +176,16 @@ object Pq {
     val dsub = dim / m
     val stages = (0 until m).map { j =>
       Clustering.stagesSql(ksub, iters, ns = s"s${j}_",
-        vecExpr = s"(embedding::DOUBLE[])[${j * dsub + 1}:${(j + 1) * dsub}]")
+        vecExpr = s"(embedding::DOUBLE[])[${j * dsub + 1}:${(j + 1) * dsub}]",
+        dim = dsub)
     }.mkString(",\n")
     val joins = (0 until m).map(j =>
       s"JOIN s${j}_a${iters + 1} s$j USING (vec_id)").mkString("\n")
     val codeList = (0 until m).map(j => s"s$j.cl").mkString(", ")
-    val errSum = (0 until m).map(j => s"s$j.d * s$j.d").mkString(" + ")
+    // the engine sums the winning SQUARED subspace distances in
+    // subspace order — d2 is carried exact from the assign stage (no
+    // sqrt-then-square double rounding)
+    val errSum = (0 until m).map(j => s"s$j.d2").mkString(" + ")
     s"""WITH $stages
        |SELECT vec_id,
        |  array_to_string([$codeList], ',') AS codes,
@@ -196,7 +204,8 @@ object Pq {
     require(dim % m == 0)
     val stages = (0 until m).map { j =>
       Clustering.stagesSql(ksub, iters, ns = s"s${j}_",
-        vecExpr = s"(embedding::DOUBLE[])[${j * (dim / m) + 1}:${(j + 1) * (dim / m)}]")
+        vecExpr = s"(embedding::DOUBLE[])[${j * (dim / m) + 1}:${(j + 1) * (dim / m)}]",
+        dim = dim / m)
     }.mkString(",\n")
     val joins = (0 until m).map(j =>
       s"JOIN s${j}_a${iters + 1} s$j USING (vec_id)").mkString("\n  ")
