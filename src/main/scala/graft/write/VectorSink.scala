@@ -197,6 +197,139 @@ object VectorSink {
     graft.ext.Pq.PqModel(m, dsub, books.map(_.map(identity)))
   }
 
+  /** Per-list occupancy of collection `table`: one (list, size) entry
+    * for EVERY coarse list in [0, nlist) — empty lists included, they
+    * are exactly what a skewed quantizer produces. nlist rows by
+    * contract (driver-small); the count aggregate is the only scan. */
+  def listSizes(store: TableStore, table: String): Array[(Int, Long)] = {
+    val meta = readMeta(store, table)
+    val counts = store.read(table).groupBy("__list").count()
+      .collect()
+      .map(r => r.getInt(r.fieldIndex("__list")) ->
+        r.getLong(r.fieldIndex("count"))).toMap
+    Array.tabulate(meta.nlist)(l => l -> counts.getOrElse(l, 0L))
+  }
+
+  /** Coarse-list skew: max occupancy / mean occupancy over all nlist
+    * lists (empties count toward the mean). 1.0 = perfectly balanced;
+    * nlist = the whole corpus in one list — at which point a probe of
+    * the hot list scans the corpus, not corpus/nlist. */
+  def listSkew(store: TableStore, table: String): Double = {
+    val sizes = listSizes(store, table).map(_._2)
+    val total = sizes.sum
+    if (total == 0L) 1.0 else sizes.max.toDouble * sizes.length / total
+  }
+
+  /** Assign `rows` to the nearest STORED coarse centroid — the same
+    * ranking math as [[probeLists]] at rank 1 (ties to the lowest
+    * list id, matching the k-means transform), so appended rows land
+    * exactly where a probe will look for them. Batch-sized work only. */
+  private def assignToStored(store: TableStore, table: String,
+      rows: DataFrame, id: String, vec: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = graft.functions.VectorFunctions.dotp _
+    val wd = rows.crossJoin(broadcast(store.read(s"${table}__centroids")))
+      .withColumn("__d", dot(col("__centroid"), col("__centroid"))
+        - lit(2.0) * dot(col(vec), col("__centroid")))
+    val w = Window.partitionBy(id).orderBy(col("__d"), col("__list"))
+    wd.withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") === 1)
+      .drop("__d", "__pr", "__centroid")
+  }
+
+  /** Append a batch to an existing collection by encoding it under the
+    * STORED model: coarse assignment against the stored centroids, and
+    * for quantized collections the stored SQ8 stats / PQ codebooks —
+    * readers keep seeing ONE consistent model. This is the cheap
+    * incremental-growth path (one broadcast argmin over the batch, no
+    * retraining); its cost is that distribution drift concentrates new
+    * vectors in few lists (and SQ8 values outside the trained [min,max]
+    * encode beyond the int8 range — reconstruction stays faithful, the
+    * codes are stored as ints, but the byte-width contract degrades),
+    * so probe balance decays over time — [[rebalance]] is the
+    * maintenance op that restores it. */
+  def append(store: TableStore, table: String, rows: DataFrame,
+      id: String, vec: String): Unit = {
+    val meta = readMeta(store, table)
+    val assigned = assignToStored(store, table, rows, id, vec)
+    meta.metric match {
+      case "cosine" =>
+        // match the stored segment schema (corpus columns + __list)
+        val cols = store.read(table).columns
+        store.append(table, assigned.select(cols.map(col): _*),
+          statsFor = Seq("__list"))
+      case "cosine-sq8" =>
+        val stats = broadcast(store.read(s"${table}__sq_stats"))
+        val coded = assigned.crossJoin(stats)
+          .select(col(id), col("__list"),
+            graft.functions.VectorFunctions.quantizeInt8(
+              col(vec), col("mins"), col("maxs"))("q").as("__q"))
+        store.append(table, coded, statsFor = Seq("__list"))
+      case "cosine-pq" =>
+        val model = readPqModel(store, table, meta.dim)
+        val coded = assigned.select(col(id), col("__list"),
+          graft.ext.Pq.codes(col(vec), model).as("__codes"))
+        store.append(table, coded, statsFor = Seq("__list"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"collection '$table' has unknown metric '$other'")
+    }
+  }
+
+  /** MAINTENANCE: retrain-and-rewrite the collection when coarse-list
+    * occupancy skews past `maxSkew` (max/mean, see [[listSkew]]) — the
+    * FAISS "retrain the coarse quantizer" discipline, composed as
+    * write-over-read like [[Zorder.compact]]. [[append]] encodes under
+    * the ORIGINAL quantizer, so a drifted ingest stream piles into a
+    * few hot lists; every probe touching a hot list then scans far
+    * more than corpus/nlist rows, and SQ8 codes spill past the int8
+    * range against stale per-dimension stats. The rewrite retrains the FULL model — coarse
+    * centroids and, for quantized collections, the SQ8 stats / PQ
+    * codebooks — on today's corpus (same seed/params: the hash-sample
+    * is deterministic per id set, so the new fit reflects the new data,
+    * not RNG drift) and rewrites through the same writeIvf* path, one
+    * atomic swap per table.
+    *
+    * Plain IVF collections store their vectors, so the corpus is read
+    * back from the collection itself. Quantized collections store only
+    * lossy codes: pass `fullVectors` (the full-precision corpus, the
+    * same frame [[topKQuantized]]/[[topKPq]] already require) — it must
+    * cover exactly the collection's current rows. Holds the corpus
+    * table's store lock for the whole read-train-rewrite, like
+    * [[Zorder.compact]]. Returns whether a rewrite ran. */
+  def rebalance(store: TableStore, table: String, id: String, vec: String,
+      fullVectors: Option[DataFrame] = None,
+      maxSkew: Double = 4.0): Boolean = {
+    require(maxSkew >= 1.0, s"maxSkew $maxSkew below the balanced floor 1.0")
+    store.exclusively(table) {
+      if (listSkew(store, table) <= maxSkew) false
+      else {
+        val meta = readMeta(store, table)
+        def full = fullVectors.getOrElse(throw new IllegalArgumentException(
+          s"rebalancing quantized collection '$table' needs fullVectors: " +
+            "the stored codes are lossy and cannot retrain the model"))
+        meta.metric match {
+          case "cosine" =>
+            writeIvf(store, table, store.read(table).drop("__list"),
+              id, vec, meta.nlist, meta.seed, meta.trainFraction)
+          case "cosine-sq8" =>
+            writeIvfQuantized(store, table, full, id, vec,
+              meta.nlist, meta.seed, meta.trainFraction)
+          case "cosine-pq" =>
+            val pm = store.read(s"${table}__pq_meta").head()
+            writeIvfPq(store, table, full, id, vec,
+              meta.nlist, meta.seed, meta.trainFraction,
+              pm.getAs[Int]("m"), pm.getAs[Int]("ksub"),
+              pm.getAs[Int]("iters"))
+          case other =>
+            throw new IllegalArgumentException(
+              s"collection '$table' has unknown metric '$other'")
+        }
+        true
+      }
+    }
+  }
+
   /** Top-k over the PQ collection: probe lists, ADC shortlist over
     * CODE RECONSTRUCTIONS (the scan reads m bytes per vector), exact
     * re-rank of only the shortlist — the shared tail again, so

@@ -75,6 +75,115 @@ class VectorSinkSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  // a drifted ingest batch: a tight blob far outside the training
+  // corpus's range, all of which the stored quantizer piles into the
+  // single nearest coarse list
+  private def blob = (100L until 160L).map { i =>
+    (i, Seq.tabulate(8)(d => (50f + 0.01f * (i % 7) + d * 0.002f)))
+  }.toDF("vec_id", "embedding")
+
+  test("append encodes under the stored model; probe at full width stays exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec6").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding", nlist = 4)
+    VectorSink.append(store, "emb", blob, "vec_id", "embedding")
+    assert(store.read("emb").count() === 124)
+    val all = corpus.unionByName(blob)
+    val q = all.filter(col("vec_id").isin(0L, 101L))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    // nprobe = nlist: the probe sees every list, so exactness survives
+    // appends regardless of how skewed the assignment was
+    val got = pairs(VectorSink.topK(store, "emb", q,
+      "vec_id", "embedding", k = 3, nprobe = 4))
+    val exact = pairs(Similarity.bruteForceTopK(all, q,
+      "vec_id", "embedding", k = 3))
+    assert(got === exact)
+  }
+
+  test("rebalance retrains a drifted plain-IVF collection and bounds list skew") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec7").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding", nlist = 4)
+    // balanced collection: below threshold, no rewrite
+    assert(!VectorSink.rebalance(store, "emb", "vec_id", "embedding",
+      maxSkew = 3.9))
+    VectorSink.append(store, "emb", blob, "vec_id", "embedding")
+    val before = VectorSink.listSkew(store, "emb")
+    // 60 blob rows + the nearest list's originals in one list of 124
+    assert(before > 1.5, s"fixture not skewed: $before")
+    assert(VectorSink.rebalance(store, "emb", "vec_id", "embedding",
+      maxSkew = 1.5))
+    val after = VectorSink.listSkew(store, "emb")
+    assert(after < before, s"rebalance did not reduce skew: $before -> $after")
+    // the retrained quantizer reflects today's corpus: the blob gets its
+    // own centroid(s) instead of riding a hot list
+    val sizes = VectorSink.listSizes(store, "emb").map(_._2)
+    assert(sizes.max < 124, s"one list still holds everything: ${sizes.toSeq}")
+    // exactness is centroid-independent at nprobe = nlist
+    val all = corpus.unionByName(blob)
+    val q = all.filter(col("vec_id").isin(0L, 101L))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    assert(pairs(VectorSink.topK(store, "emb", q,
+        "vec_id", "embedding", k = 3, nprobe = 4)) ===
+      pairs(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
+  }
+
+  test("rebalance retrains quantized collections from fullVectors only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec8").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfQuantized(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    VectorSink.append(store, "emb", blob, "vec_id", "embedding")
+    val all = corpus.unionByName(blob)
+    // the stored codes are lossy: retraining refuses to run without the
+    // full-precision corpus
+    val e = intercept[IllegalArgumentException] {
+      VectorSink.rebalance(store, "emb", "vec_id", "embedding", maxSkew = 1.5)
+    }
+    assert(e.getMessage.contains("fullVectors"))
+    val staleMax = store.read("emb__sq_stats")
+      .select(element_at(col("maxs"), 1)).head().getDouble(0)
+    assert(VectorSink.rebalance(store, "emb", "vec_id", "embedding",
+      fullVectors = Some(all), maxSkew = 1.5))
+    // the SQ8 stats retrained too: the blob's range is covered now
+    val freshMax = store.read("emb__sq_stats")
+      .select(element_at(col("maxs"), 1)).head().getDouble(0)
+    assert(freshMax > staleMax, s"stats not retrained: $staleMax -> $freshMax")
+    val q = all.filter(col("vec_id").isin(0L, 101L))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    assert(pairs(VectorSink.topKQuantized(store, "emb", all, q,
+        "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 200)) ===
+      pairs(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
+  }
+
+  test("rebalance covers PQ collections and keeps the PQ params") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec9").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfPq(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4, m = 2, ksub = 8, iters = 2)
+    VectorSink.append(store, "emb", blob, "vec_id", "embedding")
+    val all = corpus.unionByName(blob)
+    assert(VectorSink.rebalance(store, "emb", "vec_id", "embedding",
+      fullVectors = Some(all), maxSkew = 1.5))
+    // PQ params survive the retrain; the codebooks are refit on all rows
+    val pm = store.read("emb__pq_meta").head()
+    assert((pm.getAs[Int]("m"), pm.getAs[Int]("ksub")) === ((2, 8)))
+    assert(store.read("emb").count() === 124)
+    val q = all.filter(col("vec_id").isin(0L, 101L))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    assert(pairs(VectorSink.topKPq(store, "emb", all, q,
+        "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 200)) ===
+      pairs(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
+  }
+
   test("PQ collection stores m-byte codes and probes exactly at full width") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec5").toString
     val store = new TableStore(dir, spark)
