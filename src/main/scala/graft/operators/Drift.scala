@@ -86,13 +86,18 @@ object Drift {
     * requested column gets a row: a column whose baseline values are
     * entirely null has no bin range to drift against, so it reports
     * `psi = null` (explicitly unknown) rather than silently vanishing
-    * from the profile — a caller gating per column always sees it. */
+    * from the profile — a caller gating per column always sees it
+    * (`psi` is therefore NULLABLE; gate with an explicit null policy).
+    * Duplicate names in `cols` are collapsed (one output row per
+    * distinct column) — a repeated name would otherwise melt twice and
+    * double every bin count. */
   def psiProfile(base: DataFrame, cur: DataFrame, cols: Seq[String],
       bins: Int = 10): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
     require(bins >= 2 && bins <= 1024, "bins in [2, 1024]")
+    val cs = cols.distinct
     def melt(df: DataFrame): DataFrame =
-      df.select(explode(array(cols.map(c =>
+      df.select(explode(array(cs.map(c =>
           struct(lit(c).as("column"), col(c).cast("double").as("v"))): _*)).as("m"))
         .select(col("m.column"), col("m.v"))
         .where(col("v").isNotNull)
@@ -124,7 +129,7 @@ object Drift {
         .as("psi"))
     // left join from the REQUESTED list: all-null-baseline columns
     // (absent from stats, hence from psiByCol) surface as psi = null
-    base.sparkSession.createDataFrame(cols.map(Tuple1.apply)).toDF("column")
+    base.sparkSession.createDataFrame(cs.map(Tuple1.apply)).toDF("column")
       .join(psiByCol, Seq("column"), "left")
       .orderBy("column")
   }

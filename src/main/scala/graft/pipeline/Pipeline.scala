@@ -111,15 +111,26 @@ final case class Resource(
     * the raise semantics of a schema contract, applied to the values
     * the types cannot see ([[graft.operators.Drift]]). First loads
     * (no baseline yet) pass trivially. Costs one extra scan of batch
-    * and baseline; gate only columns worth it. */
+    * and baseline; gate only columns worth it.
+    *
+    * `quarantine = true` switches from raise to DEAD-LETTER semantics
+    * (the [[withDeadLetter]] shape applied to whole batches): the
+    * breaching batch lands in `<table>__quarantine` — stamped with
+    * `_dlt_load_id`, the gated column and its PSI — the main table
+    * stays clean, the incremental cursor advances (the batch IS
+    * handled; re-running must not re-quarantine it forever), and the
+    * pipeline keeps running. Replay after investigation by loading the
+    * quarantine rows back through the pipeline. */
   def withDriftCheck(column: String, maxPsi: Double,
-      bins: Int = 10): Resource =
-    copy(driftCheck = Some(Resource.DriftCheck(column, maxPsi, bins)))
+      bins: Int = 10, quarantine: Boolean = false): Resource =
+    copy(driftCheck = Some(
+      Resource.DriftCheck(column, maxPsi, bins, quarantine)))
 }
 
 object Resource {
   /** Config for [[Resource.withDriftCheck]]. */
-  final case class DriftCheck(column: String, maxPsi: Double, bins: Int = 10)
+  final case class DriftCheck(column: String, maxPsi: Double, bins: Int = 10,
+      quarantine: Boolean = false)
 }
 
 /** The pipeline orchestrator (reference pipeline.run = extract +
@@ -302,24 +313,60 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       case None => windowed
     }
 
+    // shared tail of the success AND quarantine exits: advance the
+    // incremental cursor over the SAME pinned window the exit handled,
+    // then release the pin
+    def advanceState(): Unit = newState.foreach { case (cfg, st) =>
+      Incremental.advanceValue(frame, cfg).foreach { newLast =>
+        val fps = Incremental.boundaryFingerprints(frame, cfg, newLast)
+        val bt = boundaryTable(tableName, cfg)
+        if (st.lastValue.contains(newLast)) store.append(bt, fps)
+        else store.overwrite(bt, fps)
+        states.save(name, s"$tableName/${cfg.cursorColumn}",
+          Incremental.State(Some(newLast), Nil))
+      }
+      windowed.unpersist(blocking = false)
+    }
+
     // value-drift gate: PSI of the incoming batch vs the CURRENT table
     // snapshot, checked before anything of this load commits; no
-    // baseline yet (first load) passes trivially. A failing gate must
-    // release the incremental window's persist — the success/discard
-    // unpersist paths never run on this exit
-    r.driftCheck.foreach { dc =>
-      store.readOption(tableName).foreach { prev =>
-        val psi = graft.operators.Drift.psi(
+    // baseline yet (first load) passes trivially. A failing RAISE gate
+    // must release the incremental window's persist — the
+    // success/discard unpersist paths never run on that exit.
+    val driftBreach: Option[Double] = r.driftCheck.flatMap { dc =>
+      store.readOption(tableName).map { prev =>
+        graft.operators.Drift.psi(
             prev.select(dc.column), frame.select(dc.column),
             dc.column, dc.bins)
           .select("psi").head().getDouble(0)
-        if (psi > dc.maxPsi) {
-          if (newState.isDefined) windowed.unpersist(blocking = false)
-          throw new IllegalStateException(
-            s"drift check failed for $tableName.${dc.column}: " +
-              f"PSI $psi%.6f > ${dc.maxPsi}")
-        }
+      }.filter(_ > dc.maxPsi)
+    }
+    driftBreach.foreach { psi =>
+      val dc = r.driftCheck.get
+      if (!dc.quarantine) {
+        if (newState.isDefined) windowed.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"drift check failed for $tableName.${dc.column}: " +
+            f"PSI $psi%.6f > ${dc.maxPsi}")
       }
+      // DEAD-LETTER route: the whole breaching batch lands in the
+      // quarantine table with its provenance; the main table never sees
+      // it, and the cursor advances — the batch is handled, not retried
+      import org.apache.spark.sql.functions.lit
+      val qt = s"${tableName}__quarantine"
+      store.append(qt, frame
+        .withColumn(Ids.DltLoadId, lit(loadId))
+        .withColumn("_drift_column", lit(dc.column))
+        .withColumn("_drift_psi", lit(psi)))
+      dispositions.recordLoad(loadId, name)
+    }
+    if (driftBreach.isDefined && r.driftCheck.exists(_.quarantine)) {
+      advanceState()
+      observation.foreach { obs =>
+        val m = obs.get
+        synchronized { metricsByResource += tableName -> m }
+      }
+      return Seq(s"${tableName}__quarantine")
     }
 
     // normalize: flatten + child tables + ids
@@ -401,17 +448,7 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       registry.evolve(t, df.schema)
       if (t == tableName) registry.register(t, registry.get(t).get._1, r.hints)
     }
-    newState.foreach { case (cfg, st) =>
-      Incremental.advanceValue(frame, cfg).foreach { newLast =>
-        val fps = Incremental.boundaryFingerprints(frame, cfg, newLast)
-        val bt = boundaryTable(tableName, cfg)
-        if (st.lastValue.contains(newLast)) store.append(bt, fps)
-        else store.overwrite(bt, fps)
-        states.save(name, s"$tableName/${cfg.cursorColumn}",
-          Incremental.State(Some(newLast), Nil))
-      }
-      windowed.unpersist(blocking = false)
-    }
+    advanceState()
     fanoutPin.foreach(_.unpersist(blocking = false))
     observation.foreach { obs =>
       val m = obs.get

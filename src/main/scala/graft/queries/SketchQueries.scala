@@ -97,6 +97,27 @@ object SketchQueries {
       graft.operators.Drift.psi(base, cur, "v", bins = 10)
     },
 
+    // per-COLUMN drift profile in one melted pass: the whole-load drift
+    // report over three columns — o_totalprice gets the same
+    // deterministic 25% lift as ops_drift_psi (drifts), o_custkey stays
+    // stable, and a CONSTANT column exercises the degenerate
+    // equality-binning branch cross-engine; every per-column psi
+    // re-derived by the oracle through the shared bin/smooth/decimal-Σ
+    // semantics
+    "ops_drift_profile" -> q { c =>
+      val o = c.t("orders")
+      val cols = Seq("o_custkey", "o_flat", "o_totalprice")
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_flat", lit(7.0))
+        .select(cols.map(col): _*)
+      val cur = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_custkey"), lit(7.0).as("o_flat"),
+          (col("o_totalprice").cast("double") *
+            when(pmod(col("o_orderkey"), lit(4)) === 1, lit(1.25))
+              .otherwise(lit(1.0))).as("o_totalprice"))
+      graft.operators.Drift.psiProfile(base, cur, cols, bins = 10)
+    },
+
     // Bloom membership sketch: set-bit table built over the OLD half's
     // canonical fingerprints, probed by the NEW half — a miss is a
     // definitive "never seen" (the corpus untouched), a hit falls back
@@ -190,6 +211,58 @@ object SketchQueries {
         |  SELECT round(sum(term::DECIMAL(28,12))::DOUBLE, 6) AS psi FROM tm)
         |SELECT bin, n_base, n_cur, round(term, 6) AS term, psi
         |FROM tm, tot ORDER BY bin""".stripMargin,
+
+    "ops_drift_profile" ->
+      """WITH b AS (
+        |  SELECT 'o_custkey' AS "column", o_custkey::DOUBLE AS v
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey IS NOT NULL
+        |  UNION ALL SELECT 'o_flat', 7.0
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL SELECT 'o_totalprice', o_totalprice::DOUBLE
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+        |c AS (
+        |  SELECT 'o_custkey' AS "column", o_custkey::DOUBLE AS v
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_custkey IS NOT NULL
+        |  UNION ALL SELECT 'o_flat', 7.0
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |  UNION ALL SELECT 'o_totalprice', o_totalprice::DOUBLE *
+        |    (CASE WHEN o_orderkey % 4 = 1 THEN 1.25 ELSE 1.0 END)
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL),
+        |st AS (SELECT "column", min(v) AS mn, max(v) AS mx FROM b GROUP BY 1),
+        |bb AS (
+        |  SELECT b."column", CASE WHEN mx > mn
+        |    THEN CAST(least(9, greatest(0,
+        |      floor((v - mn) / ((mx - mn) / 10)))) AS INT)
+        |    ELSE (CASE WHEN v = mn THEN 0 ELSE 9 END) END AS bin,
+        |    count(*) AS n_base
+        |  FROM b JOIN st USING ("column") GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT c."column", CASE WHEN mx > mn
+        |    THEN CAST(least(9, greatest(0,
+        |      floor((v - mn) / ((mx - mn) / 10)))) AS INT)
+        |    ELSE (CASE WHEN v = mn THEN 0 ELSE 9 END) END AS bin,
+        |    count(*) AS n_cur
+        |  FROM c JOIN st USING ("column") GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT st."column", g.bin
+        |  FROM st, (SELECT unnest(generate_series(0, 9)) AS bin) g),
+        |m AS (
+        |  SELECT grid."column", grid.bin,
+        |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |  FROM grid
+        |  LEFT JOIN bb ON grid."column" = bb."column" AND grid.bin = bb.bin
+        |  LEFT JOIN cb ON grid."column" = cb."column" AND grid.bin = cb.bin),
+        |tt AS (
+        |  SELECT "column", sum(n_base) AS tb, sum(n_cur) AS tc
+        |  FROM m GROUP BY 1),
+        |tm AS (
+        |  SELECT "column", (p - q) * ln(p / q) AS term FROM (
+        |    SELECT m."column",
+        |      (n_base + 0.5) / (tb + 0.5 * 10) AS p,
+        |      (n_cur + 0.5) / (tc + 0.5 * 10) AS q
+        |    FROM m JOIN tt USING ("column")))
+        |SELECT "column", round(sum(term::DECIMAL(28,12))::DOUBLE, 6) AS psi
+        |FROM tm GROUP BY "column" ORDER BY "column"""".stripMargin,
 
     "ops_bloom_filter" ->
       """WITH f AS (

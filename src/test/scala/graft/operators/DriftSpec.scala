@@ -48,6 +48,57 @@ class DriftSpec extends SparkSpec {
     assert(p.store.read("m").count() === before, "failed load must not commit")
   }
 
+  test("quarantine mode dead-letters a shifted load and keeps the main table clean") {
+    import graft.pipeline.{Pipeline, Resource}
+    val p = new Pipeline("dq",
+      java.nio.file.Files.createTempDirectory("graft-dq").toString, spark)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      Resource("m", df).withDriftCheck("v", maxPsi = 0.25, quarantine = true)
+    p.run(Seq(res(base)), "1")
+    val before = p.store.read("m").count()
+    val shifted = (1 to 2000).map(i => (i % 100).toDouble + 80.0).toDF("v")
+    // the breaching batch routes to the quarantine table, no raise
+    val loaded = p.run(Seq(res(shifted)), "2")
+    assert(loaded("m").contains("m__quarantine"), s"loaded=$loaded")
+    assert(p.store.read("m").count() === before,
+      "the main table must not see the breaching batch")
+    val q = p.store.read("m__quarantine")
+    assert(q.count() === 2000L)
+    // provenance stamped on every quarantined row
+    val row = q.head()
+    assert(row.getAs[String]("_dlt_load_id") === "2")
+    assert(row.getAs[String]("_drift_column") === "v")
+    assert(row.getAs[Double]("_drift_psi") > 0.25)
+    // a healthy next load still commits to the main table
+    p.run(Seq(res(base.filter(col("v") >= 0))), "3")
+    assert(p.store.read("m").count() > before)
+    assert(p.store.read("m__quarantine").count() === 2000L)
+  }
+
+  test("quarantine mode advances the incremental cursor past the breaching batch") {
+    import graft.incremental.Incremental
+    import graft.pipeline.{Pipeline, Resource}
+    val p = new Pipeline("dqi",
+      java.nio.file.Files.createTempDirectory("graft-dqi").toString, spark)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      Resource("m", df)
+        .withIncremental(Incremental.Config("seq"))
+        .withDriftCheck("v", maxPsi = 0.25, quarantine = true)
+    val first = (1 to 1000).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("seq", "v")
+    p.run(Seq(res(first)), "1")
+    // cursor now at 1000; a shifted later window quarantines
+    val shifted = (1001 to 2000).map(i => (i.toLong, (i % 100).toDouble + 80.0))
+      .toDF("seq", "v")
+    assert(p.run(Seq(res(shifted)), "2")("m").contains("m__quarantine"))
+    // re-running the SAME source must deliver nothing new: the cursor
+    // advanced past the quarantined batch (handled, not retried)
+    val again = p.run(Seq(res(first.unionByName(shifted))), "3")
+    assert(p.store.read("m__quarantine").count() === 1000L,
+      "a re-run must not re-quarantine the handled batch")
+    assert(p.store.read("m").count() === 1000L)
+  }
+
   test("a constant baseline still catches a shifted load") {
     val const = Seq.fill(500)(0.0).toDF("v")
     val shifted = (1 to 500).map(i => 500.0 + i).toDF("v")
@@ -93,6 +144,20 @@ class DriftSpec extends SparkSpec {
     val r = Drift.psi(withNulls, withNulls, "v", bins = 4).collect()
     assert(r.map(_.getAs[Long]("n_base")).sum === 50L)
     assert(r.map(_.getAs[Long]("n_cur")).sum === 50L)
+  }
+
+  test("duplicate requested columns collapse to one row with undoubled counts") {
+    val b = (1 to 1000).map(i => ((i % 100).toDouble, (i % 7).toDouble))
+      .toDF("x", "y")
+    val c = (1 to 1000).map(i => ((i % 100).toDouble + 30.0, (i % 7).toDouble))
+      .toDF("x", "y")
+    val dup = Drift.psiProfile(b, c, Seq("x", "y", "x"), bins = 10)
+      .collect().map(r => r.getAs[String]("column") -> r.getAs[Double]("psi"))
+    assert(dup.map(_._1).toSeq === Seq("x", "y"), "one row per DISTINCT column")
+    val clean = Drift.psiProfile(b, c, Seq("x", "y"), bins = 10)
+      .collect().map(r => r.getAs[String]("column") -> r.getAs[Double]("psi"))
+    assert(dup.toSeq === clean.toSeq,
+      "a duplicated request must not change any column's psi")
   }
 
   test("an all-null-baseline column reports psi null, never vanishes") {
