@@ -153,8 +153,16 @@ object Clustering {
          |  SELECT p.cl, coalesce(m.c, p.c) AS c
          |  FROM ${ns}c${i - 1} p LEFT JOIN ${ns}m$i m USING (cl))""".stripMargin
     }.mkString(",\n")
+    // d2Expr is unrolled to exactly `dim` terms: a corpus whose vectors
+    // are a DIFFERENT length would make DuckDB's out-of-range list
+    // index return NULL and silently corrupt every distance — so the
+    // vector CTE asserts the length and fails LOUDLY on a mismatch
     val prefix =
-      s"""${ns}e AS (SELECT vec_id, $vecExpr AS e FROM embeddings),
+      s"""${ns}e AS (
+         |  SELECT vec_id, CASE WHEN len(v) = $dim THEN v
+         |    ELSE error('oracle dim mismatch: len=' || len(v) ||
+         |      ' expected=$dim') END AS e
+         |  FROM (SELECT vec_id, $vecExpr AS v FROM embeddings)),
          |${ns}c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e AS c
          |  FROM (SELECT vec_id, e FROM ${ns}e ORDER BY vec_id LIMIT $k)),

@@ -190,7 +190,9 @@ object Pca {
     * O(d²·(r+overs)) per sweep — the r ≪ d driver path that replaces
     * Jacobi's O(d³) above [[JacobiDimLimit]]. Same output contract as
     * [[eigenSym]] truncated to `r`: eigenvalue-descending rows,
-    * canonical sign. */
+    * canonical sign. THROWS if the top-r residuals are still above
+    * `tol` after `maxSweeps` sweeps — a best-effort basis is never
+    * returned silently (the caller widens maxSweeps/tol knowingly). */
   def eigenSymTop(a: Array[Array[Double]], r: Int, oversample: Int = 8,
       maxSweeps: Int = 200, tol: Double = 1e-10,
       seed: Long = 42L): (Array[Double], Array[Array[Double]]) = {
@@ -309,6 +311,33 @@ object Pca {
         z = mulAQ(q)
       }
       sweep += 1
+    }
+    // non-convergence is SURFACED, never silently degraded: a
+    // best-effort Ritz basis here would flow into every projection
+    // downstream (and [[projectOracleSql]]'s model-derived oracle would
+    // still hash-match the degraded fit — the self-gates only see it at
+    // their own tolerance). Raise with the worst relative residual so
+    // the caller can widen maxSweeps/tol deliberately.
+    if (!converged) {
+      val worst = (0 until r).map { kk =>
+        val wk = w(kk)
+        var res = 0.0
+        var ii = 0
+        while (ii < d) {
+          var av = 0.0
+          var vv = 0.0
+          var j = 0
+          while (j < p) { av += z(ii)(j) * wk(j); vv += q(ii)(j) * wk(j); j += 1 }
+          val e = av - lams(kk) * vv
+          res += e * e
+          ii += 1
+        }
+        math.sqrt(res) / math.max(1.0, math.abs(lams(kk)))
+      }.max
+      throw new IllegalStateException(
+        f"eigenSymTop did not converge in $maxSweeps sweeps " +
+          f"(worst relative residual $worst%.3e > tol $tol%.1e); " +
+          "raise maxSweeps or loosen tol for this spectrum")
     }
     val comps = Array.tabulate(r) { kk =>
       val wk = w(kk)

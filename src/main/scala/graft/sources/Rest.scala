@@ -133,7 +133,14 @@ object Rest {
     * reference's 3600 s `default_token_expiration` when the endpoint
     * omits `expires_in`. A long extract that outlives the token
     * re-authenticates mid-pagination instead of 401ing. `now` is
-    * injectable for deterministic expiry tests. */
+    * injectable for deterministic expiry tests.
+    *
+    * The stamped expiry is pulled EARLY by min(30 s, ttl/10): a token
+    * used at exactly `now + expires_in` is already dead on the wire
+    * (clock skew + request latency), so refreshing at the nominal
+    * boundary 401s requests in flight. The reference refreshes at the
+    * boundary; the clamp keeps short test tokens (ttl of seconds)
+    * usable for most of their lifetime. */
   final class OAuth2(obtainToken: () => OAuth2.Token,
       defaultExpirationSeconds: Long = 3600,
       now: () => Long = () => System.currentTimeMillis()) extends Auth {
@@ -145,8 +152,9 @@ object Rest {
         case Some((t, expiry)) if now() < expiry => t
         case _ =>
           val t = obtainToken()
-          val ttl = t.expiresInSeconds.getOrElse(defaultExpirationSeconds)
-          current = Some((t.accessToken, now() + ttl * 1000L))
+          val ttlMs = t.expiresInSeconds.getOrElse(defaultExpirationSeconds) * 1000L
+          val margin = math.min(30000L, ttlMs / 10)
+          current = Some((t.accessToken, now() + ttlMs - margin))
           t.accessToken
       }
       Map("Authorization" -> s"Bearer $tok")

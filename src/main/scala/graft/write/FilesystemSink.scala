@@ -91,6 +91,22 @@ final class FilesystemSink(val root: String, spark: SparkSession,
     require(invalid.isEmpty,
       s"invalid layout placeholders ${invalid.mkString("{", "}, {", "}")} " +
         s"in '$layout'; allowed: ${known.toSeq.sorted.mkString(", ")}")
+    // {table_name} must be followed by a literal separator character:
+    // with '{table_name}{load_id}' the listing/replace regex for table
+    // 't' (quote("t") then [^/]+) also matches sibling table 't2', so
+    // replace=true could delete another table's data — the reference
+    // enforces the same separator (get_table_prefix_layout,
+    // path_utils.py:278-286)
+    var at = effectiveLayout.indexOf("{table_name}")
+    while (at >= 0) {
+      val after = at + "{table_name}".length
+      require(after < effectiveLayout.length &&
+          effectiveLayout.charAt(after) != '{',
+        s"layout '$layout' must place a separator character right after " +
+          "{table_name}: without one, one table's listing/replace can " +
+          "match a sibling table's files")
+      at = effectiveLayout.indexOf("{table_name}", after)
+    }
   }
 
   private def params(table: String, loadId: String, fileId: Int,
@@ -109,8 +125,22 @@ final class FilesystemSink(val root: String, spark: SparkSession,
     val pkg = pkgTs.toSeq.flatMap(t => Seq(
       "load_package_timestamp" -> t.getEpochSecond.toString,
       "load_package_timestamp_ms" -> t.toEpochMilli.toString))
-    base ++ pkg ++ datetimeParams(now) ++
-      extra.view.mapValues(f => f(ctx)).toMap
+    // only extras the layout actually uses are RESOLVED (an unused
+    // callback that throws must not break every write — the reference
+    // resolves all but only warns on unused), and a rendered value may
+    // not contain '/': the listing regex matches extras as [^/]*, so a
+    // slash would write files listFiles/read/replace can never see
+    // again (invisible data, never cleaned on replace)
+    val used = tokensOf(effectiveLayout)
+    val extras = extra.collect { case (k, f) if used(k) =>
+      val v = f(ctx)
+      require(!v.contains("/"),
+        s"extra placeholder {$k} rendered '$v' containing '/': such a " +
+          "path escapes the layout and its files could never be listed " +
+          "or replaced again")
+      k -> v
+    }
+    base ++ pkg ++ datetimeParams(now) ++ extras
   }
 
   private def resolve(table: String, loadId: String, fileId: Int,

@@ -149,6 +149,24 @@ class PcaSpec extends SparkSpec {
     assert(absDot(vecs(0), vecs(1)) < 1e-8)
   }
 
+  test("eigenSymTop surfaces non-convergence instead of a best-effort basis") {
+    // a generic spectrum a random start basis cannot resolve in zero
+    // refinement sweeps: with maxSweeps = 0 the residual test must fail
+    // and the solver must RAISE, never hand back the unconverged Ritz
+    // pairs silently
+    val d = 64
+    val a = Array.tabulate(d, d)((i, j) =>
+      if (i == j) 1.0 + 0.5 * i else 0.0)
+    val e = intercept[IllegalStateException] {
+      Pca.eigenSymTop(a, r = 2, maxSweeps = 0)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert(e.getMessage.contains("residual"))
+    // the same problem converges with the default budget
+    val (lams, _) = Pca.eigenSymTop(a, r = 2)
+    assert(math.abs(lams(0) - (1.0 + 0.5 * (d - 1))) < 1e-8)
+  }
+
   test("fit past JacobiDimLimit yields true eigenpairs of the gram covariance") {
     val d = 600 // > JacobiDimLimit: exercises the subspace-iteration switch
     assert(d > Pca.JacobiDimLimit)

@@ -416,6 +416,33 @@ class SourcesSpec extends SparkSpec {
     assert(bearers === List("Bearer t1", "Bearer t1", "Bearer t2", "Bearer t2"))
   }
 
+  test("rest: oauth2 refreshes EARLY, inside the safety margin before the boundary") {
+    // short token: margin = ttl/10 -> a use at 9.5 s of a 10 s token is
+    // nominally alive but inside the margin, so it must re-exchange
+    var clock = 0L
+    var exchanges = 0
+    val auth = Rest.OAuth2(
+      () => { exchanges += 1; Rest.OAuth2.Token(s"t$exchanges", Some(10L)) },
+      now = () => clock)
+    assert(auth.headers("Authorization") === "Bearer t1")
+    clock = 9500L
+    assert(auth.headers("Authorization") === "Bearer t2")
+    assert(exchanges === 2)
+    // long token: the margin clamps at 30 s before the boundary
+    var clock2 = 0L
+    var ex2 = 0
+    val auth2 = Rest.OAuth2(
+      () => { ex2 += 1; Rest.OAuth2.Token(s"u$ex2", Some(3600L)) },
+      now = () => clock2)
+    auth2.headers
+    clock2 = 3600000L - 30001L // one ms before the early-refresh point
+    auth2.headers
+    assert(ex2 === 1, "must not refresh before the margin")
+    clock2 = 3600000L - 29999L // inside the 30 s margin
+    auth2.headers
+    assert(ex2 === 2, "must refresh inside the margin, before the boundary")
+  }
+
   test("rest: oauth2 token-endpoint responses parse expires_in variants") {
     val t1 = Rest.OAuth2.parseTokenResponse(
       """{"access_token":"abc","token_type":"bearer","expires_in":7200}""")

@@ -111,6 +111,40 @@ class FilesystemSinkSpec extends SparkSpec {
     assert(err.getMessage.contains("{nope}"))
   }
 
+  test("{table_name} without a following separator fails at construction") {
+    // '{table_name}{load_id}' would make table 't' listing/replace also
+    // match sibling 't2' files (quote("t") then [^/]+) — replace could
+    // delete another table's data
+    val err = intercept[IllegalArgumentException] {
+      new FilesystemSink(Files.createTempDirectory("graft-fss").toString,
+        spark, layout = "{table_name}{load_id}.{file_id}.{ext}")
+    }
+    assert(err.getMessage.contains("separator"))
+    // with a separator the same shape is fine
+    new FilesystemSink(Files.createTempDirectory("graft-fss").toString,
+      spark, layout = "{table_name}-{load_id}.{file_id}.{ext}")
+  }
+
+  test("extra placeholders: unused callbacks never run; rendered '/' fails fast") {
+    val root = Files.createTempDirectory("graft-fss").toString
+    // an UNUSED extra whose callback throws must not break writes —
+    // only tokens present in the layout resolve
+    val sink = new FilesystemSink(root, spark,
+      layout = "{table_name}/{load_id}.{file_id}.{ext}",
+      extra = Map("boom" -> (_ => throw new RuntimeException("must not run"))),
+      clock = fixedClock)
+    assert(sink.write("t", rows.limit(1), "l1", "jsonl").nonEmpty)
+    // a used extra rendering a '/' would write files the layout regex
+    // can never match again (invisible to listing/replace) — fail fast
+    val bad = new FilesystemSink(root, spark,
+      layout = "{env}/{table_name}/{load_id}.{file_id}.{ext}",
+      extra = Map("env" -> (_ => "pr/od")), clock = fixedClock)
+    val err = intercept[IllegalArgumentException] {
+      bad.write("t", rows.limit(1), "l2", "jsonl")
+    }
+    assert(err.getMessage.contains("'/'"))
+  }
+
   test("a layout without {ext} gets the extension appended") {
     val root = Files.createTempDirectory("graft-fss").toString
     val sink = new FilesystemSink(root, spark,
