@@ -48,4 +48,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.iterator.flatMap(_._2).toMap
+
+  /** Queries whose oracle SQL is DERIVED FROM A FITTED MODEL at run
+    * time (so it reaches [[oracleSql]] only if the query ran in this
+    * JVM) — [[Verify]] marks their presence in `query_meta.json` so a
+    * subset run is visibly 'oracle skipped', not 'no oracle exists'. */
+  def modelDerivedOracles: Set[String] = Set("sim_pca_project")
 }

@@ -46,6 +46,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // per-query numeric metadata (the ANN variants' measured recall@5),
+    // plus an explicit presence marker for MODEL-DERIVED oracles: their
+    // SQL only exists if the query ran in this JVM, so a subset run
+    // shows `oracle_present: 0` (visibly skipped) instead of being
+    // indistinguishable from "no oracle exists"
+    SparkEntry.modelDerivedOracles.foreach { n =>
+      queries.QueryMeta.put(n, "oracle_model_derived", 1.0)
+      queries.QueryMeta.put(n, "oracle_present",
+        if (SparkEntry.oracleSql.contains(n)) 1.0 else 0.0)
+    }
+    val metaJson = queries.QueryMeta.all.toSeq.sortBy(_._1).map { case (k, m) =>
+      s"${q(k)}: " + m.toSeq.sortBy(_._1)
+        .map { case (mk, v) => s"${q(mk)}: $v" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/query_meta.json"), metaJson)
     spark.stop()
   }
 }

@@ -528,6 +528,42 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
+    // REBALANCE maintenance gate: write the collection over the EVEN
+    // half, append the ODD half as a DRIFTED blob (a shifted/shrunk
+    // affine image that the stored quantizer piles into few lists),
+    // then rebalance (retrain + rewrite through writeIvf) and probe the
+    // rebalanced collection at nprobe = nlist — exact regardless of
+    // centroids, so the brute-force oracle over the union corpus gates
+    // the whole write→append→rebalance→read→probe cycle. The skew
+    // reduction itself rides the hash as literal booleans.
+    "sim_ivf_rebalance" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      val store = new TableStore(
+        java.nio.file.Files.createTempDirectory("graft-vrb").toString, c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      val base = vecs.filter(col("vec_id") % 2 === 0)
+      // the drifted ingest: x -> 0.5x + 4 per dimension, cast back to
+      // float so stored widths match (the oracle replays the same two
+      // correctly-rounded ops + the float rounding)
+      val blob = vecs.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(0.5) + lit(4.0))
+            .cast("array<float>").as("embedding"))
+      VectorSink.writeIvf(store, "emb", base, "vec_id", "embedding", nlist = 8)
+      VectorSink.append(store, "emb", blob, "vec_id", "embedding")
+      val before = VectorSink.listSkew(store, "emb")
+      val ran = VectorSink.rebalance(store, "emb", "vec_id", "embedding",
+        maxSkew = 1.5)
+      val after = VectorSink.listSkew(store, "emb")
+      val all = base.unionByName(blob)
+      VectorSink.topK(store, "emb", all.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumn("rebalance_ran", lit(ran))
+        .withColumn("skew_reduced", lit(after < before))
+        .orderBy("query_id", "rank")
+    },
+
     // IVF + SQ8: the collection persists INT8 CODES (4x less data under
     // every probe) + dequantization stats; probe = centroid-ranked
     // lists -> ADC shortlist over stored codes -> exact re-rank of the
@@ -582,6 +618,7 @@ object ExtQueries {
       // query counts as 0, it cannot vanish from the average)
       val hits = exact.join(approx, Seq("query_id", "match_id"), "left_semi").count()
       val overall = hits.toDouble / exact.count()
+      QueryMeta.put("sim_ivf_ann", "recall_at_5", overall)
       require(overall >= 0.9, f"IVF recall@5 = $overall%.3f under the 0.9 gate")
       gated.withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
@@ -602,6 +639,7 @@ object ExtQueries {
       val gated = Similarity.recallAtK(approx, exact, 5)
       val hits = exact.join(approx, Seq("query_id", "match_id"), "left_semi").count()
       val overall = hits.toDouble / exact.count()
+      QueryMeta.put("sim_lsh_ann", "recall_at_5", overall)
       require(overall >= 0.9, f"LSH recall@5 = $overall%.3f under the 0.9 gate")
       gated.withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
@@ -1465,6 +1503,31 @@ object ExtQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
         |  FROM scored)
         |SELECT query_id, rank, match_id, round(cs, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // nprobe = nlist after the rebalance ≡ exact over the union corpus
+    // (even half verbatim + odd half through the same affine drift and
+    // float rounding); the in-query skew booleans asserted as TRUEs
+    "sim_ivf_rebalance" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0
+        |  UNION ALL
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(x * 0.5 + 4.0 AS REAL))::DOUBLE[]
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+        |    list_cosine_similarity(q.v, c.v) AS cs
+        |  FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (
+        |  SELECT query_id, match_id, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, match_id, round(cs, 6) AS cosine,
+        |  TRUE AS rebalance_ran, TRUE AS skew_reduced
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "mm_decode_meta" ->

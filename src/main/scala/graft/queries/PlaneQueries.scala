@@ -186,6 +186,35 @@ object PlaneQueries {
         .select("event_id", "user_id", "event_type").orderBy("event_id")
     },
 
+    // drift DEAD-LETTER disposition end-to-end: load 1 (even orders)
+    // seeds the baseline; load 2 (odd orders with the deterministic 25%
+    // lift on a quarter of rows, PSI ≈ 0.08 > the 0.05 gate) breaches
+    // and routes to m__quarantine — the main table keeps only the
+    // baseline, the quarantined batch carries its provenance, and the
+    // oracle re-derives the counts AND the stamped PSI through the
+    // shared bin/smooth/decimal-Σ fragment
+    "plane_drift_quarantine" -> q { c =>
+      val p = new Pipeline("dqg",
+        Files.createTempDirectory("graft-dqg").toString, c.spark)
+      val o = c.t("orders")
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("v"))
+      val cur = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), (col("o_totalprice").cast("double") *
+          when(pmod(col("o_orderkey"), lit(4)) === 1, lit(1.25))
+            .otherwise(lit(1.0))).as("v"))
+      def res(df: org.apache.spark.sql.DataFrame) =
+        Resource("m", df).withDriftCheck("v", maxPsi = 0.05, quarantine = true)
+      p.run(Seq(res(base)), "1")
+      p.run(Seq(res(cur)), "2")
+      val qt = p.store.read("m__quarantine")
+      p.store.read("m").agg(count(lit(1)).as("main_rows")).crossJoin(
+        qt.agg(count(lit(1)).as("quarantine_rows"),
+          max(col("_drift_column")).as("drift_column"),
+          max(col("_drift_psi")).as("psi"),
+          max(col("_dlt_load_id")).as("quarantine_load")))
+    },
+
     // filesystem source: csv write + distributed read with provenance
     "src_csv_roundtrip" -> q { c =>
       val dir = Files.createTempDirectory("graft-csv").toString
@@ -212,6 +241,54 @@ object PlaneQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "plane_drift_quarantine" ->
+      """WITH b AS (
+        |  SELECT o_totalprice::DOUBLE AS v FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+        |c AS (
+        |  SELECT o_totalprice::DOUBLE *
+        |    (CASE WHEN o_orderkey % 4 = 1 THEN 1.25 ELSE 1.0 END) AS v
+        |  FROM orders
+        |  WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL),
+        |st AS (SELECT min(v) AS mn, max(v) AS mx FROM b),
+        |bb AS (
+        |  SELECT CASE WHEN mx > mn
+        |    THEN CAST(least(9, greatest(0,
+        |      floor((v - mn) / ((mx - mn) / 10)))) AS INT)
+        |    ELSE (CASE WHEN v = mn THEN 0 ELSE 9 END) END AS bin,
+        |    count(*) AS n_base
+        |  FROM b, st GROUP BY 1),
+        |cb AS (
+        |  SELECT CASE WHEN mx > mn
+        |    THEN CAST(least(9, greatest(0,
+        |      floor((v - mn) / ((mx - mn) / 10)))) AS INT)
+        |    ELSE (CASE WHEN v = mn THEN 0 ELSE 9 END) END AS bin,
+        |    count(*) AS n_cur
+        |  FROM c, st GROUP BY 1),
+        |grid AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |m AS (
+        |  SELECT g.bin, coalesce(n_base, 0) AS n_base,
+        |    coalesce(n_cur, 0) AS n_cur
+        |  FROM grid g LEFT JOIN bb ON g.bin = bb.bin
+        |  LEFT JOIN cb ON g.bin = cb.bin),
+        |tt AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM m),
+        |tm AS (
+        |  SELECT (p - q) * ln(p / q) AS term
+        |  FROM (
+        |    SELECT (n_base + 0.5) / (tb + 0.5 * 10) AS p,
+        |      (n_cur + 0.5) / (tc + 0.5 * 10) AS q
+        |    FROM m, tt)),
+        |tot AS (
+        |  SELECT round(sum(term::DECIMAL(28,12))::DOUBLE, 6) AS psi FROM tm)
+        |SELECT
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)::BIGINT
+        |    AS main_rows,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1)::BIGINT
+        |    AS quarantine_rows,
+        |  'v' AS drift_column,
+        |  (SELECT psi FROM tot) AS psi,
+        |  '2' AS quarantine_load""".stripMargin,
+
     "inc_exactly_once" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "plane_schema_evolve" ->

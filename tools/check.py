@@ -79,6 +79,8 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    meta_path = f"{out_dir}/query_meta.json"
+    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
 
     results = {}
     dump_dirs = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
@@ -92,7 +94,12 @@ def main():
         got_cols = [c[0] for c in got.description]
         got_rows = got.fetchall()
         if name not in oracle:
-            results[name] = f"ROWS_ONLY({len(got_rows)})"
+            # surface per-query self-gate metadata (e.g. the ANN
+            # variants' measured recall@5) so a rows-only entry carries
+            # its machine-checkable gate value
+            extra = "".join(
+                f" {k}={v}" for k, v in sorted(meta.get(name, {}).items()))
+            results[name] = f"ROWS_ONLY({len(got_rows)}){extra}"
             continue
         try:
             exp = con.execute(oracle[name])
