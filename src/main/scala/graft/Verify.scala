@@ -56,9 +56,15 @@ object Verify {
       queries.QueryMeta.put(n, "oracle_present",
         if (SparkEntry.oracleSql.contains(n)) 1.0 else 0.0)
     }
+    // NaN/Infinity are not JSON: a non-finite deposit (e.g. a recall
+    // ratio over an empty exact set, stashed before its gate fires)
+    // must serialize as null, not crash the driver's json.load and
+    // zero the whole round
+    def jnum(v: Double): String =
+      if (java.lang.Double.isFinite(v)) v.toString else "null"
     val metaJson = queries.QueryMeta.all.toSeq.sortBy(_._1).map { case (k, m) =>
       s"${q(k)}: " + m.toSeq.sortBy(_._1)
-        .map { case (mk, v) => s"${q(mk)}: $v" }.mkString("{", ",", "}")
+        .map { case (mk, v) => s"${q(mk)}: ${jnum(v)}" }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/query_meta.json"), metaJson)
     spark.stop()

@@ -275,6 +275,10 @@ object Pca {
     var lams: Array[Double] = null
     var w: Array[Array[Double]] = null
     var converged = false
+    // per-top-r RELATIVE residuals of the current sweep's Ritz pairs —
+    // computed once per sweep, driving both the convergence test and
+    // (on failure) the reported worst residual
+    var rels: Array[Double] = null
     while (!converged && sweep <= maxSweeps) {
       val b = Array.ofDim[Double](p, p)
       var i = 0
@@ -291,7 +295,7 @@ object Pca {
       }
       val (bl, bw) = eigenSym(b)
       lams = bl; w = bw
-      converged = (0 until r).forall { kk =>
+      rels = Array.tabulate(r) { kk =>
         val wk = w(kk)
         var res = 0.0
         var ii = 0
@@ -304,8 +308,9 @@ object Pca {
           res += e * e
           ii += 1
         }
-        math.sqrt(res) <= tol * math.max(1.0, math.abs(lams(kk)))
+        math.sqrt(res) / math.max(1.0, math.abs(lams(kk)))
       }
+      converged = rels.forall(_ <= tol)
       if (!converged && sweep < maxSweeps) {
         q = mgs(z)
         z = mulAQ(q)
@@ -318,27 +323,11 @@ object Pca {
     // still hash-match the degraded fit — the self-gates only see it at
     // their own tolerance). Raise with the worst relative residual so
     // the caller can widen maxSweeps/tol deliberately.
-    if (!converged) {
-      val worst = (0 until r).map { kk =>
-        val wk = w(kk)
-        var res = 0.0
-        var ii = 0
-        while (ii < d) {
-          var av = 0.0
-          var vv = 0.0
-          var j = 0
-          while (j < p) { av += z(ii)(j) * wk(j); vv += q(ii)(j) * wk(j); j += 1 }
-          val e = av - lams(kk) * vv
-          res += e * e
-          ii += 1
-        }
-        math.sqrt(res) / math.max(1.0, math.abs(lams(kk)))
-      }.max
+    if (!converged)
       throw new IllegalStateException(
         f"eigenSymTop did not converge in $maxSweeps sweeps " +
-          f"(worst relative residual $worst%.3e > tol $tol%.1e); " +
+          f"(worst relative residual ${rels.max}%.3e > tol $tol%.1e); " +
           "raise maxSweeps or loosen tol for this spectrum")
-    }
     val comps = Array.tabulate(r) { kk =>
       val wk = w(kk)
       val vec = Array.tabulate(d) { ii =>

@@ -315,7 +315,7 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
 
     // shared tail of the success AND quarantine exits: advance the
     // incremental cursor over the SAME pinned window the exit handled,
-    // then release the pin
+    // release the pin, record observed metrics
     def advanceState(): Unit = newState.foreach { case (cfg, st) =>
       Incremental.advanceValue(frame, cfg).foreach { newLast =>
         val fps = Incremental.boundaryFingerprints(frame, cfg, newLast)
@@ -327,46 +327,58 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       }
       windowed.unpersist(blocking = false)
     }
+    def recordMetrics(): Unit = observation.foreach { obs =>
+      val m = obs.get
+      synchronized { metricsByResource += tableName -> m }
+    }
 
     // value-drift gate: PSI of the incoming batch vs the CURRENT table
     // snapshot, checked before anything of this load commits; no
-    // baseline yet (first load) passes trivially. A failing RAISE gate
-    // must release the incremental window's persist — the
-    // success/discard unpersist paths never run on that exit.
+    // baseline yet (first load) passes trivially, and so does an EMPTY
+    // window — an idle incremental poll delivers zero rows, whose
+    // all-zero histogram scores a huge PSI against ANY non-uniform
+    // baseline and would spuriously breach on every poll (the emptiness
+    // probe runs on `windowed`, not `frame`: a limit-1 action on the
+    // observed frame would complete the metrics observation with
+    // partial-scan values). A failing RAISE gate must release the
+    // incremental window's persist — the success/discard unpersist
+    // paths never run on that exit.
     val driftBreach: Option[Double] = r.driftCheck.flatMap { dc =>
-      store.readOption(tableName).map { prev =>
-        graft.operators.Drift.psi(
-            prev.select(dc.column), frame.select(dc.column),
-            dc.column, dc.bins)
-          .select("psi").head().getDouble(0)
-      }.filter(_ > dc.maxPsi)
+      store.readOption(tableName)
+        .filter(_ => !windowed.isEmpty)
+        .map { prev =>
+          graft.operators.Drift.psi(
+              prev.select(dc.column), frame.select(dc.column),
+              dc.column, dc.bins)
+            .select("psi").head().getDouble(0)
+        }.filter(_ > dc.maxPsi)
     }
-    driftBreach.foreach { psi =>
-      val dc = r.driftCheck.get
-      if (!dc.quarantine) {
+    driftBreach match {
+      case Some(psi) if !r.driftCheck.exists(_.quarantine) =>
         if (newState.isDefined) windowed.unpersist(blocking = false)
+        val dc = r.driftCheck.get
         throw new IllegalStateException(
           s"drift check failed for $tableName.${dc.column}: " +
             f"PSI $psi%.6f > ${dc.maxPsi}")
-      }
-      // DEAD-LETTER route: the whole breaching batch lands in the
-      // quarantine table with its provenance; the main table never sees
-      // it, and the cursor advances — the batch is handled, not retried
-      import org.apache.spark.sql.functions.lit
-      val qt = s"${tableName}__quarantine"
-      store.append(qt, frame
-        .withColumn(Ids.DltLoadId, lit(loadId))
-        .withColumn("_drift_column", lit(dc.column))
-        .withColumn("_drift_psi", lit(psi)))
-      dispositions.recordLoad(loadId, name)
-    }
-    if (driftBreach.isDefined && r.driftCheck.exists(_.quarantine)) {
-      advanceState()
-      observation.foreach { obs =>
-        val m = obs.get
-        synchronized { metricsByResource += tableName -> m }
-      }
-      return Seq(s"${tableName}__quarantine")
+      case Some(psi) =>
+        // DEAD-LETTER route: the whole breaching batch lands in the
+        // quarantine table with its provenance; the main table never
+        // sees it, and the cursor advances — the batch is handled, not
+        // retried. Replay with [[replayQuarantine]], which strips the
+        // stamp columns so the provenance never leaks into the main
+        // table's schema.
+        import org.apache.spark.sql.functions.lit
+        val dc = r.driftCheck.get
+        val qt = s"${tableName}__quarantine"
+        store.append(qt, frame
+          .withColumn(Ids.DltLoadId, lit(loadId))
+          .withColumn("_drift_column", lit(dc.column))
+          .withColumn("_drift_psi", lit(psi)))
+        dispositions.recordLoad(loadId, name)
+        advanceState()
+        recordMetrics()
+        return Seq(qt)
+      case None => ()
     }
 
     // normalize: flatten + child tables + ids
@@ -450,12 +462,19 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     }
     advanceState()
     fanoutPin.foreach(_.unpersist(blocking = false))
-    observation.foreach { obs =>
-      val m = obs.get
-      synchronized { metricsByResource += tableName -> m }
-    }
+    recordMetrics()
     enforced.keys.toSeq.sorted
   }
+
+  /** A table's drift-quarantined rows, ready for REPLAY through the
+    * pipeline after investigation: the dead-letter stamp columns
+    * (`_dlt_load_id`, `_drift_column`, `_drift_psi`) are stripped so
+    * the replayed batch carries exactly the original schema — feeding
+    * the raw quarantine table back in would otherwise evolve the main
+    * table's schema with the provenance columns. */
+  def replayQuarantine(table: String): DataFrame =
+    store.read(s"${Naming.normalizeTableName(table)}__quarantine")
+      .drop(Ids.DltLoadId, "_drift_column", "_drift_psi")
 
   private var metricsByResource: Map[String, Map[String, Any]] = Map.empty
 

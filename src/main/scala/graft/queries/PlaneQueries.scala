@@ -241,53 +241,20 @@ object PlaneQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the PSI CTE chain is THE shared fragment
+    // ([[SketchQueries.psiOracleCtes]]) — identical semantics to the
+    // ops_drift_psi gate, different tail
     "plane_drift_quarantine" ->
-      """WITH b AS (
-        |  SELECT o_totalprice::DOUBLE AS v FROM orders
-        |  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
-        |c AS (
-        |  SELECT o_totalprice::DOUBLE *
-        |    (CASE WHEN o_orderkey % 4 = 1 THEN 1.25 ELSE 1.0 END) AS v
-        |  FROM orders
-        |  WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL),
-        |st AS (SELECT min(v) AS mn, max(v) AS mx FROM b),
-        |bb AS (
-        |  SELECT CASE WHEN mx > mn
-        |    THEN CAST(least(9, greatest(0,
-        |      floor((v - mn) / ((mx - mn) / 10)))) AS INT)
-        |    ELSE (CASE WHEN v = mn THEN 0 ELSE 9 END) END AS bin,
-        |    count(*) AS n_base
-        |  FROM b, st GROUP BY 1),
-        |cb AS (
-        |  SELECT CASE WHEN mx > mn
-        |    THEN CAST(least(9, greatest(0,
-        |      floor((v - mn) / ((mx - mn) / 10)))) AS INT)
-        |    ELSE (CASE WHEN v = mn THEN 0 ELSE 9 END) END AS bin,
-        |    count(*) AS n_cur
-        |  FROM c, st GROUP BY 1),
-        |grid AS (SELECT unnest(generate_series(0, 9)) AS bin),
-        |m AS (
-        |  SELECT g.bin, coalesce(n_base, 0) AS n_base,
-        |    coalesce(n_cur, 0) AS n_cur
-        |  FROM grid g LEFT JOIN bb ON g.bin = bb.bin
-        |  LEFT JOIN cb ON g.bin = cb.bin),
-        |tt AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM m),
-        |tm AS (
-        |  SELECT (p - q) * ln(p / q) AS term
-        |  FROM (
-        |    SELECT (n_base + 0.5) / (tb + 0.5 * 10) AS p,
-        |      (n_cur + 0.5) / (tc + 0.5 * 10) AS q
-        |    FROM m, tt)),
-        |tot AS (
-        |  SELECT round(sum(term::DECIMAL(28,12))::DOUBLE, 6) AS psi FROM tm)
-        |SELECT
-        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)::BIGINT
-        |    AS main_rows,
-        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1)::BIGINT
-        |    AS quarantine_rows,
-        |  'v' AS drift_column,
-        |  (SELECT psi FROM tot) AS psi,
-        |  '2' AS quarantine_load""".stripMargin,
+      s"""WITH ${SketchQueries.psiOracleCtes(
+            SketchQueries.driftBaseSql, SketchQueries.driftCurSql, 10)}
+         |SELECT
+         |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)::BIGINT
+         |    AS main_rows,
+         |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1)::BIGINT
+         |    AS quarantine_rows,
+         |  'v' AS drift_column,
+         |  (SELECT psi FROM tot) AS psi,
+         |  '2' AS quarantine_load""".stripMargin,
 
     "inc_exactly_once" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",

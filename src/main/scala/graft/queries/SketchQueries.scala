@@ -168,49 +168,63 @@ object SketchQueries {
     }
   )
 
+  /** THE ungrouped DuckDB PSI re-derivation: the bin/smooth/decimal-Σ
+    * CTE chain (b, c, st, bb, cb, grid, m, tt, tm, tot) over the two
+    * caller-supplied `SELECT … AS v` sides — one implementation of the
+    * cross-engine PSI semantics (shared with `plane_drift_quarantine`),
+    * so the degenerate-baseline branch and the smoothing can never
+    * drift apart between oracles. Mirrors [[graft.operators.Drift.psi]]
+    * exactly: clamp-before-cast binning, equality binning when
+    * mx = mn, Laplace (cnt+0.5)/(n+0.5·bins), DECIMAL(28,12) Σ. */
+  private[queries] def psiOracleCtes(baseSql: String, curSql: String,
+      bins: Int): String = {
+    val top = bins - 1
+    def binCte(name: String, from: String, cnt: String) =
+      s"""$name AS (
+         |  SELECT CASE WHEN mx > mn
+         |    THEN CAST(least($top, greatest(0,
+         |      floor((v - mn) / ((mx - mn) / $bins)))) AS INT)
+         |    ELSE (CASE WHEN v = mn THEN 0 ELSE $top END) END AS bin,
+         |    count(*) AS $cnt
+         |  FROM $from, st GROUP BY 1)""".stripMargin
+    s"""b AS ($baseSql),
+       |c AS ($curSql),
+       |st AS (SELECT min(v) AS mn, max(v) AS mx FROM b),
+       |${binCte("bb", "b", "n_base")},
+       |${binCte("cb", "c", "n_cur")},
+       |grid AS (SELECT unnest(generate_series(0, $top)) AS bin),
+       |m AS (
+       |  SELECT g.bin, coalesce(n_base, 0) AS n_base,
+       |    coalesce(n_cur, 0) AS n_cur
+       |  FROM grid g LEFT JOIN bb ON g.bin = bb.bin
+       |  LEFT JOIN cb ON g.bin = cb.bin),
+       |tt AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM m),
+       |tm AS (
+       |  SELECT bin, n_base, n_cur, (p - q) * ln(p / q) AS term
+       |  FROM (
+       |    SELECT m.bin, n_base, n_cur,
+       |      (n_base + 0.5) / (tb + 0.5 * $bins) AS p,
+       |      (n_cur + 0.5) / (tc + 0.5 * $bins) AS q
+       |    FROM m, tt)),
+       |tot AS (
+       |  SELECT round(sum(term::DECIMAL(28,12))::DOUBLE, 6) AS psi FROM tm)""".stripMargin
+  }
+
+  /** The even/odd-lifted orders fixture both drift oracles bin. */
+  private[queries] val driftBaseSql: String =
+    """SELECT o_totalprice::DOUBLE AS v FROM orders
+      |  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL""".stripMargin
+  private[queries] val driftCurSql: String =
+    """SELECT o_totalprice::DOUBLE *
+      |    (CASE WHEN o_orderkey % 4 = 1 THEN 1.25 ELSE 1.0 END) AS v
+      |  FROM orders
+      |  WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ops_drift_psi" ->
-      """WITH b AS (
-        |  SELECT o_totalprice::DOUBLE AS v FROM orders
-        |  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
-        |c AS (
-        |  SELECT o_totalprice::DOUBLE *
-        |    (CASE WHEN o_orderkey % 4 = 1 THEN 1.25 ELSE 1.0 END) AS v
-        |  FROM orders
-        |  WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL),
-        |st AS (SELECT min(v) AS mn, max(v) AS mx FROM b),
-        |bb AS (
-        |  SELECT CASE WHEN mx > mn
-        |    THEN CAST(least(9, greatest(0,
-        |      floor((v - mn) / ((mx - mn) / 10)))) AS INT)
-        |    ELSE (CASE WHEN v = mn THEN 0 ELSE 9 END) END AS bin,
-        |    count(*) AS n_base
-        |  FROM b, st GROUP BY 1),
-        |cb AS (
-        |  SELECT CASE WHEN mx > mn
-        |    THEN CAST(least(9, greatest(0,
-        |      floor((v - mn) / ((mx - mn) / 10)))) AS INT)
-        |    ELSE (CASE WHEN v = mn THEN 0 ELSE 9 END) END AS bin,
-        |    count(*) AS n_cur
-        |  FROM c, st GROUP BY 1),
-        |grid AS (SELECT unnest(generate_series(0, 9)) AS bin),
-        |m AS (
-        |  SELECT g.bin, coalesce(n_base, 0) AS n_base,
-        |    coalesce(n_cur, 0) AS n_cur
-        |  FROM grid g LEFT JOIN bb ON g.bin = bb.bin
-        |  LEFT JOIN cb ON g.bin = cb.bin),
-        |tt AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM m),
-        |tm AS (
-        |  SELECT bin, n_base, n_cur, (p - q) * ln(p / q) AS term
-        |  FROM (
-        |    SELECT m.bin, n_base, n_cur,
-        |      (n_base + 0.5) / (tb + 0.5 * 10) AS p,
-        |      (n_cur + 0.5) / (tc + 0.5 * 10) AS q
-        |    FROM m, tt)),
-        |tot AS (
-        |  SELECT round(sum(term::DECIMAL(28,12))::DOUBLE, 6) AS psi FROM tm)
-        |SELECT bin, n_base, n_cur, round(term, 6) AS term, psi
-        |FROM tm, tot ORDER BY bin""".stripMargin,
+      s"""WITH ${psiOracleCtes(driftBaseSql, driftCurSql, 10)}
+         |SELECT bin, n_base, n_cur, round(term, 6) AS term, psi
+         |FROM tm, tot ORDER BY bin""".stripMargin,
 
     "ops_drift_profile" ->
       """WITH b AS (

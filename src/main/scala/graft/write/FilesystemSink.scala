@@ -109,6 +109,39 @@ final class FilesystemSink(val root: String, spark: SparkSession,
     }
   }
 
+  /** The literal characters that immediately follow `{table_name}` in
+    * the layout — the separators the listing regex relies on to end the
+    * table name. */
+  private val tableSeparators: Set[Char] = {
+    val b = Set.newBuilder[Char]
+    var at = effectiveLayout.indexOf("{table_name}")
+    while (at >= 0) {
+      val after = at + "{table_name}".length
+      if (after < effectiveLayout.length) b += effectiveLayout.charAt(after)
+      at = effectiveLayout.indexOf("{table_name}", after)
+    }
+    b.result()
+  }
+
+  /** A table NAME containing its own layout separator is ambiguous:
+    * with layout `{table_name}_{load_id}…`, table `t`'s listing regex
+    * (`t` + `_` + `[^/]+`) also matches table `t_x`'s files — so a
+    * replace on `t` could DELETE `t_x`'s data and a read would silently
+    * include its rows. The separator guard alone cannot close this
+    * (`t_x_l1.0.jsonl` is genuinely ambiguous between (t, load x_l1)
+    * and (t_x, load l1)); refusing such names makes every path
+    * unambiguous. The default `/` layout never trips this — `/` cannot
+    * appear in a table name. */
+  private def requireUnambiguous(table: String): Unit = {
+    val bad = tableSeparators.filter(table.contains(_))
+    require(bad.isEmpty,
+      s"table name '$table' contains its layout separator " +
+        s"${bad.mkString("'", "', '", "'")}: names like it are ambiguous " +
+        "against sibling tables under this layout (listing/replace could " +
+        "match another table's files) — rename the table or change the " +
+        "layout separator")
+  }
+
   private def params(table: String, loadId: String, fileId: Int,
       format: String, now: ZonedDateTime,
       pkgTs: Option[Instant]): Map[String, String] = {
@@ -221,6 +254,7 @@ final class FilesystemSink(val root: String, spark: SparkSession,
   def write(table: String, df: DataFrame, loadId: String,
       format: String = "jsonl", replace: Boolean = false,
       loadPackageTs: Option[Instant] = None): Seq[Path] = {
+    requireUnambiguous(table)
     val scratch = Files.createTempDirectory(s"graft-fs-$table")
     val now = clock().atZone(ZoneOffset.UTC)
     try {
@@ -260,6 +294,7 @@ final class FilesystemSink(val root: String, spark: SparkSession,
   /** The table's current data files for `format` under the layout,
     * across all date partitions. */
   def listFiles(table: String, format: String): Seq[Path] = {
+    requireUnambiguous(table)
     val start = staticPrefix(table)
     if (!Files.isDirectory(start)) Nil
     else {

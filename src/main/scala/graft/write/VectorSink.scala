@@ -99,22 +99,36 @@ object VectorSink {
         .toDF("nlist", "seed", "train_fraction", "metric", "dim"))
   }
 
+  /** THE centroid-ranking implementation — distance² ranking
+    * (|c|² − 2·v·c, the |v|² term is rank-invariant) with ties to the
+    * lowest `__list`, matching the k-means transform's first-minimum
+    * argmin. Shared by the probe paths ([[probeLists]]) and the append
+    * assignment ([[assignToStored]]) so the two can never diverge:
+    * appended rows must land exactly where a probe will look. Appends
+    * the top-`maxRank` (`__list`) per `idCol` row; all other input
+    * columns pass through. */
+  private def rankedLists(rows: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, maxRank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot = graft.functions.VectorFunctions.dotp _
+    val wd = rows.crossJoin(broadcast(centroids))
+      .withColumn("__d", dot(col("__centroid"), col("__centroid"))
+        - lit(2.0) * dot(col(vecCol), col("__centroid")))
+    val w = Window.partitionBy(idCol).orderBy(col("__d"), col("__list"))
+    wd.withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= maxRank)
+      .drop("__d", "__pr", "__centroid")
+  }
+
   /** Centroid-ranked probe lists per query: (query_id, __qv, __list)
     * for the `nprobe` nearest coarse centroids — the shared head of
     * every quantized probe path. */
   private def probeLists(centroids: DataFrame, queries: DataFrame,
-      id: String, vec: String, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
-    val qc = q.crossJoin(broadcast(centroids))
-      .withColumn("__d",
-        graft.functions.VectorFunctions.dotp(col("__centroid"), col("__centroid"))
-          - lit(2.0) * graft.functions.VectorFunctions.dotp(col("__qv"), col("__centroid")))
-    val probeW = Window.partitionBy("query_id").orderBy(col("__d"), col("__list"))
-    qc.withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nprobe)
+      id: String, vec: String, nprobe: Int): DataFrame =
+    rankedLists(
+      queries.select(col(id).as("query_id"), col(vec).as("__qv")),
+      centroids, "query_id", "__qv", nprobe)
       .select(col("query_id"), col("__qv"), col("__list"))
-  }
 
   /** Top-k over the QUANTIZED collection: centroid-ranked probe lists,
     * ADC (dequantized-cosine) shortlist over the stored codes, exact
@@ -220,22 +234,12 @@ object VectorSink {
     if (total == 0L) 1.0 else sizes.max.toDouble * sizes.length / total
   }
 
-  /** Assign `rows` to the nearest STORED coarse centroid — the same
-    * ranking math as [[probeLists]] at rank 1 (ties to the lowest
-    * list id, matching the k-means transform), so appended rows land
-    * exactly where a probe will look for them. Batch-sized work only. */
+  /** Assign `rows` to the nearest STORED coarse centroid —
+    * [[rankedLists]] at rank 1, the SAME implementation the probe
+    * paths rank with. Batch-sized work only. */
   private def assignToStored(store: TableStore, table: String,
-      rows: DataFrame, id: String, vec: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dot = graft.functions.VectorFunctions.dotp _
-    val wd = rows.crossJoin(broadcast(store.read(s"${table}__centroids")))
-      .withColumn("__d", dot(col("__centroid"), col("__centroid"))
-        - lit(2.0) * dot(col(vec), col("__centroid")))
-    val w = Window.partitionBy(id).orderBy(col("__d"), col("__list"))
-    wd.withColumn("__pr", row_number().over(w))
-      .filter(col("__pr") === 1)
-      .drop("__d", "__pr", "__centroid")
-  }
+      rows: DataFrame, id: String, vec: String): DataFrame =
+    rankedLists(rows, store.read(s"${table}__centroids"), id, vec, 1)
 
   /** Append a batch to an existing collection by encoding it under the
     * STORED model: coarse assignment against the stored centroids, and
@@ -305,9 +309,21 @@ object VectorSink {
       if (listSkew(store, table) <= maxSkew) false
       else {
         val meta = readMeta(store, table)
-        def full = fullVectors.getOrElse(throw new IllegalArgumentException(
-          s"rebalancing quantized collection '$table' needs fullVectors: " +
-            "the stored codes are lossy and cannot retrain the model"))
+        def full = {
+          val f = fullVectors.getOrElse(throw new IllegalArgumentException(
+            s"rebalancing quantized collection '$table' needs fullVectors: " +
+              "the stored codes are lossy and cannot retrain the model"))
+          // the rewrite REPLACES the collection with whatever `f` holds:
+          // a stale corpus (e.g. missing an appended batch) would
+          // silently drop those vectors during maintenance — fail fast
+          // on a row-count mismatch instead
+          val (have, want) = (f.count(), store.read(table).count())
+          require(have == want,
+            s"fullVectors covers $have rows but collection '$table' " +
+              s"holds $want — pass the corpus INCLUDING every appended " +
+              "batch, or appended vectors would vanish in the rewrite")
+          f
+        }
         meta.metric match {
           case "cosine" =>
             writeIvf(store, table, store.read(table).drop("__list"),

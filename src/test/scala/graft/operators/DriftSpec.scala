@@ -99,6 +99,46 @@ class DriftSpec extends SparkSpec {
     assert(p.store.read("m").count() === 1000L)
   }
 
+  test("an empty incremental window passes the drift gate instead of breaching") {
+    import graft.incremental.Incremental
+    import graft.pipeline.{Pipeline, Resource}
+    val p = new Pipeline("dqe",
+      java.nio.file.Files.createTempDirectory("graft-dqe").toString, spark)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      Resource("m", df)
+        .withIncremental(Incremental.Config("seq"))
+        .withDriftCheck("v", maxPsi = 0.25)
+    val first = (1 to 500).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("seq", "v")
+    p.run(Seq(res(first)), "1")
+    // idle poll: the window is empty; an all-zero current histogram
+    // scores a huge PSI against any non-uniform baseline — the gate
+    // must short-circuit, not raise
+    p.run(Seq(res(first)), "2")
+    assert(p.store.read("m").count() === 500L)
+    assert(!p.store.exists("m__quarantine"))
+  }
+
+  test("replayQuarantine strips the stamp columns for a clean re-ingest") {
+    import graft.pipeline.{Pipeline, Resource}
+    val p = new Pipeline("dqr",
+      java.nio.file.Files.createTempDirectory("graft-dqr").toString, spark)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      Resource("m", df).withDriftCheck("v", maxPsi = 0.25, quarantine = true)
+    p.run(Seq(res(base)), "1")
+    val shifted = (1 to 2000).map(i => (i % 100).toDouble + 80.0).toDF("v")
+    p.run(Seq(res(shifted)), "2")
+    val replay = p.replayQuarantine("m")
+    assert(replay.columns.toSeq === Seq("v"),
+      "replay must carry exactly the original schema")
+    assert(replay.count() === 2000L)
+    // replaying WITHOUT the drift gate (post-investigation) loads clean
+    p.run(Seq(Resource("m", replay)), "3")
+    assert(p.store.read("m").count() === 4000L)
+    assert(!p.store.read("m").columns.contains("_drift_psi"),
+      "provenance columns must never leak into the main table")
+  }
+
   test("a constant baseline still catches a shifted load") {
     val const = Seq.fill(500)(0.0).toDF("v")
     val shifted = (1 to 500).map(i => 500.0 + i).toDF("v")

@@ -125,6 +125,30 @@ class FilesystemSinkSpec extends SparkSpec {
       spark, layout = "{table_name}-{load_id}.{file_id}.{ext}")
   }
 
+  test("a table name containing its layout separator is rejected as ambiguous") {
+    // layout separator '_': table 't' regex (t + '_' + [^/]+) would
+    // also match table 't_x' files — 't_x_l1.0.jsonl' is genuinely
+    // ambiguous, so such names are refused at write AND list time
+    val sink = new FilesystemSink(
+      Files.createTempDirectory("graft-fss").toString, spark,
+      layout = "{table_name}_{load_id}.{file_id}.{ext}", clock = fixedClock)
+    sink.write("t", rows.limit(1), "l1", "jsonl") // unambiguous: fine
+    val werr = intercept[IllegalArgumentException] {
+      sink.write("t_x", rows.limit(1), "l1", "jsonl")
+    }
+    assert(werr.getMessage.contains("ambiguous"))
+    val lerr = intercept[IllegalArgumentException] {
+      sink.listFiles("t_x", "jsonl")
+    }
+    assert(lerr.getMessage.contains("ambiguous"))
+    // the default '/' layout never trips this — '/' can't be in a name
+    val slash = new FilesystemSink(
+      Files.createTempDirectory("graft-fss").toString, spark,
+      clock = fixedClock)
+    slash.write("t_x", rows.limit(1), "l1", "jsonl")
+    assert(slash.listFiles("t_x", "jsonl").nonEmpty)
+  }
+
   test("extra placeholders: unused callbacks never run; rendered '/' fails fast") {
     val root = Files.createTempDirectory("graft-fss").toString
     // an UNUSED extra whose callback throws must not break writes —

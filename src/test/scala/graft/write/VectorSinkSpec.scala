@@ -145,6 +145,13 @@ class VectorSinkSpec extends SparkSpec {
       VectorSink.rebalance(store, "emb", "vec_id", "embedding", maxSkew = 1.5)
     }
     assert(e.getMessage.contains("fullVectors"))
+    // a STALE corpus (missing the appended batch) must fail fast, not
+    // silently drop the appended vectors in the rewrite
+    val stale = intercept[IllegalArgumentException] {
+      VectorSink.rebalance(store, "emb", "vec_id", "embedding",
+        fullVectors = Some(corpus), maxSkew = 1.5)
+    }
+    assert(stale.getMessage.contains("covers"))
     val staleMax = store.read("emb__sq_stats")
       .select(element_at(col("maxs"), 1)).head().getDouble(0)
     assert(VectorSink.rebalance(store, "emb", "vec_id", "embedding",
