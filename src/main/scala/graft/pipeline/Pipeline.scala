@@ -334,24 +334,25 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
 
     // value-drift gate: PSI of the incoming batch vs the CURRENT table
     // snapshot, checked before anything of this load commits; no
-    // baseline yet (first load) passes trivially, and so does an EMPTY
-    // window — an idle incremental poll delivers zero rows, whose
-    // all-zero histogram scores a huge PSI against ANY non-uniform
-    // baseline and would spuriously breach on every poll (the emptiness
-    // probe runs on `windowed`, not `frame`: a limit-1 action on the
-    // observed frame would complete the metrics observation with
-    // partial-scan values). A failing RAISE gate must release the
-    // incremental window's persist — the success/discard unpersist
-    // paths never run on that exit.
+    // baseline yet (first load) passes trivially, and so does a window
+    // with NO non-null gate values — an idle incremental poll delivers
+    // zero rows, whose all-zero histogram scores a huge PSI against
+    // ANY non-uniform baseline and would spuriously breach on every
+    // poll. Emptiness is read off the same per-bin result the PSI scan
+    // already produces (Σ n_cur = 0), costing zero extra actions. A
+    // failing RAISE gate must release the incremental window's
+    // persist — the success/discard unpersist paths never run on that
+    // exit.
     val driftBreach: Option[Double] = r.driftCheck.flatMap { dc =>
-      store.readOption(tableName)
-        .filter(_ => !windowed.isEmpty)
-        .map { prev =>
-          graft.operators.Drift.psi(
-              prev.select(dc.column), frame.select(dc.column),
-              dc.column, dc.bins)
-            .select("psi").head().getDouble(0)
-        }.filter(_ > dc.maxPsi)
+      store.readOption(tableName).flatMap { prev =>
+        val perBin = graft.operators.Drift.psi(
+            prev.select(dc.column), frame.select(dc.column),
+            dc.column, dc.bins)
+          .select("n_cur", "psi").collect() // ≤ bins rows by contract
+        val curTotal = perBin.iterator.map(_.getAs[Long]("n_cur")).sum
+        if (curTotal == 0L) None
+        else Some(perBin.head.getAs[Double]("psi")).filter(_ > dc.maxPsi)
+      }
     }
     driftBreach match {
       case Some(psi) if !r.driftCheck.exists(_.quarantine) =>
@@ -471,10 +472,22 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     * (`_dlt_load_id`, `_drift_column`, `_drift_psi`) are stripped so
     * the replayed batch carries exactly the original schema — feeding
     * the raw quarantine table back in would otherwise evolve the main
-    * table's schema with the provenance columns. */
-  def replayQuarantine(table: String): DataFrame =
-    store.read(s"${Naming.normalizeTableName(table)}__quarantine")
+    * table's schema with the provenance columns. Pass `loadId` to
+    * replay ONE quarantined load (the filter runs before the stamps
+    * are stripped); after a successful replay, [[clearQuarantine]] the
+    * handled rows — the table accumulates across breaches, so an
+    * unfiltered later replay would re-ingest already-replayed loads. */
+  def replayQuarantine(table: String, loadId: Option[String] = None): DataFrame = {
+    val raw = store.read(s"${Naming.normalizeTableName(table)}__quarantine")
+    loadId.fold(raw)(id =>
+        raw.filter(org.apache.spark.sql.functions.col(Ids.DltLoadId) === id))
       .drop(Ids.DltLoadId, "_drift_column", "_drift_psi")
+  }
+
+  /** Drop a table's quarantine table after its rows were replayed (or
+    * discarded) — the bookkeeping end of the dead-letter cycle. */
+  def clearQuarantine(table: String): Unit =
+    store.drop(s"${Naming.normalizeTableName(table)}__quarantine")
 
   private var metricsByResource: Map[String, Map[String, Any]] = Map.empty
 

@@ -97,6 +97,15 @@ final class FilesystemSink(val root: String, spark: SparkSession,
     // replace=true could delete another table's data — the reference
     // enforces the same separator (get_table_prefix_layout,
     // path_utils.py:278-286)
+    // {table_name} must be bounded by literal separators on BOTH sides:
+    // a placeholder right after lets table 't' match sibling 't2'
+    // (quote("t") then [^/]+); a placeholder right BEFORE lets the
+    // preceding value class backtrack across the boundary — with
+    // '{load_id}_{table_name}', listFiles("x")'s regex [^/]+_x matches
+    // table a_x's file 'l1_a_x…' ([^/]+ absorbs 'l1_a'). The reference
+    // enforces the after-side (get_table_prefix_layout,
+    // path_utils.py:278-286); the before-side follows from the same
+    // ambiguity argument.
     var at = effectiveLayout.indexOf("{table_name}")
     while (at >= 0) {
       val after = at + "{table_name}".length
@@ -105,19 +114,26 @@ final class FilesystemSink(val root: String, spark: SparkSession,
         s"layout '$layout' must place a separator character right after " +
           "{table_name}: without one, one table's listing/replace can " +
           "match a sibling table's files")
+      require(at == 0 || effectiveLayout.charAt(at - 1) != '}',
+        s"layout '$layout' must place a separator character right before " +
+          "{table_name}: an adjacent placeholder's value class can " +
+          "backtrack across the boundary and match a sibling table's files")
       at = effectiveLayout.indexOf("{table_name}", after)
     }
   }
 
-  /** The literal characters that immediately follow `{table_name}` in
-    * the layout — the separators the listing regex relies on to end the
-    * table name. */
+  /** The literal characters immediately BEFORE and AFTER each
+    * `{table_name}` in the layout — the separators the listing regex
+    * relies on to delimit the table name. A table NAME containing one
+    * of them re-opens the ambiguity the separators close, so
+    * [[requireUnambiguous]] refuses such names. */
   private val tableSeparators: Set[Char] = {
     val b = Set.newBuilder[Char]
     var at = effectiveLayout.indexOf("{table_name}")
     while (at >= 0) {
       val after = at + "{table_name}".length
       if (after < effectiveLayout.length) b += effectiveLayout.charAt(after)
+      if (at > 0) b += effectiveLayout.charAt(at - 1)
       at = effectiveLayout.indexOf("{table_name}", after)
     }
     b.result()
@@ -277,7 +293,8 @@ final class FilesystemSink(val root: String, spark: SparkSession,
         }
       } finally parts.close()
       val previous =
-        if (replace) Formats.flatMap(f => listFiles(table, f)) else Nil
+        if (replace) walkMatching(table, Formats.map(layoutPattern(table, _)))
+        else Nil
       val placed = sorted.sortBy(_.getFileName.toString).zipWithIndex.map {
         case (part, i) =>
           val target = resolve(table, loadId, i, format, now, loadPackageTs)
@@ -291,15 +308,16 @@ final class FilesystemSink(val root: String, spark: SparkSession,
     } finally deleteRecursively(scratch)
   }
 
-  /** The table's current data files for `format` under the layout,
-    * across all date partitions. */
-  def listFiles(table: String, format: String): Seq[Path] = {
+  /** ONE directory walk matching any of `patterns` — the shared
+    * listing core, so a replace (which clears every format) pays one
+    * traversal, not one per format. */
+  private def walkMatching(table: String,
+      patterns: Seq[java.util.regex.Pattern]): Seq[Path] = {
     requireUnambiguous(table)
     val start = staticPrefix(table)
     if (!Files.isDirectory(start)) Nil
     else {
       val rootPath = Paths.get(root)
-      val pattern = layoutPattern(table, format)
       val s = Files.walk(start)
       try {
         val it = s.iterator()
@@ -308,13 +326,18 @@ final class FilesystemSink(val root: String, spark: SparkSession,
           val p = it.next()
           if (Files.isRegularFile(p)) {
             val rel = rootPath.relativize(p).toString.replace('\\', '/')
-            if (pattern.matcher(rel).matches()) out += p
+            if (patterns.exists(_.matcher(rel).matches())) out += p
           }
         }
         out.sortBy(_.toString).toSeq
       } finally s.close()
     }
   }
+
+  /** The table's current data files for `format` under the layout,
+    * across all date partitions. */
+  def listFiles(table: String, format: String): Seq[Path] =
+    walkMatching(table, Seq(layoutPattern(table, format)))
 
   /** Read a table back (all loads), with the load id parsed from the
     * layout as provenance — the reader side of the layout contract

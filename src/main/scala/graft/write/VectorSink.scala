@@ -236,10 +236,15 @@ object VectorSink {
 
   /** Assign `rows` to the nearest STORED coarse centroid —
     * [[rankedLists]] at rank 1, the SAME implementation the probe
-    * paths rank with. Batch-sized work only. */
+    * paths rank with. The window partitions on a SYNTHETIC row key,
+    * not `id`: a batch carrying duplicate ids must keep every row (the
+    * writeIvf path does — the k-means transform is per-row), not
+    * collapse to one survivor per id. Batch-sized work only. */
   private def assignToStored(store: TableStore, table: String,
       rows: DataFrame, id: String, vec: String): DataFrame =
-    rankedLists(rows, store.read(s"${table}__centroids"), id, vec, 1)
+    rankedLists(rows.withColumn("__rowid", monotonically_increasing_id()),
+      store.read(s"${table}__centroids"), "__rowid", vec, 1)
+      .drop("__rowid")
 
   /** Append a batch to an existing collection by encoding it under the
     * STORED model: coarse assignment against the stored centroids, and
@@ -253,8 +258,22 @@ object VectorSink {
     * so probe balance decays over time — [[rebalance]] is the
     * maintenance op that restores it. */
   def append(store: TableStore, table: String, rows: DataFrame,
-      id: String, vec: String): Unit = {
+      id: String, vec: String): Unit = store.exclusively(table) {
+    // the whole read-model-then-commit holds the corpus table's lock:
+    // a concurrent rebalance would otherwise swap the centroids/stats/
+    // codebooks between this append's model read and its commit,
+    // landing rows encoded under the OLD model in the NEW collection
     val meta = readMeta(store, table)
+    // the kernels truncate to min(length): a wrong-width batch would
+    // ingest silently-corrupt assignments/codes — probe the width like
+    // writeIvf's dim probe and fail loudly instead
+    val bdim = rows.select(size(col(vec))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"append to '$table': empty batch"))
+    require(bdim == meta.dim,
+      s"append to '$table': batch vectors have $bdim dims, " +
+        s"collection is trained at ${meta.dim}")
     val assigned = assignToStored(store, table, rows, id, vec)
     meta.metric match {
       case "cosine" =>

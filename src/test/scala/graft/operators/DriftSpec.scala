@@ -132,11 +132,19 @@ class DriftSpec extends SparkSpec {
     assert(replay.columns.toSeq === Seq("v"),
       "replay must carry exactly the original schema")
     assert(replay.count() === 2000L)
+    // load-scoped replay: only the requested load's rows, stamps still
+    // stripped; an unknown load id selects nothing
+    assert(p.replayQuarantine("m", Some("2")).count() === 2000L)
+    assert(p.replayQuarantine("m", Some("9")).count() === 0L)
     // replaying WITHOUT the drift gate (post-investigation) loads clean
     p.run(Seq(Resource("m", replay)), "3")
     assert(p.store.read("m").count() === 4000L)
     assert(!p.store.read("m").columns.contains("_drift_psi"),
       "provenance columns must never leak into the main table")
+    // the bookkeeping end of the cycle: clear after replay so a later
+    // breach's replay cannot re-ingest these rows
+    p.clearQuarantine("m")
+    assert(!p.store.exists("m__quarantine"))
   }
 
   test("a constant baseline still catches a shifted load") {

@@ -149,6 +149,40 @@ class FilesystemSinkSpec extends SparkSpec {
     assert(slash.listFiles("t_x", "jsonl").nonEmpty)
   }
 
+  test("placeholders before {table_name} cannot open a cross-table hole") {
+    // ADJACENT placeholder before {table_name}: no separator at all —
+    // rejected at construction
+    val adj = intercept[IllegalArgumentException] {
+      new FilesystemSink(Files.createTempDirectory("graft-fss").toString,
+        spark, layout = "{load_id}{table_name}/{file_id}.{ext}")
+    }
+    assert(adj.getMessage.contains("separator"))
+    // placeholder + separator before {table_name}: the load value class
+    // [^/]+ backtracks across '_' (listFiles("x") would match table
+    // a_x's file 'l1_a_x…'), so the BEFORE separator is barred from
+    // table names — 'a_x' cannot exist under this layout and the
+    // remaining parse of 'l1_a_x…' as (table x, load l1_a) is correct
+    val pre = new FilesystemSink(
+      Files.createTempDirectory("graft-fss").toString, spark,
+      layout = "{load_id}_{table_name}.{file_id}.{ext}", clock = fixedClock)
+    pre.write("x", rows.limit(1), "l1", "jsonl")
+    val err = intercept[IllegalArgumentException] {
+      pre.write("a_x", rows.limit(1), "l1", "jsonl")
+    }
+    assert(err.getMessage.contains("ambiguous"))
+    // a LITERAL prefix is fine (nothing to backtrack), with its
+    // separator char likewise barred from names
+    val lit0 = new FilesystemSink(
+      Files.createTempDirectory("graft-fss").toString, spark,
+      layout = "tables-{table_name}/{load_id}.{file_id}.{ext}",
+      clock = fixedClock)
+    lit0.write("t", rows.limit(1), "l1", "jsonl")
+    val lerr = intercept[IllegalArgumentException] {
+      lit0.write("t-2", rows.limit(1), "l1", "jsonl")
+    }
+    assert(lerr.getMessage.contains("ambiguous"))
+  }
+
   test("extra placeholders: unused callbacks never run; rendered '/' fails fast") {
     val root = Files.createTempDirectory("graft-fss").toString
     // an UNUSED extra whose callback throws must not break writes —
