@@ -198,6 +198,7 @@ object Pca {
       seed: Long = 42L): (Array[Double], Array[Array[Double]]) = {
     val d = a.length
     require(r >= 1 && r <= d, "rank must be in [1, d]")
+    require(maxSweeps >= 0, s"maxSweeps $maxSweeps must be >= 0")
     val p = math.min(d, r + oversample)
     val rnd = new scala.util.Random(seed)
     // Q: d×p, orthonormal columns

@@ -350,8 +350,14 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
             dc.column, dc.bins)
           .select("n_cur", "psi").collect() // ≤ bins rows by contract
         val curTotal = perBin.iterator.map(_.getAs[Long]("n_cur")).sum
-        if (curTotal == 0L) None
-        else Some(perBin.head.getAs[Double]("psi")).filter(_ > dc.maxPsi)
+        val psi = Some(perBin.head.getAs[Double]("psi")).filter(_ > dc.maxPsi)
+        // Σ n_cur = 0 means either a genuinely empty window (idle poll:
+        // pass, nothing to compare — the limit-1 probe runs only on this
+        // rare path, against the pre-observe frame) or N rows whose gate
+        // column is ENTIRELY null (an upstream corruption the gate
+        // exists to catch: the all-zero histogram's huge PSI breaches
+        // as it always did)
+        if (curTotal > 0L || !windowed.isEmpty) psi else None
       }
     }
     driftBreach match {

@@ -67,6 +67,10 @@ final class FilesystemSink(val root: String, spark: SparkSession,
 
   import FilesystemSink._
 
+  require(!schemaName.contains("/"),
+    s"schemaName '$schemaName' contains '/': rendered paths would " +
+      "escape the layout's listing regex")
+
   private def ext(format: String): String = format match {
     case "jsonl" => "jsonl"
     case "csv" => "csv"
@@ -149,6 +153,11 @@ final class FilesystemSink(val root: String, spark: SparkSession,
     * unambiguous. The default `/` layout never trips this — `/` cannot
     * appear in a table name. */
   private def requireUnambiguous(table: String): Unit = {
+    // '/' in any rendered value writes files the layout regex (which
+    // maps every placeholder to a within-segment class) can never list
+    // or replace again — same rule the extras enforce at resolve time
+    require(!table.contains("/"),
+      s"table name '$table' contains '/': its files would escape the layout")
     val bad = tableSeparators.filter(table.contains(_))
     require(bad.isEmpty,
       s"table name '$table' contains its layout separator " +
@@ -271,6 +280,12 @@ final class FilesystemSink(val root: String, spark: SparkSession,
       format: String = "jsonl", replace: Boolean = false,
       loadPackageTs: Option[Instant] = None): Seq[Path] = {
     requireUnambiguous(table)
+    // {load_id} renders into the same [^/]+ listing class the extras
+    // guard protects: a loadId containing '/' would write files that
+    // listFiles/read/replace can never see again (invisible rows,
+    // stale data never cleaned, provenance parse broken)
+    require(!loadId.contains("/"),
+      s"loadId '$loadId' contains '/': its files would escape the layout")
     val scratch = Files.createTempDirectory(s"graft-fs-$table")
     val now = clock().atZone(ZoneOffset.UTC)
     try {

@@ -62,14 +62,20 @@ object VectorSink {
 
   /** Top-k over the PERSISTED collection: cold-read the centroids and
     * the bucketed corpus, probe with [[Similarity.ivfProbe]] — the same
-    * math as the in-memory path, so `nprobe = nlist` is exact. */
+    * math as the in-memory path, so `nprobe = nlist` is exact. The
+    * model tables resolve under the corpus table's lock (TableStore
+    * reads pin the segment list at call time), so a concurrent
+    * [[rebalance]] can never hand a probe centroids from one
+    * generation and corpus rows from another. */
   def topK(store: TableStore, table: String, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int): DataFrame = {
-    val meta = readMeta(store, table)
+    val (corpus, centroids, meta) = store.exclusively(table) {
+      (store.read(table), store.read(s"${table}__centroids"),
+        readMeta(store, table))
+    }
     require(nprobe >= 1 && nprobe <= meta.nlist,
       s"nprobe $nprobe outside [1, ${meta.nlist}]")
-    Similarity.ivfProbe(store.read(table), store.read(s"${table}__centroids"),
-      queries, id, vec, k, nprobe)
+    Similarity.ivfProbe(corpus, centroids, queries, id, vec, k, nprobe)
   }
 
   /** IVF + SQ8: the collection stores INT8 CODES instead of vectors
@@ -141,13 +147,18 @@ object VectorSink {
       fullVectors: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int,
       shortlist: Int): DataFrame = {
-    val meta = readMeta(store, table)
+    // resolve ALL model tables under the lock: dequantizing old codes
+    // with new stats (or ranking old lists with new centroids) mid-
+    // rebalance would silently corrupt every score
+    val (coded, statsT, centroids, meta) = store.exclusively(table) {
+      (store.read(table), store.read(s"${table}__sq_stats"),
+        store.read(s"${table}__centroids"), readMeta(store, table))
+    }
     require(nprobe >= 1 && nprobe <= meta.nlist,
       s"nprobe $nprobe outside [1, ${meta.nlist}]")
-    val stats = broadcast(store.read(s"${table}__sq_stats"))
-    val probes = probeLists(store.read(s"${table}__centroids"),
-      queries, id, vec, nprobe)
-    val deq = store.read(table).crossJoin(stats)
+    val stats = broadcast(statsT)
+    val probes = probeLists(centroids, queries, id, vec, nprobe)
+    val deq = coded.crossJoin(stats)
       .select(col(id).as("match_id"), col("__list"),
         graft.functions.VectorFunctions.dequantizeInt8(
           col("__q"), col("mins"), col("maxs")).as("__deq"))
@@ -310,8 +321,15 @@ object VectorSink {
     * centroids and, for quantized collections, the SQ8 stats / PQ
     * codebooks — on today's corpus (same seed/params: the hash-sample
     * is deterministic per id set, so the new fit reflects the new data,
-    * not RNG drift) and rewrites through the same writeIvf* path, one
-    * atomic swap per table.
+    * not RNG drift) and rewrites through the same writeIvf* path.
+    *
+    * Consistency: each sub-table's swap is atomic and every probe path
+    * resolves ALL model tables under the corpus table's lock, so
+    * in-process readers always see one generation. The swaps are NOT
+    * atomic as a group on disk, though — a crash mid-rewrite can leave
+    * a mixed-generation model durably (e.g. new SQ8 stats over old
+    * codes); the repair is to re-run rebalance (or writeIvf*) to
+    * completion before probing again.
     *
     * Plain IVF collections store their vectors, so the corpus is read
     * back from the collection itself. Quantized collections store only
@@ -333,14 +351,24 @@ object VectorSink {
             s"rebalancing quantized collection '$table' needs fullVectors: " +
               "the stored codes are lossy and cannot retrain the model"))
           // the rewrite REPLACES the collection with whatever `f` holds:
-          // a stale corpus (e.g. missing an appended batch) would
-          // silently drop those vectors during maintenance — fail fast
-          // on a row-count mismatch instead
+          // a stale corpus (e.g. missing an appended batch, or holding
+          // a same-size but different id set) would silently drop or
+          // swap vectors during maintenance — fail fast on a row-count
+          // mismatch AND on collection ids absent from fullVectors.
+          // (Stale VALUES under identical ids are uncheckable here: the
+          // quantized collection stores only lossy codes — that part of
+          // the contract stays with the caller.)
           val (have, want) = (f.count(), store.read(table).count())
           require(have == want,
             s"fullVectors covers $have rows but collection '$table' " +
               s"holds $want — pass the corpus INCLUDING every appended " +
               "batch, or appended vectors would vanish in the rewrite")
+          val missing = store.read(table).select(col(id))
+            .join(f.select(col(id)), Seq(id), "left_anti").count()
+          require(missing == 0L,
+            s"fullVectors is missing $missing of collection '$table's " +
+              "ids — a different corpus would silently replace the " +
+              "collection's content in the rewrite")
           f
         }
         meta.metric match {
@@ -373,15 +401,18 @@ object VectorSink {
       fullVectors: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int,
       shortlist: Int): DataFrame = {
-    val meta = readMeta(store, table)
-    require(meta.metric == "cosine-pq",
-      s"collection '$table' is '${meta.metric}', not a PQ collection")
+    // same consistent-snapshot discipline as [[topKQuantized]]
+    val (coded, centroids, meta, model) = store.exclusively(table) {
+      val m = readMeta(store, table)
+      require(m.metric == "cosine-pq",
+        s"collection '$table' is '${m.metric}', not a PQ collection")
+      (store.read(table), store.read(s"${table}__centroids"), m,
+        readPqModel(store, table, m.dim))
+    }
     require(nprobe >= 1 && nprobe <= meta.nlist,
       s"nprobe $nprobe outside [1, ${meta.nlist}]")
-    val model = readPqModel(store, table, meta.dim)
-    val probes = probeLists(store.read(s"${table}__centroids"),
-      queries, id, vec, nprobe)
-    val deq = store.read(table)
+    val probes = probeLists(centroids, queries, id, vec, nprobe)
+    val deq = coded
       .select(col(id).as("match_id"), col("__list"),
         graft.ext.Pq.reconstruction(col("__codes"), model).as("__deq"))
     graft.ext.Quantize.shortlistRerank(

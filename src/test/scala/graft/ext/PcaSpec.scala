@@ -162,6 +162,11 @@ class PcaSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
     assert(e.getMessage.contains("residual"))
+    // a negative budget is a caller bug: rejected up front, never an NPE
+    val neg = intercept[IllegalArgumentException] {
+      Pca.eigenSymTop(a, r = 2, maxSweeps = -1)
+    }
+    assert(neg.getMessage.contains("maxSweeps"))
     // the same problem converges with the default budget
     val (lams, _) = Pca.eigenSymTop(a, r = 2)
     assert(math.abs(lams(0) - (1.0 + 0.5 * (d - 1))) < 1e-8)

@@ -119,6 +119,26 @@ class DriftSpec extends SparkSpec {
     assert(!p.store.exists("m__quarantine"))
   }
 
+  test("a non-empty batch whose gate column is all null still breaches") {
+    import graft.pipeline.{Pipeline, Resource}
+    val p = new Pipeline("dqn",
+      java.nio.file.Files.createTempDirectory("graft-dqn").toString, spark)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      Resource("m", df).withDriftCheck("v", maxPsi = 0.25)
+    // a SKEWED baseline: the all-null batch's smoothed histogram is
+    // uniform, so only a non-uniform baseline exposes it (a uniform
+    // one would score ~0 — that blindness is inherent to PSI)
+    val skewed = (1 to 2000).map(i =>
+      if (i <= 1900) 5.0 else (i % 100).toDouble).toDF("v")
+    p.run(Seq(res(skewed)), "1")
+    // upstream corruption: rows arrive but every gate value is null
+    // (e.g. a numeric column turned unparseable) — this is value drift
+    // the gate exists to catch, NOT an idle empty window
+    val corrupted = (1 to 100).map(_ => None: Option[Double]).toDF("v")
+    val e = intercept[IllegalStateException] { p.run(Seq(res(corrupted)), "2") }
+    assert(e.getMessage.contains("drift check failed"))
+  }
+
   test("replayQuarantine strips the stamp columns for a clean re-ingest") {
     import graft.pipeline.{Pipeline, Resource}
     val p = new Pipeline("dqr",

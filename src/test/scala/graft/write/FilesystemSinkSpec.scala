@@ -203,6 +203,16 @@ class FilesystemSinkSpec extends SparkSpec {
     assert(err.getMessage.contains("'/'"))
   }
 
+  test("a loadId containing '/' is rejected — its files would escape the layout") {
+    val sink = new FilesystemSink(
+      Files.createTempDirectory("graft-fss").toString, spark,
+      clock = fixedClock)
+    val err = intercept[IllegalArgumentException] {
+      sink.write("t", rows.limit(1), "2024/07-run1", "jsonl")
+    }
+    assert(err.getMessage.contains("'/'"))
+  }
+
   test("a layout without {ext} gets the extension appended") {
     val root = Files.createTempDirectory("graft-fss").toString
     val sink = new FilesystemSink(root, spark,

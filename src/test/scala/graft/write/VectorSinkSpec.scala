@@ -152,6 +152,14 @@ class VectorSinkSpec extends SparkSpec {
         fullVectors = Some(corpus), maxSkew = 1.5)
     }
     assert(stale.getMessage.contains("covers"))
+    // same SIZE but a different id set must also be refused
+    val swapped = all.withColumn("vec_id",
+      when(col("vec_id") === 0L, lit(999L)).otherwise(col("vec_id")))
+    val wrongIds = intercept[IllegalArgumentException] {
+      VectorSink.rebalance(store, "emb", "vec_id", "embedding",
+        fullVectors = Some(swapped), maxSkew = 1.5)
+    }
+    assert(wrongIds.getMessage.contains("missing"))
     val staleMax = store.read("emb__sq_stats")
       .select(element_at(col("maxs"), 1)).head().getDouble(0)
     assert(VectorSink.rebalance(store, "emb", "vec_id", "embedding",
