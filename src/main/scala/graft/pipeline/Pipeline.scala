@@ -381,7 +381,12 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
           .withColumn(Ids.DltLoadId, lit(loadId))
           .withColumn("_drift_column", lit(dc.column))
           .withColumn("_drift_psi", lit(psi)))
+        // package processed + a DEDICATED dead-letter ledger row
+        // (status 2, own namespace so a multi-resource package's
+        // status-0 row cannot shadow it) — monitoring sees quarantined
+        // loads straight off `_dlt_loads`
         dispositions.recordLoad(loadId, name)
+        dispositions.recordLoad(loadId, s"$name#quarantine", status = 2)
         advanceState()
         recordMetrics()
         return Seq(qt)

@@ -206,8 +206,13 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
       case _ => a < b
     }
 
+  /** `status` follows the reference's ledger convention (0 = loaded);
+    * status 2 is this engine's extension for DRIFT-QUARANTINED batches
+    * (the dead-letter route records `(loadId, "<schema>#quarantine",
+    * 2)` so monitoring sees dead-lettered loads straight off the
+    * ledger: `SELECT * FROM _dlt_loads WHERE status = 2`). */
   def recordLoad(loadId: String, schemaName: String = "graft",
-                 versionHash: String = ""): Unit = {
+                 versionHash: String = "", status: Int = 0): Unit = {
     val fresh = recordedLoads.synchronized {
       if (recordedLoads.containsKey((loadId, schemaName))) false
       else {
@@ -228,7 +233,7 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
       import TinyParquet._
       store.appendDriverFile(LoadsTable)(p => TinyParquet.write(p, Seq(Seq(
         "load_id" -> SCell(loadId), "schema_name" -> SCell(schemaName),
-        "status" -> ICell(0),
+        "status" -> ICell(status),
         "inserted_at" -> SCell(java.time.Instant.now().toString),
         "schema_version_hash" -> SCell(versionHash)))))
     }

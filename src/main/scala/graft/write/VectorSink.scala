@@ -20,7 +20,17 @@ import graft.ext.Similarity
   *    nlist rows (driver-small by construction);
   *  - `t__ivf_meta`    — one row of index parameters (nlist, seed,
   *    train_fraction, metric, dim) — the manifest a reader validates
-  *    probes against, as the lancedb adapter stores index config.
+  *    probes against, as the lancedb adapter stores index config;
+  *  - `t__collection`  — ONE row pinning the snapshot id of every
+  *    sub-table: the COLLECTION-LEVEL manifest. Writers commit it
+  *    LAST, so it is the linearization point of a multi-table model
+  *    swap — a crash mid-rewrite leaves it pointing at the previous
+  *    complete generation, and probes (which time-travel every
+  *    sub-table to the pinned snapshots via [[TableStore.readAt]])
+  *    never observe new SQ8 stats over old codes or fresh centroids
+  *    over a stale corpus, with NO lock on the read side. Vacuum the
+  *    sub-tables with `retainManifests >= 2` so the pinned generation
+  *    stays readable while the next one commits.
   *
   * 100 TB shape: the one expensive step (k-means fit on a hash-sample +
   * one assignment pass) happens ONCE at write; every subsequent query
@@ -33,13 +43,73 @@ object VectorSink {
   final case class IvfMeta(nlist: Int, seed: Long, trainFraction: Double,
       metric: String, dim: Int)
 
-  /** Index `corpus` and commit the collection through `store`.
-    * Overwrites any previous generation of the collection atomically
-    * (each table's commit is atomic; readers resolve each table's
-    * `_CURRENT` independently). */
+  /** One CONSISTENT generation of a collection: every sub-table
+    * time-travelled to the snapshot the collection manifest pinned. */
+  final case class Generation(meta: IvfMeta, corpus: DataFrame,
+      centroids: DataFrame, stats: Option[DataFrame],
+      pqModel: Option[graft.ext.Pq.PqModel])
+
+  private val SubTables = Seq(
+    "" -> "corpus_snap", "__centroids" -> "centroids_snap",
+    "__ivf_meta" -> "meta_snap", "__sq_stats" -> "stats_snap",
+    "__pq_codebooks" -> "codebooks_snap", "__pq_meta" -> "pqmeta_snap")
+
+  /** Commit the collection-level manifest: one row pinning each
+    * sub-table's LATEST snapshot (−1 for sub-tables this metric does
+    * not use). Called LAST by every writer, under the writer lock —
+    * this commit is what makes the new generation visible. */
+  private def commitCollection(store: TableStore, table: String,
+      spark: SparkSession): Unit = {
+    import spark.implicits._
+    val snaps = SubTables.map { case (suffix, _) =>
+      val t = s"$table$suffix"
+      if (store.exists(t)) store.snapshots(t).max else -1L
+    }
+    store.overwrite(s"${table}__collection",
+      Seq((snaps(0), snaps(1), snaps(2), snaps(3), snaps(4), snaps(5)))
+        .toDF(SubTables.map(_._2): _*))
+  }
+
+  private def metaFrom(r: org.apache.spark.sql.Row): IvfMeta =
+    IvfMeta(r.getAs[Int]("nlist"), r.getAs[Long]("seed"),
+      r.getAs[Double]("train_fraction"), r.getAs[String]("metric"),
+      r.getAs[Int]("dim"))
+
+  /** Resolve the collection's CURRENT generation: read the one-row
+    * collection manifest, then pin every sub-table to its recorded
+    * snapshot. No lock — the manifest row was committed after all its
+    * sub-table snapshots, so the set is consistent even against a
+    * concurrent [[rebalance]] or a crash that left newer partial
+    * sub-table commits behind. */
+  def generation(store: TableStore, table: String): Generation = {
+    val c = store.read(s"${table}__collection").head()
+    def at(suffix: String): DataFrame = {
+      val snapCol = SubTables.toMap.apply(suffix)
+      store.readAt(s"$table$suffix", c.getAs[Long](snapCol))
+    }
+    val meta = metaFrom(at("__ivf_meta").head())
+    val corpus = at("")
+    val centroids = at("__centroids")
+    meta.metric match {
+      case "cosine" => Generation(meta, corpus, centroids, None, None)
+      case "cosine-sq8" =>
+        Generation(meta, corpus, centroids, Some(at("__sq_stats")), None)
+      case "cosine-pq" =>
+        val pm = at("__pq_meta").head()
+        val model = pqModelFrom(at("__pq_codebooks"),
+          pm.getAs[Int]("m"), pm.getAs[Int]("ksub"), meta.dim, table)
+        Generation(meta, corpus, centroids, None, Some(model))
+      case other => throw new IllegalArgumentException(
+        s"collection '$table' has unknown metric '$other'")
+    }
+  }
+
+  /** Index `corpus` and commit the collection through `store`. The
+    * sub-table swaps are each atomic; the collection manifest commit
+    * (last) is what flips readers to the new generation. */
   def writeIvf(store: TableStore, table: String, corpus: DataFrame,
       id: String, vec: String, nlist: Int = 16, seed: Long = 42L,
-      trainFraction: Double = 0.25): Unit = {
+      trainFraction: Double = 0.25): Unit = store.exclusively(table) {
     val (assigned, centroids) =
       Similarity.ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
     val dim = corpus.select(size(col(vec))).head().getInt(0)
@@ -51,31 +121,25 @@ object VectorSink {
     store.overwrite(s"${table}__ivf_meta",
       Seq((nlist, seed, trainFraction, "cosine", dim))
         .toDF("nlist", "seed", "train_fraction", "metric", "dim"))
+    commitCollection(store, table, spark)
   }
 
-  def readMeta(store: TableStore, table: String): IvfMeta = {
-    val r = store.read(s"${table}__ivf_meta").head()
-    IvfMeta(r.getAs[Int]("nlist"), r.getAs[Long]("seed"),
-      r.getAs[Double]("train_fraction"), r.getAs[String]("metric"),
-      r.getAs[Int]("dim"))
-  }
+  def readMeta(store: TableStore, table: String): IvfMeta =
+    metaFrom(store.read(s"${table}__ivf_meta").head())
 
   /** Top-k over the PERSISTED collection: cold-read the centroids and
     * the bucketed corpus, probe with [[Similarity.ivfProbe]] — the same
     * math as the in-memory path, so `nprobe = nlist` is exact. The
-    * model tables resolve under the corpus table's lock (TableStore
-    * reads pin the segment list at call time), so a concurrent
-    * [[rebalance]] can never hand a probe centroids from one
-    * generation and corpus rows from another. */
+    * sub-tables resolve through the collection manifest
+    * ([[generation]]), so a concurrent [[rebalance]] — or a crash that
+    * left partial sub-table commits — can never hand a probe centroids
+    * from one generation and corpus rows from another. */
   def topK(store: TableStore, table: String, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int): DataFrame = {
-    val (corpus, centroids, meta) = store.exclusively(table) {
-      (store.read(table), store.read(s"${table}__centroids"),
-        readMeta(store, table))
-    }
-    require(nprobe >= 1 && nprobe <= meta.nlist,
-      s"nprobe $nprobe outside [1, ${meta.nlist}]")
-    Similarity.ivfProbe(corpus, centroids, queries, id, vec, k, nprobe)
+    val g = generation(store, table)
+    require(nprobe >= 1 && nprobe <= g.meta.nlist,
+      s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
+    Similarity.ivfProbe(g.corpus, g.centroids, queries, id, vec, k, nprobe)
   }
 
   /** IVF + SQ8: the collection stores INT8 CODES instead of vectors
@@ -85,7 +149,7 @@ object VectorSink {
     * hold only (id, `__list`, `__q`). */
   def writeIvfQuantized(store: TableStore, table: String, corpus: DataFrame,
       id: String, vec: String, nlist: Int = 16, seed: Long = 42L,
-      trainFraction: Double = 0.25): Unit = {
+      trainFraction: Double = 0.25): Unit = store.exclusively(table) {
     val (assigned, centroids) =
       Similarity.ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
     val dim = corpus.select(size(col(vec))).head().getInt(0)
@@ -103,6 +167,7 @@ object VectorSink {
     store.overwrite(s"${table}__ivf_meta",
       Seq((nlist, seed, trainFraction, "cosine-sq8", dim))
         .toDF("nlist", "seed", "train_fraction", "metric", "dim"))
+    commitCollection(store, table, spark)
   }
 
   /** THE centroid-ranking implementation — distance² ranking
@@ -147,18 +212,17 @@ object VectorSink {
       fullVectors: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int,
       shortlist: Int): DataFrame = {
-    // resolve ALL model tables under the lock: dequantizing old codes
-    // with new stats (or ranking old lists with new centroids) mid-
-    // rebalance would silently corrupt every score
-    val (coded, statsT, centroids, meta) = store.exclusively(table) {
-      (store.read(table), store.read(s"${table}__sq_stats"),
-        store.read(s"${table}__centroids"), readMeta(store, table))
-    }
-    require(nprobe >= 1 && nprobe <= meta.nlist,
-      s"nprobe $nprobe outside [1, ${meta.nlist}]")
-    val stats = broadcast(statsT)
-    val probes = probeLists(centroids, queries, id, vec, nprobe)
-    val deq = coded.crossJoin(stats)
+    // resolve ALL model tables through the collection manifest:
+    // dequantizing old codes with new stats (or ranking old lists with
+    // new centroids) mid-rebalance would silently corrupt every score
+    val g = generation(store, table)
+    require(g.meta.metric == "cosine-sq8",
+      s"collection '$table' is '${g.meta.metric}', not an SQ8 collection")
+    require(nprobe >= 1 && nprobe <= g.meta.nlist,
+      s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
+    val stats = broadcast(g.stats.get)
+    val probes = probeLists(g.centroids, queries, id, vec, nprobe)
+    val deq = g.corpus.crossJoin(stats)
       .select(col(id).as("match_id"), col("__list"),
         graft.functions.VectorFunctions.dequantizeInt8(
           col("__q"), col("mins"), col("maxs")).as("__deq"))
@@ -180,7 +244,7 @@ object VectorSink {
   def writeIvfPq(store: TableStore, table: String, corpus: DataFrame,
       id: String, vec: String, nlist: Int = 16, seed: Long = 42L,
       trainFraction: Double = 0.25, m: Int = 4, ksub: Int = 16,
-      iters: Int = 2): Unit = {
+      iters: Int = 2): Unit = store.exclusively(table) {
     val (assigned, centroids) =
       Similarity.ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
     val dim = corpus.select(size(col(vec))).head().getInt(0)
@@ -203,17 +267,16 @@ object VectorSink {
     store.overwrite(s"${table}__ivf_meta",
       Seq((nlist, seed, trainFraction, "cosine-pq", dim))
         .toDF("nlist", "seed", "train_fraction", "metric", "dim"))
+    commitCollection(store, table, spark)
   }
 
-  /** Rebuild the [[graft.ext.Pq.PqModel]] from the stored codebook
-    * table (m·ksub rows — a driver-small point read by contract). */
-  private def readPqModel(store: TableStore, table: String,
-      dim: Int): graft.ext.Pq.PqModel = {
-    val pm = store.read(s"${table}__pq_meta").head()
-    val (m, ksub) = (pm.getAs[Int]("m"), pm.getAs[Int]("ksub"))
+  /** Rebuild the [[graft.ext.Pq.PqModel]] from a codebook frame
+    * (m·ksub rows — a driver-small point read by contract). */
+  private def pqModelFrom(codebooks: DataFrame, m: Int, ksub: Int,
+      dim: Int, table: String): graft.ext.Pq.PqModel = {
     val dsub = dim / m
     val books = Array.ofDim[Array[Double]](m, ksub)
-    store.read(s"${table}__pq_codebooks").collect().foreach { r =>
+    codebooks.collect().foreach { r =>
       books(r.getAs[Int]("sub"))(r.getAs[Int]("cl")) =
         r.getSeq[Double](r.fieldIndex("centroid")).toArray
     }
@@ -222,17 +285,26 @@ object VectorSink {
     graft.ext.Pq.PqModel(m, dsub, books.map(_.map(identity)))
   }
 
+  /** The CURRENT PQ model (writer-side: called under the writer lock
+    * by [[append]]). Probes use [[generation]] instead. */
+  private def readPqModel(store: TableStore, table: String,
+      dim: Int): graft.ext.Pq.PqModel = {
+    val pm = store.read(s"${table}__pq_meta").head()
+    pqModelFrom(store.read(s"${table}__pq_codebooks"),
+      pm.getAs[Int]("m"), pm.getAs[Int]("ksub"), dim, table)
+  }
+
   /** Per-list occupancy of collection `table`: one (list, size) entry
     * for EVERY coarse list in [0, nlist) — empty lists included, they
     * are exactly what a skewed quantizer produces. nlist rows by
     * contract (driver-small); the count aggregate is the only scan. */
   def listSizes(store: TableStore, table: String): Array[(Int, Long)] = {
-    val meta = readMeta(store, table)
-    val counts = store.read(table).groupBy("__list").count()
+    val g = generation(store, table)
+    val counts = g.corpus.groupBy("__list").count()
       .collect()
       .map(r => r.getInt(r.fieldIndex("__list")) ->
         r.getLong(r.fieldIndex("count"))).toMap
-    Array.tabulate(meta.nlist)(l => l -> counts.getOrElse(l, 0L))
+    Array.tabulate(g.meta.nlist)(l => l -> counts.getOrElse(l, 0L))
   }
 
   /** Coarse-list skew: max occupancy / mean occupancy over all nlist
@@ -308,6 +380,24 @@ object VectorSink {
         throw new IllegalArgumentException(
           s"collection '$table' has unknown metric '$other'")
     }
+    // the appended corpus snapshot becomes visible to probes only
+    // through the manifest — commit it as the last step
+    commitCollection(store, table, rows.sparkSession)
+  }
+
+  /** Append + SELF-HEAL: the post-append maintenance composition (the
+    * way [[Zorder.compact]] pairs with lakehouse appends) — append the
+    * batch under the stored model, then [[rebalance]] if the grown
+    * collection's occupancy skew passed `maxSkew`. One lock
+    * acquisition covers both, so no other writer can interleave
+    * between the append and its maintenance. For quantized collections
+    * `fullVectors` must cover the GROWN corpus (original + this
+    * batch). Returns whether a rebalance ran. */
+  def appendAndMaintain(store: TableStore, table: String, rows: DataFrame,
+      id: String, vec: String, fullVectors: Option[DataFrame] = None,
+      maxSkew: Double = 4.0): Boolean = store.exclusively(table) {
+    append(store, table, rows, id, vec)
+    rebalance(store, table, id, vec, fullVectors, maxSkew)
   }
 
   /** MAINTENANCE: retrain-and-rewrite the collection when coarse-list
@@ -323,13 +413,13 @@ object VectorSink {
     * is deterministic per id set, so the new fit reflects the new data,
     * not RNG drift) and rewrites through the same writeIvf* path.
     *
-    * Consistency: each sub-table's swap is atomic and every probe path
-    * resolves ALL model tables under the corpus table's lock, so
-    * in-process readers always see one generation. The swaps are NOT
-    * atomic as a group on disk, though — a crash mid-rewrite can leave
-    * a mixed-generation model durably (e.g. new SQ8 stats over old
-    * codes); the repair is to re-run rebalance (or writeIvf*) to
-    * completion before probing again.
+    * Consistency: the COLLECTION MANIFEST (`t__collection`, committed
+    * last by every writer) is the linearization point of the
+    * multi-table model swap. Probes resolve every sub-table through it
+    * ([[generation]]), so neither a concurrent rewrite nor a crash
+    * that left newer partial sub-table commits can expose a mixed
+    * model — a crash mid-rewrite simply leaves the previous complete
+    * generation active; re-running rebalance finishes the swap.
     *
     * Plain IVF collections store their vectors, so the corpus is read
     * back from the collection itself. Quantized collections store only
@@ -402,19 +492,15 @@ object VectorSink {
       id: String, vec: String, k: Int, nprobe: Int,
       shortlist: Int): DataFrame = {
     // same consistent-snapshot discipline as [[topKQuantized]]
-    val (coded, centroids, meta, model) = store.exclusively(table) {
-      val m = readMeta(store, table)
-      require(m.metric == "cosine-pq",
-        s"collection '$table' is '${m.metric}', not a PQ collection")
-      (store.read(table), store.read(s"${table}__centroids"), m,
-        readPqModel(store, table, m.dim))
-    }
-    require(nprobe >= 1 && nprobe <= meta.nlist,
-      s"nprobe $nprobe outside [1, ${meta.nlist}]")
-    val probes = probeLists(centroids, queries, id, vec, nprobe)
-    val deq = coded
+    val g = generation(store, table)
+    require(g.meta.metric == "cosine-pq",
+      s"collection '$table' is '${g.meta.metric}', not a PQ collection")
+    require(nprobe >= 1 && nprobe <= g.meta.nlist,
+      s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
+    val probes = probeLists(g.centroids, queries, id, vec, nprobe)
+    val deq = g.corpus
       .select(col(id).as("match_id"), col("__list"),
-        graft.ext.Pq.reconstruction(col("__codes"), model).as("__deq"))
+        graft.ext.Pq.reconstruction(col("__codes"), g.pqModel.get).as("__deq"))
     graft.ext.Quantize.shortlistRerank(
       probes.join(deq, Seq("__list"))
         .filter(col("query_id") =!= col("match_id")),

@@ -73,6 +73,13 @@ class DriftSpec extends SparkSpec {
     p.run(Seq(res(base.filter(col("v") >= 0))), "3")
     assert(p.store.read("m").count() > before)
     assert(p.store.read("m__quarantine").count() === 2000L)
+    // the dead-letter shows up on the ledger: a dedicated status-2 row
+    // in its own namespace, next to the package's status-0 row
+    val ledger = p.store.read("_dlt_loads")
+      .select("load_id", "schema_name", "status")
+      .as[(String, String, Int)].collect().toSet
+    assert(ledger.contains(("2", "dq#quarantine", 2)),
+      s"no quarantine ledger row: $ledger")
   }
 
   test("quarantine mode advances the incremental cursor past the breaching batch") {

@@ -177,6 +177,55 @@ class VectorSinkSpec extends SparkSpec {
       pairs(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
   }
 
+  test("appendAndMaintain self-heals a drifted collection in one call") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec11").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding", nlist = 4)
+    // the drifted batch trips the skew threshold -> rebalance runs
+    assert(VectorSink.appendAndMaintain(store, "emb", blob,
+      "vec_id", "embedding", maxSkew = 1.5))
+    assert(VectorSink.listSkew(store, "emb") < 2.1)
+    assert(store.read("emb").count() === 124)
+    // a benign batch (more of the same corpus shape) appends WITHOUT
+    // triggering a rewrite
+    val more = (200L until 210L).map { i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    assert(!VectorSink.appendAndMaintain(store, "emb", more,
+      "vec_id", "embedding", maxSkew = 4.0))
+    assert(store.read("emb").count() === 134)
+  }
+
+  test("the collection manifest hides a crash-interrupted partial rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec10").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfQuantized(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    val queries = corpus.limit(2)
+    def probe() = VectorSink.topKQuantized(store, "emb", corpus, queries,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 100)
+      .orderBy("query_id", "rank")
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    val before = probe()
+    // simulate a crash mid-rewrite: ONE sub-table gets a new committed
+    // snapshot (garbage dequantization stats) but the writer dies
+    // before the collection manifest commit — dequantizing the stored
+    // codes with these would corrupt every score
+    val garbage = store.read("emb__sq_stats")
+      .select(transform(col("mins"), x => x * 1000).as("mins"),
+        transform(col("maxs"), x => x * 1000 + 999).as("maxs"))
+    store.overwrite("emb__sq_stats", garbage)
+    // probes resolve through the manifest: the partial commit is
+    // INVISIBLE, results are byte-identical to before
+    assert(probe() === before,
+      "a partial rewrite leaked into a probe — the manifest must pin " +
+        "the previous complete generation")
+    // re-running the writer finishes the swap and flips the generation
+    VectorSink.writeIvfQuantized(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    assert(probe() === before) // same data, same model -> same answer
+  }
+
   test("rebalance covers PQ collections and keeps the PQ params") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec9").toString
     val store = new TableStore(dir, spark)
