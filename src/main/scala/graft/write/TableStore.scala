@@ -511,7 +511,8 @@ final class TableStore(val root: String, spark: SparkSession) {
     * at the SOURCE table's directories by absolute path — vacuuming a
     * table that has live clones can delete data out from under them.
     * Returns the number of directories deleted. */
-  def vacuum(table: String, retainManifests: Int = 2): Int = locked(table) {
+  def vacuum(table: String, retainManifests: Int = 2,
+      retainSnapshots: Set[Long] = Set.empty): Int = locked(table) {
     val dir = tableDir(table)
     if (!Files.exists(dir.resolve("_CURRENT"))) return 0
     val current = new String(Files.readAllBytes(dir.resolve("_CURRENT")),
@@ -520,8 +521,14 @@ final class TableStore(val root: String, spark: SparkSession) {
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("manifest-") && n.endsWith(".txt"))
       .sorted
-    // manifests sort by nanotime → newest last; always retain current
-    val retained = (manifests.takeRight(math.max(1, retainManifests)) :+ current).distinct
+    // manifests sort by nanotime → newest last; always retain current,
+    // plus any EXPLICITLY PINNED snapshots (a vector collection's
+    // manifest pins sub-table generations that must outlive the
+    // retainManifests window — see VectorSink.vacuumCollection)
+    val pinned = retainSnapshots.map(s => s"manifest-$s.txt")
+      .filter(manifests.contains)
+    val retained = (manifests.takeRight(math.max(1, retainManifests)) ++
+      pinned :+ current).distinct
     def referenced(manifest: String): Set[String] = {
       val p = dir.resolve(manifest)
       if (!Files.exists(p)) Set.empty

@@ -21,16 +21,19 @@ import graft.ext.Similarity
   *  - `t__ivf_meta`    — one row of index parameters (nlist, seed,
   *    train_fraction, metric, dim) — the manifest a reader validates
   *    probes against, as the lancedb adapter stores index config;
-  *  - `t__collection`  — ONE row pinning the snapshot id of every
-  *    sub-table: the COLLECTION-LEVEL manifest. Writers commit it
-  *    LAST, so it is the linearization point of a multi-table model
-  *    swap — a crash mid-rewrite leaves it pointing at the previous
-  *    complete generation, and probes (which time-travel every
-  *    sub-table to the pinned snapshots via [[TableStore.readAt]])
-  *    never observe new SQ8 stats over old codes or fresh centroids
-  *    over a stale corpus, with NO lock on the read side. Vacuum the
-  *    sub-tables with `retainManifests >= 2` so the pinned generation
-  *    stays readable while the next one commits.
+  *  - `t__collection`  — one row PER GENERATION pinning the snapshot
+  *    id of every sub-table: the COLLECTION-LEVEL manifest. Writers
+  *    append the next `gen` row LAST, so it is the linearization point
+  *    of a multi-table model swap — a crash mid-rewrite leaves the
+  *    previous complete generation the newest row, and probes (which
+  *    time-travel every sub-table to the pinned snapshots via
+  *    [[TableStore.readAt]]) never observe new SQ8 stats over old
+  *    codes or fresh centroids over a stale corpus, with NO lock on
+  *    the read side. Older rows stay probe-able history
+  *    ([[generationAt]] — the Iceberg snapshot-log shape) until
+  *    [[pruneGenerations]] trims them; [[vacuumCollection]] retains
+  *    every still-listed generation's segments while reclaiming the
+  *    rest.
   *
   * 100 TB shape: the one expensive step (k-means fit on a hash-sample +
   * one assignment pass) happens ONCE at write; every subsequent query
@@ -54,20 +57,46 @@ object VectorSink {
     "__ivf_meta" -> "meta_snap", "__sq_stats" -> "stats_snap",
     "__pq_codebooks" -> "codebooks_snap", "__pq_meta" -> "pqmeta_snap")
 
-  /** Commit the collection-level manifest: one row pinning each
+  /** Commit the collection-level manifest: APPEND one row pinning each
     * sub-table's LATEST snapshot (−1 for sub-tables this metric does
-    * not use). Called LAST by every writer, under the writer lock —
-    * this commit is what makes the new generation visible. */
+    * not use) under the next `gen` number. Called LAST by every
+    * writer, under the writer lock — this commit is what makes the new
+    * generation visible; earlier rows stay as probe-able HISTORY
+    * ([[generationAt]]) until [[pruneGenerations]] trims them. */
   private def commitCollection(store: TableStore, table: String,
       spark: SparkSession): Unit = {
     import spark.implicits._
+    val ct = s"${table}__collection"
+    val gen = if (!store.exists(ct)) 1L
+      else store.read(ct).agg(max("gen")).head().getLong(0) + 1L
     val snaps = SubTables.map { case (suffix, _) =>
       val t = s"$table$suffix"
       if (store.exists(t)) store.snapshots(t).max else -1L
     }
-    store.overwrite(s"${table}__collection",
-      Seq((snaps(0), snaps(1), snaps(2), snaps(3), snaps(4), snaps(5)))
-        .toDF(SubTables.map(_._2): _*))
+    store.append(ct,
+      Seq((gen, snaps(0), snaps(1), snaps(2), snaps(3), snaps(4), snaps(5)))
+        .toDF("gen" +: SubTables.map(_._2): _*))
+  }
+
+  /** Generation numbers still probe-able, oldest → newest. */
+  def generations(store: TableStore, table: String): Seq[Long] = {
+    import org.apache.spark.sql.Row
+    store.read(s"${table}__collection").select("gen").collect()
+      .map { case Row(g: Long) => g }.toSeq.sorted
+  }
+
+  /** Trim the collection's generation HISTORY to the newest `keep`
+    * rows — after which [[vacuumCollection]] (which retains every pin
+    * still listed) can reclaim the dropped generations' segments. */
+  def pruneGenerations(store: TableStore, table: String,
+      keep: Int = 2): Unit = store.exclusively(table) {
+    require(keep >= 1, "keep at least the live generation")
+    val ct = s"${table}__collection"
+    val gens = generations(store, table)
+    if (gens.length > keep) {
+      val floor = gens.takeRight(keep).head
+      store.overwrite(ct, store.read(ct).filter(col("gen") >= floor))
+    }
   }
 
   private def metaFrom(r: org.apache.spark.sql.Row): IvfMeta =
@@ -75,14 +104,31 @@ object VectorSink {
       r.getAs[Double]("train_fraction"), r.getAs[String]("metric"),
       r.getAs[Int]("dim"))
 
-  /** Resolve the collection's CURRENT generation: read the one-row
-    * collection manifest, then pin every sub-table to its recorded
-    * snapshot. No lock — the manifest row was committed after all its
-    * sub-table snapshots, so the set is consistent even against a
-    * concurrent [[rebalance]] or a crash that left newer partial
-    * sub-table commits behind. */
-  def generation(store: TableStore, table: String): Generation = {
-    val c = store.read(s"${table}__collection").head()
+  /** Resolve the collection's CURRENT generation — the NEWEST row of
+    * the collection manifest — then pin every sub-table to its
+    * recorded snapshot. No lock — the manifest row was committed after
+    * all its sub-table snapshots, so the set is consistent even
+    * against a concurrent [[rebalance]] or a crash that left newer
+    * partial sub-table commits behind. */
+  def generation(store: TableStore, table: String): Generation =
+    resolve(store, table,
+      store.read(s"${table}__collection").orderBy(col("gen").desc).head())
+
+  /** Resolve a HISTORICAL generation by number — probe the collection
+    * as it stood before later appends/rebalances, as long as
+    * [[pruneGenerations]] has not trimmed the row (and
+    * [[vacuumCollection]], which retains every still-listed pin, has
+    * not been narrowed below it). */
+  def generationAt(store: TableStore, table: String, gen: Long): Generation = {
+    val rows = store.read(s"${table}__collection")
+      .filter(col("gen") === gen).collect()
+    require(rows.nonEmpty, s"collection '$table' has no generation $gen " +
+      s"(live: ${generations(store, table).mkString(", ")})")
+    resolve(store, table, rows.head)
+  }
+
+  private def resolve(store: TableStore, table: String,
+      c: org.apache.spark.sql.Row): Generation = {
     def at(suffix: String): DataFrame = {
       val snapCol = SubTables.toMap.apply(suffix)
       store.readAt(s"$table$suffix", c.getAs[Long](snapCol))
@@ -383,6 +429,26 @@ object VectorSink {
     // the appended corpus snapshot becomes visible to probes only
     // through the manifest — commit it as the last step
     commitCollection(store, table, rows.sparkSession)
+  }
+
+  /** Vacuum every sub-table of a collection WITHOUT breaking the
+    * pinned generation: each sub-table retains its newest
+    * `retainManifests` manifests PLUS the snapshot the collection
+    * manifest pins — so out-of-band commits (a crash-interrupted
+    * rewrite's partial sub-table swaps, manual writes) can never age
+    * the live generation out of the retention window. Returns total
+    * data directories deleted. */
+  def vacuumCollection(store: TableStore, table: String,
+      retainManifests: Int = 2): Int = store.exclusively(table) {
+    val c = store.read(s"${table}__collection").head()
+    val subs = SubTables.map { case (suffix, snapCol) =>
+      (s"$table$suffix", c.getAs[Long](snapCol))
+    }
+    val fromSubs = subs.collect {
+      case (t, snap) if snap >= 0L && store.exists(t) =>
+        store.vacuum(t, retainManifests, Set(snap))
+    }.sum
+    fromSubs + store.vacuum(s"${table}__collection", retainManifests)
   }
 
   /** Append + SELF-HEAL: the post-append maintenance composition (the

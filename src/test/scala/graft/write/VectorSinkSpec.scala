@@ -226,6 +226,31 @@ class VectorSinkSpec extends SparkSpec {
     assert(probe() === before) // same data, same model -> same answer
   }
 
+  test("vacuumCollection keeps the pinned generation readable under churn") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec12").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfQuantized(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    val queries = corpus.limit(2)
+    def probe() = VectorSink.topKQuantized(store, "emb", corpus, queries,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 100)
+      .orderBy("query_id", "rank")
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    val before = probe()
+    // two out-of-band stats commits age the PINNED stats manifest to
+    // 3rd-newest — a plain vacuum at retainManifests = 1 would delete
+    // it and break every probe of the live generation
+    val garbage = store.read("emb__sq_stats")
+      .select(transform(col("mins"), x => x * 1000).as("mins"),
+        transform(col("maxs"), x => x * 1000 + 999).as("maxs"))
+    store.overwrite("emb__sq_stats", garbage)
+    store.overwrite("emb__sq_stats", garbage)
+    VectorSink.vacuumCollection(store, "emb", retainManifests = 1)
+    // the pinned generation survived the vacuum: probes still answer
+    // from the consistent model, garbage stats still invisible
+    assert(probe() === before)
+  }
+
   test("rebalance covers PQ collections and keeps the PQ params") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec9").toString
     val store = new TableStore(dir, spark)
