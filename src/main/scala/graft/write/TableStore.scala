@@ -414,6 +414,62 @@ final class TableStore(val root: String, spark: SparkSession) {
         currentTombstones(table))
     }
 
+  /** OVERWRITE with a driver-written parquet file — [[appendDriverFile]]
+    * with replace semantics: the new segment becomes the table's whole
+    * segment list (tombstones cleared, like [[overwrite]]). The
+    * single-row-config fast path (index metadata, collection manifests)
+    * — a Spark job per one-row rewrite is pure fixed overhead. */
+  def overwriteDriverFile(table: String)(write: java.nio.file.Path => Unit): Unit =
+    locked(table) {
+      val name = s"data/${UUID.randomUUID().toString.take(12)}.parquet"
+      val p = tableDir(table).resolve(name)
+      Files.createDirectories(p.getParent)
+      write(p)
+      commit(table, Seq(Segment(name, Map.empty)))
+    }
+
+  /** Driver-side read of a TINY table's current rows — no Spark job.
+    * For system/manifest tables whose row count is driver-small BY
+    * CONTRACT (collection manifests, index config): each probe of a
+    * persisted vector collection resolves its generation through these
+    * rows, and a Spark job per metadata read (100-300 ms fixed) would
+    * dominate the probe itself. Flat primitive schemas only; refuses
+    * tables carrying tombstones (merge-on-read does not apply here —
+    * these ledgers are append/overwrite-only by construction). */
+  def readDriverRows(table: String): Seq[Map[String, Any]] = locked(table) {
+    require(currentTombstones(table).isEmpty,
+      s"readDriverRows($table): table carries tombstones — read via Spark")
+    val segs = currentSegments(table)
+    require(segs.nonEmpty, s"table $table does not exist in $root")
+    segs.flatMap(s => readSegmentDriver(table, s))
+  }
+
+  /** [[readDriverRows]] at a pinned snapshot (see [[readAt]]). */
+  def readDriverRowsAt(table: String, snapshot: Long): Seq[Map[String, Any]] = {
+    val manifest = tableDir(table).resolve(s"manifest-$snapshot.txt")
+    require(Files.exists(manifest),
+      s"snapshot $snapshot of $table does not exist (vacuumed?)")
+    val lines = new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    require(!lines.exists(_.startsWith("!")),
+      s"readDriverRowsAt($table): snapshot carries tombstones — read via Spark")
+    lines.map(decodeSegment).flatMap(s => readSegmentDriver(table, s))
+  }
+
+  /** One segment's rows via the driver parquet reader — a segment is
+    * either a single driver-written file or a Spark-written directory
+    * of part files (read in name order for determinism). */
+  private def readSegmentDriver(table: String,
+      s: Segment): Seq[Map[String, Any]] = {
+    val p = resolve(table, s.name)
+    if (Files.isDirectory(p))
+      listDir(p).filter { f =>
+        val n = f.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }.sortBy(_.getFileName.toString).flatMap(TinyParquet.readFile)
+    else TinyParquet.readFile(p)
+  }
+
   def importFiles(table: String, paths: Seq[String]): Unit = locked(table) {
     require(paths.nonEmpty, "importFiles needs at least one path")
     val absolute = paths.map(p =>

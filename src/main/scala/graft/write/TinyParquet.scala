@@ -31,6 +31,7 @@ object TinyParquet {
   final case class SCell(v: String) extends Cell
   final case class ICell(v: Int) extends Cell
   final case class LCell(v: Long) extends Cell
+  final case class DCell(v: Double) extends Cell
 
   /** Write `rows` (uniform `(name, cell)` sequences) to `path`. */
   def write(path: Path, rows: Seq[Seq[(String, Cell)]]): Unit = {
@@ -44,6 +45,7 @@ object TinyParquet {
           .as(LogicalTypeAnnotation.stringType()).named(n))
         case (n, _: ICell) => b.addField(Types.required(PrimitiveTypeName.INT32).named(n))
         case (n, _: LCell) => b.addField(Types.required(PrimitiveTypeName.INT64).named(n))
+        case (n, _: DCell) => b.addField(Types.required(PrimitiveTypeName.DOUBLE).named(n))
       }
       b.named("graft_tiny")
     }
@@ -60,8 +62,56 @@ object TinyParquet {
         case (n, SCell(v)) => g.append(n, v)
         case (n, ICell(v)) => g.append(n, v)
         case (n, LCell(v)) => g.append(n, v)
+        case (n, DCell(v)) => g.append(n, v)
       }
       writer.write(g)
     } finally writer.close()
+  }
+
+  /** Driver-side READ of one tiny parquet file — the other half of the
+    * metadata fast path: resolving a collection manifest / index-config
+    * row through a Spark job costs the same 100-300 ms fixed overhead
+    * the writer above avoids, paid once per PROBE instead of once per
+    * load. Reads both this writer's files (required fields) and
+    * Spark-written ones (optional fields; a missing value reads as no
+    * entry in the row map). Flat primitive schemas only — exactly the
+    * ledger/manifest shapes; anything nested belongs on executors. */
+  def readFile(path: Path): Seq[Map[String, Any]] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.example.data.Group
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path.toUri), new Configuration())
+    val reader = ParquetReader.builder(new GroupReadSupport(), in.getPath)
+      .withConf(new Configuration()).build()
+    val out = Seq.newBuilder[Map[String, Any]]
+    try {
+      var g: Group = reader.read()
+      while (g != null) {
+        val t = g.getType
+        val row = (0 until t.getFieldCount).flatMap { i =>
+          if (g.getFieldRepetitionCount(i) == 0) None
+          else {
+            val f = t.getType(i).asPrimitiveType()
+            val name = f.getName
+            val v: Any = f.getPrimitiveTypeName match {
+              case PrimitiveTypeName.BINARY => g.getString(i, 0)
+              case PrimitiveTypeName.INT32 => g.getInteger(i, 0)
+              case PrimitiveTypeName.INT64 => g.getLong(i, 0)
+              case PrimitiveTypeName.DOUBLE => g.getDouble(i, 0)
+              case PrimitiveTypeName.FLOAT => g.getFloat(i, 0)
+              case PrimitiveTypeName.BOOLEAN => g.getBoolean(i, 0)
+              case other => throw new IllegalArgumentException(
+                s"TinyParquet.readFile: unsupported primitive $other in $path")
+            }
+            Some(name -> v)
+          }
+        }.toMap
+        out += row
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.result()
   }
 }

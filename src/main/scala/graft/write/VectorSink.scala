@@ -12,34 +12,49 @@ import graft.ext.Similarity
   * of manifest-committed tables in a [[TableStore]], IVF-list-bucketed
   * so a probe reads nprobe/nlist of the corpus from a cold start.
   *
-  * Layout for collection `t`:
+  * Layout for collection `t` — two planes:
+  *
+  * DATA plane (Spark-written parquet, executor-scale):
   *  - `t`              — the corpus rows + `__list` (nearest coarse
   *    centroid), segment RANGE-PARTITIONED by `__list` with min/max
   *    stats, so list-targeted reads prune to the probed segments;
   *  - `t__centroids`   — (`__list`, `__centroid`): the coarse quantizer,
-  *    nlist rows (driver-small by construction);
+  *    nlist rows (driver-small by contract — FAISS holds the coarse
+  *    quantizer in memory on every searcher for the same reason);
+  *  - `t__sq_stats`    — SQ8 dequantization parameters (rides probe
+  *    plans as a broadcast frame).
+  *
+  * METADATA plane (driver-written via [[TinyParquet]], read back with
+  * ZERO Spark jobs — a probe that pays 2-3 fixed 100-300 ms job
+  * round-trips just to resolve its model is the overhead this split
+  * removes):
   *  - `t__ivf_meta`    — one row of index parameters (nlist, seed,
   *    train_fraction, metric, dim) — the manifest a reader validates
   *    probes against, as the lancedb adapter stores index config;
+  *  - `t__pq_meta` / `t__pq_codebooks` — PQ params + the m·ksub
+  *    codebook rows (sketch-sized by construction);
   *  - `t__collection`  — one row PER GENERATION pinning the snapshot
-  *    id of every sub-table: the COLLECTION-LEVEL manifest. Writers
-  *    append the next `gen` row LAST, so it is the linearization point
-  *    of a multi-table model swap — a crash mid-rewrite leaves the
-  *    previous complete generation the newest row, and probes (which
-  *    time-travel every sub-table to the pinned snapshots via
-  *    [[TableStore.readAt]]) never observe new SQ8 stats over old
-  *    codes or fresh centroids over a stale corpus, with NO lock on
-  *    the read side. Older rows stay probe-able history
-  *    ([[generationAt]] — the Iceberg snapshot-log shape) until
-  *    [[pruneGenerations]] trims them; [[vacuumCollection]] retains
-  *    every still-listed generation's segments while reclaiming the
-  *    rest.
+  *    id of every sub-table PLUS the per-list occupancy census: the
+  *    COLLECTION-LEVEL manifest. Writers append the next `gen` row
+  *    LAST, so it is the linearization point of a multi-table model
+  *    swap — a crash mid-rewrite leaves the previous complete
+  *    generation the newest row, and probes (which time-travel every
+  *    sub-table to the pinned snapshots via [[TableStore.readAt]])
+  *    never observe new SQ8 stats over old codes or fresh centroids
+  *    over a stale corpus, with NO lock on the read side. Older rows
+  *    stay probe-able history ([[generationAt]] — the Iceberg
+  *    snapshot-log shape) until [[pruneGenerations]] trims them;
+  *    [[vacuumCollection]] retains every still-listed generation's
+  *    segments while reclaiming the rest.
   *
   * 100 TB shape: the one expensive step (k-means fit on a hash-sample +
   * one assignment pass) happens ONCE at write; every subsequent query
-  * is a broadcast centroid ranking + a pruned equi-join on `__list`.
-  * Rebuilding the index per query session — what the in-memory
-  * [[Similarity.ivfTopK]] does — is the thing this sink amortizes away.
+  * is a broadcast centroid ranking + a pruned equi-join on `__list`,
+  * and every APPEND is a map-only codegen argmin over the batch plus a
+  * driver-file manifest commit — no corpus scan, no shuffle
+  * (see [[append]]). Rebuilding the index per query session — what the
+  * in-memory [[Similarity.ivfTopK]] does — is the thing this sink
+  * amortizes away.
   */
 object VectorSink {
 
@@ -57,33 +72,67 @@ object VectorSink {
     "__ivf_meta" -> "meta_snap", "__sq_stats" -> "stats_snap",
     "__pq_codebooks" -> "codebooks_snap", "__pq_meta" -> "pqmeta_snap")
 
-  /** Commit the collection-level manifest: APPEND one row pinning each
-    * sub-table's LATEST snapshot (−1 for sub-tables this metric does
-    * not use) under the next `gen` number. Called LAST by every
-    * writer, under the writer lock — this commit is what makes the new
-    * generation visible; earlier rows stay as probe-able HISTORY
-    * ([[generationAt]]) until [[pruneGenerations]] trims them. */
+  /** One decoded collection-manifest row: the generation number, the
+    * pinned snapshot per sub-table (−1 = unused by this metric), and
+    * the per-list occupancy census as of this generation's commit. */
+  private final case class CollectionRow(gen: Long, snaps: Map[String, Long],
+      listSizes: Array[Long])
+
+  import TinyParquet.{Cell, SCell, ICell, LCell, DCell}
+
+  private def encodeRow(r: CollectionRow): Seq[(String, Cell)] =
+    (Seq("gen" -> (LCell(r.gen): Cell)) ++
+      SubTables.map { case (_, c) => c -> (LCell(r.snaps(c)): Cell) }) :+
+      ("list_sizes" -> (SCell(r.listSizes.mkString(",")): Cell))
+
+  private def decodeRow(m: Map[String, Any]): CollectionRow =
+    CollectionRow(m("gen").asInstanceOf[Long],
+      SubTables.map { case (_, c) => c -> m(c).asInstanceOf[Long] }.toMap,
+      m("list_sizes").asInstanceOf[String] match {
+        case "" => Array.empty[Long]
+        case s => s.split(",").map(_.toLong)
+      })
+
+  /** All manifest rows, oldest → newest — a driver file read
+    * ([[TableStore.readDriverRows]]), no Spark job. */
+  private def collectionRows(store: TableStore,
+      table: String): Seq[CollectionRow] =
+    store.readDriverRows(s"${table}__collection").map(decodeRow).sortBy(_.gen)
+
+  private def newestRow(store: TableStore, table: String): CollectionRow =
+    collectionRows(store, table).last
+
+  /** Commit the collection-level manifest: APPEND one row pinning the
+    * given snapshot per sub-table (−1 for sub-tables this metric does
+    * not use) and the occupancy census, under the next `gen` number.
+    * Called LAST by every writer, under the writer lock — this commit
+    * is what makes the new generation visible; earlier rows stay as
+    * probe-able HISTORY ([[generationAt]]) until [[pruneGenerations]]
+    * trims them. A driver-file append — no Spark job per commit. */
   private def commitCollection(store: TableStore, table: String,
-      spark: SparkSession): Unit = {
-    import spark.implicits._
+      snaps: Map[String, Long], listSizes: Array[Long]): Unit = {
     val ct = s"${table}__collection"
-    val gen = if (!store.exists(ct)) 1L
-      else store.read(ct).agg(max("gen")).head().getLong(0) + 1L
-    val snaps = SubTables.map { case (suffix, _) =>
-      val t = s"$table$suffix"
-      if (store.exists(t)) store.snapshots(t).max else -1L
-    }
-    store.append(ct,
-      Seq((gen, snaps(0), snaps(1), snaps(2), snaps(3), snaps(4), snaps(5)))
-        .toDF("gen" +: SubTables.map(_._2): _*))
+    val gen = if (!store.exists(ct)) 1L else newestRow(store, table).gen + 1L
+    val row = CollectionRow(gen,
+      SubTables.map { case (_, c) => c -> snaps.getOrElse(c, -1L) }.toMap,
+      listSizes)
+    store.appendDriverFile(ct)(p => TinyParquet.write(p, Seq(encodeRow(row))))
   }
 
+  /** The current head snapshot of every existing sub-table — what a
+    * FULL-REWRITE path (writeIvf*) pins: it has just rewritten every
+    * table it uses, so the heads ARE its generation. [[append]] must
+    * NOT use this (it would promote orphaned partial commits); it pins
+    * the prior generation's model snaps instead. */
+  private def headSnaps(store: TableStore, table: String): Map[String, Long] =
+    SubTables.map { case (suffix, c) =>
+      val t = s"$table$suffix"
+      c -> (if (store.exists(t)) store.snapshots(t).max else -1L)
+    }.toMap
+
   /** Generation numbers still probe-able, oldest → newest. */
-  def generations(store: TableStore, table: String): Seq[Long] = {
-    import org.apache.spark.sql.Row
-    store.read(s"${table}__collection").select("gen").collect()
-      .map { case Row(g: Long) => g }.toSeq.sorted
-  }
+  def generations(store: TableStore, table: String): Seq[Long] =
+    collectionRows(store, table).map(_.gen)
 
   /** Trim the collection's generation HISTORY to the newest `keep`
     * rows — after which [[vacuumCollection]] (which retains every pin
@@ -91,28 +140,26 @@ object VectorSink {
   def pruneGenerations(store: TableStore, table: String,
       keep: Int = 2): Unit = store.exclusively(table) {
     require(keep >= 1, "keep at least the live generation")
-    val ct = s"${table}__collection"
-    val gens = generations(store, table)
-    if (gens.length > keep) {
-      val floor = gens.takeRight(keep).head
-      store.overwrite(ct, store.read(ct).filter(col("gen") >= floor))
-    }
+    val rows = collectionRows(store, table)
+    if (rows.length > keep)
+      store.overwriteDriverFile(s"${table}__collection")(p =>
+        TinyParquet.write(p, rows.takeRight(keep).map(encodeRow)))
   }
 
-  private def metaFrom(r: org.apache.spark.sql.Row): IvfMeta =
-    IvfMeta(r.getAs[Int]("nlist"), r.getAs[Long]("seed"),
-      r.getAs[Double]("train_fraction"), r.getAs[String]("metric"),
-      r.getAs[Int]("dim"))
+  private def metaFrom(m: Map[String, Any]): IvfMeta =
+    IvfMeta(m("nlist").asInstanceOf[Int], m("seed").asInstanceOf[Long],
+      m("train_fraction").asInstanceOf[Double],
+      m("metric").asInstanceOf[String], m("dim").asInstanceOf[Int])
 
   /** Resolve the collection's CURRENT generation — the NEWEST row of
     * the collection manifest — then pin every sub-table to its
     * recorded snapshot. No lock — the manifest row was committed after
     * all its sub-table snapshots, so the set is consistent even
     * against a concurrent [[rebalance]] or a crash that left newer
-    * partial sub-table commits behind. */
+    * partial sub-table commits behind. Pure driver file IO: the data
+    * frames returned are lazy time-travel reads. */
   def generation(store: TableStore, table: String): Generation =
-    resolve(store, table,
-      store.read(s"${table}__collection").orderBy(col("gen").desc).head())
+    resolve(store, table, newestRow(store, table))
 
   /** Resolve a HISTORICAL generation by number — probe the collection
     * as it stood before later appends/rebalances, as long as
@@ -120,20 +167,20 @@ object VectorSink {
     * [[vacuumCollection]], which retains every still-listed pin, has
     * not been narrowed below it). */
   def generationAt(store: TableStore, table: String, gen: Long): Generation = {
-    val rows = store.read(s"${table}__collection")
-      .filter(col("gen") === gen).collect()
+    val rows = collectionRows(store, table).filter(_.gen == gen)
     require(rows.nonEmpty, s"collection '$table' has no generation $gen " +
       s"(live: ${generations(store, table).mkString(", ")})")
     resolve(store, table, rows.head)
   }
 
   private def resolve(store: TableStore, table: String,
-      c: org.apache.spark.sql.Row): Generation = {
+      c: CollectionRow): Generation = {
     def at(suffix: String): DataFrame = {
       val snapCol = SubTables.toMap.apply(suffix)
-      store.readAt(s"$table$suffix", c.getAs[Long](snapCol))
+      store.readAt(s"$table$suffix", c.snaps(snapCol))
     }
-    val meta = metaFrom(at("__ivf_meta").head())
+    val meta = metaFrom(store.readDriverRowsAt(s"${table}__ivf_meta",
+      c.snaps("meta_snap")).head)
     val corpus = at("")
     val centroids = at("__centroids")
     meta.metric match {
@@ -141,13 +188,39 @@ object VectorSink {
       case "cosine-sq8" =>
         Generation(meta, corpus, centroids, Some(at("__sq_stats")), None)
       case "cosine-pq" =>
-        val pm = at("__pq_meta").head()
-        val model = pqModelFrom(at("__pq_codebooks"),
-          pm.getAs[Int]("m"), pm.getAs[Int]("ksub"), meta.dim, table)
+        val pm = store.readDriverRowsAt(s"${table}__pq_meta",
+          c.snaps("pqmeta_snap")).head
+        val model = pqModelFrom(
+          store.readDriverRowsAt(s"${table}__pq_codebooks",
+            c.snaps("codebooks_snap")),
+          pm("m").asInstanceOf[Int], pm("ksub").asInstanceOf[Int],
+          meta.dim, table)
         Generation(meta, corpus, centroids, None, Some(model))
       case other => throw new IllegalArgumentException(
         s"collection '$table' has unknown metric '$other'")
     }
+  }
+
+  /** Write the one-row index-config table — a driver parquet file, no
+    * Spark job for a one-row rewrite. */
+  private def writeMeta(store: TableStore, table: String, nlist: Int,
+      seed: Long, trainFraction: Double, metric: String, dim: Int): Unit =
+    store.overwriteDriverFile(s"${table}__ivf_meta")(p =>
+      TinyParquet.write(p, Seq(Seq(
+        "nlist" -> ICell(nlist), "seed" -> LCell(seed),
+        "train_fraction" -> DCell(trainFraction),
+        "metric" -> SCell(metric), "dim" -> ICell(dim)))))
+
+  /** Occupancy census over the JUST-WRITTEN corpus — a column-pruned
+    * read-back of `__list` alone. Full-rewrite paths only (they are
+    * O(corpus) by construction); [[append]] instead SUMS its batch
+    * counts into the prior manifest row — O(batch). */
+  private def countListSizes(store: TableStore, table: String,
+      nlist: Int): Array[Long] = {
+    val counts = store.read(table).groupBy("__list").count().collect()
+      .map(r => r.getInt(r.fieldIndex("__list")) ->
+        r.getLong(r.fieldIndex("count"))).toMap
+    Array.tabulate(nlist)(l => counts.getOrElse(l, 0L))
   }
 
   /** Index `corpus` and commit the collection through `store`. The
@@ -162,16 +235,13 @@ object VectorSink {
     store.overwrite(table, assigned,
       statsFor = Seq("__list"), rangeBy = Seq("__list"))
     store.overwrite(s"${table}__centroids", centroids)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    store.overwrite(s"${table}__ivf_meta",
-      Seq((nlist, seed, trainFraction, "cosine", dim))
-        .toDF("nlist", "seed", "train_fraction", "metric", "dim"))
-    commitCollection(store, table, spark)
+    writeMeta(store, table, nlist, seed, trainFraction, "cosine", dim)
+    commitCollection(store, table, headSnaps(store, table),
+      countListSizes(store, table, nlist))
   }
 
   def readMeta(store: TableStore, table: String): IvfMeta =
-    metaFrom(store.read(s"${table}__ivf_meta").head())
+    metaFrom(store.readDriverRows(s"${table}__ivf_meta").head)
 
   /** Top-k over the PERSISTED collection: cold-read the centroids and
     * the bucketed corpus, probe with [[Similarity.ivfProbe]] — the same
@@ -208,22 +278,17 @@ object VectorSink {
     store.overwrite(table, coded,
       statsFor = Seq("__list"), rangeBy = Seq("__list"))
     store.overwrite(s"${table}__centroids", centroids)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    store.overwrite(s"${table}__ivf_meta",
-      Seq((nlist, seed, trainFraction, "cosine-sq8", dim))
-        .toDF("nlist", "seed", "train_fraction", "metric", "dim"))
-    commitCollection(store, table, spark)
+    writeMeta(store, table, nlist, seed, trainFraction, "cosine-sq8", dim)
+    commitCollection(store, table, headSnaps(store, table),
+      countListSizes(store, table, nlist))
   }
 
-  /** THE centroid-ranking implementation — distance² ranking
-    * (|c|² − 2·v·c, the |v|² term is rank-invariant) with ties to the
-    * lowest `__list`, matching the k-means transform's first-minimum
-    * argmin. Shared by the probe paths ([[probeLists]]) and the append
-    * assignment ([[assignToStored]]) so the two can never diverge:
-    * appended rows must land exactly where a probe will look. Appends
-    * the top-`maxRank` (`__list`) per `idCol` row; all other input
-    * columns pass through. */
+  /** THE centroid-ranking implementation of the PROBE paths — distance²
+    * ranking (|c|² − 2·v·c, the |v|² term is rank-invariant) with ties
+    * to the lowest `__list`. queries × nlist rows — query-sized work.
+    * (The APPEND side ranks with the map-only [[assignToStored]]
+    * argmin instead: batch × nlist through a join would shuffle every
+    * appended batch nlist-fold at real nlist.) */
   private def rankedLists(rows: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, maxRank: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -257,11 +322,20 @@ object VectorSink {
   def topKQuantized(store: TableStore, table: String,
       fullVectors: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int,
+      shortlist: Int): DataFrame =
+    topKQuantizedGen(store, table, generation(store, table), fullVectors,
+      queries, id, vec, k, nprobe, shortlist)
+
+  /** [[topKQuantized]] against an EXPLICIT generation (see
+    * [[generationAt]]) — probe the collection as it stood at a past
+    * commit: same plan, only the pinned snapshots differ. */
+  def topKQuantizedGen(store: TableStore, table: String, g: Generation,
+      fullVectors: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int, nprobe: Int,
       shortlist: Int): DataFrame = {
     // resolve ALL model tables through the collection manifest:
     // dequantizing old codes with new stats (or ranking old lists with
     // new centroids) mid-rebalance would silently corrupt every score
-    val g = generation(store, table)
     require(g.meta.metric == "cosine-sq8",
       s"collection '$table' is '${g.meta.metric}', not an SQ8 collection")
     require(nprobe >= 1 && nprobe <= g.meta.nlist,
@@ -300,153 +374,200 @@ object VectorSink {
     store.overwrite(table, coded,
       statsFor = Seq("__list"), rangeBy = Seq("__list"))
     store.overwrite(s"${table}__centroids", centroids)
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    // the codebooks/params are ALREADY driver-resident after train —
+    // driver files, not a Spark write job per sketch-sized table.
+    // Double.toString round-trips exactly, so the string cells lose
+    // nothing vs a binary array column.
     val cbRows = for {
       j <- model.codebooks.indices
       c <- model.codebooks(j).indices
-    } yield (j, c, model.codebooks(j)(c).toSeq)
-    store.overwrite(s"${table}__pq_codebooks",
-      cbRows.toDF("sub", "cl", "centroid"))
-    store.overwrite(s"${table}__pq_meta",
-      Seq((m, ksub, iters, dim)).toDF("m", "ksub", "iters", "dim"))
-    store.overwrite(s"${table}__ivf_meta",
-      Seq((nlist, seed, trainFraction, "cosine-pq", dim))
-        .toDF("nlist", "seed", "train_fraction", "metric", "dim"))
-    commitCollection(store, table, spark)
+    } yield Seq("sub" -> (ICell(j): Cell), "cl" -> (ICell(c): Cell),
+      "centroid" -> (SCell(model.codebooks(j)(c).mkString(",")): Cell))
+    store.overwriteDriverFile(s"${table}__pq_codebooks")(p =>
+      TinyParquet.write(p, cbRows))
+    store.overwriteDriverFile(s"${table}__pq_meta")(p =>
+      TinyParquet.write(p, Seq(Seq(
+        "m" -> ICell(m), "ksub" -> ICell(ksub),
+        "iters" -> ICell(iters), "dim" -> ICell(dim)))))
+    writeMeta(store, table, nlist, seed, trainFraction, "cosine-pq", dim)
+    commitCollection(store, table, headSnaps(store, table),
+      countListSizes(store, table, nlist))
   }
 
-  /** Rebuild the [[graft.ext.Pq.PqModel]] from a codebook frame
-    * (m·ksub rows — a driver-small point read by contract). */
-  private def pqModelFrom(codebooks: DataFrame, m: Int, ksub: Int,
+  /** Rebuild the [[graft.ext.Pq.PqModel]] from driver-read codebook
+    * rows (m·ksub rows — sketch-sized by contract). */
+  private def pqModelFrom(rows: Seq[Map[String, Any]], m: Int, ksub: Int,
       dim: Int, table: String): graft.ext.Pq.PqModel = {
     val dsub = dim / m
     val books = Array.ofDim[Array[Double]](m, ksub)
-    codebooks.collect().foreach { r =>
-      books(r.getAs[Int]("sub"))(r.getAs[Int]("cl")) =
-        r.getSeq[Double](r.fieldIndex("centroid")).toArray
+    rows.foreach { r =>
+      books(r("sub").asInstanceOf[Int])(r("cl").asInstanceOf[Int]) =
+        r("centroid").asInstanceOf[String].split(",").map(_.toDouble)
     }
     require(books.forall(_.forall(_ != null)),
       s"collection '$table' codebook table is incomplete")
-    graft.ext.Pq.PqModel(m, dsub, books.map(_.map(identity)))
-  }
-
-  /** The CURRENT PQ model (writer-side: called under the writer lock
-    * by [[append]]). Probes use [[generation]] instead. */
-  private def readPqModel(store: TableStore, table: String,
-      dim: Int): graft.ext.Pq.PqModel = {
-    val pm = store.read(s"${table}__pq_meta").head()
-    pqModelFrom(store.read(s"${table}__pq_codebooks"),
-      pm.getAs[Int]("m"), pm.getAs[Int]("ksub"), dim, table)
+    graft.ext.Pq.PqModel(m, dsub, books)
   }
 
   /** Per-list occupancy of collection `table`: one (list, size) entry
     * for EVERY coarse list in [0, nlist) — empty lists included, they
-    * are exactly what a skewed quantizer produces. nlist rows by
-    * contract (driver-small); the count aggregate is the only scan. */
+    * are exactly what a skewed quantizer produces. Read from the
+    * newest collection-manifest row (writers keep the census current:
+    * full rewrites re-count, appends sum their batch in) — a driver
+    * file read, NO corpus scan. */
   def listSizes(store: TableStore, table: String): Array[(Int, Long)] = {
-    val g = generation(store, table)
-    val counts = g.corpus.groupBy("__list").count()
-      .collect()
-      .map(r => r.getInt(r.fieldIndex("__list")) ->
-        r.getLong(r.fieldIndex("count"))).toMap
-    Array.tabulate(g.meta.nlist)(l => l -> counts.getOrElse(l, 0L))
+    val sizes = newestRow(store, table).listSizes
+    Array.tabulate(sizes.length)(l => l -> sizes(l))
   }
 
   /** Coarse-list skew: max occupancy / mean occupancy over all nlist
     * lists (empties count toward the mean). 1.0 = perfectly balanced;
     * nlist = the whole corpus in one list — at which point a probe of
-    * the hot list scans the corpus, not corpus/nlist. */
+    * the hot list scans the corpus, not corpus/nlist. Manifest-backed
+    * like [[listSizes]]: the skew check [[appendAndMaintain]] runs per
+    * batch costs zero Spark jobs. */
   def listSkew(store: TableStore, table: String): Double = {
-    val sizes = listSizes(store, table).map(_._2)
+    val sizes = newestRow(store, table).listSizes
     val total = sizes.sum
     if (total == 0L) 1.0 else sizes.max.toDouble * sizes.length / total
   }
 
-  /** Assign `rows` to the nearest STORED coarse centroid —
-    * [[rankedLists]] at rank 1, the SAME implementation the probe
-    * paths rank with. The window partitions on a SYNTHETIC row key,
-    * not `id`: a batch carrying duplicate ids must keep every row (the
-    * writeIvf path does — the k-means transform is per-row), not
-    * collapse to one survivor per id. Batch-sized work only. */
-  private def assignToStored(store: TableStore, table: String,
-      rows: DataFrame, id: String, vec: String): DataFrame =
-    rankedLists(rows.withColumn("__rowid", monotonically_increasing_id()),
-      store.read(s"${table}__centroids"), "__rowid", vec, 1)
-      .drop("__rowid")
+  /** The stored coarse centroids as a dense matrix, indexed by
+    * `__list` — the broadcast-reference shape
+    * [[graft.functions.CentroidArgMin]] rides. Driver-small by
+    * contract (nlist rows; FAISS keeps the coarse quantizer in memory
+    * on every searcher at any nlist for the same reason). */
+  private def centroidMatrix(centroids: DataFrame): Array[Array[Double]] = {
+    val rows = centroids.select(col("__list"), col("__centroid")).collect()
+    val m = new Array[Array[Double]](rows.length)
+    rows.foreach { r =>
+      val l = r.getInt(0)
+      require(l >= 0 && l < m.length && m(l) == null,
+        s"centroid lists are not contiguous [0, ${m.length}): list $l")
+      m(l) = r.getSeq[Double](1).toArray
+    }
+    m
+  }
+
+  /** Assign `rows` to the nearest STORED coarse centroid — a MAP-ONLY
+    * codegen argmin over the centroid matrix (one expression, no join,
+    * no window, no Exchange: the previous crossJoin + row_number shape
+    * shuffled batch × nlist rows per append, which at the √N rule's
+    * nlist ~10⁴–10⁵ multiplies every batch 10⁴-fold).
+    *
+    * Agreement with the probe side ([[rankedLists]]): the argmin
+    * minimizes the full |v − c|², the probe ranks by |c|² − 2·v·c —
+    * identical orderings (the |v|² term is constant per row), and BOTH
+    * break exact ties to the lowest `__list`
+    * ([[graft.functions.CentroidArgMin]] scans in index order with
+    * strict `<`). Appended rows land exactly where a probe will look.
+    * Per-row argmin, so a batch carrying duplicate ids keeps every row
+    * (the writeIvf path does too — the k-means transform is per-row). */
+  private[write] def assignToStored(rows: DataFrame,
+      centroids: Array[Array[Double]], vec: String): DataFrame =
+    rows.withColumn("__list",
+      graft.functions.VectorFunctions.centroidArgMin(col(vec), centroids)("cl"))
 
   /** Append a batch to an existing collection by encoding it under the
     * STORED model: coarse assignment against the stored centroids, and
     * for quantized collections the stored SQ8 stats / PQ codebooks —
     * readers keep seeing ONE consistent model. This is the cheap
-    * incremental-growth path (one broadcast argmin over the batch, no
-    * retraining); its cost is that distribution drift concentrates new
-    * vectors in few lists (and SQ8 values outside the trained [min,max]
-    * encode beyond the int8 range — reconstruction stays faithful, the
-    * codes are stored as ints, but the byte-width contract degrades),
-    * so probe balance decays over time — [[rebalance]] is the
-    * maintenance op that restores it. */
+    * incremental-growth path — O(batch) work end to end: a map-only
+    * broadcast argmin, the segment write, a batch-sized occupancy
+    * count folded into the manifest census, and a driver-file commit.
+    * No retraining, no corpus scan. Its cost is that distribution
+    * drift concentrates new vectors in few lists (and SQ8 values
+    * outside the trained [min,max] encode beyond the int8 range —
+    * reconstruction stays faithful, the codes are stored as ints, but
+    * the byte-width contract degrades), so probe balance decays over
+    * time — [[rebalance]] is the maintenance op that restores it.
+    *
+    * Model resolution goes through the COLLECTION MANIFEST (the pinned
+    * newest generation), NEVER the sub-table heads: after a crash
+    * mid-rebalance left partial sub-table overwrites behind, the heads
+    * are orphans of an unfinished swap, and reading them would
+    * silently promote a mixed model into the next generation. The
+    * corpus table is the one head this append physically lands on — if
+    * IT is orphaned, the append fails and points at [[rebalance]],
+    * which finishes the swap. */
   def append(store: TableStore, table: String, rows: DataFrame,
       id: String, vec: String): Unit = store.exclusively(table) {
     // the whole read-model-then-commit holds the corpus table's lock:
-    // a concurrent rebalance would otherwise swap the centroids/stats/
-    // codebooks between this append's model read and its commit,
-    // landing rows encoded under the OLD model in the NEW collection
-    val meta = readMeta(store, table)
-    // the kernels truncate to min(length): a wrong-width batch would
-    // ingest silently-corrupt assignments/codes — probe the width like
-    // writeIvf's dim probe and fail loudly instead
-    val bdim = rows.select(size(col(vec))).limit(1).collect()
-      .headOption.map(_.getInt(0))
-      .getOrElse(throw new IllegalArgumentException(
-        s"append to '$table': empty batch"))
-    require(bdim == meta.dim,
-      s"append to '$table': batch vectors have $bdim dims, " +
-        s"collection is trained at ${meta.dim}")
-    val assigned = assignToStored(store, table, rows, id, vec)
-    meta.metric match {
+    // a concurrent rebalance would otherwise swap the model between
+    // this append's resolution and its commit
+    val manifestRow = newestRow(store, table)
+    val g = resolve(store, table, manifestRow)
+    val meta = g.meta
+    val corpusHead = store.snapshots(table).max
+    require(corpusHead == manifestRow.snaps("corpus_snap"),
+      s"collection '$table' has an interrupted model swap: corpus head " +
+        s"$corpusHead is not the pinned ${manifestRow.snaps("corpus_snap")} " +
+        "— run rebalance to finish the interrupted swap before appending")
+    // the kernels truncate to min(length): ANY wrong-width row would
+    // ingest silently-corrupt assignments/codes — validate the WHOLE
+    // batch (one batch-sized aggregate), not just its first row
+    val d = rows.agg(min(size(col(vec))).as("mn"),
+      max(size(col(vec))).as("mx")).head()
+    require(!d.isNullAt(0), s"append to '$table': empty batch")
+    require(d.getInt(0) == meta.dim && d.getInt(1) == meta.dim,
+      s"append to '$table': batch vector widths span " +
+        s"[${d.getInt(0)}, ${d.getInt(1)}], collection is trained " +
+        s"at ${meta.dim}")
+    val assigned = assignToStored(rows, centroidMatrix(g.centroids), vec)
+    val coded = meta.metric match {
       case "cosine" =>
         // match the stored segment schema (corpus columns + __list)
         val cols = store.read(table).columns
-        store.append(table, assigned.select(cols.map(col): _*),
-          statsFor = Seq("__list"))
+        assigned.select(cols.map(col): _*)
       case "cosine-sq8" =>
-        val stats = broadcast(store.read(s"${table}__sq_stats"))
-        val coded = assigned.crossJoin(stats)
+        val stats = broadcast(g.stats.get)
+        assigned.crossJoin(stats)
           .select(col(id), col("__list"),
             graft.functions.VectorFunctions.quantizeInt8(
               col(vec), col("mins"), col("maxs"))("q").as("__q"))
-        store.append(table, coded, statsFor = Seq("__list"))
       case "cosine-pq" =>
-        val model = readPqModel(store, table, meta.dim)
-        val coded = assigned.select(col(id), col("__list"),
-          graft.ext.Pq.codes(col(vec), model).as("__codes"))
-        store.append(table, coded, statsFor = Seq("__list"))
+        assigned.select(col(id), col("__list"),
+          graft.ext.Pq.codes(col(vec), g.pqModel.get).as("__codes"))
       case other =>
         throw new IllegalArgumentException(
           s"collection '$table' has unknown metric '$other'")
     }
-    // the appended corpus snapshot becomes visible to probes only
-    // through the manifest — commit it as the last step
-    commitCollection(store, table, rows.sparkSession)
+    // one batch pass feeds BOTH the segment write and the occupancy
+    // census — pin it so the argmin/encode lineage doesn't run twice
+    val pinned = coded.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      store.append(table, pinned, statsFor = Seq("__list"))
+      val batchCounts = pinned.groupBy("__list").count().collect()
+        .map(r => r.getInt(r.fieldIndex("__list")) ->
+          r.getLong(r.fieldIndex("count"))).toMap
+      val prev = manifestRow.listSizes
+      val sizes = Array.tabulate(meta.nlist)(l =>
+        prev.lift(l).getOrElse(0L) + batchCounts.getOrElse(l, 0L))
+      // the appended corpus snapshot becomes visible to probes only
+      // through the manifest — commit it as the last step, pinning the
+      // GENERATION's model snaps (not the possibly-orphaned heads)
+      commitCollection(store, table,
+        manifestRow.snaps.updated("corpus_snap", store.snapshots(table).max),
+        sizes)
+    } finally pinned.unpersist(blocking = false)
   }
 
-  /** Vacuum every sub-table of a collection WITHOUT breaking the
-    * pinned generation: each sub-table retains its newest
-    * `retainManifests` manifests PLUS the snapshot the collection
-    * manifest pins — so out-of-band commits (a crash-interrupted
-    * rewrite's partial sub-table swaps, manual writes) can never age
-    * the live generation out of the retention window. Returns total
-    * data directories deleted. */
+  /** Vacuum every sub-table of a collection WITHOUT breaking ANY
+    * still-listed generation: each sub-table retains its newest
+    * `retainManifests` manifests PLUS the UNION of snapshots pinned by
+    * EVERY collection-manifest row — so out-of-band commits (a
+    * crash-interrupted rewrite's partial sub-table swaps, manual
+    * writes) can never age a listed generation out of the retention
+    * window, and [[generationAt]] keeps every advertised generation
+    * probe-able. Returns total data directories deleted. */
   def vacuumCollection(store: TableStore, table: String,
       retainManifests: Int = 2): Int = store.exclusively(table) {
-    val c = store.read(s"${table}__collection").head()
-    val subs = SubTables.map { case (suffix, snapCol) =>
-      (s"$table$suffix", c.getAs[Long](snapCol))
-    }
-    val fromSubs = subs.collect {
-      case (t, snap) if snap >= 0L && store.exists(t) =>
-        store.vacuum(t, retainManifests, Set(snap))
+    val rows = collectionRows(store, table)
+    val fromSubs = SubTables.map { case (suffix, snapCol) =>
+      val t = s"$table$suffix"
+      val pins = rows.map(_.snaps(snapCol)).filter(_ >= 0L).toSet
+      if (store.exists(t)) store.vacuum(t, retainManifests, pins) else 0
     }.sum
     fromSubs + store.vacuum(s"${table}__collection", retainManifests)
   }
@@ -456,9 +577,11 @@ object VectorSink {
     * batch under the stored model, then [[rebalance]] if the grown
     * collection's occupancy skew passed `maxSkew`. One lock
     * acquisition covers both, so no other writer can interleave
-    * between the append and its maintenance. For quantized collections
-    * `fullVectors` must cover the GROWN corpus (original + this
-    * batch). Returns whether a rebalance ran. */
+    * between the append and its maintenance. The skew check reads the
+    * manifest census the append just updated — the no-rebalance path
+    * never scans the corpus. For quantized collections `fullVectors`
+    * must cover the GROWN corpus (original + this batch). Returns
+    * whether a rebalance ran. */
   def appendAndMaintain(store: TableStore, table: String, rows: DataFrame,
       id: String, vec: String, fullVectors: Option[DataFrame] = None,
       maxSkew: Double = 4.0): Boolean = store.exclusively(table) {
@@ -473,11 +596,12 @@ object VectorSink {
     * the ORIGINAL quantizer, so a drifted ingest stream piles into a
     * few hot lists; every probe touching a hot list then scans far
     * more than corpus/nlist rows, and SQ8 codes spill past the int8
-    * range against stale per-dimension stats. The rewrite retrains the FULL model — coarse
-    * centroids and, for quantized collections, the SQ8 stats / PQ
-    * codebooks — on today's corpus (same seed/params: the hash-sample
-    * is deterministic per id set, so the new fit reflects the new data,
-    * not RNG drift) and rewrites through the same writeIvf* path.
+    * range against stale per-dimension stats. The rewrite retrains the
+    * FULL model — coarse centroids and, for quantized collections, the
+    * SQ8 stats / PQ codebooks — on today's corpus (same seed/params:
+    * the hash-sample is deterministic per id set, so the new fit
+    * reflects the new data, not RNG drift) and rewrites through the
+    * same writeIvf* path.
     *
     * Consistency: the COLLECTION MANIFEST (`t__collection`, committed
     * last by every writer) is the linearization point of the
@@ -501,7 +625,12 @@ object VectorSink {
     store.exclusively(table) {
       if (listSkew(store, table) <= maxSkew) false
       else {
-        val meta = readMeta(store, table)
+        // params resolve through the PINNED generation, like append:
+        // an orphaned __ivf_meta/__pq_meta head from the very swap this
+        // run is finishing must not redefine the index parameters
+        val manifestRow = newestRow(store, table)
+        val meta = metaFrom(store.readDriverRowsAt(s"${table}__ivf_meta",
+          manifestRow.snaps("meta_snap")).head)
         def full = {
           val f = fullVectors.getOrElse(throw new IllegalArgumentException(
             s"rebalancing quantized collection '$table' needs fullVectors: " +
@@ -535,11 +664,12 @@ object VectorSink {
             writeIvfQuantized(store, table, full, id, vec,
               meta.nlist, meta.seed, meta.trainFraction)
           case "cosine-pq" =>
-            val pm = store.read(s"${table}__pq_meta").head()
+            val pm = store.readDriverRowsAt(s"${table}__pq_meta",
+              manifestRow.snaps("pqmeta_snap")).head
             writeIvfPq(store, table, full, id, vec,
               meta.nlist, meta.seed, meta.trainFraction,
-              pm.getAs[Int]("m"), pm.getAs[Int]("ksub"),
-              pm.getAs[Int]("iters"))
+              pm("m").asInstanceOf[Int], pm("ksub").asInstanceOf[Int],
+              pm("iters").asInstanceOf[Int])
           case other =>
             throw new IllegalArgumentException(
               s"collection '$table' has unknown metric '$other'")
@@ -556,9 +686,16 @@ object VectorSink {
   def topKPq(store: TableStore, table: String,
       fullVectors: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int,
+      shortlist: Int): DataFrame =
+    topKPqGen(store, table, generation(store, table), fullVectors, queries,
+      id, vec, k, nprobe, shortlist)
+
+  /** [[topKPq]] against an EXPLICIT generation (see [[generationAt]]). */
+  def topKPqGen(store: TableStore, table: String, g: Generation,
+      fullVectors: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int, nprobe: Int,
       shortlist: Int): DataFrame = {
     // same consistent-snapshot discipline as [[topKQuantized]]
-    val g = generation(store, table)
     require(g.meta.metric == "cosine-pq",
       s"collection '$table' is '${g.meta.metric}', not a PQ collection")
     require(nprobe >= 1 && nprobe <= g.meta.nlist,

@@ -273,6 +273,186 @@ class VectorSinkSpec extends SparkSpec {
       pairs(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
   }
 
+  test("append assignment is map-only: no Exchange, no Window in the plan") {
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0))
+    val batch = Seq((1L, Seq(0.1f, 0.2f)), (2L, Seq(0.9f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val assigned = VectorSink.assignToStored(batch, cents, "embedding")
+    val nodes = assigned.queryExecution.executedPlan
+      .collect { case p => p.getClass.getSimpleName }
+    assert(!nodes.exists(n => n.contains("Exchange") || n.contains("Window")),
+      s"append assignment must stay map-only, got: $nodes")
+    assert(assigned.select("vec_id", "__list").as[(Long, Int)].collect()
+      .toMap === Map(1L -> 0, 2L -> 1))
+  }
+
+  test("append argmin agrees with the probe-side centroid ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec13").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding", nlist = 4)
+    val centroids = store.read("emb__centroids")
+    val matrix = centroids.collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val batch = corpus.unionByName(blob)
+    val got = VectorSink.assignToStored(batch, matrix, "embedding")
+      .select("vec_id", "__list").as[(Long, Int)].collect().toMap
+    // the probe-side shape: |c|² − 2·v·c ranking, ties to lowest __list
+    import org.apache.spark.sql.expressions.Window
+    val dot = graft.functions.VectorFunctions.dotp _
+    val w = Window.partitionBy("vec_id").orderBy(col("__d"), col("__list"))
+    val expected = batch.crossJoin(broadcast(centroids))
+      .withColumn("__d", dot(col("__centroid"), col("__centroid"))
+        - lit(2.0) * dot(col("embedding"), col("__centroid")))
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select("vec_id", "__list").as[(Long, Int)].collect().toMap
+    assert(got === expected)
+  }
+
+  private def countJobs[A](body: => A): (A, Int) = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val a = body
+      Thread.sleep(500) // listener bus drains asynchronously
+      (a, n.get)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("the skew check reads the manifest census — zero Spark jobs, no corpus scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec14").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding", nlist = 4)
+    VectorSink.append(store, "emb", blob, "vec_id", "embedding")
+    val ((skew, sizes), jobs) = countJobs {
+      (VectorSink.listSkew(store, "emb"), VectorSink.listSizes(store, "emb"))
+    }
+    assert(jobs === 0,
+      s"listSkew/listSizes launched $jobs Spark jobs — the census must be " +
+        "manifest-backed")
+    assert(sizes.map(_._2).sum === 124L, s"census drifted: ${sizes.toSeq}")
+    assert(skew > 1.5) // the blob piled into one list
+  }
+
+  test("append refuses a corpus head orphaned by an interrupted swap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec15").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding", nlist = 4)
+    // simulate a crash mid-rebalance: the corpus got rewritten but the
+    // collection manifest commit never happened — the head is an orphan
+    store.overwrite("emb", store.read("emb"),
+      statsFor = Seq("__list"), rangeBy = Seq("__list"))
+    val e = intercept[IllegalArgumentException] {
+      VectorSink.append(store, "emb", blob, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("run rebalance"),
+      s"append must point at rebalance to finish the swap: ${e.getMessage}")
+  }
+
+  test("append encodes under the PINNED model, not orphaned sub-table heads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec16").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfQuantized(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    // orphaned partial swap of the STATS table only (no manifest commit)
+    val garbage = store.read("emb__sq_stats")
+      .select(transform(col("mins"), x => x * 1000).as("mins"),
+        transform(col("maxs"), x => x * 1000 + 999).as("maxs"))
+    store.overwrite("emb__sq_stats", garbage)
+    VectorSink.append(store, "emb", blob, "vec_id", "embedding")
+    // the appended rows' codes must be the PINNED generation's encoding —
+    // codes under the garbage stats would differ wildly
+    val pinnedStats = VectorSink.generation(store, "emb").stats.get
+    val expected = blob.crossJoin(broadcast(pinnedStats))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.quantizeInt8(
+          col("embedding"), col("mins"), col("maxs"))("q").as("__q"))
+      .select(col("vec_id"), concat_ws(",", col("__q")).as("q"))
+      .as[(Long, String)].collect().toMap
+    val got = store.read("emb").filter(col("vec_id") >= 100L)
+      .select(col("vec_id"), concat_ws(",", col("__q")).as("q"))
+      .as[(Long, String)].collect().toMap
+    assert(got === expected,
+      "append read an orphaned stats head instead of the pinned generation")
+  }
+
+  test("width guard validates the WHOLE batch, not just its first row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec17").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding", nlist = 4)
+    // row 1 has the trained width; row 2 is short — must be rejected
+    val mixed = Seq(
+      (500L, Seq.tabulate(8)(_.toFloat)),
+      (501L, Seq.tabulate(5)(_.toFloat))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      VectorSink.append(store, "emb", mixed, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("widths"), e.getMessage)
+    val empty = intercept[IllegalArgumentException] {
+      VectorSink.append(store, "emb", corpus.limit(0), "vec_id", "embedding")
+    }
+    assert(empty.getMessage.contains("empty batch"))
+  }
+
+  test("vacuumCollection retains EVERY listed generation's pins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec18").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfQuantized(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    VectorSink.append(store, "emb", blob, "vec_id", "embedding") // gen 2
+    assert(VectorSink.generations(store, "emb") === Seq(1L, 2L))
+    // out-of-band churn ages the pinned manifests beyond retainManifests
+    val garbage = store.read("emb__sq_stats")
+      .select(transform(col("mins"), x => x * 1000).as("mins"),
+        transform(col("maxs"), x => x * 1000 + 999).as("maxs"))
+    store.overwrite("emb__sq_stats", garbage)
+    store.overwrite("emb__sq_stats", garbage)
+    VectorSink.vacuumCollection(store, "emb", retainManifests = 1)
+    // BOTH generations stay probe-able: gen 1's corpus snapshot and
+    // gen 2's must survive, not just whichever row head() happened on
+    assert(VectorSink.generationAt(store, "emb", 1L).corpus.count() === 64L)
+    assert(VectorSink.generationAt(store, "emb", 2L).corpus.count() === 124L)
+    val all = corpus.unionByName(blob)
+    val q = all.filter(col("vec_id").isin(0L, 101L))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    assert(pairs(VectorSink.topKQuantized(store, "emb", all, q,
+        "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 200)) ===
+      pairs(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
+  }
+
+  test("historical generations probe with their own model (topK*Gen)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec19").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfQuantized(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    val q = corpus.limit(2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    val atGen1 = pairs(VectorSink.topKQuantized(store, "emb", corpus, q,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 100))
+    // grow + retrain: the live generation moves on
+    VectorSink.append(store, "emb", blob, "vec_id", "embedding")
+    val all = corpus.unionByName(blob)
+    VectorSink.rebalance(store, "emb", "vec_id", "embedding",
+      fullVectors = Some(all), maxSkew = 1.0)
+    // a historical probe pins gen 1: pre-append corpus, pre-retrain model
+    val g1 = VectorSink.generationAt(store, "emb", 1L)
+    assert(pairs(VectorSink.topKQuantizedGen(store, "emb", g1, corpus, q,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 100)) === atGen1)
+    // and the live probe reflects the grown corpus exactly
+    assert(pairs(VectorSink.topKQuantized(store, "emb", all, q,
+        "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 300)) ===
+      pairs(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
+  }
+
   test("PQ collection stores m-byte codes and probes exactly at full width") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec5").toString
     val store = new TableStore(dir, spark)

@@ -302,4 +302,37 @@ class WriteSpec extends SparkSpec {
     }
     assert(cm.isEmpty, "failed chain load must unpersist its pinned id sets")
   }
+
+  test("driver-side tiny reads round-trip both writer formats, no Spark job") {
+    val store = newStore()
+    // driver-written segment (TinyParquet, required fields, all 4 cell types)
+    import TinyParquet._
+    store.appendDriverFile("cfg")(p => TinyParquet.write(p, Seq(Seq(
+      "name" -> SCell("a"), "n" -> ICell(7), "snap" -> LCell(42L),
+      "frac" -> DCell(0.25)))))
+    // Spark-written segment of the same shape (optional fields)
+    store.append("cfg", Seq(("b", 8, 43L, 0.5)).toDF("name", "n", "snap", "frac"))
+    val rows = store.readDriverRows("cfg").sortBy(_("name").asInstanceOf[String])
+    assert(rows === Seq(
+      Map("name" -> "a", "n" -> 7, "snap" -> 42L, "frac" -> 0.25),
+      Map("name" -> "b", "n" -> 8, "snap" -> 43L, "frac" -> 0.5)))
+    // Spark reads the driver-written rows right back (mixed segments unify)
+    assert(store.read("cfg").count() === 2)
+    // snapshot-pinned read sees the PAST state
+    val first = store.snapshots("cfg").head
+    assert(store.readDriverRowsAt("cfg", first).map(_("name")) === Seq("a"))
+    // overwriteDriverFile replaces the whole segment list
+    store.overwriteDriverFile("cfg")(p => TinyParquet.write(p, Seq(Seq(
+      "name" -> SCell("c"), "n" -> ICell(9), "snap" -> LCell(44L),
+      "frac" -> DCell(1.0)))))
+    assert(store.readDriverRows("cfg").map(_("name")) === Seq("c"))
+    // tombstone-carrying tables are refused (merge-on-read needs Spark)
+    store.append("kv", Seq((1L, "x")).toDF("id", "v"))
+    store.appendWithTombstone("kv", Seq((1L, "y")).toDF("id", "v"), "id",
+      Seq(Tuple1(1L)).toDF("id"))
+    val e = intercept[IllegalArgumentException] {
+      store.readDriverRows("kv")
+    }
+    assert(e.getMessage.contains("tombstones"))
+  }
 }
