@@ -15,6 +15,50 @@ object NormalizeQueries {
 
   private val cfg = NormalizeConfig(loadId = "1700000000.0")
 
+  /** DuckDB re-derivation of every naming-convention chain (the same
+    * regex/translate steps `NamingConventions.*.normalizeColumn` run in
+    * Spark), built per ident prefix via lateral column aliases. */
+  private def namingConventionsOracle: String = {
+    def steps(p: String, src: String): String =
+      s"""
+         |    regexp_replace(translate(trim($src), '+-*@|', 'x_xal'),
+         |      '[^a-zA-Z0-9_]', '_', 'g') AS ${p}_s1,
+         |    lower(regexp_replace(regexp_replace(${p}_s1,
+         |      '([^_])([A-Z][a-z]+)', '\\1_\\2', 'g'),
+         |      '([a-z0-9])([A-Z])', '\\1_\\2', 'g')) AS ${p}_s3,
+         |    CASE WHEN regexp_matches(${p}_s3, '^[0-9]')
+         |      THEN '_' || ${p}_s3 ELSE ${p}_s3 END AS ${p}_s4,
+         |    rtrim(${p}_s4, '_') || repeat('x',
+         |      length(${p}_s4) - length(rtrim(${p}_s4, '_'))) AS ${p}_s5,
+         |    regexp_replace(${p}_s5, '_{2,}', '_', 'g') AS ${p}_snake,
+         |    regexp_replace(translate(trim($src),
+         |      chr(10) || chr(13) || '"', '___'),
+         |      '_{2,}', '_', 'g') AS ${p}_duck,
+         |    translate(trim($src),
+         |      chr(10) || chr(13) || '''' || '"' || '▶',
+         |      '_____') AS ${p}_direct,
+         |    regexp_replace(trim($src), '[^a-zA-Z0-9_]+', '_', 'g') AS ${p}_c1,
+         |    CASE WHEN regexp_matches(${p}_c1, '^[0-9]')
+         |      THEN '_' || ${p}_c1 ELSE ${p}_c1 END AS ${p}_c2,
+         |    CASE WHEN ${p}_c2 = '_' THEN ${p}_c2
+         |      ELSE regexp_replace(${p}_c2, '_+$$', '') END AS ${p}_c3,
+         |    regexp_replace(${p}_c3, '_{2,}', '_', 'g') AS ${p}_sqlcs,
+         |    lower(${p}_sqlcs) AS ${p}_sqlci""".stripMargin
+    s"""WITH ids AS (
+       |  SELECT n_name || '+Key_' || CAST(n_nationkey AS VARCHAR)
+       |      || ' 1"x__Y' AS ident_a,
+       |    CAST(n_nationkey AS VARCHAR) || n_name || ' Go_' AS ident_b
+       |  FROM nation
+       |), steps AS (
+       |  SELECT ident_a, ident_b,${steps("a", "ident_a")},${steps("b", "ident_b")}
+       |  FROM ids
+       |)
+       |SELECT ident_a, ident_b,
+       |  a_snake, a_duck, a_direct, a_sqlcs, a_sqlci,
+       |  b_snake, b_duck, b_direct, b_sqlcs, b_sqlci
+       |FROM steps ORDER BY ident_a""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     // JSON string column → inferred struct → flattened `props__k`
     "norm_flatten_json" -> q { c =>
@@ -45,6 +89,30 @@ object NormalizeQueries {
         col("r_regionkey").as("Region Key"),
         col("r_name").as("1Name")))
         .orderBy("region_key")
+    },
+
+    // the PLUGGABLE naming conventions (reference duck_case / direct /
+    // sql_cs_v1 / sql_ci_v1 alongside snake_case), exercised VALUE-LEVEL
+    // over data-derived identifiers: each convention's normalizeColumn is
+    // the distributed form (identifiers arriving as data — EAV feeds,
+    // ingested schema registries), and the oracle re-derives every chain
+    // in DuckDB SQL, so the gate hash-pins all five normalization tables
+    "norm_naming_conventions" -> q { c =>
+      import graft.schema.NamingConventions._
+      val ids = c.t("nation").select(
+        concat(col("n_name"), lit("+Key_"), col("n_nationkey").cast("string"),
+          lit(" 1\"x__Y")).as("ident_a"),
+        concat(col("n_nationkey").cast("string"), col("n_name"),
+          lit(" Go_")).as("ident_b"))
+      def norms(p: String, ident: org.apache.spark.sql.Column) = Seq(
+        SnakeCase.normalizeColumn(ident).as(s"${p}_snake"),
+        DuckCase.normalizeColumn(ident).as(s"${p}_duck"),
+        Direct.normalizeColumn(ident).as(s"${p}_direct"),
+        SqlCsV1.normalizeColumn(ident).as(s"${p}_sqlcs"),
+        SqlCiV1.normalizeColumn(ident).as(s"${p}_sqlci"))
+      ids.select(col("ident_a") +: col("ident_b") +:
+          (norms("a", col("ident_a")) ++ norms("b", col("ident_b"))): _*)
+        .orderBy("ident_a")
     },
 
     // text→bigint coercion over '0x…' hex values round-trips p_size
@@ -112,6 +180,7 @@ object NormalizeQueries {
     "norm_coerce_hex" ->
       """SELECT p_partkey, CAST(p_size AS BIGINT) AS coerced
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "norm_naming_conventions" -> namingConventionsOracle,
     "norm_json_variant" ->
       """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

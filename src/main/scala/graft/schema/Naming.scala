@@ -59,6 +59,12 @@ object Naming {
   def normalizePath(path: Seq[String], maxLength: Int = 127): String =
     shortenFragments(path.map(normalizeIdentifier(_, maxLength)), maxLength)
 
+  /** The shared shortening step for the pluggable conventions
+    * ([[NamingConventions]]) — one tag algorithm across all of them,
+    * as the reference's base class shares shorten_identifier. */
+  private[schema] def shortenWithTag(ident: String, original: String,
+      maxLength: Int): String = shorten(ident, original, maxLength)
+
   /** Deterministic shortening with a content tag, mirroring
     * naming.py:137's max-length handling. */
   private def shorten(ident: String, original: String, maxLength: Int): String =
