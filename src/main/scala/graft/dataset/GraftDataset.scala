@@ -27,6 +27,22 @@ final class GraftDataset(val store: TableStore, val registry: SchemaRegistry,
   }
   def apply(name: String): Relation = table(name)
 
+  /** TIME TRAVEL on the dataset facade (Iceberg's `VERSION AS OF`
+    * shape over [[TableStore.readAt]]): the table as it stood at a
+    * snapshot id from [[snapshots]]. Composes like any other relation
+    * — filters, joins, selects — it just scans the pinned manifest's
+    * immutable segments. NOT `pristine`: the stat-pruned read swap
+    * only describes the CURRENT snapshot. */
+  def asOf(name: String, snapshot: Long): Relation = {
+    val norm = Naming.normalizeTableName(name)
+    new Relation(store.readAt(norm, snapshot), norm, this, pristine = false)
+  }
+
+  /** Snapshot ids of a table, oldest → newest — the time-travel points
+    * [[asOf]] accepts. */
+  def snapshots(name: String): Seq[Long] =
+    store.snapshots(Naming.normalizeTableName(name))
+
   /** Temp views registered by [[query]]: table → the snapshot id the
     * view was built from. Re-registering every stored table on EVERY
     * query call is O(tables) driver work (manifest read + plan build

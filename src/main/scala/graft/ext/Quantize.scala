@@ -98,6 +98,13 @@ object Quantize {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** [[RerankOracleSql]] with a corpus predicate — the generation-probe
+    * gate replays the SAME chain over the SUBSET the pinned historical
+    * model was trained on (stats + codes + ranks all from that half). */
+  def rerankOracleSqlOver(corpusWhere: String): String =
+    RerankOracleSql.replace("FROM embeddings)",
+      s"FROM embeddings WHERE $corpusWhere)")
+
   /** DuckDB re-derivation of [[rerankTopK]] (k=5, shortlist=20,
     * queries = vec_id < 10): quantize→dequantize replayed per
     * dimension, ADC shortlist, exact re-rank. */

@@ -564,6 +564,38 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
+    // GENERATION TIME TRAVEL over a persisted collection: write gen 1
+    // (even half, SQ8), append a drifted blob (gen 2), rebalance (gen 3
+    // retrains the whole model) — then probe GENERATION 1 through its
+    // pinned snapshots: pre-append corpus, pre-retrain centroids/stats.
+    // nprobe = nlist + corpus-wide shortlist makes the historical probe
+    // exactly the ADC re-rank over the EVEN half, so the oracle replays
+    // that chain over the same subset; the surviving generation list
+    // rides the hash as a literal.
+    "sim_ivf_generation" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      val store = new TableStore(
+        java.nio.file.Files.createTempDirectory("graft-vgen").toString, c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      val even = vecs.filter(col("vec_id") % 2 === 0)
+      val blob = vecs.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(0.5) + lit(4.0))
+            .cast("array<float>").as("embedding"))
+      VectorSink.writeIvfQuantized(store, "emb", even,
+        "vec_id", "embedding", nlist = 8)                          // gen 1
+      VectorSink.append(store, "emb", blob, "vec_id", "embedding") // gen 2
+      VectorSink.rebalance(store, "emb", "vec_id", "embedding",    // gen 3
+        fullVectors = Some(even.unionByName(blob)), maxSkew = 1.0)
+      val g1 = VectorSink.generationAt(store, "emb", 1L)
+      VectorSink.topKQuantizedGen(store, "emb", g1, even,
+        even.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 8, shortlist = 20)
+        .withColumn("gens",
+          lit(VectorSink.generations(store, "emb").mkString(",")))
+        .orderBy("query_id", "rank")
+    },
+
     // IVF + SQ8: the collection persists INT8 CODES (4x less data under
     // every probe) + dequantization stats; probe = centroid-ranked
     // lists -> ADC shortlist over stored codes -> exact re-rank of the
@@ -1452,6 +1484,13 @@ object ExtQueries {
     "sim_quantized_rerank" -> Quantize.RerankOracleSql,
 
     "sim_ivf_sq8" -> Quantize.RerankOracleSql,
+
+    // the historical generation ≡ the ADC re-rank chain over the even
+    // half alone (its training corpus); generations 1,2,3 all survive
+    "sim_ivf_generation" ->
+      s"""SELECT query_id, rank, match_id, cosine, '1,2,3' AS gens
+         |FROM (${Quantize.rerankOracleSqlOver("vec_id % 2 = 0")}) h
+         |ORDER BY query_id, rank""".stripMargin,
 
     "sim_radius_search" ->
       """SELECT q.vec_id AS query_id, v.vec_id AS match_id,

@@ -215,6 +215,62 @@ object PlaneQueries {
           max(col("_dlt_load_id")).as("quarantine_load")))
     },
 
+    // the dead-letter cycle CLOSED end-to-end: the same breach fixture
+    // as plane_drift_quarantine, then the OTHER half of the lifecycle —
+    // replayQuarantine strips the provenance stamps, the replayed batch
+    // loads clean (post-investigation, no drift gate), clearQuarantine
+    // retires the handled rows. Gates: every order row reaches the main
+    // table, the replayed half arrived via load 3, the lifted values
+    // survived the quarantine round-trip bit-exact (v ≠ price exactly
+    // on the lifted quarter), and the quarantine table is gone.
+    "plane_quarantine_replay" -> q { c =>
+      val p = new Pipeline("dqr",
+        Files.createTempDirectory("graft-dqr").toString, c.spark)
+      val o = c.t("orders")
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("v"))
+      val cur = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), (col("o_totalprice").cast("double") *
+          when(pmod(col("o_orderkey"), lit(4)) === 1, lit(1.25))
+            .otherwise(lit(1.0))).as("v"))
+      def res(df: org.apache.spark.sql.DataFrame) =
+        Resource("m", df).withDriftCheck("v", maxPsi = 0.05, quarantine = true)
+      p.run(Seq(res(base)), "1")
+      p.run(Seq(res(cur)), "2") // breaches -> m__quarantine
+      val replay = p.replayQuarantine("m", loadId = Some("2"))
+      p.run(Seq(Resource("m", replay)), "3") // clean re-ingest
+      p.clearQuarantine("m")
+      val main = p.store.read("m")
+      val lifted = main.join(o.select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("tp")), "o_orderkey")
+        .filter(col("v") =!= col("tp")).count()
+      main.agg(count(lit(1)).as("main_rows"),
+          sum(when(pmod(col("o_orderkey"), lit(2)) === 1, lit(1L))
+            .otherwise(lit(0L))).as("replayed_rows"))
+        .withColumn("lifted_rows", lit(lifted))
+        .withColumn("quarantine_cleared",
+          lit(!p.store.exists("m__quarantine")))
+    },
+
+    // typed TIME TRAVEL on the dataset facade: asOf pins a snapshot and
+    // the relation composes like any other — v1 (pre-append) unioned
+    // with the current head, both through GraftDataset
+    "ds_as_of" -> q { c =>
+      val p = new Pipeline("dsa",
+        Files.createTempDirectory("graft-dsa").toString, c.spark)
+      val ev = c.t("events").select("event_id", "user_id")
+      p.run(Seq(Resource("events_t", ev.filter(col("event_id") < 100))), "1")
+      val snap1 = p.dataset.snapshots("events_t").last
+      p.run(Seq(Resource("events_t",
+        ev.filter(col("event_id") >= 100 && col("event_id") < 200))), "2")
+      val v1 = p.dataset.asOf("events_t", snap1)
+        .select("event_id", "user_id").df().withColumn("version", lit("v1"))
+      val cur = p.dataset.table("events_t")
+        .select("event_id", "user_id").df()
+        .withColumn("version", lit("current"))
+      v1.unionByName(cur).orderBy("version", "event_id")
+    },
+
     // filesystem source: csv write + distributed read with provenance
     "src_csv_roundtrip" -> q { c =>
       val dir = Files.createTempDirectory("graft-csv").toString
@@ -255,6 +311,23 @@ object PlaneQueries {
          |  'v' AS drift_column,
          |  (SELECT psi FROM tot) AS psi,
          |  '2' AS quarantine_load""".stripMargin,
+
+    "plane_quarantine_replay" ->
+      """SELECT count(*)::BIGINT AS main_rows,
+        |  (count(*) FILTER (WHERE o_orderkey % 2 = 1))::BIGINT
+        |    AS replayed_rows,
+        |  (count(*) FILTER (WHERE o_orderkey % 4 = 1))::BIGINT
+        |    AS lifted_rows,
+        |  true AS quarantine_cleared
+        |FROM orders""".stripMargin,
+
+    "ds_as_of" ->
+      """SELECT event_id, user_id, 'v1' AS version FROM events
+        |WHERE event_id < 100
+        |UNION ALL
+        |SELECT event_id, user_id, 'current' FROM events
+        |WHERE event_id < 200
+        |ORDER BY version, event_id""".stripMargin,
 
     "inc_exactly_once" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",

@@ -289,4 +289,26 @@ class PruningSpec extends SparkSpec {
     assert(after.contains(before(1))) // z-segment untouched
     assert(store.read("t").count() === 4)
   }
+
+  test("dataset asOf pins a snapshot and composes like any relation") {
+    import graft.dataset.GraftDataset
+    import graft.schema.SchemaRegistry
+    val store = new TableStore(
+      java.nio.file.Files.createTempDirectory("graft-asof").toString, spark)
+    store.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val snap1 = store.snapshots("t").last
+    store.append("t", Seq((3L, "c")).toDF("id", "v"))
+    val ds = new GraftDataset(store, new SchemaRegistry("asof"), spark)
+    assert(ds.snapshots("t").last != snap1)
+    assert(ds.asOf("t", snap1).df().count() === 2L)
+    assert(ds.table("t").df().count() === 3L)
+    // composes: filter over the pinned snapshot
+    assert(ds.asOf("t", snap1).where("id", "gte", 2).select("v")
+      .df().collect().map(_.getString(0)).toSeq === Seq("b"))
+    // a vacuumed snapshot reports, not NPEs
+    store.append("t", Seq((4L, "d")).toDF("id", "v"))
+    store.vacuum("t", retainManifests = 1)
+    val e = intercept[IllegalArgumentException](ds.asOf("t", snap1))
+    assert(e.getMessage.contains("vacuumed"))
+  }
 }
