@@ -74,7 +74,7 @@ object NamingConventions {
       * alphabet, per-char non-alnum to `_`, camel breaks, lower-case,
       * leading-digit prefix, trailing `_` to `x`, collapse runs. */
     def normalizeColumn(c: Column): Column = {
-      val red = translate(trim(c), "+-*@|", "x_xal")
+      val red = translate(strip(c), "+-*@|", "x_xal")
       val al = regexp_replace(red, "[^a-zA-Z0-9_]", "_")
       val b1 = regexp_replace(al, "([^_])([A-Z][a-z]+)", "$1_$2")
       val b2 = lower(regexp_replace(b1, "([a-z0-9])([A-Z])", "$1_$2"))
@@ -100,7 +100,7 @@ object NamingConventions {
         maxLength)
     }
     def normalizeColumn(c: Column): Column = emptyGuard(c,
-      regexp_replace(translate(trim(c), "\n\r\"", "___"), "_{2,}", "_"))
+      regexp_replace(translate(strip(c), "\n\r\"", "___"), "_{2,}", "_"))
   }
 
   /** direct.py:6-23 — minimal changes, `▶` path separator; `\n` `\r`
@@ -118,7 +118,7 @@ object NamingConventions {
       Naming.shortenWithTag(cleaned, identifier, maxLength)
     }
     def normalizeColumn(c: Column): Column = emptyGuard(c,
-      translate(trim(c), "\n\r'\"▶", "_____"))
+      translate(strip(c), "\n\r'\"▶", "_____"))
   }
 
   /** sql_cs_v1.py:29-41 — SQL-safe, source casing preserved. */
@@ -131,11 +131,15 @@ object NamingConventions {
       val alnum = t.replaceAll("[^a-zA-Z0-9_]+", "_")
       val led = if (alnum.headOption.exists(_.isDigit)) "_" + alnum else alnum
       val trail = if (led == "_") led else led.replaceAll("_+$", "")
+      // "__" strips to "" (reference behavior) — but this engine's
+      // contract is TOTAL: empty results map to _empty like empty
+      // inputs, or two all-underscore fields would collide on ""
+      if (trail.isEmpty) return Naming.EmptyKey
       Naming.shortenWithTag(trail.replaceAll("_{2,}", "_"), identifier,
         maxLength)
     }
     def normalizeColumn(c: Column): Column = {
-      val alnum = regexp_replace(trim(c), "[^a-zA-Z0-9_]+", "_")
+      val alnum = regexp_replace(strip(c), "[^a-zA-Z0-9_]+", "_")
       val led = when(alnum.rlike("^[0-9]"), concat(lit("_"), alnum))
         .otherwise(alnum)
       val trail = when(led === "_", led)
@@ -181,9 +185,17 @@ object NamingConventions {
       s"unknown naming convention '$name' " +
         s"(known: ${all.map(_.name).mkString(", ")})"))
 
-  /** NULL/empty guard shared by the column forms: a blank identifier
-    * normalizes to the engine's `_empty`, like the driver-side path. */
+  /** NULL/empty guard shared by the column forms: a NULL input, a blank
+    * input, or a normalization that strips to nothing (sql family on
+    * all-underscore identifiers) maps to the engine's `_empty`, exactly
+    * like the driver-side paths' totality contract. */
   private def emptyGuard(raw: Column, normalized: Column): Column =
-    when(raw.isNull || trim(raw) === "", lit(Naming.EmptyKey))
+    when(raw.isNull || normalized === "", lit(Naming.EmptyKey))
       .otherwise(normalized)
+
+  /** Column-side trim matching Scala `String.trim` (strips every char
+    * ≤ U+0020) — Spark's `trim()` strips SPACES only, so a tab-padded
+    * identifier would diverge between the driver and column forms. */
+  private def strip(c: Column): Column =
+    regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
 }

@@ -152,15 +152,21 @@ final class TableStore(val root: String, spark: SparkSession) {
     * applied — immutable segments make this free: no data is copied or
     * reconstructed, the old manifest simply still describes it. */
   def readAt(table: String, snapshot: Long): DataFrame = {
-    val manifest = tableDir(table).resolve(s"manifest-$snapshot.txt")
-    require(Files.exists(manifest),
-      s"snapshot $snapshot of $table does not exist (vacuumed?)")
-    val lines = new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
-      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val lines = manifestLinesAt(table, snapshot)
     val segs = lines.filterNot(_.startsWith("!")).map(decodeSegment)
     val tombs = lines.filter(_.startsWith("!")).flatMap(decodeTombstone)
     require(segs.nonEmpty, s"snapshot $snapshot of $table is empty")
     appliedRead(table, segs, tombs)
+  }
+
+  /** One snapshot's manifest lines — the shared parse behind [[readAt]]
+    * and [[readDriverRowsAt]]. */
+  private def manifestLinesAt(table: String, snapshot: Long): Seq[String] = {
+    val manifest = tableDir(table).resolve(s"manifest-$snapshot.txt")
+    require(Files.exists(manifest),
+      s"snapshot $snapshot of $table does not exist (vacuumed?)")
+    new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   /** CHANGE FEED between two snapshots: per-key inserts and deletes
@@ -406,12 +412,8 @@ final class TableStore(val root: String, spark: SparkSession) {
     * executor-written segment gets. */
   def appendDriverFile(table: String)(write: java.nio.file.Path => Unit): Unit =
     locked(table) {
-      val name = s"data/${UUID.randomUUID().toString.take(12)}.parquet"
-      val p = tableDir(table).resolve(name)
-      Files.createDirectories(p.getParent)
-      write(p)
-      commit(table, currentSegments(table) :+ Segment(name, Map.empty),
-        currentTombstones(table))
+      val seg = writeDriverSegment(table)(write)
+      commit(table, currentSegments(table) :+ seg, currentTombstones(table))
     }
 
   /** OVERWRITE with a driver-written parquet file — [[appendDriverFile]]
@@ -421,12 +423,18 @@ final class TableStore(val root: String, spark: SparkSession) {
     * — a Spark job per one-row rewrite is pure fixed overhead. */
   def overwriteDriverFile(table: String)(write: java.nio.file.Path => Unit): Unit =
     locked(table) {
-      val name = s"data/${UUID.randomUUID().toString.take(12)}.parquet"
-      val p = tableDir(table).resolve(name)
-      Files.createDirectories(p.getParent)
-      write(p)
-      commit(table, Seq(Segment(name, Map.empty)))
+      val seg = writeDriverSegment(table)(write)
+      commit(table, Seq(seg))
     }
+
+  private def writeDriverSegment(table: String)(
+      write: java.nio.file.Path => Unit): Segment = {
+    val name = s"data/${UUID.randomUUID().toString.take(12)}.parquet"
+    val p = tableDir(table).resolve(name)
+    Files.createDirectories(p.getParent)
+    write(p)
+    Segment(name, Map.empty)
+  }
 
   /** Driver-side read of a TINY table's current rows — no Spark job.
     * For system/manifest tables whose row count is driver-small BY
@@ -446,11 +454,7 @@ final class TableStore(val root: String, spark: SparkSession) {
 
   /** [[readDriverRows]] at a pinned snapshot (see [[readAt]]). */
   def readDriverRowsAt(table: String, snapshot: Long): Seq[Map[String, Any]] = {
-    val manifest = tableDir(table).resolve(s"manifest-$snapshot.txt")
-    require(Files.exists(manifest),
-      s"snapshot $snapshot of $table does not exist (vacuumed?)")
-    val lines = new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
-      .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val lines = manifestLinesAt(table, snapshot)
     require(!lines.exists(_.startsWith("!")),
       s"readDriverRowsAt($table): snapshot carries tombstones — read via Spark")
     lines.map(decodeSegment).flatMap(s => readSegmentDriver(table, s))

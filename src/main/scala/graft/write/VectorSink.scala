@@ -505,9 +505,18 @@ object VectorSink {
         "— run rebalance to finish the interrupted swap before appending")
     // the kernels truncate to min(length): ANY wrong-width row would
     // ingest silently-corrupt assignments/codes — validate the WHOLE
-    // batch (one batch-sized aggregate), not just its first row
+    // batch (one batch-sized aggregate), not just its first row. NULL
+    // vectors must be counted explicitly: min/max IGNORE nulls, and a
+    // null would null-propagate through the argmin into a __list=NULL
+    // row the census then trips over — mid-commit
     val d = rows.agg(min(size(col(vec))).as("mn"),
-      max(size(col(vec))).as("mx")).head()
+      max(size(col(vec))).as("mx"),
+      sum(when(col(vec).isNull, lit(1L)).otherwise(lit(0L))).as("nulls"))
+      .head()
+    require(!d.isNullAt(2) && d.getLong(2) == 0L,
+      if (d.isNullAt(2)) s"append to '$table': empty batch"
+      else s"append to '$table': batch carries ${d.getLong(2)} NULL " +
+        s"vectors — drop or impute them before appending")
     require(!d.isNullAt(0), s"append to '$table': empty batch")
     require(d.getInt(0) == meta.dim && d.getInt(1) == meta.dim,
       s"append to '$table': batch vector widths span " +
@@ -623,12 +632,23 @@ object VectorSink {
       maxSkew: Double = 4.0): Boolean = {
     require(maxSkew >= 1.0, s"maxSkew $maxSkew below the balanced floor 1.0")
     store.exclusively(table) {
-      if (listSkew(store, table) <= maxSkew) false
+      val manifestRow = newestRow(store, table)
+      // an orphaned corpus head (a crash between a writer's corpus
+      // commit and its manifest commit — exactly what makes [[append]]
+      // refuse with "run rebalance") must force the rewrite regardless
+      // of skew: rebalance IS the advertised recovery path, and a
+      // balanced census would otherwise no-op it forever. The head
+      // corpus is complete either way (segment commits are atomic), so
+      // rewriting from it finishes the swap — an interrupted APPEND's
+      // committed batch rows are included, an interrupted REBALANCE's
+      // rewritten rows re-train to the same answer.
+      val interrupted =
+        store.snapshots(table).max != manifestRow.snaps("corpus_snap")
+      if (!interrupted && listSkew(store, table) <= maxSkew) false
       else {
         // params resolve through the PINNED generation, like append:
         // an orphaned __ivf_meta/__pq_meta head from the very swap this
         // run is finishing must not redefine the index parameters
-        val manifestRow = newestRow(store, table)
         val meta = metaFrom(store.readDriverRowsAt(s"${table}__ivf_meta",
           manifestRow.snaps("meta_snap")).head)
         def full = {

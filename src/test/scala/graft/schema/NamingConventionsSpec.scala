@@ -47,6 +47,9 @@ class NamingConventionsSpec extends SparkSpec {
       assert(n("_") === "_")
       assert(n("+1") === "_1")
       assert(n("-1") === "_1")
+      // "__" strips to "" in the reference; this engine's totality
+      // contract maps it to _empty instead of an empty (colliding) name
+      assert(n("__") === Naming.EmptyKey)
     }
     // test_naming_sql.py:33-42 — cs preserves casing…
     assert(SqlCsV1.normalizeIdentifier("123BaNaNa") === "_123BaNaNa")
@@ -83,7 +86,10 @@ class NamingConventionsSpec extends SparkSpec {
       "123BaNaNa", "___a___b", " small love potion ", "+-!$*@#=|:",
       "_", "+1", "-1", "CamelCase99Mix", "HTTPResponse", "a__b",
       "Tail_", "Tail__", "ALL CAPS", "a'b\"c", "A\nB\"C\rD", "x▶y",
-      "🦚Peacock", "Ölüber Straße", "col.umn", "  ", "a|b@c+d*e-f")
+      "🦚Peacock", "Ölüber Straße", "col.umn", "  ", "a|b@c+d*e-f",
+      // tab/newline PADDING (Scala trim ≤0x20 vs Spark space-only trim)
+      // and all-underscore identifiers (sql family strips them to "")
+      "a\t", "\tb", " c\n ", "__", "___x___")
     val df = corpus.toDF("ident")
     for (c <- all) {
       val got = df.select(c.normalizeColumn(org.apache.spark.sql.functions

@@ -319,10 +319,26 @@ class VectorSinkSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       val a = body
-      Thread.sleep(500) // listener bus drains asynchronously
+      drainListenerBus() // deterministic drain: events deliver async
       (a, n.get)
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  /** `LiveListenerBus.waitUntilEmpty` is private[spark] — reach it via
+    * reflection (a fixed sleep would make the zero-jobs assertion
+    * timing-dependent); falls back to a sleep if the internals move. */
+  private def drainListenerBus(): Unit = try {
+    val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+      .invoke(spark.sparkContext)
+    val ms = bus.getClass.getMethods
+    ms.find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+      .map(_.invoke(bus))
+      .orElse(ms.find(m => m.getName == "waitUntilEmpty" &&
+          m.getParameterCount == 1)
+        .map(_.invoke(bus, java.lang.Long.valueOf(10000L))))
+      .getOrElse(Thread.sleep(500))
+    ()
+  } catch { case _: ReflectiveOperationException => Thread.sleep(500) }
 
   test("the skew check reads the manifest census — zero Spark jobs, no corpus scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec14").toString
@@ -397,6 +413,42 @@ class VectorSinkSpec extends SparkSpec {
       VectorSink.append(store, "emb", corpus.limit(0), "vec_id", "embedding")
     }
     assert(empty.getMessage.contains("empty batch"))
+    // NULL vectors are invisible to min/max(size) — they must be
+    // counted out explicitly, not slip through to a __list=NULL row
+    val withNull = Seq(
+      (600L, Some(Seq.tabulate(8)(_.toFloat))),
+      (601L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    val nulls = intercept[IllegalArgumentException] {
+      VectorSink.append(store, "emb", withNull, "vec_id", "embedding")
+    }
+    assert(nulls.getMessage.contains("NULL"), nulls.getMessage)
+  }
+
+  test("rebalance heals an interrupted swap even when the census is balanced") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec20").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding", nlist = 4)
+    // orphan the corpus head (crash between corpus commit and manifest
+    // commit); the census stays balanced, so a skew-only trigger would
+    // no-op forever while append keeps refusing
+    store.overwrite("emb", store.read("emb"),
+      statsFor = Seq("__list"), rangeBy = Seq("__list"))
+    intercept[IllegalArgumentException] {
+      VectorSink.append(store, "emb", blob, "vec_id", "embedding")
+    }
+    assert(VectorSink.rebalance(store, "emb", "vec_id", "embedding",
+      maxSkew = 4.0), "rebalance must rewrite on an orphaned corpus head")
+    // the swap is finished: appends flow again and probes stay exact
+    VectorSink.append(store, "emb", blob, "vec_id", "embedding")
+    assert(store.read("emb").count() === 124)
+    val all = corpus.unionByName(blob)
+    val q = all.filter(col("vec_id").isin(0L, 101L))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    assert(pairs(VectorSink.topK(store, "emb", q,
+        "vec_id", "embedding", k = 3, nprobe = 4)) ===
+      pairs(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
   }
 
   test("vacuumCollection retains EVERY listed generation's pins") {
