@@ -101,9 +101,14 @@ object Quantize {
   /** [[RerankOracleSql]] with a corpus predicate — the generation-probe
     * gate replays the SAME chain over the SUBSET the pinned historical
     * model was trained on (stats + codes + ranks all from that half). */
-  def rerankOracleSqlOver(corpusWhere: String): String =
-    RerankOracleSql.replace("FROM embeddings)",
+  def rerankOracleSqlOver(corpusWhere: String): String = {
+    val out = RerankOracleSql.replace("FROM embeddings)",
       s"FROM embeddings WHERE $corpusWhere)")
+    require(out != RerankOracleSql,
+      "rerankOracleSqlOver: anchor 'FROM embeddings)' not found — " +
+        "RerankOracleSql was reworded, update the substitution")
+    out
+  }
 
   /** DuckDB re-derivation of [[rerankTopK]] (k=5, shortlist=20,
     * queries = vec_id < 10): quantize→dequantize replayed per

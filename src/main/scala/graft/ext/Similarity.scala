@@ -197,10 +197,15 @@ object Similarity {
   def ivfProbe(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
-    // distance² = |q|² − 2·q·c + |c|²; ranking ignores the |q|² term
+    // FULL squared distance Σ(q−c)² — the same subtract-square-accumulate
+    // loop the k-means transform and the persisted append argmin
+    // ([[graft.functions.CentroidArgMin]]) run, so centroid ranking is
+    // BIT-identical across the in-memory probe, the persisted probe and
+    // the append assignment: near-tied centroids can never round to
+    // different winners between the paths
     val qc = q.crossJoin(broadcast(centroids))
-      .withColumn("__d", dot(col("__centroid"), col("__centroid"))
-        - lit(2.0) * dot(col("q_vec"), col("__centroid")))
+      .withColumn("__d",
+        graft.functions.VectorFunctions.sqDist(col("q_vec"), col("__centroid")))
     val probeW = Window.partitionBy("query_id").orderBy(col("__d"), col("__list"))
     val probes = qc.withColumn("__pr", row_number().over(probeW))
       .filter(col("__pr") <= nprobe)

@@ -444,12 +444,28 @@ final class TableStore(val root: String, spark: SparkSession) {
     * dominate the probe itself. Flat primitive schemas only; refuses
     * tables carrying tombstones (merge-on-read does not apply here —
     * these ledgers are append/overwrite-only by construction). */
-  def readDriverRows(table: String): Seq[Map[String, Any]] = locked(table) {
+  def readDriverRows(table: String): Seq[Map[String, Any]] = {
+    // NO lock — like read(): the atomic _CURRENT swap means an
+    // unlocked manifest read always resolves a complete snapshot
     require(currentTombstones(table).isEmpty,
       s"readDriverRows($table): table carries tombstones — read via Spark")
     val segs = currentSegments(table)
     require(segs.nonEmpty, s"table $table does not exist in $root")
     segs.flatMap(s => readSegmentDriver(table, s))
+  }
+
+  /** The LAST segment's rows only — O(1) in commit count where
+    * [[readDriverRows]] is O(segments). For ledgers whose newest entry
+    * is the live one (collection manifests: each commit appends one
+    * generation row, so the newest generation is always in the last
+    * segment), this keeps per-probe metadata resolution constant as
+    * the table accumulates commits. */
+  def readDriverRowsLast(table: String): Seq[Map[String, Any]] = {
+    require(currentTombstones(table).isEmpty,
+      s"readDriverRowsLast($table): table carries tombstones — read via Spark")
+    val segs = currentSegments(table)
+    require(segs.nonEmpty, s"table $table does not exist in $root")
+    readSegmentDriver(table, segs.last)
   }
 
   /** [[readDriverRows]] at a pinned snapshot (see [[readAt]]). */

@@ -88,19 +88,30 @@ object VectorSink {
   private def decodeRow(m: Map[String, Any]): CollectionRow =
     CollectionRow(m("gen").asInstanceOf[Long],
       SubTables.map { case (_, c) => c -> m(c).asInstanceOf[Long] }.toMap,
-      m("list_sizes").asInstanceOf[String] match {
+      // rows committed before the census existed decode to an empty
+      // census — append self-heals it with one full count (migration)
+      m.get("list_sizes").map(_.asInstanceOf[String]).getOrElse("") match {
         case "" => Array.empty[Long]
         case s => s.split(",").map(_.toLong)
       })
 
   /** All manifest rows, oldest → newest — a driver file read
-    * ([[TableStore.readDriverRows]]), no Spark job. */
+    * ([[TableStore.readDriverRows]]), no Spark job. History-facing ops
+    * only ([[generations]], [[generationAt]], prune, vacuum) — the hot
+    * paths resolve through [[newestRow]], which reads ONE segment. */
   private def collectionRows(store: TableStore,
       table: String): Seq[CollectionRow] =
     store.readDriverRows(s"${table}__collection").map(decodeRow).sortBy(_.gen)
 
+  /** The LIVE generation's row — O(1) in commit count: every commit
+    * appends one generation row as one driver-file segment, so the
+    * newest row always lives in the LAST segment (pruneGenerations'
+    * overwrite collapses to a single segment, preserving this). A
+    * probe-per-append workload would otherwise decode EVERY prior
+    * generation's file per probe. */
   private def newestRow(store: TableStore, table: String): CollectionRow =
-    collectionRows(store, table).last
+    store.readDriverRowsLast(s"${table}__collection")
+      .map(decodeRow).maxBy(_.gen)
 
   /** Commit the collection-level manifest: APPEND one row pinning the
     * given snapshot per sub-table (−1 for sub-tables this metric does
@@ -283,19 +294,22 @@ object VectorSink {
       countListSizes(store, table, nlist))
   }
 
-  /** THE centroid-ranking implementation of the PROBE paths — distance²
-    * ranking (|c|² − 2·v·c, the |v|² term is rank-invariant) with ties
-    * to the lowest `__list`. queries × nlist rows — query-sized work.
-    * (The APPEND side ranks with the map-only [[assignToStored]]
-    * argmin instead: batch × nlist through a join would shuffle every
-    * appended batch nlist-fold at real nlist.) */
+  /** THE centroid-ranking implementation of the PROBE paths — FULL
+    * squared distance (Σ(v−c)², the same per-element subtract-square-
+    * accumulate loop [[graft.functions.CentroidArgMin]] runs, so probe
+    * ranking and append assignment are BIT-identical, not merely
+    * rank-equivalent: a near-tied pair of centroids can never round to
+    * different winners between the two sides) with ties to the lowest
+    * `__list`. queries × nlist rows — query-sized work. (The APPEND
+    * side ranks with the map-only [[assignToStored]] argmin instead:
+    * batch × nlist through a join would shuffle every appended batch
+    * nlist-fold at real nlist.) */
   private def rankedLists(rows: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, maxRank: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dot = graft.functions.VectorFunctions.dotp _
     val wd = rows.crossJoin(broadcast(centroids))
-      .withColumn("__d", dot(col("__centroid"), col("__centroid"))
-        - lit(2.0) * dot(col(vecCol), col("__centroid")))
+      .withColumn("__d",
+        graft.functions.VectorFunctions.sqDist(col(vecCol), col("__centroid")))
     val w = Window.partitionBy(idCol).orderBy(col("__d"), col("__list"))
     wd.withColumn("__pr", row_number().over(w))
       .filter(col("__pr") <= maxRank)
@@ -525,8 +539,10 @@ object VectorSink {
     val assigned = assignToStored(rows, centroidMatrix(g.centroids), vec)
     val coded = meta.metric match {
       case "cosine" =>
-        // match the stored segment schema (corpus columns + __list)
-        val cols = store.read(table).columns
+        // match the stored segment schema (corpus columns + __list) —
+        // from the PINNED corpus frame (lazy, no extra manifest read;
+        // schema ≡ head by the corpus-head equality check above)
+        val cols = g.corpus.columns
         assigned.select(cols.map(col): _*)
       case "cosine-sq8" =>
         val stats = broadcast(g.stats.get)
@@ -547,12 +563,19 @@ object VectorSink {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       store.append(table, pinned, statsFor = Seq("__list"))
-      val batchCounts = pinned.groupBy("__list").count().collect()
-        .map(r => r.getInt(r.fieldIndex("__list")) ->
-          r.getLong(r.fieldIndex("count"))).toMap
       val prev = manifestRow.listSizes
-      val sizes = Array.tabulate(meta.nlist)(l =>
-        prev.lift(l).getOrElse(0L) + batchCounts.getOrElse(l, 0L))
+      val sizes =
+        if (prev.isEmpty)
+          // pre-census manifest row (legacy collection): one full count
+          // heals the census; every later append sums incrementally
+          countListSizes(store, table, meta.nlist)
+        else {
+          val batchCounts = pinned.groupBy("__list").count().collect()
+            .map(r => r.getInt(r.fieldIndex("__list")) ->
+              r.getLong(r.fieldIndex("count"))).toMap
+          Array.tabulate(meta.nlist)(l =>
+            prev.lift(l).getOrElse(0L) + batchCounts.getOrElse(l, 0L))
+        }
       // the appended corpus snapshot becomes visible to probes only
       // through the manifest — commit it as the last step, pinning the
       // GENERATION's model snaps (not the possibly-orphaned heads)

@@ -296,13 +296,13 @@ class VectorSinkSpec extends SparkSpec {
     val batch = corpus.unionByName(blob)
     val got = VectorSink.assignToStored(batch, matrix, "embedding")
       .select("vec_id", "__list").as[(Long, Int)].collect().toMap
-    // the probe-side shape: |c|² − 2·v·c ranking, ties to lowest __list
+    // the probe-side shape: Σ(v−c)² ranking, ties to lowest __list —
+    // the SAME loop the argmin runs, so agreement is bit-exact
     import org.apache.spark.sql.expressions.Window
-    val dot = graft.functions.VectorFunctions.dotp _
     val w = Window.partitionBy("vec_id").orderBy(col("__d"), col("__list"))
     val expected = batch.crossJoin(broadcast(centroids))
-      .withColumn("__d", dot(col("__centroid"), col("__centroid"))
-        - lit(2.0) * dot(col("embedding"), col("__centroid")))
+      .withColumn("__d", graft.functions.VectorFunctions.sqDist(
+        col("embedding"), col("__centroid")))
       .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
       .select("vec_id", "__list").as[(Long, Int)].collect().toMap
     assert(got === expected)
