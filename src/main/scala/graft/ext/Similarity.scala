@@ -198,11 +198,14 @@ object Similarity {
       id: String, vec: String, k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
     // FULL squared distance Σ(q−c)² — the same subtract-square-accumulate
-    // loop the k-means transform and the persisted append argmin
-    // ([[graft.functions.CentroidArgMin]]) run, so centroid ranking is
-    // BIT-identical across the in-memory probe, the persisted probe and
-    // the append assignment: near-tied centroids can never round to
-    // different winners between the paths
+    // loop the persisted append argmin ([[graft.functions.CentroidArgMin]])
+    // runs, so centroid RANKING is BIT-identical across the in-memory
+    // probe, the persisted probe and the append assignment: near-tied
+    // centroids can never round to different winners between those
+    // paths. (The initial k-means WRITE assignment is spark.ml's
+    // transform — possibly a norms-shortcut distance — so a write-time
+    // near-tie may place a row in the other near-tied list; probes stay
+    // exact at nprobe = nlist regardless.)
     val qc = q.crossJoin(broadcast(centroids))
       .withColumn("__d",
         graft.functions.VectorFunctions.sqDist(col("q_vec"), col("__centroid")))

@@ -170,6 +170,10 @@ object NamingConventions {
         maxLength: Int): String = {
       val n = normalizeIdentifier(identifier, maxLength)
       val stripped = n.dropWhile(_ == '_')
+      // an empty/blank table name strips to "empty" — the reference's
+      // s3_tables does the same to "_empty" (leading `_` is forbidden
+      // by the S3 rules), so the collision with a table genuinely
+      // named "empty" is shared, documented behavior, not an accident
       if (stripped.isEmpty) Naming.EmptyKey.stripPrefix("_") else stripped
     }
     def normalizeColumn(c: Column): Column = SnakeCase.normalizeColumn(c)

@@ -201,11 +201,20 @@ object VectorSink {
       case "cosine-pq" =>
         val pm = store.readDriverRowsAt(s"${table}__pq_meta",
           c.snaps("pqmeta_snap")).head
-        val model = pqModelFrom(
-          store.readDriverRowsAt(s"${table}__pq_codebooks",
-            c.snaps("codebooks_snap")),
-          pm("m").asInstanceOf[Int], pm("ksub").asInstanceOf[Int],
-          meta.dim, table)
+        val (m, ksub) =
+          (pm("m").asInstanceOf[Int], pm("ksub").asInstanceOf[Int])
+        // codebooks are driver-written string-cell rows since r11;
+        // LEGACY collections stored centroid as array<double> (a
+        // parquet group the driver reader cannot decode) — fall back
+        // to a Spark read of the same pinned snapshot for those
+        val model = try {
+          pqModelFrom(store.readDriverRowsAt(s"${table}__pq_codebooks",
+            c.snaps("codebooks_snap")), m, ksub, meta.dim, table)
+        } catch {
+          case _: ClassCastException | _: UnsupportedOperationException =>
+            pqModelFromFrame(store.readAt(s"${table}__pq_codebooks",
+              c.snaps("codebooks_snap")), m, ksub, meta.dim, table)
+        }
         Generation(meta, corpus, centroids, None, Some(model))
       case other => throw new IllegalArgumentException(
         s"collection '$table' has unknown metric '$other'")
@@ -222,15 +231,20 @@ object VectorSink {
         "train_fraction" -> DCell(trainFraction),
         "metric" -> SCell(metric), "dim" -> ICell(dim)))))
 
+  /** (list → row count) of a frame carrying `__list` — the ONE census
+    * extraction both the full count and the append's batch count share. */
+  private def countsByList(df: DataFrame): Map[Int, Long] =
+    df.groupBy("__list").count().collect()
+      .map(r => r.getInt(r.fieldIndex("__list")) ->
+        r.getLong(r.fieldIndex("count"))).toMap
+
   /** Occupancy census over the JUST-WRITTEN corpus — a column-pruned
     * read-back of `__list` alone. Full-rewrite paths only (they are
     * O(corpus) by construction); [[append]] instead SUMS its batch
     * counts into the prior manifest row — O(batch). */
   private def countListSizes(store: TableStore, table: String,
       nlist: Int): Array[Long] = {
-    val counts = store.read(table).groupBy("__list").count().collect()
-      .map(r => r.getInt(r.fieldIndex("__list")) ->
-        r.getLong(r.fieldIndex("count"))).toMap
+    val counts = countsByList(store.read(table))
     Array.tabulate(nlist)(l => counts.getOrElse(l, 0L))
   }
 
@@ -412,15 +426,30 @@ object VectorSink {
     * rows (m·ksub rows — sketch-sized by contract). */
   private def pqModelFrom(rows: Seq[Map[String, Any]], m: Int, ksub: Int,
       dim: Int, table: String): graft.ext.Pq.PqModel = {
-    val dsub = dim / m
     val books = Array.ofDim[Array[Double]](m, ksub)
     rows.foreach { r =>
       books(r("sub").asInstanceOf[Int])(r("cl").asInstanceOf[Int]) =
         r("centroid").asInstanceOf[String].split(",").map(_.toDouble)
     }
+    finishPqModel(books, m, dim, table)
+  }
+
+  /** LEGACY codebook shape (pre-r11 Spark-written array column). */
+  private def pqModelFromFrame(codebooks: DataFrame, m: Int, ksub: Int,
+      dim: Int, table: String): graft.ext.Pq.PqModel = {
+    val books = Array.ofDim[Array[Double]](m, ksub)
+    codebooks.collect().foreach { r =>
+      books(r.getAs[Int]("sub"))(r.getAs[Int]("cl")) =
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray
+    }
+    finishPqModel(books, m, dim, table)
+  }
+
+  private def finishPqModel(books: Array[Array[Array[Double]]], m: Int,
+      dim: Int, table: String): graft.ext.Pq.PqModel = {
     require(books.forall(_.forall(_ != null)),
       s"collection '$table' codebook table is incomplete")
-    graft.ext.Pq.PqModel(m, dsub, books)
+    graft.ext.Pq.PqModel(m, dim / m, books)
   }
 
   /** Per-list occupancy of collection `table`: one (list, size) entry
@@ -430,8 +459,22 @@ object VectorSink {
     * full rewrites re-count, appends sum their batch in) — a driver
     * file read, NO corpus scan. */
   def listSizes(store: TableStore, table: String): Array[(Int, Long)] = {
-    val sizes = newestRow(store, table).listSizes
+    val sizes = manifestSizes(store, table)
     Array.tabulate(sizes.length)(l => l -> sizes(l))
+  }
+
+  /** The newest row's census, or — for a LEGACY row committed before
+    * the census existed — one scan of the pinned corpus (the pre-r11
+    * behavior; without this a skewed legacy collection would read as
+    * perfectly balanced and [[rebalance]] would never trigger). */
+  private def manifestSizes(store: TableStore, table: String): Array[Long] = {
+    val row = newestRow(store, table)
+    if (row.listSizes.nonEmpty) row.listSizes
+    else {
+      val g = resolve(store, table, row)
+      val counts = countsByList(g.corpus)
+      Array.tabulate(g.meta.nlist)(l => counts.getOrElse(l, 0L))
+    }
   }
 
   /** Coarse-list skew: max occupancy / mean occupancy over all nlist
@@ -441,7 +484,7 @@ object VectorSink {
     * like [[listSizes]]: the skew check [[appendAndMaintain]] runs per
     * batch costs zero Spark jobs. */
   def listSkew(store: TableStore, table: String): Double = {
-    val sizes = newestRow(store, table).listSizes
+    val sizes = manifestSizes(store, table)
     val total = sizes.sum
     if (total == 0L) 1.0 else sizes.max.toDouble * sizes.length / total
   }
@@ -469,12 +512,17 @@ object VectorSink {
     * shuffled batch × nlist rows per append, which at the √N rule's
     * nlist ~10⁴–10⁵ multiplies every batch 10⁴-fold).
     *
-    * Agreement with the probe side ([[rankedLists]]): the argmin
-    * minimizes the full |v − c|², the probe ranks by |c|² − 2·v·c —
-    * identical orderings (the |v|² term is constant per row), and BOTH
-    * break exact ties to the lowest `__list`
-    * ([[graft.functions.CentroidArgMin]] scans in index order with
-    * strict `<`). Appended rows land exactly where a probe will look.
+    * Agreement with the probe side ([[rankedLists]],
+    * [[Similarity.ivfProbe]]): both now compute the FULL Σ(v−c)² with
+    * the same subtract-square-accumulate loop ([[graft.functions.SqDist]]
+    * ≡ [[graft.functions.CentroidArgMin]]'s inner loop), and both break
+    * exact ties to the lowest `__list` — BIT-identical, so a near-tied
+    * centroid pair can never round to different winners between append
+    * assignment and probe ranking. Appended rows land exactly where a
+    * probe will look. (The initial writeIvf* assignment is spark.ml's
+    * k-means transform, which may use a norms-shortcut distance — a
+    * write-time near-tie can place a row in the other near-tied list;
+    * probes remain exact at nprobe = nlist regardless.)
     * Per-row argmin, so a batch carrying duplicate ids keeps every row
     * (the writeIvf path does too — the k-means transform is per-row). */
   private[write] def assignToStored(rows: DataFrame,
@@ -570,9 +618,7 @@ object VectorSink {
           // heals the census; every later append sums incrementally
           countListSizes(store, table, meta.nlist)
         else {
-          val batchCounts = pinned.groupBy("__list").count().collect()
-            .map(r => r.getInt(r.fieldIndex("__list")) ->
-              r.getLong(r.fieldIndex("count"))).toMap
+          val batchCounts = countsByList(pinned)
           Array.tabulate(meta.nlist)(l =>
             prev.lift(l).getOrElse(0L) + batchCounts.getOrElse(l, 0L))
         }
@@ -617,6 +663,24 @@ object VectorSink {
   def appendAndMaintain(store: TableStore, table: String, rows: DataFrame,
       id: String, vec: String, fullVectors: Option[DataFrame] = None,
       maxSkew: Double = 4.0): Boolean = store.exclusively(table) {
+    // SELF-HEALING includes the interrupted-swap state: append would
+    // refuse an orphaned corpus head, but rebalance — already composed
+    // here, under the same lock — is the documented healer. Plain IVF
+    // heals from its own stored vectors; a quantized collection cannot
+    // (its codes are lossy and the caller's fullVectors covers the
+    // GROWN corpus, not the pre-batch head), so fail with the manual
+    // recipe instead of append's bare refusal.
+    val row = newestRow(store, table)
+    if (store.snapshots(table).max != row.snaps("corpus_snap")) {
+      val meta = metaFrom(store.readDriverRowsAt(s"${table}__ivf_meta",
+        row.snaps("meta_snap")).head)
+      if (meta.metric == "cosine")
+        rebalance(store, table, id, vec, None, maxSkew)
+      else throw new IllegalStateException(
+        s"collection '$table' has an interrupted model swap; run " +
+          "rebalance(fullVectors = <the corpus EXCLUDING this batch>) " +
+          "to finish it, then retry appendAndMaintain")
+    }
     append(store, table, rows, id, vec)
     rebalance(store, table, id, vec, fullVectors, maxSkew)
   }

@@ -196,6 +196,29 @@ class VectorSinkSpec extends SparkSpec {
     assert(store.read("emb").count() === 134)
   }
 
+  test("appendAndMaintain self-heals an interrupted swap for plain IVF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec21").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding", nlist = 4)
+    // orphan the corpus head (crash between corpus and manifest commit)
+    store.overwrite("emb", store.read("emb"),
+      statsFor = Seq("__list"), rangeBy = Seq("__list"))
+    // one call: heal (rebalance from stored vectors) + append + maintain
+    VectorSink.appendAndMaintain(store, "emb", blob,
+      "vec_id", "embedding", maxSkew = 1.5)
+    assert(store.read("emb").count() === 124)
+    // quantized collections cannot self-heal (lossy codes): clear recipe
+    VectorSink.writeIvfQuantized(store, "q", corpus, "vec_id", "embedding",
+      nlist = 4)
+    val garbage = store.read("q")
+    store.overwrite("q", garbage, statsFor = Seq("__list"))
+    val e = intercept[IllegalStateException] {
+      VectorSink.appendAndMaintain(store, "q", blob, "vec_id", "embedding",
+        fullVectors = Some(corpus.unionByName(blob)), maxSkew = 1.5)
+    }
+    assert(e.getMessage.contains("interrupted model swap"), e.getMessage)
+  }
+
   test("the collection manifest hides a crash-interrupted partial rewrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec10").toString
     val store = new TableStore(dir, spark)
