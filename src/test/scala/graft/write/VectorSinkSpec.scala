@@ -528,6 +528,30 @@ class VectorSinkSpec extends SparkSpec {
       pairs(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
   }
 
+  test("PQ historical generations probe with their own codebooks (topKPqGen)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec22").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfPq(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4, m = 2, ksub = 8, iters = 2)
+    val q = corpus.limit(2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    val atGen1 = pairs(VectorSink.topKPq(store, "emb", corpus, q,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 100))
+    VectorSink.append(store, "emb", blob, "vec_id", "embedding")
+    val all = corpus.unionByName(blob)
+    VectorSink.rebalance(store, "emb", "vec_id", "embedding",
+      fullVectors = Some(all), maxSkew = 1.0)
+    // gen 1 pins the pre-append corpus AND the pre-retrain codebooks
+    val g1 = VectorSink.generationAt(store, "emb", 1L)
+    assert(pairs(VectorSink.topKPqGen(store, "emb", g1, corpus, q,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 100)) === atGen1)
+    assert(pairs(VectorSink.topKPq(store, "emb", all, q,
+        "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 300)) ===
+      pairs(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
+  }
+
   test("PQ collection stores m-byte codes and probes exactly at full width") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec5").toString
     val store = new TableStore(dir, spark)
