@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.schema.Naming
+import graft.schema.{NamingConvention, NamingConventions}
 
 /** Root-row id strategy (reference get_root_row_id_type,
   * dlt/common/normalizers/json/helpers.py:107-120). */
@@ -25,7 +25,13 @@ final case class NormalizeConfig(
     /** root column → name under which it is propagated to ALL descendants;
       * e.g. Map("_dlt_id" -> "_dlt_root_id") when a merge needs root keys
       * (reference relational.py:218-231, 326-391). */
-    propagate: Map[String, String] = Map.empty)
+    propagate: Map[String, String] = Map.empty,
+    /** The SCHEMA-WIDE identifier convention (the reference selects it
+      * per schema, naming/naming.py): every table/column identifier and
+      * child-table path follows it — snake_case by default, any
+      * [[graft.schema.NamingConventions]] member on request. System
+      * columns (`_dlt_*`) are convention-invariant by construction. */
+    naming: NamingConvention = NamingConventions.SnakeCase)
 
 /** The relational JSON normalizer as declarative DataFrame transforms
   * (reference dlt/common/normalizers/json/relational.py:233-391).
@@ -49,8 +55,9 @@ object Normalizer {
   private val Elem = "__elem"
 
   def normalize(df: DataFrame, rootTable: String, cfg: NormalizeConfig): Map[String, DataFrame] = {
-    val rootName = Naming.normalizeIdentifier(rootTable)
-    val flat = Flatten(df, cfg.maxNesting)
+    val naming = cfg.naming
+    val rootName = naming.normalizeTableIdentifier(rootTable)
+    val flat = Flatten(df, cfg.maxNesting, naming)
     val scalarDataCols = flat.schema.fields.toSeq
       .filterNot(f => Ids.systemColumns.contains(f.name))
       .filterNot(_.dataType.isInstanceOf[ArrayType])
@@ -59,7 +66,8 @@ object Normalizer {
     val rootId: Column = cfg.rootIdType match {
       case RootIdType.Random => Ids.randomId()
       case RootIdType.RowHash => Ids.rowHash(scalarDataCols)
-      case RootIdType.KeyHash(pk) => Ids.keyHash(pk.map(Naming.normalizeIdentifier(_)))
+      case RootIdType.KeyHash(pk) =>
+        Ids.keyHash(pk.map(naming.normalizeIdentifier(_)))
     }
     // keep a pre-existing _dlt_id if the extractor already assigned one
     val withId =
@@ -69,10 +77,10 @@ object Normalizer {
 
     val extend: Seq[(String, Column)] =
       cfg.propagate.toSeq.map { case (from, as) =>
-        Naming.normalizeIdentifier(as) -> root(Naming.normalizeIdentifier(from))
+        naming.normalizeIdentifier(as) -> root(naming.normalizeIdentifier(from))
       }
 
-    collectTables(root, rootName, extend)
+    collectTables(root, rootName, extend, naming)
   }
 
   /** Emit `table` (minus its array columns) and recurse into each array.
@@ -80,32 +88,34 @@ object Normalizer {
     * propagation); the emitting table itself does not gain them.
     */
   private def collectTables(table: DataFrame, tableName: String,
-                            extend: Seq[(String, Column)]): Map[String, DataFrame] = {
+                            extend: Seq[(String, Column)],
+                            naming: NamingConvention): Map[String, DataFrame] = {
     val arrayCols = table.schema.fields.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name).toSeq
     val scalarCols = table.schema.fieldNames.filterNot(arrayCols.contains).toSeq
 
     val children = arrayCols.flatMap { arr =>
-      val childName = Naming.shortenFragments(Seq(tableName, arr))
+      val childName = naming.joinPath(Seq(tableName, arr))
       val elemType = table.schema(arr).dataType.asInstanceOf[ArrayType].elementType
       val carried = extend.filterNot { case (as, _) => as == Ids.DltParentId }
       val exploded = table.select(
         carried.map { case (as, c) => c.as(as) } ++ Seq(
           col(Ids.DltId).as(Ids.DltParentId),
           posexplode(col(arr)).as(Seq(Ids.DltListIdx, Elem))): _*)
-      val child = buildChild(exploded, childName, elemType)
+      val child = buildChild(exploded, childName, elemType, naming)
       val childExtend = carried.map { case (as, _) => as -> col(as) }
-      collectTables(child, childName, childExtend)
+      collectTables(child, childName, childExtend, naming)
     }
 
     Map(tableName -> table.select(scalarCols.map(col): _*)) ++ children
   }
 
   /** Shape one exploded element into a child row with system columns. */
-  private def buildChild(exploded: DataFrame, childName: String, elemType: DataType): DataFrame = {
+  private def buildChild(exploded: DataFrame, childName: String,
+                         elemType: DataType, naming: NamingConvention): DataFrame = {
     val sysCols = exploded.columns.filterNot(_ == Elem).toSeq.map(col)
     val shaped = elemType match {
       case s: StructType =>
-        val flats = Flatten.forStruct(col(Elem), s)
+        val flats = Flatten.forStruct(col(Elem), s, naming = naming)
         exploded.select(sysCols ++ flats.map(f => f.column.as(f.name)): _*)
       case _: ArrayType =>
         // list-of-lists: intermediary `list` wrapping (relational.py:256-266)

@@ -101,6 +101,30 @@ class NamingConventionsSpec extends SparkSpec {
     }
   }
 
+  test("Normalizer applies the schema-wide convention to tables, columns, children") {
+    import org.apache.spark.sql.functions._
+    import graft.normalize.{NormalizeConfig, Normalizer}
+    val doc = Seq((1L, Seq(("x", 2L)), "k")).toDF("Root Key", "Line Items", "V")
+      .select(col("`Root Key`"),
+        transform(col("`Line Items`"), e => struct(
+          e.getField("_1").as("Item'Name"), e.getField("_2").as("Qty Count")))
+          .as("Line Items"), col("V"))
+    val cfg = NormalizeConfig(loadId = "1",
+      naming = NamingConventions.DuckCase)
+    val tables = Normalizer.normalize(doc, "My Orders", cfg)
+    // duck_case preserves case and spaces in table names AND columns
+    assert(tables.keySet === Set("My Orders", "My Orders__Line Items"))
+    assert(tables("My Orders").columns.contains("Root Key"))
+    val child = tables("My Orders__Line Items")
+    assert(child.columns.contains("Item'Name"))
+    assert(child.columns.contains("Qty Count"))
+    assert(child.count() === 1L)
+    // the default stays byte-identical snake_case
+    val snake = Normalizer.normalize(doc, "My Orders",
+      NormalizeConfig(loadId = "1"))
+    assert(snake.keySet === Set("my_orders", "my_orders__line_items"))
+  }
+
   test("Flatten honors the convention's identifiers and separator") {
     import org.apache.spark.sql.functions._
     val df = Seq((1L, ("x", 2L))).toDF("Outer Key", "Nested Val")
