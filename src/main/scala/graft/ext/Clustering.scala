@@ -123,7 +123,8 @@ object Clustering {
     * [[Pq]]'s per-subspace oracle uses to unroll m independent
     * trainings in one statement. */
   private[ext] def stagesSql(k: Int, iters: Int, ns: String = "",
-      vecExpr: String = "embedding::DOUBLE[]", dim: Int = 64): String = {
+      vecExpr: String = "embedding::DOUBLE[]", dim: Int = 64,
+      where: String = "TRUE"): String = {
     // d2 = the engine's exact squared distance: the same left-
     // associated index-order sum of (eᵢ−cᵢ)² that SqDist's loop
     // accumulates (each op correctly rounded in both engines → bit-
@@ -162,7 +163,8 @@ object Clustering {
          |  SELECT vec_id, CASE WHEN len(v) = $dim THEN v
          |    ELSE error('oracle dim mismatch: len=' || len(v) ||
          |      ' expected=$dim') END AS e
-         |  FROM (SELECT vec_id, $vecExpr AS v FROM embeddings)),
+         |  FROM (SELECT vec_id, $vecExpr AS v FROM embeddings
+         |        WHERE $where)),
          |${ns}c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e AS c
          |  FROM (SELECT vec_id, e FROM ${ns}e ORDER BY vec_id LIMIT $k)),

@@ -200,12 +200,23 @@ object Pq {
     * shortlist + exact re-rank (the [[Quantize.RerankOracleSql]]
     * tail). */
   def adcOracleSql(dim: Int, m: Int, ksub: Int, iters: Int,
-      k: Int, shortlist: Int, maxQueryId: Int): String = {
+      k: Int, shortlist: Int, maxQueryId: Int): String =
+    adcOracleSqlOver("TRUE", dim, m, ksub, iters, k, shortlist, maxQueryId)
+
+  /** [[adcOracleSql]] with a corpus predicate — the PQ generation-probe
+    * gate replays the SAME chain (per-subspace trainings, codes, ADC
+    * shortlist, exact re-rank) over the SUBSET the pinned historical
+    * model was trained on, mirroring
+    * [[Quantize.rerankOracleSqlOver]]. Queries and the re-rank corpus
+    * are restricted too: a generation probe sees only that
+    * generation's pinned corpus. */
+  def adcOracleSqlOver(corpusWhere: String, dim: Int, m: Int, ksub: Int,
+      iters: Int, k: Int, shortlist: Int, maxQueryId: Int): String = {
     require(dim % m == 0)
     val stages = (0 until m).map { j =>
       Clustering.stagesSql(ksub, iters, ns = s"s${j}_",
         vecExpr = s"(embedding::DOUBLE[])[${j * (dim / m) + 1}:${(j + 1) * (dim / m)}]",
-        dim = dim / m)
+        dim = dim / m, where = corpusWhere)
     }.mkString(",\n")
     val joins = (0 until m).map(j =>
       s"JOIN s${j}_a${iters + 1} s$j USING (vec_id)").mkString("\n  ")
@@ -213,10 +224,12 @@ object Pq {
     val reconJoins = (0 until m).map(j =>
       s"JOIN s${j}_c$iters sc$j ON sc$j.cl = s$j.cl").mkString("\n  ")
     s"""WITH $stages,
-       |full_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |full_e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |           FROM embeddings WHERE $corpusWhere),
        |deq AS (
        |  SELECT vec_id, $recon AS deq
-       |  FROM (SELECT DISTINCT vec_id FROM embeddings) vv
+       |  FROM (SELECT DISTINCT vec_id FROM embeddings
+       |        WHERE $corpusWhere) vv
        |  $joins
        |  $reconJoins),
        |approx AS (

@@ -495,10 +495,70 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       .drop(Ids.DltLoadId, "_drift_column", "_drift_psi")
   }
 
-  /** Drop a table's quarantine table after its rows were replayed (or
-    * discarded) — the bookkeeping end of the dead-letter cycle. */
-  def clearQuarantine(table: String): Unit =
-    store.drop(s"${Naming.normalizeTableName(table)}__quarantine")
+  /** Retire quarantined rows after they were replayed (or discarded) —
+    * the bookkeeping end of the dead-letter cycle. With no `loadId` the
+    * whole quarantine table is dropped; with one, only THAT load's rows
+    * are retired (the table accumulates across breaches, so clearing
+    * everything after replaying one load would silently discard the
+    * other, still-uninvestigated breaches). Dropping the table when the
+    * last load is cleared keeps the invariant the replay gate checks:
+    * no quarantine table ⇔ nothing dead-lettered. */
+  def clearQuarantine(table: String, loadId: Option[String] = None): Unit = {
+    val qt = s"${Naming.normalizeTableName(table)}__quarantine"
+    loadId match {
+      case None => store.drop(qt)
+      case Some(id) =>
+        val rest = store.read(qt)
+          .filter(org.apache.spark.sql.functions.col(Ids.DltLoadId) =!= id)
+        if (rest.isEmpty) store.drop(qt) else store.overwrite(qt, rest)
+    }
+  }
+
+  /** Age-based quarantine retention: retire every quarantined load
+    * OLDER than `before`. Dead-letter stamps carry the quarantining
+    * load's id, and generated ids are epoch-micros
+    * ([[graft.write.Dispositions.newLoadId]]) — so age is expressed as
+    * a load-id cutoff and [[java.time.Instant]] converts via the same
+    * encoding. Ids are compared numerically when both sides parse
+    * (the generated form), lexicographically for caller-supplied
+    * opaque ids — mirroring the ledger's ordering — so a sweep can
+    * never misdate a row: whatever the id form, "older" means the
+    * same thing the ledger says. Returns the number of rows retired. */
+  def sweepQuarantine(table: String, before: java.time.Instant): Long =
+    sweepQuarantine(table,
+      java.math.BigDecimal.valueOf(
+        before.getEpochSecond * 1000000L + before.getNano / 1000L, 6)
+        .toPlainString)
+
+  /** [[sweepQuarantine]] with an explicit load-id cutoff (exclusive). */
+  def sweepQuarantine(table: String, beforeLoadId: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, sum, when}
+    val qt = s"${Naming.normalizeTableName(table)}__quarantine"
+    if (!store.exists(qt)) return 0L
+    val id = col(Ids.DltLoadId)
+    val cutNum = scala.util.Try(BigDecimal(beforeLoadId)).toOption
+    // numeric compare when BOTH parse (try_cast NULL = unparseable),
+    // else lexicographic — Dispositions.loadIdBefore, vectorized
+    val older = cutNum match {
+      case Some(c) =>
+        val n = expr(s"try_cast(${Ids.DltLoadId} AS DECIMAL(26, 6))")
+        when(n.isNotNull, n < lit(c.bigDecimal))
+          .otherwise(id < lit(beforeLoadId))
+      case None => id < lit(beforeLoadId)
+    }
+    val all = store.read(qt)
+    // one counting pass decides the sweep; the rewrite (when partial)
+    // is the only other scan
+    val c = all.agg(
+      coalesce(sum(when(older, 1L).otherwise(0L)), lit(0L)),
+      count(lit(1))).head()
+    val (swept, total) = (c.getLong(0), c.getLong(1))
+    if (swept > 0L) {
+      if (swept == total) store.drop(qt)
+      else store.overwrite(qt, all.filter(!older))
+    }
+    swept
+  }
 
   private var metricsByResource: Map[String, Map[String, Any]] = Map.empty
 

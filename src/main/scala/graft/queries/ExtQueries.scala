@@ -596,6 +596,36 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
+    // the PQ twin of sim_ivf_generation: gen 1 persists PQ codes of the
+    // even half, an append + full retrain create gens 2-3, then the
+    // probe time-travels to GENERATION 1 — pinned codebooks, pinned
+    // codes, pinned corpus. nprobe = nlist + corpus-wide shortlist ≡
+    // the PQ ADC chain over the even half alone, so the oracle replays
+    // adcOracleSql restricted to that subset.
+    "sim_pq_generation" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      val store = new TableStore(
+        java.nio.file.Files.createTempDirectory("graft-pgen").toString, c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      val even = vecs.filter(col("vec_id") % 2 === 0)
+      val blob = vecs.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(0.5) + lit(4.0))
+            .cast("array<float>").as("embedding"))
+      VectorSink.writeIvfPq(store, "emb", even,
+        "vec_id", "embedding", nlist = 8, m = 4, ksub = 4, iters = 2) // gen 1
+      VectorSink.append(store, "emb", blob, "vec_id", "embedding")    // gen 2
+      VectorSink.rebalance(store, "emb", "vec_id", "embedding",       // gen 3
+        fullVectors = Some(even.unionByName(blob)), maxSkew = 1.0)
+      val g1 = VectorSink.generationAt(store, "emb", 1L)
+      VectorSink.topKPqGen(store, "emb", g1, even,
+        even.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 8, shortlist = 20)
+        .withColumn("gens",
+          lit(VectorSink.generations(store, "emb").mkString(",")))
+        .orderBy("query_id", "rank")
+    },
+
     // IVF + SQ8: the collection persists INT8 CODES (4x less data under
     // every probe) + dequantization stats; probe = centroid-ranked
     // lists -> ADC shortlist over stored codes -> exact re-rank of the
@@ -1490,6 +1520,14 @@ object ExtQueries {
     "sim_ivf_generation" ->
       s"""SELECT query_id, rank, match_id, cosine, '1,2,3' AS gens
          |FROM (${Quantize.rerankOracleSqlOver("vec_id % 2 = 0")}) h
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the PQ generation probe ≡ the PQ ADC chain over the even half
+    // alone (gen 1's training corpus); generations 1,2,3 all survive
+    "sim_pq_generation" ->
+      s"""SELECT query_id, rank, match_id, cosine, '1,2,3' AS gens
+         |FROM (${Pq.adcOracleSqlOver("vec_id % 2 = 0", dim = 64, m = 4,
+               ksub = 4, iters = 2, k = 5, shortlist = 20, maxQueryId = 10)}) h
          |ORDER BY query_id, rank""".stripMargin,
 
     "sim_radius_search" ->

@@ -252,6 +252,49 @@ object PlaneQueries {
           lit(!p.store.exists("m__quarantine")))
     },
 
+    // quarantine RETENTION: two independent breaches accumulate in the
+    // dead-letter table; load-scoped clearQuarantine retires ONLY the
+    // investigated+replayed load (clearing everything would discard the
+    // other, still-open breach — the exact failure the loadId parameter
+    // exists to prevent); the age-based sweep then retires the stale
+    // remainder by load-id cutoff (generated ids are epoch-micros, so
+    // the cutoff IS an age). Gates: both sweeps' row counts, the
+    // intermediate table sizes, and the final no-table invariant.
+    "plane_quarantine_retention" -> q { c =>
+      val p = new Pipeline("dqt",
+        Files.createTempDirectory("graft-dqt").toString, c.spark)
+      val o = c.t("orders")
+      val base = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("v"))
+      val liftA = o.filter(pmod(col("o_orderkey"), lit(4)) === 1)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("double") * lit(1.25)).as("v"))
+      val liftB = o.filter(pmod(col("o_orderkey"), lit(4)) === 3)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("double") * lit(0.6)).as("v"))
+      def res(df: org.apache.spark.sql.DataFrame) =
+        Resource("m", df).withDriftCheck("v", maxPsi = 0.05, quarantine = true)
+      p.run(Seq(res(base)), "1")
+      p.run(Seq(res(liftA)), "2") // breach -> quarantined load 2
+      p.run(Seq(res(liftB)), "3") // breach -> quarantined load 3
+      val qBoth = p.store.read("m__quarantine").count()
+      // investigate + replay load 2 clean, then retire ONLY its rows
+      p.run(Seq(Resource("m", p.replayQuarantine("m", Some("2")))), "4")
+      p.clearQuarantine("m", loadId = Some("2"))
+      val qAfterClear = p.store.read("m__quarantine").count()
+      val sweptNoop = p.sweepQuarantine("m", "3") // exclusive: 3 stays
+      val sweptAged = p.sweepQuarantine("m", "9") // retires load 3
+      p.store.read("m").agg(count(lit(1)).as("main_rows"),
+          sum(when(pmod(col("o_orderkey"), lit(4)) === 1, lit(1L))
+            .otherwise(lit(0L))).as("replayed_rows"))
+        .withColumn("q_both", lit(qBoth))
+        .withColumn("q_after_clear", lit(qAfterClear))
+        .withColumn("swept_noop", lit(sweptNoop))
+        .withColumn("swept_aged", lit(sweptAged))
+        .withColumn("quarantine_cleared",
+          lit(!p.store.exists("m__quarantine")))
+    },
+
     // typed TIME TRAVEL on the dataset facade: asOf pins a snapshot and
     // the relation composes like any other — v1 (pre-append) unioned
     // with the current head, both through GraftDataset
@@ -318,6 +361,24 @@ object PlaneQueries {
         |    AS replayed_rows,
         |  (count(*) FILTER (WHERE o_orderkey % 4 = 1))::BIGINT
         |    AS lifted_rows,
+        |  true AS quarantine_cleared
+        |FROM orders""".stripMargin,
+
+    "plane_quarantine_retention" ->
+      """SELECT
+        |  ((count(*) FILTER (WHERE o_orderkey % 2 = 0))
+        |    + (count(*) FILTER (WHERE o_orderkey % 4 = 1)))::BIGINT
+        |    AS main_rows,
+        |  (count(*) FILTER (WHERE o_orderkey % 4 = 1))::BIGINT
+        |    AS replayed_rows,
+        |  ((count(*) FILTER (WHERE o_orderkey % 4 = 1))
+        |    + (count(*) FILTER (WHERE o_orderkey % 4 = 3)))::BIGINT
+        |    AS q_both,
+        |  (count(*) FILTER (WHERE o_orderkey % 4 = 3))::BIGINT
+        |    AS q_after_clear,
+        |  0::BIGINT AS swept_noop,
+        |  (count(*) FILTER (WHERE o_orderkey % 4 = 3))::BIGINT
+        |    AS swept_aged,
         |  true AS quarantine_cleared
         |FROM orders""".stripMargin,
 

@@ -247,4 +247,40 @@ class DriftSpec extends SparkSpec {
     assert(byCol("b").isEmpty, "no baseline range -> psi is explicitly null")
     assert(byCol("a").isDefined)
   }
+
+  test("load-scoped clear and age-based sweep retire quarantined loads independently") {
+    import graft.pipeline.{Pipeline, Resource}
+    val p = new Pipeline("dqs",
+      java.nio.file.Files.createTempDirectory("graft-dqs").toString, spark)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      Resource("m", df).withDriftCheck("v", maxPsi = 0.25, quarantine = true)
+    p.run(Seq(res(base)), "1")
+    val shiftA = (1 to 2000).map(i => (i % 100).toDouble + 80.0).toDF("v")
+    val shiftB = (1 to 1500).map(i => (i % 100).toDouble - 70.0).toDF("v")
+    p.run(Seq(res(shiftA)), "2")
+    p.run(Seq(res(shiftB)), "3")
+    assert(p.store.read("m__quarantine").count() === 3500L,
+      "both breaches must accumulate")
+    // retire ONLY load 2 — load 3's open breach survives
+    p.clearQuarantine("m", loadId = Some("2"))
+    val left = p.store.read("m__quarantine")
+    assert(left.count() === 1500L)
+    assert(left.select("_dlt_load_id").distinct().as[String].collect()
+      .toSeq === Seq("3"))
+    // exclusive cutoff: a sweep below load 3 is a counted no-op
+    assert(p.sweepQuarantine("m", "3") === 0L)
+    assert(p.store.read("m__quarantine").count() === 1500L)
+    // an Instant in the future out-ages the remaining load (numeric
+    // micros cutoff vs the opaque id "3" still compares sanely)
+    assert(p.sweepQuarantine("m",
+      java.time.Instant.now().plusSeconds(60)) === 1500L)
+    assert(!p.store.exists("m__quarantine"),
+      "sweeping the last load must drop the table")
+    // sweeping a missing table is a 0 no-op, not a raise
+    assert(p.sweepQuarantine("m", "9") === 0L)
+    // clearing the LAST load by id also drops the table
+    p.run(Seq(res(shiftA)), "5")
+    p.clearQuarantine("m", loadId = Some("5"))
+    assert(!p.store.exists("m__quarantine"))
+  }
 }
