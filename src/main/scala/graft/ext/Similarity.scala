@@ -84,6 +84,24 @@ object Similarity {
   /** Exact top-k: broadcast `queries` (must be driver-small), score the
     * corpus in one pass, keep k best per query.
     * Deterministic tie-break: (cosine desc, corpus id asc). */
+  /** The coarse centroids as a dense matrix indexed by `__list` — the
+    * broadcast-reference shape [[graft.functions.CentroidTopN]] /
+    * [[graft.functions.CentroidArgMin]] ride. Driver-small by contract
+    * (nlist rows; FAISS keeps the coarse quantizer in memory on every
+    * searcher at any nlist for the same reason). */
+  private[graft] def centroidMatrix(
+      centroids: DataFrame): Array[Array[Double]] = {
+    val rows = centroids.select(col("__list"), col("__centroid")).collect()
+    val m = new Array[Array[Double]](rows.length)
+    rows.foreach { r =>
+      val l = r.getInt(0)
+      require(l >= 0 && l < m.length && m(l) == null,
+        s"centroid lists are not contiguous [0, ${m.length}): list $l")
+      m(l) = r.getSeq[Double](1).toArray
+    }
+    m
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("q_vec")))
@@ -197,21 +215,23 @@ object Similarity {
   def ivfProbe(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
-    // FULL squared distance Σ(q−c)² — the same subtract-square-accumulate
-    // loop the persisted append argmin ([[graft.functions.CentroidArgMin]])
-    // runs, so centroid RANKING is BIT-identical across the in-memory
-    // probe, the persisted probe and the append assignment: near-tied
-    // centroids can never round to different winners between those
-    // paths. (The initial k-means WRITE assignment is spark.ml's
-    // transform — possibly a norms-shortcut distance — so a write-time
-    // near-tie may place a row in the other near-tied list; probes stay
-    // exact at nprobe = nlist regardless.)
-    val qc = q.crossJoin(broadcast(centroids))
-      .withColumn("__d",
-        graft.functions.VectorFunctions.sqDist(col("q_vec"), col("__centroid")))
-    val probeW = Window.partitionBy("query_id").orderBy(col("__d"), col("__list"))
-    val probes = qc.withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nprobe)
+    // MAP-ONLY centroid ranking ([[graft.functions.CentroidTopN]] over
+    // the driver-held centroid matrix — the crossJoin+window it
+    // replaces shuffled queries × nlist rows, which at batch-ANN-join
+    // scale is the shape the append path shed): FULL squared distance
+    // Σ(q−c)², the same subtract-square-accumulate loop the persisted
+    // append argmin ([[graft.functions.CentroidArgMin]]) runs, ties to
+    // the lowest `__list` — so centroid RANKING is BIT-identical across
+    // the in-memory probe, the persisted probe and the append
+    // assignment: near-tied centroids can never round to different
+    // winners between those paths. (The initial k-means WRITE
+    // assignment is spark.ml's transform — possibly a norms-shortcut
+    // distance — so a write-time near-tie may place a row in the other
+    // near-tied list; probes stay exact at nprobe = nlist regardless.)
+    val probes = q
+      .withColumn("__list", explode(
+        graft.functions.VectorFunctions.centroidTopN(
+          col("q_vec"), centroidMatrix(centroids), nprobe)))
       .select(col("query_id"), col("q_vec"), col("__list"))
     val cand = probes.join(
         assigned.select(col(id).as("match_id"), col(vec).as("c_vec"), col("__list")),

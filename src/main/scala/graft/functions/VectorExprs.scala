@@ -256,6 +256,117 @@ case class CentroidArgMin(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** The `n` NEAREST centroid indexes of a vector, ordered by
+  * (squared distance ASC, index ASC) — the top-nprobe generalization of
+  * [[CentroidArgMin]], and the map-only replacement for the
+  * crossJoin(broadcast(centroids)) + row_number window every probe used
+  * to rank its lists with: at query-batch scale (batch ANN join — every
+  * document probing the collection) that window shuffles queries × nlist
+  * rows, the same shape the append path already shed. Distances run the
+  * exact [[SqDist]] subtract-square-accumulate loop in index order, and
+  * ties break to the lower index — BIT-identical ranking to the window
+  * formulation (`ORDER BY __d, __list`), so swapping the plan cannot
+  * move a single probe list.
+  *
+  * Selection keeps a sorted top-n prefix (insertion bounded by a
+  * worst-entry cutoff — one compare per non-qualifying centroid, the
+  * FAISS heap-with-cutoff discipline; equal-distance later candidates
+  * lose to the held worst by the ascending scan order, preserving the
+  * tie-break without comparing indexes). */
+case class CentroidTopN(child: Expression, centroids: Array[Array[Double]],
+    n: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_centroid_topn"
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      if (n >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires n >= 1")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${t.sql}")
+  }
+
+  private def elemT: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cap = math.min(n, centroids.length)
+    val topD = new Array[Double](cap)
+    val topI = new Array[Int](cap)
+    var held = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val nn = math.min(x.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < nn) {
+        val d = (elemT match {
+          case FloatType => x.getFloat(i).toDouble
+          case _ => x.getDouble(i)
+        }) - cv(i)
+        s += d * d
+        i += 1
+      }
+      if (held < cap || s < topD(held - 1)) {
+        // insert before the first STRICTLY-greater entry: equal
+        // distances keep the earlier (lower) index first
+        var j = if (held < cap) held else held - 1
+        while (j > 0 && topD(j - 1) > s) {
+          topD(j) = topD(j - 1); topI(j) = topI(j - 1); j -= 1
+        }
+        topD(j) = s; topI(j) = c
+        if (held < cap) held += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(topI, held))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xa => {
+      val mat = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val getX = elemT match {
+        case FloatType => (i: String) => s"(double) $xa.getFloat($i)"
+        case _ => (i: String) => s"$xa.getDouble($i)"
+      }
+      val cap = math.min(n, centroids.length)
+      val (topD, topI, held) =
+        (ctx.freshName("topD"), ctx.freshName("topI"), ctx.freshName("held"))
+      val (c, cv, nn) = (ctx.freshName("c"), ctx.freshName("cv"), ctx.freshName("nn"))
+      val (s, i, d, j) = (ctx.freshName("s"), ctx.freshName("i"),
+        ctx.freshName("d"), ctx.freshName("j"))
+      s"""
+         |double[] $topD = new double[$cap];
+         |int[] $topI = new int[$cap];
+         |int $held = 0;
+         |for (int $c = 0; $c < $mat.length; $c++) {
+         |  double[] $cv = $mat[$c];
+         |  int $nn = java.lang.Math.min($xa.numElements(), $cv.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $nn; $i++) {
+         |    double $d = ${getX(i)} - $cv[$i];
+         |    $s += $d * $d;
+         |  }
+         |  if ($held < $cap || $s < $topD[$held - 1]) {
+         |    int $j = ($held < $cap) ? $held : $held - 1;
+         |    while ($j > 0 && $topD[$j - 1] > $s) {
+         |      $topD[$j] = $topD[$j - 1]; $topI[$j] = $topI[$j - 1]; $j--;
+         |    }
+         |    $topD[$j] = $s; $topI[$j] = $c;
+         |    if ($held < $cap) $held++;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($topI, $held));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-dimension int8 scalar quantization (the FAISS-SQ8 shape): for
   * element i with corpus stats (mn_i, mx_i),
   * `r = round((x − mn) / (mx − mn) · 255)`, code `q = r − 128`, and the
@@ -413,4 +524,7 @@ object VectorFunctions {
 
   def centroidArgMin(e: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(CentroidArgMin(ColumnBridge.expression(e), centroids))
+
+  def centroidTopN(e: Column, centroids: Array[Array[Double]], n: Int): Column =
+    ColumnBridge.column(CentroidTopN(ColumnBridge.expression(e), centroids, n))
 }

@@ -564,6 +564,74 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
+    // FILTERED vector search (the metadata-filtered top-k every vector
+    // store exposes): the predicate applies BEFORE the rank — a
+    // PRE-filter, so k survivors come back whenever the probed lists
+    // hold them (a post-filter of the unfiltered top-k loses rows). At
+    // nprobe = nlist the result is exactly the brute-force top-k over
+    // the filtered corpus; the id-allowlist variant (topKAmong, a
+    // left-semi restriction) must agree row-for-row and rides the hash
+    // as a boolean.
+    "sim_filtered_search" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      val store = new TableStore(
+        java.nio.file.Files.createTempDirectory("graft-vflt").toString, c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      VectorSink.writeIvf(store, "emb", vecs, "vec_id", "embedding", nlist = 16)
+      val pred = col("vec_id") % 3 === 0
+      val queries = vecs.filter(col("vec_id") < 10)
+      val byPred = VectorSink.topKWhere(store, "emb", queries,
+        "vec_id", "embedding", k = 5, nprobe = 16, predicate = pred)
+      val byList = VectorSink.topKAmong(store, "emb", queries,
+        vecs.filter(pred).select("vec_id"), "vec_id", "embedding",
+        k = 5, nprobe = 16)
+      val agree = byPred.exceptAll(byList).isEmpty &&
+        byList.exceptAll(byPred).isEmpty
+      byPred
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumn("among_agrees", lit(agree))
+        .orderBy("query_id", "rank")
+    },
+
+    // MERGE-ON-READ DELETE + UPSERT on a persisted collection: delete
+    // tombstones ids in one O(ids) commit (no corpus rewrite — the
+    // Iceberg equality-delete shape: segment-scoped coverage, so later
+    // appends resurrect); upsert lands tombstone+batch in ONE atomic
+    // commit, replacing the live even rows AND resurrecting the deleted
+    // multiples (%4 ⊆ %2 overlaps %6). Probe at nprobe = nlist ≡ brute
+    // force over the LIVE set, so the oracle is exact over
+    // (evens \ %6 \ %4 verbatim) ∪ (%4 through the affine map); the
+    // physical/live row counts and the generation list ride the hash.
+    "sim_ivf_delete_upsert" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      val store = new TableStore(
+        java.nio.file.Files.createTempDirectory("graft-vdu").toString, c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      val evens = vecs.filter(col("vec_id") % 2 === 0)
+      VectorSink.writeIvf(store, "emb", evens,
+        "vec_id", "embedding", nlist = 8)                            // gen 1
+      VectorSink.delete(store, "emb",
+        evens.filter(col("vec_id") % 6 === 0).select("vec_id"),
+        "vec_id")                                                    // gen 2
+      val replaced = vecs.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(0.5) + lit(4.0))
+            .cast("array<float>").as("embedding"))
+      VectorSink.upsert(store, "emb", replaced, "vec_id", "embedding") // gen 3
+      val live = evens
+        .filter(col("vec_id") % 6 =!= 0 && col("vec_id") % 4 =!= 0)
+        .unionByName(replaced)
+      VectorSink.topK(store, "emb", live.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumn("live_rows", lit(store.read("emb").count()))
+        .withColumn("physical_rows",
+          lit(VectorSink.listSizes(store, "emb").map(_._2).sum))
+        .withColumn("gens",
+          lit(VectorSink.generations(store, "emb").mkString(",")))
+        .orderBy("query_id", "rank")
+    },
+
     // GENERATION TIME TRAVEL over a persisted collection: write gen 1
     // (even half, SQ8), append a drifted blob (gen 2), rebalance (gen 3
     // retrains the whole model) — then probe GENERATION 1 through its
@@ -1521,6 +1589,55 @@ object ExtQueries {
       s"""SELECT query_id, rank, match_id, cosine, '1,2,3' AS gens
          |FROM (${Quantize.rerankOracleSqlOver("vec_id % 2 = 0")}) h
          |ORDER BY query_id, rank""".stripMargin,
+
+    // pre-filter + nprobe = nlist ≡ brute force with matches drawn from
+    // the filtered corpus only (queries themselves are unrestricted)
+    "sim_filtered_search" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs
+        |  FROM embeddings q JOIN embeddings c
+        |    ON c.vec_id <> q.vec_id AND c.vec_id % 3 = 0
+        |  WHERE q.vec_id < 10),
+        |ranked AS (
+        |  SELECT query_id, match_id, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, match_id, round(cs, 6) AS cosine,
+        |  TRUE AS among_agrees
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // nprobe = nlist ≡ exact over the LIVE set after the merge-on-read
+    // delete (%6 tombstoned) and upsert (%4 replaced through the affine
+    // map — including RESURRECTED ids on the %6 ∩ %4 overlap)
+    "sim_ivf_delete_upsert" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings
+        |  WHERE vec_id % 2 = 0 AND vec_id % 6 <> 0 AND vec_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(x * 0.5 + 4.0 AS REAL))::DOUBLE[]
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |counts AS (
+        |  SELECT
+        |    (SELECT count(*) FROM corpus)::BIGINT AS live_rows,
+        |    ((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)
+        |      + (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0)
+        |    )::BIGINT AS physical_rows),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+        |    list_cosine_similarity(q.v, c.v) AS cs
+        |  FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (
+        |  SELECT query_id, match_id, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, match_id, round(cs, 6) AS cosine,
+        |  live_rows, physical_rows, '1,2,3' AS gens
+        |FROM ranked, counts WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // the PQ generation probe ≡ the PQ ADC chain over the even half
     // alone (gen 1's training corpus); generations 1,2,3 all survive

@@ -43,6 +43,41 @@ object StreamQueries {
         .select("event_id", "user_id", "event_type").orderBy("event_id")
     },
 
+    // STREAMING VECTOR INGEST: a drifted embedding stream drains into a
+    // persisted IVF collection — each micro-batch is a map-only append
+    // under the stored model + a zero-job manifest maintenance check,
+    // retraining mid-stream when the drift skews the lists. The final
+    // probe at nprobe = nlist is exact over the union corpus REGARDLESS
+    // of where the micro-batch boundaries fell (batch composition and
+    // rebalance points are runtime-dependent; the answer is not), so
+    // the brute-force oracle gates the whole stream→append→maintain→
+    // probe cycle. Final row count rides the hash.
+    "stream_vector_append" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      val store = new TableStore(
+        Files.createTempDirectory("graft-svec").toString, c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      val evens = vecs.filter(col("vec_id") % 2 === 0)
+      VectorSink.writeIvf(store, "emb", evens, "vec_id", "embedding",
+        nlist = 8)
+      val blob = vecs.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(0.5) + lit(4.0))
+            .cast("array<float>").as("embedding"))
+      val srcDir = Files.createTempDirectory("graft-svecsrc").toString
+      blob.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val src = Streaming.fileStream(c.spark, srcDir,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      Streaming.intoCollection(store, src, "emb", "vec_id", "embedding",
+        maxSkew = 2.0)
+      val all = evens.unionByName(blob)
+      VectorSink.topK(store, "emb", all.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumn("n_rows", lit(store.read("emb").count()))
+        .orderBy("query_id", "rank")
+    },
+
     // streaming sketch maintenance: each micro-batch appends its HLL
     // register rows to the store (sketch-sized commits — the raw batch
     // is never retained); the distinct-user estimate over the merged
@@ -313,6 +348,30 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "stream_pipeline_append" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+
+    // the stream drains every odd id through the affine drift; at
+    // nprobe = nlist the probe is brute force over evens ∪ drifted odds
+    "stream_vector_append" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0
+        |  UNION ALL
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(x * 0.5 + 4.0 AS REAL))::DOUBLE[]
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+        |    list_cosine_similarity(q.v, c.v) AS cs
+        |  FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (
+        |  SELECT query_id, match_id, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, match_id, round(cs, 6) AS cosine,
+        |  (SELECT count(*) FROM corpus)::BIGINT AS n_rows
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "stream_hll_rollup" ->
       """WITH h AS (
         |  SELECT event_type, md5(user_id::VARCHAR) AS hx FROM events),

@@ -133,6 +133,34 @@ object Streaming {
     }
   }
 
+  /** Stream embedding batches into a persisted VECTOR COLLECTION
+    * ([[graft.write.VectorSink]]): each micro-batch appends under the
+    * STORED model — a map-only codegen argmin + one segment write +
+    * a driver-file manifest commit, O(batch) end to end — then runs the
+    * post-append maintenance check ([[graft.write.VectorSink.appendAndMaintain]]:
+    * manifest-census skew + dead-fraction reads, ZERO Spark jobs on the
+    * no-rebalance path). A drifted stream that piles into few coarse
+    * lists triggers a retrain mid-stream exactly like a batch ingest
+    * would; probes stay exact at nprobe = nlist regardless of where
+    * the batch boundaries fell. Plain-IVF collections only — they store
+    * their own vectors, so maintenance is self-contained (quantized
+    * collections need the caller's full-precision corpus to retrain;
+    * compose [[drainAvailableNow]] + `append` directly for those). */
+  def intoCollection(store: TableStore, source: DataFrame, table: String,
+      id: String, vec: String, maxSkew: Double = 4.0,
+      maxDeadFraction: Double = 0.5,
+      checkpoint: Option[String] = None): Unit = {
+    require(graft.write.VectorSink.readMeta(store, table).metric == "cosine",
+      s"collection '$table' is quantized: streaming self-maintenance " +
+        "needs the stored vectors — drain into VectorSink.append and " +
+        "rebalance with fullVectors out of band")
+    drainAvailableNow(source, checkpoint) { (batch, _) =>
+      if (!batch.isEmpty)
+        graft.write.VectorSink.appendAndMaintain(store, table, batch,
+          id, vec, maxSkew = maxSkew, maxDeadFraction = maxDeadFraction)
+    }
+  }
+
   /** Exactly-once key dedup across micro-batches: event-time watermark
     * bounds the dedup state, `dropDuplicates` keeps the first arrival
     * of each key (the streaming analog of the reference's incremental

@@ -229,22 +229,56 @@ final class TableStore(val root: String, spark: SparkSession) {
     * 100 TB child table must not rewrite it. */
   def appendWithTombstone(table: String, df: DataFrame, tombColumn: String,
       ids: DataFrame, statsFor: Seq[String] = Nil): Unit = locked(table) {
+    val existing = currentSegments(table)
+    val idSeg = writeTombstoneSegment(table, tombColumn, ids)
+    val dataSeg = writeSegment(table, df, statsFor)
+    commit(table, existing :+ dataSeg,
+      currentTombstones(table) :+
+        Tombstone(idSeg, tombColumn, existing.map(_.name).toSet))
+  }
+
+  /** The tombstone id-file write both tombstoning commits share.
+    * Repartition, NOT coalesce: coalesce(1) would collapse the whole
+    * upstream id computation (dest-root joins) onto a single task.
+    * Bloom filter on the id column: point reads probe tombstone files
+    * for membership ("is this id dead?") — the bloom turns that probe
+    * into a footer check instead of an id-file scan. */
+  private def writeTombstoneSegment(table: String, tombColumn: String,
+      ids: DataFrame): String = {
     require(ids.columns.toSeq == Seq(tombColumn),
       s"tombstone ids must be a single '$tombColumn' column")
-    val existing = currentSegments(table)
-    val tombs = currentTombstones(table)
     val idSeg = s"data/${UUID.randomUUID().toString.take(12)}-tomb"
-    // repartition, NOT coalesce: coalesce(1) would collapse the whole
-    // upstream id computation (dest-root joins) onto a single task.
-    // Bloom filter on the id column: point reads probe tombstone files
-    // for membership ("is this id dead?") — the bloom turns that probe
-    // into a footer check instead of an id-file scan.
     ids.distinct().repartition(1).write.mode(SaveMode.Overwrite)
       .option(s"parquet.bloom.filter.enabled#$tombColumn", "true")
       .parquet(tableDir(table).resolve(idSeg).toString)
-    val dataSeg = writeSegment(table, df, statsFor)
-    commit(table, existing :+ dataSeg,
-      tombs :+ Tombstone(idSeg, tombColumn, existing.map(_.name).toSet))
+    idSeg
+  }
+
+  /** Tombstone-only commit — the DELETE-only sibling of
+    * [[appendWithTombstone]]: rows of the CURRENT segments whose
+    * `tombColumn` appears in `ids` become dead, O(ids) written, no data
+    * rewritten, no new data segment. Coverage is segment-scoped, so a
+    * LATER append of the same id is untouched by this tombstone and
+    * resurrects it — the Iceberg sequence-number rule for equality
+    * deletes (a delete file applies only to data files with a smaller
+    * sequence number), expressed here as an explicit coverage set.
+    * Snapshot-consistent like every commit: [[readAt]] on an OLDER
+    * snapshot reads that manifest's tombstone list and keeps seeing
+    * the rows. The column must exist in the table — [[read]] silently
+    * skips tombstones on columns a frame lacks (schema-evolution
+    * tolerance), which would turn a typo'd delete into a reported
+    * success that never deletes anything. */
+  def deleteByIds(table: String, tombColumn: String,
+      ids: DataFrame): Unit = locked(table) {
+    val existing = currentSegments(table)
+    require(existing.nonEmpty, s"table $table does not exist in $root")
+    require(read(table).columns.contains(tombColumn),
+      s"table $table has no '$tombColumn' column to delete by " +
+        s"(columns: ${read(table).columns.mkString(", ")})")
+    val idSeg = writeTombstoneSegment(table, tombColumn, ids)
+    commit(table, existing,
+      currentTombstones(table) :+
+        Tombstone(idSeg, tombColumn, existing.map(_.name).toSet))
   }
 
   def readOption(table: String): Option[DataFrame] =

@@ -73,17 +73,22 @@ object VectorSink {
     "__pq_codebooks" -> "codebooks_snap", "__pq_meta" -> "pqmeta_snap")
 
   /** One decoded collection-manifest row: the generation number, the
-    * pinned snapshot per sub-table (−1 = unused by this metric), and
-    * the per-list occupancy census as of this generation's commit. */
+    * pinned snapshot per sub-table (−1 = unused by this metric), the
+    * per-list occupancy census as of this generation's commit, and the
+    * running count of TOMBSTONED ids ([[delete]]/[[upsert]] — the
+    * census stays PHYSICAL because probes scan dead rows until a
+    * rewrite materializes the deletes; this counter is what the
+    * dead-fraction maintenance trigger reads). */
   private final case class CollectionRow(gen: Long, snaps: Map[String, Long],
-      listSizes: Array[Long])
+      listSizes: Array[Long], tombstoneIds: Long)
 
   import TinyParquet.{Cell, SCell, ICell, LCell, DCell}
 
   private def encodeRow(r: CollectionRow): Seq[(String, Cell)] =
     (Seq("gen" -> (LCell(r.gen): Cell)) ++
-      SubTables.map { case (_, c) => c -> (LCell(r.snaps(c)): Cell) }) :+
-      ("list_sizes" -> (SCell(r.listSizes.mkString(",")): Cell))
+      SubTables.map { case (_, c) => c -> (LCell(r.snaps(c)): Cell) }) ++
+      Seq("list_sizes" -> (SCell(r.listSizes.mkString(",")): Cell),
+        "tombstone_ids" -> (LCell(r.tombstoneIds): Cell))
 
   private def decodeRow(m: Map[String, Any]): CollectionRow =
     CollectionRow(m("gen").asInstanceOf[Long],
@@ -93,7 +98,9 @@ object VectorSink {
       m.get("list_sizes").map(_.asInstanceOf[String]).getOrElse("") match {
         case "" => Array.empty[Long]
         case s => s.split(",").map(_.toLong)
-      })
+      },
+      // rows committed before deletes existed carry no tombstones
+      m.get("tombstone_ids").map(_.asInstanceOf[Long]).getOrElse(0L))
 
   /** All manifest rows, oldest → newest — a driver file read
     * ([[TableStore.readDriverRows]]), no Spark job. History-facing ops
@@ -121,12 +128,13 @@ object VectorSink {
     * probe-able HISTORY ([[generationAt]]) until [[pruneGenerations]]
     * trims them. A driver-file append — no Spark job per commit. */
   private def commitCollection(store: TableStore, table: String,
-      snaps: Map[String, Long], listSizes: Array[Long]): Unit = {
+      snaps: Map[String, Long], listSizes: Array[Long],
+      tombstoneIds: Long = 0L): Unit = {
     val ct = s"${table}__collection"
     val gen = if (!store.exists(ct)) 1L else newestRow(store, table).gen + 1L
     val row = CollectionRow(gen,
       SubTables.map { case (_, c) => c -> snaps.getOrElse(c, -1L) }.toMap,
-      listSizes)
+      listSizes, tombstoneIds)
     store.appendDriverFile(ct)(p => TinyParquet.write(p, Seq(encodeRow(row))))
   }
 
@@ -283,6 +291,57 @@ object VectorSink {
     Similarity.ivfProbe(g.corpus, g.centroids, queries, id, vec, k, nprobe)
   }
 
+  /** FILTERED top-k: [[topK]] restricted to corpus rows satisfying
+    * `predicate` — the vector-store "filtered search" surface (the
+    * metadata-filtered queries qdrant/weaviate expose; the reference's
+    * adapters write payload alongside vectors for exactly this). The
+    * filter applies BEFORE the rank/shortlist (PRE-filter): k survivors
+    * come back whenever the probed lists hold them, where a post-filter
+    * of an unfiltered top-k would return fewer than k. At
+    * `nprobe = nlist` the result is exactly the brute-force top-k over
+    * the filtered live corpus; at lower nprobe the usual filtered-ANN
+    * caveat applies — survivors living only in unprobed lists are
+    * missed, so highly selective filters warrant a higher nprobe. */
+  def topKWhere(store: TableStore, table: String, queries: DataFrame,
+      id: String, vec: String, k: Int, nprobe: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    val g = generation(store, table)
+    require(g.meta.metric == "cosine",
+      s"collection '$table' is '${g.meta.metric}': quantized collections " +
+        "store codes, not filterable payloads — use topKQuantized/topKPq " +
+        "with `among` (an id allowlist) instead")
+    require(nprobe >= 1 && nprobe <= g.meta.nlist,
+      s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
+    Similarity.ivfProbe(g.corpus.filter(predicate), g.centroids,
+      queries, id, vec, k, nprobe)
+  }
+
+  /** [[topKWhere]] with an ID ALLOWLIST instead of a predicate: matches
+    * restricted to ids present in `allowed` (left-semi join — the
+    * allowlist frame only needs the id column; small lists broadcast
+    * under AQE, big ones shuffle like any equi-join). */
+  def topKAmong(store: TableStore, table: String, queries: DataFrame,
+      allowed: DataFrame, id: String, vec: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val g = generation(store, table)
+    require(nprobe >= 1 && nprobe <= g.meta.nlist,
+      s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
+    require(g.meta.metric == "cosine",
+      s"collection '$table' is '${g.meta.metric}': probe quantized " +
+        "collections with topKQuantized/topKPq(among = ...)")
+    Similarity.ivfProbe(restrict(g.corpus, Some(allowed), id), g.centroids,
+      queries, id, vec, k, nprobe)
+  }
+
+  /** Left-semi restriction of corpus rows to an id allowlist — the
+    * shared pre-filter of every `among` probe variant. */
+  private def restrict(corpus: DataFrame, among: Option[DataFrame],
+      id: String): DataFrame = among match {
+    case None => corpus
+    case Some(a) => corpus.join(a.select(col(id)).distinct(),
+      Seq(id), "left_semi")
+  }
+
   /** IVF + SQ8: the collection stores INT8 CODES instead of vectors
     * (4× less data under every probe scan — the FAISS IVF-SQ8 layout).
     * Extra table: `t__sq_stats` — one row of per-dimension (mins,
@@ -308,36 +367,24 @@ object VectorSink {
       countListSizes(store, table, nlist))
   }
 
-  /** THE centroid-ranking implementation of the PROBE paths — FULL
-    * squared distance (Σ(v−c)², the same per-element subtract-square-
-    * accumulate loop [[graft.functions.CentroidArgMin]] runs, so probe
-    * ranking and append assignment are BIT-identical, not merely
-    * rank-equivalent: a near-tied pair of centroids can never round to
-    * different winners between the two sides) with ties to the lowest
-    * `__list`. queries × nlist rows — query-sized work. (The APPEND
-    * side ranks with the map-only [[assignToStored]] argmin instead:
-    * batch × nlist through a join would shuffle every appended batch
-    * nlist-fold at real nlist.) */
-  private def rankedLists(rows: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, maxRank: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wd = rows.crossJoin(broadcast(centroids))
-      .withColumn("__d",
-        graft.functions.VectorFunctions.sqDist(col(vecCol), col("__centroid")))
-    val w = Window.partitionBy(idCol).orderBy(col("__d"), col("__list"))
-    wd.withColumn("__pr", row_number().over(w))
-      .filter(col("__pr") <= maxRank)
-      .drop("__d", "__pr", "__centroid")
-  }
-
   /** Centroid-ranked probe lists per query: (query_id, __qv, __list)
     * for the `nprobe` nearest coarse centroids — the shared head of
-    * every quantized probe path. */
+    * every quantized probe path. A MAP-ONLY codegen top-n
+    * ([[graft.functions.CentroidTopN]] + explode) over the driver-held
+    * centroid matrix: the previous crossJoin(broadcast) + row_number
+    * window shuffled queries × nlist rows per probe, which at
+    * batch-ANN-join scale (every document probing the collection) is
+    * the same shape the append path shed in r11. Ranking is
+    * BIT-identical to the window formulation AND to the append argmin
+    * (the exact SqDist subtract-square-accumulate loop, ties to the
+    * lowest `__list`), so the plan swap cannot move a single probe
+    * list. */
   private def probeLists(centroids: DataFrame, queries: DataFrame,
       id: String, vec: String, nprobe: Int): DataFrame =
-    rankedLists(
-      queries.select(col(id).as("query_id"), col(vec).as("__qv")),
-      centroids, "query_id", "__qv", nprobe)
+    queries.select(col(id).as("query_id"), col(vec).as("__qv"))
+      .withColumn("__list", explode(
+        graft.functions.VectorFunctions.centroidTopN(
+          col("__qv"), centroidMatrix(centroids), nprobe)))
       .select(col("query_id"), col("__qv"), col("__list"))
 
   /** Top-k over the QUANTIZED collection: centroid-ranked probe lists,
@@ -350,17 +397,20 @@ object VectorSink {
   def topKQuantized(store: TableStore, table: String,
       fullVectors: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int,
-      shortlist: Int): DataFrame =
+      shortlist: Int, among: Option[DataFrame] = None): DataFrame =
     topKQuantizedGen(store, table, generation(store, table), fullVectors,
-      queries, id, vec, k, nprobe, shortlist)
+      queries, id, vec, k, nprobe, shortlist, among)
 
   /** [[topKQuantized]] against an EXPLICIT generation (see
     * [[generationAt]]) — probe the collection as it stood at a past
-    * commit: same plan, only the pinned snapshots differ. */
+    * commit: same plan, only the pinned snapshots differ. `among`
+    * pre-filters the stored codes to an id allowlist (filtered search —
+    * see [[topKAmong]]), BEFORE the ADC shortlist so k survivors come
+    * back whenever the probed lists hold them. */
   def topKQuantizedGen(store: TableStore, table: String, g: Generation,
       fullVectors: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int, among: Option[DataFrame] = None): DataFrame = {
     // resolve ALL model tables through the collection manifest:
     // dequantizing old codes with new stats (or ranking old lists with
     // new centroids) mid-rebalance would silently corrupt every score
@@ -370,7 +420,7 @@ object VectorSink {
       s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
     val stats = broadcast(g.stats.get)
     val probes = probeLists(g.centroids, queries, id, vec, nprobe)
-    val deq = g.corpus.crossJoin(stats)
+    val deq = restrict(g.corpus, among, id).crossJoin(stats)
       .select(col(id).as("match_id"), col("__list"),
         graft.functions.VectorFunctions.dequantizeInt8(
           col("__q"), col("mins"), col("maxs")).as("__deq"))
@@ -463,18 +513,37 @@ object VectorSink {
     Array.tabulate(sizes.length)(l => l -> sizes(l))
   }
 
-  /** The newest row's census, or — for a LEGACY row committed before
-    * the census existed — one scan of the pinned corpus (the pre-r11
-    * behavior; without this a skewed legacy collection would read as
-    * perfectly balanced and [[rebalance]] would never trigger). */
-  private def manifestSizes(store: TableStore, table: String): Array[Long] = {
-    val row = newestRow(store, table)
+  /** The newest row's census, resolved once per caller-held `row`. */
+  private def manifestSizes(store: TableStore, table: String): Array[Long] =
+    sizesOf(store, table, newestRow(store, table))
+
+  /** `row`'s census, or — for a LEGACY row committed before the census
+    * existed — one scan of the pinned corpus (the pre-r11 behavior;
+    * without this a skewed legacy collection would read as perfectly
+    * balanced and [[rebalance]] would never trigger). The census
+    * contract is PHYSICAL rows; the fallback counts the pinned LIVE
+    * corpus, which is the same thing here by the heal invariant: an
+    * empty-census row carries NO tombstones — every tombstoning writer
+    * ([[delete]], [[upsert]]) heals the census before (or while)
+    * committing its first tombstone. */
+  private def sizesOf(store: TableStore, table: String,
+      row: CollectionRow): Array[Long] =
     if (row.listSizes.nonEmpty) row.listSizes
     else {
       val g = resolve(store, table, row)
       val counts = countsByList(g.corpus)
       Array.tabulate(g.meta.nlist)(l => counts.getOrElse(l, 0L))
     }
+
+  private def skewOf(sizes: Array[Long]): Double = {
+    val total = sizes.sum
+    if (total == 0L) 1.0 else sizes.max.toDouble * sizes.length / total
+  }
+
+  private def deadOf(row: CollectionRow, sizes: Array[Long]): Double = {
+    val total = sizes.sum
+    if (total == 0L) 0.0
+    else math.min(1.0, row.tombstoneIds.toDouble / total)
   }
 
   /** Coarse-list skew: max occupancy / mean occupancy over all nlist
@@ -483,28 +552,14 @@ object VectorSink {
     * the hot list scans the corpus, not corpus/nlist. Manifest-backed
     * like [[listSizes]]: the skew check [[appendAndMaintain]] runs per
     * batch costs zero Spark jobs. */
-  def listSkew(store: TableStore, table: String): Double = {
-    val sizes = manifestSizes(store, table)
-    val total = sizes.sum
-    if (total == 0L) 1.0 else sizes.max.toDouble * sizes.length / total
-  }
+  def listSkew(store: TableStore, table: String): Double =
+    skewOf(manifestSizes(store, table))
 
   /** The stored coarse centroids as a dense matrix, indexed by
-    * `__list` — the broadcast-reference shape
-    * [[graft.functions.CentroidArgMin]] rides. Driver-small by
-    * contract (nlist rows; FAISS keeps the coarse quantizer in memory
-    * on every searcher at any nlist for the same reason). */
-  private def centroidMatrix(centroids: DataFrame): Array[Array[Double]] = {
-    val rows = centroids.select(col("__list"), col("__centroid")).collect()
-    val m = new Array[Array[Double]](rows.length)
-    rows.foreach { r =>
-      val l = r.getInt(0)
-      require(l >= 0 && l < m.length && m(l) == null,
-        s"centroid lists are not contiguous [0, ${m.length}): list $l")
-      m(l) = r.getSeq[Double](1).toArray
-    }
-    m
-  }
+    * `__list` — shared with the probe paths
+    * ([[Similarity.centroidMatrix]]). */
+  private def centroidMatrix(centroids: DataFrame): Array[Array[Double]] =
+    Similarity.centroidMatrix(centroids)
 
   /** Assign `rows` to the nearest STORED coarse centroid — a MAP-ONLY
     * codegen argmin over the centroid matrix (one expression, no join,
@@ -512,7 +567,7 @@ object VectorSink {
     * shuffled batch × nlist rows per append, which at the √N rule's
     * nlist ~10⁴–10⁵ multiplies every batch 10⁴-fold).
     *
-    * Agreement with the probe side ([[rankedLists]],
+    * Agreement with the probe side ([[probeLists]],
     * [[Similarity.ivfProbe]]): both now compute the FULL Σ(v−c)² with
     * the same subtract-square-accumulate loop ([[graft.functions.SqDist]]
     * ≡ [[graft.functions.CentroidArgMin]]'s inner loop), and both break
@@ -553,18 +608,41 @@ object VectorSink {
     * IT is orphaned, the append fails and points at [[rebalance]],
     * which finishes the swap. */
   def append(store: TableStore, table: String, rows: DataFrame,
-      id: String, vec: String): Unit = store.exclusively(table) {
+      id: String, vec: String): Unit =
+    ingest(store, table, rows, id, vec, replaceById = false)
+
+  /** UPSERT a batch: encode it under the stored model like [[append]],
+    * but land it through ONE atomic tombstone+append commit
+    * ([[TableStore.appendWithTombstone]]) — rows of the EXISTING
+    * segments carrying the batch's ids die, the batch's rows live.
+    * Merge-on-read, O(batch): no corpus rewrite; probes keep resolving
+    * the pinned corpus snapshot, whose manifest applies the tombstone
+    * as a segment-scoped anti-join, and HISTORICAL generations
+    * ([[generationAt]]) pin older snapshots and keep seeing the
+    * replaced rows. The replaced rows stay physically in their
+    * segments until a [[rebalance]] materializes the deletes — the
+    * occupancy census therefore stays PHYSICAL (it measures probe scan
+    * cost, dead rows included) and the manifest's tombstone-id counter
+    * feeds [[deadFraction]], the compaction trigger. */
+  def upsert(store: TableStore, table: String, rows: DataFrame,
+      id: String, vec: String): Unit =
+    ingest(store, table, rows, id, vec, replaceById = true)
+
+  private def ingest(store: TableStore, table: String, rows: DataFrame,
+      id: String, vec: String, replaceById: Boolean): Unit =
+      store.exclusively(table) {
     // the whole read-model-then-commit holds the corpus table's lock:
     // a concurrent rebalance would otherwise swap the model between
     // this append's resolution and its commit
     val manifestRow = newestRow(store, table)
     val g = resolve(store, table, manifestRow)
     val meta = g.meta
+    val op = if (replaceById) "upsert" else "append"
     val corpusHead = store.snapshots(table).max
     require(corpusHead == manifestRow.snaps("corpus_snap"),
       s"collection '$table' has an interrupted model swap: corpus head " +
         s"$corpusHead is not the pinned ${manifestRow.snaps("corpus_snap")} " +
-        "— run rebalance to finish the interrupted swap before appending")
+        s"— run rebalance to finish the interrupted swap before ${op}ing")
     // the kernels truncate to min(length): ANY wrong-width row would
     // ingest silently-corrupt assignments/codes — validate the WHOLE
     // batch (one batch-sized aggregate), not just its first row. NULL
@@ -576,12 +654,12 @@ object VectorSink {
       sum(when(col(vec).isNull, lit(1L)).otherwise(lit(0L))).as("nulls"))
       .head()
     require(!d.isNullAt(2) && d.getLong(2) == 0L,
-      if (d.isNullAt(2)) s"append to '$table': empty batch"
-      else s"append to '$table': batch carries ${d.getLong(2)} NULL " +
-        s"vectors — drop or impute them before appending")
-    require(!d.isNullAt(0), s"append to '$table': empty batch")
+      if (d.isNullAt(2)) s"$op to '$table': empty batch"
+      else s"$op to '$table': batch carries ${d.getLong(2)} NULL " +
+        s"vectors — drop or impute them before ${op}ing")
+    require(!d.isNullAt(0), s"$op to '$table': empty batch")
     require(d.getInt(0) == meta.dim && d.getInt(1) == meta.dim,
-      s"append to '$table': batch vector widths span " +
+      s"$op to '$table': batch vector widths span " +
         s"[${d.getInt(0)}, ${d.getInt(1)}], collection is trained " +
         s"at ${meta.dim}")
     val assigned = assignToStored(rows, centroidMatrix(g.centroids), vec)
@@ -610,25 +688,110 @@ object VectorSink {
     val pinned = coded.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      store.append(table, pinned, statsFor = Seq("__list"))
-      val prev = manifestRow.listSizes
-      val sizes =
-        if (prev.isEmpty)
-          // pre-census manifest row (legacy collection): one full count
-          // heals the census; every later append sums incrementally
-          countListSizes(store, table, meta.nlist)
+      val newTombs =
+        if (!replaceById) { store.append(table, pinned, statsFor = Seq("__list")); 0L }
         else {
-          val batchCounts = countsByList(pinned)
-          Array.tabulate(meta.nlist)(l =>
-            prev.lift(l).getOrElse(0L) + batchCounts.getOrElse(l, 0L))
+          // ONE atomic commit: the batch's ids die in every EXISTING
+          // segment, the batch's own segment is not covered — replaced
+          // rows stay visible to older pinned generations, and a later
+          // re-append of an id resurrects it (segment-scoped coverage)
+          val ids = pinned.select(col(id)).distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val n = ids.count()
+            store.appendWithTombstone(table, pinned, id, ids,
+              statsFor = Seq("__list"))
+            n
+          } finally ids.unpersist(blocking = false)
         }
+      val prev = manifestRow.listSizes
+      val batchCounts = countsByList(pinned)
+      val base =
+        if (prev.nonEmpty) (l: Int) => prev.lift(l).getOrElse(0L)
+        else {
+          // pre-census manifest row (legacy collection): one count of
+          // the PRE-BATCH pinned corpus heals the census; every later
+          // writer sums incrementally. Counting the post-write head
+          // instead would apply an upsert's own tombstone and bake LIVE
+          // counts into a census whose contract is PHYSICAL (the pinned
+          // pre-batch corpus is physical by the heal invariant: an
+          // empty-census row carries no tombstones)
+          val healed = countsByList(g.corpus)
+          (l: Int) => healed.getOrElse(l, 0L)
+        }
+      val sizes = Array.tabulate(meta.nlist)(l =>
+        base(l) + batchCounts.getOrElse(l, 0L))
       // the appended corpus snapshot becomes visible to probes only
       // through the manifest — commit it as the last step, pinning the
       // GENERATION's model snaps (not the possibly-orphaned heads)
       commitCollection(store, table,
         manifestRow.snaps.updated("corpus_snap", store.snapshots(table).max),
-        sizes)
+        sizes, manifestRow.tombstoneIds + newTombs)
     } finally pinned.unpersist(blocking = false)
+  }
+
+  /** Tombstone `ids` OUT of the collection — merge-on-read, O(ids):
+    * one tombstone commit ([[TableStore.deleteByIds]]), no data
+    * rewritten, no corpus scan. Probes resolve the new pinned corpus
+    * snapshot, whose manifest applies the tombstone as a segment-scoped
+    * anti-join over the probed candidates; HISTORICAL generations
+    * ([[generationAt]]) pin older snapshots and keep seeing the rows —
+    * the vector-plane delete a 100 TB collection needs (the role of the
+    * reference vector adapters' delete-by-id;
+    * dlt/destinations/impl/qdrant/qdrant_client.py's id-scoped deletes).
+    *
+    * The dead rows stay PHYSICALLY in their segments until a
+    * [[rebalance]] materializes the deletes (`store.overwrite` drops
+    * tombstones), so the occupancy census is left untouched — it
+    * measures probe SCAN cost, which still includes the dead rows —
+    * and the manifest's tombstone-id counter grows instead; it feeds
+    * [[deadFraction]], the compaction trigger [[appendAndMaintain]]
+    * checks. Returns the number of distinct ids tombstoned (absent ids
+    * count too — tombstones are id predicates, not row locators, so
+    * the counter is a maintenance heuristic, not an exact dead-row
+    * count; repeated deletes of the same id inflate it, and a
+    * rebalance resets it). */
+  def delete(store: TableStore, table: String, ids: DataFrame,
+      id: String): Long = store.exclusively(table) {
+    val manifestRow = newestRow(store, table)
+    val corpusHead = store.snapshots(table).max
+    require(corpusHead == manifestRow.snaps("corpus_snap"),
+      s"collection '$table' has an interrupted model swap: corpus head " +
+        s"$corpusHead is not the pinned ${manifestRow.snaps("corpus_snap")} " +
+        "— run rebalance to finish the interrupted swap before deleting")
+    val del = ids.select(col(id)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = del.count()
+      if (n > 0L) {
+        // heal a legacy (pre-census) row BEFORE tombstoning — the heal
+        // invariant every census reader relies on: an empty-census row
+        // carries no tombstones, so the pinned corpus counted here is
+        // physical. Carrying the empty census forward would leave the
+        // next reader's fallback counting LIVE rows under this
+        // tombstone and misreading the physical contract
+        val sizes =
+          if (manifestRow.listSizes.nonEmpty) manifestRow.listSizes
+          else sizesOf(store, table, manifestRow)
+        store.deleteByIds(table, id, del)
+        commitCollection(store, table,
+          manifestRow.snaps.updated("corpus_snap", store.snapshots(table).max),
+          sizes, manifestRow.tombstoneIds + n)
+      }
+      n
+    } finally del.unpersist(blocking = false)
+  }
+
+  /** Fraction of the collection's PHYSICAL rows that tombstones may
+    * have killed: tombstoned-id count / census total — a driver-file
+    * read, no Spark job, like [[listSkew]]. An upper-bound heuristic
+    * (absent ids and repeat-deletes inflate the numerator; duplicate-id
+    * rows deflate it): the maintenance trigger for materializing
+    * deletes, not an exact accounting. 0 on a freshly (re)written
+    * collection — full rewrites drop tombstones and reset the count. */
+  def deadFraction(store: TableStore, table: String): Double = {
+    val row = newestRow(store, table)
+    deadOf(row, sizesOf(store, table, row))
   }
 
   /** Vacuum every sub-table of a collection WITHOUT breaking ANY
@@ -662,7 +825,8 @@ object VectorSink {
     * whether a rebalance ran. */
   def appendAndMaintain(store: TableStore, table: String, rows: DataFrame,
       id: String, vec: String, fullVectors: Option[DataFrame] = None,
-      maxSkew: Double = 4.0): Boolean = store.exclusively(table) {
+      maxSkew: Double = 4.0,
+      maxDeadFraction: Double = 0.5): Boolean = store.exclusively(table) {
     // SELF-HEALING includes the interrupted-swap state: append would
     // refuse an orphaned corpus head, but rebalance — already composed
     // here, under the same lock — is the documented healer. Plain IVF
@@ -682,13 +846,17 @@ object VectorSink {
           "to finish it, then retry appendAndMaintain")
     }
     append(store, table, rows, id, vec)
-    rebalance(store, table, id, vec, fullVectors, maxSkew)
+    rebalance(store, table, id, vec, fullVectors, maxSkew, maxDeadFraction)
   }
 
   /** MAINTENANCE: retrain-and-rewrite the collection when coarse-list
-    * occupancy skews past `maxSkew` (max/mean, see [[listSkew]]) — the
-    * FAISS "retrain the coarse quantizer" discipline, composed as
-    * write-over-read like [[Zorder.compact]]. [[append]] encodes under
+    * occupancy skews past `maxSkew` (max/mean, see [[listSkew]]) OR the
+    * tombstoned fraction passes `maxDeadFraction` (see [[deadFraction]]
+    * — the rewrite also MATERIALIZES [[delete]]/[[upsert]] tombstones:
+    * dead rows leave the segments, the census recounts to live rows,
+    * the tombstone counter resets) — the FAISS "retrain the coarse
+    * quantizer" discipline, composed as write-over-read like
+    * [[Zorder.compact]]. [[append]] encodes under
     * the ORIGINAL quantizer, so a drifted ingest stream piles into a
     * few hot lists; every probe touching a hot list then scans far
     * more than corpus/nlist rows, and SQ8 codes spill past the int8
@@ -716,7 +884,8 @@ object VectorSink {
     * [[Zorder.compact]]. Returns whether a rewrite ran. */
   def rebalance(store: TableStore, table: String, id: String, vec: String,
       fullVectors: Option[DataFrame] = None,
-      maxSkew: Double = 4.0): Boolean = {
+      maxSkew: Double = 4.0,
+      maxDeadFraction: Double = Double.PositiveInfinity): Boolean = {
     require(maxSkew >= 1.0, s"maxSkew $maxSkew below the balanced floor 1.0")
     store.exclusively(table) {
       val manifestRow = newestRow(store, table)
@@ -731,7 +900,16 @@ object VectorSink {
       // rewritten rows re-train to the same answer.
       val interrupted =
         store.snapshots(table).max != manifestRow.snaps("corpus_snap")
-      if (!interrupted && listSkew(store, table) <= maxSkew) false
+      // three triggers: an interrupted swap (recovery), occupancy skew
+      // (probe balance), and dead fraction (tombstoned rows still being
+      // scanned — the rewrite MATERIALIZES the deletes: store.overwrite
+      // drops tombstones and the census recounts to live rows). The
+      // census resolves ONCE off the manifest row already in hand — the
+      // no-op path costs one driver-file read, and a legacy census-less
+      // row costs one fallback scan, not one per trigger
+      val sizes = sizesOf(store, table, manifestRow)
+      if (!interrupted && skewOf(sizes) <= maxSkew &&
+          deadOf(manifestRow, sizes) <= maxDeadFraction) false
       else {
         // params resolve through the PINNED generation, like append:
         // an orphaned __ivf_meta/__pq_meta head from the very swap this
@@ -793,22 +971,24 @@ object VectorSink {
   def topKPq(store: TableStore, table: String,
       fullVectors: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int,
-      shortlist: Int): DataFrame =
+      shortlist: Int, among: Option[DataFrame] = None): DataFrame =
     topKPqGen(store, table, generation(store, table), fullVectors, queries,
-      id, vec, k, nprobe, shortlist)
+      id, vec, k, nprobe, shortlist, among)
 
-  /** [[topKPq]] against an EXPLICIT generation (see [[generationAt]]). */
+  /** [[topKPq]] against an EXPLICIT generation (see [[generationAt]]);
+    * `among` pre-filters the stored codes to an id allowlist like
+    * [[topKQuantizedGen]]. */
   def topKPqGen(store: TableStore, table: String, g: Generation,
       fullVectors: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int, among: Option[DataFrame] = None): DataFrame = {
     // same consistent-snapshot discipline as [[topKQuantized]]
     require(g.meta.metric == "cosine-pq",
       s"collection '$table' is '${g.meta.metric}', not a PQ collection")
     require(nprobe >= 1 && nprobe <= g.meta.nlist,
       s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
     val probes = probeLists(g.centroids, queries, id, vec, nprobe)
-    val deq = g.corpus
+    val deq = restrict(g.corpus, among, id)
       .select(col(id).as("match_id"), col("__list"),
         graft.ext.Pq.reconstruction(col("__codes"), g.pqModel.get).as("__deq"))
     graft.ext.Quantize.shortlistRerank(

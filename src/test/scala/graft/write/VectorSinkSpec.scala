@@ -582,4 +582,223 @@ class VectorSinkSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not a PQ collection"))
   }
+
+  private def probeRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.get(1).asInstanceOf[Number].longValue,
+        r.getLong(2), r.getDouble(3))).toSeq
+
+  test("delete tombstones rows merge-on-read; pinned history keeps seeing them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vdel").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)                                                     // gen 1
+    val dead = corpus.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val n = VectorSink.delete(store, "emb", dead, "vec_id")          // gen 2
+    assert(n === 22L)
+    // live reads exclude the tombstoned ids; the census stays PHYSICAL
+    // (dead rows are still scanned until a rewrite materializes them)
+    val live = store.read("emb")
+    assert(live.filter(col("vec_id") % 3 === 0).isEmpty)
+    assert(live.count() === 42L)
+    assert(VectorSink.listSizes(store, "emb").map(_._2).sum === 64L)
+    assert(VectorSink.deadFraction(store, "emb") === 22.0 / 64.0)
+    // probes never return a deleted id and match the exact answer over
+    // the live corpus at nprobe = nlist
+    val liveCorpus = corpus.filter(col("vec_id") % 3 =!= 0)
+    val q = liveCorpus.filter(col("vec_id") < 6)
+    assert(probeRows(VectorSink.topK(store, "emb", q,
+      "vec_id", "embedding", k = 3, nprobe = 4)) ===
+      probeRows(Similarity.ivfTopK(liveCorpus, q,
+        "vec_id", "embedding", k = 3, nlist = 4, nprobe = 4)))
+    // generation 1 pins the pre-delete snapshot — history is unharmed
+    assert(VectorSink.generationAt(store, "emb", 1L).corpus.count() === 64L)
+    assert(VectorSink.generations(store, "emb") === Seq(1L, 2L))
+    // absent ids tombstone as id predicates: counted, rows unchanged
+    assert(VectorSink.delete(store, "emb",
+      Seq(999L).toDF("vec_id"), "vec_id") === 1L)
+    assert(store.read("emb").count() === 42L)
+    // an empty delete is a no-op commit-wise (still 3 generations)
+    assert(VectorSink.delete(store, "emb",
+      Seq.empty[Long].toDF("vec_id"), "vec_id") === 0L)
+    assert(VectorSink.generations(store, "emb") === Seq(1L, 2L, 3L))
+    // a typo'd id column fails loudly instead of committing a tombstone
+    // reads would silently skip
+    val e = intercept[IllegalArgumentException] {
+      VectorSink.delete(store, "emb", Seq(4L).toDF("vecid"), "vecid")
+    }
+    assert(e.getMessage.contains("no 'vecid' column"))
+  }
+
+  test("upsert replaces rows atomically and resurrects deleted ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vup").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)                                                     // gen 1
+    VectorSink.delete(store, "emb",
+      corpus.filter(col("vec_id") % 4 === 0).select("vec_id"),
+      "vec_id")                                                      // gen 2
+    // upsert every EVEN id with a shifted vector: replaces the 16 live
+    // evens AND resurrects the 16 deleted multiples of 4 — the upsert's
+    // own segment is not covered by any tombstone
+    val shifted = corpus.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5) + lit(1.0))
+          .cast("array<float>").as("embedding"))
+    VectorSink.upsert(store, "emb", shifted, "vec_id", "embedding")  // gen 3
+    val expected = corpus.filter(col("vec_id") % 2 === 1)
+      .unionByName(shifted)
+    assert(store.read("emb").count() === 64L)
+    // physical census: 64 original + 32 upserted rows; tombstoned ids:
+    // 16 (delete) + 32 (upsert) → deadFraction 48/96
+    assert(VectorSink.listSizes(store, "emb").map(_._2).sum === 96L)
+    assert(VectorSink.deadFraction(store, "emb") === 0.5)
+    assert(VectorSink.generations(store, "emb") === Seq(1L, 2L, 3L))
+    val q = expected.filter(col("vec_id") < 6)
+    assert(probeRows(VectorSink.topK(store, "emb", q,
+      "vec_id", "embedding", k = 3, nprobe = 4)) ===
+      probeRows(Similarity.ivfTopK(expected, q,
+        "vec_id", "embedding", k = 3, nlist = 4, nprobe = 4)))
+  }
+
+  test("appendAndMaintain materializes deletes past the dead-fraction trigger") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vmat").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    VectorSink.delete(store, "emb",
+      corpus.filter(col("vec_id") % 2 === 0).select("vec_id"), "vec_id")
+    val extra = (100L until 104L).map { i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    // skew is fine; the 32/68 dead fraction is what trips maintenance
+    val ran = VectorSink.appendAndMaintain(store, "emb", extra,
+      "vec_id", "embedding", maxDeadFraction = 0.25)
+    assert(ran, "dead fraction above the threshold must trigger a rewrite")
+    // the rewrite MATERIALIZED the deletes: dead rows left the segments,
+    // the census recounts to live rows, the tombstones are gone
+    assert(store.read("emb").count() === 36L)
+    assert(VectorSink.listSizes(store, "emb").map(_._2).sum === 36L)
+    assert(VectorSink.deadFraction(store, "emb") === 0.0)
+    assert(store.tombstones("emb").isEmpty)
+    // below the threshold nothing rewrites
+    val extra2 = (200L until 204L).map { i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    assert(!VectorSink.appendAndMaintain(store, "emb", extra2,
+      "vec_id", "embedding", maxDeadFraction = 0.25))
+  }
+
+  test("probe list ranking is map-only and bit-identical to the window form") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtopn").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding", nlist = 4)
+    val g = VectorSink.generation(store, "emb")
+    val mat = Similarity.centroidMatrix(g.centroids)
+    val q = corpus.filter(col("vec_id") < 8)
+    // the exploded codegen top-n against the reference window plan it
+    // replaced: same SqDist loop, same (d, list) ordering — every
+    // (query, rank) pair identical at every nprobe
+    import org.apache.spark.sql.expressions.Window
+    for (nprobe <- Seq(1, 2, 3, 4)) {
+      val fast = q.select(col("vec_id").as("query_id"), col("embedding"))
+        .withColumn("__list", explode(
+          graft.functions.VectorFunctions.centroidTopN(
+            col("embedding"), mat, nprobe)))
+        .withColumn("__pr", row_number().over(
+          Window.partitionBy("query_id").orderBy("__list")))
+        .select("query_id", "__list")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__d"), col("__list"))
+      val slow = q.select(col("vec_id").as("query_id"), col("embedding"))
+        .crossJoin(broadcast(g.centroids))
+        .withColumn("__d", graft.functions.VectorFunctions.sqDist(
+          col("embedding"), col("__centroid")))
+        .withColumn("__pr", row_number().over(w))
+        .filter(col("__pr") <= nprobe)
+        .select("query_id", "__list")
+      assert(fast.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ===
+        slow.collect().map(r => (r.getLong(0), r.getInt(1))).toSet,
+        s"nprobe=$nprobe list sets diverged")
+    }
+    // EXACT TIES break to the lower list: duplicate centroids
+    val tied = Array(Array(1.0, 1.0), Array(0.0, 0.0), Array(0.0, 0.0))
+    val one = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(graft.functions.VectorFunctions.centroidTopN(
+        col("embedding"), tied, 2).as("ls"))
+      .as[Seq[Int]].head()
+    assert(one === Seq(1, 2), "equal distances must keep lower lists first")
+    // the plain persisted probe carries exactly ONE Window (the final
+    // top-k rank): the list ranking itself is map-only (the plan string
+    // sees through the AQE wrapper, which hides children from collect)
+    val plan = VectorSink.topK(store, "emb", q, "vec_id", "embedding",
+      k = 3, nprobe = 4).queryExecution.executedPlan.toString
+    val windows = "\\bWindow \\[".r.findAllIn(plan).size
+    assert(windows === 1,
+      s"probe ranking must be map-only; plan has $windows Windows:\n$plan")
+  }
+
+  test("filtered probes pre-filter before the rank, across all metrics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vflt").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding", nlist = 4)
+    val pred = col("vec_id") % 3 === 0
+    val allowed = corpus.filter(pred).select("vec_id")
+    val q = corpus.filter(col("vec_id") < 4)
+    // nprobe = nlist → exactly the brute-force top-k over the FILTERED
+    // corpus (a post-filter of the unfiltered top-k would lose rows)
+    val byPred = VectorSink.topKWhere(store, "emb", q,
+      "vec_id", "embedding", k = 3, nprobe = 4, predicate = pred)
+    assert(probeRows(byPred) === probeRows(Similarity.bruteForceTopK(
+      corpus.filter(pred), q, "vec_id", "embedding", k = 3)))
+    // the id-allowlist variant agrees with the predicate variant
+    val byList = VectorSink.topKAmong(store, "emb", q, allowed,
+      "vec_id", "embedding", k = 3, nprobe = 4)
+    assert(probeRows(byList) === probeRows(byPred))
+    // quantized + PQ: `among` restricts the stored codes BEFORE the ADC
+    // shortlist; corpus-wide shortlist + nprobe=nlist → exact over the
+    // allowed subset
+    VectorSink.writeIvfQuantized(store, "sq8", corpus,
+      "vec_id", "embedding", nlist = 4)
+    assert(probeRows(VectorSink.topKQuantized(store, "sq8", corpus, q,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 64,
+      among = Some(allowed))) === probeRows(byPred))
+    VectorSink.writeIvfPq(store, "pq", corpus, "vec_id", "embedding",
+      nlist = 4, m = 2, ksub = 8, iters = 2)
+    assert(probeRows(VectorSink.topKPq(store, "pq", corpus, q,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 64,
+      among = Some(allowed))) === probeRows(byPred))
+    // predicate filtering needs stored vectors — quantized refuses
+    val e = intercept[IllegalArgumentException] {
+      VectorSink.topKWhere(store, "sq8", q, "vec_id", "embedding",
+        k = 3, nprobe = 4, predicate = pred)
+    }
+    assert(e.getMessage.contains("among"))
+  }
+
+  test("quantized collections delete, upsert and resurrect through the same path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vqdel").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfQuantized(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    VectorSink.delete(store, "emb",
+      corpus.filter(col("vec_id") % 5 === 0).select("vec_id"), "vec_id")
+    val live = corpus.filter(col("vec_id") % 5 =!= 0)
+    val q = corpus.filter(col("vec_id") < 4)
+    // nprobe = nlist + corpus-wide shortlist → exact re-rank over the
+    // LIVE candidates: the brute-force answer over the live corpus
+    val got = VectorSink.topKQuantized(store, "emb", corpus, q,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 64)
+    assert(probeRows(got) === probeRows(Similarity.bruteForceTopK(
+      live, q, "vec_id", "embedding", k = 3)))
+    // append the deleted ids back (original vectors): the new segment
+    // is not covered by the old tombstone — they resurrect
+    VectorSink.append(store, "emb",
+      corpus.filter(col("vec_id") % 5 === 0), "vec_id", "embedding")
+    assert(store.read("emb").count() === 64L)
+    val got2 = VectorSink.topKQuantized(store, "emb", corpus, q,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 64)
+    assert(probeRows(got2) === probeRows(Similarity.bruteForceTopK(
+      corpus, q, "vec_id", "embedding", k = 3)))
+  }
 }
