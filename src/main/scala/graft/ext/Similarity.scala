@@ -213,6 +213,18 @@ object Similarity {
     * cosine re-rank, (cosine DESC, match_id) tie-break. `assigned` must
     * carry (`id`, `vec`, `__list`); `centroids` (`__list`, `__centroid`). */
   def ivfProbe(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int, nprobe: Int): DataFrame =
+    ivfProbe(assigned, centroidMatrix(centroids), queries, id, vec, k, nprobe)
+
+  /** [[ivfProbe]] against a driver-held centroid matrix — the
+    * collect-free form probe sessions reuse (the persisted paths pass
+    * [[graft.write.VectorSink.Generation.centroidMatrix]], collected
+    * once per resolved generation). A query row with a NULL vector is
+    * DROPPED (the ranking expression null-propagates and exploding a
+    * NULL emits nothing) — validate upstream if every query must
+    * answer; the write side rejects NULL vectors outright. */
+  def ivfProbe(assigned: DataFrame, centroids: Array[Array[Double]],
+      queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
     // MAP-ONLY centroid ranking ([[graft.functions.CentroidTopN]] over
@@ -231,8 +243,14 @@ object Similarity {
     val probes = q
       .withColumn("__list", explode(
         graft.functions.VectorFunctions.centroidTopN(
-          col("q_vec"), centroidMatrix(centroids), nprobe)))
+          col("q_vec"), centroids, nprobe)))
       .select(col("query_id"), col("q_vec"), col("__list"))
+      // one SMALL exchange (queries × nprobe rows, already join-keyed):
+      // the AQE materialization point that lets the corpus join see the
+      // actual probe-sized frame and broadcast it — without it the join
+      // plans off the un-shrunk scan estimate of `queries` and
+      // sort-merge-shuffles the whole corpus (see VectorSink.probeLists)
+      .repartition(col("__list"))
     val cand = probes.join(
         assigned.select(col(id).as("match_id"), col(vec).as("c_vec"), col("__list")),
         Seq("__list"))

@@ -504,13 +504,26 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     * last load is cleared keeps the invariant the replay gate checks:
     * no quarantine table ⇔ nothing dead-lettered. */
   def clearQuarantine(table: String, loadId: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, not}
     val qt = s"${Naming.normalizeTableName(table)}__quarantine"
     loadId match {
       case None => store.drop(qt)
-      case Some(id) =>
-        val rest = store.read(qt)
-          .filter(org.apache.spark.sql.functions.col(Ids.DltLoadId) =!= id)
-        if (rest.isEmpty) store.drop(qt) else store.overwrite(qt, rest)
+      case Some(id) => store.exclusively(qt) {
+        // a second investigator clearing the already-dropped table is a
+        // no-op, like sweepQuarantine's missing-table path; and the
+        // read-then-overwrite holds the table lock so a breach
+        // quarantined in between cannot be silently dropped
+        if (store.exists(qt)) {
+          // null-safe: a row with a NULL stamp is never "this load";
+          // and an id matching nothing must not rewrite the table into
+          // a new identical snapshot
+          val all = store.read(qt)
+          if (!all.filter(col(Ids.DltLoadId) <=> lit(id)).isEmpty) {
+            val rest = all.filter(not(col(Ids.DltLoadId) <=> lit(id)))
+            if (rest.isEmpty) store.drop(qt) else store.overwrite(qt, rest)
+          }
+        }
+      }
     }
   }
 
@@ -534,30 +547,40 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
   def sweepQuarantine(table: String, beforeLoadId: String): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, sum, when}
     val qt = s"${Naming.normalizeTableName(table)}__quarantine"
-    if (!store.exists(qt)) return 0L
-    val id = col(Ids.DltLoadId)
-    val cutNum = scala.util.Try(BigDecimal(beforeLoadId)).toOption
-    // numeric compare when BOTH parse (try_cast NULL = unparseable),
-    // else lexicographic — Dispositions.loadIdBefore, vectorized
-    val older = cutNum match {
-      case Some(c) =>
-        val n = expr(s"try_cast(${Ids.DltLoadId} AS DECIMAL(26, 6))")
-        when(n.isNotNull, n < lit(c.bigDecimal))
-          .otherwise(id < lit(beforeLoadId))
-      case None => id < lit(beforeLoadId)
+    store.exclusively(qt) {
+      // the lock spans read → overwrite: a breach quarantined between
+      // the counting pass and the rewrite must not be silently dropped
+      // (TableStore.exclusively documents exactly this hazard)
+      if (!store.exists(qt)) 0L
+      else {
+        val id = col(Ids.DltLoadId)
+        val cutNum = scala.util.Try(BigDecimal(beforeLoadId)).toOption
+        // numeric compare when BOTH parse (try_cast NULL = unparseable),
+        // else lexicographic — Dispositions.loadIdBefore, vectorized.
+        // coalesce(false): a NULL stamp is undatable — never swept (the
+        // raw predicate is NULL there, which the count would read as
+        // "kept" while `!older` dropped it in the rewrite)
+        val older = coalesce(cutNum match {
+          case Some(c) =>
+            val n = expr(s"try_cast(${Ids.DltLoadId} AS DECIMAL(26, 6))")
+            when(n.isNotNull, n < lit(c.bigDecimal))
+              .otherwise(id < lit(beforeLoadId))
+          case None => id < lit(beforeLoadId)
+        }, lit(false))
+        val all = store.read(qt)
+        // one counting pass decides the sweep; the rewrite (when
+        // partial) is the only other scan
+        val c = all.agg(
+          coalesce(sum(when(older, 1L).otherwise(0L)), lit(0L)),
+          count(lit(1))).head()
+        val (swept, total) = (c.getLong(0), c.getLong(1))
+        if (swept > 0L) {
+          if (swept == total) store.drop(qt)
+          else store.overwrite(qt, all.filter(!older))
+        }
+        swept
+      }
     }
-    val all = store.read(qt)
-    // one counting pass decides the sweep; the rewrite (when partial)
-    // is the only other scan
-    val c = all.agg(
-      coalesce(sum(when(older, 1L).otherwise(0L)), lit(0L)),
-      count(lit(1))).head()
-    val (swept, total) = (c.getLong(0), c.getLong(1))
-    if (swept > 0L) {
-      if (swept == total) store.drop(qt)
-      else store.overwrite(qt, all.filter(!older))
-    }
-    swept
   }
 
   private var metricsByResource: Map[String, Map[String, Any]] = Map.empty

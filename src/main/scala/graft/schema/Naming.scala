@@ -36,7 +36,8 @@ object Naming {
     }
     val alnum = translated.map(ch => if (ch.isLetterOrDigit && ch < 128) ch else '_')
     var ident = SnakeBreak1.replaceAllIn(alnum, m => m.group(1) + "_" + m.group(2))
-    ident = SnakeBreak2.replaceAllIn(ident, m => m.group(1) + "_" + m.group(2)).toLowerCase
+    ident = SnakeBreak2.replaceAllIn(ident,
+      m => m.group(1) + "_" + m.group(2)).toLowerCase(java.util.Locale.ROOT)
     if (ident.nonEmpty && ident.head.isDigit) ident = "_" + ident
     val stripped = ident.reverse.dropWhile(_ == '_').reverse
     ident = stripped + ("x" * (ident.length - stripped.length))
@@ -77,6 +78,6 @@ object Naming {
 
   private def tag8(s: String): String = {
     val d = MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
-    Base64.getEncoder.encodeToString(d).replaceAll("[^a-zA-Z0-9]", "").take(8).toLowerCase
+    Base64.getEncoder.encodeToString(d).replaceAll("[^a-zA-Z0-9]", "").take(8).toLowerCase(java.util.Locale.ROOT)
   }
 }

@@ -153,7 +153,8 @@ object NamingConventions {
     val name = "sql_ci_v1"
     val caseSensitive = false
     def normalizeIdentifier(identifier: String, maxLength: Int): String =
-      SqlCsV1.normalizeIdentifier(identifier, maxLength).toLowerCase
+      SqlCsV1.normalizeIdentifier(identifier, maxLength)
+        .toLowerCase(java.util.Locale.ROOT)
     def normalizeColumn(c: Column): Column =
       lower(SqlCsV1.normalizeColumn(c))
   }

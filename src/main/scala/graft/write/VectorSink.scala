@@ -65,7 +65,16 @@ object VectorSink {
     * time-travelled to the snapshot the collection manifest pinned. */
   final case class Generation(meta: IvfMeta, corpus: DataFrame,
       centroids: DataFrame, stats: Option[DataFrame],
-      pqModel: Option[graft.ext.Pq.PqModel])
+      pqModel: Option[graft.ext.Pq.PqModel]) {
+    /** The coarse quantizer as a driver-held matrix — collected ONCE
+      * per resolved generation and reused by every probe through it
+      * (the FAISS searcher-resident coarse quantizer): a probe session
+      * holding a Generation re-ranks lists with zero further Spark
+      * actions. The pinned centroids table is immutable, so the memo
+      * can never go stale. */
+    lazy val centroidMatrix: Array[Array[Double]] =
+      Similarity.centroidMatrix(centroids)
+  }
 
   private val SubTables = Seq(
     "" -> "corpus_snap", "__centroids" -> "centroids_snap",
@@ -288,7 +297,7 @@ object VectorSink {
     val g = generation(store, table)
     require(nprobe >= 1 && nprobe <= g.meta.nlist,
       s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
-    Similarity.ivfProbe(g.corpus, g.centroids, queries, id, vec, k, nprobe)
+    Similarity.ivfProbe(g.corpus, g.centroidMatrix, queries, id, vec, k, nprobe)
   }
 
   /** FILTERED top-k: [[topK]] restricted to corpus rows satisfying
@@ -312,7 +321,7 @@ object VectorSink {
         "with `among` (an id allowlist) instead")
     require(nprobe >= 1 && nprobe <= g.meta.nlist,
       s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
-    Similarity.ivfProbe(g.corpus.filter(predicate), g.centroids,
+    Similarity.ivfProbe(g.corpus.filter(predicate), g.centroidMatrix,
       queries, id, vec, k, nprobe)
   }
 
@@ -329,7 +338,7 @@ object VectorSink {
     require(g.meta.metric == "cosine",
       s"collection '$table' is '${g.meta.metric}': probe quantized " +
         "collections with topKQuantized/topKPq(among = ...)")
-    Similarity.ivfProbe(restrict(g.corpus, Some(allowed), id), g.centroids,
+    Similarity.ivfProbe(restrict(g.corpus, Some(allowed), id), g.centroidMatrix,
       queries, id, vec, k, nprobe)
   }
 
@@ -338,8 +347,9 @@ object VectorSink {
   private def restrict(corpus: DataFrame, among: Option[DataFrame],
       id: String): DataFrame = among match {
     case None => corpus
-    case Some(a) => corpus.join(a.select(col(id)).distinct(),
-      Seq(id), "left_semi")
+    // no distinct(): a left-semi join deduplicates the right side by
+    // construction — the extra hash-aggregate exchange bought nothing
+    case Some(a) => corpus.join(a.select(col(id)), Seq(id), "left_semi")
   }
 
   /** IVF + SQ8: the collection stores INT8 CODES instead of vectors
@@ -379,13 +389,22 @@ object VectorSink {
     * (the exact SqDist subtract-square-accumulate loop, ties to the
     * lowest `__list`), so the plan swap cannot move a single probe
     * list. */
-  private def probeLists(centroids: DataFrame, queries: DataFrame,
+  private def probeLists(centroids: Array[Array[Double]], queries: DataFrame,
       id: String, vec: String, nprobe: Int): DataFrame =
     queries.select(col(id).as("query_id"), col(vec).as("__qv"))
       .withColumn("__list", explode(
         graft.functions.VectorFunctions.centroidTopN(
-          col("__qv"), centroidMatrix(centroids), nprobe)))
+          col("__qv"), centroids, nprobe)))
       .select(col("query_id"), col("__qv"), col("__list"))
+      // one SMALL exchange (queries × nprobe rows, already join-keyed):
+      // an AQE materialization point. Without it the downstream corpus
+      // join is planned off the parquet-scan SIZE ESTIMATE of `queries`
+      // (filters don't shrink estimates without CBO) and degrades to a
+      // sort-merge join that shuffles the WHOLE corpus; with it, AQE
+      // measures the actual probe-sized frame and broadcasts it. The
+      // old crossJoin+window shape had this stage boundary implicitly —
+      // at queries × NLIST rows; this one is nlist/nprobe smaller.
+      .repartition(col("__list"))
 
   /** Top-k over the QUANTIZED collection: centroid-ranked probe lists,
     * ADC (dequantized-cosine) shortlist over the stored codes, exact
@@ -419,7 +438,7 @@ object VectorSink {
     require(nprobe >= 1 && nprobe <= g.meta.nlist,
       s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
     val stats = broadcast(g.stats.get)
-    val probes = probeLists(g.centroids, queries, id, vec, nprobe)
+    val probes = probeLists(g.centroidMatrix, queries, id, vec, nprobe)
     val deq = restrict(g.corpus, among, id).crossJoin(stats)
       .select(col(id).as("match_id"), col("__list"),
         graft.functions.VectorFunctions.dequantizeInt8(
@@ -987,7 +1006,7 @@ object VectorSink {
       s"collection '$table' is '${g.meta.metric}', not a PQ collection")
     require(nprobe >= 1 && nprobe <= g.meta.nlist,
       s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
-    val probes = probeLists(g.centroids, queries, id, vec, nprobe)
+    val probes = probeLists(g.centroidMatrix, queries, id, vec, nprobe)
     val deq = restrict(g.corpus, among, id)
       .select(col(id).as("match_id"), col("__list"),
         graft.ext.Pq.reconstruction(col("__codes"), g.pqModel.get).as("__deq"))

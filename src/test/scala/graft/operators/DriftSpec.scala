@@ -276,8 +276,10 @@ class DriftSpec extends SparkSpec {
       java.time.Instant.now().plusSeconds(60)) === 1500L)
     assert(!p.store.exists("m__quarantine"),
       "sweeping the last load must drop the table")
-    // sweeping a missing table is a 0 no-op, not a raise
+    // sweeping a missing table is a 0 no-op, not a raise — and so is a
+    // load-scoped clear (a second investigator after the drop)
     assert(p.sweepQuarantine("m", "9") === 0L)
+    p.clearQuarantine("m", loadId = Some("3"))
     // clearing the LAST load by id also drops the table
     p.run(Seq(res(shiftA)), "5")
     p.clearQuarantine("m", loadId = Some("5"))
