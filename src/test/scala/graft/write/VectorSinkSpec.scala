@@ -378,6 +378,25 @@ class VectorSinkSpec extends SparkSpec {
     assert(skew > 1.5) // the blob piled into one list
   }
 
+  test("delete is O(ids): a bounded handful of batch-sized jobs, no corpus scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vdelj").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding", nlist = 4)
+    val ids = corpus.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val (n, jobs) = countJobs {
+      VectorSink.delete(store, "emb", ids, "vec_id")
+    }
+    assert(n === 10L)
+    // measured breakdown: distinct-count (2-3 AQE stages), the
+    // column-existence footer check (1 — reads footers, O(#segments)
+    // not O(rows)), the tombstone id-file distinct+write (2-3). All
+    // batch- or metadata-sized; a corpus DATA scan would add
+    // corpus-proportional stages on top of this fixed handful
+    assert(jobs <= 8,
+      s"delete launched $jobs jobs — it must stay O(ids): distinct count " +
+        "+ footer check + tombstone write, never a corpus scan")
+  }
+
   test("append refuses a corpus head orphaned by an interrupted swap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec15").toString
     val store = new TableStore(dir, spark)
