@@ -564,6 +564,54 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
+    // BATCH ANN JOIN — the retrieval/semantic-dedup primitive at corpus
+    // scale: EVERY odd vector (not a handful of interactive queries)
+    // probes an IVF index over the even half in one plan. The probe
+    // ranking is the map-only CentroidTopN explode (no queries × nlist
+    // shuffle; the small keyed exchange is the AQE decision point), so
+    // the shape survives a million-query batch. nprobe = nlist ≡ exact,
+    // so the brute-force all-pairs top-k oracle gates it.
+    "sim_batch_ann_join" -> q { c =>
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      val corpus = vecs.filter(col("vec_id") % 2 === 0)
+      val queries = vecs.filter(col("vec_id") % 2 === 1 &&
+        col("vec_id") < 1000)
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 16)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // COLLECTION DESCRIBE — the operational summary endpoint every
+    // vector store ships: one row of generation/model/census/
+    // maintenance-trigger state off the driver-file metadata plane
+    // (no data-plane scan). Built over the delete+upsert lifecycle so
+    // every count is oracle-derivable; skew is model-dependent, so it
+    // rides as a sanity boolean while dead_fraction (a pure count
+    // ratio) is gated exactly.
+    "sim_collection_describe" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      val store = new TableStore(
+        java.nio.file.Files.createTempDirectory("graft-vdesc").toString, c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      val evens = vecs.filter(col("vec_id") % 2 === 0)
+      VectorSink.writeIvf(store, "emb", evens,
+        "vec_id", "embedding", nlist = 8)                            // gen 1
+      VectorSink.delete(store, "emb",
+        evens.filter(col("vec_id") % 6 === 0).select("vec_id"),
+        "vec_id")                                                    // gen 2
+      VectorSink.upsert(store, "emb",
+        vecs.filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x * lit(0.5) + lit(4.0))
+              .cast("array<float>").as("embedding")),
+        "vec_id", "embedding")                                       // gen 3
+      VectorSink.describeCollection(store, "emb")
+        .withColumn("skew_sane", col("list_skew") >= 1.0)
+        .withColumn("dead_fraction", round(col("dead_fraction"), 6))
+        .drop("list_skew")
+    },
+
     // FILTERED vector search (the metadata-filtered top-k every vector
     // store exposes): the predicate applies BEFORE the rank — a
     // PRE-filter, so k survivors come back whenever the probed lists
@@ -1589,6 +1637,43 @@ object ExtQueries {
       s"""SELECT query_id, rank, match_id, cosine, '1,2,3' AS gens
          |FROM (${Quantize.rerankOracleSqlOver("vec_id % 2 = 0")}) h
          |ORDER BY query_id, rank""".stripMargin,
+
+    // every odd vector probes the even-half index at nprobe = nlist —
+    // exactly the brute-force all-pairs top-k (sides disjoint, so no
+    // self-match subtlety)
+    "sim_batch_ann_join" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id % 2 = 0
+        |  WHERE q.vec_id % 2 = 1 AND q.vec_id < 1000),
+        |ranked AS (
+        |  SELECT query_id, match_id, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, match_id, round(cs, 6) AS cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // physical census = evens + the upsert batch; tombstones = the
+    // deleted sixths + the upserted quarters; dead_fraction is the
+    // same double division on both sides (IEEE-exact, then round 6)
+    "sim_collection_describe" ->
+      """SELECT 'emb' AS collection, 3::BIGINT AS gen,
+        |  'cosine' AS metric, 64 AS dim, 8 AS nlist,
+        |  ((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)
+        |    + (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0)
+        |  )::BIGINT AS physical_rows,
+        |  ((SELECT count(*) FROM embeddings WHERE vec_id % 6 = 0)
+        |    + (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0)
+        |  )::BIGINT AS tombstoned_ids,
+        |  round(LEAST(1.0,
+        |    ((SELECT count(*) FROM embeddings WHERE vec_id % 6 = 0)
+        |      + (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0)
+        |    )::DOUBLE /
+        |    ((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)
+        |      + (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0)
+        |    )::DOUBLE), 6) AS dead_fraction,
+        |  3::BIGINT AS generations, TRUE AS skew_sane""".stripMargin,
 
     // pre-filter + nprobe = nlist ≡ brute force with matches drawn from
     // the filtered corpus only (queries themselves are unrestricted)

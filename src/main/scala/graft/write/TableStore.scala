@@ -81,7 +81,7 @@ final case class Tombstone(name: String, column: String, covered: Set[String])
   * Segment stats are captured with `Dataset.observe` riding the write
   * action — no extra scan of the data.
   */
-final class TableStore(val root: String, spark: SparkSession) {
+final class TableStore(val root: String, val spark: SparkSession) {
 
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()

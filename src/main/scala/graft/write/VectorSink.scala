@@ -749,6 +749,28 @@ object VectorSink {
     } finally pinned.unpersist(blocking = false)
   }
 
+  /** One-row OPERATIONAL SUMMARY of a collection — the `DESCRIBE`
+    * every vector store ships (qdrant's collection info endpoint):
+    * live generation, metric, index params, physical row census,
+    * tombstoned-id count, occupancy skew and dead fraction — the two
+    * maintenance triggers [[appendAndMaintain]] reads — and the count
+    * of still-probe-able generations. Driver-file reads only (plus one
+    * corpus scan ONLY for a legacy census-less manifest row): an
+    * operator dashboard can poll it without touching the data plane. */
+  def describeCollection(store: TableStore, table: String): DataFrame = {
+    val row = newestRow(store, table)
+    val meta = metaFrom(store.readDriverRowsAt(s"${table}__ivf_meta",
+      row.snaps("meta_snap")).head)
+    val sizes = sizesOf(store, table, row)
+    import store.spark.implicits._
+    Seq((table, row.gen, meta.metric, meta.dim, meta.nlist,
+      sizes.sum, row.tombstoneIds, skewOf(sizes), deadOf(row, sizes),
+      collectionRows(store, table).length.toLong))
+      .toDF("collection", "gen", "metric", "dim", "nlist",
+        "physical_rows", "tombstoned_ids", "list_skew", "dead_fraction",
+        "generations")
+  }
+
   /** Tombstone `ids` OUT of the collection — merge-on-read, O(ids):
     * one tombstone commit ([[TableStore.deleteByIds]]), no data
     * rewritten, no corpus scan. Probes resolve the new pinned corpus
