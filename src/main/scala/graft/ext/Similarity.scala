@@ -84,6 +84,28 @@ object Similarity {
   /** Exact top-k: broadcast `queries` (must be driver-small), score the
     * corpus in one pass, keep k best per query.
     * Deterministic tie-break: (cosine desc, corpus id asc). */
+  /** THE probe frame every IVF probe path shares — (query_id,
+    * `<vecCol>`, __list) for the `nprobe` nearest coarse lists per
+    * query: a MAP-ONLY codegen top-n ([[graft.functions.CentroidTopN]]
+    * + explode) over the driver-held centroid matrix, followed by one
+    * SMALL exchange (queries × nprobe rows, already join-keyed) — the
+    * AQE materialization point that lets the downstream corpus join
+    * see the actual probe-sized frame and broadcast it. Without that
+    * exchange the join plans off the un-shrunk scan estimate of
+    * `queries` (filters don't shrink estimates without CBO) and
+    * degrades to a sort-merge join shuffling the WHOLE corpus; the old
+    * crossJoin+window shape had the stage boundary implicitly, at
+    * queries × NLIST rows — this one is nlist/nprobe smaller. */
+  private[graft] def probeFrame(queries: DataFrame, id: String, vec: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      nprobe: Int): DataFrame =
+    queries.select(col(id).as("query_id"), col(vec).as(vecCol))
+      .withColumn("__list", explode(
+        graft.functions.VectorFunctions.centroidTopN(
+          col(vecCol), centroids, nprobe)))
+      .select(col("query_id"), col(vecCol), col("__list"))
+      .repartition(col("__list"))
+
   /** The coarse centroids as a dense matrix indexed by `__list` — the
     * broadcast-reference shape [[graft.functions.CentroidTopN]] /
     * [[graft.functions.CentroidArgMin]] ride. Driver-small by contract
@@ -240,17 +262,7 @@ object Similarity {
     // assignment is spark.ml's transform — possibly a norms-shortcut
     // distance — so a write-time near-tie may place a row in the other
     // near-tied list; probes stay exact at nprobe = nlist regardless.)
-    val probes = q
-      .withColumn("__list", explode(
-        graft.functions.VectorFunctions.centroidTopN(
-          col("q_vec"), centroids, nprobe)))
-      .select(col("query_id"), col("q_vec"), col("__list"))
-      // one SMALL exchange (queries × nprobe rows, already join-keyed):
-      // the AQE materialization point that lets the corpus join see the
-      // actual probe-sized frame and broadcast it — without it the join
-      // plans off the un-shrunk scan estimate of `queries` and
-      // sort-merge-shuffles the whole corpus (see VectorSink.probeLists)
-      .repartition(col("__list"))
+    val probes = probeFrame(queries, id, vec, "q_vec", centroids, nprobe)
     val cand = probes.join(
         assigned.select(col(id).as("match_id"), col(vec).as("c_vec"), col("__list")),
         Seq("__list"))

@@ -514,13 +514,20 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
         // read-then-overwrite holds the table lock so a breach
         // quarantined in between cannot be silently dropped
         if (store.exists(qt)) {
-          // null-safe: a row with a NULL stamp is never "this load";
-          // and an id matching nothing must not rewrite the table into
-          // a new identical snapshot
+          import org.apache.spark.sql.functions.{coalesce, count, sum, when}
+          // one counting pass decides drop / partial rewrite / no-op
+          // (the sweepQuarantine idiom); null-safe: a NULL stamp is
+          // never "this load", and an id matching nothing must not
+          // rewrite the table into a new identical snapshot
           val all = store.read(qt)
-          if (!all.filter(col(Ids.DltLoadId) <=> lit(id)).isEmpty) {
-            val rest = all.filter(not(col(Ids.DltLoadId) <=> lit(id)))
-            if (rest.isEmpty) store.drop(qt) else store.overwrite(qt, rest)
+          val hit = col(Ids.DltLoadId) <=> lit(id)
+          val c = all.agg(
+            coalesce(sum(when(hit, 1L).otherwise(0L)), lit(0L)),
+            count(lit(1))).head()
+          val (matched, total) = (c.getLong(0), c.getLong(1))
+          if (matched > 0L) {
+            if (matched == total) store.drop(qt)
+            else store.overwrite(qt, all.filter(not(hit)))
           }
         }
       }

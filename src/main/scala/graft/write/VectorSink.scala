@@ -379,32 +379,16 @@ object VectorSink {
 
   /** Centroid-ranked probe lists per query: (query_id, __qv, __list)
     * for the `nprobe` nearest coarse centroids — the shared head of
-    * every quantized probe path. A MAP-ONLY codegen top-n
-    * ([[graft.functions.CentroidTopN]] + explode) over the driver-held
-    * centroid matrix: the previous crossJoin(broadcast) + row_number
-    * window shuffled queries × nlist rows per probe, which at
-    * batch-ANN-join scale (every document probing the collection) is
-    * the same shape the append path shed in r11. Ranking is
-    * BIT-identical to the window formulation AND to the append argmin
-    * (the exact SqDist subtract-square-accumulate loop, ties to the
-    * lowest `__list`), so the plan swap cannot move a single probe
+    * every quantized probe path, delegating to the ONE probe-frame
+    * implementation ([[Similarity.probeFrame]]: map-only codegen top-n
+    * + the small keyed AQE-materialization exchange). Ranking is
+    * BIT-identical to the old window formulation AND to the append
+    * argmin (the exact SqDist subtract-square-accumulate loop, ties to
+    * the lowest `__list`), so the plan swap cannot move a single probe
     * list. */
   private def probeLists(centroids: Array[Array[Double]], queries: DataFrame,
       id: String, vec: String, nprobe: Int): DataFrame =
-    queries.select(col(id).as("query_id"), col(vec).as("__qv"))
-      .withColumn("__list", explode(
-        graft.functions.VectorFunctions.centroidTopN(
-          col("__qv"), centroids, nprobe)))
-      .select(col("query_id"), col("__qv"), col("__list"))
-      // one SMALL exchange (queries × nprobe rows, already join-keyed):
-      // an AQE materialization point. Without it the downstream corpus
-      // join is planned off the parquet-scan SIZE ESTIMATE of `queries`
-      // (filters don't shrink estimates without CBO) and degrades to a
-      // sort-merge join that shuffles the WHOLE corpus; with it, AQE
-      // measures the actual probe-sized frame and broadcasts it. The
-      // old crossJoin+window shape had this stage boundary implicitly —
-      // at queries × NLIST rows; this one is nlist/nprobe smaller.
-      .repartition(col("__list"))
+    Similarity.probeFrame(queries, id, vec, "__qv", centroids, nprobe)
 
   /** Top-k over the QUANTIZED collection: centroid-ranked probe lists,
     * ADC (dequantized-cosine) shortlist over the stored codes, exact
@@ -758,14 +742,18 @@ object VectorSink {
     * corpus scan ONLY for a legacy census-less manifest row): an
     * operator dashboard can poll it without touching the data plane. */
   def describeCollection(store: TableStore, table: String): DataFrame = {
-    val row = newestRow(store, table)
+    // one manifest read serves both the newest row and the generation
+    // count — a second unsynchronized read could straddle a concurrent
+    // commit and report gen/generations from different manifest states
+    val rows = collectionRows(store, table)
+    val row = rows.last
     val meta = metaFrom(store.readDriverRowsAt(s"${table}__ivf_meta",
       row.snaps("meta_snap")).head)
     val sizes = sizesOf(store, table, row)
     import store.spark.implicits._
     Seq((table, row.gen, meta.metric, meta.dim, meta.nlist,
       sizes.sum, row.tombstoneIds, skewOf(sizes), deadOf(row, sizes),
-      collectionRows(store, table).length.toLong))
+      rows.length.toLong))
       .toDF("collection", "gen", "metric", "dim", "nlist",
         "physical_rows", "tombstoned_ids", "list_skew", "dead_fraction",
         "generations")
