@@ -248,7 +248,6 @@ object Similarity {
   def ivfProbe(assigned: DataFrame, centroids: Array[Array[Double]],
       queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int): DataFrame = {
-    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
     // MAP-ONLY centroid ranking ([[graft.functions.CentroidTopN]] over
     // the driver-held centroid matrix — the crossJoin+window it
     // replaces shuffled queries × nlist rows, which at batch-ANN-join

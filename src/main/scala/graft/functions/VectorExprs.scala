@@ -264,9 +264,14 @@ case class CentroidArgMin(child: Expression, centroids: Array[Array[Double]])
   * document probing the collection) that window shuffles queries × nlist
   * rows, the same shape the append path already shed. Distances run the
   * exact [[SqDist]] subtract-square-accumulate loop in index order, and
-  * ties break to the lower index — BIT-identical ranking to the window
-  * formulation (`ORDER BY __d, __list`), so swapping the plan cannot
-  * move a single probe list.
+  * ties break to the lower index — bit-identical to a SqDist-based
+  * window (`ORDER BY Σ(q−c)², __list`). Cross-version caveat: the
+  * production window this replaced ranked by |c|²−2·q·c (the |q|² term
+  * dropped), which rounds differently from the full Σ(q−c)² — rows
+  * assigned by pre-change appends under that formula may sit in the
+  * OTHER list of a near-tied centroid pair, so low-nprobe probes of
+  * such collections can miss a near-tied row (the same caveat as the
+  * k-means write path; nprobe = nlist is exact regardless).
   *
   * Selection keeps a sorted top-n prefix (insertion bounded by a
   * worst-entry cutoff — one compare per non-qualifying centroid, the

@@ -539,11 +539,13 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     * load's id, and generated ids are epoch-micros
     * ([[graft.write.Dispositions.newLoadId]]) — so age is expressed as
     * a load-id cutoff and [[java.time.Instant]] converts via the same
-    * encoding. Ids are compared numerically when both sides parse
-    * (the generated form), lexicographically for caller-supplied
-    * opaque ids — mirroring the ledger's ordering — so a sweep can
-    * never misdate a row: whatever the id form, "older" means the
-    * same thing the ledger says. Returns the number of rows retired. */
+    * encoding. Ids are compared numerically when both sides are
+    * exactly representable as DECIMAL(38,6) — which every engine-minted
+    * id is — lexicographically otherwise (caller-supplied opaque ids,
+    * scientific notation, >32 integer or >6 fraction digits): a
+    * vectorized narrowing of the ledger's arbitrary-precision
+    * [[graft.write.Dispositions]] ordering, documented at the
+    * comparator. Returns the number of rows retired. */
   def sweepQuarantine(table: String, before: java.time.Instant): Long =
     sweepQuarantine(table,
       java.math.BigDecimal.valueOf(
@@ -561,16 +563,30 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       if (!store.exists(qt)) 0L
       else {
         val id = col(Ids.DltLoadId)
-        val cutNum = scala.util.Try(BigDecimal(beforeLoadId)).toOption
-        // numeric compare when BOTH parse (try_cast NULL = unparseable),
-        // else lexicographic — Dispositions.loadIdBefore, vectorized.
+        // numeric compare when BOTH sides are EXACTLY representable as
+        // DECIMAL(38,6), else lexicographic — Dispositions.loadIdBefore
+        // vectorized, with a documented narrowing: loadIdBefore compares
+        // at arbitrary precision, while a vectorized decimal caps at
+        // Spark's 38 digits AND try_cast silently ROUNDS fraction digits
+        // beyond the scale (it only nulls on integer overflow). So both
+        // the cutoff (driver-side precision/scale check — the cutoff
+        // must round-trip the cast, not merely parse) and each row
+        // (codegen'd grammar guard: ≤32 integer digits, ≤6 fraction
+        // digits, no sign/exponent) are gated on exact representability;
+        // anything outside that grammar — scientific notation, >32
+        // integer digits, >6 fraction digits — compares lexicographically
+        // for that side. Engine-minted ids (epoch.micros, 17 integer +
+        // 6 fraction digits) always take the numeric branch.
         // coalesce(false): a NULL stamp is undatable — never swept (the
         // raw predicate is NULL there, which the count would read as
         // "kept" while `!older` dropped it in the rewrite)
+        val cutNum = scala.util.Try(BigDecimal(beforeLoadId)).toOption
+          .filter(c => c.scale <= 6 && c.precision - c.scale <= 32)
         val older = coalesce(cutNum match {
           case Some(c) =>
-            val n = expr(s"try_cast(${Ids.DltLoadId} AS DECIMAL(26, 6))")
-            when(n.isNotNull, n < lit(c.bigDecimal))
+            val n = expr(s"try_cast(${Ids.DltLoadId} AS DECIMAL(38, 6))")
+            val exact = id.rlike("^[0-9]{1,32}(\\.[0-9]{1,6})?$")
+            when(exact && n.isNotNull, n < lit(c.bigDecimal))
               .otherwise(id < lit(beforeLoadId))
           case None => id < lit(beforeLoadId)
         }, lit(false))

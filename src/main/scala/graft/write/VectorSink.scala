@@ -626,7 +626,10 @@ object VectorSink {
     * segments until a [[rebalance]] materializes the deletes — the
     * occupancy census therefore stays PHYSICAL (it measures probe scan
     * cost, dead rows included) and the manifest's tombstone-id counter
-    * feeds [[deadFraction]], the compaction trigger. */
+    * feeds [[deadFraction]], the compaction trigger. The batch must be
+    * UNIQUE on `id` — duplicates are rejected before the commit
+    * (tombstones never cover the batch's own segment, so both copies
+    * would survive; mirrors SQL MERGE's duplicate-staging-key error). */
   def upsert(store: TableStore, table: String, rows: DataFrame,
       id: String, vec: String): Unit =
     ingest(store, table, rows, id, vec, replaceById = true)
@@ -654,7 +657,8 @@ object VectorSink {
     // row the census then trips over — mid-commit
     val d = rows.agg(min(size(col(vec))).as("mn"),
       max(size(col(vec))).as("mx"),
-      sum(when(col(vec).isNull, lit(1L)).otherwise(lit(0L))).as("nulls"))
+      sum(when(col(vec).isNull, lit(1L)).otherwise(lit(0L))).as("nulls"),
+      count(lit(1L)).as("total"))
       .head()
     require(!d.isNullAt(2) && d.getLong(2) == 0L,
       if (d.isNullAt(2)) s"$op to '$table': empty batch"
@@ -702,6 +706,20 @@ object VectorSink {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val n = ids.count()
+            // a duplicate id WITHIN the batch would survive twice: the
+            // tombstone covers only pre-existing segments, never the
+            // batch's own — so last-write-wins holds across COMMITS, not
+            // within one. Reject rather than silently inflate the census
+            // (the reference's upsert is a SQL MERGE, which errors on
+            // duplicate staging keys — dlt/destinations/sql_jobs.py:778;
+            // its docs require a unique primary_key for upsert). The
+            // check is free: `total` rides the width aggregate, `n` is
+            // the tombstone count this path already takes.
+            require(n == d.getLong(3),
+              s"upsert to '$table': batch carries duplicate ids " +
+                s"(${d.getLong(3)} rows, $n distinct) — pre-dedupe the " +
+                "batch (keep-last is undefined on an unordered DataFrame); " +
+                "upsert is last-write-wins across commits, not within one")
             store.appendWithTombstone(table, pinned, id, ids,
               statsFor = Seq("__list"))
             n

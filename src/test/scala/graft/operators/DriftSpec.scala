@@ -285,4 +285,34 @@ class DriftSpec extends SparkSpec {
     p.clearQuarantine("m", loadId = Some("5"))
     assert(!p.store.exists("m__quarantine"))
   }
+
+  test("sweep comparator is numeric to DECIMAL(38,6), lexicographic beyond") {
+    import graft.pipeline.{Pipeline, Resource}
+    val p = new Pipeline("dqc",
+      java.nio.file.Files.createTempDirectory("graft-dqc").toString, spark)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      Resource("m", df).withDriftCheck("v", maxPsi = 0.25, quarantine = true)
+    p.run(Seq(res(base)), "1")
+    val shift = (1 to 100).map(i => (i % 100).toDouble + 80.0).toDF("v")
+    // 24 integer digits: parses as BigDecimal and FITS DECIMAL(38,6) —
+    // must compare NUMERICALLY (the old DECIMAL(26,6) cast overflowed
+    // here and silently fell back to lexicographic, where "1234…" < "99")
+    val big = "123456789012345678901234"
+    p.run(Seq(res(shift)), big)
+    assert(p.sweepQuarantine("m", "99") === 0L,
+      "24-digit id must out-age a 2-digit numeric cutoff NUMERICALLY")
+    assert(p.store.read("m__quarantine").count() === 100L)
+    // 40 integer digits: beyond DECIMAL(38,6) — documented lexicographic
+    // fallback for that row ("999…" > "99" and > "A" decides the sweeps)
+    val huge = "9" * 40
+    p.run(Seq(res(shift)), huge)
+    assert(p.sweepQuarantine("m", "99") === 0L,
+      "an id beyond 38 digits compares lexicographically: '999…' > '99'")
+    assert(p.sweepQuarantine("m", "2") === 0L,
+      "cutoff 2: the 24-digit row is numerically above, the 40-digit " +
+        "row lexicographically above ('9…' > '2') — nothing retires")
+    assert(p.sweepQuarantine("m", "A") === 200L,
+      "an unparseable cutoff compares lexicographically for every row")
+    assert(!p.store.exists("m__quarantine"))
+  }
 }

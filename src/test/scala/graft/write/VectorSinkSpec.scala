@@ -680,6 +680,28 @@ class VectorSinkSpec extends SparkSpec {
         "vec_id", "embedding", k = 3, nlist = 4, nprobe = 4)))
   }
 
+  test("upsert rejects a batch with duplicate ids (tombstones never cover the batch's own segment)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vdup").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    val dup = corpus.filter(col("vec_id") < 4)
+      .unionByName(corpus.filter(col("vec_id") === 2))
+    val e = intercept[IllegalArgumentException] {
+      VectorSink.upsert(store, "emb", dup, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("duplicate ids"))
+    // the rejection happens BEFORE the commit: census, generation list
+    // and row count are all untouched
+    assert(store.read("emb").count() === 64L)
+    assert(VectorSink.generations(store, "emb") === Seq(1L))
+    assert(VectorSink.listSizes(store, "emb").map(_._2).sum === 64L)
+    // append (no tombstone) still accepts the same batch: duplicates
+    // are only a hazard for replace-by-id semantics
+    VectorSink.append(store, "emb", dup, "vec_id", "embedding")
+    assert(store.read("emb").count() === 69L)
+  }
+
   test("appendAndMaintain materializes deletes past the dead-fraction trigger") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vmat").toString
     val store = new TableStore(dir, spark)
