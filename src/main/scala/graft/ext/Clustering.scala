@@ -124,7 +124,7 @@ object Clustering {
     * trainings in one statement. */
   private[ext] def stagesSql(k: Int, iters: Int, ns: String = "",
       vecExpr: String = "embedding::DOUBLE[]", dim: Int = 64,
-      where: String = "TRUE"): String = {
+      where: String = "TRUE", from: String = "embeddings"): String = {
     // d2 = the engine's exact squared distance: the same left-
     // associated index-order sum of (eᵢ−cᵢ)² that SqDist's loop
     // accumulates (each op correctly rounded in both engines → bit-
@@ -163,7 +163,7 @@ object Clustering {
          |  SELECT vec_id, CASE WHEN len(v) = $dim THEN v
          |    ELSE error('oracle dim mismatch: len=' || len(v) ||
          |      ' expected=$dim') END AS e
-         |  FROM (SELECT vec_id, $vecExpr AS v FROM embeddings
+         |  FROM (SELECT vec_id, $vecExpr AS v FROM $from
          |        WHERE $where)),
          |${ns}c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e AS c

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AudioFp, BpeTrainer, Clustering, Dedup, IncrementalDedup, Multimodal, Pca, Phash, Pq, Quantize, Similarity, TextOps}
+import graft.ext.{AudioFp, BpeTrainer, Clustering, Dedup, IncrementalDedup, Multimodal, Opq, Pca, Phash, Pq, Quantize, Similarity, TextOps}
 
 /** Training-data extensions (SURVEY.md §7.8): text analysis, dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
@@ -416,6 +416,52 @@ object ExtQueries {
         m = 4, ksub = 4, iters = 2)
       Pq.adcTopK(vecs, "vec_id", "embedding",
         vecs.filter(col("vec_id") < 10), model, k = 5, shortlist = 20)
+        .orderBy("query_id", "rank")
+    },
+
+    // OPQ (Ge et al. 2013, parametric): PCA-eigenbasis rotation with
+    // greedy eigenvalue allocation balancing Σ log λ across the m
+    // subspaces, then the full PQ→ADC→re-rank chain IN ROTATED SPACE.
+    // Model-derived oracle: the rotation rides the SQL as literals and
+    // DuckDB re-derives everything downstream of it (rotated vectors
+    // bit-exact via the unrolled MatVecMul chain, per-subspace k-means,
+    // codes, shortlist, re-rank). Self-gated in-query: rotation
+    // orthonormal, greedy allocation at least as balanced as the naive
+    // contiguous eigen split, per-bucket spectrum non-increasing.
+    "sim_opq_adc" -> q { c =>
+      val vecs = c.t("embeddings")
+      val model = Opq.train(vecs, "vec_id", "embedding",
+        dim = 64, m = 4, ksub = 4, iters = 2)
+      Opq.adcOracleStash = Some(Opq.adcOracleSql(model,
+        ksub = 4, iters = 2, k = 5, shortlist = 20, maxQueryId = 10))
+      val orthOk = {
+        val r = model.rotation
+        val d = r.length
+        var worst = 0.0
+        for (i <- 0 until d; j <- i until d) {
+          var s = 0.0
+          var kk = 0
+          while (kk < d) { s += r(i)(kk) * r(j)(kk); kk += 1 }
+          worst = math.max(worst,
+            math.abs(s - (if (i == j) 1.0 else 0.0)))
+        }
+        worst < 1e-8
+      }
+      val dsub = 64 / 4
+      val blockIdx = Array.tabulate(4)(j =>
+        Array.range(j * dsub, (j + 1) * dsub))
+      val greedySpread = Opq.logVarianceSpread(model.spectrum, blockIdx)
+      val contiguousSpread = Opq.logVarianceSpread(
+        model.spectrum.sorted(Ordering[Double].reverse), blockIdx)
+      val balanced = greedySpread <= contiguousSpread + 1e-9
+      val bucketsSorted = blockIdx.forall(b =>
+        b.map(model.spectrum).sliding(2)
+          .forall(p => p.length < 2 || p(0) >= p(1)))
+      Opq.adcTopK(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") < 10), model, k = 5, shortlist = 20)
+        .withColumn("orthonormal_ok", lit(orthOk))
+        .withColumn("allocation_beats_contiguous", lit(balanced))
+        .withColumn("buckets_nonincreasing", lit(bucketsSorted))
         .orderBy("query_id", "rank")
     },
 
@@ -1153,7 +1199,8 @@ object ExtQueries {
     * [[graft.Verify]] happens after all queries ran, so the stash is
     * populated by then; absent → rows-only check, as before round 9). */
   def oracles: Map[String, String] =
-    staticOracles ++ Pca.projectOracleStash.map("sim_pca_project" -> _)
+    staticOracles ++ Pca.projectOracleStash.map("sim_pca_project" -> _) ++
+      Opq.adcOracleStash.map("sim_opq_adc" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "text_token_count" ->
