@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic training order: the global document shuffle every
+  * pretraining epoch needs (and the curriculum generalization —
+  * shuffle WITHIN ordered stages). The order key is a seeded md5 over
+  * the document id, so the permutation is a pure function of
+  * (seed, epoch, id): re-running the plan, resuming a failed job, or
+  * recomputing a lost partition can never shift a single rank — the
+  * property `rand()`-based shuffles lack (Spark may re-execute a stage
+  * and re-draw). A different epoch re-keys the hash → an independent
+  * permutation, no state carried between epochs.
+  *
+  * Scale shape — the [[SequencePack]] two-level discipline applied to
+  * ranks: a naive global `row_number` puts the corpus on ONE task.
+  * Here documents bucket by the hash's first two hex chars (256
+  * deterministic, data-derived buckets, ~uniform by construction),
+  * rank WITHIN buckets in parallel windows, and a single tiny window
+  * over the 256 bucket COUNTS (broadcast back) turns local ranks into
+  * the exact global rank of `ORDER BY (stage..., hash, id)`. */
+object TrainingOrder {
+
+  /** The order key: lowercase md5 hex of `seed:epoch:id` — identical
+    * in Spark and any engine with md5 (the oracle re-derives it). */
+  def orderKey(id: Column, seed: Long, epoch: Int): Column =
+    md5(concat_ws(":", lit(seed).cast("string"),
+      lit(epoch).cast("string"), id.cast("string")))
+
+  /** Adds `shuffle_rank` (0-based global rank in seeded-hash order,
+    * optionally stage-major via `stages`: all rows of an earlier
+    * stage rank before any row of a later one — curriculum order).
+    * `idCol` must be unique per row (it breaks hash ties and keys the
+    * permutation). */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long, epoch: Int,
+      stages: Seq[String] = Nil): DataFrame = {
+    val stageCols = stages.map(col)
+    val keyed = df
+      .withColumn("__h", orderKey(col(idCol), seed, epoch))
+      .withColumn("__bucket", substring(col("__h"), 1, 2))
+    val within = Window
+      .partitionBy((stageCols :+ col("__bucket")): _*)
+      .orderBy(col("__h"), col(idCol))
+    // bucket totals: |stages| × 256 rows — the only single-partition
+    // window runs over THAT frame, never the data
+    val overBuckets = Window
+      .orderBy((stageCols :+ col("__bucket")): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed
+      .groupBy((stageCols :+ col("__bucket")): _*)
+      .agg(count(lit(1L)).as("__bcount"))
+      .withColumn("__boffset",
+        coalesce(sum("__bcount").over(overBuckets), lit(0L)))
+      .drop("__bcount")
+    keyed
+      .withColumn("__within", row_number().over(within).cast("long") - 1L)
+      .join(broadcast(offsets), stages :+ "__bucket")
+      .withColumn("shuffle_rank", col("__boffset") + col("__within"))
+      .drop("__h", "__bucket", "__within", "__boffset")
+  }
+}

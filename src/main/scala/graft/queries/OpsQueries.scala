@@ -133,6 +133,29 @@ object OpsQueries {
         .orderBy("doc_id")
     },
 
+    // deterministic epoch shuffle for training order: seeded-md5 global
+    // permutation via the two-level rank (256 hash buckets ranked in
+    // parallel + ONE 256-row offset window — never a corpus-wide
+    // single-partition window). Two epochs prove independent
+    // permutations; the lang-staged column proves curriculum order
+    // (stage-major, shuffled within stage). Pure function of
+    // (seed, epoch, id): task retries and plan recomputation can never
+    // shift a rank, unlike rand()-keyed shuffles
+    "ops_epoch_shuffle" -> q { c =>
+      import graft.operators.TrainingOrder
+      val docs = c.t("documents").select("doc_id", "lang")
+      val e1 = TrainingOrder.epochShuffle(docs, "doc_id",
+          seed = 42L, epoch = 1)
+        .select(col("doc_id"), col("shuffle_rank").as("rank_e1"))
+      val e2 = TrainingOrder.epochShuffle(docs, "doc_id",
+          seed = 42L, epoch = 2)
+        .select(col("doc_id"), col("shuffle_rank").as("rank_e2"))
+      val cur = TrainingOrder.epochShuffle(docs, "doc_id",
+          seed = 42L, epoch = 1, stages = Seq("lang"))
+        .select(col("doc_id"), col("shuffle_rank").as("rank_curriculum"))
+      e1.join(e2, "doc_id").join(cur, "doc_id").orderBy("doc_id")
+    },
+
     // gap-based sessionization (30-min inactivity) — batch analog of
     // session_window, one shuffle on the key, tie-safe RANGE frame
     "ops_sessionize" -> q { c =>
@@ -325,6 +348,27 @@ object OpsQueries {
         |  (tok_offset // 512)::BIGINT AS first_chunk,
         |  ((tok_offset + greatest(n_tokens, 1) - 1) // 512)::BIGINT AS last_chunk
         |FROM o ORDER BY doc_id""".stripMargin,
+
+    "ops_epoch_shuffle" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+        |e1 AS (
+        |  SELECT doc_id, (row_number() OVER (
+        |    ORDER BY md5('42:1:' || doc_id::VARCHAR), doc_id) - 1)::BIGINT
+        |      AS rank_e1
+        |  FROM d),
+        |e2 AS (
+        |  SELECT doc_id, (row_number() OVER (
+        |    ORDER BY md5('42:2:' || doc_id::VARCHAR), doc_id) - 1)::BIGINT
+        |      AS rank_e2
+        |  FROM d),
+        |cur AS (
+        |  SELECT doc_id, (row_number() OVER (
+        |    ORDER BY lang, md5('42:1:' || doc_id::VARCHAR), doc_id) - 1)::BIGINT
+        |      AS rank_curriculum
+        |  FROM d)
+        |SELECT doc_id, rank_e1, rank_e2, rank_curriculum
+        |FROM e1 JOIN e2 USING (doc_id) JOIN cur USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "ops_sessionize" ->
       """WITH e AS (

@@ -78,6 +78,30 @@ object StreamQueries {
         .orderBy("query_id", "rank")
     },
 
+    // streaming ANN SERVING: micro-batches of queries probe a persisted
+    // IVF collection (pinned-generation resolution per batch, map-only
+    // centroid ranking + segment-pruned join) and the hits land in an
+    // output table; probed exactly at nprobe = nlist so the accumulated
+    // results hash-match the exact-cosine oracle
+    "stream_ann_probe" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      val store = new TableStore(
+        Files.createTempDirectory("graft-sprobe").toString, c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      VectorSink.writeIvf(store, "emb", vecs, "vec_id", "embedding",
+        nlist = 8)
+      val srcDir = Files.createTempDirectory("graft-sprobesrc").toString
+      vecs.filter(col("vec_id") < 12).repartition(3)
+        .write.mode("overwrite").parquet(srcDir)
+      val src = Streaming.fileStream(c.spark, srcDir,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      Streaming.probeCollection(store, src, "emb", "vec_id", "embedding",
+        k = 5, nprobe = 8, out = "hits")
+      store.read("hits")
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // streaming sketch maintenance: each micro-batch appends its HLL
     // register rows to the store (sketch-sized commits — the raw batch
     // is never retained); the distinct-user estimate over the merged
@@ -371,6 +395,21 @@ object StreamQueries {
         |  FROM scored)
         |SELECT query_id, rank, match_id, round(cs, 6) AS cosine,
         |  (SELECT count(*) FROM corpus)::BIGINT AS n_rows
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "stream_ann_probe" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+        |    list_cosine_similarity(q.v, c.v) AS cs
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 12),
+        |ranked AS (
+        |  SELECT query_id, match_id, cs,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cs DESC, match_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, match_id, round(cs, 6) AS cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "stream_hll_rollup" ->
       """WITH h AS (

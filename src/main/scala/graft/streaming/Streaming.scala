@@ -161,6 +161,25 @@ object Streaming {
     }
   }
 
+  /** Streaming ANN serving — the read-side dual of [[intoCollection]]:
+    * probe each micro-batch of queries against a persisted collection
+    * and append the hits to `out`. Each batch resolves the collection's
+    * pinned generation at ITS OWN time (serving semantics: a concurrent
+    * rebalance flips probes to the new model at the NEXT batch boundary,
+    * never mid-batch — the manifest read inside
+    * [[graft.write.VectorSink.topK]] is the linearization point), and
+    * the probe itself is the map-only broadcast centroid ranking +
+    * segment-pruned equi-join, so per-batch cost is O(batch × nprobe
+    * list fraction of the corpus), never a corpus scan. */
+  def probeCollection(store: TableStore, queries: DataFrame, table: String,
+      id: String, vec: String, k: Int, nprobe: Int, out: String,
+      checkpoint: Option[String] = None): Unit =
+    drainAvailableNow(queries, checkpoint) { (batch, _) =>
+      if (!batch.isEmpty)
+        store.append(out, graft.write.VectorSink.topK(
+          store, table, batch, id, vec, k, nprobe))
+    }
+
   /** Exactly-once key dedup across micro-batches: event-time watermark
     * bounds the dedup state, `dropDuplicates` keeps the first arrival
     * of each key (the streaming analog of the reference's incremental

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Epoch-shuffle invariants beyond the oracle gate: exact permutation,
+  * determinism, epoch independence, curriculum stage-majority, and the
+  * scale guard — the per-row rank window must be partitioned by the
+  * hash bucket, never a corpus-wide single-partition window. */
+class TrainingOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) = (1 to n).map(i =>
+    (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+    .toDF("id", "stage")
+
+  test("ranks form an exact 0..n-1 permutation, stable across evaluations") {
+    val df = docs(500)
+    val out = TrainingOrder.epochShuffle(df, "id", seed = 7L, epoch = 1)
+    val ranks = out.select("shuffle_rank").as[Long].collect().sorted
+    assert(ranks.toSeq === (0L until 500L))
+    val again = TrainingOrder.epochShuffle(df, "id", seed = 7L, epoch = 1)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    val first = out.select("id", "shuffle_rank").as[(Long, Long)]
+      .collect().toMap
+    assert(first === again, "same (seed, epoch) must reproduce every rank")
+  }
+
+  test("different epochs produce substantially different permutations") {
+    val df = docs(400)
+    val e1 = TrainingOrder.epochShuffle(df, "id", seed = 7L, epoch = 1)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    val e2 = TrainingOrder.epochShuffle(df, "id", seed = 7L, epoch = 2)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    val same = e1.count { case (id, r) => e2(id) == r }
+    assert(same < 10, s"epochs must decorrelate: $same/400 fixed points")
+  }
+
+  test("stages impose curriculum order: stage-major, shuffled within") {
+    val df = docs(300)
+    val out = TrainingOrder.epochShuffle(df, "id", seed = 7L, epoch = 1,
+      stages = Seq("stage"))
+      .select("stage", "shuffle_rank").as[(String, Long)].collect()
+    val byStage = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // every 'a' rank below every 'b' rank below every 'c' rank
+    assert(byStage("a").max < byStage("b").min)
+    assert(byStage("b").max < byStage("c").min)
+    // and the whole thing is still a permutation
+    assert(out.map(_._2).sorted.toSeq === (0L until 300L))
+  }
+
+  test("the per-row rank window is bucket-partitioned, never corpus-wide") {
+    val df = docs(100)
+    val plan = TrainingOrder.epochShuffle(df, "id", seed = 7L, epoch = 1)
+      .queryExecution.executedPlan.toString()
+    val rowNumberWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number"))
+      .toSeq
+    assert(rowNumberWindows.nonEmpty, s"expected a row_number window in:\n$plan")
+    rowNumberWindows.foreach(l =>
+      assert(l.contains("__bucket"),
+        s"row_number window must partition by __bucket:\n$l"))
+  }
+}

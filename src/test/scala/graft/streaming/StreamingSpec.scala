@@ -194,6 +194,37 @@ class StreamingSpec extends SparkSpec {
     assert(p0.states.load("scf", "rows/ts").lastValue === Some("40"))
   }
 
+  test("probeCollection serves each micro-batch against the pinned generation") {
+    import graft.write.VectorSink
+    val store = new TableStore(tmp("st-ann"), spark)
+    val corpus = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(k =>
+        (math.sin(i * 0.7 + k) + (i % 4) * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    val srcDir = tmp("st-annq")
+    corpus.filter($"vec_id" < 6).repartition(2)
+      .write.mode("overwrite").parquet(s"$srcDir/q")
+    val src = Streaming.fileStream(spark, s"$srcDir/q",
+      options = Map("maxFilesPerTrigger" -> "1"))
+    Streaming.probeCollection(store, src, "emb", "vec_id", "embedding",
+      k = 3, nprobe = 4, out = "hits")
+    val hits = store.read("hits")
+    assert(hits.count() === 18L, "6 queries x k=3 across micro-batches")
+    val byQ = hits.select("query_id", "rank").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byQ.keySet === (0L until 6L).toSet)
+    byQ.values.foreach(r => assert(r === Seq(1, 2, 3)))
+    // nprobe = nlist → every batch's hits equal the exact batch probe
+    val exact = VectorSink.topK(store, "emb",
+      corpus.filter($"vec_id" < 6), "vec_id", "embedding",
+      k = 3, nprobe = 4)
+      .select("query_id", "rank", "match_id").collect().toSet
+    assert(hits.select("query_id", "rank", "match_id").collect().toSet
+      === exact)
+  }
+
   test("dedupByKeyUnbounded keeps one row per key") {
     val store = new TableStore(tmp("st-dd"), spark)
     val src = Streaming.fileStream(spark, writeSourceDir())
