@@ -632,10 +632,15 @@ final class TableStore(val root: String, val spark: SparkSession) {
       .filter(n => n.startsWith("manifest-") && n.endsWith(".txt"))
       .sorted
     // manifests sort by nanotime → newest last; always retain current,
-    // plus any EXPLICITLY PINNED snapshots (a vector collection's
-    // manifest pins sub-table generations that must outlive the
-    // retainManifests window — see VectorSink.vacuumCollection)
-    val pinned = retainSnapshots.map(s => s"manifest-$s.txt")
+    // plus any EXPLICITLY PINNED snapshots AND — regardless of entry
+    // point — any snapshot a vector collection's generation manifest
+    // still pins (VectorSink.pinnedSnapshotsFor): a raw vacuum of a
+    // collection sub-table must be exactly as safe as the routed
+    // VectorSink.vacuumCollection, or one direct call breaks every
+    // historical generation probe
+    val allPins = retainSnapshots ++
+      VectorSink.pinnedSnapshotsFor(this, table)
+    val pinned = allPins.map(s => s"manifest-$s.txt")
       .filter(manifests.contains)
     val retained = (manifests.takeRight(math.max(1, retainManifests)) ++
       pinned :+ current).distinct

@@ -119,6 +119,28 @@ object VectorSink {
       table: String): Seq[CollectionRow] =
     store.readDriverRows(s"${table}__collection").map(decodeRow).sortBy(_.gen)
 
+  /** Snapshots of `table` pinned by a collection's generation manifest
+    * — `table` may be a collection's corpus (base name) or any model
+    * sub-table. [[TableStore.vacuum]] folds these in on EVERY vacuum,
+    * so a raw sub-table vacuum (not routed through [[vacuumCollection]])
+    * can never delete a manifest a listed generation still pins —
+    * historical probes ([[generationAt]]/[[topKGen]]) stay readable
+    * under any vacuum entry point. Lock-free: manifest reads resolve a
+    * complete snapshot via the atomic `_CURRENT` swap, and the caller
+    * already holds the vacuumed table's own lock. */
+  private[write] def pinnedSnapshotsFor(store: TableStore,
+      table: String): Set[Long] =
+    SubTables.iterator.flatMap { case (suffix, snapCol) =>
+      val base =
+        if (suffix.isEmpty) Some(table)
+        else if (table.endsWith(suffix) && table.length > suffix.length)
+          Some(table.dropRight(suffix.length))
+        else None
+      base.filter(b => store.exists(s"${b}__collection"))
+        .toSeq.flatMap(b => collectionRows(store, b)
+          .map(_.snaps(snapCol)).filter(_ >= 0L))
+    }.toSet
+
   /** The LIVE generation's row — O(1) in commit count: every commit
     * appends one generation row as one driver-file segment, so the
     * newest row always lives in the LAST segment (pruneGenerations'

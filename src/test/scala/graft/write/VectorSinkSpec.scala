@@ -521,6 +521,33 @@ class VectorSinkSpec extends SparkSpec {
       pairs(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
   }
 
+  test("RAW sub-table vacuum also retains collection-pinned manifests") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vrawvac").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfQuantized(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    VectorSink.append(store, "emb", blob, "vec_id", "embedding") // gen 2
+    // age the pinned manifests with out-of-band churn, then vacuum the
+    // sub-tables DIRECTLY (not via vacuumCollection): the store-level
+    // pin guard must fold the generation manifest's pins in by itself
+    val garbage = store.read("emb__sq_stats")
+      .select(transform(col("mins"), x => x * 1000).as("mins"),
+        transform(col("maxs"), x => x * 1000 + 999).as("maxs"))
+    store.overwrite("emb__sq_stats", garbage)
+    store.overwrite("emb__sq_stats", garbage)
+    store.vacuum("emb", retainManifests = 1)
+    store.vacuum("emb__sq_stats", retainManifests = 1)
+    store.vacuum("emb__centroids", retainManifests = 1)
+    assert(VectorSink.generationAt(store, "emb", 1L).corpus.count() === 64L)
+    assert(VectorSink.generationAt(store, "emb", 2L).corpus.count() === 124L)
+    // a NON-collection table with a suffix-looking name vacuums freely
+    val plain = corpus.select("vec_id")
+    store.overwrite("solo__sq_stats", plain)
+    store.overwrite("solo__sq_stats", plain)
+    store.overwrite("solo__sq_stats", plain)
+    assert(store.vacuum("solo__sq_stats", retainManifests = 1) >= 0)
+  }
+
   test("historical generations probe with their own model (topK*Gen)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec19").toString
     val store = new TableStore(dir, spark)
