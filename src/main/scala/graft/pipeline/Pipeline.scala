@@ -220,6 +220,74 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     } finally pool.shutdown()
   }
 
+  /** Load `resources` through a CUSTOM FUNCTION DESTINATION (reference
+    * `@dlt.destination`, dlt/destinations/decorators.py + impl/
+    * destination/factory.py): extract + normalize run exactly as for a
+    * table destination — the destination's naming convention and
+    * nesting cap applied, per the reference these OVERRIDE the
+    * resource's — then each normalized table is handed to the sink
+    * callback instead of the store, append-only. Schema registry,
+    * `_dlt_loads` ledger and pipeline state stay LOCAL (the reference
+    * keeps them pipeline-side too: a custom destination has no system
+    * tables). Incremental resources work unchanged: the cursor window,
+    * boundary-fingerprint dedup and state advance are extract-side and
+    * destination-agnostic — the cursor advances only after every table
+    * of the resource was sunk, so a failing sink retries the same
+    * window. Returns resource → tables sent. */
+  def runTo(resources: Seq[Resource], dest: CustomDestination,
+      loadId: String): Map[String, Seq[String]] = {
+    val naming = graft.schema.NamingConventions.byName(dest.namingConvention)
+    val out = resources.map { r =>
+      val tableName = naming.normalizeTableIdentifier(r.name)
+      val (windowed, advance) = r.incremental match {
+        case None => (r.frame, () => ())
+        case Some(cfg) =>
+          val st = states.load(name, s"$tableName/${cfg.cursorColumn}")
+          val fps = store.readOption(boundaryTable(tableName, cfg))
+          // pinned for the same reason as the store path: the advance
+          // must aggregate the rows that were SENT, not a re-executed
+          // window over a live source
+          val w = Incremental(r.frame, cfg, st, fps).persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          (w, () => {
+            Incremental.advanceValue(w, cfg).foreach { newLast =>
+              val bfps = Incremental.boundaryFingerprints(w, cfg, newLast)
+              val bt = boundaryTable(tableName, cfg)
+              if (st.lastValue.contains(newLast)) store.append(bt, bfps)
+              else store.overwrite(bt, bfps)
+              states.save(name, s"$tableName/${cfg.cursorColumn}",
+                Incremental.State(Some(newLast), Nil))
+            }
+            w.unpersist(blocking = false)
+          })
+      }
+      val tables = Normalizer.normalize(windowed, r.name,
+        NormalizeConfig(loadId, maxNesting = dest.maxTableNesting,
+          naming = naming))
+      val fanoutPin = Option.when(tables.size > 1)(windowed.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      try {
+        val sent = tables.toSeq.sortBy(_._1).map { case (t, df0) =>
+          val df =
+            if (dest.skipDltColumns)
+              df0.drop(df0.columns.filter(_.startsWith("_dlt_"))
+                .toIndexedSeq: _*)
+            else df0
+          // the registry tracks what the DESTINATION saw — the sent
+          // schema, not the pre-strip one
+          registry.evolve(t, df.schema)
+          dest.sinkFrame(df, SinkTable(t, loadId, df.schema))
+          t
+        }
+        advance()
+        dispositions.recordLoad(loadId, name)
+        r.name -> sent
+      } finally fanoutPin.foreach(_.unpersist(blocking = false))
+    }.toMap
+    syncSystemTables(loadId)
+    out
+  }
+
   /** Wait for ALL futures to SETTLE, then either return the results or
     * throw the first failure. A bare `Await.result(Future.sequence(..))`
     * rethrows on the first failure while sibling loads keep committing

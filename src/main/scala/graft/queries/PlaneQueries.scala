@@ -104,6 +104,44 @@ object PlaneQueries {
     // resource feeds a derived child resource in the same load — here
     // orders fan out 1→N into per-order fee line items; both tables
     // land atomically under one load id
+    // custom function destination (reference @dlt.destination): the
+    // pipeline extracts + normalizes, then hands each table to a user
+    // callback instead of the store — here the callback appends into an
+    // EXTERNAL TableStore under the destination's "direct" naming (the
+    // mixed-case resource name survives unchanged — snake_case would
+    // fold it). Incremental rides along destination-agnostic: two
+    // overlapping windows, the boundary row delivered exactly once;
+    // _dlt_* columns are stripped before the callback (reference
+    // skip_dlt_columns_and_tables default)
+    "plane_custom_destination" -> q { c =>
+      import graft.pipeline.CustomDestination
+      import graft.write.TableStore
+      val p = new Pipeline("cdest",
+        Files.createTempDirectory("graft-cdest").toString, c.spark)
+      val ext = new TableStore(
+        Files.createTempDirectory("graft-cdest-ext").toString, c.spark)
+      val events = c.t("events").select("event_id", "user_id", "event_type")
+      val mid = events.agg((max(col("event_id")) / 2).cast("long"))
+        .head().getLong(0)
+      val cfg = Incremental.Config(cursorColumn = "event_id",
+        primaryKey = Seq("event_id"))
+      def res(f: org.apache.spark.sql.Column) =
+        Resource("EvSink", events.filter(f)).withIncremental(cfg)
+      val dest = CustomDestination { (df, t) =>
+        ext.append(s"got_${t.name}", df
+          .withColumn("sink_table", lit(t.name))
+          .withColumn("had_dlt_cols",
+            lit(df.columns.exists(_.startsWith("_dlt_")))))
+      }
+      p.runTo(Seq(res(col("event_id") <= mid)), dest, "1")
+      p.runTo(Seq(res(col("event_id") >= mid)), dest, "2") // overlap at mid
+      // "direct" naming: the callback saw the resource name VERBATIM
+      ext.read("got_EvSink")
+        .select("event_id", "user_id", "event_type",
+          "sink_table", "had_dlt_cols")
+        .orderBy("event_id")
+    },
+
     "plane_transformer" -> q { c =>
       val p = new Pipeline("tr", Files.createTempDirectory("graft-tr").toString, c.spark)
       val orders = c.t("orders").filter(col("o_orderkey") < 500)
@@ -392,6 +430,10 @@ object PlaneQueries {
 
     "inc_exactly_once" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "plane_custom_destination" ->
+      """SELECT event_id, user_id, event_type,
+        |  'EvSink' AS sink_table, FALSE AS had_dlt_cols
+        |FROM events ORDER BY event_id""".stripMargin,
     "plane_schema_evolve" ->
       """SELECT event_id, user_id,
         |  CASE WHEN event_id % 2 = 0 THEN event_type END AS event_type,
