@@ -53,5 +53,6 @@ object SparkEntry {
     * time (so it reaches [[oracleSql]] only if the query ran in this
     * JVM) — [[Verify]] marks their presence in `query_meta.json` so a
     * subset run is visibly 'oracle skipped', not 'no oracle exists'. */
-  def modelDerivedOracles: Set[String] = Set("sim_pca_project", "sim_opq_adc")
+  def modelDerivedOracles: Set[String] =
+    Set("sim_pca_project", "sim_opq_adc", "sim_ivf_opq")
 }

@@ -137,6 +137,11 @@ object Opq {
     * rotation-literal oracle here. Empty → rows-only check. */
   @volatile var adcOracleStash: Option[String] = None
 
+  /** Sibling stash for the PERSISTED-collection gate (`sim_ivf_opq`):
+    * same oracle family, the model read back off the pinned
+    * generation instead of freshly trained. */
+  @volatile var ivfOracleStash: Option[String] = None
+
   /** DuckDB re-derivation of the WHOLE chain from the rotation
     * literals: rotate (unrolled left-associated `Σ wᵢ·v[i]` per
     * coordinate — the exact [[graft.functions.MatVecMul]] loop order,

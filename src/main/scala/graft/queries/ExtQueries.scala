@@ -810,6 +810,55 @@ object ExtQueries {
     // billion-vector memory story): cold write->read->probe cycle over
     // product-quantized codes; nprobe = nlist makes it exactly the PQ
     // ADC pipeline, so that oracle gates the persisted collection
+    // IVF + OPQ + PQ persisted collection (FAISS OPQm,IVFx,PQy): the
+    // rotation is a pinned model sub-table; the probe rotates queries
+    // under the generation's rotation and runs the PQ probe verbatim.
+    // At nprobe = nlist the coarse lists cancel out and the chain is
+    // exactly the OPQ ADC pipeline — the model-derived oracle replays
+    // rotation (literals) → per-subspace k-means → codes → ADC
+    // shortlist → exact re-rank, all from the STORED model read back
+    // off the manifest (so a store round-trip corruption fails the gate)
+    "sim_ivf_opq" -> q { c =>
+      val store = new graft.write.TableStore(
+        java.nio.file.Files.createTempDirectory("graft-vopq").toString, c.spark)
+      val vecs = c.t("embeddings")
+      graft.write.VectorSink.writeIvfOpq(store, "emb", vecs,
+        "vec_id", "embedding", nlist = 8, m = 4, ksub = 4, iters = 2)
+      val g = graft.write.VectorSink.generation(store, "emb")
+      val (rotation, spectrum) = g.opq.get
+      Opq.ivfOracleStash = Some(Opq.adcOracleSql(
+        Opq.OpqModel(rotation, spectrum, g.pqModel.get),
+        ksub = 4, iters = 2, k = 5, shortlist = 20, maxQueryId = 10))
+      val orthOk = {
+        val d = rotation.length
+        var worst = 0.0
+        for (i <- 0 until d; j <- i until d) {
+          var s = 0.0
+          var kk = 0
+          while (kk < d) { s += rotation(i)(kk) * rotation(j)(kk); kk += 1 }
+          worst = math.max(worst,
+            math.abs(s - (if (i == j) 1.0 else 0.0)))
+        }
+        worst < 1e-8
+      }
+      val dsub = 64 / 4
+      val blockIdx = Array.tabulate(4)(j =>
+        Array.range(j * dsub, (j + 1) * dsub))
+      val balanced = Opq.logVarianceSpread(spectrum, blockIdx) <=
+        Opq.logVarianceSpread(
+          spectrum.sorted(Ordering[Double].reverse), blockIdx) + 1e-9
+      val bucketsSorted = blockIdx.forall(b =>
+        b.map(spectrum).sliding(2)
+          .forall(p => p.length < 2 || p(0) >= p(1)))
+      graft.write.VectorSink.topKOpq(store, "emb", vecs,
+        vecs.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 8, shortlist = 20)
+        .withColumn("orthonormal_ok", lit(orthOk))
+        .withColumn("allocation_beats_contiguous", lit(balanced))
+        .withColumn("buckets_nonincreasing", lit(bucketsSorted))
+        .orderBy("query_id", "rank")
+    },
+
     "sim_ivf_pq" -> q { c =>
       val store = new graft.write.TableStore(
         java.nio.file.Files.createTempDirectory("graft-vpq").toString, c.spark)
@@ -1200,7 +1249,8 @@ object ExtQueries {
     * populated by then; absent → rows-only check, as before round 9). */
   def oracles: Map[String, String] =
     staticOracles ++ Pca.projectOracleStash.map("sim_pca_project" -> _) ++
-      Opq.adcOracleStash.map("sim_opq_adc" -> _)
+      Opq.adcOracleStash.map("sim_opq_adc" -> _) ++
+      Opq.ivfOracleStash.map("sim_ivf_opq" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "text_token_count" ->

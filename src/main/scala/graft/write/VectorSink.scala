@@ -65,7 +65,11 @@ object VectorSink {
     * time-travelled to the snapshot the collection manifest pinned. */
   final case class Generation(meta: IvfMeta, corpus: DataFrame,
       centroids: DataFrame, stats: Option[DataFrame],
-      pqModel: Option[graft.ext.Pq.PqModel]) {
+      pqModel: Option[graft.ext.Pq.PqModel],
+      /** OPQ rotation + its eigenvalue spectrum (cosine-opq only) —
+        * driver-held like the coarse quantizer: rotating a probe batch
+        * is a map-only matvec against this literal. */
+      opq: Option[(Array[Array[Double]], Array[Double])] = None) {
     /** The coarse quantizer as a driver-held matrix — collected ONCE
       * per resolved generation and reused by every probe through it
       * (the FAISS searcher-resident coarse quantizer): a probe session
@@ -79,7 +83,8 @@ object VectorSink {
   private val SubTables = Seq(
     "" -> "corpus_snap", "__centroids" -> "centroids_snap",
     "__ivf_meta" -> "meta_snap", "__sq_stats" -> "stats_snap",
-    "__pq_codebooks" -> "codebooks_snap", "__pq_meta" -> "pqmeta_snap")
+    "__pq_codebooks" -> "codebooks_snap", "__pq_meta" -> "pqmeta_snap",
+    "__opq_rotation" -> "rotation_snap")
 
   /** One decoded collection-manifest row: the generation number, the
     * pinned snapshot per sub-table (−1 = unused by this metric), the
@@ -101,7 +106,11 @@ object VectorSink {
 
   private def decodeRow(m: Map[String, Any]): CollectionRow =
     CollectionRow(m("gen").asInstanceOf[Long],
-      SubTables.map { case (_, c) => c -> m(c).asInstanceOf[Long] }.toMap,
+      // getOrElse(-1): rows committed before a sub-table EXISTED (e.g.
+      // pre-OPQ manifests lack rotation_snap) decode as "unused", the
+      // same value a live commit writes for metrics that skip the table
+      SubTables.map { case (_, c) =>
+        c -> m.getOrElse(c, -1L).asInstanceOf[Long] }.toMap,
       // rows committed before the census existed decode to an empty
       // census — append self-heals it with one full count (migration)
       m.get("list_sizes").map(_.asInstanceOf[String]).getOrElse("") match {
@@ -255,6 +264,24 @@ object VectorSink {
               c.snaps("codebooks_snap")), m, ksub, meta.dim, table)
         }
         Generation(meta, corpus, centroids, None, Some(model))
+      case "cosine-opq" =>
+        val pm = store.readDriverRowsAt(s"${table}__pq_meta",
+          c.snaps("pqmeta_snap")).head
+        val (m, ksub) =
+          (pm("m").asInstanceOf[Int], pm("ksub").asInstanceOf[Int])
+        val model = pqModelFrom(store.readDriverRowsAt(
+          s"${table}__pq_codebooks", c.snaps("codebooks_snap")),
+          m, ksub, meta.dim, table)
+        val rotRows = store.readDriverRowsAt(s"${table}__opq_rotation",
+          c.snaps("rotation_snap")).sortBy(_("i").asInstanceOf[Int])
+        require(rotRows.length == meta.dim,
+          s"collection '$table': rotation has ${rotRows.length} rows, " +
+            s"dim is ${meta.dim}")
+        val rotation = rotRows.map(r =>
+          r("row").asInstanceOf[String].split(",").map(_.toDouble)).toArray
+        val spectrum = rotRows.map(_("lam").asInstanceOf[Double]).toArray
+        Generation(meta, corpus, centroids, None, Some(model),
+          Some((rotation, spectrum)))
       case other => throw new IllegalArgumentException(
         s"collection '$table' has unknown metric '$other'")
     }
@@ -497,6 +524,93 @@ object VectorSink {
       countListSizes(store, table, nlist))
   }
 
+  /** IVF + OPQ + PQ (FAISS `OPQm,IVFx,PQy` — the pretransform
+    * composition; Ge et al. 2013 parametric OPQ): learn the
+    * eigen-allocation rotation ([[graft.ext.Opq]]), then build the
+    * ENTIRE cosine-pq layout in rotated space — rotated coarse
+    * centroids, rotated-subspace codebooks, m-byte codes of rotated
+    * vectors. Rotation is orthogonal so cosine ranking is preserved;
+    * probes rotate their queries (map-only matvec against the
+    * generation's driver-held rotation) and otherwise run the PQ probe
+    * verbatim. Extra table: `t__opq_rotation` (d driver-file rows of
+    * (i, lam, row) — the rotation matrix + its eigenvalue spectrum),
+    * pinned per generation like every model table, so a probe can
+    * never rank new codes under an old rotation. */
+  def writeIvfOpq(store: TableStore, table: String, corpus: DataFrame,
+      id: String, vec: String, nlist: Int = 16, seed: Long = 42L,
+      trainFraction: Double = 0.25, m: Int = 4, ksub: Int = 16,
+      iters: Int = 2): Unit = store.exclusively(table) {
+    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    val model = graft.ext.Opq.train(corpus, id, vec, dim, m, ksub, iters)
+    val rot = corpus.select(col(id),
+      graft.ext.Opq.rotated(col(vec), model.rotation).as(vec))
+    val (assigned, centroids) =
+      Similarity.ivfIndex(rot, id, vec, nlist, seed, trainFraction)
+    val coded = assigned.select(col(id), col("__list"),
+      graft.ext.Pq.codes(col(vec), model.pq).as("__codes"))
+    store.overwrite(table, coded,
+      statsFor = Seq("__list"), rangeBy = Seq("__list"))
+    store.overwrite(s"${table}__centroids", centroids)
+    val cbRows = for {
+      j <- model.pq.codebooks.indices
+      c <- model.pq.codebooks(j).indices
+    } yield Seq("sub" -> (ICell(j): Cell), "cl" -> (ICell(c): Cell),
+      "centroid" -> (SCell(model.pq.codebooks(j)(c).mkString(",")): Cell))
+    store.overwriteDriverFile(s"${table}__pq_codebooks")(p =>
+      TinyParquet.write(p, cbRows))
+    store.overwriteDriverFile(s"${table}__pq_meta")(p =>
+      TinyParquet.write(p, Seq(Seq(
+        "m" -> ICell(m), "ksub" -> ICell(ksub),
+        "iters" -> ICell(iters), "dim" -> ICell(dim)))))
+    // Double.toString → correctly-rounded parse restores identical bits
+    val rotRows = model.rotation.indices.map(i => Seq(
+      "i" -> (ICell(i): Cell),
+      "lam" -> (DCell(model.spectrum(i)): Cell),
+      "row" -> (SCell(model.rotation(i).mkString(",")): Cell)))
+    store.overwriteDriverFile(s"${table}__opq_rotation")(p =>
+      TinyParquet.write(p, rotRows))
+    writeMeta(store, table, nlist, seed, trainFraction, "cosine-opq", dim)
+    commitCollection(store, table, headSnaps(store, table),
+      countListSizes(store, table, nlist))
+  }
+
+  /** Top-k over the PERSISTED OPQ collection: rotate queries and the
+    * re-rank corpus under the generation's pinned rotation (map-only),
+    * then the [[topKPq]] plan verbatim — centroid-ranked probe lists,
+    * ADC shortlist over code reconstructions, exact re-rank. Output
+    * cosine is the rotated-space value ≡ the raw cosine up to fp
+    * (orthogonal rotation), inside the 6-decimal rounding. */
+  def topKOpq(store: TableStore, table: String,
+      fullVectors: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int, nprobe: Int,
+      shortlist: Int, among: Option[DataFrame] = None): DataFrame =
+    topKOpqGen(store, table, generation(store, table), fullVectors, queries,
+      id, vec, k, nprobe, shortlist, among)
+
+  /** [[topKOpq]] against an EXPLICIT generation (see [[generationAt]]):
+    * the rotation, codebooks, centroids and codes all resolve from the
+    * SAME pinned manifest row — a probe can never mix generations. */
+  def topKOpqGen(store: TableStore, table: String, g: Generation,
+      fullVectors: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int, nprobe: Int,
+      shortlist: Int, among: Option[DataFrame] = None): DataFrame = {
+    require(g.meta.metric == "cosine-opq",
+      s"collection '$table' is '${g.meta.metric}', not an OPQ collection")
+    require(nprobe >= 1 && nprobe <= g.meta.nlist,
+      s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
+    val rotation = g.opq.get._1
+    def rotate(df: DataFrame) = df.select(col(id),
+      graft.ext.Opq.rotated(col(vec), rotation).as(vec))
+    val probes = probeLists(g.centroidMatrix, rotate(queries), id, vec, nprobe)
+    val deq = restrict(g.corpus, among, id)
+      .select(col(id).as("match_id"), col("__list"),
+        graft.ext.Pq.reconstruction(col("__codes"), g.pqModel.get).as("__deq"))
+    graft.ext.Quantize.shortlistRerank(
+      probes.join(deq, Seq("__list"))
+        .filter(col("query_id") =!= col("match_id")),
+      rotate(fullVectors), id, vec, k, shortlist)
+  }
+
   /** Rebuild the [[graft.ext.Pq.PqModel]] from driver-read codebook
     * rows (m·ksub rows — sketch-sized by contract). */
   private def pqModelFrom(rows: Seq[Map[String, Any]], m: Int, ksub: Int,
@@ -691,7 +805,15 @@ object VectorSink {
       s"$op to '$table': batch vector widths span " +
         s"[${d.getInt(0)}, ${d.getInt(1)}], collection is trained " +
         s"at ${meta.dim}")
-    val assigned = assignToStored(rows, centroidMatrix(g.centroids), vec)
+    // OPQ batches rotate FIRST (under the PINNED generation's rotation
+    // — never a head that might belong to an unfinished swap): coarse
+    // assignment, codes and the census all live in rotated space
+    val encRows = meta.metric match {
+      case "cosine-opq" => rows.select(col(id),
+        graft.ext.Opq.rotated(col(vec), g.opq.get._1).as(vec))
+      case _ => rows
+    }
+    val assigned = assignToStored(encRows, centroidMatrix(g.centroids), vec)
     val coded = meta.metric match {
       case "cosine" =>
         // match the stored segment schema (corpus columns + __list) —
@@ -705,7 +827,10 @@ object VectorSink {
           .select(col(id), col("__list"),
             graft.functions.VectorFunctions.quantizeInt8(
               col(vec), col("mins"), col("maxs"))("q").as("__q"))
-      case "cosine-pq" =>
+      case "cosine-pq" | "cosine-opq" =>
+        // OPQ: `assigned` already carries the ROTATED vector in `vec`
+        // (encRows above), and the codebooks were trained rotated —
+        // the encode is the plain PQ argmin either way
         assigned.select(col(id), col("__list"),
           graft.ext.Pq.codes(col(vec), g.pqModel.get).as("__codes"))
       case other =>
@@ -1021,6 +1146,17 @@ object VectorSink {
             val pm = store.readDriverRowsAt(s"${table}__pq_meta",
               manifestRow.snaps("pqmeta_snap")).head
             writeIvfPq(store, table, full, id, vec,
+              meta.nlist, meta.seed, meta.trainFraction,
+              pm("m").asInstanceOf[Int], pm("ksub").asInstanceOf[Int],
+              pm("iters").asInstanceOf[Int])
+          case "cosine-opq" =>
+            // the REWRITE retrains the whole model — rotation included:
+            // the new generation's eigenbasis reflects the grown corpus,
+            // and probes of PINNED older generations keep their own
+            // rotation (resolve() reads it off the pinned manifest row)
+            val pm = store.readDriverRowsAt(s"${table}__pq_meta",
+              manifestRow.snaps("pqmeta_snap")).head
+            writeIvfOpq(store, table, full, id, vec,
               meta.nlist, meta.seed, meta.trainFraction,
               pm("m").asInstanceOf[Int], pm("ksub").asInstanceOf[Int],
               pm("iters").asInstanceOf[Int])

@@ -296,6 +296,102 @@ class VectorSinkSpec extends SparkSpec {
       pairs(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
   }
 
+  /** Tie-free variant of [[blob]] for the OPQ probes: the shared blob
+    * carries EXACT duplicate vectors (i % 7), and at cosine ≈ 1.0 the
+    * fp-noise ordering of ties legitimately differs between raw and
+    * rotated space — not a ranking property any space preserves. */
+  private def opqBlob = (100L until 160L).map { i =>
+    (i, Seq.tabulate(8)(d => (50f + 0.01f * i + d * 0.002f)))
+  }.toDF("vec_id", "embedding")
+
+  test("OPQ collection: rotated codes, exact full-shortlist probe, pinned rotation on append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vopqspec").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfOpq(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4, m = 2, ksub = 8, iters = 2)
+    val g1 = VectorSink.generation(store, "emb")
+    assert(g1.meta.metric === "cosine-opq")
+    val (rot1, spec1) = g1.opq.get
+    assert(rot1.length === 8 && rot1.forall(_.length === 8))
+    assert(spec1.length === 8)
+    // rotation round-trips the store orthonormal
+    for (i <- rot1.indices; j <- rot1.indices) {
+      val dot = rot1(i).zip(rot1(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+    // corpus stores m-byte codes only — never vectors
+    assert(store.read("emb").columns.toSet === Set("vec_id", "__list", "__codes"))
+    // full shortlist + nprobe = nlist → exact brute-force answer
+    // (rotated-space re-rank: orthogonal rotation preserves the ranking)
+    val q = corpus.filter(col("vec_id").isin(0L, 5L))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    assert(pairs(VectorSink.topKOpq(store, "emb", corpus, q,
+        "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 200)) ===
+      pairs(Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", k = 3)))
+    // append rotates the batch under the PINNED generation's rotation.
+    // The exactness claim compares IN ROTATED SPACE (the probe's own
+    // re-rank space): the blob's near-parallel vectors differ at the
+    // 1e-12 cosine level, where raw vs rotated fp noise can
+    // legitimately reorder — only same-space comparison is deterministic
+    VectorSink.append(store, "emb", opqBlob, "vec_id", "embedding")
+    val all = corpus.unionByName(opqBlob)
+    val q2 = all.filter(col("vec_id").isin(0L, 101L))
+    def rotFrame(df: org.apache.spark.sql.DataFrame,
+        r: Array[Array[Double]]) =
+      df.select(col("vec_id"),
+        graft.ext.Opq.rotated(col("embedding"), r).as("embedding"))
+    assert(pairs(VectorSink.topKOpq(store, "emb", all, q2,
+        "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 200)) ===
+      pairs(Similarity.bruteForceTopK(rotFrame(all, rot1), rotFrame(q2, rot1),
+        "vec_id", "embedding", k = 3)))
+    // gen 2 (the append) kept gen 1's rotation bit-for-bit
+    val g2 = VectorSink.generation(store, "emb")
+    assert(g2.opq.get._1.flatten.toSeq === rot1.flatten.toSeq)
+  }
+
+  test("OPQ rebalance retrains rotation + codebooks, history keeps its own rotation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vopqreb").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfOpq(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4, m = 2, ksub = 8, iters = 2)
+    val rot1 = VectorSink.generation(store, "emb").opq.get._1
+    VectorSink.append(store, "emb", opqBlob, "vec_id", "embedding")
+    val all = corpus.unionByName(opqBlob)
+    assert(VectorSink.rebalance(store, "emb", "vec_id", "embedding",
+      fullVectors = Some(all), maxSkew = 1.5))
+    val g3 = VectorSink.generation(store, "emb")
+    // params survive; the rotation was REFIT on the grown corpus (the
+    // far-away blob shifts the spectrum, so the eigenbasis must move)
+    val pm = store.read("emb__pq_meta").head()
+    assert((pm.getAs[Int]("m"), pm.getAs[Int]("ksub")) === ((2, 8)))
+    assert(g3.opq.get._1.flatten.toSeq !== rot1.flatten.toSeq)
+    val q = all.filter(col("vec_id").isin(0L, 101L))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    def rotFrame(df: org.apache.spark.sql.DataFrame,
+        r: Array[Array[Double]]) =
+      df.select(col("vec_id"),
+        graft.ext.Opq.rotated(col("embedding"), r).as("embedding"))
+    // exactness compared in the probe's own (rotated) space — see the
+    // sibling test for why near-parallel blob vectors demand this
+    val rot3 = g3.opq.get._1
+    assert(pairs(VectorSink.topKOpq(store, "emb", all, q,
+        "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 200)) ===
+      pairs(Similarity.bruteForceTopK(rotFrame(all, rot3), rotFrame(q, rot3),
+        "vec_id", "embedding", k = 3)))
+    // the PRE-rebalance generation still probes under ITS rotation
+    val gens = VectorSink.generations(store, "emb")
+    val hist = VectorSink.generationAt(store, "emb", gens.head)
+    assert(hist.opq.get._1.flatten.toSeq === rot1.flatten.toSeq)
+    val qh = corpus.filter(col("vec_id") === 0L)
+    assert(pairs(VectorSink.topKOpqGen(store, "emb", hist, corpus, qh,
+        "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 200)) ===
+      pairs(Similarity.bruteForceTopK(corpus, qh, "vec_id", "embedding", k = 3)))
+  }
+
   test("append assignment is map-only: no Exchange, no Window in the plan") {
     val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0))
     val batch = Seq((1L, Seq(0.1f, 0.2f)), (2L, Seq(0.9f, 0.8f)))
