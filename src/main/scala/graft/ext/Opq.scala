@@ -80,6 +80,33 @@ object Opq {
     sums.max - sums.min
   }
 
+  /** The self-gate triple both OPQ gate queries assert (and the oracle
+    * pins as literal TRUEs): rotation orthonormality (max |R·Rᵀ − I| <
+    * 1e-8, driver O(d³)), greedy allocation at least as balanced as the
+    * naive contiguous eigen split, per-bucket spectrum non-increasing
+    * (the greedy assignment order). ONE implementation — the fresh-fit
+    * and store-read-back gates must never drift apart. */
+  def selfGates(rotation: Array[Array[Double]], spectrum: Array[Double],
+      m: Int): (Boolean, Boolean, Boolean) = {
+    val d = rotation.length
+    var worst = 0.0
+    for (i <- 0 until d; j <- i until d) {
+      var s = 0.0
+      var kk = 0
+      while (kk < d) { s += rotation(i)(kk) * rotation(j)(kk); kk += 1 }
+      worst = math.max(worst, math.abs(s - (if (i == j) 1.0 else 0.0)))
+    }
+    val dsub = d / m
+    val blockIdx = Array.tabulate(m)(j =>
+      Array.range(j * dsub, (j + 1) * dsub))
+    val balanced = logVarianceSpread(spectrum, blockIdx) <=
+      logVarianceSpread(spectrum.sorted(Ordering[Double].reverse),
+        blockIdx) + 1e-9
+    val sorted = blockIdx.forall(b => b.map(spectrum).sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1)))
+    (worst < 1e-8, balanced, sorted)
+  }
+
   /** The rotated vector R·x as a map-only codegen column (zero center:
     * OPQ must NOT mean-shift — a shift breaks cosine preservation;
     * x−0.0 ≡ x bitwise, so the shared [[graft.functions.MatVecMul]]

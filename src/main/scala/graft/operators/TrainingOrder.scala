@@ -24,10 +24,16 @@ import org.apache.spark.sql.functions._
 object TrainingOrder {
 
   /** The order key: lowercase md5 hex of `seed:epoch:id` — identical
-    * in Spark and any engine with md5 (the oracle re-derives it). */
+    * in Spark and any engine with md5 (the oracle re-derives it). A
+    * NULL id fails LOUDLY (codegen'd, zero extra pass): concat_ws
+    * would silently absorb it, giving every null-id row the SAME hash
+    * and a nondeterministic tie order — the exact retry-stability the
+    * operator exists to guarantee. */
   def orderKey(id: Column, seed: Long, epoch: Int): Column =
-    md5(concat_ws(":", lit(seed).cast("string"),
-      lit(epoch).cast("string"), id.cast("string")))
+    md5(concat(lit(s"$seed:$epoch:"),
+      coalesce(id.cast("string"),
+        raise_error(lit("TrainingOrder: idCol is NULL — the id keys the " +
+          "permutation and must be non-null and unique")).cast("string"))))
 
   /** Adds `shuffle_rank` (0-based global rank in seeded-hash order,
     * optionally stage-major via `stages`: all rows of an earlier
@@ -54,10 +60,20 @@ object TrainingOrder {
       .withColumn("__boffset",
         coalesce(sum("__bcount").over(overBuckets), lit(0L)))
       .drop("__bcount")
+    // NULL-SAFE stage equality (<=>): a using-columns join would drop
+    // every null-stage row (NULL != NULL) and leave gaps in the
+    // permutation. Null stages group and rank like any other value —
+    // they sort FIRST (Spark's null-first ASC window order).
+    val oKeys = stages.map(c => c -> s"__o_$c") :+ ("__bucket" -> "__o_bucket")
+    val off = oKeys.foldLeft(offsets) { case (d, (c, o)) =>
+      d.withColumnRenamed(c, o) }
+    val cond = (stages.map(c => col(c) <=> col(s"__o_$c")) :+
+      (col("__bucket") === col("__o_bucket"))).reduce(_ && _)
     keyed
       .withColumn("__within", row_number().over(within).cast("long") - 1L)
-      .join(broadcast(offsets), stages :+ "__bucket")
+      .join(broadcast(off), cond)
       .withColumn("shuffle_rank", col("__boffset") + col("__within"))
-      .drop("__h", "__bucket", "__within", "__boffset")
+      .drop((oKeys.map(_._2) ++
+        Seq("__h", "__bucket", "__within", "__boffset")): _*)
   }
 }

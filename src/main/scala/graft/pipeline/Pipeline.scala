@@ -222,11 +222,15 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
 
   /** Load `resources` through a CUSTOM FUNCTION DESTINATION (reference
     * `@dlt.destination`, dlt/destinations/decorators.py + impl/
-    * destination/factory.py): extract + normalize run exactly as for a
-    * table destination — the destination's naming convention and
-    * nesting cap applied, per the reference these OVERRIDE the
-    * resource's — then each normalized table is handed to the sink
-    * callback instead of the store, append-only. Schema registry,
+    * destination/factory.py): extract + normalize run as for a table
+    * destination — the destination's naming convention and nesting cap
+    * applied, per the reference these OVERRIDE the resource's — then
+    * each normalized table is handed to the sink callback instead of
+    * the store, append-only. Extract-plane transforms, limits,
+    * deadlines, metrics and incremental ride along; STORE-PATH gates
+    * (schema contracts, drift checks, table dispatch) fail fast with a
+    * routing message rather than silently delivering ungated data —
+    * route such resources through [[run]]. Schema registry,
     * `_dlt_loads` ledger and pipeline state stay LOCAL (the reference
     * keeps them pipeline-side too: a custom destination has no system
     * tables). Incremental resources work unchanged: the cursor window,
@@ -237,10 +241,29 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
   def runTo(resources: Seq[Resource], dest: CustomDestination,
       loadId: String): Map[String, Seq[String]] = {
     val naming = graft.schema.NamingConventions.byName(dest.namingConvention)
-    val out = resources.map { r =>
+    val out = resources.map { r0 =>
+      // UNSUPPORTED configuration fails FAST, never silently drops: a
+      // custom destination has no store table to enforce contracts or
+      // drift against, and no per-table routing — a resource carrying
+      // those gates must not be quietly delivered ungated
+      require(r0.contract == Contracts.Contract(),
+        s"runTo('${r0.name}'): schema contracts need a table destination " +
+          "to enforce against — route this resource through run()")
+      require(r0.driftCheck.isEmpty,
+        s"runTo('${r0.name}'): the drift gate quarantines into the " +
+          "pipeline's own store — route this resource through run()")
+      require(r0.dispatchColumn.isEmpty,
+        s"runTo('${r0.name}'): table dispatch is a store-path feature — " +
+          "split the resource per routing value for a custom destination")
+      // time budget: same semantics as runOne — past the deadline the
+      // extraction admits nothing, but the (empty) load still flows
+      val r =
+        if (r0.deadlineNanos.exists(System.nanoTime() >= _))
+          r0.copy(frame = r0.frame.limit(0))
+        else r0
       val tableName = naming.normalizeTableIdentifier(r.name)
-      val (windowed, advance) = r.incremental match {
-        case None => (r.frame, () => ())
+      val (windowed, incPin) = r.incremental match {
+        case None => (r.frame, None)
         case Some(cfg) =>
           val st = states.load(name, s"$tableName/${cfg.cursorColumn}")
           val fps = store.readOption(boundaryTable(tableName, cfg))
@@ -249,7 +272,39 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
           // window over a live source
           val w = Incremental(r.frame, cfg, st, fps).persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          (w, () => {
+          (w, Some((w, cfg, st)))
+      }
+      // MetricsItem rides the sink action, no extra scan — as in runOne
+      val observation = Option.when(r.metrics.nonEmpty)(
+        new org.apache.spark.sql.Observation(s"$tableName-$loadId-to"))
+      val frame = observation match {
+        case Some(obs) =>
+          windowed.observe(obs, r.metrics.head._2.as(r.metrics.head._1),
+            r.metrics.tail.map { case (n, c) => c.as(n) }: _*)
+        case None => windowed
+      }
+      try {
+        val tables = Normalizer.normalize(frame, r.name,
+          NormalizeConfig(loadId, maxNesting = dest.maxTableNesting,
+            naming = naming))
+        val fanoutPin = Option.when(tables.size > 1)(frame.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        try {
+          val sent = tables.toSeq.sortBy(_._1).map { case (t, df0) =>
+            val df =
+              if (dest.skipDltColumns)
+                df0.drop(df0.columns.filter(_.startsWith("_dlt_"))
+                  .toIndexedSeq: _*)
+              else df0
+            // the registry tracks what the DESTINATION saw — the sent
+            // schema, not the pre-strip one
+            registry.evolve(t, df.schema)
+            dest.sinkFrame(df, SinkTable(t, loadId, df.schema))
+            t
+          }
+          // cursor advances only after EVERY table sank — a failing
+          // sink leaves the window un-advanced for the retry
+          incPin.foreach { case (w, cfg, st) =>
             Incremental.advanceValue(w, cfg).foreach { newLast =>
               val bfps = Incremental.boundaryFingerprints(w, cfg, newLast)
               val bt = boundaryTable(tableName, cfg)
@@ -258,31 +313,19 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
               states.save(name, s"$tableName/${cfg.cursorColumn}",
                 Incremental.State(Some(newLast), Nil))
             }
-            w.unpersist(blocking = false)
-          })
-      }
-      val tables = Normalizer.normalize(windowed, r.name,
-        NormalizeConfig(loadId, maxNesting = dest.maxTableNesting,
-          naming = naming))
-      val fanoutPin = Option.when(tables.size > 1)(windowed.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      try {
-        val sent = tables.toSeq.sortBy(_._1).map { case (t, df0) =>
-          val df =
-            if (dest.skipDltColumns)
-              df0.drop(df0.columns.filter(_.startsWith("_dlt_"))
-                .toIndexedSeq: _*)
-            else df0
-          // the registry tracks what the DESTINATION saw — the sent
-          // schema, not the pre-strip one
-          registry.evolve(t, df.schema)
-          dest.sinkFrame(df, SinkTable(t, loadId, df.schema))
-          t
-        }
-        advance()
-        dispositions.recordLoad(loadId, name)
-        r.name -> sent
-      } finally fanoutPin.foreach(_.unpersist(blocking = false))
+          }
+          observation.foreach { obs =>
+            val m = obs.get
+            synchronized { metricsByResource += tableName -> m }
+          }
+          dispositions.recordLoad(loadId, name)
+          r.name -> sent
+        } finally fanoutPin.foreach(_.unpersist(blocking = false))
+      } finally
+        // EVERY exit releases the incremental window — a flaky sink
+        // retried in a loop must not accumulate one pinned frame per
+        // attempt (the store path releases on its failure exits too)
+        incPin.foreach(_._1.unpersist(blocking = false))
     }.toMap
     syncSystemTables(loadId)
     out
@@ -607,10 +650,10 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     * load's id, and generated ids are epoch-micros
     * ([[graft.write.Dispositions.newLoadId]]) — so age is expressed as
     * a load-id cutoff and [[java.time.Instant]] converts via the same
-    * encoding. Ids are compared numerically when both sides are
-    * exactly representable as DECIMAL(38,6) — which every engine-minted
-    * id is — lexicographically otherwise (caller-supplied opaque ids,
-    * scientific notation, >32 integer or >6 fraction digits): a
+    * encoding. A row compares numerically against ANY parseable cutoff
+    * when it is exactly representable as DECIMAL(38,6) — which every
+    * engine-minted id is — and lexicographically otherwise (opaque
+    * ids, scientific notation, >32 integer or >6 fraction digits): a
     * vectorized narrowing of the ledger's arbitrary-precision
     * [[graft.write.Dispositions]] ordering, documented at the
     * comparator. Returns the number of rows retired. */
@@ -631,30 +674,38 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       if (!store.exists(qt)) 0L
       else {
         val id = col(Ids.DltLoadId)
-        // numeric compare when BOTH sides are EXACTLY representable as
-        // DECIMAL(38,6), else lexicographic — Dispositions.loadIdBefore
-        // vectorized, with a documented narrowing: loadIdBefore compares
-        // at arbitrary precision, while a vectorized decimal caps at
-        // Spark's 38 digits AND try_cast silently ROUNDS fraction digits
-        // beyond the scale (it only nulls on integer overflow). So both
-        // the cutoff (driver-side precision/scale check — the cutoff
-        // must round-trip the cast, not merely parse) and each row
-        // (codegen'd grammar guard: ≤32 integer digits, ≤6 fraction
-        // digits, no sign/exponent) are gated on exact representability;
-        // anything outside that grammar — scientific notation, >32
-        // integer digits, >6 fraction digits — compares lexicographically
-        // for that side. Engine-minted ids (epoch.micros, 17 integer +
-        // 6 fraction digits) always take the numeric branch.
+        // numeric compare when the ROW is exactly representable as
+        // DECIMAL(38,6) and the cutoff parses at all — the vectorized
+        // Dispositions.loadIdBefore, with one documented narrowing:
+        // loadIdBefore compares at arbitrary precision, while a
+        // vectorized decimal caps at Spark's 38 digits AND try_cast
+        // silently ROUNDS fraction digits beyond the scale (it only
+        // nulls on integer overflow). Each row therefore carries a
+        // codegen'd grammar guard (≤32 integer digits, ≤6 fraction
+        // digits, no sign/exponent — every engine-minted epoch.micros
+        // id qualifies); rows outside it compare lexicographically.
+        // The CUTOFF side needs no such cap: it never rides a cast —
+        // any parseable cutoff is floored to scale 6 driver-side
+        // (n < c ⟺ n ≤ floor₆(c) for grid-aligned n when c falls off
+        // the 10⁻⁶ grid; scientific notation and negative scales
+        // normalize through the same setScale), and a cutoff past 32
+        // integer digits resolves to a constant: every grammar row is
+        // below a huge positive cutoff, none is below a negative one.
         // coalesce(false): a NULL stamp is undatable — never swept (the
         // raw predicate is NULL there, which the count would read as
         // "kept" while `!older` dropped it in the rewrite)
         val cutNum = scala.util.Try(BigDecimal(beforeLoadId)).toOption
-          .filter(c => c.scale <= 6 && c.precision - c.scale <= 32)
         val older = coalesce(cutNum match {
           case Some(c) =>
             val n = expr(s"try_cast(${Ids.DltLoadId} AS DECIMAL(38, 6))")
             val exact = id.rlike("^[0-9]{1,32}(\\.[0-9]{1,6})?$")
-            when(exact && n.isNotNull, n < lit(c.bigDecimal))
+            val floored = c.setScale(6, scala.math.BigDecimal.RoundingMode.FLOOR)
+            val numericLeg =
+              if (floored.precision - floored.scale > 32)
+                lit(c.signum > 0) // beyond every representable row
+              else if (c == floored) n < lit(floored.bigDecimal)
+              else n <= lit(floored.bigDecimal) // n < c ⟺ n ≤ floor₆(c)
+            when(exact && n.isNotNull, numericLeg)
               .otherwise(id < lit(beforeLoadId))
           case None => id < lit(beforeLoadId)
         }, lit(false))

@@ -434,29 +434,8 @@ object ExtQueries {
         dim = 64, m = 4, ksub = 4, iters = 2)
       Opq.adcOracleStash = Some(Opq.adcOracleSql(model,
         ksub = 4, iters = 2, k = 5, shortlist = 20, maxQueryId = 10))
-      val orthOk = {
-        val r = model.rotation
-        val d = r.length
-        var worst = 0.0
-        for (i <- 0 until d; j <- i until d) {
-          var s = 0.0
-          var kk = 0
-          while (kk < d) { s += r(i)(kk) * r(j)(kk); kk += 1 }
-          worst = math.max(worst,
-            math.abs(s - (if (i == j) 1.0 else 0.0)))
-        }
-        worst < 1e-8
-      }
-      val dsub = 64 / 4
-      val blockIdx = Array.tabulate(4)(j =>
-        Array.range(j * dsub, (j + 1) * dsub))
-      val greedySpread = Opq.logVarianceSpread(model.spectrum, blockIdx)
-      val contiguousSpread = Opq.logVarianceSpread(
-        model.spectrum.sorted(Ordering[Double].reverse), blockIdx)
-      val balanced = greedySpread <= contiguousSpread + 1e-9
-      val bucketsSorted = blockIdx.forall(b =>
-        b.map(model.spectrum).sliding(2)
-          .forall(p => p.length < 2 || p(0) >= p(1)))
+      val (orthOk, balanced, bucketsSorted) =
+        Opq.selfGates(model.rotation, model.spectrum, m = 4)
       Opq.adcTopK(vecs, "vec_id", "embedding",
         vecs.filter(col("vec_id") < 10), model, k = 5, shortlist = 20)
         .withColumn("orthonormal_ok", lit(orthOk))
@@ -829,27 +808,8 @@ object ExtQueries {
       Opq.ivfOracleStash = Some(Opq.adcOracleSql(
         Opq.OpqModel(rotation, spectrum, g.pqModel.get),
         ksub = 4, iters = 2, k = 5, shortlist = 20, maxQueryId = 10))
-      val orthOk = {
-        val d = rotation.length
-        var worst = 0.0
-        for (i <- 0 until d; j <- i until d) {
-          var s = 0.0
-          var kk = 0
-          while (kk < d) { s += rotation(i)(kk) * rotation(j)(kk); kk += 1 }
-          worst = math.max(worst,
-            math.abs(s - (if (i == j) 1.0 else 0.0)))
-        }
-        worst < 1e-8
-      }
-      val dsub = 64 / 4
-      val blockIdx = Array.tabulate(4)(j =>
-        Array.range(j * dsub, (j + 1) * dsub))
-      val balanced = Opq.logVarianceSpread(spectrum, blockIdx) <=
-        Opq.logVarianceSpread(
-          spectrum.sorted(Ordering[Double].reverse), blockIdx) + 1e-9
-      val bucketsSorted = blockIdx.forall(b =>
-        b.map(spectrum).sliding(2)
-          .forall(p => p.length < 2 || p(0) >= p(1)))
+      val (orthOk, balanced, bucketsSorted) =
+        Opq.selfGates(rotation, spectrum, m = 4)
       graft.write.VectorSink.topKOpq(store, "emb", vecs,
         vecs.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nprobe = 8, shortlist = 20)

@@ -173,12 +173,20 @@ object Streaming {
     * list fraction of the corpus), never a corpus scan. */
   def probeCollection(store: TableStore, queries: DataFrame, table: String,
       id: String, vec: String, k: Int, nprobe: Int, out: String,
-      checkpoint: Option[String] = None): Unit =
+      checkpoint: Option[String] = None): Unit = {
+    // guard BEFORE the stream starts: a quantized collection stores
+    // codes, not vectors — topK would die mid-stream on an unrelated
+    // missing-column error; fail here with the routing message instead
+    require(graft.write.VectorSink.readMeta(store, table).metric == "cosine",
+      s"collection '$table' is quantized: streaming probes need the " +
+        "stored vectors — drain batches into VectorSink.topKQuantized/" +
+        "topKPq/topKOpq (they need the full-vector frame) out of band")
     drainAvailableNow(queries, checkpoint) { (batch, _) =>
       if (!batch.isEmpty)
         store.append(out, graft.write.VectorSink.topK(
           store, table, batch, id, vec, k, nprobe))
     }
+  }
 
   /** Exactly-once key dedup across micro-batches: event-time watermark
     * bounds the dedup state, `dropDuplicates` keeps the first arrival

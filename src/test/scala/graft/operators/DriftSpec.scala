@@ -315,4 +315,24 @@ class DriftSpec extends SparkSpec {
       "an unparseable cutoff compares lexicographically for every row")
     assert(!p.store.exists("m__quarantine"))
   }
+
+  test("sweep cutoffs beyond the row grid still compare numerically") {
+    import graft.pipeline.{Pipeline, Resource}
+    val p = new Pipeline("dqg",
+      java.nio.file.Files.createTempDirectory("graft-dqg").toString, spark)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      Resource("m", df).withDriftCheck("v", maxPsi = 0.25, quarantine = true)
+    p.run(Seq(res(base)), "1")
+    val shift = (1 to 100).map(i => (i % 100).toDouble + 80.0).toDF("v")
+    p.run(Seq(res(shift)), "100")
+    // 7 fraction digits: n < 99.1234567 ⟺ n ≤ 99.123456 — the row id
+    // 100 is numerically ABOVE and must be kept (a lexicographic
+    // fallback would sweep it: "100" < "99.1234567")
+    assert(p.sweepQuarantine("m", "99.1234567") === 0L)
+    // scientific notation normalizes through the same driver-side
+    // setScale: 1E+3 = 1000 > 100 numerically (lexicographically
+    // "100" > "1E+3" would keep it)
+    assert(p.sweepQuarantine("m", "1E+3") === 100L)
+    assert(!p.store.exists("m__quarantine"))
+  }
 }

@@ -50,6 +50,33 @@ class TrainingOrderSpec extends SparkSpec {
     assert(out.map(_._2).sorted.toSeq === (0L until 300L))
   }
 
+  test("null stage rows survive (null-safe join) and rank first") {
+    val df = (1 to 90).map(i =>
+      (i.toLong, if (i % 3 == 0) null else if (i % 3 == 1) "a" else "b"))
+      .toDF("id", "stage")
+    val out = TrainingOrder.epochShuffle(df, "id", seed = 7L, epoch = 1,
+      stages = Seq("stage"))
+      .select("stage", "shuffle_rank").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)))
+    assert(out.length === 90, "null-stage rows must not vanish in the join")
+    assert(out.map(_._2).sorted.toSeq === (0L until 90L))
+    val byStage = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // Spark's null-first window order: the null stage IS a stage,
+    // ranked before every named one
+    assert(byStage(None).max < byStage(Some("a")).min)
+    assert(byStage(Some("a")).max < byStage(Some("b")).min)
+  }
+
+  test("a null id fails loudly — silent same-hash ties would break determinism") {
+    val df = Seq((Some(1L), "a"), (None: Option[Long], "a"))
+      .toDF("id", "stage")
+    val e = intercept[Exception] {
+      TrainingOrder.epochShuffle(df, "id", seed = 7L, epoch = 1).collect()
+    }
+    assert(e.getMessage.contains("non-null") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-null")))
+  }
+
   test("the per-row rank window is bucket-partitioned, never corpus-wide") {
     val df = docs(100)
     val plan = TrainingOrder.epochShuffle(df, "id", seed = 7L, epoch = 1)

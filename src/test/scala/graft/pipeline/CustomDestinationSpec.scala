@@ -134,5 +134,35 @@ class CustomDestinationSpec extends SparkSpec {
       "the failed window must re-deliver in full on retry")
   }
 
+  test("store-path gates (contract, drift, dispatch) are rejected, not dropped") {
+    val p = newPipeline()
+    val df = Seq((1, "x")).toDF("a", "b")
+    val dest = CustomDestination { (_, _) => () }
+    val drift = intercept[IllegalArgumentException] {
+      p.runTo(Seq(Resource("t", df)
+        .withDriftCheck("a", maxPsi = 0.1)), dest, "1")
+    }
+    assert(drift.getMessage.contains("run()"))
+    val dispatch = intercept[IllegalArgumentException] {
+      p.runTo(Seq(Resource("t", df, dispatchColumn = Some("b"))), dest, "1")
+    }
+    assert(dispatch.getMessage.contains("dispatch"))
+    val contract = intercept[IllegalArgumentException] {
+      p.runTo(Seq(Resource("t", df,
+        contract = graft.schema.Contracts.Contract(
+          tables = graft.schema.Contracts.Freeze))), dest, "1")
+    }
+    assert(contract.getMessage.contains("contract"))
+  }
+
+  test("metrics observe rides the sink action") {
+    val p = newPipeline()
+    val df = Seq((1, 10.0), (2, 30.0)).toDF("k", "v")
+    val dest = CustomDestination { (frame, _) => frame.count(): Unit }
+    p.runTo(Seq(Resource("obs", df,
+      metrics = Seq("v_sum" -> sum(col("v"))))), dest, "1")
+    assert(p.metrics("obs").get("v_sum").contains(40.0))
+  }
+
   private def newLongEncoder = org.apache.spark.sql.Encoders.scalaLong
 }

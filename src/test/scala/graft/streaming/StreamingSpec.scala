@@ -225,6 +225,22 @@ class StreamingSpec extends SparkSpec {
       === exact)
   }
 
+  test("probeCollection refuses quantized collections before the stream starts") {
+    import graft.write.VectorSink
+    val store = new TableStore(tmp("st-annq2"), spark)
+    val corpus = (0L until 32L).map { i =>
+      (i, Array.tabulate(8)(k => math.sin(i * 0.9 + k).toFloat))
+    }.toDF("vec_id", "embedding")
+    VectorSink.writeIvfQuantized(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    val e = intercept[IllegalArgumentException] {
+      Streaming.probeCollection(store,
+        spark.readStream.format("rate").load(), "emb",
+        "vec_id", "embedding", k = 3, nprobe = 4, out = "hits")
+    }
+    assert(e.getMessage.contains("quantized"))
+  }
+
   test("dedupByKeyUnbounded keeps one row per key") {
     val store = new TableStore(tmp("st-dd"), spark)
     val src = Streaming.fileStream(spark, writeSourceDir())
