@@ -52,22 +52,34 @@ object Opq {
 
   /** Greedy eigenvalue allocation (Ge et al. §4.2): eigenvalues arrive
     * sorted non-increasing ([[Pca.fit]]'s contract); each is assigned
-    * to the non-full bucket with the smallest running Σ log λ
-    * (first-minimum = lowest bucket index on ties — deterministic).
-    * Returns the eigen indexes per bucket in assignment order. λ is
-    * clamped at 1e-12 before the log: a numerically-zero eigenvalue
-    * must not produce -∞ and pin its bucket open forever. */
+    * to the non-full bucket with the smallest running Σ of
+    * GEOMEAN-CENTERED logs (first-minimum = lowest bucket index on
+    * ties — deterministic). The centering makes the greedy
+    * SCALE-INVARIANT: on a raw Σ log λ, an all-sub-unit spectrum
+    * (unit-normalized embeddings — λ < 1 everywhere, logs all
+    * negative) makes whichever bucket received an item the running
+    * minimum, so it absorbs the largest eigenvalues until full and the
+    * allocation degenerates to the contiguous split OPQ exists to
+    * beat. Centered logs depend only on eigenvalue RATIOS — scaling
+    * every λ by a constant cannot change a single decision — and the
+    * COMPLETED buckets' spread objective is shift-invariant (every
+    * full bucket shifts by dsub·mean). Returns the eigen indexes per
+    * bucket in assignment order. λ clamps at 1e-12 before the log: a
+    * numerically-zero eigenvalue must not produce −∞ and pin its
+    * bucket open forever. */
   def allocate(lams: Array[Double], m: Int): Array[Array[Int]] = {
     require(m >= 1 && lams.length % m == 0,
       s"dim ${lams.length} must split into $m even subspaces")
     val dsub = lams.length / m
+    val logs = lams.map(l => math.log(math.max(l, 1e-12)))
+    val shift = logs.sum / logs.length
     val buckets = Array.fill(m)(Vector.empty[Int])
     val logSum = new Array[Double](m)
     for (i <- lams.indices) {
       val open = (0 until m).filter(buckets(_).size < dsub)
       val b = open.minBy(logSum(_))
       buckets(b) = buckets(b) :+ i
-      logSum(b) += math.log(math.max(lams(i), 1e-12))
+      logSum(b) += logs(i) - shift
     }
     buckets.map(_.toArray)
   }

@@ -241,11 +241,13 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
   def runTo(resources: Seq[Resource], dest: CustomDestination,
       loadId: String): Map[String, Seq[String]] = {
     val naming = graft.schema.NamingConventions.byName(dest.namingConvention)
-    val out = resources.map { r0 =>
-      // UNSUPPORTED configuration fails FAST, never silently drops: a
-      // custom destination has no store table to enforce contracts or
-      // drift against, and no per-table routing — a resource carrying
-      // those gates must not be quietly delivered ungated
+    // UNSUPPORTED configuration fails FAST and BEFORE any delivery, never
+    // silently drops: a custom destination has no store table to enforce
+    // contracts or drift against, and no per-table routing. Validating
+    // ALL resources up front matters — an external sink is irreversible,
+    // so a mid-batch rejection would leave earlier resources delivered
+    // and force a duplicate-producing full retry
+    resources.foreach { r0 =>
       require(r0.contract == Contracts.Contract(),
         s"runTo('${r0.name}'): schema contracts need a table destination " +
           "to enforce against — route this resource through run()")
@@ -255,6 +257,8 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       require(r0.dispatchColumn.isEmpty,
         s"runTo('${r0.name}'): table dispatch is a store-path feature — " +
           "split the resource per routing value for a custom destination")
+    }
+    val out = resources.map { r0 =>
       // time budget: same semantics as runOne — past the deadline the
       // extraction admits nothing, but the (empty) load still flows
       val r =
@@ -274,7 +278,10 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           (w, Some((w, cfg, st)))
       }
-      // MetricsItem rides the sink action, no extra scan — as in runOne
+      // MetricsItem rides the sink action, no extra scan — but unlike
+      // the store path NOTHING here guarantees the sink executes one:
+      // metrics resolve via getOrEmpty (absent, not a hang, when the
+      // callback never ran a full action over the delivered frame)
       val observation = Option.when(r.metrics.nonEmpty)(
         new org.apache.spark.sql.Observation(s"$tableName-$loadId-to"))
       val frame = observation match {
@@ -287,8 +294,13 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
         val tables = Normalizer.normalize(frame, r.name,
           NormalizeConfig(loadId, maxNesting = dest.maxTableNesting,
             naming = naming))
-        val fanoutPin = Option.when(tables.size > 1)(frame.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // skip the fan-out pin when the incremental window is already
+        // cached: observe is a no-op wrapper whose scan routes through
+        // the child cache — a second persist would hold the same rows
+        // twice
+        val fanoutPin = Option.when(tables.size > 1 && incPin.isEmpty)(
+          frame.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         try {
           val sent = tables.toSeq.sortBy(_._1).map { case (t, df0) =>
             val df =
@@ -296,8 +308,11 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
                 df0.drop(df0.columns.filter(_.startsWith("_dlt_"))
                   .toIndexedSeq: _*)
               else df0
-            // the registry tracks what the DESTINATION saw — the sent
-            // schema, not the pre-strip one
+            // the registry tracks the SENT schema (post-strip), but
+            // keys it under ITS OWN snake_case normalization — distinct
+            // direct names that normalize identically share one entry
+            // (a registry-view limitation; destination tables are
+            // unaffected, the sink received the verbatim name)
             registry.evolve(t, df.schema)
             dest.sinkFrame(df, SinkTable(t, loadId, df.schema))
             t
@@ -315,8 +330,20 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
             }
           }
           observation.foreach { obs =>
-            val m = obs.get
-            synchronized { metricsByResource += tableName -> m }
+            // keyed under the PIPELINE's normalization — metrics() looks
+            // up Naming.normalizeTableName, not the destination's
+            // convention (which only names what the sink receives).
+            // getRowOrEmpty via reflection: the non-blocking reads are
+            // private[sql] in the Scala signature (bytecode-public), and
+            // obs.get would HANG when the sink never ran a full action
+            val row = obs.getClass.getMethod("getRowOrEmpty").invoke(obs)
+              .asInstanceOf[Option[org.apache.spark.sql.Row]]
+            row.foreach { rr =>
+              val m = rr.schema.fieldNames.zip(rr.toSeq).toMap
+              synchronized {
+                metricsByResource += Naming.normalizeTableName(r.name) -> m
+              }
+            }
           }
           dispositions.recordLoad(loadId, name)
           r.name -> sent

@@ -97,7 +97,8 @@ object StreamQueries {
         options = Map("maxFilesPerTrigger" -> "1"))
       Streaming.probeCollection(store, src, "emb", "vec_id", "embedding",
         k = 5, nprobe = 8, out = "hits")
-      store.read("hits")
+      store.read("hits") // drop the _batch_id idempotence stamp
+        .select("query_id", "rank", "match_id", "cosine")
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },

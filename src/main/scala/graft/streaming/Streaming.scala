@@ -170,7 +170,15 @@ object Streaming {
     * [[graft.write.VectorSink.topK]] is the linearization point), and
     * the probe itself is the map-only broadcast centroid ranking +
     * segment-pruned equi-join, so per-batch cost is O(batch × nprobe
-    * list fraction of the corpus), never a corpus scan. */
+    * list fraction of the corpus), never a corpus scan.
+    *
+    * `out` is owned by ONE stream lineage: hits are stamped with the
+    * micro-batch id and a replayed id is skipped (the foreachBatch
+    * idempotence contract — a crash between the append and the stream
+    * commit must not double the batch's hits). Starting a NEW stream
+    * (fresh checkpoint, batch ids restarting at 0) against an existing
+    * `out` therefore skips colliding ids — give a new stream a new
+    * output table. */
   def probeCollection(store: TableStore, queries: DataFrame, table: String,
       id: String, vec: String, k: Int, nprobe: Int, out: String,
       checkpoint: Option[String] = None): Unit = {
@@ -181,10 +189,22 @@ object Streaming {
       s"collection '$table' is quantized: streaming probes need the " +
         "stored vectors — drain batches into VectorSink.topKQuantized/" +
         "topKPq/topKOpq (they need the full-vector frame) out of band")
-    drainAvailableNow(queries, checkpoint) { (batch, _) =>
-      if (!batch.isEmpty)
+    drainAvailableNow(queries, checkpoint) { (batch, bid) =>
+      // IDEMPOTENT per batchId — foreachBatch's replay contract: with a
+      // durable checkpoint, a crash between this append and the stream
+      // commit re-runs the batch on restart; the hits it already wrote
+      // must not double. The guard is driver-side segment stats (each
+      // append stamps `_batch_id` and declares stats on it — one
+      // manifest read, no Spark job), mirroring the recordLoad
+      // duplicate guard of the pipeline path.
+      val done = store.exists(out) && store.segments(out).exists(
+        _.stats.get("_batch_id").exists(s =>
+          s.overlaps(bid.toString, bid.toString)))
+      if (!batch.isEmpty && !done)
         store.append(out, graft.write.VectorSink.topK(
-          store, table, batch, id, vec, k, nprobe))
+            store, table, batch, id, vec, k, nprobe)
+          .withColumn("_batch_id", org.apache.spark.sql.functions.lit(bid)),
+          statsFor = Seq("_batch_id"))
     }
   }
 

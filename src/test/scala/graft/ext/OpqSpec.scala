@@ -40,6 +40,22 @@ class OpqSpec extends SparkSpec {
       buckets.map(_.toSeq).toSeq)
   }
 
+  test("allocate is scale-invariant: sub-unit spectra still balance") {
+    // all λ < 1 (unit-normalized embeddings): an uncentered Σ log λ
+    // greedy degenerates here — the first bucket's negative sum keeps
+    // it the minimum and it swallows the largest eigenvalues
+    val lams = Array(0.5, 0.4, 0.3, 0.2)
+    val buckets = Opq.allocate(lams, 2)
+    assert(buckets.map(_.toSeq).toSeq === Seq(Seq(0, 3), Seq(1, 2)),
+      "the balanced pairing (largest with smallest), not contiguous")
+    // scaling the whole spectrum cannot change a single decision
+    val scaled = Opq.allocate(lams.map(_ * 1e6), 2)
+    assert(scaled.map(_.toSeq).toSeq === buckets.map(_.toSeq).toSeq)
+    assert(Opq.logVarianceSpread(lams, buckets) <
+      Opq.logVarianceSpread(lams, Array(Array(0, 1), Array(2, 3))),
+      "strictly beats the contiguous split on this spectrum")
+  }
+
   test("allocate survives zero eigenvalues (rank-deficient spectrum)") {
     val lams = Array(10.0, 1.0, 0.0, 0.0)
     val buckets = Opq.allocate(lams, 2)

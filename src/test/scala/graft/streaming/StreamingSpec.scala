@@ -223,6 +223,13 @@ class StreamingSpec extends SparkSpec {
       .select("query_id", "rank", "match_id").collect().toSet
     assert(hits.select("query_id", "rank", "match_id").collect().toSet
       === exact)
+    // replay idempotence: a re-run over the same input (fresh
+    // checkpoint — batch ids restart, colliding with the stamped ones)
+    // must not double a single hit
+    Streaming.probeCollection(store, src, "emb", "vec_id", "embedding",
+      k = 3, nprobe = 4, out = "hits")
+    assert(store.read("hits").count() === 18L,
+      "replayed batch ids must be skipped, not re-appended")
   }
 
   test("probeCollection refuses quantized collections before the stream starts") {
