@@ -127,18 +127,25 @@ object Opq {
     MatrixFunctions.matVecMul(vec, rotation,
       new Array[Double](if (rotation.isEmpty) 0 else rotation(0).length))
 
-  /** Fit rotation + codebooks: full-rank PCA for the eigenbasis
-    * (canonical-sign, variance-sorted — [[Pca.fit]]), greedy
-    * eigenvalue allocation, then [[Pq.train]] on the rotated corpus
-    * (same init/tie-break/decimal-mean contract, so the oracle
-    * re-derives every code from the rotation literals alone). */
+  /** Fit rotation + codebooks: one [[Pca.gram]] pass for the
+    * covariance, a FULL eigendecomposition (exact Jacobi —
+    * [[Pca.eigenSym]] directly, NOT [[Pca.fit]]: fit's r = dim request
+    * would route dims past [[Pca.JacobiDimLimit]] into the top-r
+    * subspace iteration, which at full rank costs MORE than Jacobi and
+    * can throw on the degenerate near-zero tail of a rank-deficient
+    * covariance — OPQ needs the whole basis, so the O(d³) driver
+    * solve is the honest price at any dim), greedy eigenvalue
+    * allocation, then [[Pq.train]] on the rotated corpus (same
+    * init/tie-break/decimal-mean contract, so the oracle re-derives
+    * every code from the rotation literals alone). */
   def train(vecs: DataFrame, id: String, vec: String, dim: Int,
       m: Int, ksub: Int, iters: Int): OpqModel = {
-    val pca = Pca.fit(vecs, vec, dim, r = dim)
-    val alloc = allocate(pca.variances, m)
+    val (_, _, cov) = Pca.gram(vecs, vec, dim)
+    val (values, vectors) = Pca.eigenSym(cov)
+    val alloc = allocate(values, m)
     val order = alloc.flatten
-    val rotation = order.map(pca.components(_))
-    val spectrum = order.map(pca.variances(_))
+    val rotation = order.map(vectors(_))
+    val spectrum = order.map(values(_))
     val rot = vecs.select(col(id),
       rotated(col(vec), rotation).as("__rv"))
     OpqModel(rotation, spectrum,
@@ -155,17 +162,15 @@ object Opq {
   def adcTopK(vecs: DataFrame, id: String, vec: String,
       queries: DataFrame, model: OpqModel, k: Int,
       shortlist: Int): DataFrame = {
+    // rotate, then DELEGATE — the oracle-shape-critical chain (encode →
+    // reconstruction → inequality join → shortlist/re-rank tie-breaks)
+    // has ONE implementation, [[Pq.adcTopK]]; a second copy here would
+    // have to track every future tie-break change in lock-step
     val rotC = Dedup.pin(vecs.select(col(id),
       rotated(col(vec), model.rotation).as("__rv")))
-    val rotQ = queries.select(col(id).as("query_id"),
-      rotated(col(vec), model.rotation).as("__qv"))
-    val codes = Pq.encode(rotC, id, "__rv", model.pq)
-      .select(col(id).as("match_id"), col("codes"))
-      .withColumn("__deq", Pq.reconstruction(col("codes"), model.pq))
-      .drop("codes")
-    Quantize.shortlistRerank(
-      codes.join(broadcast(rotQ), col("query_id") =!= col("match_id")),
-      rotC, id, "__rv", k, shortlist)
+    val rotQ = queries.select(col(id),
+      rotated(col(vec), model.rotation).as("__rv"))
+    Pq.adcTopK(rotC, id, "__rv", rotQ, model.pq, k, shortlist)
   }
 
   // ---- oracle ------------------------------------------------------------

@@ -265,12 +265,19 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
         if (r0.deadlineNanos.exists(System.nanoTime() >= _))
           r0.copy(frame = r0.frame.limit(0))
         else r0
-      val tableName = naming.normalizeTableIdentifier(r.name)
+      // cursor state, boundary tables and metrics key under the
+      // PIPELINE's own normalization — the SAME key the store path
+      // uses, so the cursor truly is destination-agnostic: re-routing a
+      // resource between run() and runTo (or between destinations with
+      // different naming conventions) continues the same window instead
+      // of silently re-extracting history into an irreversible sink.
+      // The destination's convention names only what the sink receives.
+      val stateKey = Naming.normalizeTableName(r.name)
       val (windowed, incPin) = r.incremental match {
         case None => (r.frame, None)
         case Some(cfg) =>
-          val st = states.load(name, s"$tableName/${cfg.cursorColumn}")
-          val fps = store.readOption(boundaryTable(tableName, cfg))
+          val st = states.load(name, s"$stateKey/${cfg.cursorColumn}")
+          val fps = store.readOption(boundaryTable(stateKey, cfg))
           // pinned for the same reason as the store path: the advance
           // must aggregate the rows that were SENT, not a re-executed
           // window over a live source
@@ -280,10 +287,10 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       }
       // MetricsItem rides the sink action, no extra scan — but unlike
       // the store path NOTHING here guarantees the sink executes one:
-      // metrics resolve via getOrEmpty (absent, not a hang, when the
+      // metrics resolve non-blockingly (absent, not a hang, when the
       // callback never ran a full action over the delivered frame)
       val observation = Option.when(r.metrics.nonEmpty)(
-        new org.apache.spark.sql.Observation(s"$tableName-$loadId-to"))
+        new org.apache.spark.sql.Observation(s"$stateKey-$loadId-to"))
       val frame = observation match {
         case Some(obs) =>
           windowed.observe(obs, r.metrics.head._2.as(r.metrics.head._1),
@@ -322,27 +329,29 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
           incPin.foreach { case (w, cfg, st) =>
             Incremental.advanceValue(w, cfg).foreach { newLast =>
               val bfps = Incremental.boundaryFingerprints(w, cfg, newLast)
-              val bt = boundaryTable(tableName, cfg)
+              val bt = boundaryTable(stateKey, cfg)
               if (st.lastValue.contains(newLast)) store.append(bt, bfps)
               else store.overwrite(bt, bfps)
-              states.save(name, s"$tableName/${cfg.cursorColumn}",
+              states.save(name, s"$stateKey/${cfg.cursorColumn}",
                 Incremental.State(Some(newLast), Nil))
             }
           }
           observation.foreach { obs =>
-            // keyed under the PIPELINE's normalization — metrics() looks
-            // up Naming.normalizeTableName, not the destination's
-            // convention (which only names what the sink receives).
             // getRowOrEmpty via reflection: the non-blocking reads are
             // private[sql] in the Scala signature (bytecode-public), and
-            // obs.get would HANG when the sink never ran a full action
-            val row = obs.getClass.getMethod("getRowOrEmpty").invoke(obs)
-              .asInstanceOf[Option[org.apache.spark.sql.Row]]
+            // obs.get would HANG FOREVER when the sink never ran a full
+            // action. Each call awaits ≤100 ms, and the completing
+            // SQLExecutionEnd event posts ASYNC on the listener bus
+            // after the sink's action returns — so retry for a bounded
+            // ~2 s before concluding no action ran (a single 100 ms
+            // probe silently lost metrics under listener-bus lag)
+            def rowOpt() = obs.getClass.getMethod("getRowOrEmpty")
+              .invoke(obs).asInstanceOf[Option[org.apache.spark.sql.Row]]
+            val row = Iterator.range(0, 20).map(_ => rowOpt())
+              .collectFirst { case Some(rr) => rr }
             row.foreach { rr =>
               val m = rr.schema.fieldNames.zip(rr.toSeq).toMap
-              synchronized {
-                metricsByResource += Naming.normalizeTableName(r.name) -> m
-              }
+              synchronized { metricsByResource += stateKey -> m }
             }
           }
           dispositions.recordLoad(loadId, name)

@@ -785,10 +785,6 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
-    // IVF + PQ (the FAISS IVFADC layout — m-byte codes, the
-    // billion-vector memory story): cold write->read->probe cycle over
-    // product-quantized codes; nprobe = nlist makes it exactly the PQ
-    // ADC pipeline, so that oracle gates the persisted collection
     // IVF + OPQ + PQ persisted collection (FAISS OPQm,IVFx,PQy): the
     // rotation is a pinned model sub-table; the probe rotates queries
     // under the generation's rotation and runs the PQ probe verbatim.
@@ -819,6 +815,10 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF + PQ (the FAISS IVFADC layout — m-byte codes, the
+    // billion-vector memory story): cold write->read->probe cycle over
+    // product-quantized codes; nprobe = nlist makes it exactly the PQ
+    // ADC pipeline, so that oracle gates the persisted collection
     "sim_ivf_pq" -> q { c =>
       val store = new graft.write.TableStore(
         java.nio.file.Files.createTempDirectory("graft-vpq").toString, c.spark)
