@@ -54,5 +54,6 @@ object SparkEntry {
     * JVM) — [[Verify]] marks their presence in `query_meta.json` so a
     * subset run is visibly 'oracle skipped', not 'no oracle exists'. */
   def modelDerivedOracles: Set[String] =
-    Set("sim_pca_project", "sim_opq_adc", "sim_ivf_opq")
+    Set("sim_pca_project", "sim_opq_adc", "sim_ivf_opq",
+      "text_quality_classifier")
 }

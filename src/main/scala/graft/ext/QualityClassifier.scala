@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained document-quality scoring: a ridge-regression seed
+  * discriminator over surface text statistics — the "quality
+  * classifier" stage of LLM data curation (CCNet / GPT-3 / LLaMA
+  * pipelines train a linear model to separate a high-quality seed
+  * corpus from random web text, then keep the top-scoring documents).
+  * The reference has no model plane of its own (SURVEY.md §2.10 —
+  * scalar work is delegated to destination SQL); this is a
+  * training-data extension like the rest of [[TextOps]].
+  *
+  * Shape, not sophistication, is the point at 100 TB:
+  *  - featurization is the same pure-codegen [[TextOps]] column pack
+  *    every text query uses (no UDFs, no shuffle);
+  *  - the FIT is one aggregation pass producing the d×d Gram matrix
+  *    and X·y moments (d = 5 here — driver-tiny at any corpus size),
+  *    solved closed-form on the driver;
+  *  - SCORING is a map-only broadcast-literal dot product — the fitted
+  *    weights ride the plan as literals, so a 100 TB scoring pass is
+  *    one scan with zero exchanges.
+  *
+  * Determinism: scoring is sequential literal arithmetic over
+  * engine-replayable features, so a DuckDB oracle built from the
+  * fitted weights ([[scoreOracleSql]]) replays it bit-for-bit — the
+  * same model-derived-oracle contract as [[Pca.projectOracleSql]].
+  */
+object QualityClassifier {
+
+  /** Fitted linear model: `score = w(0) + Σ w(i)·fᵢ` (w(0) = bias). */
+  final case class RidgeModel(featureNames: Seq[String], weights: Array[Double],
+      lambda: Double) {
+    require(weights.length == featureNames.length + 1,
+      s"weights (${weights.length}) must be bias + one per feature " +
+        s"(${featureNames.length})")
+  }
+
+  /** The surface-statistics feature pack (name → column), each mirrored
+    * 1:1 by a DuckDB expression in [[scoreOracleSql]]. All are integer
+    * counts with a single correctly-rounded division (plus `least`
+    * clamps), so both engines produce identical doubles. */
+  def features(text: Column): Seq[(String, Column)] = Seq(
+    "len_sat" -> least(lit(1.0), TextOps.tokenCount(text).cast("double") / 50.0),
+    "punct_ratio" -> TextOps.punctRatio(text),
+    "stop_ratio" -> TextOps.stopwordRatio(text),
+    "char_sat" -> least(lit(1.0), length(text).cast("double") / 2000.0))
+
+  /** Ridge fit of `label` (0/1 seed membership) on [[features]]:
+    * w = (XᵀX + λ·diag(0,1,…,1))⁻¹ Xᵀy — bias unpenalized, one Spark
+    * aggregation for the moments, 5×5 Gaussian elimination on the
+    * driver. */
+  def fit(docs: DataFrame, textCol: String, label: Column,
+      lambda: Double = 1e-3): RidgeModel = {
+    val fs = features(col(textCol))
+    val names = fs.map(_._1)
+    val cols = lit(1.0) +: fs.map(_._2)
+    val d = cols.length
+    // one pass: upper-triangle Gram sums + moment vector
+    val aggs =
+      (for (i <- 0 until d; j <- i until d)
+        yield sum(cols(i) * cols(j)).as(s"g_${i}_$j")) ++
+        (0 until d).map(i => sum(cols(i) * label.cast("double")).as(s"m_$i"))
+    val row = docs.agg(aggs.head, aggs.tail: _*).head()
+    val a = Array.ofDim[Double](d, d)
+    val b = new Array[Double](d)
+    var idx = 0
+    for (i <- 0 until d; j <- i until d) {
+      a(i)(j) = row.getDouble(idx); a(j)(i) = a(i)(j); idx += 1
+    }
+    for (i <- 0 until d) { b(i) = row.getDouble(idx); idx += 1 }
+    for (i <- 1 until d) a(i)(i) += lambda
+    RidgeModel(names, solve(a, b), lambda)
+  }
+
+  /** In-place Gaussian elimination with partial pivoting (d ≤ ~10 by
+    * construction — the feature pack is hand-sized). */
+  private[ext] def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val d = b.length
+    for (p <- 0 until d) {
+      var best = p
+      for (r <- p + 1 until d) if (math.abs(a(r)(p)) > math.abs(a(best)(p))) best = r
+      if (best != p) { val t = a(p); a(p) = a(best); a(best) = t
+        val tb = b(p); b(p) = b(best); b(best) = tb }
+      require(math.abs(a(p)(p)) > 1e-12,
+        s"singular normal-equation matrix at pivot $p (degenerate features?)")
+      for (r <- p + 1 until d) {
+        val f = a(r)(p) / a(p)(p)
+        for (c <- p until d) a(r)(c) -= f * a(p)(c)
+        b(r) -= f * b(p)
+      }
+    }
+    val w = new Array[Double](d)
+    for (p <- d - 1 to 0 by -1) {
+      var s = b(p)
+      for (c <- p + 1 until d) s -= a(p)(c) * w(c)
+      w(p) = s / a(p)(p)
+    }
+    w
+  }
+
+  /** Map-only scoring column: `w₀ + w₁·f₁ + … ` — left-associated
+    * literal arithmetic, bit-replayable by [[scoreOracleSql]]. */
+  def score(model: RidgeModel, text: Column): Column =
+    features(text).zipWithIndex.foldLeft(lit(model.weights(0))) {
+      case (acc, ((_, f), i)) => acc + lit(model.weights(i + 1)) * f
+    }
+
+  /** Sum of squared residuals of `pred` against `label` — the fit gate
+    * (a fitted model must beat the best constant predictor). */
+  def sse(docs: DataFrame, pred: Column, label: Column): Double =
+    docs.agg(sum(pow(label.cast("double") - pred, 2.0))).head().getDouble(0)
+
+  @volatile var oracleStash: Option[String] = None
+
+  /** DuckDB replay of [[score]] over the raw `documents` table, with
+    * the fitted weights as round-trip literals (`Double.toString` is
+    * the shortest repr that parses back to the same IEEE double in any
+    * engine). `gates` ride as literal booleans asserted by the caller. */
+  def scoreOracleSql(model: RidgeModel, seedSql: String, threshold: Double,
+      gates: Seq[(String, Boolean)]): String = {
+    val stops = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    val w = model.weights.map(x => java.lang.Double.toString(x))
+    val gateCols = gates.map { case (n, v) =>
+      s", ${if (v) "TRUE" else "FALSE"} AS $n" }.mkString
+    s"""WITH t AS (
+       |  SELECT doc_id, $seedSql AS is_seed,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+       |      / length(text) AS pr,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        t -> t IN ($stops))) AS n_stop,
+       |    length(text) AS n_ch
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, is_seed,
+       |    ${w(0)} + ${w(1)} * least(1.0, n_tok::DOUBLE / 50.0)
+       |            + ${w(2)} * pr
+       |            + ${w(3)} * (n_stop::DOUBLE / n_tok)
+       |            + ${w(4)} * least(1.0, n_ch::DOUBLE / 2000.0) AS score
+       |  FROM t)
+       |SELECT doc_id, is_seed, round(score, 6) AS score,
+       |  score >= ${java.lang.Double.toString(threshold)} AS kept$gateCols
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+}

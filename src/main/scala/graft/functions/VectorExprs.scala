@@ -508,8 +508,112 @@ case class DequantizeInt8(first: Expression, second: Expression, third: Expressi
       t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
+/** Sign-bit binary quantization: `array<float|double>` → `array<long>`
+  * of ⌈dim/64⌉ words, bit (i mod 64) of word ⌊i/64⌋ set iff `v_i > 0`.
+  * The 1-bit/dim code behind Hamming-space candidate generation
+  * (binary quantization as in FAISS `IndexBinaryFlat` / the sign-hash
+  * limit of ITQ): 64× smaller than float32, and distance becomes
+  * XOR+popcount over words instead of dim multiplies.
+  *
+  * The comparison is the plain Java `>` on the element widened to
+  * double — no arithmetic, so any SQL engine replays it exactly.
+  * Caveat: NaN elements pack as 0 here (Java `NaN > 0` is false) while
+  * engines that order NaN above all values (DuckDB) would pack 1 —
+  * embeddings are NaN-free by contract. */
+case class PackSignBits(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_pack_signbits"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.sql}")
+  }
+
+  private def elemT: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  def pack(xa: ArrayData): Any = {
+    val n = xa.numElements()
+    val words = new Array[Long]((n + 63) / 64)
+    var i = 0
+    while (i < n) {
+      val x = elemT match {
+        case FloatType => xa.getFloat(i).toDouble
+        case _ => xa.getDouble(i)
+      }
+      if (x > 0.0) words(i / 64) |= 1L << (i % 64)
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  override def nullSafeEval(a: Any): Any = pack(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("packSignBits", this, classOf[PackSignBits].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.pack($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two packed bit codes (`array<long>`):
+  * Σ popcount(a_w XOR b_w), clamped to the shorter side. Pure integer
+  * ops — bit-identical across engines (`bit_count(xor(...))`), and the
+  * tight popcount loop stays inside whole-stage codegen. */
+case class HammingDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_hamming"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xa, ya) => {
+      val (n, s, i) = (ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("i"))
+      s"""
+         |int $n = java.lang.Math.min($xa.numElements(), $ya.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += java.lang.Long.bitCount($xa.getLong($i) ^ $ya.getLong($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API front door for the vector kernels. */
 object VectorFunctions {
+  def packSignBits(vec: Column): Column =
+    ColumnBridge.column(PackSignBits(ColumnBridge.expression(vec)))
+
+  def hammingDist(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def quantizeInt8(vec: Column, mins: Column, maxs: Column): Column =
     ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(vec),
       ColumnBridge.expression(mins), ColumnBridge.expression(maxs)))

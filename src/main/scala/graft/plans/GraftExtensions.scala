@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.SparkSession
 
-import graft.functions.{CosineSim, DotProduct, NfcNormalize, QuantizeInt8, SqDist, UrlDomains}
+import graft.functions.{CosineSim, DotProduct, HammingDist, NfcNormalize, PackSignBits, QuantizeInt8, SqDist, UrlDomains}
 
 /** Catalyst integration point: registers graft's native codegen
   * expressions as SQL functions, so `spark.sql` users (and BI tools
@@ -65,6 +65,8 @@ object GraftExtensions {
       binary("graft_sqdist", SqDist.apply),
       unary("graft_nfc_normalize", NfcNormalize.apply),
       unary("graft_url_domains", UrlDomains.apply),
+      unary("graft_pack_signbits", PackSignBits.apply),
+      binary("graft_hamming", HammingDist.apply),
       ternary("graft_quantize_int8", QuantizeInt8.apply))
 
   /** Register on an already-built session (tests, notebooks). */

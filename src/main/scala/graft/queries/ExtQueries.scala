@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AudioFp, BpeTrainer, Clustering, Dedup, IncrementalDedup, Multimodal, Opq, Pca, Phash, Pq, Quantize, Similarity, TextOps}
+import graft.ext.{AudioFp, BpeTrainer, Clustering, Dedup, IncrementalDedup, Multimodal, Opq, Pca, Phash, Pq, Quantize, QualityClassifier, Similarity, TextOps}
 
 /** Training-data extensions (SURVEY.md §7.8): text analysis, dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
@@ -143,6 +143,39 @@ object ExtQueries {
         round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
         round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
         TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // TRAINED quality scoring — ridge seed-discriminator (the CCNet/
+    // GPT-3 curation pattern: separate a seed slice from the rest on
+    // surface statistics, keep high scorers). Fit = one Gram-moment
+    // aggregation + driver solve; scoring = map-only literal dot
+    // product. The oracle is MODEL-DERIVED (deposited at run time like
+    // sim_pca_project): DuckDB replays featurization + the fitted
+    // weights bit-for-bit, and the fit-quality gates ride as literal
+    // booleans (model beats the best constant; seed scores higher).
+    "text_quality_classifier" -> q { c =>
+      val docs = c.tw("documents")
+      val isSeed = col("lang") === "en"
+      val label = isSeed.cast("double")
+      val model = QualityClassifier.fit(docs, "text", isSeed)
+      val scoreCol = QualityClassifier.score(model, col("text"))
+      val meanLabel = docs.agg(avg(label)).head().getDouble(0)
+      val fitBeatsNull = QualityClassifier.sse(docs, scoreCol, label) <
+        QualityClassifier.sse(docs, lit(meanLabel), label)
+      val means = docs.agg(
+        avg(when(isSeed, scoreCol)).as("s1"),
+        avg(when(!isSeed, scoreCol)).as("s0")).head()
+      val seedHigher = means.getDouble(0) > means.getDouble(1)
+      val gates = Seq("fit_beats_null" -> fitBeatsNull,
+        "seed_mean_higher" -> seedHigher)
+      QualityClassifier.oracleStash = Some(QualityClassifier.scoreOracleSql(
+        model, "(lang = 'en')", threshold = 0.5, gates = gates))
+      docs.select(col("doc_id"), isSeed.as("is_seed"),
+        round(scoreCol, 6).as("score"),
+        (scoreCol >= 0.5).as("kept"),
+        lit(fitBeatsNull).as("fit_beats_null"),
+        lit(seedHigher).as("seed_mean_higher"))
         .orderBy("doc_id")
     },
 
@@ -525,6 +558,20 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
+    // BINARY QUANTIZATION — 1-bit sign codes, XOR+popcount Hamming
+    // shortlist, exact cosine re-rank. Unlike the recall-gated ANN
+    // variants this is EXACT-oracle-gated end to end: the shortlist is
+    // pure integer ordering the oracle replays (hamming = count of
+    // disagreeing sign bits, packing-layout-independent), so the hash
+    // gates codes + Hamming kernel + re-rank, not just "rows came out".
+    "sim_binary_rerank" -> q { c =>
+      val vecs = c.t("embeddings")
+      Similarity.binaryTopK(vecs, vecs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, rerank = 20)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // IVF with nprobe = nlist degrades to exact brute force by
     // construction (every list probed, exact cosine re-rank) — so the
     // same exact oracle gates the whole IVF machinery end to end
@@ -550,6 +597,27 @@ object ExtQueries {
         vecs.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nprobe = 16)
         .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // PERSISTED BINARY collection: write the even half as 1-bit sign
+    // codes, APPEND the odd half (model-free encode under the stored
+    // coarse quantizer), then probe cold at nprobe = nlist — all lists
+    // probed means the Hamming shortlist covers the whole live corpus,
+    // so the exact sim_binary_rerank oracle gates write → append →
+    // manifest commit → cold read → Hamming shortlist → re-rank.
+    "sim_ivf_bq" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      val store = new TableStore(
+        java.nio.file.Files.createTempDirectory("graft-vbq").toString, c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      VectorSink.writeIvfBinary(store, "emb",
+        vecs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 8)
+      VectorSink.append(store, "emb",
+        vecs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      VectorSink.topKBinary(store, "emb", vecs,
+        vecs.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 8, shortlist = 20)
         .orderBy("query_id", "rank")
     },
 
@@ -1210,7 +1278,8 @@ object ExtQueries {
   def oracles: Map[String, String] =
     staticOracles ++ Pca.projectOracleStash.map("sim_pca_project" -> _) ++
       Opq.adcOracleStash.map("sim_opq_adc" -> _) ++
-      Opq.ivfOracleStash.map("sim_ivf_opq" -> _)
+      Opq.ivfOracleStash.map("sim_ivf_opq" -> _) ++
+      QualityClassifier.oracleStash.map("text_quality_classifier" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "text_token_count" ->
@@ -1810,6 +1879,53 @@ object ExtQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
         |  FROM scored)
         |SELECT query_id, rank, match_id, round(cs, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Hamming shortlist = pure integer ordering: replay it exactly
+    // (count of disagreeing sign bits — packing-layout-independent),
+    // then the same cosine re-rank as brute force over the shortlist
+    "sim_binary_rerank" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+        |    list_sum(list_transform(range(1, len(q.embedding)+1),
+        |      i -> CASE WHEN (q.embedding[i] > 0) <> (c.embedding[i] > 0)
+        |           THEN 1 ELSE 0 END))::BIGINT AS hamming,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |short AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY hamming, match_id) AS hr
+        |  FROM scored),
+        |ranked AS (
+        |  SELECT query_id, match_id, hamming, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+        |  FROM short WHERE hr <= 20)
+        |SELECT query_id, rank, match_id, hamming, round(cs, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the persisted binary collection at nprobe = nlist shortlists over
+    // the whole live corpus — identical pipeline to sim_binary_rerank
+    // (sign codes are data-independent: append vs write cannot change a
+    // code, and with every list probed the assignment is invisible)
+    "sim_ivf_bq" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+        |    list_sum(list_transform(range(1, len(q.embedding)+1),
+        |      i -> CASE WHEN (q.embedding[i] > 0) <> (c.embedding[i] > 0)
+        |           THEN 1 ELSE 0 END))::BIGINT AS hamming,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |short AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY hamming, match_id) AS hr
+        |  FROM scored),
+        |ranked AS (
+        |  SELECT query_id, match_id, hamming, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+        |  FROM short WHERE hr <= 20)
+        |SELECT query_id, rank, match_id, hamming, round(cs, 6) AS cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // nprobe = nlist ≡ exact: the brute-force oracle applies verbatim

@@ -243,7 +243,8 @@ object VectorSink {
     val corpus = at("")
     val centroids = at("__centroids")
     meta.metric match {
-      case "cosine" => Generation(meta, corpus, centroids, None, None)
+      case "cosine" | "hamming-bq" =>
+        Generation(meta, corpus, centroids, None, None)
       case "cosine-sq8" =>
         Generation(meta, corpus, centroids, Some(at("__sq_stats")), None)
       case "cosine-pq" =>
@@ -344,6 +345,10 @@ object VectorSink {
   def topK(store: TableStore, table: String, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int): DataFrame = {
     val g = generation(store, table)
+    require(g.meta.metric == "cosine",
+      s"collection '$table' is '${g.meta.metric}': it stores codes, not " +
+        "vectors — probe with the matching variant (topKQuantized / " +
+        "topKPq / topKOpq / topKBinary)")
     require(nprobe >= 1 && nprobe <= g.meta.nlist,
       s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
     Similarity.ivfProbe(g.corpus, g.centroidMatrix, queries, id, vec, k, nprobe)
@@ -424,6 +429,84 @@ object VectorSink {
     writeMeta(store, table, nlist, seed, trainFraction, "cosine-sq8", dim)
     commitCollection(store, table, headSnaps(store, table),
       countListSizes(store, table, nlist))
+  }
+
+  /** IVF + BINARY quantization: the collection stores 1-bit SIGN CODES
+    * (⌈dim/64⌉ packed words per row — 32× less data than float32 under
+    * every probe scan; the FAISS `BIVF` layout). No model tables beyond
+    * the coarse centroids: sign codes are data-independent, so appends
+    * never drift against a trained code model. Probe = Hamming
+    * (XOR+popcount) shortlist within the probed lists + exact re-rank
+    * from `fullVectors` ([[topKBinary]]). */
+  def writeIvfBinary(store: TableStore, table: String, corpus: DataFrame,
+      id: String, vec: String, nlist: Int = 16, seed: Long = 42L,
+      trainFraction: Double = 0.25): Unit = store.exclusively(table) {
+    val (assigned, centroids) =
+      Similarity.ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
+    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    val coded = assigned.select(col(id), col("__list"),
+      graft.functions.VectorFunctions.packSignBits(col(vec)).as("__code"))
+    store.overwrite(table, coded,
+      statsFor = Seq("__list"), rangeBy = Seq("__list"))
+    store.overwrite(s"${table}__centroids", centroids)
+    writeMeta(store, table, nlist, seed, trainFraction, "hamming-bq", dim)
+    commitCollection(store, table, headSnaps(store, table),
+      countListSizes(store, table, nlist))
+  }
+
+  /** Top-k over the BINARY collection: centroid-ranked probe lists,
+    * Hamming shortlist over the stored sign codes (pure integer
+    * ordering — engine-replayable, unlike the lossy-float ADC
+    * shortlists), exact cosine re-rank of ONLY the shortlist against
+    * `fullVectors`. With `nprobe = nlist` this is exactly
+    * [[graft.ext.Similarity.binaryTopK]], which is what the gate
+    * exploits. */
+  def topKBinary(store: TableStore, table: String,
+      fullVectors: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int, nprobe: Int,
+      shortlist: Int, among: Option[DataFrame] = None): DataFrame =
+    topKBinaryGen(store, table, generation(store, table), fullVectors,
+      queries, id, vec, k, nprobe, shortlist, among)
+
+  /** [[topKBinary]] against an EXPLICIT generation (see
+    * [[generationAt]]); `among` pre-filters the stored codes to an id
+    * allowlist like [[topKQuantizedGen]]. */
+  def topKBinaryGen(store: TableStore, table: String, g: Generation,
+      fullVectors: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int, nprobe: Int,
+      shortlist: Int, among: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(g.meta.metric == "hamming-bq",
+      s"collection '$table' is '${g.meta.metric}', not a binary collection")
+    require(nprobe >= 1 && nprobe <= g.meta.nlist,
+      s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
+    require(shortlist >= k, "shortlist must cover k")
+    val probes = probeLists(g.centroidMatrix, queries, id, vec, nprobe)
+      .withColumn("__qcode",
+        graft.functions.VectorFunctions.packSignBits(col("__qv")))
+    val cands = probes
+      .join(restrict(g.corpus, among, id)
+        .select(col(id).as("match_id"), col("__list"), col("__code")),
+        Seq("__list"))
+      .filter(col("query_id") =!= col("match_id"))
+      .withColumn("hamming",
+        graft.functions.VectorFunctions.hammingDist(
+          col("__qcode"), col("__code")))
+    val hw = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("match_id"))
+    val short = cands.withColumn("__hr", row_number().over(hw))
+      .filter(col("__hr") <= shortlist)
+      .select("query_id", "__qv", "match_id", "hamming")
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("match_id"))
+    short
+      .join(fullVectors.select(col(id).as("match_id"), col(vec).as("__cv")),
+        "match_id")
+      .withColumn("cosine", graft.ext.Dedup.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(we).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("match_id"),
+        col("hamming"), round(col("cosine"), 6).as("cosine"))
   }
 
   /** Centroid-ranked probe lists per query: (query_id, __qv, __list)
@@ -833,6 +916,12 @@ object VectorSink {
         // the encode is the plain PQ argmin either way
         assigned.select(col(id), col("__list"),
           graft.ext.Pq.codes(col(vec), g.pqModel.get).as("__codes"))
+      case "hamming-bq" =>
+        // sign-bit codes are MODEL-FREE (no stats/codebooks): an
+        // appended batch can never drift against a trained code model,
+        // only against the coarse centroids — which rebalance retrains
+        assigned.select(col(id), col("__list"),
+          graft.functions.VectorFunctions.packSignBits(col(vec)).as("__code"))
       case other =>
         throw new IllegalArgumentException(
           s"collection '$table' has unknown metric '$other'")
@@ -1160,6 +1249,11 @@ object VectorSink {
               meta.nlist, meta.seed, meta.trainFraction,
               pm("m").asInstanceOf[Int], pm("ksub").asInstanceOf[Int],
               pm("iters").asInstanceOf[Int])
+          case "hamming-bq" =>
+            // sign codes are lossy too (1 bit/dim): retraining the
+            // coarse quantizer needs the full-precision corpus
+            writeIvfBinary(store, table, full, id, vec,
+              meta.nlist, meta.seed, meta.trainFraction)
           case other =>
             throw new IllegalArgumentException(
               s"collection '$table' has unknown metric '$other'")

@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions.{hammingDist, packSignBits}
+
+/** Binary (1-bit sign) quantization: pack kernel, Hamming kernel, and
+  * the shortlist + exact-rerank composition in [[Similarity.binaryTopK]]. */
+class BinaryQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSignBits sets bit i iff v(i) > 0, across word boundaries") {
+    // 70 dims -> 2 words; positives at 0, 63 (word-0 MSB), 64, 69
+    val v = Array.fill(70)(-1.0f)
+    Seq(0, 63, 64, 69).foreach(i => v(i) = 2.5f)
+    v(5) = 0.0f   // zero is NOT positive
+    v(6) = -0.0f  // negative zero is NOT positive
+    val out = Seq(Tuple1(v)).toDF("v")
+      .select(packSignBits($"v").as("code")).as[Seq[Long]].head()
+    assert(out.length === 2)
+    assert(out(0) === ((1L << 0) | (1L << 63)))
+    assert(out(1) === ((1L << 0) | (1L << 5)))
+  }
+
+  test("hammingDist = popcount of xor, zero on self, symmetric") {
+    val df = Seq(
+      (Array(0L, -1L), Array(0L, -1L), 0L),
+      (Array(5L), Array(3L), 2L),                       // 101 vs 011
+      (Array(1L << 63, 0L), Array(0L, 0L), 1L),         // sign-bit word
+      (Array(-1L, -1L), Array(0L, 0L), 128L)
+    ).toDF("a", "b", "want")
+    val got = df.select(hammingDist($"a", $"b").as("h"), $"want",
+      hammingDist($"b", $"a").as("hs")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getLong(2) === r.getLong(1))
+    }
+  }
+
+  test("hamming over packed codes = count of disagreeing sign bits (random)") {
+    val rnd = new scala.util.Random(7L)
+    val vecs = Seq.tabulate(30)(i =>
+      (i.toLong, Array.fill(100)((rnd.nextDouble() - 0.5).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val pairs = df.as("a").join(df.as("b"), $"a.id" < $"b.id")
+      .select($"a.id".as("ia"), $"b.id".as("ib"),
+        hammingDist(packSignBits($"a.v"), packSignBits($"b.v")).as("h"))
+      .collect()
+    val byId = vecs.toMap
+    pairs.foreach { r =>
+      val (a, b) = (byId(r.getLong(0)), byId(r.getLong(1)))
+      val want = a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }
+      assert(r.getLong(2) === want.toLong, s"pair ${r.getLong(0)},${r.getLong(1)}")
+    }
+  }
+
+  test("binaryTopK with rerank >= corpus degrades to exact brute force") {
+    val rnd = new scala.util.Random(11L)
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(vecs, qs, "vec_id", "embedding", k = 4)
+      .select("query_id", "rank", "match_id", "cosine")
+      .orderBy("query_id", "rank").collect().toSeq
+    val bq = Similarity.binaryTopK(vecs, qs, "vec_id", "embedding",
+      k = 4, rerank = 40)
+      .select("query_id", "rank", "match_id", "cosine")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(bq === exact)
+  }
+
+  test("shortlist is (hamming asc, match_id asc) and bounds the rerank set") {
+    // corpus engineered so hamming ranking differs from cosine ranking:
+    // query all-positive; m1 sign-agrees everywhere but tiny magnitudes
+    // (low cosine), m2 disagrees on 2 dims but aligned magnitudes.
+    val q = Array.fill(8)(1.0f)
+    val m1 = Array.fill(8)(0.01f); m1(0) = 5.0f
+    val m2 = Array.fill(8)(1.0f); m2(6) = -1.0f; m2(7) = -1.0f
+    val m3 = Array.fill(8)(-1.0f) // hamming 8, never shortlisted at rerank=2
+    val corpus = Seq((10L, m1), (11L, m2), (12L, m3)).toDF("vec_id", "embedding")
+    val queries = Seq((0L, q)).toDF("vec_id", "embedding")
+    val got = Similarity.binaryTopK(corpus, queries, "vec_id", "embedding",
+      k = 2, rerank = 2)
+      .select("rank", "match_id", "hamming").orderBy("rank").collect()
+    // shortlist = {m1 (h=0), m2 (h=2)}; rerank puts m2 (cosine ~0.87)
+    // above m1 (cosine ~0.36); m3 excluded despite existing
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((11L, 2L), (10L, 0L)))
+  }
+
+  test("binaryTopK rejects rerank < k") {
+    val df = Seq((0L, Array(1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.binaryTopK(df, df, "vec_id", "embedding", k = 5, rerank = 3)
+    }
+  }
+}

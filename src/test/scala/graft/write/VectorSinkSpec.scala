@@ -965,4 +965,89 @@ class VectorSinkSpec extends SparkSpec {
     assert(probeRows(got2) === probeRows(Similarity.bruteForceTopK(
       corpus, q, "vec_id", "embedding", k = 3)))
   }
+
+  test("binary collection stores packed sign codes and probes exactly " +
+    "at full width") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsbq").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfBinary(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    assert(store.read("emb").columns.toSet === Set("vec_id", "__list", "__code"))
+    assert(VectorSink.readMeta(store, "emb").metric === "hamming-bq")
+    // dim 8 -> one packed word per row
+    assert(store.read("emb").select(size(col("__code"))).distinct()
+      .as[Int].collect().toSeq === Seq(1))
+    val q = corpus.filter(col("vec_id") < 4)
+    // nprobe = nlist + corpus-wide shortlist ≡ brute force
+    val got = VectorSink.topKBinary(store, "emb", corpus, q,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 64)
+      .select("query_id", "rank", "match_id", "cosine")
+    assert(probeRows(got) === probeRows(Similarity.bruteForceTopK(
+      corpus, q, "vec_id", "embedding", k = 3)))
+  }
+
+  test("binary append encodes model-free; persisted probe ≡ in-memory " +
+    "binaryTopK at the same shortlist") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsbq2").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfBinary(store, "emb",
+      corpus.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 4)
+    VectorSink.append(store, "emb",
+      corpus.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    assert(store.read("emb").count() === 64L)
+    val q = corpus.filter(col("vec_id") < 4)
+    // nprobe = nlist: the Hamming shortlist sees the whole corpus, so
+    // the in-memory binaryTopK with the same rerank budget is the
+    // exact reference EVEN when the shortlist < corpus (truncation
+    // semantics included)
+    val got = VectorSink.topKBinary(store, "emb", corpus, q,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 10)
+      .select("query_id", "rank", "match_id", "hamming", "cosine")
+    val want = Similarity.binaryTopK(corpus, q, "vec_id", "embedding",
+      k = 3, rerank = 10)
+      .select("query_id", "rank", "match_id", "hamming", "cosine")
+    def withHam(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.get(1).asInstanceOf[Number].longValue,
+          r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(withHam(got) === withHam(want))
+  }
+
+  test("binary rebalance retrains from fullVectors and keeps the metric") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsbq3").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfBinary(store, "emb",
+      corpus.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 4)
+    VectorSink.append(store, "emb",
+      corpus.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    val ran = VectorSink.rebalance(store, "emb", "vec_id", "embedding",
+      fullVectors = Some(corpus), maxSkew = 1.0)
+    assert(ran)
+    assert(VectorSink.readMeta(store, "emb").metric === "hamming-bq")
+    assert(store.read("emb").count() === 64L)
+    val q = corpus.filter(col("vec_id") < 4)
+    val got = VectorSink.topKBinary(store, "emb", corpus, q,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 64)
+      .select("query_id", "rank", "match_id", "cosine")
+    assert(probeRows(got) === probeRows(Similarity.bruteForceTopK(
+      corpus, q, "vec_id", "embedding", k = 3)))
+  }
+
+  test("binary probe rejects non-binary collections and vice versa") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsbq4").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "plain", corpus, "vec_id", "embedding", nlist = 4)
+    VectorSink.writeIvfBinary(store, "bq", corpus, "vec_id", "embedding",
+      nlist = 4)
+    val q = corpus.limit(1)
+    val e1 = intercept[IllegalArgumentException] {
+      VectorSink.topKBinary(store, "plain", corpus, q, "vec_id", "embedding",
+        k = 1, nprobe = 4, shortlist = 4)
+    }
+    assert(e1.getMessage.contains("not a binary collection"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorSink.topK(store, "bq", q, "vec_id", "embedding", k = 1, nprobe = 4)
+    }
+    assert(e2.getMessage.contains("hamming-bq"))
+  }
 }
