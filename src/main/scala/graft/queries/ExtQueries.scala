@@ -368,6 +368,22 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // CANONICAL SELECTION: after clustering near-dups, keep the
+    // highest-QUALITY member of each cluster (not an arbitrary one) —
+    // the curation step that follows dedup in production pipelines.
+    // Survivors = corpus minus per-component quality losers; the oracle
+    // re-derives cluster closure + the quality ranking end to end.
+    "dedup_canonical_select" -> q { c =>
+      val docs = c.tw("documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      Dedup.canonicalByScore(docs, "doc_id", pairs,
+        TextOps.qualityScore(col("text")))
+        .select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
     // md5-derived token hash → the DuckDB oracle re-derives the full
     // simhash + pigeonhole-band pipeline in SQL bit arithmetic
     "dedup_simhash" -> q { c =>
@@ -1692,6 +1708,58 @@ object ExtQueries {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> (jaccardSql(0.9) + " ORDER BY id_a, id_b"),
+
+    // component closure (as dedup_components) + quality ranking within
+    // each component; survivors = docs minus rank>1 members. Quality is
+    // the text_quality composite — round(…, 6) INSIDE qualityScore on
+    // both engines, so the ranking compares identical rounded values
+    // (ties broken by doc_id identically).
+    "dedup_canonical_select" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
+         |sh AS (
+         |$shingleSql),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |  WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.9),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id),
+         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+         |qual AS (
+         |  SELECT doc_id,
+         |    round(0.4 * least(1.0, n_tok::DOUBLE / 50.0)
+         |        + 0.3 * (1.0 - pr)
+         |        + 0.3 * least(1.0, n_stop::DOUBLE / n_tok * 5.0), 6) AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         |      len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+         |        / length(text) AS pr,
+         |      len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |          t -> t IN ($stopsSql))) AS n_stop
+         |    FROM documents)),
+         |losers AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id,
+         |      row_number() OVER (PARTITION BY component
+         |        ORDER BY quality DESC, c.doc_id) AS rn
+         |    FROM comp c JOIN qual USING (doc_id))
+         |  WHERE rn > 1)
+         |SELECT doc_id, quality FROM qual
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_incremental" -> incrementalDedupOracle,
 

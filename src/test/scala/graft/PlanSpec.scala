@@ -297,4 +297,30 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"pq encode degraded:\n$p")
     assert(p.contains("graft_sqdist"), s"expected the codegen kernel:\n$p")
   }
+
+  test("binary rerank broadcasts the queries; pack/hamming stay codegen") {
+    val p = plan("sim_binary_rerank")
+    // the corpus is scanned once against BROADCAST queries (the
+    // bruteForceTopK shape) — never shuffled into a corpus-sized join
+    assert(p.contains("BroadcastExchange"), s"queries must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-sized join allowed:\n$p")
+    assert(p.contains("graft_pack_signbits") && p.contains("graft_hamming"),
+      s"expected the codegen kernels:\n$p")
+    assert(codegenPlan("sim_binary_rerank").contains("WholeStageCodegen"))
+  }
+
+  test("quality classifier scoring is a map-only literal dot product") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, dir, "documents")
+    val model = graft.ext.QualityClassifier.RidgeModel(
+      Seq("len_sat", "punct_ratio", "stop_ratio", "char_sat"),
+      Array(0.1, 0.2, 0.3, 0.4, 0.5), lambda = 1e-3)
+    val scored = emb.select(col("doc_id"),
+      graft.ext.QualityClassifier.score(model, col("text")).as("score"))
+    val p = scored.queryExecution.executedPlan.toString()
+    // fitted weights ride as literals: no join, no aggregate, no shuffle
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("HashAggregate"),
+      s"scoring must stay a pure projection:\n$p")
+  }
 }
