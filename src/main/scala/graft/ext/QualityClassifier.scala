@@ -102,10 +102,48 @@ object QualityClassifier {
 
   /** Map-only scoring column: `w₀ + w₁·f₁ + … ` — left-associated
     * literal arithmetic, bit-replayable by [[scoreOracleSql]]. */
-  def score(model: RidgeModel, text: Column): Column =
-    features(text).zipWithIndex.foldLeft(lit(model.weights(0))) {
+  def score(model: RidgeModel, text: Column): Column = {
+    val fs = features(text)
+    require(model.featureNames == fs.map(_._1),
+      s"model features ${model.featureNames.mkString(",")} do not match " +
+        s"this engine's feature pack ${fs.map(_._1).mkString(",")} — " +
+        "the model was trained against a different featurization")
+    fs.zipWithIndex.foldLeft(lit(model.weights(0))) {
       case (acc, ((_, f), i)) => acc + lit(model.weights(i + 1)) * f
     }
+  }
+
+  /** Persist the fitted model as a lakehouse artifact (one driver-file
+    * table: (idx, feature, weight, lambda) — bias at idx 0): train
+    * once, score any corpus anywhere from a cold read, the
+    * [[BpeStore]] train-once/apply-everywhere contract. Parquet
+    * doubles round-trip IEEE-exactly, so the loaded model scores
+    * bit-identically to the fitted one. */
+  def save(store: graft.write.TableStore, name: String,
+      model: RidgeModel): Unit = {
+    import graft.write.TinyParquet
+    import graft.write.TinyParquet.{DCell, ICell, SCell}
+    store.overwriteDriverFile(name) { p =>
+      TinyParquet.write(p, model.weights.toSeq.zipWithIndex.map {
+        case (w, i) => Seq(
+          "idx" -> ICell(i),
+          "feature" -> SCell(if (i == 0) "__bias" else model.featureNames(i - 1)),
+          "weight" -> DCell(w),
+          "lambda" -> DCell(model.lambda))
+      })
+    }
+  }
+
+  /** Cold-read counterpart of [[save]]. */
+  def load(store: graft.write.TableStore, name: String): RidgeModel = {
+    val rows = store.readDriverRows(name)
+      .sortBy(_("idx").asInstanceOf[Int])
+    require(rows.nonEmpty, s"classifier artifact '$name' is empty")
+    RidgeModel(
+      rows.tail.map(_("feature").asInstanceOf[String]),
+      rows.map(_("weight").asInstanceOf[Double]).toArray,
+      rows.head("lambda").asInstanceOf[Double])
+  }
 
   /** Sum of squared residuals of `pred` against `label` — the fit gate
     * (a fitted model must beat the best constant predictor). */
@@ -113,6 +151,7 @@ object QualityClassifier {
     docs.agg(sum(pow(label.cast("double") - pred, 2.0))).head().getDouble(0)
 
   @volatile var oracleStash: Option[String] = None
+  @volatile var persistedOracleStash: Option[String] = None
 
   /** DuckDB replay of [[score]] over the raw `documents` table, with
     * the fitted weights as round-trip literals (`Double.toString` is

@@ -179,6 +179,32 @@ object ExtQueries {
         .orderBy("doc_id")
     },
 
+    // classifier as a PERSISTED artifact: fit, commit the weight table
+    // through the lakehouse sink, score from a COLD read — parquet
+    // doubles round-trip IEEE-exactly, so the same model-derived oracle
+    // gates the persistence plane (roundtrip_exact asserted literally).
+    "text_quality_persisted" -> q { c =>
+      val docs = c.tw("documents")
+      val isSeed = col("lang") === "en"
+      val model = QualityClassifier.fit(docs, "text", isSeed)
+      val store = new graft.write.TableStore(
+        java.nio.file.Files.createTempDirectory("graft-qc").toString, c.spark)
+      QualityClassifier.save(store, "qc_model", model)
+      val loaded = QualityClassifier.load(store, "qc_model")
+      val exact = java.util.Arrays.equals(loaded.weights, model.weights) &&
+        loaded.featureNames == model.featureNames &&
+        loaded.lambda == model.lambda
+      val scoreCol = QualityClassifier.score(loaded, col("text"))
+      QualityClassifier.persistedOracleStash =
+        Some(QualityClassifier.scoreOracleSql(loaded, "(lang = 'en')",
+          threshold = 0.5, gates = Seq("roundtrip_exact" -> exact)))
+      docs.select(col("doc_id"), isSeed.as("is_seed"),
+        round(scoreCol, 6).as("score"),
+        (scoreCol >= 0.5).as("kept"),
+        lit(exact).as("roundtrip_exact"))
+        .orderBy("doc_id")
+    },
+
     // repetition / boilerplate signals: distributed explode→count plan
     "text_repetition" -> q { c =>
       TextOps.repetitionSignals(c.t("documents"), "doc_id", "text")
@@ -1295,7 +1321,8 @@ object ExtQueries {
     staticOracles ++ Pca.projectOracleStash.map("sim_pca_project" -> _) ++
       Opq.adcOracleStash.map("sim_opq_adc" -> _) ++
       Opq.ivfOracleStash.map("sim_ivf_opq" -> _) ++
-      QualityClassifier.oracleStash.map("text_quality_classifier" -> _)
+      QualityClassifier.oracleStash.map("text_quality_classifier" -> _) ++
+      QualityClassifier.persistedOracleStash.map("text_quality_persisted" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "text_token_count" ->

@@ -371,7 +371,8 @@ object VectorSink {
     val g = generation(store, table)
     require(g.meta.metric == "cosine",
       s"collection '$table' is '${g.meta.metric}': quantized collections " +
-        "store codes, not filterable payloads — use topKQuantized/topKPq " +
+        "store codes, not filterable payloads — use topKQuantized/topKPq/" +
+        "topKBinary " +
         "with `among` (an id allowlist) instead")
     require(nprobe >= 1 && nprobe <= g.meta.nlist,
       s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
@@ -391,7 +392,7 @@ object VectorSink {
       s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
     require(g.meta.metric == "cosine",
       s"collection '$table' is '${g.meta.metric}': probe quantized " +
-        "collections with topKQuantized/topKPq(among = ...)")
+        "collections with topKQuantized/topKPq/topKBinary(among = ...)")
     Similarity.ivfProbe(restrict(g.corpus, Some(allowed), id), g.centroidMatrix,
       queries, id, vec, k, nprobe)
   }

@@ -69,6 +69,31 @@ class QualityClassifierSpec extends SparkSpec {
     assert(math.abs(huge.weights(0) - 0.5) < 1e-3)
   }
 
+  test("save/load round-trips the model bit-exactly through the store") {
+    val store = new graft.write.TableStore(
+      java.nio.file.Files.createTempDirectory("graft-qcspec").toString, spark)
+    val m = QualityClassifier.RidgeModel(
+      Seq("len_sat", "punct_ratio", "stop_ratio", "char_sat"),
+      Array(0.1, -2.5E-4, 1.0 / 3.0, math.Pi, 42.0), lambda = 1e-3)
+    QualityClassifier.save(store, "qc", m)
+    val loaded = QualityClassifier.load(store, "qc")
+    assert(loaded.featureNames === m.featureNames)
+    assert(loaded.lambda === m.lambda)
+    assert(java.util.Arrays.equals(loaded.weights, m.weights))
+    // a SECOND save overwrites (no append duplication)
+    QualityClassifier.save(store, "qc", loaded)
+    assert(QualityClassifier.load(store, "qc").weights.length === 5)
+  }
+
+  test("score rejects a model trained against a different feature pack") {
+    val alien = QualityClassifier.RidgeModel(
+      Seq("something", "else", "entirely", "here"),
+      Array(1.0, 2.0, 3.0, 4.0, 5.0), lambda = 1e-3)
+    intercept[IllegalArgumentException] {
+      QualityClassifier.score(alien, col("text"))
+    }
+  }
+
   test("scoreOracleSql embeds round-trip weight literals and gates") {
     val m = QualityClassifier.RidgeModel(
       Seq("len_sat", "punct_ratio", "stop_ratio", "char_sat"),

@@ -932,6 +932,14 @@ class VectorSinkSpec extends SparkSpec {
     assert(probeRows(VectorSink.topKPq(store, "pq", corpus, q,
       "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 64,
       among = Some(allowed))) === probeRows(byPred))
+    // binary: `among` restricts the stored codes BEFORE the Hamming
+    // shortlist, same contract
+    VectorSink.writeIvfBinary(store, "bq", corpus, "vec_id", "embedding",
+      nlist = 4)
+    assert(probeRows(VectorSink.topKBinary(store, "bq", corpus, q,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 64,
+      among = Some(allowed)).select("query_id", "rank", "match_id", "cosine"))
+      === probeRows(byPred))
     // predicate filtering needs stored vectors — quantized refuses
     val e = intercept[IllegalArgumentException] {
       VectorSink.topKWhere(store, "sq8", q, "vec_id", "embedding",
