@@ -55,5 +55,6 @@ object SparkEntry {
     * subset run is visibly 'oracle skipped', not 'no oracle exists'. */
   def modelDerivedOracles: Set[String] =
     Set("sim_pca_project", "sim_opq_adc", "sim_ivf_opq",
-      "text_quality_classifier", "text_quality_persisted")
+      "text_quality_classifier", "text_quality_persisted",
+      "stream_quality_filter")
 }

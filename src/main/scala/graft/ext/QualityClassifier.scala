@@ -152,19 +152,18 @@ object QualityClassifier {
 
   @volatile var oracleStash: Option[String] = None
   @volatile var persistedOracleStash: Option[String] = None
+  @volatile var streamOracleStash: Option[String] = None
 
-  /** DuckDB replay of [[score]] over the raw `documents` table, with
-    * the fitted weights as round-trip literals (`Double.toString` is
-    * the shortest repr that parses back to the same IEEE double in any
-    * engine). `gates` ride as literal booleans asserted by the caller. */
-  def scoreOracleSql(model: RidgeModel, seedSql: String, threshold: Double,
-      gates: Seq[(String, Boolean)]): String = {
+  /** The shared `WITH t …, s …` CTE block: featurization + the literal
+    * score polynomial. `seedSql` rides through as `is_seed` when
+    * non-empty. */
+  private def scoreCtes(model: RidgeModel, seedSql: Option[String]): String = {
     val stops = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
     val w = model.weights.map(x => java.lang.Double.toString(x))
-    val gateCols = gates.map { case (n, v) =>
-      s", ${if (v) "TRUE" else "FALSE"} AS $n" }.mkString
+    val seedT = seedSql.map(s => s" $s AS is_seed,").getOrElse("")
+    val seedS = seedSql.map(_ => " is_seed,").getOrElse("")
     s"""WITH t AS (
-       |  SELECT doc_id, $seedSql AS is_seed,
+       |  SELECT doc_id,$seedT
        |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
        |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
        |      / length(text) AS pr,
@@ -173,14 +172,34 @@ object QualityClassifier {
        |    length(text) AS n_ch
        |  FROM documents),
        |s AS (
-       |  SELECT doc_id, is_seed,
+       |  SELECT doc_id,$seedS
        |    ${w(0)} + ${w(1)} * least(1.0, n_tok::DOUBLE / 50.0)
        |            + ${w(2)} * pr
        |            + ${w(3)} * (n_stop::DOUBLE / n_tok)
        |            + ${w(4)} * least(1.0, n_ch::DOUBLE / 2000.0) AS score
-       |  FROM t)
+       |  FROM t)""".stripMargin
+  }
+
+  /** DuckDB replay of [[score]] over the raw `documents` table, with
+    * the fitted weights as round-trip literals (`Double.toString` is
+    * the shortest repr that parses back to the same IEEE double in any
+    * engine). `gates` ride as literal booleans asserted by the caller. */
+  def scoreOracleSql(model: RidgeModel, seedSql: String, threshold: Double,
+      gates: Seq[(String, Boolean)]): String = {
+    val gateCols = gates.map { case (n, v) =>
+      s", ${if (v) "TRUE" else "FALSE"} AS $n" }.mkString
+    s"""${scoreCtes(model, Some(seedSql))}
        |SELECT doc_id, is_seed, round(score, 6) AS score,
        |  score >= ${java.lang.Double.toString(threshold)} AS kept$gateCols
        |FROM s ORDER BY doc_id""".stripMargin
   }
+
+  /** DuckDB replay of the KEPT set alone (the streaming gate's final
+    * table): same CTEs, unrounded threshold comparison, rounded
+    * projection. */
+  def keptOracleSql(model: RidgeModel, threshold: Double): String =
+    s"""${scoreCtes(model, None)}
+       |SELECT doc_id, round(score, 6) AS score
+       |FROM s WHERE score >= ${java.lang.Double.toString(threshold)}
+       |ORDER BY doc_id""".stripMargin
 }

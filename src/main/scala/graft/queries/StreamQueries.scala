@@ -367,10 +367,52 @@ object StreamQueries {
         }
       }
       store.read("monitor").orderBy("batch_key")
+    },
+
+    // STREAMING QUALITY GATE — train-offline / score-online: an
+    // OFFLINE-fitted classifier is committed as a store artifact, the
+    // serving side cold-loads it ONCE and scores each micro-batch with
+    // the map-only literal polynomial, appending survivors. Per-row
+    // scoring makes the kept set batch-boundary-independent, so the
+    // model-derived oracle (kept rows only) gates the whole
+    // fit → save → cold load → stream → filter cycle exactly.
+    "stream_quality_filter" -> q { c =>
+      import graft.ext.QualityClassifier
+      val ss = streamSession(c)
+      val docs = c.tw("documents")
+      val model = QualityClassifier.fit(docs, "text", col("lang") === "en")
+      val store = new TableStore(
+        Files.createTempDirectory("graft-sqf").toString, c.spark)
+      QualityClassifier.save(store, "qc_model", model)
+      // the serving process loads the artifact once at startup
+      val loaded = QualityClassifier.load(store, "qc_model")
+      QualityClassifier.streamOracleStash =
+        Some(QualityClassifier.keptOracleSql(loaded, threshold = 0.5))
+      val srcDir = Files.createTempDirectory("graft-sqf-src").toString
+      docs.select("doc_id", "text")
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(srcDir)
+      val src = Streaming.fileStream(ss, srcDir,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      Streaming.drainAvailableNow(src) { (batch, _) =>
+        if (!batch.isEmpty) {
+          val scoreCol = QualityClassifier.score(loaded, col("text"))
+          store.append("kept", batch
+            .filter(scoreCol >= 0.5)
+            .select(col("doc_id"), round(scoreCol, 6).as("score")))
+        }
+      }
+      store.read("kept").orderBy("doc_id")
     }
   )
 
-  val oracles: Map[String, String] = Map(
+  /** Static oracles plus the model-derived stream_quality_filter oracle
+    * deposited at run time (same contract as ExtQueries.oracles). */
+  def oracles: Map[String, String] =
+    staticOracles ++ graft.ext.QualityClassifier.streamOracleStash
+      .map("stream_quality_filter" -> _)
+
+  private val staticOracles: Map[String, String] = Map(
     "stream_pipeline_append" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
 

@@ -288,4 +288,38 @@ class StreamingSpec extends SparkSpec {
       (1704067200L, "a", 2L), // 00:00 window: two 'a'
       (1704070800L, "b", 1L))) // 01:00 window: one 'b'
   }
+
+  test("streamed quality filtering equals the batch filter (cold-loaded model)") {
+    import graft.ext.QualityClassifier
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was a good day for all of us"),
+      (2L, "!!! ### $$$ %%% ^^^"),
+      (3L, "plain words that are fine and long enough to read properly"),
+      (4L, "x"),
+      (5L, "this is the kind of document that should score well because " +
+        "it is made of normal words in normal sentences")
+    ).toDF("doc_id", "text")
+    val model = QualityClassifier.fit(docs, "text", col("doc_id") % 2 === 1)
+    val store = new TableStore(tmp("st-qf"), spark)
+    QualityClassifier.save(store, "m", model)
+    val loaded = QualityClassifier.load(store, "m")
+    val srcDir = tmp("st-qf-src")
+    docs.repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$srcDir/t")
+    val src = Streaming.fileStream(spark, s"$srcDir/t",
+      options = Map("maxFilesPerTrigger" -> "1"))
+    val sc = QualityClassifier.score(loaded, col("text"))
+    Streaming.drainAvailableNow(src) { (b, _) =>
+      if (!b.isEmpty) store.append("kept",
+        b.filter(sc >= 0.5).select(col("doc_id"), round(sc, 6).as("score")))
+    }
+    val streamed = store.read("kept").orderBy("doc_id")
+      .as[(Long, Double)].collect().toSeq
+    val batch = docs.filter(sc >= 0.5)
+      .select(col("doc_id"), round(sc, 6).as("score")).orderBy("doc_id")
+      .as[(Long, Double)].collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty && streamed.size < 5,
+      s"fixture should split kept/dropped: $streamed")
+  }
 }
