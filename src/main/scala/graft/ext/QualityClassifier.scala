@@ -57,12 +57,23 @@ object QualityClassifier {
     val names = fs.map(_._1)
     val cols = lit(1.0) +: fs.map(_._2)
     val d = cols.length
-    // one pass: upper-triangle Gram sums + moment vector
+    // one pass: upper-triangle Gram sums + moment vector. NULL text
+    // must be rejected, not skipped: a null row nulls every FEATURE
+    // product (sum ignores it) but still counts in the bias×bias sum —
+    // an inconsistent Gram that silently skews the fit. The null count
+    // rides the same aggregate for free.
     val aggs =
       (for (i <- 0 until d; j <- i until d)
         yield sum(cols(i) * cols(j)).as(s"g_${i}_$j")) ++
-        (0 until d).map(i => sum(cols(i) * label.cast("double")).as(s"m_$i"))
+        (0 until d).map(i => sum(cols(i) * label.cast("double")).as(s"m_$i")) :+
+        sum(when(col(textCol).isNull || label.isNull, lit(1L))
+          .otherwise(lit(0L))).as("n_null")
     val row = docs.agg(aggs.head, aggs.tail: _*).head()
+    require(!row.isNullAt(0), "fit over an empty corpus")
+    require(row.getLong(row.length - 1) == 0L,
+      s"fit: ${row.getLong(row.length - 1)} rows carry NULL $textCol/label " +
+        "— filter or impute them first (null features would drop from " +
+        "some Gram sums but not others, silently skewing the fit)")
     val a = Array.ofDim[Double](d, d)
     val b = new Array[Double](d)
     var idx = 0
