@@ -517,9 +517,10 @@ case class DequantizeInt8(first: Expression, second: Expression, third: Expressi
   *
   * The comparison is the plain Java `>` on the element widened to
   * double — no arithmetic, so any SQL engine replays it exactly.
-  * Caveat: NaN elements pack as 0 here (Java `NaN > 0` is false) while
-  * engines that order NaN above all values (DuckDB) would pack 1 —
-  * embeddings are NaN-free by contract. */
+  * Caveats: array elements must be non-null (same contract as every
+  * kernel in this file); NaN elements pack as 0 here (Java `NaN > 0`
+  * is false) while engines that order NaN above all values (DuckDB)
+  * would pack 1 — embeddings are NaN-free by contract. */
 case class PackSignBits(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_pack_signbits"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

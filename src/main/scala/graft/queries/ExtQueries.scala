@@ -19,6 +19,31 @@ import graft.ext.{AudioFp, BpeTrainer, Clustering, Dedup, IncrementalDedup, Mult
 object ExtQueries {
 
   private val canonSql = """lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"""
+
+  /** Binary-quantization exact oracle: Hamming = count of disagreeing
+    * sign bits (packing-layout-independent — no bit arithmetic needed,
+    * which also sidesteps DuckDB's signed `<< 63` overflow), shortlist
+    * (hamming asc, id) to 20, exact cosine re-rank to 5. Shared by the
+    * in-memory gate and the persisted collection at nprobe = nlist. */
+  private val binaryRerankOracle: String =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+      |    list_sum(list_transform(range(1, len(q.embedding)+1),
+      |      i -> CASE WHEN (q.embedding[i] > 0) <> (c.embedding[i] > 0)
+      |           THEN 1 ELSE 0 END))::BIGINT AS hamming,
+      |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs
+      |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      |short AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY hamming, match_id) AS hr
+      |  FROM scored),
+      |ranked AS (
+      |  SELECT query_id, match_id, hamming, cs,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+      |  FROM short WHERE hr <= 20)
+      |SELECT query_id, rank, match_id, hamming, round(cs, 6) AS cosine
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   private val stopsSql = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
 
   /** The `sh` CTE body: one row per distinct (doc, trigram shingle).
@@ -1979,49 +2004,13 @@ object ExtQueries {
     // Hamming shortlist = pure integer ordering: replay it exactly
     // (count of disagreeing sign bits — packing-layout-independent),
     // then the same cosine re-rank as brute force over the shortlist
-    "sim_binary_rerank" ->
-      """WITH scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
-        |    list_sum(list_transform(range(1, len(q.embedding)+1),
-        |      i -> CASE WHEN (q.embedding[i] > 0) <> (c.embedding[i] > 0)
-        |           THEN 1 ELSE 0 END))::BIGINT AS hamming,
-        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs
-        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-        |  WHERE q.vec_id < 10),
-        |short AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY hamming, match_id) AS hr
-        |  FROM scored),
-        |ranked AS (
-        |  SELECT query_id, match_id, hamming, cs,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
-        |  FROM short WHERE hr <= 20)
-        |SELECT query_id, rank, match_id, hamming, round(cs, 6) AS cosine
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_binary_rerank" -> binaryRerankOracle,
 
     // the persisted binary collection at nprobe = nlist shortlists over
     // the whole live corpus — identical pipeline to sim_binary_rerank
     // (sign codes are data-independent: append vs write cannot change a
     // code, and with every list probed the assignment is invisible)
-    "sim_ivf_bq" ->
-      """WITH scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
-        |    list_sum(list_transform(range(1, len(q.embedding)+1),
-        |      i -> CASE WHEN (q.embedding[i] > 0) <> (c.embedding[i] > 0)
-        |           THEN 1 ELSE 0 END))::BIGINT AS hamming,
-        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs
-        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-        |  WHERE q.vec_id < 10),
-        |short AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY hamming, match_id) AS hr
-        |  FROM scored),
-        |ranked AS (
-        |  SELECT query_id, match_id, hamming, cs,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
-        |  FROM short WHERE hr <= 20)
-        |SELECT query_id, rank, match_id, hamming, round(cs, 6) AS cosine
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_ivf_bq" -> binaryRerankOracle,
 
     // nprobe = nlist ≡ exact: the brute-force oracle applies verbatim
     "sim_ivf_exact" ->

@@ -670,6 +670,33 @@ class VectorSinkSpec extends SparkSpec {
       pairs(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
   }
 
+  test("binary historical generations probe the pre-append corpus (topKBinaryGen)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsbqgen").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfBinary(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    val q = corpus.limit(2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .select("query_id", "match_id").as[(Long, Long)].collect().toSeq
+    val atGen1 = pairs(VectorSink.topKBinary(store, "emb", corpus, q,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 64))
+    VectorSink.append(store, "emb", blob, "vec_id", "embedding")
+    val all = corpus.unionByName(blob)
+    VectorSink.rebalance(store, "emb", "vec_id", "embedding",
+      fullVectors = Some(all), maxSkew = 1.0)
+    // gen 1 pins the pre-append corpus and pre-retrain centroids; the
+    // sign codes themselves are model-free, so ONLY the corpus and
+    // coarse lists differ between generations
+    val g1 = VectorSink.generationAt(store, "emb", 1L)
+    assert(pairs(VectorSink.topKBinaryGen(store, "emb", g1, corpus, q,
+      "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 64)) === atGen1)
+    // live probe reflects the grown corpus exactly at full width
+    assert(pairs(VectorSink.topKBinary(store, "emb", all, q,
+        "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 200)) ===
+      pairs(Similarity.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)))
+  }
+
   test("PQ historical generations probe with their own codebooks (topKPqGen)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec22").toString
     val store = new TableStore(dir, spark)
