@@ -194,11 +194,16 @@ object QualityClassifier {
   /** DuckDB replay of [[score]] over the raw `documents` table, with
     * the fitted weights as round-trip literals (`Double.toString` is
     * the shortest repr that parses back to the same IEEE double in any
-    * engine). `gates` ride as literal booleans asserted by the caller. */
+    * engine). `gates` are ASSERTED: the oracle emits `TRUE AS <gate>`
+    * unconditionally, so the Spark side's MEASURED boolean must be
+    * true or the hash fails — the same contract as every other
+    * asserted gate (sim_ivf_rebalance's skew booleans, the OPQ
+    * orthonormality triple). Embedding the measured value instead
+    * would make the gate tautological: both sides would agree on
+    * `false` and certify a broken fit. */
   def scoreOracleSql(model: RidgeModel, seedSql: String, threshold: Double,
-      gates: Seq[(String, Boolean)]): String = {
-    val gateCols = gates.map { case (n, v) =>
-      s", ${if (v) "TRUE" else "FALSE"} AS $n" }.mkString
+      gates: Seq[String]): String = {
+    val gateCols = gates.map(n => s", TRUE AS $n").mkString
     s"""${scoreCtes(model, Some(seedSql))}
        |SELECT doc_id, is_seed, round(score, 6) AS score,
        |  score >= ${java.lang.Double.toString(threshold)} AS kept$gateCols

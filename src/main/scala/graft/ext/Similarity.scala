@@ -325,23 +325,54 @@ object Similarity {
   def binaryTopK(corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int, rerank: Int): DataFrame = {
     import graft.functions.VectorFunctions.{hammingDist, packSignBits}
-    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
+    val q = broadcast(queries.select(col(id).as("query_id"),
       packSignBits(col(vec)).as("q_code")))
-    // hamming rides the join output; the shortlist shuffle then carries
-    // (ids, hamming) scalars — vectors re-enter only for the shortlist.
-    val shortlist = corpus
-      .select(col(id).as("match_id"), col(vec).as("c_vec"),
-        packSignBits(col(vec)).as("c_code"))
+    // the candidate scan carries ONLY codes and ids — that is the whole
+    // point of the 1-bit representation; float vectors re-enter via the
+    // shortlist-sized joins inside the shared tail
+    val cands = corpus
+      .select(col(id).as("match_id"), packSignBits(col(vec)).as("c_code"))
       .join(q, col("query_id") =!= col("match_id"))
-      .withColumn("hamming", hammingDist(col("q_code"), col("c_code")))
+      .select(col("query_id"), col("match_id"),
+        hammingDist(col("q_code"), col("c_code")).as("hamming"))
+    hammingShortlistRerank(cands, queries, corpus, id, vec, k, rerank)
+  }
+
+  /** The ONE implementation of the binary probe paths'
+    * tie-break-sensitive tail — [[binaryTopK]] and
+    * [[graft.write.VectorSink.topKBinaryGen]] both ride it, so the
+    * `sim_ivf_bq` gate's "persisted ≡ in-memory at nprobe = nlist"
+    * equivalence can never drift apart (the same discipline as
+    * [[Quantize.shortlistRerank]] for the ADC paths, whose shortlist
+    * score/direction differ — hamming ASC here, cosine DESC there).
+    *
+    * `cands` carries (query_id, match_id, hamming) — SCALARS ONLY: the
+    * per-query shortlist window is the one exchange proportional to
+    * the candidate count, so it must never haul dim-width float arrays
+    * (at dim 1024 that is ~8 KB/candidate versus ~24 B here, more
+    * bytes than the float scan the codes exist to avoid). Vectors
+    * re-enter through shortlist-sized joins against `queries` /
+    * `fullVectors` for the exact cosine re-rank. */
+  private[graft] def hammingShortlistRerank(cands: DataFrame,
+      queries: DataFrame, fullVectors: DataFrame,
+      id: String, vec: String, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
     val hw = Window.partitionBy("query_id")
       .orderBy(col("hamming").asc, col("match_id"))
+    val short = cands.withColumn("__hr", row_number().over(hw))
+      .filter(col("__hr") <= shortlist)
+      .select("query_id", "match_id", "hamming")
     val rw = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("match_id"))
-    shortlist.withColumn("__hr", row_number().over(hw))
-      .filter(col("__hr") <= rerank)
-      .withColumn("cosine", Dedup.cosine(col("q_vec"), col("c_vec")))
+    // no broadcast hint on either rejoin: `queries` may be batch-scale
+    // (the batch-ANN-join shape) and the shortlist side is per-query
+    // bounded — AQE picks the strategy from the materialized sizes
+    short
+      .join(queries.select(col(id).as("query_id"), col(vec).as("__qv")),
+        "query_id")
+      .join(fullVectors.select(col(id).as("match_id"), col(vec).as("__cv")),
+        "match_id")
+      .withColumn("cosine", Dedup.cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("match_id"),

@@ -192,10 +192,11 @@ object ExtQueries {
         avg(when(isSeed, scoreCol)).as("s1"),
         avg(when(!isSeed, scoreCol)).as("s0")).head()
       val seedHigher = means.getDouble(0) > means.getDouble(1)
-      val gates = Seq("fit_beats_null" -> fitBeatsNull,
-        "seed_mean_higher" -> seedHigher)
+      // the oracle ASSERTS TRUE for both gates — a false measurement
+      // here breaks the hash (not a tautological echo of the value)
       QualityClassifier.oracleStash = Some(QualityClassifier.scoreOracleSql(
-        model, "(lang = 'en')", threshold = 0.5, gates = gates))
+        model, "(lang = 'en')", threshold = 0.5,
+        gates = Seq("fit_beats_null", "seed_mean_higher")))
       docs.select(col("doc_id"), isSeed.as("is_seed"),
         round(scoreCol, 6).as("score"),
         (scoreCol >= 0.5).as("kept"),
@@ -220,9 +221,11 @@ object ExtQueries {
         loaded.featureNames == model.featureNames &&
         loaded.lambda == model.lambda
       val scoreCol = QualityClassifier.score(loaded, col("text"))
+      // TRUE asserted by the oracle: a save/load precision regression
+      // (exact = false) fails the hash instead of echoing through
       QualityClassifier.persistedOracleStash =
         Some(QualityClassifier.scoreOracleSql(loaded, "(lang = 'en')",
-          threshold = 0.5, gates = Seq("roundtrip_exact" -> exact)))
+          threshold = 0.5, gates = Seq("roundtrip_exact")))
       docs.select(col("doc_id"), isSeed.as("is_seed"),
         round(scoreCol, 6).as("score"),
         (scoreCol >= 0.5).as("kept"),

@@ -476,38 +476,28 @@ object VectorSink {
       fullVectors: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int, nprobe: Int,
       shortlist: Int, among: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(g.meta.metric == "hamming-bq",
       s"collection '$table' is '${g.meta.metric}', not a binary collection")
     require(nprobe >= 1 && nprobe <= g.meta.nlist,
       s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
-    require(shortlist >= k, "shortlist must cover k")
-    val probes = probeLists(g.centroidMatrix, queries, id, vec, nprobe)
+    // candidates carry (query_id, match_id, hamming) scalars only; the
+    // shared tail (ONE implementation with the in-memory binaryTopK —
+    // the sim_ivf_bq gate's persisted ≡ in-memory equivalence depends
+    // on the tie-breaks never drifting apart) rejoins the float
+    // vectors at shortlist size for the exact re-rank
+    val cands = probeLists(g.centroidMatrix, queries, id, vec, nprobe)
       .withColumn("__qcode",
         graft.functions.VectorFunctions.packSignBits(col("__qv")))
-    val cands = probes
       .join(restrict(g.corpus, among, id)
         .select(col(id).as("match_id"), col("__list"), col("__code")),
         Seq("__list"))
       .filter(col("query_id") =!= col("match_id"))
-      .withColumn("hamming",
+      .select(col("query_id"), col("match_id"),
         graft.functions.VectorFunctions.hammingDist(
-          col("__qcode"), col("__code")))
-    val hw = Window.partitionBy("query_id")
-      .orderBy(col("hamming").asc, col("match_id"))
-    val short = cands.withColumn("__hr", row_number().over(hw))
-      .filter(col("__hr") <= shortlist)
-      .select("query_id", "__qv", "match_id", "hamming")
-    val we = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("match_id"))
-    short
-      .join(fullVectors.select(col(id).as("match_id"), col(vec).as("__cv")),
-        "match_id")
-      .withColumn("cosine", graft.ext.Dedup.cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(we).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("match_id"),
-        col("hamming"), round(col("cosine"), 6).as("cosine"))
+          col("__qcode"), col("__code")).as("hamming"))
+    Similarity.hammingShortlistRerank(cands, queries, fullVectors,
+      id, vec, k, shortlist)
+      .withColumn("rank", col("rank").cast("long"))
   }
 
   /** Centroid-ranked probe lists per query: (query_id, __qv, __list)
@@ -520,8 +510,25 @@ object VectorSink {
     * the lowest `__list`), so the plan swap cannot move a single probe
     * list. */
   private def probeLists(centroids: Array[Array[Double]], queries: DataFrame,
-      id: String, vec: String, nprobe: Int): DataFrame =
+      id: String, vec: String, nprobe: Int): DataFrame = {
+    // width guard on the PROBE side (the write side checks the whole
+    // batch in ingest): every kernel downstream — centroid ranking,
+    // SQ8/PQ ADC, sign-bit Hamming — clamps to min(length), so a
+    // mismatched query would rank on a PREFIX of the dimensions and
+    // return plausible-looking wrong results. First-row check only
+    // (probes are read-only — nothing corrupt can persist), one
+    // limit(1)-sized job; empty query frames pass (result is empty).
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    queries.select(size(col(vec))).head(1).foreach { r =>
+      val qd = if (r.isNullAt(0)) -1 else r.getInt(0)
+      require(qd == dim,
+        s"query vectors are ${if (qd < 0) "NULL" else qd.toString}-wide; " +
+          s"this collection is trained at $dim — the distance kernels " +
+          "clamp to min(length), so the probe would silently rank on a " +
+          "prefix of the dimensions")
+    }
     Similarity.probeFrame(queries, id, vec, "__qv", centroids, nprobe)
+  }
 
   /** Top-k over the QUANTIZED collection: centroid-ranked probe lists,
     * ADC (dequantized-cosine) shortlist over the stored codes, exact

@@ -99,11 +99,14 @@ class QualityClassifierSpec extends SparkSpec {
       Seq("len_sat", "punct_ratio", "stop_ratio", "char_sat"),
       Array(0.1, -2.5E-4, 1.0 / 3.0, 0.0, 42.0), lambda = 1e-3)
     val sql = QualityClassifier.scoreOracleSql(m, "(lang = 'en')", 0.5,
-      Seq("fit_beats_null" -> true, "seed_mean_higher" -> false))
+      Seq("fit_beats_null", "seed_mean_higher"))
     assert(sql.contains(java.lang.Double.toString(1.0 / 3.0)))
     assert(sql.contains("-2.5E-4"))
+    // gates are ASSERTED (always TRUE in the oracle) — a false
+    // measurement on the Spark side must break the hash, never echo
     assert(sql.contains("TRUE AS fit_beats_null"))
-    assert(sql.contains("FALSE AS seed_mean_higher"))
+    assert(sql.contains("TRUE AS seed_mean_higher"))
+    assert(!sql.contains("FALSE AS"))
     assert(sql.contains("(lang = 'en') AS is_seed"))
     // every literal parses back to the exact double it came from
     m.weights.foreach { w =>

@@ -1068,6 +1068,33 @@ class VectorSinkSpec extends SparkSpec {
       corpus, q, "vec_id", "embedding", k = 3)))
   }
 
+  test("quantized-family probes reject wrong-width query vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsdim").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfBinary(store, "bq", corpus, "vec_id", "embedding",
+      nlist = 4)
+    VectorSink.writeIvfQuantized(store, "sq8", corpus, "vec_id", "embedding",
+      nlist = 4)
+    // the kernels clamp to min(length): a 4-wide probe of the 8-wide
+    // collection would silently rank on half the dimensions
+    val narrow = Seq((0L, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      VectorSink.topKBinary(store, "bq", corpus, narrow,
+        "vec_id", "embedding", k = 1, nprobe = 4, shortlist = 4)
+    }
+    assert(e1.getMessage.contains("trained at 8"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorSink.topKQuantized(store, "sq8", corpus, narrow,
+        "vec_id", "embedding", k = 1, nprobe = 4, shortlist = 4)
+    }
+    assert(e2.getMessage.contains("trained at 8"))
+    // an EMPTY query frame passes (result is empty, nothing to clamp)
+    assert(VectorSink.topKBinary(store, "bq", corpus,
+      corpus.filter(col("vec_id") < 0), "vec_id", "embedding",
+      k = 1, nprobe = 4, shortlist = 4).count() === 0L)
+  }
+
   test("binary probe rejects non-binary collections and vice versa") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsbq4").toString
     val store = new TableStore(dir, spark)
