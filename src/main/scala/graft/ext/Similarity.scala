@@ -311,9 +311,15 @@ object Similarity {
     * Scale story: the candidate scan compares ⌈dim/64⌉ XOR+popcount
     * words per pair instead of `dim` float multiplies — a 64×
     * compression of both the scanned bytes and the inner loop — and
-    * only the `rerank` shortlist (per query) ever touches the original
-    * float vectors for exact scoring. Corpus is scanned once, queries
-    * ride a broadcast, the shortlist window is per-query-bounded.
+    * the per-candidate shortlist exchange carries (ids, hamming)
+    * SCALARS only; float vectors re-enter through shortlist-sized
+    * rejoins of `queries`/`corpus` in the shared tail
+    * ([[hammingShortlistRerank]]), so the corpus pays one code scan
+    * plus one column-pruned vector rejoin. Queries must be
+    * driver-small here (their codes ride a broadcast; use the
+    * persisted [[graft.write.VectorSink.topKBinary]] for batch-scale
+    * query sets). Corpus and queries must share a fixed dimension —
+    * the kernels clamp to min(length).
     *
     * DETERMINISM: both stages are engine-replayable — the shortlist is
     * pure integer ordering (hamming asc, id asc) and the re-rank is the

@@ -510,25 +510,28 @@ object VectorSink {
     * the lowest `__list`), so the plan swap cannot move a single probe
     * list. */
   private def probeLists(centroids: Array[Array[Double]], queries: DataFrame,
-      id: String, vec: String, nprobe: Int): DataFrame = {
-    // width guard on the PROBE side (the write side checks the whole
-    // batch in ingest): every kernel downstream — centroid ranking,
-    // SQ8/PQ ADC, sign-bit Hamming — clamps to min(length), so a
-    // mismatched query would rank on a PREFIX of the dimensions and
-    // return plausible-looking wrong results. First-row check only
-    // (probes are read-only — nothing corrupt can persist), one
-    // limit(1)-sized job; empty query frames pass (result is empty).
-    val dim = centroids.headOption.map(_.length).getOrElse(0)
-    queries.select(size(col(vec))).head(1).foreach { r =>
-      val qd = if (r.isNullAt(0)) -1 else r.getInt(0)
-      require(qd == dim,
-        s"query vectors are ${if (qd < 0) "NULL" else qd.toString}-wide; " +
-          s"this collection is trained at $dim — the distance kernels " +
-          "clamp to min(length), so the probe would silently rank on a " +
-          "prefix of the dimensions")
-    }
-    Similarity.probeFrame(queries, id, vec, "__qv", centroids, nprobe)
-  }
+      id: String, vec: String, nprobe: Int): DataFrame =
+    Similarity.probeFrame(
+      widthChecked(queries, vec, centroids.headOption.map(_.length).getOrElse(0)),
+      id, vec, "__qv", centroids, nprobe)
+
+  /** Width guard on the PROBE side (the write side checks the whole
+    * batch in ingest): every distance kernel — centroid ranking,
+    * SQ8/PQ ADC, sign-bit Hamming — clamps to min(length), so a
+    * mismatched (or NULL) query would rank on a PREFIX of the
+    * dimensions and return plausible-looking wrong results. The check
+    * is a LAZY per-row `assert_true` riding the probe plan itself:
+    * EVERY row is checked (a mixed-width frame cannot slip past a
+    * sampled check), no extra eager job runs, empty frames pass
+    * vacuously. OPQ probes apply it to the RAW queries BEFORE the
+    * rotation — the rotation matvec always emits a trained-width
+    * output, which would mask the mismatch. */
+  private[write] def widthChecked(queries: DataFrame, vec: String,
+      dim: Int): DataFrame =
+    queries.filter(assert_true(size(col(vec)) === dim,
+      lit(s"query vector width != collection dim $dim — the distance " +
+        "kernels clamp to min(length), so a mismatched probe would " +
+        "silently rank on a prefix of the dimensions")).isNull)
 
   /** Top-k over the QUANTIZED collection: centroid-ranked probe lists,
     * ADC (dequantized-cosine) shortlist over the stored codes, exact
@@ -692,7 +695,11 @@ object VectorSink {
     val rotation = g.opq.get._1
     def rotate(df: DataFrame) = df.select(col(id),
       graft.ext.Opq.rotated(col(vec), rotation).as(vec))
-    val probes = probeLists(g.centroidMatrix, rotate(queries), id, vec, nprobe)
+    // width guard BEFORE the rotation: the matvec always emits a
+    // trained-width output, so a post-rotation check would pass a
+    // wrong-width query that was silently rotated from a prefix
+    val probes = probeLists(g.centroidMatrix,
+      rotate(widthChecked(queries, vec, g.meta.dim)), id, vec, nprobe)
     val deq = restrict(g.corpus, among, id)
       .select(col(id).as("match_id"), col("__list"),
         graft.ext.Pq.reconstruction(col("__codes"), g.pqModel.get).as("__deq"))

@@ -1075,20 +1075,35 @@ class VectorSinkSpec extends SparkSpec {
       nlist = 4)
     VectorSink.writeIvfQuantized(store, "sq8", corpus, "vec_id", "embedding",
       nlist = 4)
+    VectorSink.writeIvfOpq(store, "opq", corpus, "vec_id", "embedding",
+      nlist = 4, m = 2, ksub = 8, iters = 2)
+    def messageChain(t: Throwable): String = {
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    }
     // the kernels clamp to min(length): a 4-wide probe of the 8-wide
-    // collection would silently rank on half the dimensions
+    // collection would silently rank on half the dimensions. The guard
+    // is a LAZY per-row assert riding the plan (mixed-width frames are
+    // fully covered) — it fires at action time
     val narrow = Seq((0L, Array(1.0f, 2.0f, 3.0f, 4.0f)))
       .toDF("vec_id", "embedding")
-    val e1 = intercept[IllegalArgumentException] {
-      VectorSink.topKBinary(store, "bq", corpus, narrow,
-        "vec_id", "embedding", k = 1, nprobe = 4, shortlist = 4)
+    // MIXED-width frame: the valid row alone must not mask the bad one
+    val mixed = narrow.unionByName(
+      Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding"))
+    for ((table, probe) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        ("bq", q => VectorSink.topKBinary(store, "bq", corpus, q,
+          "vec_id", "embedding", k = 1, nprobe = 4, shortlist = 4)),
+        ("sq8", q => VectorSink.topKQuantized(store, "sq8", corpus, q,
+          "vec_id", "embedding", k = 1, nprobe = 4, shortlist = 4)),
+        // OPQ: the guard must run BEFORE the rotation, which would
+        // otherwise emit a trained-width vector and mask the mismatch
+        ("opq", q => VectorSink.topKOpq(store, "opq", corpus, q,
+          "vec_id", "embedding", k = 1, nprobe = 4, shortlist = 4)));
+        frame <- Seq(narrow, mixed)) {
+      val e = intercept[Throwable] { probe(frame).count() }
+      assert(messageChain(e).contains("collection dim 8"),
+        s"$table: expected the width guard, got: ${messageChain(e)}")
     }
-    assert(e1.getMessage.contains("trained at 8"))
-    val e2 = intercept[IllegalArgumentException] {
-      VectorSink.topKQuantized(store, "sq8", corpus, narrow,
-        "vec_id", "embedding", k = 1, nprobe = 4, shortlist = 4)
-    }
-    assert(e2.getMessage.contains("trained at 8"))
     // an EMPTY query frame passes (result is empty, nothing to clamp)
     assert(VectorSink.topKBinary(store, "bq", corpus,
       corpus.filter(col("vec_id") < 0), "vec_id", "embedding",
