@@ -156,37 +156,50 @@ object QualityClassifier {
       rows.head("lambda").asInstanceOf[Double])
   }
 
-  /** Sum of squared residuals of `pred` against `label` — the fit gate
-    * (a fitted model must beat the best constant predictor). */
-  def sse(docs: DataFrame, pred: Column, label: Column): Double =
-    docs.agg(sum(pow(label.cast("double") - pred, 2.0))).head().getDouble(0)
-
   @volatile var oracleStash: Option[String] = None
   @volatile var persistedOracleStash: Option[String] = None
   @volatile var streamOracleStash: Option[String] = None
+
+  /** The GUARDED featurization columns (n_tok, pr, n_stop, n_ch) as a
+    * pre-stripped DuckDB SELECT fragment over `documents` — the SINGLE
+    * owner of the SQL mirror of [[features]]/[[TextOps]]. The guards
+    * matter on degenerate docs: `string_split_regex('')` yields ['']
+    * (n_tok 1 where [[TextOps.tokenCount]] says 0) and `x / length('')`
+    * is NULL where [[TextOps.punctRatio]] says 0.0 — unguarded, a
+    * blank-doc corpus hash-diverges. Non-empty docs evaluate the exact
+    * same arithmetic as before the guards. Stopword RATIOS built on
+    * this must themselves guard `n_tok = 0` → 0.0 (mirroring
+    * [[TextOps.stopwordRatio]]); the raw n_stop count needs no guard
+    * ('' is not a stopword on either engine). */
+  def featurizationSql: String = {
+    val stops = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    s"""    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+       |              / length(text) END AS pr,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        t -> t IN ($stops))) AS n_stop,
+       |    length(text) AS n_ch""".stripMargin
+  }
 
   /** The shared `WITH t …, s …` CTE block: featurization + the literal
     * score polynomial. `seedSql` rides through as `is_seed` when
     * non-empty. */
   private def scoreCtes(model: RidgeModel, seedSql: Option[String]): String = {
-    val stops = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
     val w = model.weights.map(x => java.lang.Double.toString(x))
     val seedT = seedSql.map(s => s" $s AS is_seed,").getOrElse("")
     val seedS = seedSql.map(_ => " is_seed,").getOrElse("")
     s"""WITH t AS (
        |  SELECT doc_id,$seedT
-       |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
-       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
-       |      / length(text) AS pr,
-       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
-       |        t -> t IN ($stops))) AS n_stop,
-       |    length(text) AS n_ch
+       |$featurizationSql
        |  FROM documents),
        |s AS (
        |  SELECT doc_id,$seedS
        |    ${w(0)} + ${w(1)} * least(1.0, n_tok::DOUBLE / 50.0)
        |            + ${w(2)} * pr
-       |            + ${w(3)} * (n_stop::DOUBLE / n_tok)
+       |            + ${w(3)} * (CASE WHEN n_tok = 0 THEN 0.0
+       |                         ELSE n_stop::DOUBLE / n_tok END)
        |            + ${w(4)} * least(1.0, n_ch::DOUBLE / 2000.0) AS score
        |  FROM t)""".stripMargin
   }

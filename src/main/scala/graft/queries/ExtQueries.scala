@@ -58,6 +58,36 @@ object ExtQueries {
       |  SELECT doc_id, array_to_string(ts, ' ') AS shingle
       |  FROM toks WHERE len(ts) < 3""".stripMargin
 
+  /** Recursive exact-Jaccard component closure (trigram shingles →
+    * pairs at j ≥ 0.9 → symmetric edges → min-label reachability) —
+    * the ONE copy both the dedup_components and dedup_canonical_select
+    * oracles extend (a silent divergence between them would re-open
+    * the round-2 class of missed-copy bugs). Emitted PRE-stripMargin
+    * (margin bars included): callers append their own tail CTEs /
+    * SELECT before stripping. */
+  private val componentClosureCtes: String =
+    s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
+         |sh AS (
+         |$shingleSql),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |  WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.9),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id)"""
+
   /** Cross-set exact jaccard (old half vs new half, j >= 0.9) — the
     * oracle for both the batch and the streaming incremental-dedup
     * paths (the streaming query checks the same static seed index, so
@@ -185,13 +215,23 @@ object ExtQueries {
       val label = isSeed.cast("double")
       val model = QualityClassifier.fit(docs, "text", isSeed)
       val scoreCol = QualityClassifier.score(model, col("text"))
-      val meanLabel = docs.agg(avg(label)).head().getDouble(0)
-      val fitBeatsNull = QualityClassifier.sse(docs, scoreCol, label) <
-        QualityClassifier.sse(docs, lit(meanLabel), label)
-      val means = docs.agg(
+      // ONE gate pass (was five sequential corpus scans): with
+      // y ∈ {0,1}, Σy² = Σy, so the best-constant SSE is Σy − (Σy)²/n
+      // — no separate mean pass; model SSE and the class-conditional
+      // means ride the same aggregate
+      val gr = docs.agg(
+        count(lit(1L)).as("n"),
+        sum(label).as("sy"),
+        sum(pow(label - scoreCol, 2.0)).as("sse"),
         avg(when(isSeed, scoreCol)).as("s1"),
         avg(when(!isSeed, scoreCol)).as("s0")).head()
-      val seedHigher = means.getDouble(0) > means.getDouble(1)
+      require(!gr.isNullAt(3) && !gr.isNullAt(4),
+        "quality-classifier gate needs BOTH classes present: the seed " +
+          "predicate (lang = 'en') matched all or none of the corpus")
+      val n = gr.getLong(0).toDouble
+      val sy = gr.getDouble(1)
+      val fitBeatsNull = gr.getDouble(2) < sy - sy * sy / n
+      val seedHigher = gr.getDouble(3) > gr.getDouble(4)
       // the oracle ASSERTS TRUE for both gates — a false measurement
       // here breaks the hash (not a tautological echo of the value)
       QualityClassifier.oracleStash = Some(QualityClassifier.scoreOracleSql(
@@ -1360,20 +1400,26 @@ object ExtQueries {
          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // featurization = the ONE guarded fragment the classifier oracles
+    // share (QualityClassifier.featurizationSql): blank docs tokenize
+    // to 0, empty docs never divide by zero — same values as before on
+    // every non-degenerate doc
     "text_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id,
-         |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
-         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / length(text) AS pr,
-         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
-         |        t -> t IN ($stopsSql))) AS n_stop
-         |  FROM documents)
+         |${graft.ext.QualityClassifier.featurizationSql}
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, pr, n_tok,
+         |    CASE WHEN n_tok = 0 THEN 0.0
+         |         ELSE n_stop::DOUBLE / n_tok END AS sr
+         |  FROM t)
          |SELECT doc_id, round(pr, 6) AS punct_ratio,
-         |  round(n_stop::DOUBLE / n_tok, 6) AS stop_ratio,
+         |  round(sr, 6) AS stop_ratio,
          |  round(0.4 * least(1.0, n_tok::DOUBLE / 50.0)
          |      + 0.3 * (1.0 - pr)
-         |      + 0.3 * least(1.0, n_stop::DOUBLE / n_tok * 5.0), 6) AS quality
-         |FROM t ORDER BY doc_id""".stripMargin,
+         |      + 0.3 * least(1.0, sr * 5.0), 6) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH toks AS (
@@ -1738,27 +1784,7 @@ object ExtQueries {
          |FROM tot t LEFT JOIN dups USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "dedup_components" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
-         |sh AS (
-         |$shingleSql),
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM inter
-         |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-         |  WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.9),
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges),
-         |reach AS (
-         |  SELECT id, id AS r FROM nodes
-         |  UNION
-         |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id)
+      s"""$componentClosureCtes
          |SELECT id AS doc_id, min(r) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
@@ -1770,40 +1796,18 @@ object ExtQueries {
     // both engines, so the ranking compares identical rounded values
     // (ties broken by doc_id identically).
     "dedup_canonical_select" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
-         |sh AS (
-         |$shingleSql),
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM inter
-         |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-         |  WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.9),
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges),
-         |reach AS (
-         |  SELECT id, id AS r FROM nodes
-         |  UNION
-         |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id),
+      s"""$componentClosureCtes,
          |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
          |qual AS (
          |  SELECT doc_id,
          |    round(0.4 * least(1.0, n_tok::DOUBLE / 50.0)
          |        + 0.3 * (1.0 - pr)
-         |        + 0.3 * least(1.0, n_stop::DOUBLE / n_tok * 5.0), 6) AS quality
+         |        + 0.3 * least(1.0, (CASE WHEN n_tok = 0 THEN 0.0
+         |                            ELSE n_stop::DOUBLE / n_tok END) * 5.0),
+         |          6) AS quality
          |  FROM (
          |    SELECT doc_id,
-         |      len(string_split_regex(trim(text), '\\s+')) AS n_tok,
-         |      len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
-         |        / length(text) AS pr,
-         |      len(list_filter(string_split_regex(trim(text), '\\s+'),
-         |          t -> t IN ($stopsSql))) AS n_stop
+         |${graft.ext.QualityClassifier.featurizationSql}
          |    FROM documents)),
          |losers AS (
          |  SELECT doc_id FROM (

@@ -315,6 +315,30 @@ object VectorSink {
     Array.tabulate(nlist)(l => counts.getOrElse(l, 0L))
   }
 
+  /** Dim of the corpus vector column, validated over the WHOLE corpus
+    * in one aggregate (min = max, no NULLs) — the write-side twin of
+    * [[widthChecked]] and the full-write counterpart of [[ingest]]'s
+    * batch validation: a mixed-width or NULL row would persist codes
+    * of differing word counts silently, and every later probe kernel
+    * clamps to min(length). One extra aggregate on an already
+    * O(corpus) path. */
+  private def uniformDim(corpus: DataFrame, vec: String,
+      table: String): Int = {
+    val d = corpus.agg(min(size(col(vec))).as("mn"),
+      max(size(col(vec))).as("mx"),
+      sum(when(col(vec).isNull, lit(1L)).otherwise(lit(0L))).as("nulls"))
+      .head()
+    require(!d.isNullAt(2),
+      s"write to '$table': empty corpus")
+    require(d.getLong(2) == 0L,
+      s"write to '$table': corpus carries ${d.getLong(2)} NULL vectors " +
+        "— drop or impute them first")
+    require(d.getInt(0) == d.getInt(1),
+      s"write to '$table': corpus vector widths span " +
+        s"[${d.getInt(0)}, ${d.getInt(1)}] — collections are fixed-dim")
+    d.getInt(0)
+  }
+
   /** Index `corpus` and commit the collection through `store`. The
     * sub-table swaps are each atomic; the collection manifest commit
     * (last) is what flips readers to the new generation. */
@@ -323,7 +347,7 @@ object VectorSink {
       trainFraction: Double = 0.25): Unit = store.exclusively(table) {
     val (assigned, centroids) =
       Similarity.ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
-    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    val dim = uniformDim(corpus, vec, table)
     store.overwrite(table, assigned,
       statsFor = Seq("__list"), rangeBy = Seq("__list"))
     store.overwrite(s"${table}__centroids", centroids)
@@ -351,7 +375,8 @@ object VectorSink {
         "topKPq / topKOpq / topKBinary)")
     require(nprobe >= 1 && nprobe <= g.meta.nlist,
       s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
-    Similarity.ivfProbe(g.corpus, g.centroidMatrix, queries, id, vec, k, nprobe)
+    Similarity.ivfProbe(g.corpus, g.centroidMatrix,
+      widthChecked(queries, vec, g.meta.dim), id, vec, k, nprobe)
   }
 
   /** FILTERED top-k: [[topK]] restricted to corpus rows satisfying
@@ -377,7 +402,7 @@ object VectorSink {
     require(nprobe >= 1 && nprobe <= g.meta.nlist,
       s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
     Similarity.ivfProbe(g.corpus.filter(predicate), g.centroidMatrix,
-      queries, id, vec, k, nprobe)
+      widthChecked(queries, vec, g.meta.dim), id, vec, k, nprobe)
   }
 
   /** [[topKWhere]] with an ID ALLOWLIST instead of a predicate: matches
@@ -394,7 +419,7 @@ object VectorSink {
       s"collection '$table' is '${g.meta.metric}': probe quantized " +
         "collections with topKQuantized/topKPq/topKBinary(among = ...)")
     Similarity.ivfProbe(restrict(g.corpus, Some(allowed), id), g.centroidMatrix,
-      queries, id, vec, k, nprobe)
+      widthChecked(queries, vec, g.meta.dim), id, vec, k, nprobe)
   }
 
   /** Left-semi restriction of corpus rows to an id allowlist — the
@@ -417,7 +442,7 @@ object VectorSink {
       trainFraction: Double = 0.25): Unit = store.exclusively(table) {
     val (assigned, centroids) =
       Similarity.ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
-    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    val dim = uniformDim(corpus, vec, table)
     val stats = graft.ext.Quantize.dimStats(corpus, vec)
     store.overwrite(s"${table}__sq_stats", stats)
     val coded = assigned.crossJoin(broadcast(store.read(s"${table}__sq_stats")))
@@ -444,7 +469,7 @@ object VectorSink {
       trainFraction: Double = 0.25): Unit = store.exclusively(table) {
     val (assigned, centroids) =
       Similarity.ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
-    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    val dim = uniformDim(corpus, vec, table)
     val coded = assigned.select(col(id), col("__list"),
       graft.functions.VectorFunctions.packSignBits(col(vec)).as("__code"))
     store.overwrite(table, coded,
@@ -591,7 +616,7 @@ object VectorSink {
       iters: Int = 2): Unit = store.exclusively(table) {
     val (assigned, centroids) =
       Similarity.ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
-    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    val dim = uniformDim(corpus, vec, table)
     val model = graft.ext.Pq.train(corpus, id, vec, m, ksub, iters)
     val coded = assigned.select(col(id), col("__list"),
       graft.ext.Pq.codes(col(vec), model).as("__codes"))
@@ -634,7 +659,7 @@ object VectorSink {
       id: String, vec: String, nlist: Int = 16, seed: Long = 42L,
       trainFraction: Double = 0.25, m: Int = 4, ksub: Int = 16,
       iters: Int = 2): Unit = store.exclusively(table) {
-    val dim = corpus.select(size(col(vec))).head().getInt(0)
+    val dim = uniformDim(corpus, vec, table)
     val model = graft.ext.Opq.train(corpus, id, vec, dim, m, ksub, iters)
     val rot = corpus.select(col(id),
       graft.ext.Opq.rotated(col(vec), model.rotation).as(vec))
