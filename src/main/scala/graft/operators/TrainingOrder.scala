@@ -16,11 +16,23 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape — the [[SequencePack]] two-level discipline applied to
   * ranks: a naive global `row_number` puts the corpus on ONE task.
-  * Here documents bucket by the hash's first two hex chars (256
-  * deterministic, data-derived buckets, ~uniform by construction),
-  * rank WITHIN buckets in parallel windows, and a single tiny window
-  * over the 256 bucket COUNTS (broadcast back) turns local ranks into
-  * the exact global rank of `ORDER BY (stage..., hash, id)`. */
+  * Here documents bucket by the hash's first `bucketChars` hex chars
+  * (16^w deterministic, data-derived buckets, ~uniform by
+  * construction), rank WITHIN buckets in parallel windows, and a
+  * single tiny window over the bucket COUNTS (broadcast back) turns
+  * local ranks into the exact global rank of
+  * `ORDER BY (stage..., hash, id)`.
+  *
+  * The bucket width is DATA-SCALED by default (mirroring
+  * [[SequencePack.chunkAssignments]]'s `orderCol div bucketSize`
+  * buckets): width w puts ~corpus/16^w on each rank window's task, so
+  * a fixed w=2 that is invisible at bench scale becomes a ~400 GB
+  * single-task sort at 100 TB. Ranks are WIDTH-INVARIANT by
+  * construction — the bucket is a PREFIX of the order hash, so
+  * (bucket, hash) sorts identically to (hash) for every width and the
+  * global rank never moves (spec-pinned across widths); the only
+  * single-partition window always runs over the 16^w × |stages|
+  * bucket-count frame, never the data. */
 object TrainingOrder {
 
   /** The order key: lowercase md5 hex of `seed:epoch:id` — identical
@@ -35,22 +47,41 @@ object TrainingOrder {
         raise_error(lit("TrainingOrder: idCol is NULL — the id keys the " +
           "permutation and must be non-null and unique")).cast("string"))))
 
+  /** Pick the hash-prefix width from the input's Catalyst size
+    * estimate (plan stats — no job): ≤ ~4 GiB per rank window, i.e.
+    * the smallest width whose 16^w buckets keep a bucket's slice of
+    * the estimated bytes under the target. Width 2 (256 buckets) up
+    * to ~1 TiB; 100 TB estimates land at width 4 (65,536 buckets,
+    * ~1.6 GB per window task). Capped at 5 (1M buckets): past that
+    * the bucket-count frame itself stops being "tiny". */
+  private[operators] def autoWidth(df: DataFrame): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val perBucket = BigInt(4L << 30)
+    (2 to 5).find(w => BigInt(16).pow(w) * perBucket >= bytes).getOrElse(5)
+  }
+
   /** Adds `shuffle_rank` (0-based global rank in seeded-hash order,
     * optionally stage-major via `stages`: all rows of an earlier
     * stage rank before any row of a later one — curriculum order).
     * `idCol` must be unique per row (it breaks hash ties and keys the
-    * permutation). */
+    * permutation). `bucketChars` sets the rank-window bucket count to
+    * 16^bucketChars; 0 (default) derives it from the input's size
+    * estimate ([[autoWidth]]). Any width yields the identical
+    * `shuffle_rank` — it is parallelism, not semantics. */
   def epochShuffle(df: DataFrame, idCol: String, seed: Long, epoch: Int,
-      stages: Seq[String] = Nil): DataFrame = {
+      stages: Seq[String] = Nil, bucketChars: Int = 0): DataFrame = {
+    require(bucketChars >= 0 && bucketChars <= 8,
+      s"bucketChars must be 0 (auto) or 1..8, got $bucketChars")
+    val width = if (bucketChars > 0) bucketChars else autoWidth(df)
     val stageCols = stages.map(col)
     val keyed = df
       .withColumn("__h", orderKey(col(idCol), seed, epoch))
-      .withColumn("__bucket", substring(col("__h"), 1, 2))
+      .withColumn("__bucket", substring(col("__h"), 1, width))
     val within = Window
       .partitionBy((stageCols :+ col("__bucket")): _*)
       .orderBy(col("__h"), col(idCol))
-    // bucket totals: |stages| × 256 rows — the only single-partition
-    // window runs over THAT frame, never the data
+    // bucket totals: |stages| × 16^width rows — the only
+    // single-partition window runs over THAT frame, never the data
     val overBuckets = Window
       .orderBy((stageCols :+ col("__bucket")): _*)
       .rowsBetween(Window.unboundedPreceding, -1)

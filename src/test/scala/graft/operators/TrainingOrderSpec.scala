@@ -77,6 +77,33 @@ class TrainingOrderSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("non-null")))
   }
 
+  test("ranks are bucket-width invariant: widths 1, 2, 3 agree exactly") {
+    // the bucket is a PREFIX of the order hash, so any width must yield
+    // the identical global rank — widening the default for scale can
+    // never move a rank (the 100 TB parallelism dial is semantics-free)
+    val df = docs(300)
+    val byWidth = Seq(1, 2, 3).map { w =>
+      TrainingOrder.epochShuffle(df, "id", seed = 7L, epoch = 1,
+        stages = Seq("stage"), bucketChars = w)
+        .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    }
+    assert(byWidth(0) === byWidth(1), "width 1 vs 2 rank drift")
+    assert(byWidth(1) === byWidth(2), "width 2 vs 3 rank drift")
+  }
+
+  test("auto width scales with the input's size estimate, clamped to [2, 5]") {
+    assert(TrainingOrder.autoWidth(docs(100)) === 2,
+      "a tiny frame must take the 256-bucket floor")
+    // the formula itself, against the documented thresholds: 4 GiB per
+    // bucket target → width w covers 16^w × 4 GiB
+    def widthFor(bytes: BigInt): Int =
+      (2 to 5).find(w => BigInt(16).pow(w) * BigInt(4L << 30) >= bytes)
+        .getOrElse(5)
+    assert(widthFor(BigInt(1L) << 40) === 2)          //   1 TiB → 256
+    assert(widthFor(BigInt(100L) * BigInt(1L << 40)) === 4) // 100 TiB → 65,536
+    assert(widthFor(BigInt(1L) << 60) === 5)          //   1 EiB → cap
+  }
+
   test("the per-row rank window is bucket-partitioned, never corpus-wide") {
     val df = docs(100)
     val plan = TrainingOrder.epochShuffle(df, "id", seed = 7L, epoch = 1)
