@@ -62,7 +62,7 @@ object Bench {
         .withColumn("m", regexp_extract(col("o_orderpriority"), "(\\d+)", 1))
         .queryExecution.toRdd.count()
       try {
-        val dir = java.nio.file.Files.createTempDirectory("graft-warm").toString
+        val dir = graft.queries.Scratch.dir("graft-warm")
         val store = new graft.write.TableStore(dir, spark)
         val disp = new graft.write.Dispositions(store, spark)
         disp.merge("w", o.limit(500).select("o_orderkey", "o_totalprice"),
@@ -141,6 +141,11 @@ object Bench {
         graft.ext.Dedup.releasePins()
         name -> (System.nanoTime() - t0) / 1e9
       }
+      // reclaim the store-backed queries' scratch dirs BETWEEN runs
+      // (every query in the run just materialized): 3 runs × ~30
+      // store-backed queries would otherwise leak ~100 temp dirs of
+      // parquet per bench invocation
+      graft.queries.Scratch.sweep()
       lastTiny = emit(allRuns.toSeq)
     }
     spark.stop()

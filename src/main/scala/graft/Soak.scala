@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** SCALE SOAK: run a named subset of the driver queries against an
+  * arbitrary (usually blown-up) fixture directory and report, per
+  * query, wall seconds plus the MAX SINGLE TASK duration — the number
+  * that exposes a hidden single-task bottleneck (a corpus-wide window,
+  * an unsplit read, a driver-side loop) long before wall time does at
+  * bench scale. The per-round BENCH notes cite these numbers so the
+  * 100×-survival claims are measured, not argued from plan shape.
+  *
+  * Usage: `runMain graft.Soak <fixtureDir> <q1,q2,...>` — one JSON
+  * line per query: {"query":..,"wall_s":..,"max_task_s":..,
+  * "tasks":..,"rows":..}.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, names) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // max task duration across the whole query, via listener (tasks on
+    // local[n] still report per-task run time)
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val nTasks = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        nTasks.incrementAndGet()
+        val d = Option(t.taskInfo).map(_.duration).getOrElse(0L)
+        var cur = maxTaskMs.get()
+        while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+      }
+    })
+    names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name'"))
+      maxTaskMs.set(0L); nTasks.set(0L)
+      val t0 = System.nanoTime()
+      val rows =
+        try fn(spark, dir).queryExecution.toRdd.count()
+        catch { case e: Throwable =>
+          System.err.println(s"[soak] $name FAILED: ${e.getMessage}"); -1L
+        }
+      graft.ext.Dedup.releasePins()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; settle before reading
+      // (the bus-drain API is private[spark] — a soak tool can wait)
+      Thread.sleep(500)
+      println(f"""{"query":"$name","wall_s":$wall%.1f,""" +
+        f""""max_task_s":${maxTaskMs.get() / 1e3}%.1f,""" +
+        s""""tasks":${nTasks.get()},"rows":$rows}""")
+    }
+    queries.Scratch.sweep()
+    spark.stop()
+  }
+}

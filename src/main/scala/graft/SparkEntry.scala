@@ -55,6 +55,7 @@ object SparkEntry {
     * subset run is visibly 'oracle skipped', not 'no oracle exists'. */
   def modelDerivedOracles: Set[String] =
     Set("sim_pca_project", "sim_opq_adc", "sim_ivf_opq",
+      "sim_opq_generation", "ops_corpus_assembly_v2",
       "text_quality_classifier", "text_quality_persisted",
-      "stream_quality_filter")
+      "text_quality_custom", "stream_quality_filter")
 }

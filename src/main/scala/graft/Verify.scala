@@ -67,6 +67,10 @@ object Verify {
         .map { case (mk, v) => s"${q(mk)}: ${jnum(v)}" }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/query_meta.json"), metaJson)
+    // every result is materialized (parquet-dumped) by now — reclaim
+    // the store-backed queries' scratch dirs instead of leaking one
+    // temp directory per query per run
+    queries.Scratch.sweep()
     spark.stop()
   }
 }

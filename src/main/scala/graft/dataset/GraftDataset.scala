@@ -88,6 +88,49 @@ final class GraftDataset(val store: TableStore, val registry: SchemaRegistry,
       df.select("load_id").distinct().collect().map(_.getString(0)).sorted.toSeq
   }
   def latestLoadId: Option[String] = loadIds.lastOption
+
+  /** Vector-collection facade — the one-stop dataset API over a
+    * persisted [[graft.write.VectorSink]] collection (the reference's
+    * vector destinations are reached the same way: through the
+    * dataset, not the sink). Describe / generations / probe / filtered
+    * probe / time-travel probe without importing the write plane. */
+  def vectors(name: String): VectorCollection =
+    new VectorCollection(store, Naming.normalizeTableName(name))
+}
+
+/** Read-side handle on one persisted vector collection. Probes here
+  * cover the plain-IVF metric (the collection stores its own vectors);
+  * quantized collections need the caller's full-precision corpus for
+  * the exact re-rank, so those keep the explicit
+  * [[graft.write.VectorSink]] entry points (`topKQuantized` /
+  * `topKPq` / `topKOpq` / `topKBinary`). */
+final class VectorCollection(store: TableStore, val name: String) {
+  import graft.write.VectorSink
+
+  /** One-row summary: gen, metric, dim, nlist, physical/tombstoned
+    * rows, list skew, dead fraction, generation count. Driver-file
+    * manifest reads only — no Spark job. */
+  def describe(): DataFrame = VectorSink.describeCollection(store, name)
+
+  /** Probe-able generation numbers, oldest → newest. */
+  def generations: Seq[Long] = VectorSink.generations(store, name)
+
+  /** Top-k cosine neighbors per query row (see
+    * [[graft.write.VectorSink.topK]]). */
+  def topK(queries: DataFrame, id: String, vec: String, k: Int,
+      nprobe: Int): DataFrame =
+    VectorSink.topK(store, name, queries, id, vec, k, nprobe)
+
+  /** [[topK]] with a corpus pre-filter (filtered search). */
+  def topKWhere(queries: DataFrame, id: String, vec: String, k: Int,
+      nprobe: Int, predicate: Column): DataFrame =
+    VectorSink.topKWhere(store, name, queries, id, vec, k, nprobe, predicate)
+
+  /** [[topK]] against a pinned historical generation (time travel). */
+  def topKAt(gen: Long, queries: DataFrame, id: String, vec: String,
+      k: Int, nprobe: Int): DataFrame =
+    VectorSink.topKGen(store, name, VectorSink.generationAt(store, name, gen),
+      queries, id, vec, k, nprobe)
 }
 
 /** Lazy composable query over one table (reference Relation,

@@ -42,11 +42,39 @@ final case class AssemblyConfig(
       * the corpus-trained bigram LM. None disables the stage — CCNet
       * itself ships head+middle for most languages. */
     perplexityKeep: Option[Set[String]] = None,
+    /** Stage 5d: TRAINED quality-classifier gate (the GPT-3/LLaMA
+      * curation pattern — fit a linear seed-discriminator, keep high
+      * scorers). The ridge model fits ON THE SURVIVORS of the previous
+      * stages (seed label = `seed` evaluated over them) and the fitted
+      * model is handed back through [[CorpusAssembly.StageCounts
+      * .classifier]] so a caller can replay the literal weights in an
+      * external oracle. None disables the stage. */
+    classifier: Option[ClassifierStage] = None,
+    /** Quality-AWARE near-dup resolution: when set, each duplicate
+      * component keeps its best-scoring member under this column
+      * (ties → lowest id; [[Dedup.canonicalByScore]]) instead of the
+      * arbitrary component minimum ([[Dedup.resolveNearDups]]). */
+    canonicalQuality: Option[
+      org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None,
+    /** Terminal ordering: (seed, epoch) for a deterministic
+      * [[graft.operators.TrainingOrder.epochShuffle]] over the packed
+      * output — the pipeline then emits training order, not id order.
+      * None leaves the packed frame unordered. */
+    shuffle: Option[(Long, Int)] = None,
     /** collect per-stage survivor counts (one small action per stage
       * boundary). Observability for interactive runs; switch off in a
       * throughput path — the boundaries then materialize once, inside
       * the single consuming action, and StageCounts reads -1. */
     collectStageCounts: Boolean = true)
+
+/** The classifier-keep stage's knobs: `seed` labels the high-quality
+  * slice as a predicate over the (cleaned) text column — the same
+  * pluggable Column => Column shape as [[AssemblyConfig.quality]];
+  * both classes must be present among the survivors it is fitted on.
+  * `threshold` is the keep cut on the fitted score. */
+final case class ClassifierStage(
+    seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+    threshold: Double = 0.5)
 
 /** CORPUS ASSEMBLY — the composed training-data pipeline the individual
   * operators exist for: language-ID → Gopher quality gate → corpus-level
@@ -68,8 +96,11 @@ final case class AssemblyConfig(
   */
 object CorpusAssembly {
 
-  /** Stage-boundary survivor counts, in pipeline order. */
-  final case class StageCounts(counts: Seq[(String, Long)]) {
+  /** Stage-boundary survivor counts, in pipeline order; `classifier`
+    * carries the stage-5d fitted model when that stage ran (so callers
+    * can persist it or replay its literal weights in an oracle). */
+  final case class StageCounts(counts: Seq[(String, Long)],
+      classifier: Option[QualityClassifier.RidgeModel] = None) {
     def apply(stage: String): Long = counts.find(_._1 == stage).get._2
   }
 
@@ -108,9 +139,16 @@ object CorpusAssembly {
           .withColumn("n_tokens", TextOps.bpeTokenCount(col("__text"))))
 
       // 4. near-duplicate resolution: LSH pairs → components → keeper
-      val deduped = boundary(Dedup.resolveNearDups(cleaned, id,
-        Dedup.minhashLshPairs(cleaned, id, "__text",
-          n = cfg.shingleN, threshold = cfg.nearDupThreshold)))
+      //    (component minimum by default; best-quality member when
+      //    canonicalQuality is set — the "keep the copy you actually
+      //    want" variant, same candidate generation either way)
+      val pairs = Dedup.minhashLshPairs(cleaned, id, "__text",
+        n = cfg.shingleN, threshold = cfg.nearDupThreshold)
+      val deduped = boundary(cfg.canonicalQuality match {
+        case None => Dedup.resolveNearDups(cleaned, id, pairs)
+        case Some(qual) =>
+          Dedup.canonicalByScore(cleaned, id, pairs, qual(col("__text")))
+      })
 
       // 5. benchmark decontamination (inverted-index overlap share).
       //    The threshold compares counts (n_cont >= n_sh * s), not the
@@ -156,6 +194,23 @@ object CorpusAssembly {
           boundary(fluent.join(keepIds, Seq(id), "left_semi"))
       }
 
+      // 5d (optional). TRAINED classifier keep: ridge seed-discriminator
+      //     fit ON THE SURVIVORS (one Gram-moment aggregate + driver
+      //     solve), scoring as a map-only literal dot product riding
+      //     the keep filter — a 100 TB curation pass stays one scan.
+      //     The fitted model is surfaced through StageCounts so the
+      //     caller can replay the weights externally.
+      var fitted: Option[QualityClassifier.RidgeModel] = None
+      val curated = cfg.classifier match {
+        case None => selected
+        case Some(cs) =>
+          val model = QualityClassifier.fit(selected, "__text",
+            cs.seed(col("__text")))
+          fitted = Some(model)
+          boundary(selected.filter(
+            QualityClassifier.score(model, col("__text")) >= cs.threshold))
+      }
+
       // 6-7. temperature mix (pure projection filter over broadcast
       //      counts) then the domain cap ranking on the CARRIED token
       //      count — no tokenizer in either stage
@@ -163,12 +218,22 @@ object CorpusAssembly {
       // the capped boundary IS pinned: sequence packing reads it twice
       // (bucket-offset aggregate + the join back)
       val capped = boundary(HashSplit.domainCap(
-        HashSplit.temperatureMix(selected, id, domain, cfg.mixAlpha),
+        HashSplit.temperatureMix(curated, id, domain, cfg.mixAlpha),
         id, domain, cfg.domainCap, rankBy = "n_tokens"))
 
       // 8. sequence packing consumes the carried count as well
-      val packed = SequencePack.chunkAssignments(capped, id, "n_tokens",
+      val packed0 = SequencePack.chunkAssignments(capped, id, "n_tokens",
         cfg.packBudget)
+
+      // 8b (optional). terminal training order: the deterministic epoch
+      //     shuffle over the packed set — rank is a pure function of
+      //     (seed, epoch, id), two-level bucketed windows, so the
+      //     pipeline hands back ready-to-stream training order
+      val packed = cfg.shuffle match {
+        case None => packed0
+        case Some((seed, epoch)) =>
+          graft.operators.TrainingOrder.epochShuffle(packed0, id, seed, epoch)
+      }
 
       def n(df: DataFrame): Long = if (cfg.collectStageCounts) df.count() else -1L
       val stages = StageCounts(Seq(
@@ -179,7 +244,9 @@ object CorpusAssembly {
         "decontaminated" -> n(decontaminated)) ++
         cfg.perplexityKeep.map(_ => "perplexity" -> n(fluent)) ++
         dsirTarget.map(_ => "dsir_selected" -> n(selected)) ++
-        Seq("mixed_capped" -> n(capped)))
+        cfg.classifier.map(_ => "classifier_kept" -> n(curated)) ++
+        Seq("mixed_capped" -> n(capped)),
+        classifier = fitted)
       consume(packed, stages)
     } finally pinned.foreach(_.unpersist(blocking = false))
   }

@@ -175,16 +175,11 @@ object Opq {
 
   // ---- oracle ------------------------------------------------------------
 
-  /** Post-run stash for the model-derived [[adcOracleSql]] — the
-    * [[Pca.projectOracleStash]] discipline: [[graft.Verify]] dumps
-    * oracles after the gate queries ran, so the query deposits the
-    * rotation-literal oracle here. Empty → rows-only check. */
-  @volatile var adcOracleStash: Option[String] = None
-
-  /** Sibling stash for the PERSISTED-collection gate (`sim_ivf_opq`):
-    * same oracle family, the model read back off the pinned
-    * generation instead of freshly trained. */
-  @volatile var ivfOracleStash: Option[String] = None
+  // Model-derived oracles are deposited through the KEYED
+  // graft.queries.OracleStash (one entry per query name — a rerun can
+  // only overwrite its own entry); [[graft.Verify]] dumps oracles after
+  // the gate queries ran, so the rotation-literal SQL is populated by
+  // dump time.
 
   /** DuckDB re-derivation of the WHOLE chain from the rotation
     * literals: rotate (unrolled left-associated `Σ wᵢ·v[i]` per
@@ -198,7 +193,23 @@ object Opq {
     * literals via `Double.toString` (shortest round-trip — DuckDB's
     * correctly-rounded parse restores the identical bits). */
   def adcOracleSql(model: OpqModel, ksub: Int, iters: Int,
-      k: Int, shortlist: Int, maxQueryId: Int): String = {
+      k: Int, shortlist: Int, maxQueryId: Int): String =
+    adcOracleSqlOver(model, ksub, iters, k, shortlist, maxQueryId,
+      corpusWhere = "TRUE",
+      tailCols = Seq("TRUE AS orthonormal_ok",
+        "TRUE AS allocation_beats_contiguous",
+        "TRUE AS buckets_nonincreasing"))
+
+  /** [[adcOracleSql]] with a corpus predicate and caller-chosen literal
+    * tail columns — the OPQ generation-probe gate replays the SAME
+    * chain (rotation literals, per-subspace trainings, codes, ADC
+    * shortlist, exact re-rank) over the SUBSET the pinned historical
+    * model was trained on, mirroring [[Pq.adcOracleSqlOver]]. Queries
+    * and the re-rank corpus restrict too: a generation probe sees only
+    * that generation's pinned corpus. */
+  def adcOracleSqlOver(model: OpqModel, ksub: Int, iters: Int,
+      k: Int, shortlist: Int, maxQueryId: Int, corpusWhere: String,
+      tailCols: Seq[String]): String = {
     val m = model.pq.m
     val dsub = model.pq.dsub
     def dlit(d: Double): String = java.lang.Double.toString(d)
@@ -219,7 +230,8 @@ object Opq {
     s"""WITH rot AS (
        |  SELECT vec_id, [
        |    $coords] AS rv
-       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |        WHERE $corpusWhere)),
        |$stages,
        |deq AS (
        |  SELECT vec_id, $recon AS deq
@@ -247,9 +259,7 @@ object Opq {
        |  row_number() OVER (PARTITION BY query_id
        |                     ORDER BY cs DESC, match_id) AS rank,
        |  match_id, round(cs, 6) AS cosine,
-       |  TRUE AS orthonormal_ok,
-       |  TRUE AS allocation_beats_contiguous,
-       |  TRUE AS buckets_nonincreasing
+       |  ${tailCols.mkString(",\n  ")}
        |FROM exact
        |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin

@@ -397,13 +397,10 @@ object Pca {
        |FROM e ORDER BY vec_id""".stripMargin
   }
 
-  /** Post-run stash for the dynamically generated [[projectOracleSql]]:
-    * [[graft.Verify]] dumps `SparkEntry.oracleSql` AFTER running the
-    * gate queries, so the `sim_pca_project` query deposits its
-    * model-derived oracle here and the oracle map picks it up at dump
-    * time. Empty (→ rows-only check, the pre-r9 status) if the query
-    * did not run in this JVM. */
-  @volatile var projectOracleStash: Option[String] = None
+  // The dynamically generated [[projectOracleSql]] is deposited through
+  // the keyed graft.queries.OracleStash at query run time ([[graft
+  // .Verify]] dumps SparkEntry.oracleSql AFTER running the gate
+  // queries). Absent entry → rows-only check, the pre-r9 status.
 
   /** Projection column for `vec` under `model`: y = V (x − μ), an
     * `array<double>` of length r. `whiten = true` scales component i

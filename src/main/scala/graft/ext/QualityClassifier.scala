@@ -37,23 +37,60 @@ object QualityClassifier {
         s"(${featureNames.length})")
   }
 
-  /** The surface-statistics feature pack (name → column), each mirrored
-    * 1:1 by a DuckDB expression in [[scoreOracleSql]]. All are integer
-    * counts with a single correctly-rounded division (plus `least`
-    * clamps), so both engines produce identical doubles. */
-  def features(text: Column): Seq[(String, Column)] = Seq(
-    "len_sat" -> least(lit(1.0), TextOps.tokenCount(text).cast("double") / 50.0),
-    "punct_ratio" -> TextOps.punctRatio(text),
-    "stop_ratio" -> TextOps.stopwordRatio(text),
-    "char_sat" -> least(lit(1.0), length(text).cast("double") / 2000.0))
+  /** A PLUGGABLE classifier feature: the Spark column producing the
+    * final feature double from the text column, PAIRED with its DuckDB
+    * mirror over a text SQL expression — the pair is what keeps the
+    * model-derived oracle bit-replayable when a user extends the pack
+    * (the fastText-style curation models are exactly "my features, the
+    * same linear plane"). Both sides must evaluate the identical IEEE
+    * arithmetic: integer counts, one correctly-rounded division,
+    * `least` clamps — the discipline of the default pack. */
+  final case class Feature(name: String, column: Column => Column,
+      sql: String => String)
+
+  /** SQL fragment: whitespace token count of `t` ('' → 0 — DuckDB's
+    * string_split_regex('') yields [''] where the engine says 0). */
+  private def tokCntSql(t: String): String =
+    s"""(CASE WHEN length(trim($t)) = 0 THEN 0
+       |          ELSE len(string_split_regex(trim($t), '\\s+')) END)""".stripMargin
+
+  /** The default surface-statistics pack, each mirrored 1:1 by a
+    * self-contained DuckDB expression. */
+  val DefaultFeatures: Seq[Feature] = {
+    val stops = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    Seq(
+      Feature("len_sat",
+        t => least(lit(1.0), TextOps.tokenCount(t).cast("double") / 50.0),
+        t => s"least(1.0, ${tokCntSql(t)}::DOUBLE / 50.0)"),
+      Feature("punct_ratio",
+        t => TextOps.punctRatio(t),
+        t => s"""(CASE WHEN length($t) = 0 THEN 0.0
+                |          ELSE len(regexp_extract_all($t, '[^A-Za-z0-9\\s]'))::DOUBLE
+                |               / length($t) END)""".stripMargin),
+      Feature("stop_ratio",
+        t => TextOps.stopwordRatio(t),
+        t => s"""(CASE WHEN ${tokCntSql(t)} = 0 THEN 0.0
+                |          ELSE len(list_filter(string_split_regex(trim($t), '\\s+'),
+                |                   w -> w IN ($stops)))::DOUBLE
+                |               / ${tokCntSql(t)} END)""".stripMargin),
+      Feature("char_sat",
+        t => least(lit(1.0), length(t).cast("double") / 2000.0),
+        t => s"least(1.0, length($t)::DOUBLE / 2000.0)"))
+  }
+
+  /** The feature pack as (name → column) pairs — [[DefaultFeatures]]
+    * unless a custom pack is given. */
+  def features(text: Column, feats: Seq[Feature] = DefaultFeatures)
+      : Seq[(String, Column)] = feats.map(f => f.name -> f.column(text))
 
   /** Ridge fit of `label` (0/1 seed membership) on [[features]]:
     * w = (XᵀX + λ·diag(0,1,…,1))⁻¹ Xᵀy — bias unpenalized, one Spark
     * aggregation for the moments, 5×5 Gaussian elimination on the
     * driver. */
   def fit(docs: DataFrame, textCol: String, label: Column,
-      lambda: Double = 1e-3): RidgeModel = {
-    val fs = features(col(textCol))
+      lambda: Double = 1e-3,
+      feats: Seq[Feature] = DefaultFeatures): RidgeModel = {
+    val fs = features(col(textCol), feats)
     val names = fs.map(_._1)
     val cols = lit(1.0) +: fs.map(_._2)
     val d = cols.length
@@ -113,8 +150,9 @@ object QualityClassifier {
 
   /** Map-only scoring column: `w₀ + w₁·f₁ + … ` — left-associated
     * literal arithmetic, bit-replayable by [[scoreOracleSql]]. */
-  def score(model: RidgeModel, text: Column): Column = {
-    val fs = features(text)
+  def score(model: RidgeModel, text: Column,
+      feats: Seq[Feature] = DefaultFeatures): Column = {
+    val fs = features(text, feats)
     require(model.featureNames == fs.map(_._1),
       s"model features ${model.featureNames.mkString(",")} do not match " +
         s"this engine's feature pack ${fs.map(_._1).mkString(",")} — " +
@@ -122,6 +160,35 @@ object QualityClassifier {
     fs.zipWithIndex.foldLeft(lit(model.weights(0))) {
       case (acc, ((_, f), i)) => acc + lit(model.weights(i + 1)) * f
     }
+  }
+
+  /** Model-derived oracle for an ARBITRARY feature pack: featurize via
+    * each feature's own SQL mirror, then the same left-associated
+    * literal polynomial — `w0 + w1·f1 + …` in pack order, the exact
+    * fold of [[score]]. The fixed-pack [[scoreOracleSql]] keeps its
+    * historical CTE shape; this is the extensibility path. */
+  def scoreOracleSqlFeatures(model: RidgeModel, feats: Seq[Feature],
+      seedSql: String, threshold: Double, gates: Seq[String]): String = {
+    require(model.featureNames == feats.map(_.name),
+      "feature pack does not match the model's featurization")
+    val w = model.weights.map(x => java.lang.Double.toString(x))
+    val featCols = feats.map(f =>
+      s"    ${f.sql("text")} AS f_${f.name}").mkString(",\n")
+    val poly = feats.zipWithIndex
+      .map { case (f, i) => s"${w(i + 1)} * f_${f.name}" }
+      .mkString(s"${w(0)}\n            + ", "\n            + ", "")
+    val gateCols = gates.map(n => s", TRUE AS $n").mkString
+    s"""WITH t AS (
+       |  SELECT doc_id, $seedSql AS is_seed,
+       |$featCols
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, is_seed,
+       |    $poly AS score
+       |  FROM t)
+       |SELECT doc_id, is_seed, round(score, 6) AS score,
+       |  score >= ${java.lang.Double.toString(threshold)} AS kept$gateCols
+       |FROM s ORDER BY doc_id""".stripMargin
   }
 
   /** Persist the fitted model as a lakehouse artifact (one driver-file
@@ -156,9 +223,11 @@ object QualityClassifier {
       rows.head("lambda").asInstanceOf[Double])
   }
 
-  @volatile var oracleStash: Option[String] = None
-  @volatile var persistedOracleStash: Option[String] = None
-  @volatile var streamOracleStash: Option[String] = None
+  // The three gate queries (text_quality_classifier / _persisted /
+  // stream_quality_filter) deposit their model-derived oracles through
+  // the keyed graft.queries.OracleStash — one entry per query name, so
+  // a rerun or a concurrent unrelated fit can never clobber another
+  // query's oracle.
 
   /** The GUARDED featurization columns (n_tok, pr, n_stop, n_ch) as a
     * pre-stripped DuckDB SELECT fragment over `documents` — the SINGLE
@@ -171,23 +240,42 @@ object QualityClassifier {
     * this must themselves guard `n_tok = 0` → 0.0 (mirroring
     * [[TextOps.stopwordRatio]]); the raw n_stop count needs no guard
     * ('' is not a stopword on either engine). */
-  def featurizationSql: String = {
+  def featurizationSql: String = featurizationSqlOver("text")
+
+  /** [[featurizationSql]] over an arbitrary text COLUMN/EXPRESSION —
+    * composed oracles (corpus assembly) featurize the CLEANED text of
+    * a mid-pipeline CTE, not raw `documents.text`; sharing the one
+    * fragment keeps the two from silently diverging. */
+  def featurizationSqlOver(t: String): String = {
     val stops = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
-    s"""    CASE WHEN length(trim(text)) = 0 THEN 0
-       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
-       |    CASE WHEN length(text) = 0 THEN 0.0
-       |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
-       |              / length(text) END AS pr,
-       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+    s"""    CASE WHEN length(trim($t)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim($t), '\\s+')) END AS n_tok,
+       |    CASE WHEN length($t) = 0 THEN 0.0
+       |         ELSE len(regexp_extract_all($t, '[^A-Za-z0-9\\s]'))::DOUBLE
+       |              / length($t) END AS pr,
+       |    len(list_filter(string_split_regex(trim($t), '\\s+'),
        |        t -> t IN ($stops))) AS n_stop,
-       |    length(text) AS n_ch""".stripMargin
+       |    length($t) AS n_ch""".stripMargin
+  }
+
+  /** The literal score polynomial over the [[featurizationSqlOver]]
+    * column names (n_tok, pr, n_stop, n_ch) — the SINGLE SQL mirror of
+    * [[score]]'s left-associated arithmetic, shared by [[scoreCtes]]
+    * and composed oracles. Weights as `Double.toString` round-trip
+    * literals. */
+  def scoreExprSql(model: RidgeModel): String = {
+    val w = model.weights.map(x => java.lang.Double.toString(x))
+    s"""${w(0)} + ${w(1)} * least(1.0, n_tok::DOUBLE / 50.0)
+       |            + ${w(2)} * pr
+       |            + ${w(3)} * (CASE WHEN n_tok = 0 THEN 0.0
+       |                         ELSE n_stop::DOUBLE / n_tok END)
+       |            + ${w(4)} * least(1.0, n_ch::DOUBLE / 2000.0)""".stripMargin
   }
 
   /** The shared `WITH t …, s …` CTE block: featurization + the literal
     * score polynomial. `seedSql` rides through as `is_seed` when
     * non-empty. */
   private def scoreCtes(model: RidgeModel, seedSql: Option[String]): String = {
-    val w = model.weights.map(x => java.lang.Double.toString(x))
     val seedT = seedSql.map(s => s" $s AS is_seed,").getOrElse("")
     val seedS = seedSql.map(_ => " is_seed,").getOrElse("")
     s"""WITH t AS (
@@ -196,11 +284,7 @@ object QualityClassifier {
        |  FROM documents),
        |s AS (
        |  SELECT doc_id,$seedS
-       |    ${w(0)} + ${w(1)} * least(1.0, n_tok::DOUBLE / 50.0)
-       |            + ${w(2)} * pr
-       |            + ${w(3)} * (CASE WHEN n_tok = 0 THEN 0.0
-       |                         ELSE n_stop::DOUBLE / n_tok END)
-       |            + ${w(4)} * least(1.0, n_ch::DOUBLE / 2000.0) AS score
+       |    ${scoreExprSql(model)} AS score
        |  FROM t)""".stripMargin
   }
 

@@ -517,10 +517,13 @@ case class DequantizeInt8(first: Expression, second: Expression, third: Expressi
   *
   * The comparison is the plain Java `>` on the element widened to
   * double — no arithmetic, so any SQL engine replays it exactly.
-  * Caveats: array elements must be non-null (same contract as every
-  * kernel in this file); NaN elements pack as 0 here (Java `NaN > 0`
-  * is false) while engines that order NaN above all values (DuckDB)
-  * would pack 1 — embeddings are NaN-free by contract. */
+  * NULL elements raise (a null dimension has no sign — packing it as
+  * 0 would silently produce a wrong code, and `spark.sql` users of the
+  * registered `graft_pack_signbits` are outside the internal
+  * "non-null by contract" guarantee). NaN elements pack as 0 here
+  * (Java `NaN > 0` is false) while engines that order NaN above all
+  * values (DuckDB) would pack 1 — embeddings are NaN-free by
+  * contract. */
 case class PackSignBits(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_pack_signbits"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -538,6 +541,10 @@ case class PackSignBits(child: Expression) extends UnaryExpression {
     val words = new Array[Long]((n + 63) / 64)
     var i = 0
     while (i < n) {
+      if (xa.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$prettyName: NULL array element at index $i — a null " +
+            "dimension has no sign bit; filter or impute nulls first")
       val x = elemT match {
         case FloatType => xa.getFloat(i).toDouble
         case _ => xa.getDouble(i)
@@ -563,7 +570,12 @@ case class PackSignBits(child: Expression) extends UnaryExpression {
 /** Hamming distance between two packed bit codes (`array<long>`):
   * Σ popcount(a_w XOR b_w), clamped to the shorter side. Pure integer
   * ops — bit-identical across engines (`bit_count(xor(...))`), and the
-  * tight popcount loop stays inside whole-stage codegen. */
+  * tight popcount loop stays inside whole-stage codegen. NULL words
+  * raise rather than XOR as 0 (a silently-wrong distance for
+  * `spark.sql` users of the registered `graft_hamming`); the check is
+  * emitted only when the schema admits null elements, so the
+  * containsNull=false codes [[PackSignBits]] emits keep the branchless
+  * loop. */
 case class HammingDist(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "graft_hamming"
@@ -580,22 +592,43 @@ case class HammingDist(left: Expression, right: Expression)
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 
+  private def mayHaveNullElems: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
+  /** Shared raise for the interpreted and generated paths. */
+  def nullElem(i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$prettyName: NULL array element at index $i — packed codes " +
+        "must be non-null words; filter or impute nulls first")
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val n = math.min(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
-    while (i < n) { s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) nullElem(i)
+      s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1
+    }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (xa, ya) => {
       val (n, s, i) = (ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("i"))
+      val guard =
+        if (!mayHaveNullElems) ""
+        else {
+          val ref = ctx.addReferenceObj("hammingDist", this, classOf[HammingDist].getName)
+          s"if ($xa.isNullAt($i) || $ya.isNullAt($i)) $ref.nullElem($i);"
+        }
       s"""
          |int $n = java.lang.Math.min($xa.numElements(), $ya.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $guard
          |  $s += java.lang.Long.bitCount($xa.getLong($i) ^ $ya.getLong($i));
          |}
          |${ev.value} = $s;

@@ -24,15 +24,21 @@ object ExtQueries {
     * sign bits (packing-layout-independent — no bit arithmetic needed,
     * which also sidesteps DuckDB's signed `<< 63` overflow), shortlist
     * (hamming asc, id) to 20, exact cosine re-rank to 5. Shared by the
-    * in-memory gate and the persisted collection at nprobe = nlist. */
-  private val binaryRerankOracle: String =
-    """WITH scored AS (
+    * in-memory gate and the persisted collection at nprobe = nlist.
+    * `corpusWhere` restricts BOTH sides (a generation probe sees only
+    * that generation's pinned corpus, queries drawn from it too);
+    * `tailCols` append literal columns (the gen query's gens pin). */
+  private def binaryRerankOracleOver(corpusWhere: String,
+      tailCols: String = ""): String =
+    s"""WITH scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
       |    list_sum(list_transform(range(1, len(q.embedding)+1),
       |      i -> CASE WHEN (q.embedding[i] > 0) <> (c.embedding[i] > 0)
       |           THEN 1 ELSE 0 END))::BIGINT AS hamming,
       |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs
-      |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |  FROM (SELECT * FROM embeddings WHERE $corpusWhere) q
+      |  JOIN (SELECT * FROM embeddings WHERE $corpusWhere) c
+      |    ON c.vec_id <> q.vec_id
       |  WHERE q.vec_id < 10),
       |short AS (
       |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -42,8 +48,10 @@ object ExtQueries {
       |  SELECT query_id, match_id, hamming, cs,
       |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
       |  FROM short WHERE hr <= 20)
-      |SELECT query_id, rank, match_id, hamming, round(cs, 6) AS cosine
+      |SELECT query_id, rank, match_id, hamming, round(cs, 6) AS cosine$tailCols
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val binaryRerankOracle: String = binaryRerankOracleOver("TRUE")
   private val stopsSql = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
 
   /** The `sh` CTE body: one row per distinct (doc, trigram shingle).
@@ -234,9 +242,10 @@ object ExtQueries {
       val seedHigher = gr.getDouble(3) > gr.getDouble(4)
       // the oracle ASSERTS TRUE for both gates — a false measurement
       // here breaks the hash (not a tautological echo of the value)
-      QualityClassifier.oracleStash = Some(QualityClassifier.scoreOracleSql(
-        model, "(lang = 'en')", threshold = 0.5,
-        gates = Seq("fit_beats_null", "seed_mean_higher")))
+      OracleStash.put("text_quality_classifier",
+        QualityClassifier.scoreOracleSql(
+          model, "(lang = 'en')", threshold = 0.5,
+          gates = Seq("fit_beats_null", "seed_mean_higher")))
       docs.select(col("doc_id"), isSeed.as("is_seed"),
         round(scoreCol, 6).as("score"),
         (scoreCol >= 0.5).as("kept"),
@@ -254,7 +263,7 @@ object ExtQueries {
       val isSeed = col("lang") === "en"
       val model = QualityClassifier.fit(docs, "text", isSeed)
       val store = new graft.write.TableStore(
-        java.nio.file.Files.createTempDirectory("graft-qc").toString, c.spark)
+        Scratch.dir("graft-qc"), c.spark)
       QualityClassifier.save(store, "qc_model", model)
       val loaded = QualityClassifier.load(store, "qc_model")
       val exact = java.util.Arrays.equals(loaded.weights, model.weights) &&
@@ -263,13 +272,59 @@ object ExtQueries {
       val scoreCol = QualityClassifier.score(loaded, col("text"))
       // TRUE asserted by the oracle: a save/load precision regression
       // (exact = false) fails the hash instead of echoing through
-      QualityClassifier.persistedOracleStash =
-        Some(QualityClassifier.scoreOracleSql(loaded, "(lang = 'en')",
+      OracleStash.put("text_quality_persisted",
+        QualityClassifier.scoreOracleSql(loaded, "(lang = 'en')",
           threshold = 0.5, gates = Seq("roundtrip_exact")))
       docs.select(col("doc_id"), isSeed.as("is_seed"),
         round(scoreCol, 6).as("score"),
         (scoreCol >= 0.5).as("kept"),
         lit(exact).as("roundtrip_exact"))
+        .orderBy("doc_id")
+    },
+
+    // PLUGGABLE classifier features — the fastText-style curation
+    // model: the default surface pack EXTENDED with user-supplied
+    // (Spark column, DuckDB mirror) feature pairs (digit and uppercase
+    // character ratios), fitted and scored through the same
+    // one-aggregate ridge plane. The oracle is assembled from each
+    // feature's OWN SQL mirror plus the fitted literal polynomial, so
+    // the bit-replayable contract survives pack extension. Gate: the
+    // extended fit must explain the seed at least as well as the
+    // default pack (SSE non-increasing under the same ridge penalty) —
+    // asserted TRUE by the oracle.
+    "text_quality_custom" -> q { c =>
+      import QualityClassifier.Feature
+      val docs = c.tw("documents")
+      val isSeed = col("lang") === "en"
+      val custom = QualityClassifier.DefaultFeatures ++ Seq(
+        Feature("digit_ratio",
+          t => when(length(t) === 0, lit(0.0))
+            .otherwise(regexp_count(t, lit("[0-9]")).cast("double") / length(t)),
+          t => s"""(CASE WHEN length($t) = 0 THEN 0.0
+                  |          ELSE len(regexp_extract_all($t, '[0-9]'))::DOUBLE
+                  |               / length($t) END)""".stripMargin),
+        Feature("upper_ratio",
+          t => when(length(t) === 0, lit(0.0))
+            .otherwise(regexp_count(t, lit("[A-Z]")).cast("double") / length(t)),
+          t => s"""(CASE WHEN length($t) = 0 THEN 0.0
+                  |          ELSE len(regexp_extract_all($t, '[A-Z]'))::DOUBLE
+                  |               / length($t) END)""".stripMargin))
+      val base = QualityClassifier.fit(docs, "text", isSeed)
+      val model = QualityClassifier.fit(docs, "text", isSeed, feats = custom)
+      val label = isSeed.cast("double")
+      val sse = docs.agg(
+        sum(pow(label - QualityClassifier.score(base, col("text")), 2.0)),
+        sum(pow(label -
+          QualityClassifier.score(model, col("text"), custom), 2.0))).head()
+      val noWorse = sse.getDouble(1) <= sse.getDouble(0) + 1e-9
+      OracleStash.put("text_quality_custom",
+        QualityClassifier.scoreOracleSqlFeatures(model, custom,
+          "(lang = 'en')", threshold = 0.5,
+          gates = Seq("custom_fit_no_worse")))
+      val sc = QualityClassifier.score(model, col("text"), custom)
+      docs.select(col("doc_id"), isSeed.as("is_seed"),
+        round(sc, 6).as("score"), (sc >= 0.5).as("kept"),
+        lit(noWorse).as("custom_fit_no_worse"))
         .orderBy("doc_id")
     },
 
@@ -359,7 +414,7 @@ object ExtQueries {
     // encode, so the store round-trip provably changes nothing
     "text_bpe_persisted" -> q { c =>
       val store = new graft.write.TableStore(
-        java.nio.file.Files.createTempDirectory("graft-bpe").toString, c.spark)
+        Scratch.dir("graft-bpe"), c.spark)
       val docs = c.t("documents")
       graft.ext.BpeStore.save(store, "tok", docs, "text", rounds = 8)
       graft.ext.BpeStore.encodeFrom(store, "tok", docs, "doc_id", "text")
@@ -426,7 +481,7 @@ object ExtQueries {
     // gate proves the index round-trip loses no pair
     "dedup_incremental" -> q { c =>
       val store = new graft.write.TableStore(
-        java.nio.file.Files.createTempDirectory("graft-incdedup").toString,
+        Scratch.dir("graft-incdedup"),
         c.spark)
       val docs = c.tw("documents")
       IncrementalDedup.indexCorpus(store, "corpus",
@@ -575,7 +630,7 @@ object ExtQueries {
       val vecs = c.t("embeddings")
       val model = Opq.train(vecs, "vec_id", "embedding",
         dim = 64, m = 4, ksub = 4, iters = 2)
-      Opq.adcOracleStash = Some(Opq.adcOracleSql(model,
+      OracleStash.put("sim_opq_adc", Opq.adcOracleSql(model,
         ksub = 4, iters = 2, k = 5, shortlist = 20, maxQueryId = 10))
       val (orthOk, balanced, bucketsSorted) =
         Opq.selfGates(model.rotation, model.spectrum, m = 4)
@@ -610,7 +665,7 @@ object ExtQueries {
       // deposit the model-derived DuckDB oracle (canonical-sign
       // components as literals, projection re-derived from the raw
       // parquet) for the post-run oracle dump — see Pca.projectOracleSql
-      Pca.projectOracleStash = Some(Pca.projectOracleSql(model, rOut = 3))
+      OracleStash.put("sim_pca_project", Pca.projectOracleSql(model, rOut = 3))
       val orthOk = {
         val v = model.components
         val r = v.length
@@ -699,7 +754,7 @@ object ExtQueries {
     // write→commit→read→probe cycle, not just the probe math
     "sim_ivf_persisted" -> q { c =>
       val store = new graft.write.TableStore(
-        java.nio.file.Files.createTempDirectory("graft-vs").toString, c.spark)
+        Scratch.dir("graft-vs"), c.spark)
       val vecs = c.t("embeddings")
       graft.write.VectorSink.writeIvf(store, "emb", vecs,
         "vec_id", "embedding", nlist = 16)
@@ -719,7 +774,7 @@ object ExtQueries {
     "sim_ivf_bq" -> q { c =>
       import graft.write.{TableStore, VectorSink}
       val store = new TableStore(
-        java.nio.file.Files.createTempDirectory("graft-vbq").toString, c.spark)
+        Scratch.dir("graft-vbq"), c.spark)
       val vecs = c.t("embeddings").select("vec_id", "embedding")
       VectorSink.writeIvfBinary(store, "emb",
         vecs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nlist = 8)
@@ -742,7 +797,7 @@ object ExtQueries {
     "sim_ivf_rebalance" -> q { c =>
       import graft.write.{TableStore, VectorSink}
       val store = new TableStore(
-        java.nio.file.Files.createTempDirectory("graft-vrb").toString, c.spark)
+        Scratch.dir("graft-vrb"), c.spark)
       val vecs = c.t("embeddings").select("vec_id", "embedding")
       val base = vecs.filter(col("vec_id") % 2 === 0)
       // the drifted ingest: x -> 0.5x + 4 per dimension, cast back to
@@ -795,7 +850,7 @@ object ExtQueries {
     "sim_collection_describe" -> q { c =>
       import graft.write.{TableStore, VectorSink}
       val store = new TableStore(
-        java.nio.file.Files.createTempDirectory("graft-vdesc").toString, c.spark)
+        Scratch.dir("graft-vdesc"), c.spark)
       val vecs = c.t("embeddings").select("vec_id", "embedding")
       val evens = vecs.filter(col("vec_id") % 2 === 0)
       VectorSink.writeIvf(store, "emb", evens,
@@ -826,7 +881,7 @@ object ExtQueries {
     "sim_filtered_search" -> q { c =>
       import graft.write.{TableStore, VectorSink}
       val store = new TableStore(
-        java.nio.file.Files.createTempDirectory("graft-vflt").toString, c.spark)
+        Scratch.dir("graft-vflt"), c.spark)
       val vecs = c.t("embeddings").select("vec_id", "embedding")
       VectorSink.writeIvf(store, "emb", vecs, "vec_id", "embedding", nlist = 16)
       val pred = col("vec_id") % 3 === 0
@@ -856,7 +911,7 @@ object ExtQueries {
     "sim_ivf_delete_upsert" -> q { c =>
       import graft.write.{TableStore, VectorSink}
       val store = new TableStore(
-        java.nio.file.Files.createTempDirectory("graft-vdu").toString, c.spark)
+        Scratch.dir("graft-vdu"), c.spark)
       val vecs = c.t("embeddings").select("vec_id", "embedding")
       val evens = vecs.filter(col("vec_id") % 2 === 0)
       VectorSink.writeIvf(store, "emb", evens,
@@ -894,7 +949,7 @@ object ExtQueries {
     "sim_ivf_generation" -> q { c =>
       import graft.write.{TableStore, VectorSink}
       val store = new TableStore(
-        java.nio.file.Files.createTempDirectory("graft-vgen").toString, c.spark)
+        Scratch.dir("graft-vgen"), c.spark)
       val vecs = c.t("embeddings").select("vec_id", "embedding")
       val even = vecs.filter(col("vec_id") % 2 === 0)
       val blob = vecs.filter(col("vec_id") % 2 === 1)
@@ -924,7 +979,7 @@ object ExtQueries {
     "sim_pq_generation" -> q { c =>
       import graft.write.{TableStore, VectorSink}
       val store = new TableStore(
-        java.nio.file.Files.createTempDirectory("graft-pgen").toString, c.spark)
+        Scratch.dir("graft-pgen"), c.spark)
       val vecs = c.t("embeddings").select("vec_id", "embedding")
       val even = vecs.filter(col("vec_id") % 2 === 0)
       val blob = vecs.filter(col("vec_id") % 2 === 1)
@@ -945,6 +1000,108 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
+    // the OPQ twin: gen 1 pins a ROTATION trained on the even half; an
+    // append + full retrain (which re-derives a DIFFERENT eigenbasis
+    // over the drifted union) create gens 2-3, then the probe
+    // time-travels to generation 1 — it must answer with gen 1's OWN
+    // rotation, codebooks and corpus, not the retrained model's. The
+    // oracle replays the whole chain from gen 1's rotation LITERALS
+    // read back off the pinned manifest row, so a probe that resolved
+    // any model piece from the head generation hash-fails.
+    "sim_opq_generation" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      val store = new TableStore(
+        Scratch.dir("graft-ogen"), c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      val even = vecs.filter(col("vec_id") % 2 === 0)
+      val blob = vecs.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(0.5) + lit(4.0))
+            .cast("array<float>").as("embedding"))
+      VectorSink.writeIvfOpq(store, "emb", even,
+        "vec_id", "embedding", nlist = 8, m = 4, ksub = 4, iters = 2) // gen 1
+      VectorSink.append(store, "emb", blob, "vec_id", "embedding")    // gen 2
+      VectorSink.rebalance(store, "emb", "vec_id", "embedding",       // gen 3
+        fullVectors = Some(even.unionByName(blob)), maxSkew = 1.0)
+      val g1 = VectorSink.generationAt(store, "emb", 1L)
+      val (rotation, spectrum) = g1.opq.get
+      OracleStash.put("sim_opq_generation", Opq.adcOracleSqlOver(
+        Opq.OpqModel(rotation, spectrum, g1.pqModel.get),
+        ksub = 4, iters = 2, k = 5, shortlist = 20, maxQueryId = 10,
+        corpusWhere = "vec_id % 2 = 0",
+        tailCols = Seq("'1,2,3' AS gens")))
+      VectorSink.topKOpqGen(store, "emb", g1, even,
+        even.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 8, shortlist = 20)
+        .withColumn("gens",
+          lit(VectorSink.generations(store, "emb").mkString(",")))
+        .orderBy("query_id", "rank")
+    },
+
+    // the BINARY twin: sign codes are model-free, so what generation 1
+    // pins is the CORPUS membership (the even half) and the coarse
+    // quantizer — after an append + full retrain, the gen-1 probe at
+    // nprobe = nlist must shortlist over the even half ALONE (a probe
+    // that leaked the head corpus would surface drifted odd ids and
+    // hash-fail against the evens-only Hamming oracle).
+    "sim_bq_generation" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      val store = new TableStore(
+        Scratch.dir("graft-bgen"), c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      val even = vecs.filter(col("vec_id") % 2 === 0)
+      val blob = vecs.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(0.5) + lit(4.0))
+            .cast("array<float>").as("embedding"))
+      VectorSink.writeIvfBinary(store, "emb", even,
+        "vec_id", "embedding", nlist = 8)                             // gen 1
+      VectorSink.append(store, "emb", blob, "vec_id", "embedding")    // gen 2
+      VectorSink.rebalance(store, "emb", "vec_id", "embedding",       // gen 3
+        fullVectors = Some(even.unionByName(blob)), maxSkew = 1.0)
+      val g1 = VectorSink.generationAt(store, "emb", 1L)
+      VectorSink.topKBinaryGen(store, "emb", g1, even,
+        even.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 8, shortlist = 20)
+        .withColumn("gens",
+          lit(VectorSink.generations(store, "emb").mkString(",")))
+        .orderBy("query_id", "rank")
+    },
+
+    // the DATASET-FACADE vector surface (GraftDataset.vectors): the
+    // reference reaches vector destinations through the dataset, not
+    // the sink — describe / generations / time-travel probe in one
+    // read-side handle. The gen-1 probe at nprobe = nlist ≡ brute
+    // force over the even half (gen 1's corpus, before the append);
+    // the describe fields ride the hash as literal columns.
+    "ds_vectors" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      val store = new TableStore(Scratch.dir("graft-dsv"), c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      val even = vecs.filter(col("vec_id") % 2 === 0)
+      val odd = vecs.filter(col("vec_id") % 2 === 1)
+      VectorSink.writeIvf(store, "emb", even, "vec_id", "embedding",
+        nlist = 8)                                                // gen 1
+      VectorSink.append(store, "emb", odd, "vec_id", "embedding") // gen 2
+      val ds = new graft.dataset.GraftDataset(store,
+        new graft.schema.SchemaRegistry("vec"), c.spark)
+      val coll = ds.vectors("emb")
+      val d = coll.describe().select("gen", "metric", "dim", "nlist",
+        "physical_rows", "generations").head()
+      require(coll.generations == Seq(1L, 2L),
+        s"expected generations 1,2 — got ${coll.generations}")
+      coll.topKAt(1L, even.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nprobe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumn("gen", lit(d.getLong(0)))
+        .withColumn("metric", lit(d.getString(1)))
+        .withColumn("dim", lit(d.getInt(2)))
+        .withColumn("nlist", lit(d.getInt(3)))
+        .withColumn("physical_rows", lit(d.getLong(4)))
+        .withColumn("generations", lit(d.getLong(5)))
+        .orderBy("query_id", "rank")
+    },
+
     // IVF + SQ8: the collection persists INT8 CODES (4x less data under
     // every probe) + dequantization stats; probe = centroid-ranked
     // lists -> ADC shortlist over stored codes -> exact re-rank of the
@@ -953,7 +1110,7 @@ object ExtQueries {
     // write->commit->read->dequantize->probe cycle
     "sim_ivf_sq8" -> q { c =>
       val store = new graft.write.TableStore(
-        java.nio.file.Files.createTempDirectory("graft-vsq").toString, c.spark)
+        Scratch.dir("graft-vsq"), c.spark)
       val vecs = c.t("embeddings")
       graft.write.VectorSink.writeIvfQuantized(store, "emb", vecs,
         "vec_id", "embedding", nlist = 16)
@@ -973,13 +1130,13 @@ object ExtQueries {
     // off the manifest (so a store round-trip corruption fails the gate)
     "sim_ivf_opq" -> q { c =>
       val store = new graft.write.TableStore(
-        java.nio.file.Files.createTempDirectory("graft-vopq").toString, c.spark)
+        Scratch.dir("graft-vopq"), c.spark)
       val vecs = c.t("embeddings")
       graft.write.VectorSink.writeIvfOpq(store, "emb", vecs,
         "vec_id", "embedding", nlist = 8, m = 4, ksub = 4, iters = 2)
       val g = graft.write.VectorSink.generation(store, "emb")
       val (rotation, spectrum) = g.opq.get
-      Opq.ivfOracleStash = Some(Opq.adcOracleSql(
+      OracleStash.put("sim_ivf_opq", Opq.adcOracleSql(
         Opq.OpqModel(rotation, spectrum, g.pqModel.get),
         ksub = 4, iters = 2, k = 5, shortlist = 20, maxQueryId = 10))
       val (orthOk, balanced, bucketsSorted) =
@@ -999,7 +1156,7 @@ object ExtQueries {
     // ADC pipeline, so that oracle gates the persisted collection
     "sim_ivf_pq" -> q { c =>
       val store = new graft.write.TableStore(
-        java.nio.file.Files.createTempDirectory("graft-vpq").toString, c.spark)
+        Scratch.dir("graft-vpq"), c.spark)
       val vecs = c.t("embeddings")
       graft.write.VectorSink.writeIvfPq(store, "emb", vecs,
         "vec_id", "embedding", nlist = 8, m = 4, ksub = 4, iters = 2)
@@ -1093,6 +1250,59 @@ object ExtQueries {
           packed.select(col("doc_id"), col("source"),
             col("n_tokens").cast("long").as("n_tokens"), col("tok_offset"),
             col("first_chunk"), col("last_chunk"))
+            .orderBy("doc_id")
+            .localCheckpoint(true)
+      }
+    },
+
+    // the FULL modern-curation composition over the same corpus: the
+    // v1 chain with (a) quality-CANONICAL near-dup resolution (each
+    // duplicate cluster keeps its best text_quality member, not an
+    // arbitrary one), (b) a TRAINED classifier keep stage after
+    // decontamination (ridge seed-discriminator fitted ON THE
+    // SURVIVORS — seed = longer-than-median docs — scoring rides the
+    // keep filter as a literal dot product), and (c) the deterministic
+    // epoch shuffle as terminal training order. ONE oracle replays
+    // every stage, the classifier weights as run-time-fitted literals
+    // (model-derived, like text_quality_classifier) and the shuffle
+    // rank from the same seeded md5 — filter → dedup-keep-best →
+    // decontaminate → classifier-keep → mix → cap → pack → shuffle,
+    // end to end under a single hash.
+    "ops_corpus_assembly_v2" -> q { c =>
+      import graft.ext.{AssemblyConfig, ClassifierStage, CorpusAssembly}
+      val docs = c.tw("documents")
+        .withColumn("ltext", replace(col("text"), lit(" table "), lit("\n")))
+      val corpus = docs.filter(col("doc_id") >= 25)
+        .select("doc_id", "source", "ltext")
+      val bench = docs.filter(col("doc_id") < 25).select("doc_id", "ltext")
+      val cfg = AssemblyConfig(
+        quality = t => {
+          import TextOps.Gopher._
+          val n = TextOps.tokenCount(t)
+          n >= MinWords && n <= MaxWords &&
+            TextOps.meanTokenLen(t) >= MinMeanWordLen &&
+            TextOps.meanTokenLen(t) <= MaxMeanWordLen &&
+            symbolRatio(t) <= MaxSymbolRatio &&
+            alphaWordRatio(t) >= MinAlphaWordRatio
+        },
+        lineMinDocs = 2, shingleN = 3, nearDupThreshold = 0.9,
+        maxContaminatedShare = 0.2, mixAlpha = 1.0, domainCap = 10,
+        packBudget = 512L,
+        canonicalQuality = Some(t => TextOps.qualityScore(t)),
+        classifier = Some(ClassifierStage(
+          seed = t => length(t) >= 300, threshold = 0.5)),
+        shuffle = Some((42L, 1)),
+        collectStageCounts = false)
+      CorpusAssembly.assemble(corpus, "doc_id", "ltext", "source", bench, cfg) {
+        (packed, stages) =>
+          OracleStash.put("ops_corpus_assembly_v2",
+            corpusAssemblyOracleSql(canonical = true,
+              classifier = Some((QualityClassifier.scoreExprSql(
+                stages.classifier.get), 0.5)),
+              shuffle = Some((42L, 1))))
+          packed.select(col("doc_id"), col("source"),
+            col("n_tokens").cast("long").as("n_tokens"), col("tok_offset"),
+            col("first_chunk"), col("last_chunk"), col("shuffle_rank"))
             .orderBy("doc_id")
             .localCheckpoint(true)
       }
@@ -1295,7 +1505,7 @@ object ExtQueries {
     // mm_phash_pairs, oracle restricted to the (new × old) pair face
     "mm_phash_incremental" -> q { c =>
       val store = new graft.write.TableStore(
-        java.nio.file.Files.createTempDirectory("graft-phinc").toString, c.spark)
+        Scratch.dir("graft-phinc"), c.spark)
       def items(lo: Long, hi: Long) = phashMedia(c.t("documents")
         .filter(col("doc_id") >= lo && col("doc_id") < hi))
       Phash.indexMedia(store, "img", items(0, 24))
@@ -1381,16 +1591,208 @@ object ExtQueries {
     }
   )
 
-  /** Static oracles plus the model-derived `sim_pca_project` oracle
-    * deposited by the gate query at run time (the dump in
-    * [[graft.Verify]] happens after all queries ran, so the stash is
-    * populated by then; absent → rows-only check, as before round 9). */
+  /** Static oracles plus the model-derived oracles deposited by the
+    * gate queries at run time through the KEYED [[OracleStash]] (the
+    * dump in [[graft.Verify]] happens after all queries ran, so each
+    * entry is populated by then; absent → rows-only check, as before
+    * round 9). */
   def oracles: Map[String, String] =
-    staticOracles ++ Pca.projectOracleStash.map("sim_pca_project" -> _) ++
-      Opq.adcOracleStash.map("sim_opq_adc" -> _) ++
-      Opq.ivfOracleStash.map("sim_ivf_opq" -> _) ++
-      QualityClassifier.oracleStash.map("text_quality_classifier" -> _) ++
-      QualityClassifier.persistedOracleStash.map("text_quality_persisted" -> _)
+    staticOracles ++ OracleStash.entries("sim_pca_project", "sim_opq_adc",
+      "sim_ivf_opq", "sim_opq_generation", "text_quality_classifier",
+      "text_quality_persisted", "text_quality_custom",
+      "ops_corpus_assembly_v2")
+
+  /** The composed corpus-assembly oracle: every stage re-derived with
+    * the same SQL fragments that gate the standalone operators. ONE
+    * builder serves both the v1 pipeline and the v2 curation variant
+    * (quality-canonical near-dup keeper, trained classifier keep with
+    * run-time-fitted literal weights, terminal epoch shuffle) — a
+    * shared prefix cannot silently diverge between the two gates.
+    *
+    * `classifier` = (score polynomial over the featurization column
+    * names, keep threshold); the polynomial comes from
+    * [[QualityClassifier.scoreExprSql]] on the model the QUERY fitted,
+    * so this oracle is model-derived exactly like
+    * text_quality_classifier's. */
+  private def corpusAssemblyOracleSql(canonical: Boolean,
+      classifier: Option[(String, Double)],
+      shuffle: Option[(Long, Int)]): String = {
+    val scores = TextOps.LangProfiles.map { case (l, ws) =>
+      s"""len(list_filter(string_split_regex(trim(t), '\\s+'),
+         |        w -> w IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l""".stripMargin
+    }.mkString(",\n    ")
+    val langs = TextOps.LangProfiles.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs
+      .map(l => s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'")
+      .mkString("\n         ")
+    // near-dup keeper: component minimum (v1) or the best-quality
+    // member under the text_quality composite over the CLEANED text
+    // (v2 — the exact dedup_canonical_select ranking, rounded-6 on
+    // both engines, ties to the lowest id)
+    val losers =
+      if (!canonical)
+        """losers AS (
+          |  SELECT id AS doc_id
+          |  FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
+          |  WHERE id <> component),""".stripMargin
+      else
+        s"""comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+           |cqual AS (
+           |  SELECT doc_id,
+           |    round(0.4 * least(1.0, n_tok::DOUBLE / 50.0)
+           |        + 0.3 * (1.0 - pr)
+           |        + 0.3 * least(1.0, (CASE WHEN n_tok = 0 THEN 0.0
+           |                            ELSE n_stop::DOUBLE / n_tok END) * 5.0),
+           |          6) AS quality
+           |  FROM (
+           |    SELECT doc_id,
+           |${QualityClassifier.featurizationSqlOver("tc")}
+           |    FROM cleand)),
+           |losers AS (
+           |  SELECT doc_id FROM (
+           |    SELECT c.doc_id,
+           |      row_number() OVER (PARTITION BY component
+           |        ORDER BY quality DESC, c.doc_id) AS rn
+           |    FROM comp c JOIN cqual USING (doc_id))
+           |  WHERE rn > 1),""".stripMargin
+    // trained classifier keep: featurize the cleaned text of the
+    // decontamination survivors, apply the fitted literal polynomial,
+    // keep scores at/above the threshold
+    val classifierCtes = classifier.map { case (scoreExpr, thr) =>
+      s"""feat AS (
+         |  SELECT doc_id,
+         |${QualityClassifier.featurizationSqlOver("tc")}
+         |  FROM kept),
+         |cls AS (
+         |  SELECT doc_id,
+         |    $scoreExpr AS score
+         |  FROM feat),
+         |curated AS (
+         |  SELECT kept.* FROM kept JOIN cls USING (doc_id)
+         |  WHERE score >= ${java.lang.Double.toString(thr)}),""".stripMargin
+    }.getOrElse("")
+    val cappedFrom = if (classifier.isDefined) "curated" else "kept"
+    // terminal training order: the deterministic epoch-shuffle rank
+    // (seeded md5 over the id — TrainingOrder.orderKey verbatim)
+    val shuffleCol = shuffle.map { case (seed, epoch) =>
+      s""",
+         |  (row_number() OVER (
+         |    ORDER BY md5('$seed:$epoch:' || doc_id::VARCHAR), doc_id) - 1)::BIGINT
+         |    AS shuffle_rank""".stripMargin
+    }.getOrElse("")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, source, replace(text, ' table ', chr(10)) AS t
+       |  FROM documents WHERE doc_id >= 25),
+       |lidscore AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM d),
+       |lid AS (
+       |  SELECT d.* FROM d JOIN (
+       |    SELECT doc_id,
+       |      CASE $cases
+       |           ELSE 'und' END AS lang_pred
+       |    FROM lidscore) lp USING (doc_id)
+       |  WHERE lp.lang_pred = 'en'),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(t)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(t), '\\s+')) END AS n_words,
+       |    length(regexp_replace(t, '\\s+', '', 'g')) AS n_nonspace,
+       |    len(regexp_extract_all(t, '#|\\.\\.\\.')) AS n_sym,
+       |    len(list_filter(string_split_regex(trim(t), '\\s+'),
+       |        w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha
+       |  FROM lid),
+       |qual AS (
+       |  SELECT lid.* FROM lid JOIN g USING (doc_id)
+       |  WHERE n_words >= 50 AND n_words <= 100000
+       |    AND n_nonspace::DOUBLE / n_words >= 3.0
+       |    AND n_nonspace::DOUBLE / n_words <= 10.0
+       |    AND n_sym::DOUBLE / n_words <= 0.1
+       |    AND n_alpha::DOUBLE / n_words >= 0.8),
+       |l AS (
+       |  SELECT doc_id, i - 1 AS idx, ls[i] AS line, trim(ls[i]) AS norm
+       |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM qual),
+       |       LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g2),
+       |b AS (
+       |  SELECT norm AS dup FROM l WHERE norm <> ''
+       |  GROUP BY norm HAVING count(DISTINCT doc_id) >= 2),
+       |clean AS (
+       |  SELECT l.doc_id,
+       |    coalesce(string_agg(line, chr(10) ORDER BY idx)
+       |      FILTER (WHERE b.dup IS NULL), '') AS tc
+       |  FROM l LEFT JOIN b ON l.norm = b.dup
+       |  GROUP BY l.doc_id),
+       |cleand AS (
+       |  SELECT c.doc_id, q.source, c.tc,
+       |    len(regexp_extract_all(c.tc, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+       |      AS n_tokens
+       |  FROM clean c JOIN qual q USING (doc_id)),
+       |toks AS (
+       |  SELECT doc_id,
+       |    string_split(lower(regexp_replace(trim(tc), '\\s+', ' ', 'g')), ' ') AS ts
+       |  FROM cleand),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g3
+       |  UNION
+       |  SELECT doc_id, array_to_string(ts, ' ') AS shingle
+       |  FROM toks WHERE len(ts) < 3),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+       |  WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.9),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id),
+       |$losers
+       |dedup AS (
+       |  SELECT * FROM cleand WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+       |benchtoks AS (
+       |  SELECT doc_id, string_split(lower(regexp_replace(
+       |    trim(replace(text, ' table ', chr(10))), '\\s+', ' ', 'g')), ' ') AS ts
+       |  FROM documents WHERE doc_id < 25),
+       |benchsh AS (
+       |  SELECT DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       |  FROM benchtoks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g4
+       |  UNION
+       |  SELECT DISTINCT array_to_string(ts, ' ') FROM benchtoks WHERE len(ts) < 3),
+       |dsh AS (SELECT doc_id, shingle FROM sh JOIN dedup USING (doc_id)),
+       |contam AS (
+       |  SELECT d2.doc_id, count(*) AS n_shingles, count(bs.shingle) AS n_contaminated
+       |  FROM dsh d2 LEFT JOIN benchsh bs USING (shingle)
+       |  GROUP BY 1),
+       |kept AS (
+       |  SELECT dedup.* FROM dedup JOIN contam USING (doc_id)
+       |  WHERE NOT (n_contaminated::DOUBLE >= n_shingles::DOUBLE * 0.2)),
+       |$classifierCtes
+       |capped AS (
+       |  SELECT doc_id, source, n_tokens FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_tokens DESC, doc_id) AS rn FROM $cappedFrom)
+       |  WHERE rn <= 10),
+       |packed AS (
+       |  SELECT doc_id, source, n_tokens::BIGINT AS n_tokens,
+       |    coalesce(sum(n_tokens::BIGINT) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS tok_offset
+       |  FROM capped)
+       |SELECT doc_id, source, n_tokens, tok_offset,
+       |  tok_offset // 512 AS first_chunk,
+       |  (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS last_chunk$shuffleCol
+       |FROM packed ORDER BY doc_id""".stripMargin
+  }
 
   private val staticOracles: Map[String, String] = Map(
     "text_token_count" ->
@@ -1641,130 +2043,9 @@ object ExtQueries {
 
     // the composed pipeline: every stage re-derived with the same SQL
     // fragments that gate the standalone operators
-    "ops_corpus_assembly" -> {
-      val scores = TextOps.LangProfiles.map { case (l, ws) =>
-        s"""len(list_filter(string_split_regex(trim(t), '\\s+'),
-           |        w -> w IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l""".stripMargin
-      }.mkString(",\n    ")
-      val langs = TextOps.LangProfiles.map(_._1)
-      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
-      val cases = langs
-        .map(l => s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'")
-        .mkString("\n         ")
-      s"""WITH RECURSIVE d AS (
-         |  SELECT doc_id, source, replace(text, ' table ', chr(10)) AS t
-         |  FROM documents WHERE doc_id >= 25),
-         |lidscore AS (
-         |  SELECT doc_id,
-         |    $scores
-         |  FROM d),
-         |lid AS (
-         |  SELECT d.* FROM d JOIN (
-         |    SELECT doc_id,
-         |      CASE $cases
-         |           ELSE 'und' END AS lang_pred
-         |    FROM lidscore) lp USING (doc_id)
-         |  WHERE lp.lang_pred = 'en'),
-         |g AS (
-         |  SELECT doc_id,
-         |    CASE WHEN length(trim(t)) = 0 THEN 0
-         |         ELSE len(string_split_regex(trim(t), '\\s+')) END AS n_words,
-         |    length(regexp_replace(t, '\\s+', '', 'g')) AS n_nonspace,
-         |    len(regexp_extract_all(t, '#|\\.\\.\\.')) AS n_sym,
-         |    len(list_filter(string_split_regex(trim(t), '\\s+'),
-         |        w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha
-         |  FROM lid),
-         |qual AS (
-         |  SELECT lid.* FROM lid JOIN g USING (doc_id)
-         |  WHERE n_words >= 50 AND n_words <= 100000
-         |    AND n_nonspace::DOUBLE / n_words >= 3.0
-         |    AND n_nonspace::DOUBLE / n_words <= 10.0
-         |    AND n_sym::DOUBLE / n_words <= 0.1
-         |    AND n_alpha::DOUBLE / n_words >= 0.8),
-         |l AS (
-         |  SELECT doc_id, i - 1 AS idx, ls[i] AS line, trim(ls[i]) AS norm
-         |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM qual),
-         |       LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g2),
-         |b AS (
-         |  SELECT norm AS dup FROM l WHERE norm <> ''
-         |  GROUP BY norm HAVING count(DISTINCT doc_id) >= 2),
-         |clean AS (
-         |  SELECT l.doc_id,
-         |    coalesce(string_agg(line, chr(10) ORDER BY idx)
-         |      FILTER (WHERE b.dup IS NULL), '') AS tc
-         |  FROM l LEFT JOIN b ON l.norm = b.dup
-         |  GROUP BY l.doc_id),
-         |cleand AS (
-         |  SELECT c.doc_id, q.source, c.tc,
-         |    len(regexp_extract_all(c.tc, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
-         |      AS n_tokens
-         |  FROM clean c JOIN qual q USING (doc_id)),
-         |toks AS (
-         |  SELECT doc_id,
-         |    string_split(lower(regexp_replace(trim(tc), '\\s+', ' ', 'g')), ' ') AS ts
-         |  FROM cleand),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g3
-         |  UNION
-         |  SELECT doc_id, array_to_string(ts, ' ') AS shingle
-         |  FROM toks WHERE len(ts) < 3),
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM inter
-         |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-         |  WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.9),
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS id FROM edges),
-         |reach AS (
-         |  SELECT id, id AS r FROM nodes
-         |  UNION
-         |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id),
-         |losers AS (
-         |  SELECT id AS doc_id
-         |  FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
-         |  WHERE id <> component),
-         |dedup AS (
-         |  SELECT * FROM cleand WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
-         |benchtoks AS (
-         |  SELECT doc_id, string_split(lower(regexp_replace(
-         |    trim(replace(text, ' table ', chr(10))), '\\s+', ' ', 'g')), ' ') AS ts
-         |  FROM documents WHERE doc_id < 25),
-         |benchsh AS (
-         |  SELECT DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-         |  FROM benchtoks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g4
-         |  UNION
-         |  SELECT DISTINCT array_to_string(ts, ' ') FROM benchtoks WHERE len(ts) < 3),
-         |dsh AS (SELECT doc_id, shingle FROM sh JOIN dedup USING (doc_id)),
-         |contam AS (
-         |  SELECT d2.doc_id, count(*) AS n_shingles, count(bs.shingle) AS n_contaminated
-         |  FROM dsh d2 LEFT JOIN benchsh bs USING (shingle)
-         |  GROUP BY 1),
-         |kept AS (
-         |  SELECT dedup.* FROM dedup JOIN contam USING (doc_id)
-         |  WHERE NOT (n_contaminated::DOUBLE >= n_shingles::DOUBLE * 0.2)),
-         |capped AS (
-         |  SELECT doc_id, source, n_tokens FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-         |      ORDER BY n_tokens DESC, doc_id) AS rn FROM kept)
-         |  WHERE rn <= 10),
-         |packed AS (
-         |  SELECT doc_id, source, n_tokens::BIGINT AS n_tokens,
-         |    coalesce(sum(n_tokens::BIGINT) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-         |      AS tok_offset
-         |  FROM capped)
-         |SELECT doc_id, source, n_tokens, tok_offset,
-         |  tok_offset // 512 AS first_chunk,
-         |  (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS last_chunk
-         |FROM packed ORDER BY doc_id""".stripMargin
-    },
+    "ops_corpus_assembly" ->
+      corpusAssemblyOracleSql(canonical = false, classifier = None,
+        shuffle = None),
 
     "dedup_ngram_jaccard" -> (jaccardSql(0.8) + " ORDER BY id_a, id_b"),
 
@@ -2018,6 +2299,34 @@ object ExtQueries {
     // (sign codes are data-independent: append vs write cannot change a
     // code, and with every list probed the assignment is invisible)
     "sim_ivf_bq" -> binaryRerankOracle,
+
+    // the BINARY generation probe ≡ the Hamming shortlist + exact
+    // re-rank over the even half alone (gen 1's pinned corpus);
+    // generations 1,2,3 all survive
+    "sim_bq_generation" ->
+      binaryRerankOracleOver("vec_id % 2 = 0", ", '1,2,3' AS gens"),
+
+    // facade time-travel probe ≡ brute force over the even half (gen
+    // 1's corpus); describe fields asserted as literals — gen 2 after
+    // the append, physical rows = the whole table
+    "ds_vectors" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+        |    list_cosine_similarity(q.v, c.v) AS cs
+        |  FROM corpus q JOIN corpus c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (
+        |  SELECT query_id, match_id, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, match_id, round(cs, 6) AS cosine,
+        |  2::BIGINT AS gen, 'cosine' AS metric, 64 AS dim, 8 AS nlist,
+        |  (SELECT count(*) FROM embeddings)::BIGINT AS physical_rows,
+        |  2::BIGINT AS generations
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // nprobe = nlist ≡ exact: the brute-force oracle applies verbatim
     "sim_ivf_exact" ->

@@ -14,7 +14,7 @@ import graft.write.{Dispositions, ReplaceStrategy, TableStore}
   */
 object LifecycleQueries {
 
-  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+  private def tmp(p: String): String = Scratch.dir(p)
 
   val defs: Map[String, Q] = Map(
     // "table as SELECT" with _dlt_load_id injection; star-select rejected

@@ -16,7 +16,7 @@ import graft.write._
 object MergeQueries {
 
   private def tmpStore(c: Ctx): TableStore =
-    new TableStore(Files.createTempDirectory("graft-q").toString, c.spark)
+    new TableStore(Scratch.dir("graft-q"), c.spark)
 
   /** load1 = orders with key%3==1; load2 = orders with key%2==0 (overlap
     * at key%6==4), tagged with provenance. */

@@ -18,7 +18,7 @@ object PlaneQueries {
     // exactly-once across two overlapping incremental runs: the boundary
     // row is re-delivered in batch 2 and dropped by fingerprint dedup
     "inc_exactly_once" -> q { c =>
-      val p = new Pipeline("inc", Files.createTempDirectory("graft-inc").toString, c.spark)
+      val p = new Pipeline("inc", Scratch.dir("graft-inc"), c.spark)
       val events = c.t("events").select("event_id", "user_id", "event_type")
       val mid = events.agg((max(col("event_id")) / 2).cast("long")).head().getLong(0)
       val cfg = Incremental.Config(cursorColumn = "event_id", primaryKey = Seq("event_id"))
@@ -34,7 +34,7 @@ object PlaneQueries {
     // NULL for the new column, the dropped column stays, NULL-filled
     // for new rows) — reference evolve-mode contracts
     "plane_schema_evolve" -> q { c =>
-      val p = new Pipeline("se", Files.createTempDirectory("graft-se").toString, c.spark)
+      val p = new Pipeline("se", Scratch.dir("graft-se"), c.spark)
       val ev = c.t("events")
       val half1 = ev.filter(col("event_id") % 2 === 0)
         .select("event_id", "user_id", "event_type")
@@ -54,10 +54,10 @@ object PlaneQueries {
     // delivers the boundary row; fingerprint dedup + cursor state keep
     // the table exactly-once without any checkpoint help
     "stream_incremental_cursor" -> q { c =>
-      val p = new Pipeline("sinc", Files.createTempDirectory("graft-sinc").toString, c.spark)
+      val p = new Pipeline("sinc", Scratch.dir("graft-sinc"), c.spark)
       val cfg = Incremental.Config(cursorColumn = "event_id",
         primaryKey = Seq("event_id"))
-      val tmp = Files.createTempDirectory("graft-sinc-src").toString
+      val tmp = Scratch.dir("graft-sinc-src")
       val events = c.t("events").select("event_id", "user_id", "event_type")
       val mid = events.agg((max(col("event_id")) / 2).cast("long")).head().getLong(0)
       events.filter(col("event_id") <= mid).write.parquet(s"$tmp/b1")
@@ -74,7 +74,7 @@ object PlaneQueries {
 
     // relation facade: typed filter ops + select + order + limit
     "ds_relation_ops" -> q { c =>
-      val p = new Pipeline("ds", Files.createTempDirectory("graft-ds").toString, c.spark)
+      val p = new Pipeline("ds", Scratch.dir("graft-ds"), c.spark)
       p.run(Seq(Resource("documents", c.t("documents"))), "1")
       p.dataset.table("documents")
         .where("lang", "eq", "en")
@@ -87,7 +87,7 @@ object PlaneQueries {
 
     // reference-driven join: ON clause derived from the schema registry
     "ds_reference_join" -> q { c =>
-      val p = new Pipeline("dj", Files.createTempDirectory("graft-dj").toString, c.spark)
+      val p = new Pipeline("dj", Scratch.dir("graft-dj"), c.spark)
       p.run(Seq(Resource("customer", c.t("customer")),
         Resource("nation", c.t("nation"))), "1")
       p.registry.register("customer", p.store.read("customer").schema,
@@ -117,9 +117,9 @@ object PlaneQueries {
       import graft.pipeline.CustomDestination
       import graft.write.TableStore
       val p = new Pipeline("cdest",
-        Files.createTempDirectory("graft-cdest").toString, c.spark)
+        Scratch.dir("graft-cdest"), c.spark)
       val ext = new TableStore(
-        Files.createTempDirectory("graft-cdest-ext").toString, c.spark)
+        Scratch.dir("graft-cdest-ext"), c.spark)
       val events = c.t("events").select("event_id", "user_id", "event_type")
       val mid = events.agg((max(col("event_id")) / 2).cast("long"))
         .head().getLong(0)
@@ -143,7 +143,7 @@ object PlaneQueries {
     },
 
     "plane_transformer" -> q { c =>
-      val p = new Pipeline("tr", Files.createTempDirectory("graft-tr").toString, c.spark)
+      val p = new Pipeline("tr", Scratch.dir("graft-tr"), c.spark)
       val orders = c.t("orders").filter(col("o_orderkey") < 500)
         .select("o_orderkey", "o_totalprice")
       val fees = Resource("order_fees", orders.select(col("o_orderkey"),
@@ -207,7 +207,7 @@ object PlaneQueries {
     // boundary dedup) — union of the two runs is exactly-once per file
     "src_files_incremental" -> q { c =>
       import graft.sources.Filesystem
-      val dir = Files.createTempDirectory("graft-fsi").toString
+      val dir = Scratch.dir("graft-fsi")
       val ev = c.t("events").select("event_id", "user_id", "event_type")
       val mid = ev.agg((max(col("event_id")) / 2).cast("long")).head().getLong(0)
       ev.filter(col("event_id") <= mid).write.parquet(s"$dir/batch_a")
@@ -233,7 +233,7 @@ object PlaneQueries {
     // shared bin/smooth/decimal-Σ fragment
     "plane_drift_quarantine" -> q { c =>
       val p = new Pipeline("dqg",
-        Files.createTempDirectory("graft-dqg").toString, c.spark)
+        Scratch.dir("graft-dqg"), c.spark)
       val o = c.t("orders")
       val base = o.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice").cast("double").as("v"))
@@ -263,7 +263,7 @@ object PlaneQueries {
     // on the lifted quarter), and the quarantine table is gone.
     "plane_quarantine_replay" -> q { c =>
       val p = new Pipeline("dqr",
-        Files.createTempDirectory("graft-dqr").toString, c.spark)
+        Scratch.dir("graft-dqr"), c.spark)
       val o = c.t("orders")
       val base = o.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice").cast("double").as("v"))
@@ -300,7 +300,7 @@ object PlaneQueries {
     // intermediate table sizes, and the final no-table invariant.
     "plane_quarantine_retention" -> q { c =>
       val p = new Pipeline("dqt",
-        Files.createTempDirectory("graft-dqt").toString, c.spark)
+        Scratch.dir("graft-dqt"), c.spark)
       val o = c.t("orders")
       val base = o.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice").cast("double").as("v"))
@@ -338,7 +338,7 @@ object PlaneQueries {
     // with the current head, both through GraftDataset
     "ds_as_of" -> q { c =>
       val p = new Pipeline("dsa",
-        Files.createTempDirectory("graft-dsa").toString, c.spark)
+        Scratch.dir("graft-dsa"), c.spark)
       val ev = c.t("events").select("event_id", "user_id")
       p.run(Seq(Resource("events_t", ev.filter(col("event_id") < 100))), "1")
       val snap1 = p.dataset.snapshots("events_t").last
@@ -354,7 +354,7 @@ object PlaneQueries {
 
     // filesystem source: csv write + distributed read with provenance
     "src_csv_roundtrip" -> q { c =>
-      val dir = Files.createTempDirectory("graft-csv").toString
+      val dir = Scratch.dir("graft-csv")
       c.t("region").write.option("header", "true").csv(s"$dir/region")
       Filesystem.readCsv(c.spark, s"$dir/region")
         .select("r_regionkey", "r_name").orderBy("r_regionkey")

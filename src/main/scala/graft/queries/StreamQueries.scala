@@ -35,7 +35,7 @@ object StreamQueries {
   val defs: Map[String, Q] = Map(
     // file stream → AvailableNow → full pipeline load path per batch
     "stream_pipeline_append" -> q { c =>
-      val p = new Pipeline("st", Files.createTempDirectory("graft-st").toString, c.spark)
+      val p = new Pipeline("st", Scratch.dir("graft-st"), c.spark)
       val src = Streaming.fileStream(c.spark, s"${c.dir}/events.parquet")
       Streaming.intoPipeline(p, src, b =>
         Resource("events_stream", b.select("event_id", "user_id", "event_type")))
@@ -55,7 +55,7 @@ object StreamQueries {
     "stream_vector_append" -> q { c =>
       import graft.write.{TableStore, VectorSink}
       val store = new TableStore(
-        Files.createTempDirectory("graft-svec").toString, c.spark)
+        Scratch.dir("graft-svec"), c.spark)
       val vecs = c.t("embeddings").select("vec_id", "embedding")
       val evens = vecs.filter(col("vec_id") % 2 === 0)
       VectorSink.writeIvf(store, "emb", evens, "vec_id", "embedding",
@@ -64,7 +64,7 @@ object StreamQueries {
         .select(col("vec_id"),
           transform(col("embedding"), x => x * lit(0.5) + lit(4.0))
             .cast("array<float>").as("embedding"))
-      val srcDir = Files.createTempDirectory("graft-svecsrc").toString
+      val srcDir = Scratch.dir("graft-svecsrc")
       blob.repartition(4).write.mode("overwrite").parquet(srcDir)
       val src = Streaming.fileStream(c.spark, srcDir,
         options = Map("maxFilesPerTrigger" -> "1"))
@@ -86,11 +86,11 @@ object StreamQueries {
     "stream_ann_probe" -> q { c =>
       import graft.write.{TableStore, VectorSink}
       val store = new TableStore(
-        Files.createTempDirectory("graft-sprobe").toString, c.spark)
+        Scratch.dir("graft-sprobe"), c.spark)
       val vecs = c.t("embeddings").select("vec_id", "embedding")
       VectorSink.writeIvf(store, "emb", vecs, "vec_id", "embedding",
         nlist = 8)
-      val srcDir = Files.createTempDirectory("graft-sprobesrc").toString
+      val srcDir = Scratch.dir("graft-sprobesrc")
       vecs.filter(col("vec_id") < 12).repartition(3)
         .write.mode("overwrite").parquet(srcDir)
       val src = Streaming.fileStream(c.spark, srcDir,
@@ -110,7 +110,7 @@ object StreamQueries {
     // rows, proving the incremental rollup is lossless
     "stream_hll_rollup" -> q { c =>
       val store = new TableStore(
-        Files.createTempDirectory("graft-shll").toString, c.spark)
+        Scratch.dir("graft-shll"), c.spark)
       val src = Streaming.fileStream(c.spark, s"${c.dir}/events.parquet")
       Streaming.drainAvailableNow(src) { (batch, _) =>
         store.append("regs", graft.operators.Sketches.hllRegisters(
@@ -125,7 +125,7 @@ object StreamQueries {
     // event-time tumbling window counts, complete mode → overwrite
     "stream_window_tumbling" -> q { c =>
       val ss = streamSession(c)
-      val store = new TableStore(Files.createTempDirectory("graft-stw").toString, c.spark)
+      val store = new TableStore(Scratch.dir("graft-stw"), c.spark)
       val src = graft.Tables.nanosNormalize(
           Streaming.fileStream(ss, s"${c.dir}/events.parquet"))
         .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
@@ -140,7 +140,7 @@ object StreamQueries {
     // update mode; the final value per key is the max of its updates
     "stream_stateful_counts" -> q { c =>
       val ss = streamSession(c)
-      val store = new TableStore(Files.createTempDirectory("graft-sts").toString, c.spark)
+      val store = new TableStore(Scratch.dir("graft-sts"), c.spark)
       val src = Streaming.fileStream(ss, s"${c.dir}/events.parquet")
       val counts = Streaming.statefulCounts(src, "event_type")
       Streaming.drainAvailableNow(counts, outputMode = "update") {
@@ -154,7 +154,7 @@ object StreamQueries {
     // foreachBatch upserts each micro-batch through the segment-pruned
     // merge path; the final table holds the highest revision per key
     "stream_merge_upsert" -> q { c =>
-      val tmp = Files.createTempDirectory("graft-stm").toString
+      val tmp = Scratch.dir("graft-stm")
       val ev = c.spark.read.parquet(s"${c.dir}/events.parquet")
         .select(col("event_id"), col("user_id"), col("value"))
       // rev 1: every event; rev 2: a bumped value for event_id % 3 == 0
@@ -177,7 +177,7 @@ object StreamQueries {
     // partitioned-SCD2 load (mergeKey scoping: only keys present in the
     // batch may retire), validity boundaries keyed off the batch id
     "stream_scd2" -> q { c =>
-      val tmp = Files.createTempDirectory("graft-stscd").toString
+      val tmp = Scratch.dir("graft-stscd")
       val base = c.t("orders").filter(col("o_orderkey") < 1000)
         .select(col("o_orderkey"), col("o_totalprice").as("price"))
       val changed = base.filter(col("o_orderkey") % 7 =!= 0)
@@ -219,7 +219,7 @@ object StreamQueries {
     // sessions merge incrementally in the state store across batches
     "stream_session_window" -> q { c =>
       val ss = streamSession(c)
-      val store = new TableStore(Files.createTempDirectory("graft-stsw").toString, c.spark)
+      val store = new TableStore(Scratch.dir("graft-stsw"), c.spark)
       val src = graft.Tables.nanosNormalize(
           Streaming.fileStream(ss, s"${c.dir}/events.parquet"))
         .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
@@ -235,7 +235,7 @@ object StreamQueries {
     // so join state is GC-able, the range predicate bounds buffering
     "stream_stream_join" -> q { c =>
       val ss = streamSession(c)
-      val store = new TableStore(Files.createTempDirectory("graft-stj").toString, c.spark)
+      val store = new TableStore(Scratch.dir("graft-stj"), c.spark)
       def side(t: String, idAs: String, tsAs: String) =
         graft.Tables.nanosNormalize(
             Streaming.fileStream(ss, s"${c.dir}/events.parquet"))
@@ -258,7 +258,7 @@ object StreamQueries {
     // exactly one row per event_id across micro-batches
     "stream_dedup_exactly_once" -> q { c =>
       val ss = streamSession(c)
-      val store = new TableStore(Files.createTempDirectory("graft-std").toString, c.spark)
+      val store = new TableStore(Scratch.dir("graft-std"), c.spark)
       val src = Streaming.fileStream(ss, s"${c.dir}/events.parquet")
         .select(col("event_id"), col("user_id"))
         .withColumn("_copy", explode(array(lit(1), lit(2))))
@@ -279,11 +279,11 @@ object StreamQueries {
     "stream_incremental_dedup" -> q { c =>
       val ss = streamSession(c)
       val store = new TableStore(
-        Files.createTempDirectory("graft-sid").toString, c.spark)
+        Scratch.dir("graft-sid"), c.spark)
       val docs = c.tw("documents")
       graft.ext.IncrementalDedup.indexCorpus(store, "corpus",
         docs.filter(col("doc_id") < 250), "doc_id", "text")
-      val srcDir = Files.createTempDirectory("graft-sid-src").toString
+      val srcDir = Scratch.dir("graft-sid-src")
       docs.filter(col("doc_id") >= 250)
         .repartitionByRange(3, col("doc_id"))
         .write.mode("overwrite").parquet(srcDir)
@@ -309,10 +309,10 @@ object StreamQueries {
       import graft.ext.Phash
       val ss = streamSession(c)
       val store = new TableStore(
-        Files.createTempDirectory("graft-sps").toString, c.spark)
+        Scratch.dir("graft-sps"), c.spark)
       Phash.indexMedia(store, "img", ExtQueries.phashMedia(
         c.tw("documents").filter(col("doc_id") < 36)))
-      val srcDir = Files.createTempDirectory("graft-sps-src").toString
+      val srcDir = Scratch.dir("graft-sps-src")
       c.tw("documents").filter(col("doc_id") >= 36 && col("doc_id") < 48)
         .select("doc_id")
         .repartitionByRange(3, col("doc_id"))
@@ -338,8 +338,8 @@ object StreamQueries {
     "stream_drift_monitor" -> q { c =>
       val ss = streamSession(c)
       val store = new TableStore(
-        Files.createTempDirectory("graft-sdm").toString, c.spark)
-      val srcDir = Files.createTempDirectory("graft-sdm-src").toString
+        Scratch.dir("graft-sdm"), c.spark)
+      val srcDir = Scratch.dir("graft-sdm-src")
       // plain load (tw's wide repartition would be pure shuffle waste
       // ahead of a coalesce(1) file write)
       val ev = c.t("events").select("event_id", "event_type", "value")
@@ -382,13 +382,13 @@ object StreamQueries {
       val docs = c.tw("documents")
       val model = QualityClassifier.fit(docs, "text", col("lang") === "en")
       val store = new TableStore(
-        Files.createTempDirectory("graft-sqf").toString, c.spark)
+        Scratch.dir("graft-sqf"), c.spark)
       QualityClassifier.save(store, "qc_model", model)
       // the serving process loads the artifact once at startup
       val loaded = QualityClassifier.load(store, "qc_model")
-      QualityClassifier.streamOracleStash =
-        Some(QualityClassifier.keptOracleSql(loaded, threshold = 0.5))
-      val srcDir = Files.createTempDirectory("graft-sqf-src").toString
+      OracleStash.put("stream_quality_filter",
+        QualityClassifier.keptOracleSql(loaded, threshold = 0.5))
+      val srcDir = Scratch.dir("graft-sqf-src")
       docs.select("doc_id", "text")
         .repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(srcDir)
@@ -407,10 +407,10 @@ object StreamQueries {
   )
 
   /** Static oracles plus the model-derived stream_quality_filter oracle
-    * deposited at run time (same contract as ExtQueries.oracles). */
+    * deposited at run time (same keyed-stash contract as
+    * ExtQueries.oracles). */
   def oracles: Map[String, String] =
-    staticOracles ++ graft.ext.QualityClassifier.streamOracleStash
-      .map("stream_quality_filter" -> _)
+    staticOracles ++ OracleStash.entries("stream_quality_filter")
 
   private val staticOracles: Map[String, String] = Map(
     "stream_pipeline_append" ->

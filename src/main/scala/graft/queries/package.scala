@@ -34,4 +34,58 @@ package object queries {
     }
     def all: Map[String, Map[String, Double]] = values
   }
+
+  /** MODEL-DERIVED oracle registry, keyed by query name: queries whose
+    * DuckDB oracle embeds run-time-fitted literals (PCA loadings, OPQ
+    * rotations, classifier weights) deposit the SQL here as they run;
+    * `oracleSql` reads each query's own key afterwards. Keying is the
+    * hardening over the old per-model `@volatile var` stashes: a rerun
+    * (or a concurrent run of a DIFFERENT model query in the same JVM)
+    * can only overwrite its OWN entry, never clobber another query's
+    * oracle — the stash a name resolves to is always the one ITS
+    * latest run fitted. Absent key → the driver records a weaker
+    * rows-only check, same contract as before. */
+  /** Harness-managed scratch directories: query builders create their
+    * temp stores/checkpoints through [[Scratch.dir]] instead of bare
+    * `Files.createTempDirectory`, and the runner ([[graft.Verify]] /
+    * [[graft.Bench]]) sweeps everything registered after the run —
+    * without this, every driver/bench invocation leaked one directory
+    * per store-backed query (55 sites) into the system temp dir.
+    * Sweep timing is safe by construction: the runner materializes
+    * each query's frame (parquet dump / count) BEFORE the run-level
+    * sweep, so no lazy plan reads a deleted store. */
+  object Scratch {
+    private val dirs =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+    def dir(prefix: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      dirs.add(p)
+      p.toString
+    }
+    /** Delete every registered directory (best-effort, deepest-first). */
+    def sweep(): Unit = {
+      var p = dirs.poll()
+      while (p != null) {
+        try {
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.walk(p)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala
+            .foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+          finally s.close()
+        } catch { case _: java.io.IOException => () }
+        p = dirs.poll()
+      }
+    }
+  }
+
+  object OracleStash {
+    private val sqls =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def put(query: String, sql: String): Unit = sqls.put(query, sql)
+    def get(query: String): Option[String] = Option(sqls.get(query))
+    /** The named entries present, as oracle-map pairs. */
+    def entries(names: String*): Map[String, String] =
+      names.flatMap(n => get(n).map(n -> _)).toMap
+  }
 }

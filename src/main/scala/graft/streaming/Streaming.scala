@@ -189,24 +189,49 @@ object Streaming {
       s"collection '$table' is quantized: streaming probes need the " +
         "stored vectors — drain batches into VectorSink.topKQuantized/" +
         "topKPq/topKOpq (they need the full-vector frame) out of band")
+    // IDEMPOTENT per batchId — foreachBatch's replay contract: with a
+    // durable checkpoint, a crash between an append and the stream
+    // commit re-runs that batch on restart; the hits it already wrote
+    // must not double. Batch ids are MONOTONIC within the one stream
+    // lineage that owns `out` (contract above), so "already written" ≡
+    // bid <= the max `_batch_id` any committed segment declares (each
+    // append stamps the column and declares stats on it). That max is
+    // read ONCE at stream start — one driver-file manifest walk, no
+    // Spark job, spec-pinned via [[guardManifestReads]] — and carried
+    // in driver memory across batches: O(1) per batch where the old
+    // per-batch segments(out) walk was O(committed segments), a cost
+    // that grew with every batch on a never-compacted serving stream.
+    // A restart re-reads the manifest, which is exactly what covers the
+    // crash-between-append-and-commit replay.
+    var maxWritten = maxBatchIdStat(store, out)
     drainAvailableNow(queries, checkpoint) { (batch, bid) =>
-      // IDEMPOTENT per batchId — foreachBatch's replay contract: with a
-      // durable checkpoint, a crash between this append and the stream
-      // commit re-runs the batch on restart; the hits it already wrote
-      // must not double. The guard is driver-side segment stats (each
-      // append stamps `_batch_id` and declares stats on it — one
-      // manifest read, no Spark job), mirroring the recordLoad
-      // duplicate guard of the pipeline path.
-      val done = store.exists(out) && store.segments(out).exists(
-        _.stats.get("_batch_id").exists(s =>
-          s.overlaps(bid.toString, bid.toString)))
-      if (!batch.isEmpty && !done)
+      if (!batch.isEmpty && bid > maxWritten) {
         store.append(out, graft.write.VectorSink.topK(
             store, table, batch, id, vec, k, nprobe)
           .withColumn("_batch_id", org.apache.spark.sql.functions.lit(bid)),
           statsFor = Seq("_batch_id"))
+        maxWritten = bid
+      }
     }
   }
+
+  /** Max `_batch_id` declared by any committed segment of `table` (−1
+    * when the table is absent or carries no such stat): ONE manifest
+    * read, no Spark job — the serving stream's restart watermark. */
+  private[streaming] def maxBatchIdStat(store: TableStore,
+      table: String): Long = {
+    guardManifestReads.incrementAndGet()
+    if (!store.exists(table)) -1L
+    else store.segments(table).flatMap(_.stats.get("_batch_id"))
+      .flatMap(s => scala.util.Try(BigDecimal(s.max).toLong).toOption)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Test hook: manifest walks performed by the serving idempotence
+    * guard — the spec pins ONE per stream run regardless of how many
+    * micro-batches drain (the O(1)-per-batch claim, made measurable). */
+  private[graft] val guardManifestReads =
+    new java.util.concurrent.atomic.AtomicLong
 
   /** Exactly-once key dedup across micro-batches: event-time watermark
     * bounds the dedup state, `dropDuplicates` keeps the first arrival

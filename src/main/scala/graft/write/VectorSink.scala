@@ -316,12 +316,15 @@ object VectorSink {
   }
 
   /** Dim of the corpus vector column, validated over the WHOLE corpus
-    * in one aggregate (min = max, no NULLs) — the write-side twin of
-    * [[widthChecked]] and the full-write counterpart of [[ingest]]'s
+    * in one EAGER aggregate (min = max, no NULLs) — the write-side twin
+    * of [[widthChecked]] and the full-write counterpart of [[ingest]]'s
     * batch validation: a mixed-width or NULL row would persist codes
     * of differing word counts silently, and every later probe kernel
-    * clamps to min(length). One extra aggregate on an already
-    * O(corpus) path. */
+    * clamps to min(length). OPQ-only: [[graft.ext.Opq.train]] takes
+    * `dim` as a parameter, so the width must resolve BEFORE any other
+    * corpus pass; every other write path defers the same checks onto
+    * the write action itself ([[observeDim]]/[[validatedDim]] — zero
+    * extra scan). */
   private def uniformDim(corpus: DataFrame, vec: String,
       table: String): Int = {
     val d = corpus.agg(min(size(col(vec))).as("mn"),
@@ -339,17 +342,57 @@ object VectorSink {
     d.getInt(0)
   }
 
+  /** [[uniformDim]]'s checks WITHOUT their own corpus scan: the
+    * (min, max, null-count) of the vector width ride the write action
+    * as an `observe` aggregate on a frame the write already evaluates,
+    * and [[validatedDim]] raises AFTER the write but BEFORE the
+    * collection manifest commits — an invalid corpus leaves only an
+    * unreferenced sub-table swap (crash-equivalent: readers stay on
+    * the pinned previous generation), never a visible one. On a 100 TB
+    * ingest this is the difference between one corpus scan and two.
+    * Attach to a frame still carrying `vec` (the encode input), not
+    * the coded projection. */
+  private def observeDim(df: DataFrame, vec: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    (df.observe(obs,
+      min(size(col(vec))).as("mn"), max(size(col(vec))).as("mx"),
+      sum(when(col(vec).isNull, lit(1L)).otherwise(lit(0L))).as("nulls")),
+      obs)
+  }
+
+  /** Read [[observeDim]]'s metrics (the write action has completed by
+    * the time this is called) and apply [[uniformDim]]'s contract.
+    * The null count only gates on zero — a pre-write range-partition
+    * sampling pass may run rows through the metrics operator twice,
+    * which cannot turn a nonzero count into zero (min/max are
+    * idempotent under re-evaluation). */
+  private def validatedDim(obs: org.apache.spark.sql.Observation,
+      table: String): Int = {
+    val m = obs.get
+    require(m("nulls") != null, s"write to '$table': empty corpus")
+    require(m("nulls").asInstanceOf[Long] == 0L,
+      s"write to '$table': corpus carries NULL vectors " +
+        "— drop or impute them first")
+    val (mn, mx) = (m("mn").asInstanceOf[Int], m("mx").asInstanceOf[Int])
+    require(mn == mx,
+      s"write to '$table': corpus vector widths span " +
+        s"[$mn, $mx] — collections are fixed-dim")
+    mn
+  }
+
   /** Index `corpus` and commit the collection through `store`. The
     * sub-table swaps are each atomic; the collection manifest commit
     * (last) is what flips readers to the new generation. */
   def writeIvf(store: TableStore, table: String, corpus: DataFrame,
       id: String, vec: String, nlist: Int = 16, seed: Long = 42L,
       trainFraction: Double = 0.25): Unit = store.exclusively(table) {
-    val (assigned, centroids) =
+    val (assigned0, centroids) =
       Similarity.ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
-    val dim = uniformDim(corpus, vec, table)
+    val (assigned, dimObs) = observeDim(assigned0, vec)
     store.overwrite(table, assigned,
       statsFor = Seq("__list"), rangeBy = Seq("__list"))
+    val dim = validatedDim(dimObs, table)
     store.overwrite(s"${table}__centroids", centroids)
     writeMeta(store, table, nlist, seed, trainFraction, "cosine", dim)
     commitCollection(store, table, headSnaps(store, table),
@@ -367,8 +410,16 @@ object VectorSink {
     * left partial sub-table commits — can never hand a probe centroids
     * from one generation and corpus rows from another. */
   def topK(store: TableStore, table: String, queries: DataFrame,
-      id: String, vec: String, k: Int, nprobe: Int): DataFrame = {
-    val g = generation(store, table)
+      id: String, vec: String, k: Int, nprobe: Int): DataFrame =
+    topKGen(store, table, generation(store, table), queries,
+      id, vec, k, nprobe)
+
+  /** [[topK]] against an EXPLICIT generation (see [[generationAt]]):
+    * centroids and corpus both resolve from the SAME pinned manifest
+    * row — the plain-IVF member of the topK*Gen family. */
+  def topKGen(store: TableStore, table: String, g: Generation,
+      queries: DataFrame, id: String, vec: String, k: Int,
+      nprobe: Int): DataFrame = {
     require(g.meta.metric == "cosine",
       s"collection '$table' is '${g.meta.metric}': it stores codes, not " +
         "vectors — probe with the matching variant (topKQuantized / " +
@@ -440,9 +491,9 @@ object VectorSink {
   def writeIvfQuantized(store: TableStore, table: String, corpus: DataFrame,
       id: String, vec: String, nlist: Int = 16, seed: Long = 42L,
       trainFraction: Double = 0.25): Unit = store.exclusively(table) {
-    val (assigned, centroids) =
+    val (assigned0, centroids) =
       Similarity.ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
-    val dim = uniformDim(corpus, vec, table)
+    val (assigned, dimObs) = observeDim(assigned0, vec)
     val stats = graft.ext.Quantize.dimStats(corpus, vec)
     store.overwrite(s"${table}__sq_stats", stats)
     val coded = assigned.crossJoin(broadcast(store.read(s"${table}__sq_stats")))
@@ -451,6 +502,7 @@ object VectorSink {
           col(vec), col("mins"), col("maxs"))("q").as("__q"))
     store.overwrite(table, coded,
       statsFor = Seq("__list"), rangeBy = Seq("__list"))
+    val dim = validatedDim(dimObs, table)
     store.overwrite(s"${table}__centroids", centroids)
     writeMeta(store, table, nlist, seed, trainFraction, "cosine-sq8", dim)
     commitCollection(store, table, headSnaps(store, table),
@@ -467,13 +519,14 @@ object VectorSink {
   def writeIvfBinary(store: TableStore, table: String, corpus: DataFrame,
       id: String, vec: String, nlist: Int = 16, seed: Long = 42L,
       trainFraction: Double = 0.25): Unit = store.exclusively(table) {
-    val (assigned, centroids) =
+    val (assigned0, centroids) =
       Similarity.ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
-    val dim = uniformDim(corpus, vec, table)
+    val (assigned, dimObs) = observeDim(assigned0, vec)
     val coded = assigned.select(col(id), col("__list"),
       graft.functions.VectorFunctions.packSignBits(col(vec)).as("__code"))
     store.overwrite(table, coded,
       statsFor = Seq("__list"), rangeBy = Seq("__list"))
+    val dim = validatedDim(dimObs, table)
     store.overwrite(s"${table}__centroids", centroids)
     writeMeta(store, table, nlist, seed, trainFraction, "hamming-bq", dim)
     commitCollection(store, table, headSnaps(store, table),
@@ -614,14 +667,15 @@ object VectorSink {
       id: String, vec: String, nlist: Int = 16, seed: Long = 42L,
       trainFraction: Double = 0.25, m: Int = 4, ksub: Int = 16,
       iters: Int = 2): Unit = store.exclusively(table) {
-    val (assigned, centroids) =
+    val (assigned0, centroids) =
       Similarity.ivfIndex(corpus, id, vec, nlist, seed, trainFraction)
-    val dim = uniformDim(corpus, vec, table)
+    val (assigned, dimObs) = observeDim(assigned0, vec)
     val model = graft.ext.Pq.train(corpus, id, vec, m, ksub, iters)
     val coded = assigned.select(col(id), col("__list"),
       graft.ext.Pq.codes(col(vec), model).as("__codes"))
     store.overwrite(table, coded,
       statsFor = Seq("__list"), rangeBy = Seq("__list"))
+    val dim = validatedDim(dimObs, table)
     store.overwrite(s"${table}__centroids", centroids)
     // the codebooks/params are ALREADY driver-resident after train —
     // driver files, not a Spark write job per sketch-sized table.

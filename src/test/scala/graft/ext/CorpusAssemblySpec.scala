@@ -162,6 +162,69 @@ class CorpusAssemblySpec extends SparkSpec {
     }
   }
 
+  test("v2 stages: canonical keeper, classifier keep, terminal epoch shuffle") {
+    val bench = Seq((900L, "benchmark question unseen here")).toDF("doc_id", "text")
+    // a near-dup pair where the HIGHER id is the better copy: doc 21
+    // extends doc 20 with extra stop words, raising its stopword ratio
+    // (the only unsaturated quality term here) while keeping trigram
+    // Jaccard ≈ 74/78 > 0.9 — min-id resolution keeps 20, canonical
+    // must keep 21
+    val shared = "the of and to with that " +
+      (0 until 70).map(i => s"canonu$i").mkString(" ")
+    val better = shared + " the of and to"
+    // the classifier split: two long docs (seed) vs two short ones
+    def longDoc(tag: String) = en(tag) + " " +
+      (0 until 80).map(i => s"${tag}pad$i").mkString(" ")
+    val docs = Seq(
+      (5L, "b.com", en("delta")),             // short
+      (7L, "c.com", en("zeta")),              // short
+      (20L, "a.com", shared),                 // near-dup loser (canonical)
+      (21L, "a.com", better),                 // near-dup keeper (canonical)
+      (30L, "b.com", longDoc("longa")),       // long → seed
+      (31L, "c.com", longDoc("longb")))       // long → seed
+      .toDF("doc_id", "domain", "text")
+    // seed = the SHORT cluster (5, 7, 21): the classifier keep must
+    // retain the seed-like docs — including the canonical keeper 21 —
+    // and drop the off-seed long ones
+    val seedCut = (en("zeta").length + longDoc("longa").length) / 2
+    val cfg = AssemblyConfig(lineMinDocs = 2, nearDupThreshold = 0.9,
+      maxContaminatedShare = 0.15, mixAlpha = 1.0, domainCap = 2,
+      packBudget = 64L,
+      canonicalQuality = Some(t => TextOps.qualityScore(t)),
+      classifier = Some(ClassifierStage(
+        seed = t => length(t) < seedCut, threshold = 0.5)),
+      shuffle = Some((42L, 1)))
+    CorpusAssembly.assemble(docs, "doc_id", "text", "domain", bench, cfg) {
+      (packed, stages) =>
+        val rows = packed.select(col("doc_id"), col("shuffle_rank"))
+          .as[(Long, Long)].collect()
+        val ids = rows.map(_._1).toSet
+        // canonical near-dup resolution kept the better copy, and the
+        // quality comparison really ran (min-id would keep 20)
+        assert(stages("near_dup") === 5)
+        // classifier stage ran, returned its model, and every packed
+        // doc scores at/above the threshold under THAT model (later
+        // stages only drop rows, never re-admit)
+        assert(stages.classifier.isDefined)
+        val model = stages.classifier.get
+        val below = packed.filter(
+          QualityClassifier.score(model, col("__text")) < 0.5).count()
+        assert(below === 0L,
+          "a packed doc scored under the classifier threshold")
+        // the terminal shuffle emits an exact 0..n-1 permutation
+        assert(rows.map(_._2).sorted.toSeq ===
+          (0L until rows.length.toLong))
+        // the canonical keeper itself survived to the packed output
+        // (min-id resolution would have kept 20), and the classifier
+        // kept the seed-like shorts while dropping the off-seed longs
+        assert(ids.contains(21L) && !ids.contains(20L),
+          s"canonical selection must keep 21 over 20, got $ids")
+        assert(stages("classifier_kept") === 3,
+          "the classifier keep must retain exactly the short cluster")
+        assert(ids === Set(5L, 7L, 21L), s"unexpected survivors: $ids")
+    }
+  }
+
   test("optional DSIR stage keeps the target-matching survivors") {
     val bench = Seq((900L, "benchmark question unseen here")).toDF("doc_id", "text")
     val docs = Seq(

@@ -208,8 +208,16 @@ class StreamingSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$srcDir/q")
     val src = Streaming.fileStream(spark, s"$srcDir/q",
       options = Map("maxFilesPerTrigger" -> "1"))
+    val guardBefore = Streaming.guardManifestReads.get()
     Streaming.probeCollection(store, src, "emb", "vec_id", "embedding",
       k = 3, nprobe = 4, out = "hits")
+    // O(1)-per-batch idempotence: the guard reads the manifest ONCE at
+    // stream start (the restart watermark), never once per micro-batch
+    // — with 2 source files at maxFilesPerTrigger=1 this stream drains
+    // at least 2 batches, so a per-batch walk would count >= 2 here
+    assert(Streaming.guardManifestReads.get() - guardBefore === 1L,
+      "the serving idempotence guard must walk the manifest once per " +
+        "stream run, not once per micro-batch")
     val hits = store.read("hits")
     assert(hits.count() === 18L, "6 queries x k=3 across micro-batches")
     val byQ = hits.select("query_id", "rank").as[(Long, Int)].collect()

@@ -562,6 +562,47 @@ class VectorSinkSpec extends SparkSpec {
     assert(nulls.getMessage.contains("NULL"), nulls.getMessage)
   }
 
+  test("write-path width validation rides the write action, blocks the commit") {
+    // the checks moved off their own eager corpus aggregate onto an
+    // observe riding the write itself (one corpus scan, not two). An
+    // invalid corpus may die even earlier — the coarse kmeans training
+    // throws on mixed-width or NULL features, exactly as it did before
+    // the move (the old aggregate ALSO ran after ivfTrain) — but the
+    // observable contract holds either way: the write raises and NO
+    // generation becomes visible (the collection manifest, committed
+    // last, never lands)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec21").toString
+    val store = new TableStore(dir, spark)
+    val mixed = Seq(
+      (0L, Seq.tabulate(8)(_.toFloat)), (1L, Seq.tabulate(8)(_.toFloat)),
+      (2L, Seq.tabulate(8)(_.toFloat)), (3L, Seq.tabulate(5)(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    intercept[Exception] {
+      VectorSink.writeIvf(store, "emb", mixed, "vec_id", "embedding",
+        nlist = 2)
+    }
+    assert(!store.exists("emb__collection"),
+      "a failed width validation must not leave a visible generation")
+    // NULL vectors: same deferral, same refusal
+    val withNull = Seq(
+      (0L, Some(Seq.tabulate(8)(_.toFloat))),
+      (1L, Some(Seq.tabulate(8)(_.toFloat))),
+      (2L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    intercept[Exception] {
+      VectorSink.writeIvfBinary(store, "emb2", withNull,
+        "vec_id", "embedding", nlist = 2)
+    }
+    assert(!store.exists("emb2__collection"),
+      "a failed NULL validation must not leave a visible generation")
+    // and the deferred metrics still resolve the dim on the GOOD path:
+    // a clean write commits with the observed width in its meta
+    val good = Seq.tabulate(16)(i => (i.toLong, Seq.tabulate(7)(_.toFloat + i)))
+      .toDF("vec_id", "embedding")
+    VectorSink.writeIvf(store, "emb3", good, "vec_id", "embedding", nlist = 2)
+    assert(VectorSink.readMeta(store, "emb3").dim === 7,
+      "the observe-carried dim must land in the committed meta")
+  }
+
   test("rebalance heals an interrupted swap even when the census is balanced") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec20").toString
     val store = new TableStore(dir, spark)
