@@ -32,18 +32,29 @@ object Soak {
     // local[n] still report per-task run time)
     val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val nTasks = new java.util.concurrent.atomic.AtomicLong(0L)
+    // per-stage max task duration + the stage's call site, so a
+    // single-task hotspot is attributable to a line of code, not just
+    // a number
+    val stageMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         nTasks.incrementAndGet()
         val d = Option(t.taskInfo).map(_.duration).getOrElse(0L)
         var cur = maxTaskMs.get()
         while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+        stageMax.merge(t.stageId, d, (a, b) => math.max(a, b))
       }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageSite.put(s.stageInfo.stageId,
+          s.stageInfo.name.takeWhile(_ != '\n').take(120))
     })
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'"))
       maxTaskMs.set(0L); nTasks.set(0L)
+      stageMax.clear(); stageSite.clear()
       val t0 = System.nanoTime()
       val rows =
         try fn(spark, dir).queryExecution.toRdd.count()
@@ -58,6 +69,12 @@ object Soak {
       println(f"""{"query":"$name","wall_s":$wall%.1f,""" +
         f""""max_task_s":${maxTaskMs.get() / 1e3}%.1f,""" +
         s""""tasks":${nTasks.get()},"rows":$rows}""")
+      // top-3 slowest stages by their longest task, to stderr
+      import scala.jdk.CollectionConverters._
+      stageMax.asScala.toSeq.sortBy(-_._2).take(3).foreach { case (sid, ms) =>
+        System.err.println(f"[soak] $name stage $sid max_task=${ms / 1e3}%.1fs " +
+          s"site=${stageSite.getOrDefault(sid, "?")}")
+      }
     }
     queries.Scratch.sweep()
     spark.stop()

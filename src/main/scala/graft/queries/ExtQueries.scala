@@ -557,6 +557,25 @@ object ExtQueries {
     // SemDeDup: near-dup search restricted to k-means cluster mates —
     // the pair space is Σ|cluster|², never n²; the oracle re-derives the
     // identical clustering so the within-cluster pairs hash-match
+    // BINARY-ACCELERATED near-dup: sign-bit codes as the blocking
+    // function (pigeonhole Hamming bands — perfect recall within the
+    // budget), exact cosine verify on candidates only. The corpus is
+    // the embeddings plus an affine-perturbed twin of each (the same
+    // drift construction the sim gates use): every (base, twin) pair
+    // sits at cosine ≈ 0.9996 with ~1 flipped sign bit, so the oracle
+    // — which replays BOTH contract filters (cosine ≥ τ AND
+    // sign-Hamming ≤ H) over the all-pairs product — gates the whole
+    // pack → band → join → verify pipeline exactly.
+    "dedup_embedding_hamming" -> q { c =>
+      val base = c.t("embeddings").select("vec_id", "embedding")
+      val twin = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01) + lit(0.005))
+          .cast("array<float>").as("embedding"))
+      Dedup.embeddingHammingPairs(base.unionByName(twin),
+        "vec_id", "embedding", threshold = 0.98, maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    },
+
     "dedup_semantic" -> q { c =>
       Dedup.semanticPairs(c.t("embeddings"), "vec_id", "embedding",
         k = 4, iters = 3, threshold = 0.45)
@@ -2122,6 +2141,29 @@ object ExtQueries {
 
     "dedup_semantic" ->
       Clustering.semanticOracleSql(k = 4, iters = 3, threshold = 0.45),
+
+    // both contract filters replayed over the exact all-pairs product:
+    // cosine ≥ 0.98 AND sign-disagreement Hamming ≤ 8 (the blocking
+    // has perfect recall within the budget, so the sets coincide)
+    "dedup_embedding_hamming" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(x * 1.01 + 0.005 AS REAL))
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.embedding)+1),
+        |      i -> CASE WHEN (a.embedding[i] > 0) <> (b.embedding[i] > 0)
+        |           THEN 1 ELSE 0 END))::INTEGER AS hamming,
+        |    list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[]) AS cs
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, hamming, round(cs, 6) AS cosine
+        |FROM pairs WHERE cs >= 0.98 AND hamming <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // decimal-exact covariance: element products cast DECIMAL(28,12)
     // per row pre-sum; final cov arithmetic is the same fixed double

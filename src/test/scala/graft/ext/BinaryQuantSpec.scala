@@ -96,4 +96,71 @@ class BinaryQuantSpec extends SparkSpec {
       Similarity.binaryTopK(df, df, "vec_id", "embedding", k = 5, rerank = 3)
     }
   }
+
+  test("embeddingHammingPairs = brute force under BOTH contract filters") {
+    // deterministic 16-dim unit-ish vectors + a near-twin of each
+    val rng = new scala.util.Random(11)
+    val base = (0L until 30L).map(i =>
+      (i, Array.fill(16)((rng.nextDouble() - 0.5).toFloat)))
+    val twins = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x * 1.01f + 0.003f)) }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingHammingPairs(corpus, "vec_id", "embedding",
+        threshold = 0.95, maxHamming = 4)
+      .select("id_a", "id_b", "hamming", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force: every pair, both filters applied exactly
+    val all = (base ++ twins)
+    val expect = (for {
+      (ia, va) <- all; (ib, vb) <- all if ia < ib
+      h = va.zip(vb).count { case (x, y) => (x > 0) != (y > 0) }
+      dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      na = math.sqrt(va.map(x => x.toDouble * x).sum)
+      nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+      if h <= 4 && dot / (na * nb) >= 0.95
+    } yield (ia, ib, h)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "the twin construction must produce pairs")
+    // every base/twin pair found (hamming tiny by construction)
+    assert(base.map { case (i, _) => (i, i + 1000L) }
+      .count(p => got.exists(g => (g._1, g._2) == p)) >= 25)
+  }
+
+  test("embeddingHammingPairs raises on dim > 64 (single-word blocking)") {
+    val wide = Seq((0L, Array.fill(65)(1.0f)), (1L, Array.fill(65)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Dedup.embeddingHammingPairs(wide, "vec_id", "embedding",
+        threshold = 0.9, maxHamming = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("dim > 64")), msgs(e).mkString(" | "))
+  }
+
+  test("packSignBits and graft_hamming raise on NULL array elements") {
+    val df = Seq(Tuple1(Seq(Some(1.0f), None, Some(-1.0f))))
+      .toDF("v")
+    val e = intercept[Exception] {
+      df.select(packSignBits($"v")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("NULL array element")), msgs(e).mkString(" | "))
+    // the Hamming kernel on schema-nullable words exercises the
+    // null-guarded codegen branch (emitted only when containsNull)
+    val codes = Seq((Seq(Some(1L), None), Seq(Some(1L), Some(2L))))
+      .toDF("a", "b")
+    val h = intercept[Exception] {
+      codes.select(graft.functions.VectorFunctions.hammingDist($"a", $"b"))
+        .collect()
+    }
+    assert(msgs(h).exists(_.contains("NULL array element")), msgs(h).mkString(" | "))
+    // and non-null rows under the SAME nullable schema still compute
+    val ok = Seq((Seq(Some(1L), Some(4L)), Seq(Some(1L), Some(2L))))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.hammingDist($"a", $"b").as("h"))
+      .as[Long].head()
+    assert(ok === 2L) // 4 xor 2 = 6 -> two bits
+  }
 }

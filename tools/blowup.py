@@ -9,6 +9,15 @@ of K copies (a deliberately adversarial duplication rate for the
 candidate joins), and id parity/threshold structure is preserved by
 shifting with an EVEN multiple well above every live id.
 
+Documents get a per-replica token INSERTED INTO EVERY LINE (before each
+' table ' separator and at the end): byte-identical replicated lines
+would otherwise make the corpus-level boilerplate strip delete EVERY
+line of EVERY doc (each line now appears in K docs), collapsing all
+cleaned texts to '' — whose single shared shingle turns the near-dup
+candidate join into an all-pairs product (~1e9 pairs at K=10 on sf0.1;
+measured as a hang). With per-replica line markers the strip behaves
+like the base fixture and duplication stress stays in the id space.
+
 Usage: tools/blowup.py <srcDir> <dstDir> [K]
 """
 import sys
@@ -24,6 +33,14 @@ SHIFTS = {
     "orders": ["o_orderkey"],
     "lineitem": ["l_orderkey"],
     "events": ["event_id"],
+}
+
+# per-table extra projection rewrites keyed by column
+REWRITES = {
+    ("documents", "text"): (
+        "replace(text, ' table ', ' rep' || r.k || ' table ')"
+        " || ' rep' || r.k AS text"
+    ),
 }
 
 
@@ -42,7 +59,10 @@ def main() -> None:
             ).fetchall()
         ]
         proj = ", ".join(
-            f"{c} + r.k * {SHIFT} AS {c}" if c in keys else c for c in cols
+            f"{c} + r.k * {SHIFT} AS {c}"
+            if c in keys
+            else REWRITES.get((table, c), c)
+            for c in cols
         )
         con.execute(
             f"""COPY (
