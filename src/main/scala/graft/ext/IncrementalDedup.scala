@@ -109,4 +109,120 @@ object IncrementalDedup {
       id: String, text: String, n: Int = 3,
       perms: Int = 64, bands: Int = 16): Unit =
     indexCorpus(store, table, batch, id, text, n, perms, bands)
+
+  // ---- embedding (sign-code Hamming) variant -----------------------------
+
+  /** Require the caller's (dim, maxHamming) to match the values the
+    * VECTOR index was built with (persisted in
+    * `<table>__hamming_meta`) — the banding is a pure function of the
+    * pair, so a batch banded in a different space silently joins to
+    * nothing. */
+  private def requireVecMeta(store: TableStore, table: String,
+      dim: Int, maxHamming: Int): Boolean = {
+    val meta = store.readOption(s"${table}__hamming_meta")
+    meta.foreach { m =>
+      val r = m.select("dim", "max_hamming").head()
+      val (sd, sh) = (r.getInt(0), r.getInt(1))
+      require(sd == dim,
+        s"hamming index '$table' was built at dim=$sd but dim=$dim was " +
+          "passed — codes would band inconsistently")
+      require(sh == maxHamming,
+        s"hamming index '$table' was built with maxHamming=$sh but " +
+          s"$maxHamming was passed — appends must keep the one band space")
+    }
+    meta.isDefined
+  }
+
+  /** The batch as (_id, _vec, code), width-guarded per row (codegen'd,
+    * zero extra pass — a row of another width would band
+    * inconsistently and silently lose recall). */
+  private def codedVecs(vecs: DataFrame, id: String, vec: String,
+      dim: Int): DataFrame =
+    vecs.filter(assert_true(size(col(vec)) === dim,
+        lit(s"hamming index: vector width != declared dim $dim")).isNull)
+      .select(col(id).as("_id"), col(vec).as("_vec"),
+        graft.functions.VectorFunctions.packSignBits(col(vec)).as("code"))
+
+  /** Index an embedding corpus for INCREMENTAL near-dup screening —
+    * the [[indexCorpus]] discipline on the binary plane: vectors +
+    * their packed sign codes land in `<table>`, the pigeonhole band
+    * keys in `<table>__hamming_bands`, and the (dim, maxHamming) band
+    * space is pinned in `<table>__hamming_meta`. A new batch then
+    * checks ONLY itself against the band table
+    * ([[checkVectorBatch]]) — the old corpus is never re-scanned
+    * wholesale, and the verify reads back only the vectors that
+    * actually collided. */
+  def indexVectors(store: TableStore, table: String, vecs: DataFrame,
+      id: String, vec: String, dim: Int,
+      maxHamming: Int): Unit = Dedup.withPins {
+    val k = Dedup.blocksPerWord(dim, maxHamming)
+    val hadMeta = requireVecMeta(store, table, dim, maxHamming)
+    val pinned = Dedup.pin(codedVecs(vecs, id, vec, dim))
+    store.append(table, pinned)
+    store.append(s"${table}__hamming_bands",
+      Dedup.bandedWords(pinned.select("_id", "code"), k)
+        .select("_id", "widx", "blk", "blk_val"))
+    if (!hadMeta) {
+      import vecs.sparkSession.implicits._
+      store.overwrite(s"${table}__hamming_meta",
+        Seq((dim, maxHamming)).toDF("dim", "max_hamming"))
+    }
+  }
+
+  /** Near-dup pairs of a NEW embedding batch against the indexed
+    * corpus: (new_id, old_id, hamming, cosine) under BOTH contract
+    * filters — sign-Hamming ≤ maxHamming AND exact cosine ≥ threshold
+    * (the [[Dedup.embeddingHammingPairs]] contract, new × old only).
+    * Batch ids must be disjoint from indexed ids. `maxHamming` may be
+    * at most the indexed budget (recall within a smaller budget is
+    * free; a larger one would need bands the index does not have).
+    * Same pin lifecycle as [[checkBatch]]. */
+  def checkVectorBatch(store: TableStore, table: String, batch: DataFrame,
+      id: String, vec: String, threshold: Double,
+      maxHamming: Int): DataFrame = {
+    val meta = store.readOption(s"${table}__hamming_meta")
+    require(meta.isDefined,
+      s"no hamming index meta for '$table' — call indexVectors first")
+    val m = meta.get.select("dim", "max_hamming").head()
+    val (dim, indexedH) = (m.getInt(0), m.getInt(1))
+    require(maxHamming >= 0 && maxHamming <= indexedH,
+      s"check budget maxHamming=$maxHamming outside [0, $indexedH] — " +
+        "the stored bands only guarantee recall within the indexed " +
+        s"budget $indexedH; rebuild the index for a wider one")
+    val k = Dedup.blocksPerWord(dim, indexedH)
+    val newCoded = Dedup.pin(codedVecs(batch, id, vec, dim))
+    val newBands = Dedup.bandedWords(newCoded.select("_id", "code"), k)
+    val oldBands = store.read(s"${table}__hamming_bands")
+    val cand = newBands.as("a").join(oldBands.as("b"),
+        col("a.widx") === col("b.widx") && col("a.blk") === col("b.blk") &&
+          col("a.blk_val") === col("b.blk_val"))
+      .select(col("a._id").as("new_id"), col("b._id").as("old_id"))
+      .distinct()
+    // exact verify: read back ONLY the colliding old vectors
+    val oldCand = store.read(table)
+      .join(cand.select(col("old_id").as("_id")).distinct(),
+        Seq("_id"), "left_semi")
+      .select(col("_id").as("old_id"), col("_vec").as("__vo"),
+        col("code").as("__co"))
+    cand
+      .join(newCoded.select(col("_id").as("new_id"), col("_vec").as("__vn"),
+        col("code").as("__cn")), "new_id")
+      .join(oldCand, "old_id")
+      .withColumn("hamming", graft.functions.VectorFunctions
+        .hammingDist(col("__cn"), col("__co")).cast("int"))
+      .withColumn("__cos", Dedup.cosine(col("__vn"), col("__vo")))
+      .filter(col("hamming") <= maxHamming && col("__cos") >= threshold)
+      .select(col("new_id"), col("old_id"), col("hamming"),
+        round(col("__cos"), 6).as("cosine"))
+  }
+
+  /** Grow the vector index: append a (already cross-checked) batch
+    * and its band rows — the per-load maintenance step. The band
+    * space is pinned by the meta, so the budget is read, not passed. */
+  def appendVectorBatch(store: TableStore, table: String, batch: DataFrame,
+      id: String, vec: String): Unit = {
+    val m = store.read(s"${table}__hamming_meta")
+      .select("dim", "max_hamming").head()
+    indexVectors(store, table, batch, id, vec, m.getInt(0), m.getInt(1))
+  }
 }

@@ -576,6 +576,55 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // the WIDE (multi-word) variant of the same operator: 128-dim
+    // vectors built as concat(e, −e) — cosine-PRESERVING (the negated
+    // half doubles both the dot product and the squared norms), so the
+    // same near-dup geometry now spans TWO packed words and the
+    // per-word pigeonhole banding (numWords × blocksPerWord disjoint
+    // bands) is what's under test. The affine twin flips sign bits in
+    // BOTH halves (x ∈ (0, ε) flips in the negated half), and the
+    // oracle replays both contract filters over the exact all-pairs
+    // product at 128 dims — a banding bug that loses a cross-word
+    // candidate hash-fails.
+    "dedup_hamming_wide" -> q { c =>
+      val emb = c.t("embeddings").select("vec_id", "embedding")
+      val wide = concat(col("embedding"),
+        transform(col("embedding"), x => negate(x))).as("embedding")
+      val base = emb.select(col("vec_id"), wide)
+      val twin = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01) + lit(0.005))
+          .cast("array<float>").as("embedding"))
+      Dedup.embeddingHammingPairs(base.unionByName(twin),
+        "vec_id", "embedding", threshold = 0.98, maxHamming = 8, dim = 128)
+        .orderBy("id_a", "id_b")
+    },
+
+    // INCREMENTAL embedding near-dup — the binary plane in the
+    // dedup_incremental shape: the even half is indexed ONCE (vectors +
+    // sign codes + pigeonhole band keys persisted through the store),
+    // then a new batch (affine twins of the evens + the untouched
+    // odds) screens ONLY itself against the band table — the old
+    // corpus is never re-coded, and the exact verify reads back just
+    // the vectors that collided. The oracle replays both contract
+    // filters over the full new × old product, so a band-space
+    // round-trip bug (codes persisted ≠ codes checked) hash-fails.
+    "dedup_hamming_incremental" -> q { c =>
+      val store = new graft.write.TableStore(
+        Scratch.dir("graft-hinc"), c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      val evens = vecs.filter(col("vec_id") % 2 === 0)
+      IncrementalDedup.indexVectors(store, "corpus", evens,
+        "vec_id", "embedding", dim = 64, maxHamming = 8)
+      val twins = evens.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01) + lit(0.005))
+          .cast("array<float>").as("embedding"))
+      val odds = vecs.filter(col("vec_id") % 2 === 1)
+      IncrementalDedup.checkVectorBatch(store, "corpus",
+        twins.unionByName(odds), "vec_id", "embedding",
+        threshold = 0.98, maxHamming = 8)
+        .orderBy("new_id", "old_id")
+    },
+
     "dedup_semantic" -> q { c =>
       Dedup.semanticPairs(c.t("embeddings"), "vec_id", "embedding",
         k = 4, iters = 3, threshold = 0.45)
@@ -2153,6 +2202,59 @@ object ExtQueries {
         |    list_transform(embedding::DOUBLE[],
         |      x -> CAST(x * 1.01 + 0.005 AS REAL))
         |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.embedding)+1),
+        |      i -> CASE WHEN (a.embedding[i] > 0) <> (b.embedding[i] > 0)
+        |           THEN 1 ELSE 0 END))::INTEGER AS hamming,
+        |    list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[]) AS cs
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, hamming, round(cs, 6) AS cosine
+        |FROM pairs WHERE cs >= 0.98 AND hamming <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // incremental screen ≡ both contract filters over the full
+    // new × old product (the banding is recall-only)
+    "dedup_hamming_incremental" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |batch AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(x * 1.01 + 0.005 AS REAL)) AS embedding
+        |  FROM corpus
+        |  UNION ALL
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+        |pairs AS (
+        |  SELECT n.vec_id AS new_id, o.vec_id AS old_id,
+        |    list_sum(list_transform(range(1, len(n.embedding)+1),
+        |      i -> CASE WHEN (n.embedding[i] > 0) <> (o.embedding[i] > 0)
+        |           THEN 1 ELSE 0 END))::INTEGER AS hamming,
+        |    list_cosine_similarity(n.embedding::DOUBLE[],
+        |      o.embedding::DOUBLE[]) AS cs
+        |  FROM batch n CROSS JOIN corpus o)
+        |SELECT new_id, old_id, hamming, round(cs, 6) AS cosine
+        |FROM pairs WHERE cs >= 0.98 AND hamming <= 8
+        |ORDER BY new_id, old_id""".stripMargin,
+
+    // the 128-dim twin: concat(e, −e) preserves cosine exactly (the
+    // negated half doubles dot and squared norms alike) while the code
+    // spans two packed words — the all-pairs replay of both contract
+    // filters gates the multi-word banding
+    "dedup_hamming_wide" ->
+      """WITH wide AS (
+        |  SELECT vec_id,
+        |    list_concat(embedding, list_transform(embedding, x -> -x))
+        |      AS embedding
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM wide
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(x * 1.01 + 0.005 AS REAL))
+        |  FROM wide),
         |pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_sum(list_transform(range(1, len(a.embedding)+1),

@@ -301,6 +301,41 @@ object StreamQueries {
       store.read("pairs").orderBy("new_id", "old_id")
     },
 
+    // streaming SEMANTIC screening — the binary plane in the same
+    // topology: the even embeddings are sign-coded and band-indexed
+    // once, then micro-batches (affine twins + the odds, 3 files under
+    // maxFilesPerTrigger=1) screen only themselves against the stored
+    // band table, exact-verifying just the collisions. Batches check
+    // against the static seed index, so the union is batch-order
+    // independent and dedup_hamming_incremental's full new × old
+    // oracle gates it verbatim.
+    "stream_vector_dedup" -> q { c =>
+      val ss = streamSession(c)
+      val store = new TableStore(Scratch.dir("graft-svd"), c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      val evens = vecs.filter(col("vec_id") % 2 === 0)
+      graft.ext.IncrementalDedup.indexVectors(store, "corpus", evens,
+        "vec_id", "embedding", dim = 64, maxHamming = 8)
+      val twins = evens.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01) + lit(0.005))
+          .cast("array<float>").as("embedding"))
+      val odds = vecs.filter(col("vec_id") % 2 === 1)
+      val srcDir = Scratch.dir("graft-svd-src")
+      twins.unionByName(odds).repartitionByRange(3, col("vec_id"))
+        .write.mode("overwrite").parquet(srcDir)
+      val src = Streaming.fileStream(ss, srcDir,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      Streaming.drainAvailableNow(src) { (batch, _) =>
+        // per-batch pin scope: checkVectorBatch pins the batch's codes
+        if (!batch.isEmpty) graft.ext.Dedup.withPins {
+          store.append("pairs", graft.ext.IncrementalDedup.checkVectorBatch(
+            store, "corpus", batch, "vec_id", "embedding",
+            threshold = 0.98, maxHamming = 8))
+        }
+      }
+      store.read("pairs").orderBy("new_id", "old_id")
+    },
+
     // streaming PERCEPTUAL screening: micro-batches of images checked
     // against the persisted dHash index (the mm_phash_incremental
     // machinery under AvailableNow) — stored hashes are the verify
@@ -492,6 +527,9 @@ object StreamQueries {
     // identical fixture + split as the batch incremental screen — the
     // streaming drain must change nothing
     "stream_phash_screen" -> ExtQueries.oracles("mm_phash_incremental"),
+
+    // static-seed-index screening ≡ the batch variant's oracle verbatim
+    "stream_vector_dedup" -> ExtQueries.oracles("dedup_hamming_incremental"),
 
     // per-residue-class PSI vs the view baseline, one statement: the
     // Drift.psi pipeline (baseline-fixed bins, Laplace smoothing,

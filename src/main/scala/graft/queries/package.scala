@@ -35,16 +35,6 @@ package object queries {
     def all: Map[String, Map[String, Double]] = values
   }
 
-  /** MODEL-DERIVED oracle registry, keyed by query name: queries whose
-    * DuckDB oracle embeds run-time-fitted literals (PCA loadings, OPQ
-    * rotations, classifier weights) deposit the SQL here as they run;
-    * `oracleSql` reads each query's own key afterwards. Keying is the
-    * hardening over the old per-model `@volatile var` stashes: a rerun
-    * (or a concurrent run of a DIFFERENT model query in the same JVM)
-    * can only overwrite its OWN entry, never clobber another query's
-    * oracle — the stash a name resolves to is always the one ITS
-    * latest run fitted. Absent key → the driver records a weaker
-    * rows-only check, same contract as before. */
   /** Harness-managed scratch directories: query builders create their
     * temp stores/checkpoints through [[Scratch.dir]] instead of bare
     * `Files.createTempDirectory`, and the runner ([[graft.Verify]] /
@@ -79,6 +69,16 @@ package object queries {
     }
   }
 
+  /** MODEL-DERIVED oracle registry, keyed by query name: queries whose
+    * DuckDB oracle embeds run-time-fitted literals (PCA loadings, OPQ
+    * rotations, classifier weights) deposit the SQL here as they run;
+    * `oracleSql` reads each query's own key afterwards. Keying is the
+    * hardening over the old per-model `@volatile var` stashes: a rerun
+    * (or a concurrent run of a DIFFERENT model query in the same JVM)
+    * can only overwrite its OWN entry, never clobber another query's
+    * oracle — the stash a name resolves to is always the one ITS
+    * latest run fitted. Absent key → the driver records a weaker
+    * rows-only check, same contract as before. */
   object OracleStash {
     private val sqls =
       new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -106,7 +106,7 @@ class BinaryQuantSpec extends SparkSpec {
       (i + 1000L, v.map(x => x * 1.01f + 0.003f)) }
     val corpus = (base ++ twins).toDF("vec_id", "embedding")
     val got = Dedup.embeddingHammingPairs(corpus, "vec_id", "embedding",
-        threshold = 0.95, maxHamming = 4)
+        threshold = 0.95, maxHamming = 4, dim = 16)
       .select("id_a", "id_b", "hamming", "cosine")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     // brute force: every pair, both filters applied exactly
@@ -126,16 +126,53 @@ class BinaryQuantSpec extends SparkSpec {
       .count(p => got.exists(g => (g._1, g._2) == p)) >= 25)
   }
 
-  test("embeddingHammingPairs raises on dim > 64 (single-word blocking)") {
-    val wide = Seq((0L, Array.fill(65)(1.0f)), (1L, Array.fill(65)(1.0f)))
+  test("embeddingHammingPairs raises on a row whose width != declared dim") {
+    val wide = Seq((0L, Array.fill(65)(1.0f)), (1L, Array.fill(64)(1.0f)))
       .toDF("vec_id", "embedding")
     val e = intercept[Exception] {
       Dedup.embeddingHammingPairs(wide, "vec_id", "embedding",
-        threshold = 0.9, maxHamming = 4).collect()
+        threshold = 0.9, maxHamming = 4).collect() // default dim = 64
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("dim > 64")), msgs(e).mkString(" | "))
+    assert(msgs(e).exists(_.contains("declared dim")), msgs(e).mkString(" | "))
+  }
+
+  test("embeddingHammingPairs multi-word (dim > 64) = brute force, " +
+      "incl. maxHamming spanning several words") {
+    // 100 dims -> 2 packed words; twins flip a handful of sign bits
+    val rng = new scala.util.Random(23)
+    val base = (0L until 25L).map(i =>
+      (i, Array.fill(100)((rng.nextDouble() - 0.5).toFloat)))
+    val twins = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x * 1.01f + 0.004f)) }
+    val all = base ++ twins
+    val corpus = all.toDF("vec_id", "embedding")
+    // maxHamming 9 -> blocksPerWord ceil(10/2)=5, 10 disjoint bands
+    val got = Dedup.embeddingHammingPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9, maxHamming = 9, dim = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expect = (for {
+      (ia, va) <- all; (ib, vb) <- all if ia < ib
+      h = va.zip(vb).count { case (x, y) => (x > 0) != (y > 0) }
+      dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      na = math.sqrt(va.map(x => x.toDouble * x).sum)
+      nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+      if h <= 9 && dot / (na * nb) >= 0.9
+    } yield (ia, ib, h)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "the twin construction must produce pairs")
+    // recall sanity: candidates whose sign flips straddle BOTH words
+    // are still found (the per-word banding covers the whole code)
+    assert(expect.exists(_._3 >= 2), "want a pair with flips in-range")
+  }
+
+  test("embeddingHammingPairs rejects maxHamming >= dim") {
+    val df = Seq((0L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingHammingPairs(df, "vec_id", "embedding",
+        threshold = 0.9, maxHamming = 8, dim = 8)
+    }
   }
 
   test("packSignBits and graft_hamming raise on NULL array elements") {

@@ -82,4 +82,92 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(e2.getMessage.contains("hash space"))
     }
   }
+
+  // ---- embedding (sign-code Hamming) variant -----------------------------
+
+  private def vecCorpus(n: Int, dim: Int, seed: Long) = {
+    val rng = new scala.util.Random(seed)
+    Seq.tabulate(n)(i => (i.toLong, Array.fill(dim)((rng.nextDouble() - 0.5).toFloat)))
+  }
+
+  test("checkVectorBatch = brute force new x old under both contract filters") {
+    val store = freshStore()
+    Dedup.withPins {
+      val base = vecCorpus(20, 100, seed = 3L) // 100 dims -> 2 packed words
+      val baseDf = base.toDF("vec_id", "embedding")
+      IncrementalDedup.indexVectors(store, "emb", baseDf,
+        "vec_id", "embedding", dim = 100, maxHamming = 9)
+      // batch: near-twins of half the corpus + fresh unrelated vectors
+      val twins = base.take(10).map { case (i, v) =>
+        (i + 100L, v.map(x => x * 1.01f + 0.004f)) }
+      val fresh = vecCorpus(5, 100, seed = 99L).map { case (i, v) => (i + 500L, v) }
+      val batch = twins ++ fresh
+      val got = IncrementalDedup.checkVectorBatch(store, "emb",
+          batch.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          threshold = 0.9, maxHamming = 9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val expect = (for {
+        (in, vn) <- batch; (io, vo) <- base
+        h = vn.zip(vo).count { case (x, y) => (x > 0) != (y > 0) }
+        dot = vn.zip(vo).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        na = math.sqrt(vn.map(x => x.toDouble * x).sum)
+        nb = math.sqrt(vo.map(x => x.toDouble * x).sum)
+        if h <= 9 && dot / (na * nb) >= 0.9
+      } yield (in, io, h)).toSet
+      assert(got === expect)
+      assert(got.size >= 10, "every twin must find its base") // twins collide
+    }
+  }
+
+  test("vector index appends grow the screen; tighter check budgets allowed") {
+    val store = freshStore()
+    Dedup.withPins {
+      val base = vecCorpus(8, 64, seed = 7L)
+      IncrementalDedup.indexVectors(store, "emb", base.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 64, maxHamming = 6)
+      // append one more indexed vector, then a twin of IT must be found
+      val extra = vecCorpus(1, 64, seed = 11L).map { case (_, v) => (50L, v) }
+      IncrementalDedup.appendVectorBatch(store, "emb",
+        extra.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      val twin = extra.map { case (i, v) =>
+        (i + 100L, v.map(x => x * 1.01f + 0.002f)) }
+      // budget 3 <= indexed 6: allowed, and recall still perfect within 3
+      val got = IncrementalDedup.checkVectorBatch(store, "emb",
+          twin.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          threshold = 0.95, maxHamming = 3)
+        .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+      assert(got.contains((150L, 50L)), s"twin of the appended vector: $got")
+      got.foreach { case (n, _) => assert(n === 150L) }
+    }
+  }
+
+  test("vector band-space mismatches fail loudly, never match nothing") {
+    val store = freshStore()
+    Dedup.withPins {
+      val base = vecCorpus(4, 64, seed = 13L)
+      IncrementalDedup.indexVectors(store, "emb", base.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 64, maxHamming = 4)
+      // re-index at a different budget: refused (one band space per table)
+      val e = intercept[IllegalArgumentException] {
+        IncrementalDedup.indexVectors(store, "emb",
+          base.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          dim = 64, maxHamming = 8)
+      }
+      assert(e.getMessage.contains("band space"), e.getMessage)
+      // checking WIDER than indexed: refused (bands cannot guarantee it)
+      val e2 = intercept[IllegalArgumentException] {
+        IncrementalDedup.checkVectorBatch(store, "emb",
+          base.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          threshold = 0.9, maxHamming = 10)
+      }
+      assert(e2.getMessage.contains("indexed"), e2.getMessage)
+      // checking an unindexed table: loud, not empty
+      val e3 = intercept[IllegalArgumentException] {
+        IncrementalDedup.checkVectorBatch(store, "nosuch",
+          base.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          threshold = 0.9, maxHamming = 2)
+      }
+      assert(e3.getMessage.contains("indexVectors"), e3.getMessage)
+    }
+  }
 }
