@@ -25,7 +25,10 @@ object Soak {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_MEM", "8g"))
+      // heap note: spark.driver.memory is a NO-OP for a local-mode
+      // session created inside an already-running JVM — the soak heap
+      // is set by build.sbt's forked -Xmx, i.e. SPARK_DRIVER_MEM (e.g.
+      // `SPARK_DRIVER_MEM=48g sbt "runMain graft.Soak ..."`)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // max task duration across the whole query, via listener (tasks on
@@ -53,6 +56,10 @@ object Soak {
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'"))
+      // settle BEFORE the reset too: the previous query's task-end
+      // events drain the async bus past its post-read settle; resetting
+      // under stragglers would attribute its longest task to THIS query
+      Thread.sleep(300)
       maxTaskMs.set(0L); nTasks.set(0L)
       stageMax.clear(); stageSite.clear()
       val t0 = System.nanoTime()

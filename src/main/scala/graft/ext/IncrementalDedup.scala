@@ -157,16 +157,23 @@ object IncrementalDedup {
       maxHamming: Int): Unit = Dedup.withPins {
     val k = Dedup.blocksPerWord(dim, maxHamming)
     val hadMeta = requireVecMeta(store, table, dim, maxHamming)
-    val pinned = Dedup.pin(codedVecs(vecs, id, vec, dim))
-    store.append(table, pinned)
-    store.append(s"${table}__hamming_bands",
-      Dedup.bandedWords(pinned.select("_id", "code"), k)
-        .select("_id", "widx", "blk", "blk_val"))
+    // meta FIRST: it pins the band space before any data lands, so a
+    // crash mid-index can never leave an unpinned table that a later
+    // call silently re-bands in a different space (the meta is tiny
+    // and every later call validates against it). A crash between the
+    // two data appends still loses that BATCH's band rows — shared
+    // shape with indexCorpus: appends are load-batch-scoped, the
+    // recovery is re-running the interrupted batch.
     if (!hadMeta) {
       import vecs.sparkSession.implicits._
       store.overwrite(s"${table}__hamming_meta",
         Seq((dim, maxHamming)).toDF("dim", "max_hamming"))
     }
+    val pinned = Dedup.pin(codedVecs(vecs, id, vec, dim))
+    store.append(table, pinned)
+    store.append(s"${table}__hamming_bands",
+      Dedup.bandedWords(pinned.select("_id", "code"), k)
+        .select("_id", "widx", "blk", "blk_val"))
   }
 
   /** Near-dup pairs of a NEW embedding batch against the indexed

@@ -316,15 +316,25 @@ object ExtQueries {
         sum(pow(label - QualityClassifier.score(base, col("text")), 2.0)),
         sum(pow(label -
           QualityClassifier.score(model, col("text"), custom), 2.0))).head()
-      val noWorse = sse.getDouble(1) <= sse.getDouble(0) + 1e-9
+      // gate on the PENALIZED objective (SSE + λ·Σ w_i², bias
+      // unpenalized) — the quantity ridge actually minimizes, and the
+      // one that provably cannot increase when the pack extends (the
+      // extended optimum can always zero the new weights). Raw SSE
+      // alone CAN rise by O(λ·Δ‖w‖²) when a new feature lets the
+      // penalty shrink — gating on it would be a false theorem that a
+      // correlated fixture could spuriously hash-fail.
+      def penalty(m: QualityClassifier.RidgeModel): Double =
+        m.lambda * m.weights.drop(1).map(w => w * w).sum
+      val noWorse = sse.getDouble(1) + penalty(model) <=
+        sse.getDouble(0) + penalty(base) + 1e-6
       OracleStash.put("text_quality_custom",
         QualityClassifier.scoreOracleSqlFeatures(model, custom,
           "(lang = 'en')", threshold = 0.5,
-          gates = Seq("custom_fit_no_worse")))
+          gates = Seq("custom_objective_no_worse")))
       val sc = QualityClassifier.score(model, col("text"), custom)
       docs.select(col("doc_id"), isSeed.as("is_seed"),
         round(sc, 6).as("score"), (sc >= 0.5).as("kept"),
-        lit(noWorse).as("custom_fit_no_worse"))
+        lit(noWorse).as("custom_objective_no_worse"))
         .orderBy("doc_id")
     },
 
