@@ -274,6 +274,21 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"band join degraded:\n$p")
   }
 
+  test("hamming near-dup banding stays a band-key equi-join at every dim") {
+    // single-word (64), multi-word (128), and the incremental screen
+    // against the persisted band table: candidates must ride the
+    // (widx, blk, blk_val) hash join — an all-pairs degradation here is
+    // exactly the 100 TB failure the banding exists to prevent
+    for (q <- Seq("dedup_embedding_hamming", "dedup_hamming_wide",
+        "dedup_hamming_incremental")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q banding degraded:\n$p")
+      assert(p.contains("graft_pack_signbits"),
+        s"$q must pack sign codes with the codegen kernel:\n$p")
+    }
+  }
+
   test("perceptual pair generators stay pigeonhole equi-joins") {
     for (q <- Seq("mm_phash_pairs", "mm_video_neardup",
         "mm_audio_fingerprint", "mm_phash_incremental")) {
