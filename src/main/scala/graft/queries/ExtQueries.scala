@@ -609,6 +609,32 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // DEDUP-ON-INGEST for the vector destination: appendDeduped screens
+    // the batch against the COLLECTION with a k=1 probe at
+    // nprobe = nlist (exact) and appends only the rows with no
+    // near-duplicate already stored — twins of indexed vectors are
+    // dropped, fresh odds land. The oracle rebuilds the final corpus
+    // membership (evens ∪ non-dup batch rows) plus the kept/dropped
+    // counts from the same round-6 cosine contract the probe reports.
+    "sim_append_dedup" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      val store = new TableStore(Scratch.dir("graft-vad"), c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      val evens = vecs.filter(col("vec_id") % 2 === 0)
+      val twins = evens.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01) + lit(0.005))
+          .cast("array<float>").as("embedding"))
+      val odds = vecs.filter(col("vec_id") % 2 === 1)
+      VectorSink.writeIvf(store, "emb", evens, "vec_id", "embedding",
+        nlist = 8)
+      val (kept, dropped) = VectorSink.appendDeduped(store, "emb",
+        twins.unionByName(odds), "vec_id", "embedding",
+        threshold = 0.98, nprobe = 8)
+      store.read("emb").select(col("vec_id"))
+        .withColumn("kept", lit(kept)).withColumn("dropped", lit(dropped))
+        .orderBy("vec_id")
+    },
+
     // INCREMENTAL embedding near-dup — the binary plane in the
     // dedup_incremental shape: the even half is indexed ONCE (vectors +
     // sign codes + pigeonhole band keys persisted through the store),
@@ -2223,6 +2249,35 @@ object ExtQueries {
         |SELECT id_a, id_b, hamming, round(cs, 6) AS cosine
         |FROM pairs WHERE cs >= 0.98 AND hamming <= 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // dedup-on-ingest ≡ membership: evens ∪ batch rows with NO even
+    // neighbor at round-6 cosine ≥ 0.98 (max ≥ t ⟺ exists ≥ t, and the
+    // screen runs at nprobe = nlist so it is exact)
+    "sim_append_dedup" ->
+      """WITH evens AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |batch AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(x * 1.01 + 0.005 AS REAL)) AS embedding
+        |  FROM evens
+        |  UNION ALL
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM batch b JOIN evens e
+        |    ON round(list_cosine_similarity(b.embedding::DOUBLE[],
+        |         e.embedding::DOUBLE[]), 6) >= 0.98),
+        |corpus AS (
+        |  SELECT vec_id FROM evens
+        |  UNION ALL
+        |  SELECT vec_id FROM batch
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM dups))
+        |SELECT vec_id,
+        |  ((SELECT count(*) FROM batch) - (SELECT count(*) FROM dups))::BIGINT
+        |    AS kept,
+        |  (SELECT count(*) FROM dups)::BIGINT AS dropped
+        |FROM corpus ORDER BY vec_id""".stripMargin,
 
     // incremental screen ≡ both contract filters over the full
     // new × old product (the banding is recall-only)

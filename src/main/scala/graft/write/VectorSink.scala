@@ -927,6 +927,42 @@ object VectorSink {
       id: String, vec: String): Unit =
     ingest(store, table, rows, id, vec, replaceById = false)
 
+  /** DEDUP-ON-INGEST append: drop every batch row that already has a
+    * near-duplicate IN THE COLLECTION (best-cosine neighbor ≥
+    * `threshold` over `nprobe` probed lists), append the rest — the
+    * vector-destination "don't store what you already hold" policy as
+    * one k=1 probe of the pinned generation (the exact serving read
+    * path: segment-pruned, map-only centroid ranking) + one normal
+    * [[append]], both under the collection lock (reentrant) so no
+    * writer interleaves between screen and land. `nprobe = nlist`
+    * makes the screen exact; a smaller nprobe trades screening recall
+    * for probe cost exactly like serving — a missed duplicate is
+    * APPENDED (ingest-safe degradation), never a lost row. The
+    * threshold compares the probe's round-6 cosine (the [[topK]]
+    * contract, externally replayable). Within-batch duplicates are NOT
+    * resolved here (the screen is batch × collection): run
+    * [[graft.ext.Dedup.embeddingHammingPairs]] or an exact dedup over
+    * the batch first. Float (cosine) collections only, like [[topK]].
+    * Returns (kept, dropped) row counts; an all-duplicate batch
+    * appends nothing and leaves the generation untouched. */
+  def appendDeduped(store: TableStore, table: String, batch: DataFrame,
+      id: String, vec: String, threshold: Double,
+      nprobe: Int): (Long, Long) = store.exclusively(table) {
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupIds = topK(store, table, pinned, id, vec, k = 1, nprobe)
+        .filter(col("cosine") >= threshold)
+        .select(col("query_id").as(id))
+      val kept = pinned.join(dupIds, Seq(id), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val (nAll, nKept) = (pinned.count(), kept.count())
+        if (nKept > 0L) ingest(store, table, kept, id, vec, replaceById = false)
+        (nKept, nAll - nKept)
+      } finally kept.unpersist(blocking = false)
+    } finally pinned.unpersist(blocking = false)
+  }
+
   /** UPSERT a batch: encode it under the stored model like [[append]],
     * but land it through ONE atomic tombstone+append commit
     * ([[TableStore.appendWithTombstone]]) — rows of the EXISTING

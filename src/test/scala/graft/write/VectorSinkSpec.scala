@@ -603,6 +603,37 @@ class VectorSinkSpec extends SparkSpec {
       "the observe-carried dim must land in the committed meta")
   }
 
+  test("appendDeduped drops collection near-dups, appends the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec22").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding", nlist = 4)
+    // batch: a near-twin of vec 5 (must drop) + one orthogonal-ish
+    // fresh vector (must land)
+    val twin = corpus.filter(col("vec_id") === 5L)
+      .select((col("vec_id") + 100L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x * org.apache.spark.sql.functions.lit(1.001)
+            + org.apache.spark.sql.functions.lit(0.0001))
+          .cast("array<float>").as("embedding"))
+    val fresh = Seq((200L, Seq(9.0f, -9.0f, 9.0f, -9.0f, 9.0f, -9.0f, 9.0f, -9.0f)))
+      .toDF("vec_id", "embedding")
+    val (kept, dropped) = VectorSink.appendDeduped(store, "emb",
+      twin.unionByName(fresh), "vec_id", "embedding",
+      threshold = 0.98, nprobe = 4)
+    assert((kept, dropped) === (1L, 1L))
+    val ids = store.read("emb").select("vec_id").as[Long].collect().toSet
+    assert(ids.contains(200L) && !ids.contains(105L),
+      s"twin must drop, fresh must land: $ids")
+    // all-duplicate batch: nothing appends, the generation stays put
+    val genBefore = VectorSink.generations(store, "emb").max
+    val (k2, d2) = VectorSink.appendDeduped(store, "emb",
+      twin.select((col("vec_id") + 1L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", threshold = 0.98, nprobe = 4)
+    assert((k2, d2) === (0L, 1L))
+    assert(VectorSink.generations(store, "emb").max === genBefore,
+      "an all-duplicate batch must leave no new generation")
+  }
+
   test("rebalance heals an interrupted swap even when the census is balanced") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec20").toString
     val store = new TableStore(dir, spark)
