@@ -250,4 +250,27 @@ object CorpusAssembly {
       consume(packed, stages)
     } finally pinned.foreach(_.unpersist(blocking = false))
   }
+
+  /** [[assemble]] landed through the WRITE PLANE: the packed (and
+    * optionally shuffled) curation output commits to `table` as a
+    * normal load — append disposition, `_dlt_loads` ledger row — so
+    * the pipeline's product is a queryable lakehouse table with
+    * provenance, not a frame that dies with the session (the
+    * reference's pipelines always end at a destination). The heavy
+    * `__text` column is dropped at the door: the training-order table
+    * is (ids, domain, token counts, chunk spans, rank) — readers
+    * needing text join back to the source corpus by id. Runs inside
+    * [[assemble]]'s loan scope, so the write is the single consuming
+    * action the stage pins exist for. Returns the stage counts (with
+    * the fitted classifier when that stage ran). */
+  def assembleTo(disp: graft.write.Dispositions, table: String,
+      loadId: String, docs: DataFrame, id: String, text: String,
+      domain: String, benchmark: DataFrame,
+      cfg: AssemblyConfig = AssemblyConfig(),
+      dsirTarget: Option[DataFrame] = None): StageCounts =
+    assemble(docs, id, text, domain, benchmark, cfg, dsirTarget) {
+      (packed, stages) =>
+        disp.append(table, packed.drop("__text"), loadId)
+        stages
+    }
 }

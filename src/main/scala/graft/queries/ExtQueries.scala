@@ -635,6 +635,33 @@ object ExtQueries {
         .orderBy("vec_id")
     },
 
+    // the BINARY twin of dedup-on-ingest: the screen is the
+    // collection's own sign codes (no full-precision corpus touched —
+    // the 32×-smaller scan), pruned by the coarse quantizer like
+    // serving; at nprobe = nlist the Hamming budget is the exact
+    // contract (sign codes carry no magnitudes, so there is no cosine
+    // side here). Twins flip ≈1 bit → dropped at H = 8; odds land
+    // unless they sign-agree with an even within the budget — all
+    // replayed by the oracle's EXISTS over the all-pairs product.
+    "sim_bq_append_dedup" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      val store = new TableStore(Scratch.dir("graft-bad"), c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      val evens = vecs.filter(col("vec_id") % 2 === 0)
+      val twins = evens.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01) + lit(0.005))
+          .cast("array<float>").as("embedding"))
+      val odds = vecs.filter(col("vec_id") % 2 === 1)
+      VectorSink.writeIvfBinary(store, "emb", evens, "vec_id", "embedding",
+        nlist = 8)
+      val (kept, dropped) = VectorSink.appendDedupedBinary(store, "emb",
+        twins.unionByName(odds), "vec_id", "embedding",
+        maxHamming = 8, nprobe = 8)
+      store.read("emb").select(col("vec_id"))
+        .withColumn("kept", lit(kept)).withColumn("dropped", lit(dropped))
+        .orderBy("vec_id")
+    },
+
     // INCREMENTAL embedding near-dup — the binary plane in the
     // dedup_incremental shape: the even half is indexed ONCE (vectors +
     // sign codes + pigeonhole band keys persisted through the store),
@@ -1357,6 +1384,54 @@ object ExtQueries {
             .orderBy("doc_id")
             .localCheckpoint(true)
       }
+    },
+
+    // the assembly landed through the WRITE PLANE: assembleTo commits
+    // the packed curation output as a normal load (append disposition,
+    // _dlt_loads ledger row, _dlt_load_id stamped) — the pipeline's
+    // product is a queryable lakehouse table with provenance. The
+    // oracle is v1's replay verbatim (the write must change NOTHING);
+    // loaded_once asserts exactly one stamped load id matching exactly
+    // one status-0 ledger row, so a double-write or a missed ledger
+    // commit hash-fails.
+    "ops_corpus_assembly_persisted" -> q { c =>
+      import graft.ext.{AssemblyConfig, CorpusAssembly}
+      import graft.write.{Dispositions, TableStore}
+      val store = new TableStore(Scratch.dir("graft-cap"), c.spark)
+      val disp = new Dispositions(store, c.spark)
+      val docs = c.tw("documents")
+        .withColumn("ltext", replace(col("text"), lit(" table "), lit("\n")))
+      val corpus = docs.filter(col("doc_id") >= 25)
+        .select("doc_id", "source", "ltext")
+      val bench = docs.filter(col("doc_id") < 25).select("doc_id", "ltext")
+      val cfg = AssemblyConfig(
+        quality = t => {
+          import TextOps.Gopher._
+          val n = TextOps.tokenCount(t)
+          n >= MinWords && n <= MaxWords &&
+            TextOps.meanTokenLen(t) >= MinMeanWordLen &&
+            TextOps.meanTokenLen(t) <= MaxMeanWordLen &&
+            symbolRatio(t) <= MaxSymbolRatio &&
+            alphaWordRatio(t) >= MinAlphaWordRatio
+        },
+        lineMinDocs = 2, shingleN = 3, nearDupThreshold = 0.9,
+        maxContaminatedShare = 0.2, mixAlpha = 1.0, domainCap = 10,
+        packBudget = 512L, collectStageCounts = false)
+      val loadId = disp.newLoadId()
+      CorpusAssembly.assembleTo(disp, "training_order", loadId,
+        corpus, "doc_id", "ltext", "source", bench, cfg)
+      val t = store.read("training_order")
+      // both driver-small by contract: one load id, one ledger row
+      val stamped = t.select("_dlt_load_id").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val ledgered = store.read(disp.LoadsTable)
+        .filter(col("load_id") === loadId && col("status") === 0).count()
+      val ok = stamped == Seq(loadId) && ledgered == 1L
+      t.select(col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"), col("tok_offset"),
+        col("first_chunk"), col("last_chunk"))
+        .withColumn("loaded_once", lit(ok))
+        .orderBy("doc_id")
     },
 
     // the FULL modern-curation composition over the same corpus: the
@@ -2151,6 +2226,14 @@ object ExtQueries {
       corpusAssemblyOracleSql(canonical = false, classifier = None,
         shuffle = None),
 
+    // the persisted run must replay v1's oracle verbatim (the write
+    // plane changes nothing); loaded_once asserted TRUE
+    "ops_corpus_assembly_persisted" ->
+      s"""SELECT *, TRUE AS loaded_once FROM (
+         |${corpusAssemblyOracleSql(canonical = false, classifier = None,
+              shuffle = None)}
+         |) ORDER BY doc_id""".stripMargin,
+
     "dedup_ngram_jaccard" -> (jaccardSql(0.8) + " ORDER BY id_a, id_b"),
 
     "dedup_substring_spans" ->
@@ -2268,6 +2351,36 @@ object ExtQueries {
         |  FROM batch b JOIN evens e
         |    ON round(list_cosine_similarity(b.embedding::DOUBLE[],
         |         e.embedding::DOUBLE[]), 6) >= 0.98),
+        |corpus AS (
+        |  SELECT vec_id FROM evens
+        |  UNION ALL
+        |  SELECT vec_id FROM batch
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM dups))
+        |SELECT vec_id,
+        |  ((SELECT count(*) FROM batch) - (SELECT count(*) FROM dups))::BIGINT
+        |    AS kept,
+        |  (SELECT count(*) FROM dups)::BIGINT AS dropped
+        |FROM corpus ORDER BY vec_id""".stripMargin,
+
+    // binary dedup-on-ingest ≡ membership under the Hamming-only
+    // contract: a batch row drops iff ANY even sign-agrees within the
+    // budget (nprobe = nlist makes the pruned screen exact)
+    "sim_bq_append_dedup" ->
+      """WITH evens AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |batch AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(x * 1.01 + 0.005 AS REAL)) AS embedding
+        |  FROM evens
+        |  UNION ALL
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM batch b JOIN evens e
+        |    ON list_sum(list_transform(range(1, len(b.embedding)+1),
+        |         i -> CASE WHEN (b.embedding[i] > 0) <> (e.embedding[i] > 0)
+        |              THEN 1 ELSE 0 END)) <= 8),
         |corpus AS (
         |  SELECT vec_id FROM evens
         |  UNION ALL

@@ -963,6 +963,48 @@ object VectorSink {
     } finally pinned.unpersist(blocking = false)
   }
 
+  /** [[appendDeduped]] for BINARY collections: the screen is the
+    * collection's own sign codes — batch rows whose code sits within
+    * `maxHamming` of ANY stored code in a probed list are dropped, the
+    * rest append (encoded under the stored coarse model, like any
+    * binary append). No full-precision corpus is needed (codes only —
+    * the same reason binary serving scans 32× less data), and the
+    * screen prunes by the coarse quantizer exactly like serving:
+    * `nprobe = nlist` makes the Hamming screen exact, smaller nprobe
+    * degrades ingest-safe (missed duplicate ⇒ appended row). The
+    * Hamming budget is the whole contract here — sign codes carry no
+    * magnitudes to cosine-verify; calibrate via dim·θ/π (cosine 0.98 at
+    * 64 dims ⇒ ~4 flips). Returns (kept, dropped). */
+  def appendDedupedBinary(store: TableStore, table: String, batch: DataFrame,
+      id: String, vec: String, maxHamming: Int,
+      nprobe: Int): (Long, Long) = store.exclusively(table) {
+    val g = generation(store, table)
+    require(g.meta.metric == "hamming-bq",
+      s"collection '$table' is '${g.meta.metric}', not a binary " +
+        "collection — use appendDeduped (cosine screen) instead")
+    require(nprobe >= 1 && nprobe <= g.meta.nlist,
+      s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
+    require(maxHamming >= 0 && maxHamming < g.meta.dim,
+      s"maxHamming $maxHamming outside [0, ${g.meta.dim})")
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupIds = probeLists(g.centroidMatrix, pinned, id, vec, nprobe)
+        .withColumn("__qcode",
+          graft.functions.VectorFunctions.packSignBits(col("__qv")))
+        .join(g.corpus.select(col("__list"), col("__code")), Seq("__list"))
+        .filter(graft.functions.VectorFunctions.hammingDist(
+          col("__qcode"), col("__code")) <= maxHamming)
+        .select(col("query_id").as(id)).distinct()
+      val kept = pinned.join(dupIds, Seq(id), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val (nAll, nKept) = (pinned.count(), kept.count())
+        if (nKept > 0L) ingest(store, table, kept, id, vec, replaceById = false)
+        (nKept, nAll - nKept)
+      } finally kept.unpersist(blocking = false)
+    } finally pinned.unpersist(blocking = false)
+  }
+
   /** UPSERT a batch: encode it under the stored model like [[append]],
     * but land it through ONE atomic tombstone+append commit
     * ([[TableStore.appendWithTombstone]]) — rows of the EXISTING

@@ -225,6 +225,30 @@ class CorpusAssemblySpec extends SparkSpec {
     }
   }
 
+  test("assembleTo lands the packed output as a ledgered load, text dropped") {
+    val bench = Seq((900L, "benchmark question unseen here")).toDF("doc_id", "text")
+    val docs = Seq(
+      (5L, "b.com", en("delta")), (7L, "c.com", en("zeta")),
+      (9L, "a.com", en("omega"))).toDF("doc_id", "domain", "text")
+    val store = new graft.write.TableStore(
+      java.nio.file.Files.createTempDirectory("graft-asmto").toString, spark)
+    val disp = new graft.write.Dispositions(store, spark)
+    val loadId = disp.newLoadId()
+    val stages = CorpusAssembly.assembleTo(disp, "train", loadId,
+      docs, "doc_id", "text", "domain", bench,
+      AssemblyConfig(lineMinDocs = 2, mixAlpha = 1.0, domainCap = 2,
+        packBudget = 64L))
+    assert(stages("mixed_capped") === 3)
+    val t = store.read("train")
+    assert(!t.columns.contains("__text"),
+      "the heavy text column must not land in the training-order table")
+    assert(t.columns.toSet.contains("_dlt_load_id"), "provenance stamp missing")
+    assert(t.select("doc_id").as[Long].collect().toSet === Set(5L, 7L, 9L))
+    val ledger = store.read(disp.LoadsTable)
+      .filter(col("load_id") === loadId).count()
+    assert(ledger === 1L, "exactly one ledger row for the load")
+  }
+
   test("optional DSIR stage keeps the target-matching survivors") {
     val bench = Seq((900L, "benchmark question unseen here")).toDF("doc_id", "text")
     val docs = Seq(

@@ -634,6 +634,41 @@ class VectorSinkSpec extends SparkSpec {
       "an all-duplicate batch must leave no new generation")
   }
 
+  test("appendDedupedBinary screens on stored codes, Hamming-only contract") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec23").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvfBinary(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    // sign-identical twin of vec 9 (hamming 0 — must drop) + a vector
+    // with every sign flipped vs everything sin-based it could meet
+    // (hamming far above budget — must land)
+    val twin = corpus.filter(col("vec_id") === 9L)
+      .select((col("vec_id") + 100L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x * org.apache.spark.sql.functions.lit(1.5))
+          .cast("array<float>").as("embedding")) // scaling never flips a sign
+    val fresh = corpus.filter(col("vec_id") === 10L)
+      .select((col("vec_id") + 200L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x * org.apache.spark.sql.functions.lit(-1.0))
+          .cast("array<float>").as("embedding")) // all 8 signs flipped vs 10
+    val (kept, dropped) = VectorSink.appendDedupedBinary(store, "emb",
+      twin.unionByName(fresh), "vec_id", "embedding",
+      maxHamming = 0, nprobe = 4)
+    // twin: hamming 0 vs vec 9 -> dropped; anti-twin of 10: hamming 8
+    // vs 10, and only dropped if some OTHER stored code matches all 8
+    // signs — compute the truth from the corpus to keep this exact
+    val signs = corpus.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_ > 0).toVector)).toMap
+    val antiSigns = signs(10L).map(!_)
+    val antiDup = signs.values.exists(_ == antiSigns)
+    assert(dropped === (if (antiDup) 2L else 1L))
+    assert(kept === 2L - dropped)
+    val ids = store.read("emb").select("vec_id").as[Long].collect().toSet
+    assert(!ids.contains(109L), "sign-identical twin must drop")
+    assert(ids.contains(210L) === !antiDup)
+  }
+
   test("rebalance heals an interrupted swap even when the census is balanced") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec20").toString
     val store = new TableStore(dir, spark)
