@@ -197,9 +197,12 @@ case class TrigramWeightSum(child: Expression, profile: Seq[(String, Int)])
       s"$prettyName requires string input, got ${other.sql}")
   }
 
-  @transient private lazy val map: java.util.HashMap[String, Long] = {
-    val m = new java.util.HashMap[String, Long](profile.size * 2)
-    profile.foreach { case (t, w) => m.put(t, w.toLong) }
+  // BOXED values: a Scala-primitive map would make `get`'s absent-key
+  // null unbox to 0 behind the compiler's back and turn the null guard
+  // into dead code (same result, accidental mechanism)
+  @transient private lazy val map: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](profile.size * 2)
+    profile.foreach { case (t, w) => m.put(t, java.lang.Long.valueOf(w.toLong)) }
     m
   }
 
@@ -209,7 +212,7 @@ case class TrigramWeightSum(child: Expression, profile: Seq[(String, Int)])
     var i = 0
     while (i + 3 <= str.length) {
       val w = map.get(str.substring(i, i + 3))
-      if (w != null) total += w
+      if (w != null) total += w.longValue
       i += 1
     }
     total

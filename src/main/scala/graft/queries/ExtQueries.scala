@@ -52,6 +52,51 @@ object ExtQueries {
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private val binaryRerankOracle: String = binaryRerankOracleOver("TRUE")
+
+  /** The shared dedup-on-ingest fixture (the cosine AND the binary
+    * gate): evens indexed, batch = affine twins of the evens (near-dups
+    * by construction) + the untouched odds — ONE builder so the two
+    * gates cannot silently screen different batches. */
+  private def appendDedupFrames(c: Ctx)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val vecs = c.t("embeddings").select("vec_id", "embedding")
+    val evens = vecs.filter(col("vec_id") % 2 === 0)
+    val twins = evens.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.01) + lit(0.005))
+        .cast("array<float>").as("embedding"))
+    (evens, twins.unionByName(vecs.filter(col("vec_id") % 2 === 1)))
+  }
+
+  /** Shared oracle for the two dedup-on-ingest gates: final membership
+    * = evens ∪ batch rows with NO even matching `dupsCond`, plus the
+    * kept/dropped counts (the screens run at nprobe = nlist, so EXISTS
+    * over the all-pairs product is exact on both planes). ONE builder —
+    * the batch construction and count arithmetic cannot diverge
+    * between the cosine and Hamming gates. */
+  private def appendDedupOracleSql(dupsCond: String): String =
+    s"""WITH evens AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+       |batch AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(x * 1.01 + 0.005 AS REAL)) AS embedding
+       |  FROM evens
+       |  UNION ALL
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM batch b JOIN evens e
+       |    ON $dupsCond),
+       |corpus AS (
+       |  SELECT vec_id FROM evens
+       |  UNION ALL
+       |  SELECT vec_id FROM batch
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM dups))
+       |SELECT vec_id,
+       |  ((SELECT count(*) FROM batch) - (SELECT count(*) FROM dups))::BIGINT
+       |    AS kept,
+       |  (SELECT count(*) FROM dups)::BIGINT AS dropped
+       |FROM corpus ORDER BY vec_id""".stripMargin
   private val stopsSql = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
 
   /** The `sh` CTE body: one row per distinct (doc, trigram shingle).
@@ -289,9 +334,10 @@ object ExtQueries {
     // one-aggregate ridge plane. The oracle is assembled from each
     // feature's OWN SQL mirror plus the fitted literal polynomial, so
     // the bit-replayable contract survives pack extension. Gate: the
-    // extended fit must explain the seed at least as well as the
-    // default pack (SSE non-increasing under the same ridge penalty) —
-    // asserted TRUE by the oracle.
+    // extended fit's PENALIZED objective (SSE + λ·Σw²) must not exceed
+    // the default pack's — the quantity ridge provably cannot increase
+    // under pack extension (raw SSE alone CAN) — asserted TRUE by the
+    // oracle.
     "text_quality_custom" -> q { c =>
       import QualityClassifier.Feature
       val docs = c.tw("documents")
@@ -619,17 +665,11 @@ object ExtQueries {
     "sim_append_dedup" -> q { c =>
       import graft.write.{TableStore, VectorSink}
       val store = new TableStore(Scratch.dir("graft-vad"), c.spark)
-      val vecs = c.t("embeddings").select("vec_id", "embedding")
-      val evens = vecs.filter(col("vec_id") % 2 === 0)
-      val twins = evens.select((col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"), x => x * lit(1.01) + lit(0.005))
-          .cast("array<float>").as("embedding"))
-      val odds = vecs.filter(col("vec_id") % 2 === 1)
+      val (evens, batch) = appendDedupFrames(c)
       VectorSink.writeIvf(store, "emb", evens, "vec_id", "embedding",
         nlist = 8)
       val (kept, dropped) = VectorSink.appendDeduped(store, "emb",
-        twins.unionByName(odds), "vec_id", "embedding",
-        threshold = 0.98, nprobe = 8)
+        batch, "vec_id", "embedding", threshold = 0.98, nprobe = 8)
       store.read("emb").select(col("vec_id"))
         .withColumn("kept", lit(kept)).withColumn("dropped", lit(dropped))
         .orderBy("vec_id")
@@ -646,17 +686,11 @@ object ExtQueries {
     "sim_bq_append_dedup" -> q { c =>
       import graft.write.{TableStore, VectorSink}
       val store = new TableStore(Scratch.dir("graft-bad"), c.spark)
-      val vecs = c.t("embeddings").select("vec_id", "embedding")
-      val evens = vecs.filter(col("vec_id") % 2 === 0)
-      val twins = evens.select((col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"), x => x * lit(1.01) + lit(0.005))
-          .cast("array<float>").as("embedding"))
-      val odds = vecs.filter(col("vec_id") % 2 === 1)
+      val (evens, batch) = appendDedupFrames(c)
       VectorSink.writeIvfBinary(store, "emb", evens, "vec_id", "embedding",
         nlist = 8)
       val (kept, dropped) = VectorSink.appendDedupedBinary(store, "emb",
-        twins.unionByName(odds), "vec_id", "embedding",
-        maxHamming = 8, nprobe = 8)
+        batch, "vec_id", "embedding", maxHamming = 8, nprobe = 8)
       store.read("emb").select(col("vec_id"))
         .withColumn("kept", lit(kept)).withColumn("dropped", lit(dropped))
         .orderBy("vec_id")
@@ -2334,63 +2368,19 @@ object ExtQueries {
         |ORDER BY id_a, id_b""".stripMargin,
 
     // dedup-on-ingest ≡ membership: evens ∪ batch rows with NO even
-    // neighbor at round-6 cosine ≥ 0.98 (max ≥ t ⟺ exists ≥ t, and the
-    // screen runs at nprobe = nlist so it is exact)
-    "sim_append_dedup" ->
-      """WITH evens AS (
-        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
-        |batch AS (
-        |  SELECT vec_id + 1000000 AS vec_id,
-        |    list_transform(embedding::DOUBLE[],
-        |      x -> CAST(x * 1.01 + 0.005 AS REAL)) AS embedding
-        |  FROM evens
-        |  UNION ALL
-        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
-        |dups AS (
-        |  SELECT DISTINCT b.vec_id
-        |  FROM batch b JOIN evens e
-        |    ON round(list_cosine_similarity(b.embedding::DOUBLE[],
-        |         e.embedding::DOUBLE[]), 6) >= 0.98),
-        |corpus AS (
-        |  SELECT vec_id FROM evens
-        |  UNION ALL
-        |  SELECT vec_id FROM batch
-        |  WHERE vec_id NOT IN (SELECT vec_id FROM dups))
-        |SELECT vec_id,
-        |  ((SELECT count(*) FROM batch) - (SELECT count(*) FROM dups))::BIGINT
-        |    AS kept,
-        |  (SELECT count(*) FROM dups)::BIGINT AS dropped
-        |FROM corpus ORDER BY vec_id""".stripMargin,
+    // neighbor at round-6 cosine ≥ 0.98 (exists ≥ t, exact at
+    // nprobe = nlist)
+    "sim_append_dedup" -> appendDedupOracleSql(
+      """round(list_cosine_similarity(b.embedding::DOUBLE[],
+        |         e.embedding::DOUBLE[]), 6) >= 0.98""".stripMargin),
 
     // binary dedup-on-ingest ≡ membership under the Hamming-only
     // contract: a batch row drops iff ANY even sign-agrees within the
     // budget (nprobe = nlist makes the pruned screen exact)
-    "sim_bq_append_dedup" ->
-      """WITH evens AS (
-        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
-        |batch AS (
-        |  SELECT vec_id + 1000000 AS vec_id,
-        |    list_transform(embedding::DOUBLE[],
-        |      x -> CAST(x * 1.01 + 0.005 AS REAL)) AS embedding
-        |  FROM evens
-        |  UNION ALL
-        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
-        |dups AS (
-        |  SELECT DISTINCT b.vec_id
-        |  FROM batch b JOIN evens e
-        |    ON list_sum(list_transform(range(1, len(b.embedding)+1),
+    "sim_bq_append_dedup" -> appendDedupOracleSql(
+      """list_sum(list_transform(range(1, len(b.embedding)+1),
         |         i -> CASE WHEN (b.embedding[i] > 0) <> (e.embedding[i] > 0)
-        |              THEN 1 ELSE 0 END)) <= 8),
-        |corpus AS (
-        |  SELECT vec_id FROM evens
-        |  UNION ALL
-        |  SELECT vec_id FROM batch
-        |  WHERE vec_id NOT IN (SELECT vec_id FROM dups))
-        |SELECT vec_id,
-        |  ((SELECT count(*) FROM batch) - (SELECT count(*) FROM dups))::BIGINT
-        |    AS kept,
-        |  (SELECT count(*) FROM dups)::BIGINT AS dropped
-        |FROM corpus ORDER BY vec_id""".stripMargin,
+        |              THEN 1 ELSE 0 END)) <= 8""".stripMargin),
 
     // incremental screen ≡ both contract filters over the full
     // new × old product (the banding is recall-only)

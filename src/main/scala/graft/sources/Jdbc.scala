@@ -62,6 +62,8 @@ object Jdbc {
         case (Incremental.MaxFunc, false) => ">"
         case (Incremental.MinFunc, true) => "<="
         case (Incremental.MinFunc, false) => "<"
+        case _ => throw new IllegalStateException(
+          "unreachable: custom last_value_func returned None above")
       }
       s"$cursor $op ${sqlLiteral(v)}"
     }
@@ -69,6 +71,8 @@ object Jdbc {
       val op = cfg.lastValueFunc match {
         case Incremental.MaxFunc => "<"
         case Incremental.MinFunc => ">"
+        case _ => throw new IllegalStateException(
+          "unreachable: custom last_value_func returned None above")
       }
       s"$cursor $op ${sqlLiteral(v)}"
     }

@@ -928,40 +928,73 @@ object VectorSink {
     ingest(store, table, rows, id, vec, replaceById = false)
 
   /** DEDUP-ON-INGEST append: drop every batch row that already has a
-    * near-duplicate IN THE COLLECTION (best-cosine neighbor ≥
-    * `threshold` over `nprobe` probed lists), append the rest — the
-    * vector-destination "don't store what you already hold" policy as
-    * one k=1 probe of the pinned generation (the exact serving read
-    * path: segment-pruned, map-only centroid ranking) + one normal
+    * near-duplicate IN THE COLLECTION (a stored row at round-6 cosine ≥
+    * `threshold` within the `nprobe` probed lists), append the rest —
+    * the vector-destination "don't store what you already hold" policy
+    * as one probe-shaped screen of the pinned generation (the exact
+    * serving read path: segment-pruned, map-only centroid ranking, no
+    * self-exclusion — a re-ingested row screens against its OWN stored
+    * copy too, the interrupted-batch-recovery case) + one normal
     * [[append]], both under the collection lock (reentrant) so no
     * writer interleaves between screen and land. `nprobe = nlist`
     * makes the screen exact; a smaller nprobe trades screening recall
     * for probe cost exactly like serving — a missed duplicate is
     * APPENDED (ingest-safe degradation), never a lost row. The
-    * threshold compares the probe's round-6 cosine (the [[topK]]
-    * contract, externally replayable). Within-batch duplicates are NOT
-    * resolved here (the screen is batch × collection): run
+    * threshold compares the round-6 cosine (the [[topK]] contract,
+    * externally replayable). Within-batch duplicates are NOT resolved
+    * here (the screen is batch × collection) and batch ids must be
+    * UNIQUE ([[screenedAppend]] raises otherwise): run
     * [[graft.ext.Dedup.embeddingHammingPairs]] or an exact dedup over
-    * the batch first. Float (cosine) collections only, like [[topK]].
-    * Returns (kept, dropped) row counts; an all-duplicate batch
-    * appends nothing and leaves the generation untouched. */
+    * the batch first. Float (cosine) collections only. Returns
+    * (kept, dropped) row counts; an all-duplicate batch appends
+    * nothing and leaves the generation untouched. */
   def appendDeduped(store: TableStore, table: String, batch: DataFrame,
       id: String, vec: String, threshold: Double,
-      nprobe: Int): (Long, Long) = store.exclusively(table) {
-    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val dupIds = topK(store, table, pinned, id, vec, k = 1, nprobe)
-        .filter(col("cosine") >= threshold)
-        .select(col("query_id").as(id))
-      val kept = pinned.join(dupIds, Seq(id), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nprobe: Int): (Long, Long) =
+    screenedAppend(store, table, batch, id, vec) { pinned =>
+      val g = generation(store, table)
+      require(g.meta.metric == "cosine",
+        s"collection '$table' is '${g.meta.metric}': it stores codes, " +
+          "not vectors — use appendDedupedBinary (Hamming screen) for " +
+          "binary collections")
+      require(nprobe >= 1 && nprobe <= g.meta.nlist,
+        s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
+      probeLists(g.centroidMatrix, pinned, id, vec, nprobe)
+        .join(g.corpus.select(col(vec).as("__cv"), col("__list")),
+          Seq("__list"))
+        .filter(round(graft.ext.Dedup.cosine(col("__qv"), col("__cv")), 6)
+          >= threshold)
+        .select(col("query_id").as(id)).distinct()
+    }
+
+  /** The shared dedup-append scaffold: pin the batch, reject duplicate
+    * batch ids (the screen is id-keyed — a duplicated id would drop
+    * its non-duplicate sibling, silently LOSING a row; the same
+    * staging-key rule [[upsert]] enforces), anti-join the screen's dup
+    * ids, land the survivors through the normal [[append]] encode
+    * path, all under the reentrant collection lock. The screen runs
+    * under the lock too, so the generation it resolves is the one the
+    * append lands on. */
+  private def screenedAppend(store: TableStore, table: String,
+      batch: DataFrame, id: String, vec: String)
+      (dupIds: DataFrame => DataFrame): (Long, Long) =
+    store.exclusively(table) {
+      val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val (nAll, nKept) = (pinned.count(), kept.count())
-        if (nKept > 0L) ingest(store, table, kept, id, vec, replaceById = false)
-        (nKept, nAll - nKept)
-      } finally kept.unpersist(blocking = false)
-    } finally pinned.unpersist(blocking = false)
-  }
+        val d = pinned.agg(count(lit(1L)), count_distinct(col(id))).head()
+        require(d.getLong(0) == d.getLong(1),
+          s"dedup append to '$table': batch ids must be unique — the " +
+            "screen is id-keyed, so a duplicated id would drop its " +
+            "non-duplicate sibling (dedup the batch first)")
+        val kept = pinned.join(dupIds(pinned), Seq(id), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nKept = kept.count()
+          if (nKept > 0L) ingest(store, table, kept, id, vec, replaceById = false)
+          (nKept, d.getLong(0) - nKept)
+        } finally kept.unpersist(blocking = false)
+      } finally pinned.unpersist(blocking = false)
+    }
 
   /** [[appendDeduped]] for BINARY collections: the screen is the
     * collection's own sign codes — batch rows whose code sits within
@@ -977,33 +1010,24 @@ object VectorSink {
     * 64 dims ⇒ ~4 flips). Returns (kept, dropped). */
   def appendDedupedBinary(store: TableStore, table: String, batch: DataFrame,
       id: String, vec: String, maxHamming: Int,
-      nprobe: Int): (Long, Long) = store.exclusively(table) {
-    val g = generation(store, table)
-    require(g.meta.metric == "hamming-bq",
-      s"collection '$table' is '${g.meta.metric}', not a binary " +
-        "collection — use appendDeduped (cosine screen) instead")
-    require(nprobe >= 1 && nprobe <= g.meta.nlist,
-      s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
-    require(maxHamming >= 0 && maxHamming < g.meta.dim,
-      s"maxHamming $maxHamming outside [0, ${g.meta.dim})")
-    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val dupIds = probeLists(g.centroidMatrix, pinned, id, vec, nprobe)
+      nprobe: Int): (Long, Long) =
+    screenedAppend(store, table, batch, id, vec) { pinned =>
+      val g = generation(store, table)
+      require(g.meta.metric == "hamming-bq",
+        s"collection '$table' is '${g.meta.metric}', not a binary " +
+          "collection — use appendDeduped (cosine screen) instead")
+      require(nprobe >= 1 && nprobe <= g.meta.nlist,
+        s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
+      require(maxHamming >= 0 && maxHamming < g.meta.dim,
+        s"maxHamming $maxHamming outside [0, ${g.meta.dim})")
+      probeLists(g.centroidMatrix, pinned, id, vec, nprobe)
         .withColumn("__qcode",
           graft.functions.VectorFunctions.packSignBits(col("__qv")))
         .join(g.corpus.select(col("__list"), col("__code")), Seq("__list"))
         .filter(graft.functions.VectorFunctions.hammingDist(
           col("__qcode"), col("__code")) <= maxHamming)
         .select(col("query_id").as(id)).distinct()
-      val kept = pinned.join(dupIds, Seq(id), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val (nAll, nKept) = (pinned.count(), kept.count())
-        if (nKept > 0L) ingest(store, table, kept, id, vec, replaceById = false)
-        (nKept, nAll - nKept)
-      } finally kept.unpersist(blocking = false)
-    } finally pinned.unpersist(blocking = false)
-  }
+    }
 
   /** UPSERT a batch: encode it under the stored model like [[append]],
     * but land it through ONE atomic tombstone+append commit

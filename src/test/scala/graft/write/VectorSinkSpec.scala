@@ -634,6 +634,42 @@ class VectorSinkSpec extends SparkSpec {
       "an all-duplicate batch must leave no new generation")
   }
 
+  test("appendDeduped screens same-id re-ingests and rejects duplicate batch ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec24").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding", nlist = 4)
+    // the interrupted-batch-recovery case: re-ingesting a row the
+    // collection ALREADY HOLDS (same id, same vector) must screen
+    // against its own stored copy (cosine 1) and drop — the serving
+    // path's query≠match self-exclusion must not leak into the screen
+    val (k1, d1) = VectorSink.appendDeduped(store, "emb",
+      corpus.filter(col("vec_id") === 5L), "vec_id", "embedding",
+      threshold = 0.98, nprobe = 4)
+    assert((k1, d1) === (0L, 1L),
+      "a re-ingested stored row must screen against itself")
+    assert(store.read("emb").filter(col("vec_id") === 5L).count() === 1L,
+      "no second physical row for the re-ingested id")
+    // duplicate BATCH ids: the screen is id-keyed, so the scaffold
+    // must refuse instead of silently dropping a non-duplicate sibling
+    val dupBatch = Seq(
+      (300L, Seq.tabulate(8)(d => math.sin(5 * 31 + d * 7).toFloat)),
+      (300L, Seq.tabulate(8)(d => math.cos(d * 3 + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      VectorSink.appendDeduped(store, "emb", dupBatch,
+        "vec_id", "embedding", threshold = 0.98, nprobe = 4)
+    }
+    assert(e.getMessage.contains("unique"), e.getMessage)
+    // and the binary twin shares the scaffold's guard
+    VectorSink.writeIvfBinary(store, "embb", corpus, "vec_id", "embedding",
+      nlist = 4)
+    val e2 = intercept[IllegalArgumentException] {
+      VectorSink.appendDedupedBinary(store, "embb", dupBatch,
+        "vec_id", "embedding", maxHamming = 2, nprobe = 4)
+    }
+    assert(e2.getMessage.contains("unique"), e2.getMessage)
+  }
+
   test("appendDedupedBinary screens on stored codes, Hamming-only contract") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec23").toString
     val store = new TableStore(dir, spark)
