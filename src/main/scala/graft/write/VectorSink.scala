@@ -959,13 +959,51 @@ object VectorSink {
           "binary collections")
       require(nprobe >= 1 && nprobe <= g.meta.nlist,
         s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
+      val (s, parts) = screenSalt(pinned, g.meta.nlist)
       probeLists(g.centroidMatrix, pinned, id, vec, nprobe)
-        .join(g.corpus.select(col(vec).as("__cv"), col("__list")),
-          Seq("__list"))
+        .withColumn("__salt", explode(array((0 until s).map(lit): _*)))
+        .repartition(parts, col("__list"), col("__salt"))
+        // SHUFFLE_HASH pins the join to the salted-key exchanges: the
+        // exploded probe frame's size estimate is garbage, and letting
+        // the planner broadcast a misestimated side collapses the
+        // kernel work onto the other side's (few) input tasks — the
+        // 30-180 s single-task soak pathology. Neither side broadcasts
+        // at the 100 TB operating point anyway.
+        .join(g.corpus.select(col(vec).as("__cv"), col("__list"),
+          pmod(hash(col(id)), lit(s)).as("__salt"))
+          .repartition(parts, col("__list"), col("__salt"))
+          .hint("shuffle_hash"),
+          Seq("__list", "__salt"))
         .filter(round(graft.ext.Dedup.cosine(col("__qv"), col("__cv")), 6)
           >= threshold)
         .select(col("query_id").as(id)).distinct()
     }
+
+  /** (salt width, partition count) for the screen's (__list)
+    * equi-join: without salting the join's parallelism is CAPPED AT
+    * nlist (every stored row of a list meets every probe of that list
+    * in one task — a 30 s single task at a 20k-batch × 10k-corpus soak
+    * with a fixture-scale nlist = 8). Salting splits each list's
+    * corpus rows into `s` hash buckets and replicates only the PROBE
+    * side ×s (the bounded side — corpus rows stay single-copy), the
+    * [[graft.operators.SequencePack]] / TrainingOrder data-scaled-
+    * bucket discipline applied to the screen. The join sides are
+    * EXPLICITLY repartitioned to a fixed count on the salted keys:
+    * the screen is compute-dense but byte-LIGHT (a few MB of vectors
+    * driving 10⁸ cosine kernels), so AQE's size-based coalescing
+    * would fold the salted shuffle right back into a handful of tasks
+    * — an explicit numPartitions is the documented loadWide
+    * discipline for kernel-bound stages. s targets ≥ 2 distinct keys
+    * per partition so the hash spreads evenly; production-sized
+    * collections (nlist ≈ √corpus) already saturate a cluster, the
+    * salt removes the small-nlist ceiling and blunts hot-list skew. */
+  private def screenSalt(batch: DataFrame, nlist: Int): (Int, Int) = {
+    val parts = batch.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val s = math.max(1, math.min(64,
+      (2 * parts) / math.max(1, nlist)))
+    (s, parts)
+  }
 
   /** The shared dedup-append scaffold: pin the batch, reject duplicate
     * batch ids (the screen is id-keyed — a duplicated id would drop
@@ -1020,10 +1058,18 @@ object VectorSink {
         s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
       require(maxHamming >= 0 && maxHamming < g.meta.dim,
         s"maxHamming $maxHamming outside [0, ${g.meta.dim})")
+      val (s, parts) = screenSalt(pinned, g.meta.nlist)
       probeLists(g.centroidMatrix, pinned, id, vec, nprobe)
         .withColumn("__qcode",
           graft.functions.VectorFunctions.packSignBits(col("__qv")))
-        .join(g.corpus.select(col("__list"), col("__code")), Seq("__list"))
+        .withColumn("__salt", explode(array((0 until s).map(lit): _*)))
+        .repartition(parts, col("__list"), col("__salt"))
+        // same SHUFFLE_HASH pin as the cosine screen (see there)
+        .join(g.corpus.select(col("__list"), col("__code"),
+          pmod(hash(col(id)), lit(s)).as("__salt"))
+          .repartition(parts, col("__list"), col("__salt"))
+          .hint("shuffle_hash"),
+          Seq("__list", "__salt"))
         .filter(graft.functions.VectorFunctions.hammingDist(
           col("__qcode"), col("__code")) <= maxHamming)
         .select(col("query_id").as(id)).distinct()
