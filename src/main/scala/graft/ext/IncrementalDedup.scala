@@ -155,25 +155,32 @@ object IncrementalDedup {
   def indexVectors(store: TableStore, table: String, vecs: DataFrame,
       id: String, vec: String, dim: Int,
       maxHamming: Int): Unit = Dedup.withPins {
-    val k = Dedup.blocksPerWord(dim, maxHamming)
-    val hadMeta = requireVecMeta(store, table, dim, maxHamming)
-    // meta FIRST: it pins the band space before any data lands, so a
-    // crash mid-index can never leave an unpinned table that a later
-    // call silently re-bands in a different space (the meta is tiny
-    // and every later call validates against it). A crash between the
-    // two data appends still loses that BATCH's band rows — shared
-    // shape with indexCorpus: appends are load-batch-scoped, the
-    // recovery is re-running the interrupted batch.
-    if (!hadMeta) {
-      import vecs.sparkSession.implicits._
-      store.overwrite(s"${table}__hamming_meta",
-        Seq((dim, maxHamming)).toDF("dim", "max_hamming"))
+    // the whole meta-check + write sequence under the table monitor
+    // (reentrant — screenedAppend relies on the same property): two
+    // concurrent first-index calls with different (dim, maxHamming)
+    // must not both see "no meta" and interleave, leaving
+    // __hamming_bands mixing two band spaces while the meta records
+    // only one — the silent-recall-loss the meta exists to prevent.
+    store.exclusively(table) {
+      val hadMeta = requireVecMeta(store, table, dim, maxHamming)
+      // meta FIRST: it pins the band space before any data lands, so a
+      // crash mid-index can never leave an unpinned table that a later
+      // call silently re-bands in a different space (the meta is tiny
+      // and every later call validates against it). A crash between the
+      // two data appends still loses that BATCH's band rows — shared
+      // shape with indexCorpus: appends are load-batch-scoped, the
+      // recovery is re-running the interrupted batch.
+      if (!hadMeta) {
+        import vecs.sparkSession.implicits._
+        store.overwrite(s"${table}__hamming_meta",
+          Seq((dim, maxHamming)).toDF("dim", "max_hamming"))
+      }
+      val pinned = Dedup.pin(codedVecs(vecs, id, vec, dim))
+      store.append(table, pinned)
+      store.append(s"${table}__hamming_bands",
+        Dedup.bandedWords(pinned.select("_id", "code"), dim, maxHamming)
+          .select("_id", "widx", "blk", "blk_val"))
     }
-    val pinned = Dedup.pin(codedVecs(vecs, id, vec, dim))
-    store.append(table, pinned)
-    store.append(s"${table}__hamming_bands",
-      Dedup.bandedWords(pinned.select("_id", "code"), k)
-        .select("_id", "widx", "blk", "blk_val"))
   }
 
   /** Near-dup pairs of a NEW embedding batch against the indexed
@@ -196,9 +203,9 @@ object IncrementalDedup {
       s"check budget maxHamming=$maxHamming outside [0, $indexedH] — " +
         "the stored bands only guarantee recall within the indexed " +
         s"budget $indexedH; rebuild the index for a wider one")
-    val k = Dedup.blocksPerWord(dim, indexedH)
     val newCoded = Dedup.pin(codedVecs(batch, id, vec, dim))
-    val newBands = Dedup.bandedWords(newCoded.select("_id", "code"), k)
+    val newBands =
+      Dedup.bandedWords(newCoded.select("_id", "code"), dim, indexedH)
     val oldBands = store.read(s"${table}__hamming_bands")
     val cand = newBands.as("a").join(oldBands.as("b"),
         col("a.widx") === col("b.widx") && col("a.blk") === col("b.blk") &&
@@ -228,8 +235,10 @@ object IncrementalDedup {
     * space is pinned by the meta, so the budget is read, not passed. */
   def appendVectorBatch(store: TableStore, table: String, batch: DataFrame,
       id: String, vec: String): Unit = {
-    val m = store.read(s"${table}__hamming_meta")
-      .select("dim", "max_hamming").head()
+    val meta = store.readOption(s"${table}__hamming_meta")
+    require(meta.isDefined,
+      s"no hamming index meta for '$table' — call indexVectors first")
+    val m = meta.get.select("dim", "max_hamming").head()
     indexVectors(store, table, batch, id, vec, m.getInt(0), m.getInt(1))
   }
 }

@@ -148,7 +148,8 @@ class BinaryQuantSpec extends SparkSpec {
       (i + 1000L, v.map(x => x * 1.01f + 0.004f)) }
     val all = base ++ twins
     val corpus = all.toDF("vec_id", "embedding")
-    // maxHamming 9 -> blocksPerWord ceil(10/2)=5, 10 disjoint bands
+    // maxHamming 9, dim 100 -> wordBands allocates 7 bands to word 0
+    // (64 real bits) + 4 to word 1 (36 real bits) = 11 disjoint bands
     val got = Dedup.embeddingHammingPairs(corpus, "vec_id", "embedding",
         threshold = 0.9, maxHamming = 9, dim = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
@@ -199,5 +200,74 @@ class BinaryQuantSpec extends SparkSpec {
       .select(graft.functions.VectorFunctions.hammingDist($"a", $"b").as("h"))
       .as[Long].head()
     assert(ok === 2L) // 4 xor 2 = 6 -> two bits
+  }
+
+  test("wordBands: >= maxHamming+1 disjoint bands, all within REAL bits, " +
+      "at every dim incl. dim mod 64 != 0") {
+    // the grid includes the degenerate-band landmines: dim=72/mh=8
+    // (last word holds 8 real bits; a fixed per-word split would cut
+    // bands wholly past them -> one shared all-zero band key -> the
+    // candidate equi-join degenerates to all-pairs) and dim=100/mh=9
+    // (word 1 holds 36 real bits under 5 fixed 12-bit blocks)
+    val grid = for {
+      dim <- Seq(1, 8, 63, 64, 65, 72, 100, 128, 130, 768)
+      mh <- Seq(0, 1, 3, 8, 9, 31, 63, 100).filter(_ < dim)
+    } yield (dim, mh)
+    grid.foreach { case (dim, mh) =>
+      val bands = Dedup.wordBands(dim, mh)
+      assert(bands.size >= mh + 1,
+        s"dim=$dim mh=$mh: ${bands.size} bands < ${mh + 1} — pigeonhole broken")
+      bands.groupBy(_.widx).foreach { case (w, bs) =>
+        val realBits = math.min(64, dim - 64 * w)
+        bs.foreach { b =>
+          val bw = java.lang.Long.bitCount(b.mask)
+          assert(bw >= 1, s"dim=$dim mh=$mh w=$w: empty band")
+          assert(b.shift + bw <= realBits,
+            s"dim=$dim mh=$mh w=$w blk=${b.blk}: band [${b.shift}, " +
+              s"${b.shift + bw}) spills past the $realBits real bits — " +
+              "an always-zero band key would collapse the join to all-pairs")
+        }
+        // disjoint within the word: covered bit positions never overlap
+        val covered = bs.flatMap(b =>
+          (0 until java.lang.Long.bitCount(b.mask)).map(_ + b.shift))
+        assert(covered.distinct.size === covered.size,
+          s"dim=$dim mh=$mh w=$w: overlapping bands")
+      }
+    }
+  }
+
+  test("embeddingHammingPairs at dim=72 (8 real bits in the last word) " +
+      "= brute force, with non-degenerate banding") {
+    val rng = new scala.util.Random(31)
+    val base = (0L until 20L).map(i =>
+      (i, Array.fill(72)((rng.nextDouble() - 0.5).toFloat)))
+    val twins = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x * 1.01f + 0.004f)) }
+    val all = base ++ twins
+    val got = Dedup.embeddingHammingPairs(all.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.9, maxHamming = 8, dim = 72)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expect = (for {
+      (ia, va) <- all; (ib, vb) <- all if ia < ib
+      h = va.zip(vb).count { case (x, y) => (x > 0) != (y > 0) }
+      dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      na = math.sqrt(va.map(x => x.toDouble * x).sum)
+      nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+      if h <= 8 && dot / (na * nb) >= 0.9
+    } yield (ia, ib, h)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "the twin construction must produce pairs")
+    // candidate volume stays band-bounded: random 72-dim sign codes
+    // under 9 bands must NOT bucket everything together (the old
+    // fixed-split banding emitted an identical all-zero band key for
+    // blocks past the last word's 8 real bits -> all-pairs candidates)
+    val banded = Dedup.bandedWords(
+      all.toDF("vec_id", "embedding")
+        .select($"vec_id".as("_id"),
+          packSignBits($"embedding").as("code")), 72, 8)
+      .groupBy("widx", "blk", "blk_val").count()
+      .agg(max("count")).as[Long].head()
+    assert(banded < all.size,
+      s"a single band key holds all $banded rows — degenerate banding")
   }
 }
