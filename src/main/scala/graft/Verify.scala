@@ -21,16 +21,46 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // pinned caches are per-query scratch here; don't let 119 of them
-      // accumulate over the dump
-      graft.ext.Dedup.releasePins()
+    // The dump runs on a small worker pool (2-4 threads amortize the
+    // per-query driver latency the same way Bench's warmup amortizes
+    // JIT): each query gets its OWN cloned session (newSession shares
+    // the context + cache manager but isolates temp views, so two
+    // queries registering the same view name cannot cross-bind) and
+    // its own pin scope (withPins — per-thread, so workers cannot
+    // release each other's cached candidate frames). Per-query wall
+    // time lands in query_meta.json and a stderr heartbeat marks
+    // progress — a driver-side timeout is then attributable to a
+    // specific query instead of zeroing the round invisibly.
+    val dumpThreads = sys.env.get("SPARK_GRAFT_DUMP_THREADS")
+      .map(_.toInt).getOrElse(3).max(1)
+    val work = new java.util.concurrent.ConcurrentLinkedQueue[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    selected.foreach(work.add)
+    val total = selected.size
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val workers = (1 to math.min(dumpThreads, math.max(total, 1))).map { _ =>
+      new Thread(() => {
+        val session = spark.newSession()
+        var item = work.poll()
+        while (item != null) {
+          val (name, fn) = item
+          val t0 = System.nanoTime()
+          try graft.ext.Dedup.withPins {
+            fn(session, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          queries.QueryMeta.put(name, "verify_sec",
+            math.round(sec * 1000.0) / 1000.0)
+          System.err.println(
+            f"[verify] done ${done.incrementAndGet()}/$total $name ($sec%.1fs)")
+          item = work.poll()
+        }
+      })
     }
+    workers.foreach(_.start())
+    workers.foreach(_.join())
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
