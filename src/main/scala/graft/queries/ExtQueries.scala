@@ -97,6 +97,7 @@ object ExtQueries {
        |    AS kept,
        |  (SELECT count(*) FROM dups)::BIGINT AS dropped
        |FROM corpus ORDER BY vec_id""".stripMargin
+
   private val stopsSql = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
 
   /** The `sh` CTE body: one row per distinct (doc, trigram shingle).
@@ -636,8 +637,8 @@ object ExtQueries {
     // vectors built as concat(e, −e) — cosine-PRESERVING (the negated
     // half doubles both the dot product and the squared norms), so the
     // same near-dup geometry now spans TWO packed words and the
-    // per-word pigeonhole banding (numWords × blocksPerWord disjoint
-    // bands) is what's under test. The affine twin flips sign bits in
+    // per-word pigeonhole banding (the wordBands layout, ≥ maxHamming+1
+    // disjoint bands over real bits) is what's under test. The affine twin flips sign bits in
     // BOTH halves (x ∈ (0, ε) flips in the negated half), and the
     // oracle replays both contract filters over the exact all-pairs
     // product at 128 dims — a banding bug that loses a cross-word
@@ -694,6 +695,90 @@ object ExtQueries {
       store.read("emb").select(col("vec_id"))
         .withColumn("kept", lit(kept)).withColumn("dropped", lit(dropped))
         .orderBy("vec_id")
+    },
+
+    // the QUANTIZED third of dedup-on-ingest: a PQ collection stores
+    // m-byte codes, so the screen distance is ADC — batch vector vs
+    // the DEQUANTIZED stored codes (the serving-shortlist quantity).
+    // The threshold lives in ADC space: at (m=8, ksub=16) the
+    // reconstruction is tight enough that twins' ADC-vs-their-even
+    // concentrates ≈0.5-0.8 while unrelated odds stay under ≈0.51, so
+    // t=0.52 drops nearly every twin, keeps every odd, and lets a few
+    // low-ADC twins land — the documented ingest-safe degradation,
+    // REPLAYED EXACTLY by the oracle (deterministic per-subspace
+    // k-means → codes → reconstructions → round-6 ADC membership). A
+    // screen that quietly compared raw vectors (which the collection
+    // does not store) or mixed generations would hash-fail.
+    "sim_pq_append_dedup" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      val store = new TableStore(Scratch.dir("graft-qad"), c.spark)
+      val (evens, batch) = appendDedupFrames(c)
+      VectorSink.writeIvfPq(store, "emb", evens, "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16, iters = 2)
+      val (kept, dropped) = VectorSink.appendDedupedAdc(store, "emb",
+        batch, "vec_id", "embedding", threshold = 0.52, nprobe = 8)
+      store.read("emb").select(col("vec_id"))
+        .withColumn("kept", lit(kept)).withColumn("dropped", lit(dropped))
+        .orderBy("vec_id")
+    },
+
+    // COLLECTION RETENTION policies: generations accumulate history
+    // until a policy expires them (keep-N / keep-T-days — the
+    // Delta/Iceberg snapshot-expiry semantics on the collection
+    // plane), pinned generations are retained past any window, the
+    // manual prune REFUSES over a pin, and — the core proof — a
+    // pinned generation still TIME-TRAVELS after the sweep vacuumed
+    // its expired siblings' segments. Sequence: 3 generations → pin
+    // gen 1 → TTL=∞ sweep retains all → keep-1 sweep expires gen 2
+    // (gen 1 survives on the pin) → prune(1) refuses → probe gen 1
+    // cold (exact over the evens, the brute-force oracle) → unpin →
+    // TTL=0 sweep at a future `now` expires gen 1 → only the live
+    // gen 3 remains. Booleans/gen-lists ride the hash as literals
+    // with the EXPECTED values hardcoded in the oracle.
+    "lifecycle_collection_ttl" -> q { c =>
+      import graft.write.{TableStore, VectorSink}
+      import c.spark.implicits._
+      val store = new TableStore(Scratch.dir("graft-ttl"), c.spark)
+      val vecs = c.t("embeddings").select("vec_id", "embedding")
+      val evens = vecs.filter(col("vec_id") % 2 === 0)
+      VectorSink.writeIvf(store, "emb", evens, "vec_id", "embedding",
+        nlist = 8)                                                 // gen 1
+      VectorSink.append(store, "emb",
+        vecs.filter(col("vec_id") % 4 === 1), "vec_id", "embedding") // gen 2
+      VectorSink.append(store, "emb",
+        vecs.filter(col("vec_id") % 4 === 3), "vec_id", "embedding") // gen 3
+      VectorSink.pinGeneration(store, "emb", 1L)
+      val rA = VectorSink.applyRetention(store, "emb", keepLast = 1,
+        ttlMs = Some(Long.MaxValue))
+      val ttlRetains = rA.removed.isEmpty &&
+        rA.remaining == Seq(1L, 2L, 3L)
+      val rB = VectorSink.applyRetention(store, "emb", keepLast = 1)
+      val pruneRefused =
+        try { VectorSink.pruneGenerations(store, "emb", keep = 1); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("PINNED") }
+      // gen 2's segments are vacuumed by now; the PINNED gen 1 must
+      // still probe cold — collect (driver-small: 5 queries × k 5)
+      // because the final sweep below reclaims gen 1's files too
+      val g1 = VectorSink.generationAt(store, "emb", 1L)
+      val probed = VectorSink.topKGen(store, "emb", g1,
+        evens.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 8)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+          r.getDouble(3)))
+      VectorSink.unpinGeneration(store, "emb", 1L)
+      val rC = VectorSink.applyRetention(store, "emb", keepLast = 1,
+        ttlMs = Some(0L), now = System.currentTimeMillis() + 600000L)
+      probed.toSeq.toDF("query_id", "rank", "match_id", "cosine")
+        .withColumn("ttl_retains", lit(ttlRetains))
+        .withColumn("removed_mid", lit(rB.removed.mkString(",")))
+        .withColumn("retained_by_pin", lit(rB.retainedByPin.mkString(",")))
+        .withColumn("prune_refused", lit(pruneRefused))
+        .withColumn("final_gens", lit(
+          (rC.removed == Seq(1L)).toString + ":" +
+            VectorSink.generations(store, "emb").mkString(",")))
+        .orderBy("query_id", "rank")
     },
 
     // INCREMENTAL embedding near-dup — the binary plane in the
@@ -2381,6 +2466,35 @@ object ExtQueries {
       """list_sum(list_transform(range(1, len(b.embedding)+1),
         |         i -> CASE WHEN (b.embedding[i] > 0) <> (e.embedding[i] > 0)
         |              THEN 1 ELSE 0 END)) <= 8""".stripMargin),
+
+    // quantized (ADC) dedup-on-ingest ≡ membership under "round-6 ADC
+    // cosine vs ANY even's code reconstruction ≥ 0.52", the PQ
+    // training replayed deterministically on the evens
+    "sim_pq_append_dedup" -> Pq.adcAppendDedupOracleSql(
+      threshold = 0.52, dim = 64, m = 8, ksub = 16, iters = 2),
+
+    // retention gate: the pinned gen-1 probe at nprobe = nlist ≡ brute
+    // force over the EVEN half (gen 1's corpus — proving the pin kept
+    // it time-travelable after two sweeps vacuumed its siblings), and
+    // every policy outcome hardcoded at its EXPECTED value (the
+    // engine emits measured)
+    "lifecycle_collection_ttl" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[],
+        |      c.embedding::DOUBLE[]) AS cs
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10 AND q.vec_id % 2 = 0 AND c.vec_id % 2 = 0),
+        |ranked AS (
+        |  SELECT query_id, match_id, cs,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cs DESC, match_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, match_id, round(cs, 6) AS cosine,
+        |  TRUE AS ttl_retains, '2' AS removed_mid,
+        |  '1' AS retained_by_pin, TRUE AS prune_refused,
+        |  'true:3' AS final_gens
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // incremental screen ≡ both contract filters over the full
     // new × old product (the banding is recall-only)

@@ -94,7 +94,7 @@ object VectorSink {
     * rewrite materializes the deletes; this counter is what the
     * dead-fraction maintenance trigger reads). */
   private final case class CollectionRow(gen: Long, snaps: Map[String, Long],
-      listSizes: Array[Long], tombstoneIds: Long)
+      listSizes: Array[Long], tombstoneIds: Long, committedMs: Long)
 
   import TinyParquet.{Cell, SCell, ICell, LCell, DCell}
 
@@ -102,7 +102,8 @@ object VectorSink {
     (Seq("gen" -> (LCell(r.gen): Cell)) ++
       SubTables.map { case (_, c) => c -> (LCell(r.snaps(c)): Cell) }) ++
       Seq("list_sizes" -> (SCell(r.listSizes.mkString(",")): Cell),
-        "tombstone_ids" -> (LCell(r.tombstoneIds): Cell))
+        "tombstone_ids" -> (LCell(r.tombstoneIds): Cell),
+        "committed_ms" -> (LCell(r.committedMs): Cell))
 
   private def decodeRow(m: Map[String, Any]): CollectionRow =
     CollectionRow(m("gen").asInstanceOf[Long],
@@ -118,7 +119,12 @@ object VectorSink {
         case s => s.split(",").map(_.toLong)
       },
       // rows committed before deletes existed carry no tombstones
-      m.get("tombstone_ids").map(_.asInstanceOf[Long]).getOrElse(0L))
+      m.get("tombstone_ids").map(_.asInstanceOf[Long]).getOrElse(0L),
+      // rows committed before retention existed carry no commit time:
+      // -1 reads as "older than any age cutoff" (factually true — they
+      // predate the timestamp), so TTL policies can still clean them;
+      // keep-N and pins protect them like any other row
+      m.get("committed_ms").map(_.asInstanceOf[Long]).getOrElse(-1L))
 
   /** All manifest rows, oldest → newest — a driver file read
     * ([[TableStore.readDriverRows]]), no Spark job. History-facing ops
@@ -174,7 +180,7 @@ object VectorSink {
     val gen = if (!store.exists(ct)) 1L else newestRow(store, table).gen + 1L
     val row = CollectionRow(gen,
       SubTables.map { case (_, c) => c -> snaps.getOrElse(c, -1L) }.toMap,
-      listSizes, tombstoneIds)
+      listSizes, tombstoneIds, System.currentTimeMillis())
     store.appendDriverFile(ct)(p => TinyParquet.write(p, Seq(encodeRow(row))))
   }
 
@@ -195,15 +201,113 @@ object VectorSink {
 
   /** Trim the collection's generation HISTORY to the newest `keep`
     * rows — after which [[vacuumCollection]] (which retains every pin
-    * still listed) can reclaim the dropped generations' segments. */
+    * still listed) can reclaim the dropped generations' segments.
+    * REFUSES if the trim would drop a [[pinGeneration pinned]]
+    * generation: an explicit trim over a pin is a conflict the caller
+    * must resolve (unpin, or use [[applyRetention]], which RETAINS
+    * pins instead of refusing — the policy sweep runs unattended, a
+    * manual trim has a human to answer to). */
   def pruneGenerations(store: TableStore, table: String,
       keep: Int = 2): Unit = store.exclusively(table) {
     require(keep >= 1, "keep at least the live generation")
     val rows = collectionRows(store, table)
-    if (rows.length > keep)
+    if (rows.length > keep) {
+      val dropped = rows.dropRight(keep).map(_.gen)
+      val pinnedDrops = dropped.filter(pinnedGenerations(store, table))
+      require(pinnedDrops.isEmpty,
+        s"pruneGenerations would drop PINNED generation(s) " +
+          s"${pinnedDrops.mkString(", ")} of '$table' — unpinGeneration " +
+          "first, or use applyRetention (which retains pins)")
       store.overwriteDriverFile(s"${table}__collection")(p =>
         TinyParquet.write(p, rows.takeRight(keep).map(encodeRow)))
+    }
   }
+
+  /** PIN a generation against retention: [[applyRetention]] retains it
+    * past any keep-N/TTL window and [[pruneGenerations]] refuses to
+    * drop it — the "named snapshot" retention escape every lakehouse
+    * grows (Iceberg tags, Delta CLONE-as-archive), persisted as a
+    * driver file beside the collection manifest so pins survive the
+    * process. Pinning validates the generation exists NOW; the pin
+    * then guarantees it keeps existing. */
+  def pinGeneration(store: TableStore, table: String,
+      gen: Long): Unit = store.exclusively(table) {
+    val live = generations(store, table)
+    require(live.contains(gen),
+      s"cannot pin generation $gen of '$table' — not in history " +
+        s"(live: ${live.mkString(", ")})")
+    val pins = pinnedGenerations(store, table) + gen
+    writePins(store, table, pins)
+  }
+
+  /** Remove a [[pinGeneration]] pin (no-op if not pinned). The
+    * generation stays in history until a retention/prune pass drops
+    * it — unpinning only withdraws the protection. */
+  def unpinGeneration(store: TableStore, table: String,
+      gen: Long): Unit = store.exclusively(table) {
+    writePins(store, table, pinnedGenerations(store, table) - gen)
+  }
+
+  /** The currently pinned generation numbers (empty if none). */
+  def pinnedGenerations(store: TableStore, table: String): Set[Long] = {
+    val pt = s"${table}__collection_pins"
+    if (!store.exists(pt)) Set.empty
+    else store.readDriverRows(pt).map(_("gen").asInstanceOf[Long]).toSet
+  }
+
+  private def writePins(store: TableStore, table: String,
+      pins: Set[Long]): Unit = {
+    val pt = s"${table}__collection_pins"
+    // TinyParquet needs ≥ 1 row; an empty pin set drops the file —
+    // pinnedGenerations treats "absent" as "none pinned"
+    if (pins.isEmpty) { if (store.exists(pt)) store.drop(pt) }
+    else store.overwriteDriverFile(pt)(p =>
+      TinyParquet.write(p, pins.toSeq.sorted.map(g =>
+        Seq("gen" -> (LCell(g): Cell)))))
+  }
+
+  /** What [[applyRetention]] did: generations REMOVED from history,
+    * generations an expiry window would have removed but a pin
+    * retained, and the surviving history (oldest → newest). */
+  final case class RetentionReport(removed: Seq[Long],
+      retainedByPin: Seq[Long], remaining: Seq[Long])
+
+  /** RETENTION POLICY sweep — the collection-plane mirror of Delta /
+    * Iceberg snapshot expiry: a generation is EXPIRED when it falls
+    * outside the newest `keepLast` rows AND (when `ttlMs` is given)
+    * its commit time is older than `now − ttlMs`; expired generations
+    * leave the manifest and [[vacuumCollection]] reclaims their
+    * segments in the same locked pass. Never removed, regardless of
+    * policy: the LIVE generation and every [[pinGeneration pinned]]
+    * one (pins RETAIN here — the unattended sweep must not abort a
+    * schedule over one archived generation; the manual
+    * [[pruneGenerations]] is the path that refuses instead).
+    * Pre-retention manifest rows carry no commit time and read as
+    * older than any cutoff (see decodeRow); `now` is injectable so
+    * policies replay deterministically in tests/gates. Driver-file
+    * work + one vacuum — no Spark job, no corpus scan. */
+  def applyRetention(store: TableStore, table: String, keepLast: Int,
+      ttlMs: Option[Long] = None,
+      now: Long = System.currentTimeMillis()): RetentionReport =
+    store.exclusively(table) {
+      require(keepLast >= 1, "keep at least the live generation")
+      ttlMs.foreach(t => require(t >= 0L, s"ttlMs must be >= 0, got $t"))
+      val rows = collectionRows(store, table)
+      val pins = pinnedGenerations(store, table)
+      val inKeepWindow = rows.takeRight(keepLast).map(_.gen).toSet
+      def youngEnough(r: CollectionRow): Boolean =
+        ttlMs.exists(t => r.committedMs >= 0 && now - r.committedMs <= t)
+      val (keep, expire) = rows.partition(r =>
+        inKeepWindow(r.gen) || youngEnough(r) || pins(r.gen))
+      if (expire.nonEmpty)
+        store.overwriteDriverFile(s"${table}__collection")(p =>
+          TinyParquet.write(p, keep.map(encodeRow)))
+      vacuumCollection(store, table)
+      RetentionReport(expire.map(_.gen),
+        keep.map(_.gen).filter(g => pins(g) && !inKeepWindow(g) &&
+          !rows.find(_.gen == g).exists(youngEnough)),
+        keep.map(_.gen))
+    }
 
   private def metaFrom(m: Map[String, Any]): IvfMeta =
     IvfMeta(m("nlist").asInstanceOf[Int], m("seed").asInstanceOf[Long],
@@ -956,7 +1060,8 @@ object VectorSink {
       require(g.meta.metric == "cosine",
         s"collection '$table' is '${g.meta.metric}': it stores codes, " +
           "not vectors — use appendDedupedBinary (Hamming screen) for " +
-          "binary collections")
+          "binary collections or appendDedupedAdc (dequantized-cosine " +
+          "screen) for SQ8/PQ/OPQ collections")
       require(nprobe >= 1 && nprobe <= g.meta.nlist,
         s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
       val (s, parts) = screenSalt(pinned, g.meta.nlist)
@@ -1072,6 +1177,73 @@ object VectorSink {
           Seq("__list", "__salt"))
         .filter(graft.functions.VectorFunctions.hammingDist(
           col("__qcode"), col("__code")) <= maxHamming)
+        .select(col("query_id").as(id)).distinct()
+    }
+
+  /** [[appendDeduped]] for QUANTIZED collections (SQ8 / PQ / OPQ):
+    * these store codes, not vectors, so the screen distance is ADC —
+    * the batch vector against the DEQUANTIZED stored codes, the exact
+    * quantity the serving shortlist ranks on (oracle-proven by the
+    * `sim_pq_adc` / `sim_opq_adc` gates). The `threshold` is therefore
+    * in ADC SPACE: ADC cosine = true cosine ± the collection's
+    * reconstruction error, so calibrate it against the codebook
+    * quality (tight codebooks → ADC hugs the true cosine; coarse ones
+    * → widen the margin), the same way [[appendDedupedBinary]]'s
+    * budget is calibrated in sign-flip space via dim·θ/π. The
+    * approximation degrades ingest-safe in BOTH directions: a
+    * duplicate whose ADC cosine falls under the threshold is APPENDED
+    * (never a lost row), and every drop is externally replayable
+    * (round-6 ADC cosine over the pinned codes — deterministic given
+    * the generation's model). OPQ batches screen in ROTATED space
+    * under the generation's pinned rotation — the space their codes
+    * would land in — with the width guard applied to the RAW vectors
+    * before rotating (the matvec always emits trained-width output).
+    * Probe pruning, salting and the SHUFFLE_HASH pin are the
+    * [[appendDeduped]] scaffold verbatim: `nprobe = nlist` screens
+    * against every stored code, smaller nprobe trades screen recall
+    * for probe cost exactly like serving. Returns (kept, dropped). */
+  def appendDedupedAdc(store: TableStore, table: String, batch: DataFrame,
+      id: String, vec: String, threshold: Double,
+      nprobe: Int): (Long, Long) =
+    screenedAppend(store, table, batch, id, vec) { pinned =>
+      val g = generation(store, table)
+      val metric = g.meta.metric
+      require(Set("cosine-sq8", "cosine-pq", "cosine-opq")(metric),
+        s"collection '$table' is '$metric' — the ADC screen needs a " +
+          "quantized collection; use appendDeduped (cosine) for float " +
+          "or appendDedupedBinary (Hamming) for binary collections")
+      require(nprobe >= 1 && nprobe <= g.meta.nlist,
+        s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
+      val (s, parts) = screenSalt(pinned, g.meta.nlist)
+      val queries = metric match {
+        case "cosine-opq" =>
+          widthChecked(pinned.select(col(id), col(vec)), vec, g.meta.dim)
+            .select(col(id),
+              graft.ext.Opq.rotated(col(vec), g.opq.get._1).as(vec))
+        case _ => pinned.select(col(id), col(vec))
+      }
+      val deq = metric match {
+        case "cosine-sq8" =>
+          g.corpus.crossJoin(broadcast(g.stats.get))
+            .select(col(id), col("__list"),
+              graft.functions.VectorFunctions.dequantizeInt8(
+                col("__q"), col("mins"), col("maxs")).as("__cv"))
+        case _ =>
+          g.corpus.select(col(id), col("__list"),
+            graft.ext.Pq.reconstruction(col("__codes"), g.pqModel.get)
+              .as("__cv"))
+      }
+      probeLists(g.centroidMatrix, queries, id, vec, nprobe)
+        .withColumn("__salt", explode(array((0 until s).map(lit): _*)))
+        .repartition(parts, col("__list"), col("__salt"))
+        // same SHUFFLE_HASH pin as the cosine screen (see there)
+        .join(deq.select(col("__cv"), col("__list"),
+          pmod(hash(col(id)), lit(s)).as("__salt"))
+          .repartition(parts, col("__list"), col("__salt"))
+          .hint("shuffle_hash"),
+          Seq("__list", "__salt"))
+        .filter(round(graft.ext.Dedup.cosine(col("__qv"), col("__cv")), 6)
+          >= threshold)
         .select(col("query_id").as(id)).distinct()
     }
 

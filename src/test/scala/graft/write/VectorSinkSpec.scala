@@ -670,6 +670,124 @@ class VectorSinkSpec extends SparkSpec {
     assert(e2.getMessage.contains("unique"), e2.getMessage)
   }
 
+  test("retention: keep-N/TTL expiry, pins retain, prune refuses over a pin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec26").toString
+    val store = new TableStore(dir, spark)
+    val half = corpus.filter(col("vec_id") < 32L)
+    VectorSink.writeIvf(store, "emb", half, "vec_id", "embedding",
+      nlist = 4)                                                   // gen 1
+    VectorSink.append(store, "emb",
+      corpus.filter(col("vec_id") >= 32L && col("vec_id") < 48L),
+      "vec_id", "embedding")                                       // gen 2
+    VectorSink.append(store, "emb",
+      corpus.filter(col("vec_id") >= 48L), "vec_id", "embedding")  // gen 3
+    // keepLast beyond history: nothing expires
+    val r0 = VectorSink.applyRetention(store, "emb", keepLast = 5)
+    assert(r0.removed.isEmpty && r0.remaining === Seq(1L, 2L, 3L))
+    // TTL retains young rows even outside the keep window
+    val r1 = VectorSink.applyRetention(store, "emb", keepLast = 1,
+      ttlMs = Some(Long.MaxValue))
+    assert(r1.removed.isEmpty && r1.retainedByPin.isEmpty)
+    // pin validation: unknown generation refuses
+    val eNoGen = intercept[IllegalArgumentException] {
+      VectorSink.pinGeneration(store, "emb", 99L)
+    }
+    assert(eNoGen.getMessage.contains("not in history"), eNoGen.getMessage)
+    VectorSink.pinGeneration(store, "emb", 1L)
+    assert(VectorSink.pinnedGenerations(store, "emb") === Set(1L))
+    // keep-1 sweep: gen 2 expires, gen 1 survives on the pin
+    val r2 = VectorSink.applyRetention(store, "emb", keepLast = 1)
+    assert(r2.removed === Seq(2L))
+    assert(r2.retainedByPin === Seq(1L))
+    assert(VectorSink.generations(store, "emb") === Seq(1L, 3L))
+    // manual prune refuses over the pin
+    val ePin = intercept[IllegalArgumentException] {
+      VectorSink.pruneGenerations(store, "emb", keep = 1)
+    }
+    assert(ePin.getMessage.contains("PINNED"), ePin.getMessage)
+    // the pinned generation still time-travels after the sweep's vacuum
+    val g1 = VectorSink.generationAt(store, "emb", 1L)
+    val probe = VectorSink.topKGen(store, "emb", g1,
+      half.filter(col("vec_id") < 2L), "vec_id", "embedding",
+      k = 3, nprobe = 4)
+    assert(probe.count() === 6L)
+    assert(probe.agg(max("match_id")).as[Long].head() < 32L,
+      "a gen-1 probe must only see gen-1 corpus rows")
+    // unpin (empty set drops the pins file) + TTL=0 at a future now:
+    // gen 1 expires, only the live generation remains
+    VectorSink.unpinGeneration(store, "emb", 1L)
+    assert(VectorSink.pinnedGenerations(store, "emb") === Set.empty[Long])
+    val r3 = VectorSink.applyRetention(store, "emb", keepLast = 1,
+      ttlMs = Some(0L), now = System.currentTimeMillis() + 60000L)
+    assert(r3.removed === Seq(1L) && r3.remaining === Seq(3L))
+    // live reads unaffected throughout
+    assert(store.read("emb").count() === 64L)
+    // unpinned prune now works (no-op at keep=2 history of 1)
+    VectorSink.pruneGenerations(store, "emb", keep = 1)
+    assert(VectorSink.generations(store, "emb") === Seq(3L))
+  }
+
+  test("appendDedupedAdc screens SQ8/PQ/OPQ on dequantized codes; " +
+      "metric routing raises with guidance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec25").toString
+    val store = new TableStore(dir, spark)
+    def twinAndFresh = {
+      val twin = corpus.filter(col("vec_id") === 5L)
+        .select((col("vec_id") + 100L).as("vec_id"),
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            x => x * org.apache.spark.sql.functions.lit(1.001)
+              + org.apache.spark.sql.functions.lit(0.0001))
+            .cast("array<float>").as("embedding"))
+      val fresh = Seq((200L,
+        Seq(9.0f, -9.0f, 9.0f, -9.0f, 9.0f, -9.0f, 9.0f, -9.0f)))
+        .toDF("vec_id", "embedding")
+      twin.unionByName(fresh)
+    }
+    // SQ8: int8 dequantization error is tiny, so twin ADC ≈ 1 (drops
+    // at 0.9) while fresh's true cosine vs the whole corpus is < 0.05
+    VectorSink.writeIvfQuantized(store, "sq8", corpus, "vec_id", "embedding",
+      nlist = 4)
+    val (k1, d1) = VectorSink.appendDedupedAdc(store, "sq8", twinAndFresh,
+      "vec_id", "embedding", threshold = 0.9, nprobe = 4)
+    assert((k1, d1) === (1L, 1L))
+    val sq8Ids = store.read("sq8").select("vec_id").as[Long].collect().toSet
+    assert(sq8Ids.contains(200L) && !sq8Ids.contains(105L),
+      s"twin must drop, fresh must land: $sq8Ids")
+    // PQ at ksub = |corpus| per subspace: first-k init memorizes every
+    // point, reconstruction is EXACT, so ADC ≡ true cosine here
+    VectorSink.writeIvfPq(store, "pq", corpus, "vec_id", "embedding",
+      nlist = 4, m = 4, ksub = 64, iters = 1)
+    val (k2, d2) = VectorSink.appendDedupedAdc(store, "pq", twinAndFresh,
+      "vec_id", "embedding", threshold = 0.98, nprobe = 4)
+    assert((k2, d2) === (1L, 1L))
+    // OPQ: the screen must rotate the batch under the PINNED rotation
+    // before comparing (codes live in rotated space; an unrotated
+    // probe of a rotated corpus would see garbage cosines and keep
+    // the twin)
+    VectorSink.writeIvfOpq(store, "opq", corpus, "vec_id", "embedding",
+      nlist = 4, m = 4, ksub = 64, iters = 1)
+    val (k3, d3) = VectorSink.appendDedupedAdc(store, "opq", twinAndFresh,
+      "vec_id", "embedding", threshold = 0.98, nprobe = 4)
+    assert((k3, d3) === (1L, 1L))
+    val opqIds = store.read("opq").select("vec_id").as[Long].collect().toSet
+    assert(opqIds.contains(200L) && !opqIds.contains(105L),
+      s"twin must drop, fresh must land: $opqIds")
+    // metric routing: float and binary collections refuse the ADC
+    // screen and point at their own variants; quantized collections
+    // refuse the float screen pointing here
+    VectorSink.writeIvf(store, "flt", corpus, "vec_id", "embedding", nlist = 4)
+    val e1 = intercept[IllegalArgumentException] {
+      VectorSink.appendDedupedAdc(store, "flt", twinAndFresh,
+        "vec_id", "embedding", threshold = 0.9, nprobe = 4)
+    }
+    assert(e1.getMessage.contains("appendDeduped"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      VectorSink.appendDeduped(store, "pq", twinAndFresh,
+        "vec_id", "embedding", threshold = 0.9, nprobe = 4)
+    }
+    assert(e2.getMessage.contains("appendDedupedAdc"), e2.getMessage)
+  }
+
   test("appendDedupedBinary screens on stored codes, Hamming-only contract") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec23").toString
     val store = new TableStore(dir, spark)
