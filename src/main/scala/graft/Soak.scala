@@ -39,6 +39,8 @@ object Soak {
     // single-task hotspot is attributable to a line of code, not just
     // a number
     val stageMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageSum = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageN = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val stageSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -47,11 +49,18 @@ object Soak {
         var cur = maxTaskMs.get()
         while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
         stageMax.merge(t.stageId, d, (a, b) => math.max(a, b))
+        stageSum.merge(t.stageId, d, (a, b) => a + b)
+        stageN.merge(t.stageId, 1L, (a, b) => a + b)
       }
       override def onStageCompleted(
-          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        stageSite.put(s.stageInfo.stageId,
-          s.stageInfo.name.takeWhile(_ != '\n').take(120))
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        // under AQE every query-stage future shares one lambda callsite
+        // — the DETAILS' first graft/user frame is the attributable one
+        val site = s.stageInfo.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("Soak"))
+          .getOrElse(s.stageInfo.name.takeWhile(_ != '\n'))
+        stageSite.put(s.stageInfo.stageId, site.trim.take(160))
+      }
     })
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
@@ -61,7 +70,7 @@ object Soak {
       // under stragglers would attribute its longest task to THIS query
       Thread.sleep(300)
       maxTaskMs.set(0L); nTasks.set(0L)
-      stageMax.clear(); stageSite.clear()
+      stageMax.clear(); stageSum.clear(); stageN.clear(); stageSite.clear()
       val t0 = System.nanoTime()
       val rows =
         try fn(spark, dir).queryExecution.toRdd.count()
@@ -76,10 +85,14 @@ object Soak {
       println(f"""{"query":"$name","wall_s":$wall%.1f,""" +
         f""""max_task_s":${maxTaskMs.get() / 1e3}%.1f,""" +
         s""""tasks":${nTasks.get()},"rows":$rows}""")
-      // top-3 slowest stages by their longest task, to stderr
+      // top-5 slowest stages by their longest task, to stderr — with
+      // task count and task-time sum, so "one straggler" and "a
+      // balanced-but-heavy stage" read differently
       import scala.jdk.CollectionConverters._
-      stageMax.asScala.toSeq.sortBy(-_._2).take(3).foreach { case (sid, ms) =>
+      stageMax.asScala.toSeq.sortBy(-_._2).take(5).foreach { case (sid, ms) =>
         System.err.println(f"[soak] $name stage $sid max_task=${ms / 1e3}%.1fs " +
+          f"tasks=${stageN.getOrDefault(sid, 0L)} " +
+          f"sum=${stageSum.getOrDefault(sid, 0L) / 1e3}%.1fs " +
           s"site=${stageSite.getOrDefault(sid, "?")}")
       }
     }

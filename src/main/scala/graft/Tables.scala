@@ -81,7 +81,23 @@ object Tables {
     // the "assume huge, leave it alone" case
     val naturalSplits =
       math.max(1L, bytes / maxSplit + (if (bytes % maxSplit == 0L) 0L else 1L))
-    if (naturalSplits < cores / 2) df.repartition(cores) else df
+    if (naturalSplits < cores / 2) {
+      // repartition alone is NOT enough: filter/projection pushdown
+      // walks straight through RepartitionByExpression, so heavy
+      // downstream predicates (the text-kernel quality gates) land
+      // back in the SCAN stage — whose parallelism is row-group-bound
+      // (a small driver-written parquet holds 1-2 row groups,
+      // unsplittable however small maxPartitionBytes goes; measured:
+      // 2-task 10 s stages dominating the corpus-assembly soak while
+      // every post-shuffle stage ran 32-way). The RDD round-trip ABOVE
+      // the exchange is an optimizer barrier (LogicalRDD is opaque to
+      // pushdown): the scan stays cheap (read + shuffle write at file
+      // parallelism), and every downstream kernel runs at session
+      // width. Only taken on under-split inputs — big tables keep the
+      // plain columnar scan and full pushdown.
+      val spread = df.repartition(cores)
+      df.sparkSession.createDataFrame(spread.rdd, df.schema)
+    } else df
   }
 
   /** All tables as a map (lazily planned — scans are only executed when
