@@ -57,5 +57,6 @@ object SparkEntry {
     Set("sim_pca_project", "sim_opq_adc", "sim_ivf_opq",
       "sim_opq_generation", "ops_corpus_assembly_v2",
       "text_quality_classifier", "text_quality_persisted",
-      "text_quality_custom", "stream_quality_filter")
+      "text_quality_custom", "stream_quality_filter",
+      "stream_corpus_curate")
 }

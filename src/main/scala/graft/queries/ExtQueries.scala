@@ -164,6 +164,48 @@ object ExtQueries {
        |WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.9
        |ORDER BY new_id, old_id""".stripMargin
 
+  /** Oracle for the streaming curation front door
+    * (`stream_corpus_curate` — [[graft.streaming.Streaming.curateInto]]):
+    * an arriving doc (doc_id ≥ 250) lands iff its classifier score ≥
+    * `minScore` (the fitted weights as round-trip literals) AND it has
+    * no exact cross-set jaccard ≥ `jaccard` against the seed corpus
+    * (doc_id < 250) — the same cross-set fragment
+    * [[incrementalDedupOracle]] proves, under the same shingle
+    * canonicalization. `loaded_once` is ASSERTED (TRUE hardcoded; the
+    * engine emits measured). */
+  private[queries] def curateOracleSql(
+      model: graft.ext.QualityClassifier.RidgeModel,
+      minScore: Double, jaccard: Double): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |${graft.ext.QualityClassifier.featurizationSql}
+       |  FROM documents WHERE doc_id >= 250),
+       |s AS (
+       |  SELECT doc_id,
+       |    ${graft.ext.QualityClassifier.scoreExprSql(model)} AS score
+       |  FROM t),
+       |toks AS (
+       |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
+       |sh AS (
+       |$shingleSql),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT b.doc_id AS new_id, a.doc_id AS old_id, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |  WHERE a.doc_id < 250 AND b.doc_id >= 250
+       |  GROUP BY 1, 2),
+       |dups AS (
+       |  SELECT DISTINCT new_id
+       |  FROM inter
+       |  JOIN sz sa ON old_id = sa.doc_id JOIN sz sb ON new_id = sb.doc_id
+       |  WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)
+       |        >= ${java.lang.Double.toString(jaccard)})
+       |SELECT doc_id, round(score, 6) AS score, TRUE AS loaded_once
+       |FROM s
+       |WHERE score >= ${java.lang.Double.toString(minScore)}
+       |  AND doc_id NOT IN (SELECT new_id FROM dups)
+       |ORDER BY doc_id""".stripMargin
+
   /** Exact n-gram jaccard pair SQL shared by the jaccard + minhash oracles. */
   private def jaccardSql(threshold: Double): String =
     s"""WITH toks AS (

@@ -438,6 +438,51 @@ object StreamQueries {
         }
       }
       store.read("kept").orderBy("doc_id")
+    },
+
+    // STREAMING CURATION FRONT DOOR — assembleTo's per-document stages
+    // as one always-on operator: the seed corpus (docs < 250) is
+    // minhash-indexed once and a classifier artifact committed; each
+    // arriving micro-batch (3 files, maxFilesPerTrigger=1) is scored
+    // by the COLD-LOADED classifier, thresholded, near-dup screened
+    // against the STATIC seed index (batch-order-independent by
+    // construction), and landed through the write plane — load id per
+    // batch, ledger rows, O(1) replay idempotence. The model-derived
+    // oracle replays score ≥ τ ∧ no cross-set jaccard ≥ 0.9 over the
+    // raw tables; loaded_once asserts each landed batch stamped
+    // exactly one load id backed by exactly one status-0 ledger row.
+    "stream_corpus_curate" -> q { c =>
+      import graft.ext.{IncrementalDedup, QualityClassifier}
+      val ss = streamSession(c)
+      val docs = c.tw("documents")
+      val store = new TableStore(Scratch.dir("graft-scc"), c.spark)
+      IncrementalDedup.indexCorpus(store, "seed",
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      val model = QualityClassifier.fit(docs, "text", col("lang") === "en")
+      QualityClassifier.save(store, "qc_model", model)
+      OracleStash.put("stream_corpus_curate",
+        ExtQueries.curateOracleSql(model, minScore = 0.42, jaccard = 0.9))
+      val srcDir = Scratch.dir("graft-scc-src")
+      docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+        .repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(srcDir)
+      val src = Streaming.fileStream(ss, srcDir,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      Streaming.curateInto(store, src, "curated", "seed", "qc_model",
+        "doc_id", "text", minScore = 0.42, nearDupThreshold = 0.9,
+        scoreColumn = Some("__score"))
+      val t = store.read("curated")
+      // loaded-once: every landed batch stamped one load id, each
+      // backed by exactly one status-0 ledger row (driver-small)
+      val stamped = t.select("_dlt_load_id").distinct()
+        .collect().map(_.getString(0)).toSet
+      val ledgered = store.read("_dlt_loads")
+        .filter(col("status") === 0)
+        .select("load_id").collect().map(_.getString(0)).toSet
+      val ok = stamped.nonEmpty && stamped == ledgered
+      t.select(col("doc_id"), round(col("__score"), 6).as("score"))
+        .withColumn("loaded_once", lit(ok))
+        .orderBy("doc_id")
     }
   )
 
@@ -445,7 +490,8 @@ object StreamQueries {
     * deposited at run time (same keyed-stash contract as
     * ExtQueries.oracles). */
   def oracles: Map[String, String] =
-    staticOracles ++ OracleStash.entries("stream_quality_filter")
+    staticOracles ++
+      OracleStash.entries("stream_quality_filter", "stream_corpus_curate")
 
   private val staticOracles: Map[String, String] = Map(
     "stream_pipeline_append" ->

@@ -215,6 +215,65 @@ object Streaming {
     }
   }
 
+  /** Micro-batch CURATION through the write plane — the streaming face
+    * of [[graft.ext.CorpusAssembly.assembleTo]]'s per-document stages:
+    * each arriving batch is (a) scored by the COLD-LOADED persisted
+    * quality classifier (loaded once at stream start, scoring is a
+    * map-only literal polynomial) and thresholded at `minScore`, (b)
+    * near-dup screened against the PERSISTED MinHash seed index — only
+    * the batch is shingled, the stored corpus is read candidate-sized
+    * (the [[graft.ext.IncrementalDedup.checkBatch]] contract) — and
+    * (c) landed into `table` through [[Dispositions.append]] as one
+    * load per micro-batch: `_dlt_load_id` stamped, one `_dlt_loads`
+    * ledger row, and O(1) replay idempotence via the max-`_batch_id`
+    * manifest stat (the [[probeCollection]] serve-plane discipline; the
+    * same one-stream-owns-the-table contract applies).
+    *
+    * Screening is against the STATIC seed index, so the landed set is
+    * batch-order independent — growing the index per batch would make
+    * survival depend on arrival order; callers wanting greedy in-stream
+    * self-dedup compose [[graft.ext.IncrementalDedup.appendBatch]]
+    * after each land. Corpus-GLOBAL curation (near-dup WITHIN the
+    * landed output, mixing, domain caps, sequence pack, epoch shuffle,
+    * classifier refit) stays batch — run
+    * [[graft.ext.CorpusAssembly.assemble]] over the landed table; this
+    * operator is the always-on front door that keeps junk and known
+    * duplicates from landing at all. */
+  def curateInto(store: TableStore, source: DataFrame, table: String,
+      seedIndex: String, classifierName: String, id: String, text: String,
+      minScore: Double, nearDupThreshold: Double = 0.9, n: Int = 3,
+      scoreColumn: Option[String] = None,
+      checkpoint: Option[String] = None): Unit = {
+    val model = graft.ext.QualityClassifier.load(store, classifierName)
+    val disp = new Dispositions(store, source.sparkSession)
+    var maxWritten = maxBatchIdStat(store, table)
+    drainAvailableNow(source, checkpoint) { (batch, bid) =>
+      if (!batch.isEmpty && bid > maxWritten) graft.ext.Dedup.withPins {
+        val scoreCol = graft.ext.QualityClassifier.score(model,
+          org.apache.spark.sql.functions.col(text))
+        // optional provenance: land the (raw double) score beside the
+        // row, so downstream curation can re-threshold without rescoring
+        val withScore = scoreColumn.fold(batch)(nm =>
+          batch.withColumn(nm, scoreCol))
+        val scored = withScore.filter(scoreCol >= minScore)
+        // pin: the survivors feed BOTH the screen (shingled) and the
+        // anti-join — without it the classifier scan runs twice
+        val pinned = graft.ext.Dedup.pin(scored)
+        val dups = graft.ext.IncrementalDedup.checkBatch(store, seedIndex,
+          pinned, id, text, n = n, threshold = nearDupThreshold)
+          .select(org.apache.spark.sql.functions.col("new_id").as(id))
+          .distinct()
+        val kept = pinned.join(dups, Seq(id), "left_anti")
+          .withColumn("_batch_id", org.apache.spark.sql.functions.lit(bid))
+        if (!kept.isEmpty) {
+          disp.append(table, kept, loadIdOf(bid),
+            statsFor = Seq("_batch_id"))
+          maxWritten = bid
+        }
+      }
+    }
+  }
+
   /** Max `_batch_id` declared by any committed segment of `table` (−1
     * when the table is absent or carries no such stat): ONE manifest
     * read, no Spark job — the serving stream's restart watermark. */

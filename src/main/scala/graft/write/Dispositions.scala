@@ -46,8 +46,9 @@ final class Dispositions(store: TableStore, spark: SparkSession) {
     s
   }
 
-  def append(table: String, df: DataFrame, loadId: String): Unit = {
-    store.append(table, stamp(df, loadId))
+  def append(table: String, df: DataFrame, loadId: String,
+      statsFor: Seq[String] = Nil): Unit = {
+    store.append(table, stamp(df, loadId), statsFor)
     recordLoad(loadId)
   }
 

@@ -330,4 +330,67 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.size < 5,
       s"fixture should split kept/dropped: $streamed")
   }
+
+  test("curateInto scores, screens against the seed index, lands " +
+      "idempotently through the write plane") {
+    import graft.ext.{IncrementalDedup, QualityClassifier}
+    val mk = (id: Long, t: String) => (id, t)
+    val seeds = Seq(
+      mk(0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      mk(1L, "one two three four five six seven eight nine ten eleven"),
+      mk(2L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"))
+      .toDF("doc_id", "text")
+    val arriving = Seq(
+      // near-copy of seed 0 -> screened out regardless of score
+      mk(100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // wordy originals -> score decides
+      mk(101L, "completely fresh words nothing shared with any seed corpus " +
+        "document at all in this line of plain readable text"),
+      mk(102L, "!!! ### $$$ %%% ^^^ @@@"),
+      mk(103L, "another novel document with its own vocabulary and a " +
+        "reasonable number of normal words to score on"))
+      .toDF("doc_id", "text")
+    val store = new TableStore(tmp("st-cur"), spark)
+    IncrementalDedup.indexCorpus(store, "seed", seeds, "doc_id", "text")
+    val model = QualityClassifier.fit(
+      seeds.unionByName(arriving), "text", col("doc_id") % 2 === 1)
+    QualityClassifier.save(store, "m", model)
+    val srcDir = tmp("st-cur-src")
+    arriving.repartitionByRange(2, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$srcDir/t")
+    val src = Streaming.fileStream(spark, s"$srcDir/t",
+      options = Map("maxFilesPerTrigger" -> "1"))
+    // threshold at the fixture median so the score stage genuinely bites
+    val loaded = QualityClassifier.load(store, "m")
+    val tau = 0.45
+    Streaming.curateInto(store, src, "curated", "seed", "m",
+      "doc_id", "text", minScore = tau, nearDupThreshold = 0.9,
+      scoreColumn = Some("q"))
+    val landed = store.read("curated")
+    // batch-equivalent expectation: score >= tau minus seed near-dups
+    val sc = QualityClassifier.score(loaded, col("text"))
+    val expectIds = graft.ext.Dedup.withPins {
+      val kept = arriving.filter(sc >= tau)
+      kept.join(IncrementalDedup.checkBatch(store, "seed", kept,
+          "doc_id", "text", threshold = 0.9)
+          .select(col("new_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(landed.select("doc_id").as[Long].collect().toSet === expectIds)
+    assert(!expectIds.contains(100L), "the seed near-copy must screen out")
+    assert(expectIds.nonEmpty && expectIds.size < 4,
+      s"fixture should split kept/dropped: $expectIds")
+    // provenance: the score column and the load stamps landed
+    assert(landed.columns.contains("q"))
+    assert(landed.columns.contains(graft.normalize.Ids.DltLoadId))
+    // replay idempotence: a fresh checkpoint restarts batch ids at 0 —
+    // colliding ids must skip, not double the landed rows
+    val before = landed.count()
+    Streaming.curateInto(store, src, "curated", "seed", "m",
+      "doc_id", "text", minScore = tau, nearDupThreshold = 0.9,
+      scoreColumn = Some("q"))
+    assert(store.read("curated").count() === before,
+      "replayed batch ids must not double the curated rows")
+  }
 }
