@@ -33,22 +33,69 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Hashed unigram+bigram bucket counts per document:
-    * (id, b, cnt), b in [0, m). Blank documents contribute nothing.
-    * Bigram rows hash "w1 w2" — the space never appears inside a
-    * whitespace-split token, so unigram and bigram keyspaces cannot
-    * collide pre-hash. */
+  /** A PLUGGABLE feature space for DSIR — the
+    * [[QualityClassifier.Feature]] (Spark column, DuckDB mirror)
+    * pattern lifted to distributions: `grams` maps a text column to
+    * the array of gram strings whose hashed-bucket counts become the
+    * document's features (the bucketing/model math downstream is
+    * fixed), and `gramsCteSql` is the DuckDB replay — a complete
+    * `SELECT doc_id, lang, … AS g FROM documents` fragment producing
+    * the same gram multiset — so the bit-replayable oracle survives a
+    * space swap exactly like the classifier's oracle survives a
+    * feature-pack swap. A blank/too-short document must yield an
+    * EMPTY array (it then contributes nothing to either model). */
+  final case class GramSpace(name: String,
+      grams: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      gramsCteSql: String)
+
+  /** The paper's hashed unigram+bigram space (Xie'23 §3): word tokens
+    * plus "w1 w2" bigrams — the space char never appears inside a
+    * whitespace-split token, so the two keyspaces cannot collide
+    * pre-hash. Blank documents yield no grams (the old `features`
+    * blank-doc guard, now inside the space). */
+  val UnigramBigram: GramSpace = GramSpace("unigram-bigram",
+    t => {
+      val toks = TextOps.tokens(t)
+      val prev = slice(toks, lit(1), size(toks) - 1)
+      val curr = slice(toks, lit(2), size(toks) - 1)
+      val bi = zip_with(prev, curr, (a, b) => concat(a, lit(" "), b))
+      when(length(element_at(toks, 1)) > 0, concat(toks, bi))
+        .otherwise(array().cast("array<string>"))
+    },
+    """SELECT doc_id, lang, unnest(ts) AS g
+      |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts
+      |        FROM documents WHERE length(trim(text)) > 0) toks_u
+      |  UNION ALL
+      |  SELECT doc_id, lang, ts[i] || ' ' || ts[i + 1] AS g
+      |  FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts))) AS i
+      |        FROM (SELECT doc_id, lang,
+      |                string_split_regex(trim(text), '\s+') AS ts
+      |              FROM documents WHERE length(trim(text)) > 0) toks_b)"""
+      .stripMargin)
+
+  /** Character trigram space — the tokenizer-free alternative (robust
+    * to scriptio continua and inconsistent whitespace, the classic
+    * langid feature space): every 3-char window of the trimmed text.
+    * Documents shorter than 3 chars contribute nothing. */
+  val CharTrigrams: GramSpace = GramSpace("char-trigram",
+    t => {
+      val s = trim(t)
+      when(length(s) >= 3,
+        transform(sequence(lit(1), length(s) - 2), i => s.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+    },
+    """SELECT doc_id, lang, substr(t, CAST(i AS INT), 3) AS g
+      |  FROM (SELECT doc_id, lang, t, unnest(range(1, length(t) - 1)) AS i
+      |        FROM (SELECT doc_id, lang, trim(text) AS t FROM documents)
+      |        WHERE length(t) >= 3) tri""".stripMargin)
+
+  /** Hashed bucket counts per document under `space`:
+    * (id, b, cnt), b in [0, m). Documents whose gram array is empty
+    * contribute nothing. */
   def features(docs: DataFrame, id: String, text: String,
-      m: Int): DataFrame = {
-    val toks = docs
-      .select(col(id), TextOps.tokens(col(text)).as("_toks"))
-      .where(length(element_at(col("_toks"), 1)) > 0)
-    val grams = toks
-      .withColumn("_prev", slice(col("_toks"), lit(1), size(col("_toks")) - 1))
-      .withColumn("_curr", slice(col("_toks"), lit(2), size(col("_toks")) - 1))
-      .withColumn("_bi",
-        zip_with(col("_prev"), col("_curr"), (a, b) => concat(a, lit(" "), b)))
-      .select(col(id), explode(concat(col("_toks"), col("_bi"))).as("g"))
+      m: Int, space: GramSpace = UnigramBigram): DataFrame = {
+    val grams = docs.select(col(id),
+      explode(space.grams(col(text))).as("g"))
     grams.select(col(id),
         (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % m).as("b"))
       .groupBy(col(id), col("b")).agg(count(lit(1)).as("cnt"))
@@ -61,13 +108,14 @@ object Dsir {
     * log-ratio table (≤ m rows) and the two corpus totals (1 row) are
     * broadcast. */
   def importanceWeights(raw: DataFrame, target: DataFrame, id: String,
-      text: String, m: Int = 1024): DataFrame = {
+      text: String, m: Int = 1024,
+      space: GramSpace = UnigramBigram): DataFrame = {
     // the raw features fan out three ways (q model, q total, scoring
     // join) and the target features two (p model, p total): pinned so
     // the tokenize+hash pass runs once per corpus (lifecycle shared
     // with Dedup's pin scopes)
-    val fRaw = Dedup.pin(features(raw, id, text, m))
-    val fTgt = Dedup.pin(features(target, id, text, m))
+    val fRaw = Dedup.pin(features(raw, id, text, m, space))
+    val fTgt = Dedup.pin(features(target, id, text, m, space))
     val ct = fTgt.groupBy("b").agg(sum("cnt").as("ct"))
     val cq = fRaw.groupBy("b").agg(sum("cnt").as("cq"))
     // every bucket of a raw doc is present in cq by construction; ct
@@ -92,8 +140,9 @@ object Dsir {
   /** Top-`k` raw documents by importance weight (weight desc, id asc —
     * a total order, so the cut is deterministic). */
   def select(raw: DataFrame, target: DataFrame, id: String, text: String,
-      m: Int = 1024, k: Int = 100): DataFrame =
-    importanceWeights(raw, target, id, text, m)
+      m: Int = 1024, k: Int = 100,
+      space: GramSpace = UnigramBigram): DataFrame =
+    importanceWeights(raw, target, id, text, m, space)
       .orderBy(col("weight").desc, col(id))
       .limit(k)
 
@@ -104,19 +153,12 @@ object Dsir {
     * [[select]] on the two slices. */
   def selectByPredicate(docs: DataFrame, id: String, text: String,
       isTarget: org.apache.spark.sql.Column, m: Int = 1024,
-      k: Int = 100): DataFrame = {
-    // the flag rides the tokenize→explode→groupBy pass as an extra
+      k: Int = 100, space: GramSpace = UnigramBigram): DataFrame = {
+    // the flag rides the featurize→explode→groupBy pass as an extra
     // (functionally id-dependent) grouping column — no join-back
-    val toks = docs.withColumn("__tgt", isTarget)
-      .select(col(id), col("__tgt"), TextOps.tokens(col(text)).as("_toks"))
-      .where(length(element_at(col("_toks"), 1)) > 0)
-    val grams = toks
-      .withColumn("_prev", slice(col("_toks"), lit(1), size(col("_toks")) - 1))
-      .withColumn("_curr", slice(col("_toks"), lit(2), size(col("_toks")) - 1))
-      .withColumn("_bi",
-        zip_with(col("_prev"), col("_curr"), (a, b) => concat(a, lit(" "), b)))
+    val grams = docs.withColumn("__tgt", isTarget)
       .select(col(id), col("__tgt"),
-        explode(concat(col("_toks"), col("_bi"))).as("g"))
+        explode(space.grams(col(text))).as("g"))
     val feats = Dedup.pin(grams
       .select(col(id), col("__tgt"),
         (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % m).as("b"))

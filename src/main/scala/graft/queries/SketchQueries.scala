@@ -165,6 +165,19 @@ object SketchQueries {
       // to featurizing the two slices separately)
       Dsir.selectByPredicate(c.t("documents"), "doc_id", "text",
         isTarget = col("lang") === "en", m = 1024, k = 100)
+    },
+
+    // the PLUGGABLE feature space (r14): same DSIR selection under the
+    // CHARACTER-TRIGRAM space — the (Spark column, DuckDB mirror) pair
+    // travels with the space, so the oracle is the SAME builder with
+    // the space's grams CTE swapped in (the classifier feature-pack
+    // extensibility contract, applied to distributions). A divergent
+    // gram multiset between the engine's extractor and its SQL mirror
+    // hash-fails.
+    "text_dsir_custom" -> q { c =>
+      Dsir.selectByPredicate(c.t("documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", m = 1024, k = 100,
+        space = Dsir.CharTrigrams)
     }
   )
 
@@ -437,36 +450,38 @@ object SketchQueries {
         |FROM est JOIN ex USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
 
-    "text_dsir_select" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |grams AS (
-        |  SELECT doc_id, lang, unnest(ts) AS g FROM toks
-        |  UNION ALL
-        |  SELECT doc_id, lang, ts[i] || ' ' || ts[i + 1] AS g
-        |  FROM (SELECT doc_id, lang, ts,
-        |          unnest(range(1, len(ts))) AS i FROM toks)),
-        |feats AS (
-        |  SELECT doc_id, lang,
-        |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b,
-        |    count(*) AS cnt
-        |  FROM grams GROUP BY 1, 2, 3),
-        |ct AS (SELECT b, sum(cnt) AS ct FROM feats WHERE lang = 'en' GROUP BY 1),
-        |cq AS (SELECT b, sum(cnt) AS cq FROM feats WHERE lang != 'en' GROUP BY 1),
-        |tot AS (SELECT
-        |  (SELECT sum(cnt) FROM feats WHERE lang = 'en') AS t_tot,
-        |  (SELECT sum(cnt) FROM feats WHERE lang != 'en') AS q_tot),
-        |terms AS (
-        |  SELECT f.doc_id, f.cnt,
-        |    (f.cnt * (ln(coalesce(ct.ct, 0) + 1) - ln(cq.cq + 1)))::DECIMAL(28,12) AS term
-        |  FROM feats f JOIN cq USING (b) LEFT JOIN ct USING (b)
-        |  WHERE f.lang != 'en')
-        |SELECT doc_id, n_grams, weight FROM (
-        |  SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
-        |    round(sum(term)::DOUBLE
-        |      + sum(cnt) * (ln(q_tot + 1024) - ln(t_tot + 1024)), 6) AS weight
-        |  FROM terms, tot GROUP BY doc_id, q_tot, t_tot)
-        |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin
+    "text_dsir_select" -> dsirOracleSql(graft.ext.Dsir.UnigramBigram),
+    "text_dsir_custom" -> dsirOracleSql(graft.ext.Dsir.CharTrigrams)
   )
+
+  /** DuckDB replay of [[graft.ext.Dsir.selectByPredicate]] under an
+    * arbitrary [[graft.ext.Dsir.GramSpace]] (target = lang 'en',
+    * m = 1024, k = 100): the space contributes its grams CTE, the
+    * model math (Laplace-smoothed log-ratios, decimal-exact term sums,
+    * total-count normalizer) is the fixed part — one builder, so the
+    * default and custom spaces cannot drift apart. */
+  private def dsirOracleSql(space: graft.ext.Dsir.GramSpace): String =
+    s"""WITH grams AS (
+       |  ${space.gramsCteSql}),
+       |feats AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b,
+       |    count(*) AS cnt
+       |  FROM grams GROUP BY 1, 2, 3),
+       |ct AS (SELECT b, sum(cnt) AS ct FROM feats WHERE lang = 'en' GROUP BY 1),
+       |cq AS (SELECT b, sum(cnt) AS cq FROM feats WHERE lang != 'en' GROUP BY 1),
+       |tot AS (SELECT
+       |  (SELECT sum(cnt) FROM feats WHERE lang = 'en') AS t_tot,
+       |  (SELECT sum(cnt) FROM feats WHERE lang != 'en') AS q_tot),
+       |terms AS (
+       |  SELECT f.doc_id, f.cnt,
+       |    (f.cnt * (ln(coalesce(ct.ct, 0) + 1) - ln(cq.cq + 1)))::DECIMAL(28,12) AS term
+       |  FROM feats f JOIN cq USING (b) LEFT JOIN ct USING (b)
+       |  WHERE f.lang != 'en')
+       |SELECT doc_id, n_grams, weight FROM (
+       |  SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
+       |    round(sum(term)::DOUBLE
+       |      + sum(cnt) * (ln(q_tot + 1024) - ln(t_tot + 1024)), 6) AS weight
+       |  FROM terms, tot GROUP BY doc_id, q_tot, t_tot)
+       |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin
 }

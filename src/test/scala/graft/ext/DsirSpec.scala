@@ -66,4 +66,28 @@ class DsirSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("CharTrigrams space: sliding 3-char windows, short docs empty") {
+    val docs = Seq((1L, " abcde "), (2L, "ab"), (3L, "   "), (4L, "xyz"))
+      .toDF("doc_id", "text")
+    val grams = docs.select($"doc_id",
+        Dsir.CharTrigrams.grams($"text").as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(grams(1L) === Seq("abc", "bcd", "cde")) // trimmed, 3 windows
+    assert(grams(2L) === Seq.empty)                // too short
+    assert(grams(3L) === Seq.empty)                // blank after trim
+    assert(grams(4L) === Seq("xyz"))
+    // the pluggable space rides the same selection math: a trigram run
+    // over slices ≡ the fused predicate path (the UnigramBigram
+    // equivalence test, under the swapped space)
+    val docs2 = target.withColumn("lang", lit("en"))
+      .unionByName(raw.withColumn("lang", lit("xx")))
+    val fused = Dsir.selectByPredicate(docs2, "doc_id", "text",
+        isTarget = col("lang") === "en", m = 512, k = 4,
+        space = Dsir.CharTrigrams).collect().toSeq
+    val sliced = Dsir.select(raw, target, "doc_id", "text", m = 512, k = 4,
+        space = Dsir.CharTrigrams).collect().toSeq
+    assert(fused == sliced)
+    assert(fused.nonEmpty)
+  }
 }
