@@ -53,8 +53,15 @@ object Tables {
     * never hits this. When the natural split count is far below the
     * session's parallelism, re-spread round-robin once at load: the
     * shuffle moves O(file) bytes and unlocks full-width downstream
-    * compute. Filter/column pushdown is unaffected — Catalyst pushes
-    * both through Repartition to the scan (asserted by PlanSpec).
+    * compute. The re-spread is a PUSHDOWN BARRIER (r14): filters and
+    * pruning deliberately do NOT reach the scan — pushdown through the
+    * repartition put heavy text-kernel predicates back in the
+    * row-group-bound scan stage, re-serializing exactly the work the
+    * re-spread exists to spread (soak-measured; asserted by PlanSpec).
+    * The lost scan pruning is bounded: the barrier fires only on
+    * under-split small inputs, where a full-width scan is file-sized.
+    * Selective readers of BIG tables should stay on [[load]], which
+    * keeps the columnar scan and full pushdown.
     * Light consumers should stay on [[load]]: for them the exchange
     * costs more than the serial scan it cures (measured: a blanket
     * re-spread moved the sf0.1 bench 120 s → 130 s, while the text pack

@@ -117,6 +117,13 @@ object IncrementalDedup {
     * `<table>__hamming_meta`) — the banding is a pure function of the
     * pair, so a batch banded in a different space silently joins to
     * nothing. */
+  /** The band-layout generation this code derives
+    * ([[Dedup.wordBands]]): "wb1" = proportional real-bit allocation
+    * (r14). Pinned in the meta so an index persisted under a DIFFERENT
+    * derivation fails loudly instead of silently joining to nothing —
+    * the same silent-recall-loss the (dim, maxHamming) pin guards. */
+  private val BandLayout = "wb1"
+
   private def requireVecMeta(store: TableStore, table: String,
       dim: Int, maxHamming: Int): Boolean = {
     val meta = store.readOption(s"${table}__hamming_meta")
@@ -129,6 +136,19 @@ object IncrementalDedup {
       require(sh == maxHamming,
         s"hamming index '$table' was built with maxHamming=$sh but " +
           s"$maxHamming was passed — appends must keep the one band space")
+      val layout =
+        if (m.columns.contains("layout"))
+          m.select("layout").head().getString(0)
+        // pre-layout meta: the old fixed per-word split ≡ wb1 exactly
+        // when dim is a whole number of words; otherwise the stored
+        // band keys live in a layout this code no longer derives
+        else if (sd % 64 == 0) BandLayout
+        else "pre-wb1"
+      require(layout == BandLayout,
+        s"hamming index '$table' was persisted under band layout " +
+          s"'$layout' but this engine derives '$BandLayout' — band keys " +
+          "would silently match nothing; rebuild the index " +
+          "(indexVectors into a fresh table)")
     }
     meta.isDefined
   }
@@ -173,7 +193,8 @@ object IncrementalDedup {
       if (!hadMeta) {
         import vecs.sparkSession.implicits._
         store.overwrite(s"${table}__hamming_meta",
-          Seq((dim, maxHamming)).toDF("dim", "max_hamming"))
+          Seq((dim, maxHamming, BandLayout))
+            .toDF("dim", "max_hamming", "layout"))
       }
       val pinned = Dedup.pin(codedVecs(vecs, id, vec, dim))
       store.append(table, pinned)
@@ -199,6 +220,9 @@ object IncrementalDedup {
       s"no hamming index meta for '$table' — call indexVectors first")
     val m = meta.get.select("dim", "max_hamming").head()
     val (dim, indexedH) = (m.getInt(0), m.getInt(1))
+    // layout validation rides the shared guard (band keys computed
+    // under a different derivation would silently match nothing)
+    requireVecMeta(store, table, dim, indexedH)
     require(maxHamming >= 0 && maxHamming <= indexedH,
       s"check budget maxHamming=$maxHamming outside [0, $indexedH] — " +
         "the stored bands only guarantee recall within the indexed " +

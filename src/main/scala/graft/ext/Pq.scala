@@ -203,59 +203,34 @@ object Pq {
       k: Int, shortlist: Int, maxQueryId: Int): String =
     adcOracleSqlOver("TRUE", dim, m, ksub, iters, k, shortlist, maxQueryId)
 
-  /** Oracle for the ADC (quantized) dedup-on-ingest gate
-    * (`sim_pq_append_dedup`): replay the deterministic per-subspace PQ
-    * training ON THE EVENS (the [[adcOracleSqlOver]] machinery),
-    * rebuild each even's code reconstruction, then the shared
-    * dedup-on-ingest membership arithmetic with the screen condition
-    * "round-6 ADC cosine ≥ threshold" — dups are batch rows whose
-    * vector sits near ANY even's DEQUANTIZED code, exactly what
-    * [[graft.write.VectorSink.appendDedupedAdc]] compares at
-    * nprobe = nlist. Batch construction (twins of the evens + the
-    * untouched odds) mirrors the cosine/binary gates' fixture. */
-  def adcAppendDedupOracleSql(threshold: Double, dim: Int, m: Int,
-      ksub: Int, iters: Int): String = {
+  /** The PQ-reconstruction CTE chain — per-subspace deterministic
+    * k-means trainings plus a `deq` CTE giving each `corpusWhere`
+    * vector's code reconstruction: the shared fragment behind
+    * [[adcOracleSqlOver]] (ADC probe replay) and the ADC
+    * dedup-on-ingest gate's screen replay (composed with the shared
+    * membership skeleton in the query layer). No leading `WITH`;
+    * callers splice it into their own chain. */
+  def deqCtesSql(corpusWhere: String, dim: Int, m: Int, ksub: Int,
+      iters: Int): String = {
     require(dim % m == 0)
     val sub = dim / m
     val stages = (0 until m).map { j =>
       Clustering.stagesSql(ksub, iters, ns = s"s${j}_",
         vecExpr = s"(embedding::DOUBLE[])[${j * sub + 1}:${(j + 1) * sub}]",
-        dim = sub, where = "vec_id % 2 = 0")
+        dim = sub, where = corpusWhere)
     }.mkString(",\n")
     val joins = (0 until m).map(j =>
       s"JOIN s${j}_a${iters + 1} s$j USING (vec_id)").mkString("\n  ")
     val recon = (0 until m).map(j => s"sc$j.c").mkString(" || ")
     val reconJoins = (0 until m).map(j =>
       s"JOIN s${j}_c$iters sc$j ON sc$j.cl = s$j.cl").mkString("\n  ")
-    s"""WITH $stages,
+    s"""$stages,
        |deq AS (
        |  SELECT vec_id, $recon AS deq
        |  FROM (SELECT DISTINCT vec_id FROM embeddings
-       |        WHERE vec_id % 2 = 0) vv
+       |        WHERE $corpusWhere) vv
        |  $joins
-       |  $reconJoins),
-       |batch AS (
-       |  SELECT vec_id + 1000000 AS vec_id,
-       |    list_transform(embedding::DOUBLE[],
-       |      x -> CAST(x * 1.01 + 0.005 AS REAL)) AS embedding
-       |  FROM embeddings WHERE vec_id % 2 = 0
-       |  UNION ALL
-       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
-       |dups AS (
-       |  SELECT DISTINCT b.vec_id
-       |  FROM batch b JOIN deq e
-       |    ON round(list_cosine_similarity(b.embedding::DOUBLE[], e.deq), 6)
-       |       >= $threshold),
-       |corpus AS (
-       |  SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
-       |  UNION ALL
-       |  SELECT vec_id FROM batch
-       |  WHERE vec_id NOT IN (SELECT vec_id FROM dups))
-       |SELECT vec_id,
-       |  ((SELECT count(*) FROM batch) - (SELECT count(*) FROM dups))::BIGINT
-       |    AS kept,
-       |  (SELECT count(*) FROM dups)::BIGINT AS dropped
-       |FROM corpus ORDER BY vec_id""".stripMargin
+       |  $reconJoins)""".stripMargin
   }
 
   /** [[adcOracleSql]] with a corpus predicate — the PQ generation-probe
@@ -267,26 +242,9 @@ object Pq {
     * generation's pinned corpus. */
   def adcOracleSqlOver(corpusWhere: String, dim: Int, m: Int, ksub: Int,
       iters: Int, k: Int, shortlist: Int, maxQueryId: Int): String = {
-    require(dim % m == 0)
-    val stages = (0 until m).map { j =>
-      Clustering.stagesSql(ksub, iters, ns = s"s${j}_",
-        vecExpr = s"(embedding::DOUBLE[])[${j * (dim / m) + 1}:${(j + 1) * (dim / m)}]",
-        dim = dim / m, where = corpusWhere)
-    }.mkString(",\n")
-    val joins = (0 until m).map(j =>
-      s"JOIN s${j}_a${iters + 1} s$j USING (vec_id)").mkString("\n  ")
-    val recon = (0 until m).map(j => s"sc$j.c").mkString(" || ")
-    val reconJoins = (0 until m).map(j =>
-      s"JOIN s${j}_c$iters sc$j ON sc$j.cl = s$j.cl").mkString("\n  ")
-    s"""WITH $stages,
+    s"""WITH ${deqCtesSql(corpusWhere, dim, m, ksub, iters)},
        |full_e AS (SELECT vec_id, embedding::DOUBLE[] AS v
        |           FROM embeddings WHERE $corpusWhere),
-       |deq AS (
-       |  SELECT vec_id, $recon AS deq
-       |  FROM (SELECT DISTINCT vec_id FROM embeddings
-       |        WHERE $corpusWhere) vv
-       |  $joins
-       |  $reconJoins),
        |approx AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
        |    list_cosine_similarity(q.v, c.deq) AS adc

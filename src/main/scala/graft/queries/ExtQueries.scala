@@ -67,14 +67,19 @@ object ExtQueries {
     (evens, twins.unionByName(vecs.filter(col("vec_id") % 2 === 1)))
   }
 
-  /** Shared oracle for the two dedup-on-ingest gates: final membership
-    * = evens ∪ batch rows with NO even matching `dupsCond`, plus the
-    * kept/dropped counts (the screens run at nprobe = nlist, so EXISTS
-    * over the all-pairs product is exact on both planes). ONE builder —
-    * the batch construction and count arithmetic cannot diverge
-    * between the cosine and Hamming gates. */
-  private def appendDedupOracleSql(dupsCond: String): String =
-    s"""WITH evens AS (
+  /** Shared oracle for the dedup-on-ingest gates: final membership
+    * = evens ∪ batch rows with NO `dupsFrom` row matching `dupsCond`,
+    * plus the kept/dropped counts (the screens run at nprobe = nlist,
+    * so EXISTS over the all-pairs product is exact on every plane).
+    * ONE builder — the batch construction and count arithmetic cannot
+    * diverge between the cosine, Hamming and ADC gates. `prelude`
+    * splices extra CTEs ahead of the skeleton (the ADC gate's PQ
+    * reconstruction chain, [[Pq.deqCtesSql]]); `dupsFrom` swaps the
+    * screen's right side (default: the raw evens; ADC: their
+    * reconstructions `deq e`). */
+  private def appendDedupOracleSql(dupsCond: String,
+      prelude: String = "", dupsFrom: String = "evens e"): String =
+    s"""WITH ${if (prelude.isEmpty) "" else prelude + ",\n"}evens AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
        |batch AS (
        |  SELECT vec_id + 1000000 AS vec_id,
@@ -85,7 +90,7 @@ object ExtQueries {
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
        |dups AS (
        |  SELECT DISTINCT b.vec_id
-       |  FROM batch b JOIN evens e
+       |  FROM batch b JOIN $dupsFrom
        |    ON $dupsCond),
        |corpus AS (
        |  SELECT vec_id FROM evens
@@ -2509,11 +2514,16 @@ object ExtQueries {
         |         i -> CASE WHEN (b.embedding[i] > 0) <> (e.embedding[i] > 0)
         |              THEN 1 ELSE 0 END)) <= 8""".stripMargin),
 
-    // quantized (ADC) dedup-on-ingest ≡ membership under "round-6 ADC
-    // cosine vs ANY even's code reconstruction ≥ 0.52", the PQ
-    // training replayed deterministically on the evens
-    "sim_pq_append_dedup" -> Pq.adcAppendDedupOracleSql(
-      threshold = 0.52, dim = 64, m = 8, ksub = 16, iters = 2),
+    // quantized (ADC) dedup-on-ingest ≡ the SAME membership skeleton
+    // with the screen's right side swapped to the evens' PQ code
+    // reconstructions (training replayed deterministically on the
+    // evens, Pq.deqCtesSql) under "round-6 ADC cosine ≥ 0.52"
+    "sim_pq_append_dedup" -> appendDedupOracleSql(
+      """round(list_cosine_similarity(b.embedding::DOUBLE[], e.deq), 6)
+        |       >= 0.52""".stripMargin,
+      prelude = Pq.deqCtesSql("vec_id % 2 = 0",
+        dim = 64, m = 8, ksub = 16, iters = 2),
+      dupsFrom = "deq e"),
 
     // retention gate: the pinned gen-1 probe at nprobe = nlist ≡ brute
     // force over the EVEN half (gen 1's corpus — proving the pin kept

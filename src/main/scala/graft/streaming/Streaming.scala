@@ -263,8 +263,15 @@ object Streaming {
           pinned, id, text, n = n, threshold = nearDupThreshold)
           .select(org.apache.spark.sql.functions.col("new_id").as(id))
           .distinct()
-        val kept = pinned.join(dups, Seq(id), "left_anti")
-          .withColumn("_batch_id", org.apache.spark.sql.functions.lit(bid))
+        // pin the SURVIVORS too (the screen's candidate join + exact
+        // verify is the dominant cost — without this the isEmpty probe
+        // and the append each execute it once, doubling per-batch
+        // latency; the screenedAppend scaffold persists kept for the
+        // same reason). Scope-released with the batch's withPins.
+        val kept = graft.ext.Dedup.pin(
+          pinned.join(dups, Seq(id), "left_anti")
+            .withColumn("_batch_id",
+              org.apache.spark.sql.functions.lit(bid)))
         if (!kept.isEmpty) {
           disp.append(table, kept, loadIdOf(bid),
             statsFor = Seq("_batch_id"))
