@@ -175,6 +175,44 @@ object LifecycleQueries {
         .orderBy("version", "event_id")
     },
 
+    // SNAPSHOT RETENTION on the table plane (the collection-retention
+    // twin, Delta/Iceberg snapshot expiry): 3 commits → pin snapshot 1
+    // → TTL=∞ sweep retains all → keep-1 sweep expires the unpinned
+    // middle (pin survives) → the PINNED snapshot still time-travels
+    // AFTER the sweep vacuumed its sibling's segments — its rows ARE
+    // the gate output. A second table proves TTL=0 at a future `now`
+    // expires an unpinned snapshot. Policy outcomes ride the hash as
+    // literals with EXPECTED values hardcoded in the oracle.
+    "lifecycle_table_ttl" -> q { c =>
+      import graft.write.TableStore
+      val store = new TableStore(tmp("graft-ttt"), c.spark)
+      val ev = c.t("events").select("event_id", "user_id")
+      store.overwrite("t", ev.filter(col("event_id") < 100))        // snap 1
+      store.append("t", ev.filter(col("event_id") >= 100 && col("event_id") < 200))
+      store.append("t", ev.filter(col("event_id") >= 200 && col("event_id") < 300))
+      val snaps = store.snapshots("t")
+      store.pinSnapshot("t", snaps.head)
+      val rA = store.applyRetention("t", keepLast = 1,
+        ttlMs = Some(Long.MaxValue))
+      val ttlRetains = rA._1.isEmpty && rA._2 == snaps
+      val rB = store.applyRetention("t", keepLast = 1)
+      val midExpired = rB._1 == Seq(snaps(1)) &&
+        store.snapshots("t") == Seq(snaps.head, snaps.last)
+      // the TTL=0 direction on a second table: no pin, future now
+      store.overwrite("t2", ev.filter(col("event_id") < 10))
+      store.append("t2", ev.filter(col("event_id") >= 10 && col("event_id") < 20))
+      val s2 = store.snapshots("t2")
+      val r2 = store.applyRetention("t2", keepLast = 1, ttlMs = Some(0L),
+        now = System.currentTimeMillis() + 600000L)
+      val ttlExpires = r2._1 == Seq(s2.head) &&
+        store.snapshots("t2") == Seq(s2.last)
+      store.readAt("t", snaps.head)
+        .withColumn("ttl_retains", lit(ttlRetains))
+        .withColumn("mid_expired", lit(midExpired))
+        .withColumn("ttl_expires", lit(ttlExpires))
+        .orderBy("event_id")
+    },
+
     // CHANGE FEED between snapshots: updates surface as delete+insert
     // pairs of the same key; computed from the immutable snapshots
     // themselves (two anti-joins), no per-row version bookkeeping
@@ -260,6 +298,13 @@ object LifecycleQueries {
         |SELECT 'current', event_id, user_id FROM events
         |WHERE event_id < 250 AND NOT (event_id < 100 AND event_id % 2 = 0)
         |ORDER BY version, event_id""".stripMargin,
+    // the pinned snapshot's rows (= the first overwrite) with every
+    // policy outcome asserted at its expected value
+    "lifecycle_table_ttl" ->
+      """SELECT event_id, user_id,
+        |  TRUE AS ttl_retains, TRUE AS mid_expired, TRUE AS ttl_expires
+        |FROM events WHERE event_id < 100
+        |ORDER BY event_id""".stripMargin,
     "plane_table_dispatch" ->
       """SELECT event_id, event_type, user_id FROM events
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,

@@ -639,11 +639,21 @@ final class TableStore(val root: String, val spark: SparkSession) {
     // VectorSink.vacuumCollection, or one direct call breaks every
     // historical generation probe
     val allPins = retainSnapshots ++
-      VectorSink.pinnedSnapshotsFor(this, table)
+      VectorSink.pinnedSnapshotsFor(this, table) ++ pinnedSnapshots(table)
     val pinned = allPins.map(s => s"manifest-$s.txt")
       .filter(manifests.contains)
     val retained = (manifests.takeRight(math.max(1, retainManifests)) ++
       pinned :+ current).distinct
+    gcRetaining(table, manifests, retained)
+  }
+
+  /** The GC core shared by [[vacuum]] and [[applyRetention]]: delete
+    * every data/tombstone directory referenced by NO retained manifest
+    * and every non-retained manifest file. Caller holds the table
+    * lock and has already folded every pin source into `retained`. */
+  private def gcRetaining(table: String, manifests: Seq[String],
+      retained: Seq[String]): Int = {
+    val dir = tableDir(table)
     def referenced(manifest: String): Set[String] = {
       val p = dir.resolve(manifest)
       if (!Files.exists(p)) Set.empty
@@ -674,6 +684,90 @@ final class TableStore(val root: String, val spark: SparkSession) {
       .foreach(m => Files.deleteIfExists(dir.resolve(m)))
     deleted
   }
+
+  /** PIN a snapshot against retention (persisted in `<table>/_PINS`,
+    * one id per line): [[vacuum]] and [[applyRetention]] always retain
+    * it, so [[readAt]] time travel to it keeps working under any
+    * retention schedule — the lakehouse twin of
+    * [[VectorSink.pinGeneration]] (Iceberg tag semantics). Validates
+    * the snapshot exists NOW; the pin then guarantees it keeps
+    * existing. */
+  def pinSnapshot(table: String, snapshot: Long): Unit = locked(table) {
+    val live = snapshots(table)
+    require(live.contains(snapshot),
+      s"cannot pin snapshot $snapshot of '$table' — not in history " +
+        s"(live: ${live.mkString(", ")})")
+    writeSnapshotPins(table, pinnedSnapshots(table) + snapshot)
+  }
+
+  /** Remove a [[pinSnapshot]] pin (no-op if not pinned). */
+  def unpinSnapshot(table: String, snapshot: Long): Unit = locked(table) {
+    writeSnapshotPins(table, pinnedSnapshots(table) - snapshot)
+  }
+
+  /** The currently pinned snapshot ids (empty if none). */
+  def pinnedSnapshots(table: String): Set[Long] = {
+    val p = tableDir(table).resolve("_PINS")
+    if (!Files.exists(p)) Set.empty
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  private def writeSnapshotPins(table: String, pins: Set[Long]): Unit = {
+    val p = tableDir(table).resolve("_PINS")
+    if (pins.isEmpty) { Files.deleteIfExists(p); () }
+    else {
+      val tmp = tableDir(table).resolve(s"_PINS.tmp.${System.nanoTime()}")
+      Files.write(tmp, pins.toSeq.sorted.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE)
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** SNAPSHOT RETENTION policy sweep — Delta/Iceberg snapshot expiry
+    * on the table plane (the [[VectorSink.applyRetention]] twin): a
+    * snapshot is EXPIRED when it falls outside the newest `keepLast`
+    * manifests AND (when `ttlMs` is given) its manifest file's
+    * wall-clock mtime is older than `now − ttlMs` (snapshot ids are
+    * nanoTime — monotonic but origin-arbitrary, so age comes from the
+    * file, not the id). Never removed: the CURRENT snapshot, every
+    * [[pinSnapshot]] pin, and every snapshot a vector collection's
+    * generation manifest still references. Expired manifests and the
+    * segments only they reference are deleted in the same locked pass.
+    * `now` is injectable so policies replay deterministically in
+    * tests/gates. Returns (expired snapshot ids, remaining snapshot
+    * ids), oldest → newest. */
+  def applyRetention(table: String, keepLast: Int,
+      ttlMs: Option[Long] = None,
+      now: Long = System.currentTimeMillis()): (Seq[Long], Seq[Long]) =
+    locked(table) {
+      require(keepLast >= 1, "keep at least the live snapshot")
+      ttlMs.foreach(t => require(t >= 0L, s"ttlMs must be >= 0, got $t"))
+      val dir = tableDir(table)
+      if (!Files.exists(dir.resolve("_CURRENT"))) return (Nil, Nil)
+      val current = new String(Files.readAllBytes(dir.resolve("_CURRENT")),
+        StandardCharsets.UTF_8).trim
+      def snapOf(m: String): Long =
+        m.stripPrefix("manifest-").stripSuffix(".txt").toLong
+      val manifests = listDir(dir)
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("manifest-") && n.endsWith(".txt"))
+        .sortBy(snapOf)
+      val pins = pinnedSnapshots(table) ++
+        VectorSink.pinnedSnapshotsFor(this, table)
+      def young(m: String): Boolean = ttlMs.exists { t =>
+        val p = dir.resolve(m)
+        Files.exists(p) &&
+          now - Files.getLastModifiedTime(p).toMillis <= t
+      }
+      val keepWindow = manifests.takeRight(keepLast).toSet
+      val retained = manifests.filter(m =>
+        keepWindow(m) || pins(snapOf(m)) || young(m) || m == current)
+      gcRetaining(table, manifests, (retained :+ current).distinct)
+      (manifests.filterNot(retained.contains).map(snapOf),
+        retained.map(snapOf))
+    }
 
   def drop(table: String): Unit = locked(table) {
     val dir = tableDir(table)

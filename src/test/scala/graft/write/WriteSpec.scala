@@ -54,6 +54,47 @@ class WriteSpec extends SparkSpec {
       === Array(2L, 3L, 4L))
   }
 
+  test("snapshot retention: keep-N/TTL expiry, pins retain and survive " +
+      "vacuum, time travel to pins keeps working") {
+    val store = newStore()
+    store.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val s1 = store.snapshots("t").last
+    store.append("t", Seq((3L, "c")).toDF("id", "v"))
+    store.append("t", Seq((4L, "d")).toDF("id", "v"))
+    val all = store.snapshots("t")
+    assert(all.size === 3 && all.head === s1)
+    // pin validation: unknown snapshot refuses
+    intercept[IllegalArgumentException](store.pinSnapshot("t", 99L))
+    store.pinSnapshot("t", s1)
+    assert(store.pinnedSnapshots("t") === Set(s1))
+    // keepLast beyond history + TTL=infinity: nothing expires
+    assert(store.applyRetention("t", keepLast = 5)._1.isEmpty)
+    assert(store.applyRetention("t", keepLast = 1,
+      ttlMs = Some(Long.MaxValue))._1.isEmpty)
+    // keep-1 sweep: the middle snapshot expires, the pin survives
+    val (removed, remaining) = store.applyRetention("t", keepLast = 1)
+    assert(removed === Seq(all(1)))
+    assert(remaining === Seq(s1, all.last))
+    // pinned snapshot still time-travels after the sweep's GC
+    assert(store.readAt("t", s1).select("id").as[Long].collect().sorted
+      === Array(1L, 2L))
+    // a RAW vacuum folds the pins in too (one direct call must be as
+    // safe as the policy path)
+    store.vacuum("t", retainManifests = 1)
+    assert(store.readAt("t", s1).select("id").as[Long].collect().sorted
+      === Array(1L, 2L))
+    // unpin (empty set drops _PINS) + TTL=0 at a future now: expires
+    store.unpinSnapshot("t", s1)
+    assert(store.pinnedSnapshots("t") === Set.empty[Long])
+    val (r2, rem2) = store.applyRetention("t", keepLast = 1,
+      ttlMs = Some(0L), now = System.currentTimeMillis() + 60000L)
+    assert(r2 === Seq(s1) && rem2 === Seq(all.last))
+    intercept[IllegalArgumentException](store.readAt("t", s1))
+    // live reads unaffected throughout
+    assert(store.read("t").select("id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L, 4L))
+  }
+
   test("copyInto gives the destination its own physical bytes and keeps stats") {
     val store = newStore()
     store.overwrite("stg", load1.toDF("id", "v", "ver"), statsFor = Seq("id"))
