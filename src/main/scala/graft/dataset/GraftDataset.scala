@@ -131,6 +131,23 @@ final class VectorCollection(store: TableStore, val name: String) {
       k: Int, nprobe: Int): DataFrame =
     VectorSink.topKGen(store, name, VectorSink.generationAt(store, name, gen),
       queries, id, vec, k, nprobe)
+
+  /** Pin a generation against retention (see
+    * [[graft.write.VectorSink.pinGeneration]]). */
+  def pin(gen: Long): Unit = VectorSink.pinGeneration(store, name, gen)
+
+  /** Withdraw a [[pin]] (see
+    * [[graft.write.VectorSink.unpinGeneration]]). */
+  def unpin(gen: Long): Unit = VectorSink.unpinGeneration(store, name, gen)
+
+  /** The pinned generation numbers. */
+  def pinned: Set[Long] = VectorSink.pinnedGenerations(store, name)
+
+  /** Apply a retention policy (keep-N ∧ TTL; pins always retained) —
+    * see [[graft.write.VectorSink.applyRetention]]. */
+  def retain(keepLast: Int, ttlMs: Option[Long] = None)
+      : VectorSink.RetentionReport =
+    VectorSink.applyRetention(store, name, keepLast, ttlMs)
 }
 
 /** Lazy composable query over one table (reference Relation,

@@ -727,6 +727,24 @@ class VectorSinkSpec extends SparkSpec {
     assert(VectorSink.generations(store, "emb") === Seq(3L))
   }
 
+  test("dataset-facade vector handle exposes pin/retain (delegation)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsspec27").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus.filter(col("vec_id") < 32L),
+      "vec_id", "embedding", nlist = 4)
+    VectorSink.append(store, "emb",
+      corpus.filter(col("vec_id") >= 32L), "vec_id", "embedding")
+    val ds = new graft.dataset.GraftDataset(store,
+      new graft.schema.SchemaRegistry("v"), spark)
+    val coll = ds.vectors("emb")
+    coll.pin(1L)
+    assert(coll.pinned === Set(1L))
+    val r = coll.retain(keepLast = 1)
+    assert(r.retainedByPin === Seq(1L) && r.remaining === Seq(1L, 2L))
+    coll.unpin(1L)
+    assert(coll.pinned === Set.empty[Long])
+  }
+
   test("appendDedupedAdc screens SQ8/PQ/OPQ on dequantized codes; " +
       "metric routing raises with guidance") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec25").toString
