@@ -144,10 +144,13 @@ final class VectorCollection(store: TableStore, val name: String) {
   def pinned: Set[Long] = VectorSink.pinnedGenerations(store, name)
 
   /** Apply a retention policy (keep-N ∧ TTL; pins always retained) —
-    * see [[graft.write.VectorSink.applyRetention]]. */
-  def retain(keepLast: Int, ttlMs: Option[Long] = None)
+    * see [[graft.write.VectorSink.applyRetention]]. `now` is
+    * injectable like the underlying twin's, so TTL policies replay
+    * deterministically from the facade too. */
+  def retain(keepLast: Int, ttlMs: Option[Long] = None,
+      now: Long = System.currentTimeMillis())
       : VectorSink.RetentionReport =
-    VectorSink.applyRetention(store, name, keepLast, ttlMs)
+    VectorSink.applyRetention(store, name, keepLast, ttlMs, now)
 }
 
 /** Lazy composable query over one table (reference Relation,

@@ -627,11 +627,8 @@ final class TableStore(val root: String, val spark: SparkSession) {
     if (!Files.exists(dir.resolve("_CURRENT"))) return 0
     val current = new String(Files.readAllBytes(dir.resolve("_CURRENT")),
       StandardCharsets.UTF_8).trim
-    val manifests = listDir(dir)
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("manifest-") && n.endsWith(".txt"))
-      .sorted
-    // manifests sort by nanotime → newest last; always retain current,
+    val manifests = manifestNames(table)
+    // manifests are ordered by snapshot id → newest last; retain current,
     // plus any EXPLICITLY PINNED snapshots AND — regardless of entry
     // point — any snapshot a vector collection's generation manifest
     // still pins (VectorSink.pinnedSnapshotsFor): a raw vacuum of a
@@ -646,6 +643,22 @@ final class TableStore(val root: String, val spark: SparkSession) {
       pinned :+ current).distinct
     gcRetaining(table, manifests, retained)
   }
+
+  /** Snapshot id of a manifest file name. */
+  private def snapOf(m: String): Long =
+    m.stripPrefix("manifest-").stripSuffix(".txt").toLong
+
+  /** The table's manifest file names ordered by snapshot id, oldest →
+    * newest — the ONE listing behind [[vacuum]] and [[applyRetention]].
+    * NUMERIC ordering: snapshot ids are nanoTime values, and a string
+    * sort misorders them whenever ids cross a digit-count boundary
+    * ("999…" sorts after "1000…"), which would make a keep-newest
+    * window retain the OLDEST manifests and GC the recent ones. */
+  private def manifestNames(table: String): Seq[String] =
+    listDir(tableDir(table))
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("manifest-") && n.endsWith(".txt"))
+      .sortBy(snapOf)
 
   /** The GC core shared by [[vacuum]] and [[applyRetention]]: delete
     * every data/tombstone directory referenced by NO retained manifest
@@ -705,12 +718,22 @@ final class TableStore(val root: String, val spark: SparkSession) {
     writeSnapshotPins(table, pinnedSnapshots(table) - snapshot)
   }
 
-  /** The currently pinned snapshot ids (empty if none). */
+  /** The currently pinned snapshot ids (empty if none). A malformed
+    * line fails with the FILE named (every GC/pin entry point reads
+    * this — a bare NumberFormatException would brick maintenance on
+    * the table without saying why). */
   def pinnedSnapshots(table: String): Set[Long] = {
     val p = tableDir(table).resolve("_PINS")
     if (!Files.exists(p)) Set.empty
     else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .linesIterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+      .linesIterator.map(_.trim).filter(_.nonEmpty).map { l =>
+        try l.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalStateException(
+            s"$p holds a malformed pin line '$l' — every line must be " +
+              "one snapshot id; fix or delete the file to recover")
+        }
+      }.toSet
   }
 
   private def writeSnapshotPins(table: String, pins: Set[Long]): Unit = {
@@ -748,12 +771,7 @@ final class TableStore(val root: String, val spark: SparkSession) {
       if (!Files.exists(dir.resolve("_CURRENT"))) return (Nil, Nil)
       val current = new String(Files.readAllBytes(dir.resolve("_CURRENT")),
         StandardCharsets.UTF_8).trim
-      def snapOf(m: String): Long =
-        m.stripPrefix("manifest-").stripSuffix(".txt").toLong
-      val manifests = listDir(dir)
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("manifest-") && n.endsWith(".txt"))
-        .sortBy(snapOf)
+      val manifests = manifestNames(table)
       val pins = pinnedSnapshots(table) ++
         VectorSink.pinnedSnapshotsFor(this, table)
       def young(m: String): Boolean = ttlMs.exists { t =>
