@@ -30,6 +30,33 @@ class ExtSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("bandSelfJoin: adaptive hot-key tiling keeps the exact pair set") {
+    import org.apache.spark.sql.functions._
+    // one HOT key (12 members > threshold 4 -> tiled) + one cold key
+    // (3 members -> plain join) + a key shared by nobody
+    val banded = ((0L until 12L).map(i => (i, 7L, "hot")) ++
+      Seq((100L, 3L, "cold"), (101L, 3L, "cold"), (102L, 3L, "cold")) ++
+      Seq((200L, 9L, "solo")))
+      .toDF("_id", "blk_val", "tag").withColumn("blk", lit(0))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a._id").as("x"), col("b._id").as("y"))
+        .distinct().as[(Long, Long)].collect().toSet
+    val naive = banded.as("a").join(banded.as("b"),
+      col("a.blk") === col("b.blk") &&
+        col("a.blk_val") === col("b.blk_val") &&
+        col("a._id") < col("b._id"))
+    val tiled = Dedup.bandSelfJoin(banded, Seq("blk", "blk_val"),
+      hotThreshold = 4, tiles = 3)
+    assert(pairs(tiled) === pairs(naive))
+    assert(pairs(naive).size === 12 * 11 / 2 + 3,
+      "fixture must exercise both the hot and the cold path")
+    // tiling spreads the hot clique across > 1 (ti, tj) sub-join
+    val hotTiles = tiled
+      .filter(col("a.blk_val") === 7L)
+      .select(col("a.__ti"), col("a.__tj")).distinct().count()
+    assert(hotTiles > 1L, s"hot key must tile, got $hotTiles sub-joins")
+  }
+
   test("withPins releases every pinned cache on exit, even on failure") {
     val cm = spark.sharedState.cacheManager
     cm.clearCache()
