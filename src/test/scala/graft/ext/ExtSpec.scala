@@ -55,6 +55,13 @@ class ExtSpec extends SparkSpec {
       .filter(col("a.blk_val") === 7L)
       .select(col("a.__ti"), col("a.__tj")).distinct().count()
     assert(hotTiles > 1L, s"hot key must tile, got $hotTiles sub-joins")
+    // each pair is emitted exactly ONCE pre-distinct: same-bucket hot
+    // pairs are restricted to their diagonal tile (without that, two
+    // same-bucket rows share their whole tile set and the pair is
+    // emitted tiles× — the exact verify would pay every copy)
+    assert(tiled.count() ===
+      tiled.select(col("a._id"), col("b._id")).distinct().count(),
+      "the tiled join must emit each pair exactly once")
   }
 
   test("withPins releases every pinned cache on exit, even on failure") {
