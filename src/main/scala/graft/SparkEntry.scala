@@ -58,5 +58,5 @@ object SparkEntry {
       "sim_opq_generation", "ops_corpus_assembly_v2",
       "text_quality_classifier", "text_quality_persisted",
       "text_quality_custom", "stream_quality_filter",
-      "stream_corpus_curate")
+      "stream_corpus_curate", "stream_curate_drift")
 }

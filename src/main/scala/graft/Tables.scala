@@ -66,9 +66,19 @@ object Tables {
     * costs more than the serial scan it cures (measured: a blanket
     * re-spread moved the sf0.1 bench 120 s → 130 s, while the text pack
     * alone gained ~13 s).
+    *
+    * `cols` (optional): the columns the caller actually needs. The
+    * barrier blocks COLUMN pruning as well as filters, so without it a
+    * consumer projecting two narrow columns of a document table would
+    * scan AND SHUFFLE the full text bytes. The select is applied BELOW
+    * the re-spread (scan-side), so only the named columns ride the
+    * exchange; empty = all columns (callers that consume the heavy
+    * column anyway).
     */
-  def loadWide(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = load(spark, dir, name)
+  def loadWide(spark: SparkSession, dir: String, name: String,
+      cols: Seq[String] = Nil): DataFrame = {
+    val base = load(spark, dir, name)
+    val df = if (cols.isEmpty) base else base.select(cols.map(col): _*)
     // split estimate from file size (NOT df.rdd.getNumPartitions — that
     // forces a physical planning pass on every load)
     val cores = spark.sparkContext.defaultParallelism

@@ -31,8 +31,11 @@ object Verify {
     // time lands in query_meta.json and a stderr heartbeat marks
     // progress — a driver-side timeout is then attributable to a
     // specific query instead of zeroing the round invisibly.
+    // toIntOption, not toInt: a malformed env value must fall back to
+    // the default, not throw before a single query dumps and zero the
+    // round's correctness artifact
     val dumpThreads = sys.env.get("SPARK_GRAFT_DUMP_THREADS")
-      .map(_.toInt).getOrElse(3).max(1)
+      .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
     val work = new java.util.concurrent.ConcurrentLinkedQueue[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
     selected.foreach(work.add)
     val total = selected.size
@@ -43,18 +46,26 @@ object Verify {
         var item = work.poll()
         while (item != null) {
           val (name, fn) = item
-          val t0 = System.nanoTime()
-          try graft.ext.Dedup.withPins {
-            fn(session, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
+          // the WHOLE body is guarded, not just the query execution: a
+          // Throwable from the meta deposit or the heartbeat itself
+          // must not kill the worker silently and leave queued queries
+          // undumped with no error line
+          try {
+            val t0 = System.nanoTime()
+            try graft.ext.Dedup.withPins {
+              fn(session, sfDir).coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/$name")
+            } catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+            val sec = (System.nanoTime() - t0) / 1e9
+            queries.QueryMeta.put(name, "verify_sec",
+              math.round(sec * 1000.0) / 1000.0)
+            System.err.println(
+              f"[verify] done ${done.incrementAndGet()}/$total $name ($sec%.1fs)")
           } catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            System.err.println(s"[verify] $name worker error: $e")
           }
-          val sec = (System.nanoTime() - t0) / 1e9
-          queries.QueryMeta.put(name, "verify_sec",
-            math.round(sec * 1000.0) / 1000.0)
-          System.err.println(
-            f"[verify] done ${done.incrementAndGet()}/$total $name ($sec%.1fs)")
           item = work.poll()
         }
       })

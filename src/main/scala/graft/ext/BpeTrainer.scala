@@ -148,7 +148,7 @@ object BpeTrainer {
   /** The DuckDB re-derivation of [[encode]]. */
   def encodeOracleSql(rounds: Int): String =
     s"""WITH ${stagesSql(rounds)},
-       |seg AS (SELECT w, string_split(trim(rep), ' ') AS syms FROM w$rounds),
+       |seg AS MATERIALIZED (SELECT w, string_split(trim(rep), ' ') AS syms FROM w$rounds),
        |vocab AS (
        |  SELECT sym, row_number() OVER (ORDER BY sym) AS tok_id
        |  FROM (SELECT DISTINCT unnest(syms) AS sym FROM seg)),
@@ -355,13 +355,18 @@ object BpeTrainer {
          |  FROM (SELECT cnt, string_split(trim(rep), ' ') AS l FROM w${i - 1}),
          |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS j) s
          |  GROUP BY 1, 2),
-         |b$i AS (SELECT a, b, total FROM p$i ORDER BY total DESC, a, b LIMIT 1),
-         |w$i AS (
+         |b$i AS MATERIALIZED (SELECT a, b, total FROM p$i ORDER BY total DESC, a, b LIMIT 1),
+         |w$i AS MATERIALIZED (
          |  SELECT w, cnt,
          |    replace(rep, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS rep
          |  FROM w${i - 1}, b$i)""".stripMargin
     }.mkString(",\n")
-    s"""w0 AS (
+    // w_i is read by BOTH p_{i+1} and w_{i+1} (and b_i by w_i plus the
+    // train oracle's UNION tail): inlined, DuckDB re-evaluates the whole
+    // upstream merge chain per reference — exponential in `rounds` (see
+    // the MATERIALIZED note in [[Clustering.stagesSql]]; measured here:
+    // the 4 BPE oracles cost ~23 s of the 38.5 s sf0.01 oracle wall)
+    s"""w0 AS MATERIALIZED (
        |  SELECT w, count(*)::BIGINT AS cnt,
        |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS rep
        |  FROM (

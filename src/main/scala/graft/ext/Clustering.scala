@@ -134,8 +134,15 @@ object Clustering {
     // correctly-rounded op, matching round(sqrt(__d), 6) exactly.
     val d2Expr = (1 to dim)
       .map(i => s"(e[$i]-c[$i])*(e[$i]-c[$i])").mkString(" + ")
+    // Every stage CTE is MATERIALIZED: DuckDB inlines plain CTEs, so a
+    // chain where a_i reads c_{i-1} and c_i reads (c_{i-1}, m_i, a_i)
+    // re-evaluates the whole upstream tree PER REFERENCE — evaluation
+    // cost grows exponentially in `iters` (measured: the 3 OPQ oracles
+    // at sf0.01 cost 87-99 s inlined vs ~5 s materialized, bit-identical
+    // results). The hint pins one evaluation per stage, which is also
+    // what the engine side computes.
     def assignSql(i: Int, from: String): String =
-      s"""${ns}a$i AS (
+      s"""${ns}a$i AS MATERIALIZED (
          |  SELECT vec_id, e, cl, d2, sqrt(d2) AS d FROM (
          |    SELECT vec_id, e, cl, d2,
          |      row_number() OVER (PARTITION BY vec_id
@@ -144,13 +151,13 @@ object Clustering {
          |          FROM ${ns}e CROSS JOIN $from)) WHERE rn = 1)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""${assignSql(i, s"${ns}c${i - 1}")},
-         |${ns}m$i AS (
+         |${ns}m$i AS MATERIALIZED (
          |  SELECT cl, list(avg ORDER BY i) AS c FROM (
          |    SELECT cl, g.i AS i,
          |      (sum(e[g.i]::DECIMAL(28,12))::DOUBLE) / count(*) AS avg
          |    FROM ${ns}a$i, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
          |    GROUP BY cl, g.i) GROUP BY cl),
-         |${ns}c$i AS (
+         |${ns}c$i AS MATERIALIZED (
          |  SELECT p.cl, coalesce(m.c, p.c) AS c
          |  FROM ${ns}c${i - 1} p LEFT JOIN ${ns}m$i m USING (cl))""".stripMargin
     }.mkString(",\n")
@@ -159,13 +166,13 @@ object Clustering {
     // index return NULL and silently corrupt every distance — so the
     // vector CTE asserts the length and fails LOUDLY on a mismatch
     val prefix =
-      s"""${ns}e AS (
+      s"""${ns}e AS MATERIALIZED (
          |  SELECT vec_id, CASE WHEN len(v) = $dim THEN v
          |    ELSE error('oracle dim mismatch: len=' || len(v) ||
          |      ' expected=$dim') END AS e
          |  FROM (SELECT vec_id, $vecExpr AS v FROM $from
          |        WHERE $where)),
-         |${ns}c0 AS (
+         |${ns}c0 AS MATERIALIZED (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e AS c
          |  FROM (SELECT vec_id, e FROM ${ns}e ORDER BY vec_id LIMIT $k)),
          |$rounds,

@@ -214,7 +214,16 @@ object IncrementalDedup {
     * Same pin lifecycle as [[checkBatch]]. */
   def checkVectorBatch(store: TableStore, table: String, batch: DataFrame,
       id: String, vec: String, threshold: Double,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int): DataFrame = store.exclusively(table) {
+    // the whole meta-read + validation + plan construction runs under
+    // the table monitor: the old shape read the meta TWICE (readOption
+    // here, requireVecMeta re-reading) without the lock, so a
+    // concurrent index rebuild between the reads could validate the
+    // batch against stale (dim, maxHamming, layout) — the TOCTOU
+    // indexVectors already closes. The band/corpus scans below resolve
+    // their snapshots inside the same critical section, so banding and
+    // validation see one consistent index state. (Reentrant — callers
+    // composing under the same lock, e.g. screenedAppend, still work.)
     val meta = store.readOption(s"${table}__hamming_meta")
     require(meta.isDefined,
       s"no hamming index meta for '$table' — call indexVectors first")

@@ -227,13 +227,17 @@ object Opq {
     val recon = (0 until m).map(j => s"sc$j.c").mkString(" || ")
     val reconJoins = (0 until m).map(j =>
       s"JOIN o${j}_c$iters sc$j ON sc$j.cl = s$j.cl").mkString("\n  ")
-    s"""WITH rot AS (
+    // rot/deq are MATERIALIZED like the [[Clustering.stagesSql]] stages:
+    // rot is referenced by every subspace training chain plus deq/
+    // approx/exact — inlined, DuckDB re-runs the unrolled d×d matvec
+    // (4096 fp ops/row at dim 64) once per reference
+    s"""WITH rot AS MATERIALIZED (
        |  SELECT vec_id, [
        |    $coords] AS rv
        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |        WHERE $corpusWhere)),
        |$stages,
-       |deq AS (
+       |deq AS MATERIALIZED (
        |  SELECT vec_id, $recon AS deq
        |  FROM (SELECT DISTINCT vec_id FROM rot) vv
        |  $joins

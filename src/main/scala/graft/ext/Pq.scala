@@ -224,8 +224,11 @@ object Pq {
     val recon = (0 until m).map(j => s"sc$j.c").mkString(" || ")
     val reconJoins = (0 until m).map(j =>
       s"JOIN s${j}_c$iters sc$j ON sc$j.cl = s$j.cl").mkString("\n  ")
+    // deq joins every subspace's assignment + codebook chain — inlined
+    // it would re-evaluate each training tree per reference (see the
+    // MATERIALIZED note in [[Clustering.stagesSql]])
     s"""$stages,
-       |deq AS (
+       |deq AS MATERIALIZED (
        |  SELECT vec_id, $recon AS deq
        |  FROM (SELECT DISTINCT vec_id FROM embeddings
        |        WHERE $corpusWhere) vv

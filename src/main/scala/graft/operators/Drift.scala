@@ -58,6 +58,14 @@ object Drift {
       .join(binned(base, "n_base"), Seq("bin"), "left")
       .join(binned(cur, "n_cur"), Seq("bin"), "left")
       .na.fill(0L, Seq("n_base", "n_cur"))
+    psiTail(merged, bins)
+  }
+
+  /** The shared smoothing/term/Σ tail of [[psi]] and
+    * [[psiVsProfile]] — ONE owner so the two PSI paths (live baseline
+    * frame vs persisted histogram) can never drift arithmetically.
+    * `merged` = (bin, n_base, n_cur), one row per bin. */
+  private def psiTail(merged: DataFrame, bins: Int): DataFrame = {
     val totals = broadcast(merged.agg(
       sum("n_base").as("__tb"), sum("n_cur").as("__tc")))
     val t = merged.crossJoin(totals)
@@ -74,6 +82,84 @@ object Drift {
       .select(col("bin"), col("n_base"), col("n_cur"),
         round(col("__term"), 6).as("term"), col("psi"))
       .orderBy("bin")
+  }
+
+  // ---- persisted baseline profiles ----------------------------------------
+
+  /** A persisted baseline histogram: bin range + per-bin counts under
+    * the shared [[binExpr]] semantics. The streaming-drift shape: the
+    * baseline corpus is scanned ONCE at profile time and every later
+    * check compares against these ≤ `bins` numbers — a micro-batch
+    * gate must not re-scan the training corpus per batch. */
+  final case class Histogram(mn: Double, mx: Double, counts: Array[Long]) {
+    require(counts.nonEmpty, "empty histogram")
+    def bins: Int = counts.length
+  }
+
+  /** Histogram of `value` over `df` (nulls excluded — [[psi]]'s
+    * contract). Two passes over the profile source (stats, then bin
+    * counts), both tiny-output aggregates. */
+  def histogram(df: DataFrame, value: String, bins: Int = 10): Histogram = {
+    require(bins >= 2 && bins <= 1024, "bins in [2, 1024]")
+    val v = col(value).cast("double")
+    val st = df.where(v.isNotNull)
+      .agg(min(v).as("mn"), max(v).as("mx")).head()
+    require(!st.isNullAt(0),
+      s"cannot profile '$value': no non-null values")
+    val (mn, mx) = (st.getDouble(0), st.getDouble(1))
+    val rows = df.where(v.isNotNull)
+      .select(binExpr(v, lit(mn), lit(mx), bins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect()
+    val counts = new Array[Long](bins)
+    rows.foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    Histogram(mn, mx, counts)
+  }
+
+  /** Persist a baseline profile as the tiny table `<table>` (bin, n,
+    * mn, mx) — the drift twin of the classifier's model table. */
+  def saveProfile(store: graft.write.TableStore, table: String,
+      df: DataFrame, value: String, bins: Int = 10): Unit = {
+    val h = histogram(df, value, bins)
+    val s = df.sparkSession
+    import s.implicits._
+    store.overwrite(table,
+      h.counts.toIndexedSeq.zipWithIndex
+        .map { case (n, b) => (b, n, h.mn, h.mx) }
+        .toDF("bin", "n", "mn", "mx"))
+  }
+
+  /** Read back a [[saveProfile]] table. */
+  def loadProfile(store: graft.write.TableStore, table: String): Histogram = {
+    val rows = store.read(table).select("bin", "n", "mn", "mx")
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"profile table '$table' is empty")
+    Histogram(rows.head.getDouble(2), rows.head.getDouble(3),
+      rows.map(_.getLong(1)))
+  }
+
+  /** PSI of `cur` against a persisted baseline [[Histogram]] — same
+    * output shape and arithmetic as [[psi]] (shared [[binExpr]] +
+    * [[psiTail]]), but the baseline side costs zero scans: its bin
+    * counts ride the plan as literals. One tiny aggregate over `cur`
+    * per call — the per-micro-batch drift gate. */
+  def psiVsProfile(hist: Histogram, cur: DataFrame,
+      value: String): DataFrame = {
+    val bins = hist.bins
+    val curBinned = cur
+      .where(col(value).isNotNull)
+      .select(binExpr(col(value).cast("double"),
+        lit(hist.mn), lit(hist.mx), bins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_cur"))
+    val s = cur.sparkSession
+    import s.implicits._
+    val base = s.createDataset(hist.counts.toIndexedSeq.zipWithIndex
+        .map { case (n, b) => (b, n) })
+      .toDF("bin", "n_base")
+    val merged = base
+      .join(curBinned, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_cur"))
+    psiTail(merged, bins)
   }
 
   /** Per-COLUMN drift profile in ONE pass over each side: melt the

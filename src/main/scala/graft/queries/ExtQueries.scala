@@ -178,38 +178,84 @@ object ExtQueries {
     * [[incrementalDedupOracle]] proves, under the same shingle
     * canonicalization. `loaded_once` is ASSERTED (TRUE hardcoded; the
     * engine emits measured). */
+  /** The streaming-curation replay: score (literal weights) ∧ cross-set
+    * jaccard vs the static seed, over `newWhere`'s documents. `prefix`
+    * splices extra CTEs ahead of the final select (no leading comma);
+    * `tailCols` are literal/derived gate columns riding the hash. */
   private[queries] def curateOracleSql(
       model: graft.ext.QualityClassifier.RidgeModel,
-      minScore: Double, jaccard: Double): String =
+      minScore: Double, jaccard: Double,
+      newWhere: String = "doc_id >= 250",
+      prefix: String = "",
+      tailCols: Seq[String] = Seq("TRUE AS loaded_once")): String =
     s"""WITH t AS (
        |  SELECT doc_id,
        |${graft.ext.QualityClassifier.featurizationSql}
-       |  FROM documents WHERE doc_id >= 250),
+       |  FROM documents WHERE $newWhere),
        |s AS (
        |  SELECT doc_id,
        |    ${graft.ext.QualityClassifier.scoreExprSql(model)} AS score
        |  FROM t),
        |toks AS (
        |  SELECT doc_id, string_split($canonSql, ' ') AS ts FROM documents),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |$shingleSql),
        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT b.doc_id AS new_id, a.doc_id AS old_id, count(*) AS n_inter
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
-       |  WHERE a.doc_id < 250 AND b.doc_id >= 250
+       |  WHERE a.doc_id < 250
+       |    AND b.doc_id IN (SELECT doc_id FROM s)
        |  GROUP BY 1, 2),
        |dups AS (
        |  SELECT DISTINCT new_id
        |  FROM inter
        |  JOIN sz sa ON old_id = sa.doc_id JOIN sz sb ON new_id = sb.doc_id
        |  WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)
-       |        >= ${java.lang.Double.toString(jaccard)})
-       |SELECT doc_id, round(score, 6) AS score, TRUE AS loaded_once
+       |        >= ${java.lang.Double.toString(jaccard)})${
+        if (prefix.isEmpty) "" else s",\n$prefix"}
+       |SELECT doc_id, round(score, 6) AS score,
+       |  ${tailCols.mkString(",\n  ")}
        |FROM s
        |WHERE score >= ${java.lang.Double.toString(minScore)}
        |  AND doc_id NOT IN (SELECT new_id FROM dups)
        |ORDER BY doc_id""".stripMargin
+
+  /** The DRIFT-GATED curation replay: the clean batches' curate chain
+    * (score ∧ cross-set jaccard, with the shifted batch excluded from
+    * the landed set), plus the quarantined batch's PSI re-derived from
+    * the SAME training profile the engine persisted — baseline = the
+    * literal-weight score distribution over ALL documents (the
+    * profile's source), current = the shifted batch's mangled-text
+    * scores. [[SketchQueries.psiOracleCtes]] is the proven
+    * ops_drift_psi fragment, so binning/smoothing/Σ discipline is
+    * identical on both sides; an engine that quarantined on the wrong
+    * psi — or let the shifted batch land — hash-fails. */
+  private[queries] def curateDriftOracleSql(
+      model: graft.ext.QualityClassifier.RidgeModel,
+      minScore: Double, jaccard: Double, mangledRepeats: Int,
+      shiftLo: Int, shiftHi: Int, bins: Int): String = {
+    val shifted = s"doc_id >= $shiftLo AND doc_id < $shiftHi"
+    val baseSql =
+      s"""SELECT ${graft.ext.QualityClassifier.scoreExprSql(model)} AS v
+         |  FROM (SELECT doc_id,
+         |${graft.ext.QualityClassifier.featurizationSql}
+         |  FROM documents) pf""".stripMargin
+    val curSql =
+      s"""SELECT ${graft.ext.QualityClassifier.scoreExprSql(model)} AS v
+         |  FROM (SELECT doc_id,
+         |${graft.ext.QualityClassifier.featurizationSqlOver(
+            s"repeat('zz ', $mangledRepeats)")}
+         |  FROM documents WHERE $shifted) mf""".stripMargin
+    curateOracleSql(model, minScore, jaccard,
+      newWhere = s"doc_id >= 250 AND NOT ($shifted)",
+      prefix = SketchQueries.psiOracleCtes(baseSql, curSql, bins),
+      tailCols = Seq(
+        s"(SELECT count(*) FROM documents WHERE $shifted)::BIGINT" +
+          " AS n_quarantined",
+        "(SELECT psi FROM tot) AS q_psi",
+        "TRUE AS loaded_once"))
+  }
 
   /** Exact n-gram jaccard pair SQL shared by the jaccard + minhash oracles. */
   private def jaccardSql(threshold: Double): String =
@@ -1520,7 +1566,7 @@ object ExtQueries {
     // words; bands are corpus-tuned in the published pipelines).
     "ops_corpus_assembly" -> q { c =>
       import graft.ext.{AssemblyConfig, CorpusAssembly}
-      val docs = c.tw("documents")
+      val docs = c.tw("documents", "doc_id", "source", "text")
         .withColumn("ltext", replace(col("text"), lit(" table "), lit("\n")))
       val corpus = docs.filter(col("doc_id") >= 25)
         .select("doc_id", "source", "ltext")
@@ -1565,7 +1611,7 @@ object ExtQueries {
       import graft.write.{Dispositions, TableStore}
       val store = new TableStore(Scratch.dir("graft-cap"), c.spark)
       val disp = new Dispositions(store, c.spark)
-      val docs = c.tw("documents")
+      val docs = c.tw("documents", "doc_id", "source", "text")
         .withColumn("ltext", replace(col("text"), lit(" table "), lit("\n")))
       val corpus = docs.filter(col("doc_id") >= 25)
         .select("doc_id", "source", "ltext")
@@ -1615,7 +1661,7 @@ object ExtQueries {
     // end to end under a single hash.
     "ops_corpus_assembly_v2" -> q { c =>
       import graft.ext.{AssemblyConfig, ClassifierStage, CorpusAssembly}
-      val docs = c.tw("documents")
+      val docs = c.tw("documents", "doc_id", "source", "text")
         .withColumn("ltext", replace(col("text"), lit(" table "), lit("\n")))
       val corpus = docs.filter(col("doc_id") >= 25)
         .select("doc_id", "source", "ltext")
@@ -2026,14 +2072,22 @@ object ExtQueries {
          |    ORDER BY md5('$seed:$epoch:' || doc_id::VARCHAR), doc_id) - 1)::BIGINT
          |    AS shuffle_rank""".stripMargin
     }.getOrElse("")
-    s"""WITH RECURSIVE d AS (
+    // every MULTIPLY-REFERENCED CTE is MATERIALIZED: DuckDB inlines
+    // plain CTEs, so each extra reference re-evaluates the whole
+    // upstream tree — with this chain's depth the evaluation count grew
+    // exponentially (measured: the v2 oracle at sf0.01 cost 277 s
+    // inlined vs 0.7 s materialized, bit-identical rows). Single-
+    // reference CTEs stay inlined (nothing to share); `reach` is
+    // recursive (iterative by construction — the keyword is redundant
+    // there).
+    s"""WITH RECURSIVE d AS MATERIALIZED (
        |  SELECT doc_id, source, replace(text, ' table ', chr(10)) AS t
        |  FROM documents WHERE doc_id >= 25),
        |lidscore AS (
        |  SELECT doc_id,
        |    $scores
        |  FROM d),
-       |lid AS (
+       |lid AS MATERIALIZED (
        |  SELECT d.* FROM d JOIN (
        |    SELECT doc_id,
        |      CASE $cases
@@ -2049,14 +2103,14 @@ object ExtQueries {
        |    len(list_filter(string_split_regex(trim(t), '\\s+'),
        |        w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha
        |  FROM lid),
-       |qual AS (
+       |qual AS MATERIALIZED (
        |  SELECT lid.* FROM lid JOIN g USING (doc_id)
        |  WHERE n_words >= 50 AND n_words <= 100000
        |    AND n_nonspace::DOUBLE / n_words >= 3.0
        |    AND n_nonspace::DOUBLE / n_words <= 10.0
        |    AND n_sym::DOUBLE / n_words <= 0.1
        |    AND n_alpha::DOUBLE / n_words >= 0.8),
-       |l AS (
+       |l AS MATERIALIZED (
        |  SELECT doc_id, i - 1 AS idx, ls[i] AS line, trim(ls[i]) AS norm
        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM qual),
        |       LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g2),
@@ -2069,31 +2123,31 @@ object ExtQueries {
        |      FILTER (WHERE b.dup IS NULL), '') AS tc
        |  FROM l LEFT JOIN b ON l.norm = b.dup
        |  GROUP BY l.doc_id),
-       |cleand AS (
+       |cleand AS MATERIALIZED (
        |  SELECT c.doc_id, q.source, c.tc,
        |    len(regexp_extract_all(c.tc, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
        |      AS n_tokens
        |  FROM clean c JOIN qual q USING (doc_id)),
-       |toks AS (
+       |toks AS MATERIALIZED (
        |  SELECT doc_id,
        |    string_split(lower(regexp_replace(trim(tc), '\\s+', ' ', 'g')), ' ') AS ts
        |  FROM cleand),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) g3
        |  UNION
        |  SELECT doc_id, array_to_string(ts, ' ') AS shingle
        |  FROM toks WHERE len(ts) < 3),
-       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT id_a, id_b FROM inter
        |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
        |  WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.9),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS a, id_b AS b FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs),
        |nodes AS (SELECT DISTINCT a AS id FROM edges),
@@ -2102,9 +2156,9 @@ object ExtQueries {
        |  UNION
        |  SELECT e.b AS id, r.r FROM reach r JOIN edges e ON e.a = r.id),
        |$losers
-       |dedup AS (
+       |dedup AS MATERIALIZED (
        |  SELECT * FROM cleand WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
-       |benchtoks AS (
+       |benchtoks AS MATERIALIZED (
        |  SELECT doc_id, string_split(lower(regexp_replace(
        |    trim(replace(text, ' table ', chr(10))), '\\s+', ' ', 'g')), ' ') AS ts
        |  FROM documents WHERE doc_id < 25),
@@ -2118,7 +2172,7 @@ object ExtQueries {
        |  SELECT d2.doc_id, count(*) AS n_shingles, count(bs.shingle) AS n_contaminated
        |  FROM dsh d2 LEFT JOIN benchsh bs USING (shingle)
        |  GROUP BY 1),
-       |kept AS (
+       |kept AS MATERIALIZED (
        |  SELECT dedup.* FROM dedup JOIN contam USING (doc_id)
        |  WHERE NOT (n_contaminated::DOUBLE >= n_shingles::DOUBLE * 0.2)),
        |$classifierCtes

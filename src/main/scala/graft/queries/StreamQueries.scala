@@ -483,6 +483,78 @@ object StreamQueries {
       t.select(col("doc_id"), round(col("__score"), 6).as("score"))
         .withColumn("loaded_once", lit(ok))
         .orderBy("doc_id")
+    },
+
+    // MODEL-STALENESS drift gate on the curation front door
+    // (stream_corpus_curate + the quarantine plane composed): the
+    // frozen classifier scores a stream whose MIDDLE batch is
+    // population-shifted (every doc replaced by the same degenerate
+    // text) — that batch's score-distribution PSI against the PERSISTED
+    // training profile breaches maxPsi and the whole batch dead-letters
+    // into curated__quarantine (status-2 ledger row), while the clean
+    // batches land exactly as the drift-free curate oracle replays
+    // them. The PSI itself is re-derived by the oracle from the same
+    // static profile (deterministic fixture → deterministic psi), so an
+    // engine that quarantined on the wrong value — or silently kept
+    // scoring the shifted population on the stale model — hash-fails.
+    "stream_curate_drift" -> q { c =>
+      import graft.ext.{IncrementalDedup, QualityClassifier}
+      import graft.operators.Drift
+      val ss = streamSession(c)
+      val docs = c.tw("documents")
+      val store = new TableStore(Scratch.dir("graft-scd"), c.spark)
+      IncrementalDedup.indexCorpus(store, "seed",
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      val model = QualityClassifier.fit(docs, "text", col("lang") === "en")
+      QualityClassifier.save(store, "qc_model", model)
+      // the training profile: score distribution over the fit corpus,
+      // persisted once — per-batch checks compare against its literals
+      Drift.saveProfile(store, "qc_profile",
+        docs.select(QualityClassifier.score(model, col("text")).as("__s")),
+        "__s", bins = 10)
+      OracleStash.put("stream_curate_drift",
+        ExtQueries.curateDriftOracleSql(model, minScore = 0.42,
+          jaccard = 0.9, mangledRepeats = 60,
+          shiftLo = 330, shiftHi = 400, bins = 10))
+      val srcDir = Scratch.dir("graft-scd-src")
+      // three FIXED batch sets, one file each (maxFilesPerTrigger=1 →
+      // one micro-batch per file); the drift decision is
+      // per-batch-content, so arrival order cannot change the outcome
+      docs.filter(col("doc_id") >= 250 && col("doc_id") < 330)
+        .select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      docs.filter(col("doc_id") >= 330 && col("doc_id") < 400)
+        .select(col("doc_id"), lit("zz " * 60).as("text"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      docs.filter(col("doc_id") >= 400).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      val src = Streaming.fileStream(ss, srcDir,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      Streaming.curateInto(store, src, "curated", "seed", "qc_model",
+        "doc_id", "text", minScore = 0.42, nearDupThreshold = 0.9,
+        scoreColumn = Some("__score"),
+        scoreProfile = Some("qc_profile"), maxPsi = 0.8)
+      val qt = store.read("curated__quarantine")
+      val nQ = qt.count()
+      val psis = qt.select("_drift_psi").distinct()
+        .collect().map(_.getDouble(0)).toSeq
+      require(psis.size == 1,
+        s"expected exactly ONE quarantined batch, got psi stamps $psis")
+      // ledger: one status-2 dead-letter row; landed loads all status-0
+      val qLedgered = store.read("_dlt_loads")
+        .filter(col("status") === 2).count() == 1L
+      val t = store.read("curated")
+      val stamped = t.select("_dlt_load_id").distinct()
+        .collect().map(_.getString(0)).toSet
+      val ledgered = store.read("_dlt_loads")
+        .filter(col("status") === 0)
+        .select("load_id").collect().map(_.getString(0)).toSet
+      val ok = stamped.nonEmpty && stamped == ledgered && qLedgered
+      t.select(col("doc_id"), round(col("__score"), 6).as("score"))
+        .withColumn("n_quarantined", lit(nQ))
+        .withColumn("q_psi", lit(psis.head))
+        .withColumn("loaded_once", lit(ok))
+        .orderBy("doc_id")
     }
   )
 
@@ -491,7 +563,8 @@ object StreamQueries {
     * ExtQueries.oracles). */
   def oracles: Map[String, String] =
     staticOracles ++
-      OracleStash.entries("stream_quality_filter", "stream_corpus_curate")
+      OracleStash.entries("stream_quality_filter", "stream_corpus_curate",
+        "stream_curate_drift")
 
   private val staticOracles: Map[String, String] = Map(
     "stream_pipeline_append" ->

@@ -12,8 +12,12 @@ package object queries {
 
     /** Wide variant for compute-dense consumers (see [[Tables.loadWide]]):
       * re-spreads an under-split input so heavy per-row kernels run at
-      * full session width instead of serializing on one scan task. */
-    def tw(name: String): DataFrame = Tables.loadWide(spark, dir, name)
+      * full session width instead of serializing on one scan task.
+      * Pass the needed columns when NOT consuming the heavy ones — the
+      * re-spread is a pruning barrier, so unnamed columns would ride
+      * the shuffle unused. */
+    def tw(name: String, cols: String*): DataFrame =
+      Tables.loadWide(spark, dir, name, cols)
   }
 
   /** Lift a Ctx-based query into the driver's (spark, dir) shape. */

@@ -238,44 +238,108 @@ object Streaming {
     * classifier refit) stays batch — run
     * [[graft.ext.CorpusAssembly.assemble]] over the landed table; this
     * operator is the always-on front door that keeps junk and known
-    * duplicates from landing at all. */
+    * duplicates from landing at all.
+    *
+    * MODEL-STALENESS gate (`scoreProfile`): the classifier is
+    * cold-loaded and FROZEN for the stream's lifetime, so a shifted
+    * incoming distribution would silently keep scoring on a model
+    * trained for a different population — the streaming analog of the
+    * reference's schema contracts gating evolution, but on VALUE drift
+    * the types cannot see. When set, each batch's score distribution is
+    * PSI-checked against the named persisted [[graft.operators.Drift]]
+    * profile (the training-time score histogram — saved once via
+    * `Drift.saveProfile`, checked per batch against literals, zero
+    * baseline rescans); a batch breaching `maxPsi` DEAD-LETTERS whole
+    * into `<table>__quarantine` (stamped `_dlt_load_id` /
+    * `_drift_column` / `_drift_psi` — the [[graft.pipeline.Pipeline]]
+    * quarantine layout, so `replayQuarantine` works unchanged) with a
+    * status-2 `_dlt_loads` row under `<table>#quarantine`, and the main
+    * table never sees it. The drift decision is per-batch-content, not
+    * per-arrival-order, so the landed set stays replayable. Quarantined
+    * batches carry `_batch_id` too: the restart watermark is the max
+    * over BOTH tables, so a re-run neither re-lands nor re-quarantines
+    * a handled batch. */
   def curateInto(store: TableStore, source: DataFrame, table: String,
       seedIndex: String, classifierName: String, id: String, text: String,
       minScore: Double, nearDupThreshold: Double = 0.9, n: Int = 3,
       scoreColumn: Option[String] = None,
-      checkpoint: Option[String] = None): Unit = {
+      checkpoint: Option[String] = None,
+      scoreProfile: Option[String] = None,
+      maxPsi: Double = 0.25): Unit = {
     val model = graft.ext.QualityClassifier.load(store, classifierName)
+    // withColumn REPLACES a same-named existing column: a source already
+    // carrying e.g. '__score' would silently lose its data to the
+    // stamped provenance score — refuse up front (schema is known before
+    // any batch drains)
+    scoreColumn.foreach(nm => require(!source.columns.contains(nm),
+      s"scoreColumn '$nm' already exists on the source — stamping the " +
+        "classifier score there would overwrite landed provenance data"))
     val disp = new Dispositions(store, source.sparkSession)
-    var maxWritten = maxBatchIdStat(store, table)
+    // the profile loads ONCE at stream start (cold, like the model) —
+    // its ≤bins counts ride every per-batch check as literals
+    val profile = scoreProfile.map(p =>
+      graft.operators.Drift.loadProfile(store, p))
+    var maxWritten = math.max(maxBatchIdStat(store, table),
+      maxBatchIdStat(store, s"${table}__quarantine"))
     drainAvailableNow(source, checkpoint) { (batch, bid) =>
       if (!batch.isEmpty && bid > maxWritten) graft.ext.Dedup.withPins {
+        import org.apache.spark.sql.functions.lit
         val scoreCol = graft.ext.QualityClassifier.score(model,
           org.apache.spark.sql.functions.col(text))
-        // optional provenance: land the (raw double) score beside the
-        // row, so downstream curation can re-threshold without rescoring
-        val withScore = scoreColumn.fold(batch)(nm =>
-          batch.withColumn(nm, scoreCol))
-        val scored = withScore.filter(scoreCol >= minScore)
-        // pin: the survivors feed BOTH the screen (shingled) and the
-        // anti-join — without it the classifier scan runs twice
-        val pinned = graft.ext.Dedup.pin(scored)
-        val dups = graft.ext.IncrementalDedup.checkBatch(store, seedIndex,
-          pinned, id, text, n = n, threshold = nearDupThreshold)
-          .select(org.apache.spark.sql.functions.col("new_id").as(id))
-          .distinct()
-        // pin the SURVIVORS too (the screen's candidate join + exact
-        // verify is the dominant cost — without this the isEmpty probe
-        // and the append each execute it once, doubling per-batch
-        // latency; the screenedAppend scaffold persists kept for the
-        // same reason). Scope-released with the batch's withPins.
-        val kept = graft.ext.Dedup.pin(
-          pinned.join(dups, Seq(id), "left_anti")
-            .withColumn("_batch_id",
-              org.apache.spark.sql.functions.lit(bid)))
-        if (!kept.isEmpty) {
-          disp.append(table, kept, loadIdOf(bid),
-            statsFor = Seq("_batch_id"))
-          maxWritten = bid
+        val breach = profile.flatMap { h =>
+          // distribution of the WHOLE incoming batch (not the
+          // threshold survivors — the gate asks "is this population
+          // the one the model was trained for", which the filter would
+          // mask); one tiny aggregate, scoring is map-only codegen
+          val psi = graft.operators.Drift.psiVsProfile(h,
+              batch.select(scoreCol.as("__qc_score")), "__qc_score")
+            .select("psi").head().getDouble(0)
+          Some(psi).filter(_ > maxPsi)
+        }
+        breach match {
+          case Some(psi) =>
+            // DEAD-LETTER: the raw batch lands in quarantine with its
+            // provenance stamps; the main table never sees it, and the
+            // batch counts as handled (watermark advances) — retrying a
+            // drifted batch forever would stall the stream behind it
+            store.append(s"${table}__quarantine", batch
+              .withColumn("_batch_id", lit(bid))
+              .withColumn(graft.normalize.Ids.DltLoadId, lit(loadIdOf(bid)))
+              .withColumn("_drift_column", lit("__qc_score"))
+              .withColumn("_drift_psi", lit(psi)),
+              statsFor = Seq("_batch_id"))
+            disp.recordLoad(loadIdOf(bid), s"$table#quarantine", status = 2)
+            maxWritten = bid
+          case None =>
+            // optional provenance: land the (raw double) score beside
+            // the row, so downstream curation can re-threshold without
+            // rescoring
+            val withScore = scoreColumn.fold(batch)(nm =>
+              batch.withColumn(nm, scoreCol))
+            val scored = withScore.filter(scoreCol >= minScore)
+            // pin: the survivors feed BOTH the screen (shingled) and
+            // the anti-join — without it the classifier scan runs twice
+            val pinned = graft.ext.Dedup.pin(scored)
+            val dups = graft.ext.IncrementalDedup.checkBatch(store,
+              seedIndex, pinned, id, text, n = n,
+              threshold = nearDupThreshold)
+              .select(org.apache.spark.sql.functions.col("new_id").as(id))
+              .distinct()
+            // pin the SURVIVORS too (the screen's candidate join +
+            // exact verify is the dominant cost — without this the
+            // isEmpty probe and the append each execute it once,
+            // doubling per-batch latency; the screenedAppend scaffold
+            // persists kept for the same reason). Scope-released with
+            // the batch's withPins.
+            val kept = graft.ext.Dedup.pin(
+              pinned.join(dups, Seq(id), "left_anti")
+                .withColumn("_batch_id",
+                  org.apache.spark.sql.functions.lit(bid)))
+            if (!kept.isEmpty) {
+              disp.append(table, kept, loadIdOf(bid),
+                statsFor = Seq("_batch_id"))
+              maxWritten = bid
+            }
         }
       }
     }

@@ -95,6 +95,22 @@ class PlanSpec extends SparkSpec {
       "downstream work must run at session width")
   }
 
+  test("wide-load column list prunes BELOW the barrier: unnamed heavy " +
+      "columns never reach the re-spread shuffle") {
+    // the barrier blocks column pruning too — a caller projecting two
+    // narrow columns above it would otherwise scan and shuffle the full
+    // text bytes; the cols parameter applies the select scan-side
+    val df = Tables.loadWide(spark, dir, "documents",
+      cols = Seq("doc_id", "lang"))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("text"),
+      s"the unnamed text column must be pruned at the scan:\n$p")
+    assert(df.columns.toSeq == Seq("doc_id", "lang"))
+    assert(df.rdd.getNumPartitions >=
+      spark.sparkContext.defaultParallelism,
+      "the pruned load must still re-spread to session width")
+  }
+
   test("bm25 keeps df/stats on broadcasts and the postings on hash joins") {
     val p = plan("text_bm25")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

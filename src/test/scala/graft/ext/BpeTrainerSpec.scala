@@ -101,9 +101,12 @@ class BpeTrainerSpec extends SparkSpec {
   test("generated oracle unrolls one CTE stage per round") {
     val sql = BpeTrainer.oracleSql(3)
     for (i <- 1 to 3) {
+      // p_i stays inlined (single consumer); b_i/w_i are multi-referenced
+      // and pinned MATERIALIZED — inlined they re-evaluate the whole
+      // upstream merge chain per reference, exponential in rounds
       assert(sql.contains(s"p$i AS ("))
-      assert(sql.contains(s"b$i AS ("))
-      assert(sql.contains(s"w$i AS ("))
+      assert(sql.contains(s"b$i AS MATERIALIZED ("))
+      assert(sql.contains(s"w$i AS MATERIALIZED ("))
     }
     assert(!sql.contains("p4 AS ("))
     assert(sql.contains("ORDER BY round"))

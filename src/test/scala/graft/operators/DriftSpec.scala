@@ -213,6 +213,42 @@ class DriftSpec extends SparkSpec {
     assert(prof("x") > 0.25 && math.abs(prof("y")) < 1e-6)
   }
 
+  test("psiVsProfile against a persisted histogram ≡ psi against the live baseline") {
+    val cur = (1 to 1500).map(i => (i % 100).toDouble + 30.0).toDF("v")
+    val live = Drift.psi(base, cur, "v", bins = 10).orderBy("bin").collect()
+    val h = Drift.histogram(base, "v", bins = 10)
+    assert(h.counts.sum === 2000L)
+    val prof = Drift.psiVsProfile(h, cur, "v").orderBy("bin").collect()
+    // identical per-bin counts, terms, and total — the shared psiTail
+    // and binExpr make the two paths arithmetically the same
+    assert(prof.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq ===
+      live.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq)
+    // round-trips through a store table unchanged
+    val store = new graft.write.TableStore(
+      java.nio.file.Files.createTempDirectory("graft-prof").toString, spark)
+    Drift.saveProfile(store, "p", base, "v", bins = 10)
+    val h2 = Drift.loadProfile(store, "p")
+    assert(h2.mn === h.mn && h2.mx === h.mx &&
+      h2.counts.toSeq === h.counts.toSeq)
+    // an in-population batch stays under the alarm line; the shifted
+    // one breaches — the curateInto staleness-gate decision pair
+    val clean = Drift.psiVsProfile(h, base.limit(400), "v")
+      .head().getAs[Double]("psi")
+    val shifted = Drift.psiVsProfile(h, cur, "v").head().getAs[Double]("psi")
+    assert(clean < 0.25, s"clean=$clean")
+    assert(shifted > 0.25, s"shifted=$shifted")
+  }
+
+  test("histogram refuses an all-null or empty profile source") {
+    val nulls = Seq[Option[Double]](None, None).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Drift.histogram(nulls, "v", bins = 4)
+    }
+    assert(e.getMessage.contains("no non-null values"))
+  }
+
   test("null values are excluded from both sides") {
     val withNulls = (Seq.fill(50)(Some(5.0)) ++ Seq.fill(50)(None))
       .toDF("v")

@@ -393,4 +393,81 @@ class StreamingSpec extends SparkSpec {
     assert(store.read("curated").count() === before,
       "replayed batch ids must not double the curated rows")
   }
+
+  test("curateInto refuses a scoreColumn already present on the source") {
+    import graft.ext.{IncrementalDedup, QualityClassifier}
+    val seeds = Seq((0L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val store = new TableStore(tmp("st-col"), spark)
+    IncrementalDedup.indexCorpus(store, "seed", seeds, "doc_id", "text")
+    QualityClassifier.save(store, "m",
+      QualityClassifier.fit(seeds.unionByName(
+          Seq((1L, "one two three")).toDF("doc_id", "text")),
+        "text", col("doc_id") % 2 === 1))
+    val srcDir = tmp("st-col-src")
+    // the source ALREADY carries a '__score' column — stamping the
+    // classifier score there would silently overwrite provenance data
+    Seq((5L, "some words here", 0.99))
+      .toDF("doc_id", "text", "__score")
+      .write.mode("overwrite").parquet(srcDir)
+    val src = Streaming.fileStream(spark, srcDir)
+    val e = intercept[IllegalArgumentException] {
+      Streaming.curateInto(store, src, "curated", "seed", "m",
+        "doc_id", "text", minScore = 0.0, scoreColumn = Some("__score"))
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("curateInto drift gate dead-letters a shifted batch, lands clean " +
+      "ones, and replays idempotently across the quarantine") {
+    import graft.ext.{IncrementalDedup, QualityClassifier}
+    import graft.operators.Drift
+    // varied-length real-ish docs: scores spread, profile non-degenerate
+    def doc(i: Long) = (i, ("the quick brown fox jumps over lazy dogs " +
+      "and then some more plain words ") * (1 + (i % 5).toInt))
+    val corpus = (0L until 200L).map(doc).toDF("doc_id", "text")
+    val store = new TableStore(tmp("st-drift"), spark)
+    IncrementalDedup.indexCorpus(store, "seed",
+      Seq((9000L, "completely disjoint seed vocabulary nothing shared"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val model = QualityClassifier.fit(corpus, "text",
+      length(col("text")) >= lit(300))
+    QualityClassifier.save(store, "m", model)
+    Drift.saveProfile(store, "prof",
+      corpus.select(QualityClassifier.score(model, col("text")).as("s")),
+      "s", bins = 10)
+    val srcDir = tmp("st-drift-src")
+    // batch 1: in-population (same construction, fresh ids); batch 2:
+    // population-shifted (constant degenerate text)
+    (200L until 240L).map(doc).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    (300L until 340L).map(i => (i, "zz " * 50)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val src = Streaming.fileStream(spark, srcDir,
+      options = Map("maxFilesPerTrigger" -> "1"))
+    Streaming.curateInto(store, src, "cur", "seed", "m",
+      "doc_id", "text", minScore = -1e9, nearDupThreshold = 0.9,
+      scoreProfile = Some("prof"), maxPsi = 0.25)
+    val landed = store.read("cur").select("doc_id").as[Long].collect().toSet
+    assert(landed === (200L until 240L).toSet,
+      s"only the clean batch lands: $landed")
+    val q = store.read("cur__quarantine")
+    assert(q.select("doc_id").as[Long].collect().toSet ===
+      (300L until 340L).toSet, "the shifted batch dead-letters WHOLE")
+    val row = q.head()
+    assert(row.getAs[String]("_drift_column") === "__qc_score")
+    assert(row.getAs[Double]("_drift_psi") > 0.25)
+    // ledger: the dead-letter is visible as a status-2 row
+    assert(store.read("_dlt_loads").filter(col("status") === 2)
+      .count() === 1L)
+    // replay with a fresh checkpoint: batch ids restart at 0 — the
+    // quarantined batch's _batch_id stat must block BOTH re-landing and
+    // re-quarantining
+    Streaming.curateInto(store, src, "cur", "seed", "m",
+      "doc_id", "text", minScore = -1e9, nearDupThreshold = 0.9,
+      scoreProfile = Some("prof"), maxPsi = 0.25)
+    assert(store.read("cur").count() === 40L)
+    assert(store.read("cur__quarantine").count() === 40L,
+      "a re-run must not re-quarantine the handled batch")
+  }
 }

@@ -1,7 +1,13 @@
 #!/usr/bin/env python
 """Local emulation of the driver's correctness gate.
 
-Usage: python tools/check.py <sfDir> <verifyOutDir>
+Usage: python tools/check.py <sfDir> <verifyOutDir> [--times]
+
+--times appends per-query oracle wall seconds to each result line and
+prints the slowest 15 + the total at the end — the in-repo visibility
+for the DuckDB oracle bill (six oracles once cost 96% of 751 s at
+sf0.01 and plausibly timed out the driver's gate; keep the total well
+under ~5 min).
 
 Reads each <verifyOutDir>/<name>/ parquet dump (written by graft.Verify),
 runs the matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB
@@ -10,7 +16,7 @@ column names (sorted), row count, and exact values of row-sets.
 
 This is a builder-side self-check only — NOT part of the library.
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -72,7 +78,10 @@ def _types_hash_equal(a, b):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if a != "--times"]
+    times_mode = "--times" in sys.argv[1:]
+    sf_dir, out_dir = args[0], args[1]
+    times = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -102,9 +111,11 @@ def main():
             results[name] = f"ROWS_ONLY({len(got_rows)}){extra}"
             continue
         try:
+            t0 = time.time()
             exp = con.execute(oracle[name])
             exp_cols = [c[0] for c in exp.description]
             exp_rows = exp.fetchall()
+            times[name] = time.time() - t0
         except Exception as e:
             results[name] = f"ORACLE_ERROR: {e}"
             continue
@@ -152,7 +163,13 @@ def main():
     width = max(len(n) for n in results) if results else 0
     n_ok = sum(1 for v in results.values() if v.startswith(("OK", "ROWS_ONLY")))
     for n in sorted(results):
-        print(f"{n:<{width}}  {results[n]}")
+        t = f"  [{times[n]:6.2f}s]" if times_mode and n in times else ""
+        print(f"{n:<{width}}  {results[n]}{t}")
+    if times_mode and times:
+        top = sorted(times.items(), key=lambda kv: -kv[1])[:15]
+        print(f"\noracle wall total: {sum(times.values()):.1f}s; slowest:")
+        for n, t in top:
+            print(f"  {t:7.2f}s  {n}")
     print(f"\n{n_ok}/{len(results)} passing")
     sys.exit(0 if n_ok == len(results) else 1)
 
