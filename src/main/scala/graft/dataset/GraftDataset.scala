@@ -89,6 +89,31 @@ final class GraftDataset(val store: TableStore, val registry: SchemaRegistry,
   }
   def latestLoadId: Option[String] = loadIds.lastOption
 
+  /** PIN a snapshot of a lakehouse table against retention — the
+    * facade face of [[graft.write.TableStore.pinSnapshot]] (Iceberg tag
+    * semantics): [[asOf]] time travel to the pinned snapshot keeps
+    * working under any retention schedule. The vector twin is
+    * [[VectorCollection.pin]]. */
+  def pinSnapshot(name: String, snapshot: Long): Unit =
+    store.pinSnapshot(Naming.normalizeTableName(name), snapshot)
+
+  /** Withdraw a [[pinSnapshot]] pin (no-op if not pinned). */
+  def unpinSnapshot(name: String, snapshot: Long): Unit =
+    store.unpinSnapshot(Naming.normalizeTableName(name), snapshot)
+
+  /** The pinned snapshot ids of a table (empty if none). */
+  def pinnedSnapshots(name: String): Set[Long] =
+    store.pinnedSnapshots(Naming.normalizeTableName(name))
+
+  /** Apply a snapshot-retention policy (keep-N ∧ TTL; pins and the
+    * current snapshot always retained) to a lakehouse table — see
+    * [[graft.write.TableStore.applyRetention]]. `now` is injectable so
+    * TTL policies replay deterministically from the facade too.
+    * Returns (expired, remaining) snapshot ids, oldest → newest. */
+  def retainTable(name: String, keepLast: Int, ttlMs: Option[Long] = None,
+      now: Long = System.currentTimeMillis()): (Seq[Long], Seq[Long]) =
+    store.applyRetention(Naming.normalizeTableName(name), keepLast, ttlMs, now)
+
   /** Vector-collection facade — the one-stop dataset API over a
     * persisted [[graft.write.VectorSink]] collection (the reference's
     * vector destinations are reached the same way: through the

@@ -27,7 +27,8 @@ final case class Resource(
     metrics: Seq[(String, Column)] = Nil,
     dispatchColumn: Option[String] = None,
     deadlineNanos: Option[Long] = None,
-    driftCheck: Option[Resource.DriftCheck] = None) {
+    driftCheck: Option[Resource.DriftCheck] = None,
+    retention: Option[Resource.Retention] = None) {
 
   /** MapItem (items_transform.py:103-122) — 1→1 transform. */
   def addMap(f: DataFrame => DataFrame): Resource = copy(frame = f(frame))
@@ -125,12 +126,26 @@ final case class Resource(
       bins: Int = 10, quarantine: Boolean = false): Resource =
     copy(driftCheck = Some(
       Resource.DriftCheck(column, maxPsi, bins, quarantine)))
+
+  /** RETENTION RIDES THE LOAD: after this resource's tables commit,
+    * sweep each landed table's snapshot history under a keep-N ∧ TTL
+    * policy ([[graft.write.TableStore.applyRetention]] — pins and the
+    * current snapshot always survive), so unattended pipelines bound
+    * their history without a separate maintenance scheduler — the
+    * Iceberg `expire_snapshots`-on-write shape. The sweep runs strictly
+    * AFTER the commit (a failed load sweeps nothing) and covers every
+    * table the load touched (root + exploded children). */
+  def withRetention(keepLast: Int, ttlMs: Option[Long] = None): Resource =
+    copy(retention = Some(Resource.Retention(keepLast, ttlMs)))
 }
 
 object Resource {
   /** Config for [[Resource.withDriftCheck]]. */
   final case class DriftCheck(column: String, maxPsi: Double, bins: Int = 10,
       quarantine: Boolean = false)
+
+  /** Config for [[Resource.withRetention]]. */
+  final case class Retention(keepLast: Int, ttlMs: Option[Long] = None)
 }
 
 /** The pipeline orchestrator (reference pipeline.run = extract +
@@ -618,6 +633,12 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     enforced.foreach { case (t, df) =>
       registry.evolve(t, df.schema)
       if (t == tableName) registry.register(t, registry.get(t).get._1, r.hints)
+    }
+    // retention rides the load (withRetention): sweep strictly AFTER
+    // the commit — driver-file + GC work only, nothing corpus-scanning
+    r.retention.foreach { pol =>
+      enforced.keys.foreach(t =>
+        store.applyRetention(t, pol.keepLast, pol.ttlMs))
     }
     advanceState()
     fanoutPin.foreach(_.unpersist(blocking = false))

@@ -208,4 +208,31 @@ class PipelineSpec extends SparkSpec {
     p.run(Seq(Resource("q1", Seq((2, "b")).toDF("id", "v"))), "2")
     assert(ds.query("SELECT count(*) AS n FROM q1").as[Long].head() === 2L)
   }
+
+  test("withRetention sweeps snapshot history as part of each load") {
+    val p = newPipeline()
+    def res(id: Int) = Resource("t", Seq((id, s"v$id")).toDF("id", "v"))
+      .withRetention(keepLast = 2)
+    p.run(Seq(res(1)), "1")
+    p.run(Seq(res(2)), "2")
+    assert(p.store.snapshots("t").size === 2, "within keep-N: no expiry")
+    val s2 = p.store.snapshots("t").last
+    // a pin taken before further loads survives every riding sweep
+    p.store.pinSnapshot("t", s2)
+    p.run(Seq(res(3)), "3")
+    p.run(Seq(res(4)), "4")
+    val left = p.store.snapshots("t")
+    assert(left.size === 3,
+      s"keep-2 plus the pinned snapshot: $left") // pin + last 2
+    assert(left.contains(s2), "the pin must survive the riding sweeps")
+    // data unaffected: all four loads landed
+    assert(p.store.read("t").count() === 4L)
+    // time travel to the pin still works after the sweeps' GC
+    assert(p.store.readAt("t", s2).count() === 2L)
+    // a resource WITHOUT the hook never sweeps (opt-in only)
+    val q = newPipeline()
+    (1 to 4).foreach(i =>
+      q.run(Seq(Resource("u", Seq((i, "x")).toDF("id", "v"))), s"$i"))
+    assert(q.store.snapshots("u").size === 4)
+  }
 }

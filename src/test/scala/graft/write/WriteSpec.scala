@@ -95,6 +95,28 @@ class WriteSpec extends SparkSpec {
       === Array(1L, 2L, 3L, 4L))
   }
 
+  test("dataset facade exposes lakehouse snapshot pins and retention") {
+    val store = newStore()
+    store.overwrite("t", Seq((1L, "a")).toDF("id", "v"))
+    val s1 = store.snapshots("t").last
+    store.append("t", Seq((2L, "b")).toDF("id", "v"))
+    store.append("t", Seq((3L, "c")).toDF("id", "v"))
+    val ds = new graft.dataset.GraftDataset(store,
+      new graft.schema.SchemaRegistry("ret"), spark)
+    ds.pinSnapshot("t", s1)
+    assert(ds.pinnedSnapshots("t") === Set(s1))
+    // name normalization rides the facade like every other entry point
+    assert(ds.pinnedSnapshots("T") === Set(s1))
+    val (removed, remaining) = ds.retainTable("t", keepLast = 1)
+    assert(removed.size === 1 && remaining.contains(s1),
+      s"pin must survive the facade sweep: removed=$removed")
+    // time travel through the facade to the pinned snapshot still works
+    assert(ds.asOf("t", s1).df().select("id").as[Long].collect()
+      === Array(1L))
+    ds.unpinSnapshot("t", s1)
+    assert(ds.pinnedSnapshots("t") === Set.empty[Long])
+  }
+
   test("copyInto gives the destination its own physical bytes and keeps stats") {
     val store = newStore()
     store.overwrite("stg", load1.toDF("id", "v", "ver"), statsFor = Seq("id"))
