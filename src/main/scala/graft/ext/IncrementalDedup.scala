@@ -196,7 +196,12 @@ object IncrementalDedup {
           Seq((dim, maxHamming, BandLayout))
             .toDF("dim", "max_hamming", "layout"))
       }
-      val pinned = Dedup.pin(codedVecs(vecs, id, vec, dim))
+      // re-spread before the compute-dense coding/banding — the same
+      // under-split-input discipline as [[checkVectorBatch]] (an
+      // indexed corpus arriving as one driver-written file would code,
+      // band and write on 1-8 scan tasks regardless of session width)
+      val pinned = Dedup.pin(codedVecs(vecs.repartition(
+        vecs.sparkSession.sparkContext.defaultParallelism), id, vec, dim))
       store.append(table, pinned)
       store.append(s"${table}__hamming_bands",
         Dedup.bandedWords(pinned.select("_id", "code"), dim, maxHamming)
@@ -236,13 +241,37 @@ object IncrementalDedup {
       s"check budget maxHamming=$maxHamming outside [0, $indexedH] — " +
         "the stored bands only guarantee recall within the indexed " +
         s"budget $indexedH; rebuild the index for a wider one")
-    val newCoded = Dedup.pin(codedVecs(batch, id, vec, dim))
+    // re-spread the batch before the compute-dense coding/banding: a
+    // micro-batch arrives as ONE file (one row group — one task), and
+    // in a streaming foreachBatch AQE is disabled, so without this the
+    // whole code+band+join map side serializes on a single core
+    // (soak-measured: 98 s single-task stages at the 30× fixture). The
+    // shuffle moves O(batch) vector bytes once.
+    val spread = batch.repartition(
+      batch.sparkSession.sparkContext.defaultParallelism)
+    val newCoded = Dedup.pin(codedVecs(spread, id, vec, dim))
     val newBands =
       Dedup.bandedWords(newCoded.select("_id", "code"), dim, indexedH)
+    // the band join enumerates |new_key|×|old_key| pairs per band key,
+    // and band VALUES are heavily shared at near-dup-rich corpora (the
+    // pigeonhole bands are deliberately coarse — k = budget+1 bands of
+    // maximal width). Materializing every collision through the
+    // distinct shuffle is the dominant cost at scale (soak-measured:
+    // a 2,244 s stage sum at 30× clone density). Attaching the packed
+    // codes to BOTH sides (new bands carry theirs already; the stored
+    // side pays one narrow id-equi-join against the corpus table) lets
+    // the Hamming budget filter INSIDE the generated join loop — a
+    // pair dies for the cost of an XOR+popcount, and only in-budget
+    // pairs reach the shuffle/distinct/verify tail (~the true-pair
+    // count × band multiplicity, orders of magnitude fewer rows).
     val oldBands = store.read(s"${table}__hamming_bands")
+      .join(store.read(table).select(col("_id"), col("code").as("__co")),
+        Seq("_id"))
     val cand = newBands.as("a").join(oldBands.as("b"),
         col("a.widx") === col("b.widx") && col("a.blk") === col("b.blk") &&
           col("a.blk_val") === col("b.blk_val"))
+      .filter(graft.functions.VectorFunctions.hammingDist(
+        col("a.code"), col("b.__co")) <= maxHamming)
       .select(col("a._id").as("new_id"), col("b._id").as("old_id"))
       .distinct()
     // exact verify: read back ONLY the colliding old vectors

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -259,14 +259,34 @@ object Streaming {
     * batches carry `_batch_id` too: the restart watermark is the max
     * over BOTH tables, so a re-run neither re-lands nor re-quarantines
     * a handled batch. */
+  /** Periodic-refit config for [[curateInto]]: after every `every`
+    * LANDED batches, the classifier refits on the accumulated landed
+    * table (the survivors — the streaming twin of
+    * [[graft.ext.CorpusAssembly]]'s fit-on-survivors stage) with
+    * `seed` as the 0/1 label column, persists under the classifier
+    * name (a restart cold-loads the newest refit), and scores every
+    * later batch with the refreshed weights. When the drift gate is
+    * active, the refit ALSO re-profiles: the persisted score histogram
+    * is recomputed over the landed table under the NEW model — a
+    * refreshed model with a stale profile would false-breach on its
+    * own shifted score scale. NOTE: refit makes the kept set depend on
+    * arrival ORDER by design (later batches meet a model trained on
+    * earlier survivors) — this is the explicitly-ordered adaptation
+    * mode; the default frozen-model path keeps the replayable
+    * batch-order-independence contract. */
+  final case class RefitConfig(seed: Column, every: Int) {
+    require(every >= 1, s"refit cadence must be >= 1, got $every")
+  }
+
   def curateInto(store: TableStore, source: DataFrame, table: String,
       seedIndex: String, classifierName: String, id: String, text: String,
       minScore: Double, nearDupThreshold: Double = 0.9, n: Int = 3,
       scoreColumn: Option[String] = None,
       checkpoint: Option[String] = None,
       scoreProfile: Option[String] = None,
-      maxPsi: Double = 0.25): Unit = {
-    val model = graft.ext.QualityClassifier.load(store, classifierName)
+      maxPsi: Double = 0.25,
+      refit: Option[RefitConfig] = None): Unit = {
+    var model = graft.ext.QualityClassifier.load(store, classifierName)
     // withColumn REPLACES a same-named existing column: a source already
     // carrying e.g. '__score' would silently lose its data to the
     // stamped provenance score — refuse up front (schema is known before
@@ -275,10 +295,11 @@ object Streaming {
       s"scoreColumn '$nm' already exists on the source — stamping the " +
         "classifier score there would overwrite landed provenance data"))
     val disp = new Dispositions(store, source.sparkSession)
-    // the profile loads ONCE at stream start (cold, like the model) —
-    // its ≤bins counts ride every per-batch check as literals
-    val profile = scoreProfile.map(p =>
+    // the profile loads ONCE at stream start (cold, like the model);
+    // both are vars only for the refit path, which swaps them together
+    var profile = scoreProfile.map(p =>
       graft.operators.Drift.loadProfile(store, p))
+    var landedBatches = 0L
     var maxWritten = math.max(maxBatchIdStat(store, table),
       maxBatchIdStat(store, s"${table}__quarantine"))
     drainAvailableNow(source, checkpoint) { (batch, bid) =>
@@ -339,6 +360,28 @@ object Streaming {
               disp.append(table, kept, loadIdOf(bid),
                 statsFor = Seq("_batch_id"))
               maxWritten = bid
+              landedBatches += 1
+              refit.filter(rc => landedBatches % rc.every == 0)
+                .foreach { rc =>
+                  val landed = store.read(table)
+                  model = graft.ext.QualityClassifier.fit(
+                    landed, text, rc.seed)
+                  graft.ext.QualityClassifier.save(
+                    store, classifierName, model)
+                  // keep the drift gate honest against the NEW model:
+                  // re-profile the landed survivors' scores and swap
+                  // the in-memory histogram with the persisted one
+                  scoreProfile.foreach { p =>
+                    graft.operators.Drift.saveProfile(store, p,
+                      landed.select(graft.ext.QualityClassifier
+                        .score(model, org.apache.spark.sql.functions
+                          .col(text)).as("__qc_score")),
+                      "__qc_score",
+                      bins = profile.map(_.bins).getOrElse(10))
+                    profile = Some(
+                      graft.operators.Drift.loadProfile(store, p))
+                  }
+                }
             }
         }
       }

@@ -1064,21 +1064,10 @@ object VectorSink {
           "screen) for SQ8/PQ/OPQ collections")
       require(nprobe >= 1 && nprobe <= g.meta.nlist,
         s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
-      val (s, parts) = screenSalt(pinned, g.meta.nlist)
-      probeLists(g.centroidMatrix, pinned, id, vec, nprobe)
-        .withColumn("__salt", explode(array((0 until s).map(lit): _*)))
-        .repartition(parts, col("__list"), col("__salt"))
-        // SHUFFLE_HASH pins the join to the salted-key exchanges: the
-        // exploded probe frame's size estimate is garbage, and letting
-        // the planner broadcast a misestimated side collapses the
-        // kernel work onto the other side's (few) input tasks — the
-        // 30-180 s single-task soak pathology. Neither side broadcasts
-        // at the 100 TB operating point anyway.
-        .join(g.corpus.select(col(vec).as("__cv"), col("__list"),
-          pmod(hash(col(id)), lit(s)).as("__salt"))
-          .repartition(parts, col("__list"), col("__salt"))
-          .hint("shuffle_hash"),
-          Seq("__list", "__salt"))
+      tiledScreenJoin(pinned, g.meta.nlist,
+        probeLists(g.centroidMatrix, pinned, id, vec, nprobe),
+        g.corpus.select(col(vec).as("__cv"), col("__list"),
+          col(id).as("__sid")))
         .filter(round(graft.ext.Dedup.cosine(col("__qv"), col("__cv")), 6)
           >= threshold)
         .select(col("query_id").as(id)).distinct()
@@ -1088,26 +1077,72 @@ object VectorSink {
     * equi-join: without salting the join's parallelism is CAPPED AT
     * nlist (every stored row of a list meets every probe of that list
     * in one task — a 30 s single task at a 20k-batch × 10k-corpus soak
-    * with a fixture-scale nlist = 8). Salting splits each list's
-    * corpus rows into `s` hash buckets and replicates only the PROBE
-    * side ×s (the bounded side — corpus rows stay single-copy), the
-    * [[graft.operators.SequencePack]] / TrainingOrder data-scaled-
-    * bucket discipline applied to the screen. The join sides are
-    * EXPLICITLY repartitioned to a fixed count on the salted keys:
-    * the screen is compute-dense but byte-LIGHT (a few MB of vectors
-    * driving 10⁸ cosine kernels), so AQE's size-based coalescing
-    * would fold the salted shuffle right back into a handful of tasks
-    * — an explicit numPartitions is the documented loadWide
-    * discipline for kernel-bound stages. s targets ≥ 2 distinct keys
-    * per partition so the hash spreads evenly; production-sized
-    * collections (nlist ≈ √corpus) already saturate a cluster, the
-    * salt removes the small-nlist ceiling and blunts hot-list skew. */
+    * with a fixture-scale nlist = 8). `s` splits each side into hash
+    * buckets; production-sized collections (nlist ≈ √corpus) already
+    * saturate a cluster, so s = 1 there and the tiling below is a
+    * no-op. The partition count spreads the s²·nlist tile keys over
+    * ~4× as many partitions: at ~2 keys/partition Poisson stacking
+    * puts 4-5 HEAVY keys in one task (measured: the 30× soak's ADC
+    * screen ran max_task 124 s vs stage mean 46 s purely from
+    * stacking); at ~0.25 mean occupancy stacking all but vanishes, and
+    * the extra partitions are empty-cheap (the stage is byte-light and
+    * compute-dense by construction — scheduling overhead only). */
   private def screenSalt(batch: DataFrame, nlist: Int): (Int, Int) = {
     val parts = batch.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
     val s = math.max(1, math.min(64,
       (2 * parts) / math.max(1, nlist)))
-    (s, parts)
+    val spread =
+      if (s > 1) math.min(4096, math.max(parts, 4 * s * s * nlist))
+      else parts
+    (s, spread)
+  }
+
+  /** The screens' BIPARTITE-TILED equi-join on the probed list
+    * (shared by the cosine / Hamming / ADC dedup-on-ingest screens):
+    * each list's pair space splits into an s×s grid of tiles — probes
+    * carry a FIXED `__psalt` (hash of query id) and replicate across
+    * the s corpus buckets; corpus rows carry a FIXED `__salt` (hash of
+    * stored id) and replicate across the s probe buckets — so EVERY
+    * tile is bounded by |probes_l|/s × |corpus_l|/s regardless of how
+    * either side distributes over lists. One-sided salting (r14) left
+    * the probe side unsplit per tile key: a DRIFTED batch concentrates
+    * its probes in one hot list and that list's s keys each carry the
+    * whole probe load (measured at the 30× soak: max_task 43 s vs
+    * stage mean 4 s). Two-sided tiling is skew-proof for ANY list
+    * distribution — the [[graft.ext.Dedup.embeddingCosinePairsTiled]]
+    * triangle argument, bipartite.
+    *
+    * Replication cost: probes ×s (byte-light), corpus ×s — corpus
+    * replication only exists in the small-nlist regime (s > 1 ⟺
+    * nlist < 2·partitions, where the per-list populations are exactly
+    * what needs splitting); at the production √N rule s = 1 and both
+    * sides stay single-copy. Both sides are EXPLICITLY repartitioned
+    * to a fixed count on the tile key: the stage is compute-dense but
+    * byte-LIGHT, so AQE's size-based coalescing would fold the salted
+    * shuffle back into a handful of tasks. SHUFFLE_HASH pins the join
+    * to the salted-key exchanges: the exploded frames' size estimates
+    * are garbage, and letting the planner broadcast a misestimated
+    * side collapses the kernel work onto the other side's (few) input
+    * tasks — the 30-180 s single-task soak pathology. Neither side
+    * broadcasts at the 100 TB operating point anyway.
+    *
+    * `probes` must carry (`query_id`, `__list`, payload); `corpus`
+    * (`__sid` = stored id, `__list`, payload). */
+  private def tiledScreenJoin(batch: DataFrame, nlist: Int,
+      probes: DataFrame, corpus: DataFrame): DataFrame = {
+    val (s, parts) = screenSalt(batch, nlist)
+    val l = probes
+      .withColumn("__psalt", pmod(hash(col("query_id")), lit(s)))
+      .withColumn("__salt", explode(array((0 until s).map(lit): _*)))
+      .repartition(parts, col("__list"), col("__salt"), col("__psalt"))
+    val r = corpus
+      .withColumn("__salt", pmod(hash(col("__sid")), lit(s)))
+      .drop("__sid")
+      .withColumn("__psalt", explode(array((0 until s).map(lit): _*)))
+      .repartition(parts, col("__list"), col("__salt"), col("__psalt"))
+      .hint("shuffle_hash")
+    l.join(r, Seq("__list", "__salt", "__psalt"))
   }
 
   /** The shared dedup-append scaffold: pin the batch, reject duplicate
@@ -1163,18 +1198,12 @@ object VectorSink {
         s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
       require(maxHamming >= 0 && maxHamming < g.meta.dim,
         s"maxHamming $maxHamming outside [0, ${g.meta.dim})")
-      val (s, parts) = screenSalt(pinned, g.meta.nlist)
-      probeLists(g.centroidMatrix, pinned, id, vec, nprobe)
-        .withColumn("__qcode",
-          graft.functions.VectorFunctions.packSignBits(col("__qv")))
-        .withColumn("__salt", explode(array((0 until s).map(lit): _*)))
-        .repartition(parts, col("__list"), col("__salt"))
-        // same SHUFFLE_HASH pin as the cosine screen (see there)
-        .join(g.corpus.select(col("__list"), col("__code"),
-          pmod(hash(col(id)), lit(s)).as("__salt"))
-          .repartition(parts, col("__list"), col("__salt"))
-          .hint("shuffle_hash"),
-          Seq("__list", "__salt"))
+      tiledScreenJoin(pinned, g.meta.nlist,
+        probeLists(g.centroidMatrix, pinned, id, vec, nprobe)
+          .withColumn("__qcode",
+            graft.functions.VectorFunctions.packSignBits(col("__qv"))),
+        g.corpus.select(col("__list"), col("__code"),
+          col(id).as("__sid")))
         .filter(graft.functions.VectorFunctions.hammingDist(
           col("__qcode"), col("__code")) <= maxHamming)
         .select(col("query_id").as(id)).distinct()
@@ -1214,7 +1243,6 @@ object VectorSink {
           "or appendDedupedBinary (Hamming) for binary collections")
       require(nprobe >= 1 && nprobe <= g.meta.nlist,
         s"nprobe $nprobe outside [1, ${g.meta.nlist}]")
-      val (s, parts) = screenSalt(pinned, g.meta.nlist)
       val queries = metric match {
         case "cosine-opq" =>
           widthChecked(pinned.select(col(id), col(vec)), vec, g.meta.dim)
@@ -1233,15 +1261,9 @@ object VectorSink {
             graft.ext.Pq.reconstruction(col("__codes"), g.pqModel.get)
               .as("__cv"))
       }
-      probeLists(g.centroidMatrix, queries, id, vec, nprobe)
-        .withColumn("__salt", explode(array((0 until s).map(lit): _*)))
-        .repartition(parts, col("__list"), col("__salt"))
-        // same SHUFFLE_HASH pin as the cosine screen (see there)
-        .join(deq.select(col("__cv"), col("__list"),
-          pmod(hash(col(id)), lit(s)).as("__salt"))
-          .repartition(parts, col("__list"), col("__salt"))
-          .hint("shuffle_hash"),
-          Seq("__list", "__salt"))
+      tiledScreenJoin(pinned, g.meta.nlist,
+        probeLists(g.centroidMatrix, queries, id, vec, nprobe),
+        deq.select(col("__cv"), col("__list"), col(id).as("__sid")))
         .filter(round(graft.ext.Dedup.cosine(col("__qv"), col("__cv")), 6)
           >= threshold)
         .select(col("query_id").as(id)).distinct()

@@ -470,4 +470,66 @@ class StreamingSpec extends SparkSpec {
     assert(store.read("cur__quarantine").count() === 40L,
       "a re-run must not re-quarantine the handled batch")
   }
+
+  test("curateInto refit retrains on landed survivors, persists the new " +
+      "model and profile, and later runs score with it") {
+    import graft.ext.{IncrementalDedup, QualityClassifier}
+    import graft.operators.Drift
+    def doc(i: Long) = (i, ("assorted plain words with varied lengths " +
+      "making scores spread around nicely ") * (1 + (i % 5).toInt))
+    val corpus = (0L until 200L).map(doc).toDF("doc_id", "text")
+    val store = new TableStore(tmp("st-refit"), spark)
+    IncrementalDedup.indexCorpus(store, "seed",
+      Seq((9000L, "totally disjoint seed vocabulary entry"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val initial = QualityClassifier.fit(corpus, "text",
+      length(col("text")) >= lit(300))
+    QualityClassifier.save(store, "m", initial)
+    Drift.saveProfile(store, "prof",
+      corpus.select(QualityClassifier.score(initial, col("text")).as("s")),
+      "s", bins = 10)
+    val profBefore = Drift.loadProfile(store, "prof")
+    // run 1: ONE clean batch; refit fires after it lands (every = 1)
+    // with a DIFFERENT seed predicate than the initial fit
+    val src1 = tmp("st-refit-src1")
+    val b1 = (200L until 260L).map(doc).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(src1)
+    Streaming.curateInto(store, Streaming.fileStream(spark, src1),
+      "cur", "seed", "m", "doc_id", "text", minScore = -1e9,
+      scoreColumn = Some("q"), scoreProfile = Some("prof"),
+      maxPsi = 0.25,
+      refit = Some(Streaming.RefitConfig(
+        length(col("text")) >= lit(150), every = 1)))
+    // batch 1 itself was scored with the INITIAL model (refit runs
+    // after the land)
+    val landed1 = store.read("cur")
+    val expect1 = b1.select(col("doc_id"),
+      QualityClassifier.score(initial, col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    landed1.select("doc_id", "q").as[(Long, Double)].collect()
+      .foreach { case (d, q) => assert(q === expect1(d)) }
+    // the persisted artifact is now the refit-on-survivors model...
+    val refitted = QualityClassifier.load(store, "m")
+    val expected = QualityClassifier.fit(landed1, "text",
+      length(col("text")) >= lit(150))
+    assert(refitted.weights.toSeq === expected.weights.toSeq)
+    assert(refitted.weights.toSeq !== initial.weights.toSeq)
+    // ...and the drift profile was re-computed under the NEW model
+    val profAfter = Drift.loadProfile(store, "prof")
+    assert(profAfter.counts.sum === 60L,
+      "profile must re-derive from the landed survivors")
+    assert((profAfter.mn, profAfter.mx) !== (profBefore.mn, profBefore.mx))
+    // run 2 (fresh stream): cold-loads the persisted refit model
+    val src2 = tmp("st-refit-src2")
+    val b2 = (300L until 340L).map(doc).toDF("doc_id", "text")
+    b2.coalesce(1).write.mode("append").parquet(src2)
+    Streaming.curateInto(store, Streaming.fileStream(spark, src2),
+      "cur2", "seed", "m", "doc_id", "text", minScore = -1e9,
+      scoreColumn = Some("q"))
+    val expect2 = b2.select(col("doc_id"),
+      QualityClassifier.score(refitted, col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    store.read("cur2").select("doc_id", "q").as[(Long, Double)].collect()
+      .foreach { case (d, q) => assert(q === expect2(d)) }
+  }
 }
