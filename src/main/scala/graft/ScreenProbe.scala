@@ -47,20 +47,23 @@ object ScreenProbe {
       graft.functions.VectorFunctions.packSignBits(col("embedding"))
         .as("code")))
     budgets.foreach { h =>
-      val banded = Dedup.pin(Dedup.bandedWords(
-        coded.select("_id", "code"), dim, h))
-      val cands = Dedup.bandSelfJoin(banded, Seq("widx", "blk", "blk_val"))
-        .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-        .filter(col("id_a") < col("id_b")).distinct().count()
-      // pairs satisfying BOTH contracts; true pairs above the budget
-      // are exactly what an in-exact-path screen would silently drop
-      val kept = Dedup.embeddingHammingPairs(
-        vecs, "vec_id", "embedding", threshold, h, dim)
-      val nKept = kept.count()
-      println(f"[screen] h=$h%3d band_candidates=$cands%10d " +
-        f"kept_true_pairs=$nKept%d lost_true_pairs=${nTrue - nKept}%d " +
-        f"candidate_cut=${n * (n - 1) / 2.0 / math.max(cands, 1)}%.1fx")
-      Dedup.releasePins()
+      // per-budget pins scope with withPins — a global releasePins here
+      // would also drain `exact`/`coded`, recomputing them every budget
+      Dedup.withPins {
+        val banded = Dedup.pin(Dedup.bandedWords(
+          coded.select("_id", "code"), dim, h))
+        val cands = Dedup.bandSelfJoin(banded, Seq("widx", "blk", "blk_val"))
+          .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+          .filter(col("id_a") < col("id_b")).distinct().count()
+        // pairs satisfying BOTH contracts; true pairs above the budget
+        // are exactly what an in-exact-path screen would silently drop
+        val kept = Dedup.embeddingHammingPairs(
+          vecs, "vec_id", "embedding", threshold, h, dim)
+        val nKept = kept.count()
+        println(f"[screen] h=$h%3d band_candidates=$cands%10d " +
+          f"kept_true_pairs=$nKept%d lost_true_pairs=${nTrue - nKept}%d " +
+          f"candidate_cut=${n * (n - 1) / 2.0 / math.max(cands, 1)}%.1fx")
+      }
     }
     spark.stop()
   }

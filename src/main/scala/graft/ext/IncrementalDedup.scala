@@ -258,13 +258,20 @@ object IncrementalDedup {
     // maximal width). Materializing every collision through the
     // distinct shuffle is the dominant cost at scale (soak-measured:
     // a 2,244 s stage sum at 30× clone density). Attaching the packed
-    // codes to BOTH sides (new bands carry theirs already; the stored
-    // side pays one narrow id-equi-join against the corpus table) lets
+    // codes to the stored side (new bands carry theirs already) lets
     // the Hamming budget filter INSIDE the generated join loop — a
     // pair dies for the cost of an XOR+popcount, and only in-budget
     // pairs reach the shuffle/distinct/verify tail (~the true-pair
     // count × band multiplicity, orders of magnitude fewer rows).
+    // The attach is CANDIDATE-PRUNED: a semi-join on the batch's own
+    // band keys first cuts the stored band rows to the colliding ones,
+    // so the common mostly-clean batch pays a near-empty code join
+    // instead of a corpus-sized one (the batch's key set bounds it;
+    // the adversarial all-colliding case degrades to exactly the
+    // stored-side size the band join reads anyway).
+    val newKeys = newBands.select("widx", "blk", "blk_val").distinct()
     val oldBands = store.read(s"${table}__hamming_bands")
+      .join(newKeys, Seq("widx", "blk", "blk_val"), "left_semi")
       .join(store.read(table).select(col("_id"), col("code").as("__co")),
         Seq("_id"))
     val cand = newBands.as("a").join(oldBands.as("b"),

@@ -144,8 +144,15 @@ object Resource {
   final case class DriftCheck(column: String, maxPsi: Double, bins: Int = 10,
       quarantine: Boolean = false)
 
-  /** Config for [[Resource.withRetention]]. */
-  final case class Retention(keepLast: Int, ttlMs: Option[Long] = None)
+  /** Config for [[Resource.withRetention]]. Validated EAGERLY: a bad
+    * policy must fail at construction, not post-commit inside the load
+    * tail (where a throw would leave the load landed but the
+    * incremental cursor unadvanced — the next run would re-append the
+    * same rows). */
+  final case class Retention(keepLast: Int, ttlMs: Option[Long] = None) {
+    require(keepLast >= 1, s"keep at least the live snapshot, got $keepLast")
+    ttlMs.foreach(t => require(t >= 0L, s"ttlMs must be >= 0, got $t"))
+  }
 }
 
 /** The pipeline orchestrator (reference pipeline.run = extract +
@@ -634,15 +641,26 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       registry.evolve(t, df.schema)
       if (t == tableName) registry.register(t, registry.get(t).get._1, r.hints)
     }
-    // retention rides the load (withRetention): sweep strictly AFTER
-    // the commit — driver-file + GC work only, nothing corpus-scanning
-    r.retention.foreach { pol =>
-      enforced.keys.foreach(t =>
-        store.applyRetention(t, pol.keepLast, pol.ttlMs))
-    }
     advanceState()
     fanoutPin.foreach(_.unpersist(blocking = false))
     recordMetrics()
+    // retention rides the load (withRetention): sweep strictly AFTER
+    // the commit AND the cursor advance — a sweep failure (IO error
+    // during GC) must not leave a committed load with an unadvanced
+    // cursor, or the next run re-appends the same rows. Maintenance is
+    // best-effort per load: a failed sweep logs loudly and the next
+    // load retries it (snapshots only accumulate, never corrupt).
+    r.retention.foreach { pol =>
+      enforced.keys.foreach { t =>
+        try store.applyRetention(t, pol.keepLast, pol.ttlMs)
+        catch { case e: Exception =>
+          System.err.println(
+            s"[pipeline] retention sweep of '$t' failed (load is " +
+              s"committed and the cursor advanced; the next load " +
+              s"retries the sweep): $e")
+        }
+      }
+    }
     enforced.keys.toSeq.sorted
   }
 
@@ -660,7 +678,14 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     val raw = store.read(s"${Naming.normalizeTableName(table)}__quarantine")
     loadId.fold(raw)(id =>
         raw.filter(org.apache.spark.sql.functions.col(Ids.DltLoadId) === id))
-      .drop(Ids.DltLoadId, "_drift_column", "_drift_psi")
+      // `_batch_id` is the STREAMING dead-letter's extra stamp
+      // (Streaming.curateInto quarantines with it for replay
+      // idempotence) — strip it with the other provenance columns so a
+      // replayed batch carries the original schema; a re-curated
+      // replay re-stamps its own batch id anyway. (drop of an absent
+      // column is a no-op, so pipeline-quarantined tables are
+      // unaffected.)
+      .drop(Ids.DltLoadId, "_drift_column", "_drift_psi", "_batch_id")
   }
 
   /** Retire quarantined rows after they were replayed (or discarded) —

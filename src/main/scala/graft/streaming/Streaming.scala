@@ -267,9 +267,13 @@ object Streaming {
     * name (a restart cold-loads the newest refit), and scores every
     * later batch with the refreshed weights. When the drift gate is
     * active, the refit ALSO re-profiles: the persisted score histogram
-    * is recomputed over the landed table under the NEW model — a
-    * refreshed model with a stale profile would false-breach on its
-    * own shifted score scale. NOTE: refit makes the kept set depend on
+    * is recomputed from the CURRENT RAW batch under the NEW model (an
+    * unfiltered sample of the incoming population in the new score
+    * space — profiling the minScore survivors instead would drop the
+    * low-score mass every raw batch carries and systematically breach
+    * clean batches); a refreshed model with a stale profile would
+    * false-breach on its own shifted score scale the same way. NOTE:
+    * refit makes the kept set depend on
     * arrival ORDER by design (later batches meet a model trained on
     * earlier survivors) — this is the explicitly-ordered adaptation
     * mode; the default frozen-model path keeps the replayable
@@ -363,17 +367,23 @@ object Streaming {
               landedBatches += 1
               refit.filter(rc => landedBatches % rc.every == 0)
                 .foreach { rc =>
-                  val landed = store.read(table)
                   model = graft.ext.QualityClassifier.fit(
-                    landed, text, rc.seed)
+                    store.read(table), text, rc.seed)
                   graft.ext.QualityClassifier.save(
                     store, classifierName, model)
                   // keep the drift gate honest against the NEW model:
-                  // re-profile the landed survivors' scores and swap
-                  // the in-memory histogram with the persisted one
+                  // re-profile from the CURRENT RAW batch's scores
+                  // under the refit weights — an unfiltered sample of
+                  // the incoming population in the new score space.
+                  // Profiling the landed SURVIVORS here would bias the
+                  // baseline: they passed minScore, so the low-score
+                  // mass every raw batch carries would be missing from
+                  // the histogram and clean batches would
+                  // systematically breach after the first refit (the
+                  // gate always compares WHOLE unfiltered batches).
                   scoreProfile.foreach { p =>
                     graft.operators.Drift.saveProfile(store, p,
-                      landed.select(graft.ext.QualityClassifier
+                      batch.select(graft.ext.QualityClassifier
                         .score(model, org.apache.spark.sql.functions
                           .col(text)).as("__qc_score")),
                       "__qc_score",

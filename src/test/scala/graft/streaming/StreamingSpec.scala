@@ -490,34 +490,49 @@ class StreamingSpec extends SparkSpec {
       "s", bins = 10)
     val profBefore = Drift.loadProfile(store, "prof")
     // run 1: ONE clean batch; refit fires after it lands (every = 1)
-    // with a DIFFERENT seed predicate than the initial fit
+    // with a DIFFERENT seed predicate than the initial fit. minScore
+    // sits between the fixture's score levels so the threshold
+    // genuinely BITES — the re-profile bias this spec pins (a
+    // survivor-only baseline) is only observable when survivors ≠ batch
     val src1 = tmp("st-refit-src1")
     val b1 = (200L until 260L).map(doc).toDF("doc_id", "text")
     b1.coalesce(1).write.mode("append").parquet(src1)
+    val scores1 = b1.select(col("doc_id"),
+      QualityClassifier.score(initial, col("text")).as("q"))
+      .as[(Long, Double)].collect()
+    val levels = scores1.map(_._2).distinct.sorted
+    assert(levels.length >= 3, s"fixture needs spread scores: $levels")
+    val tau = (levels(1) + levels(2)) / 2
     Streaming.curateInto(store, Streaming.fileStream(spark, src1),
-      "cur", "seed", "m", "doc_id", "text", minScore = -1e9,
+      "cur", "seed", "m", "doc_id", "text", minScore = tau,
       scoreColumn = Some("q"), scoreProfile = Some("prof"),
       maxPsi = 0.25,
       refit = Some(Streaming.RefitConfig(
         length(col("text")) >= lit(150), every = 1)))
     // batch 1 itself was scored with the INITIAL model (refit runs
-    // after the land)
+    // after the land) and thresholded at tau
     val landed1 = store.read("cur")
-    val expect1 = b1.select(col("doc_id"),
-      QualityClassifier.score(initial, col("text")).as("q"))
-      .as[(Long, Double)].collect().toMap
-    landed1.select("doc_id", "q").as[(Long, Double)].collect()
-      .foreach { case (d, q) => assert(q === expect1(d)) }
+    val expect1 = scores1.toMap
+    val landedIds = landed1.select("doc_id", "q").as[(Long, Double)]
+      .collect()
+    landedIds.foreach { case (d, q) => assert(q === expect1(d)) }
+    assert(landedIds.map(_._1).toSet ===
+      scores1.filter(_._2 >= tau).map(_._1).toSet)
+    assert(landedIds.length < 60, "the threshold must genuinely drop rows")
     // the persisted artifact is now the refit-on-survivors model...
     val refitted = QualityClassifier.load(store, "m")
     val expected = QualityClassifier.fit(landed1, "text",
       length(col("text")) >= lit(150))
     assert(refitted.weights.toSeq === expected.weights.toSeq)
     assert(refitted.weights.toSeq !== initial.weights.toSeq)
-    // ...and the drift profile was re-computed under the NEW model
+    // ...and the drift profile re-derived from the WHOLE RAW batch
+    // under the new model — NOT the landed survivors (a survivor-only
+    // baseline would lose the sub-threshold score mass and every later
+    // clean batch would false-breach)
     val profAfter = Drift.loadProfile(store, "prof")
     assert(profAfter.counts.sum === 60L,
-      "profile must re-derive from the landed survivors")
+      "profile must cover the whole raw batch, not the " +
+        s"${landedIds.length} survivors")
     assert((profAfter.mn, profAfter.mx) !== (profBefore.mn, profBefore.mx))
     // run 2 (fresh stream): cold-loads the persisted refit model
     val src2 = tmp("st-refit-src2")
