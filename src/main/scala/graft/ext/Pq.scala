@@ -77,14 +77,26 @@ object Pq {
           typedLit(c.toSeq))): _*)
 
     for (_ <- 1 to iters) {
-      // ONE aggregate for all m subspaces: melt (sub, cl, subvec)
+      // ONE aggregate for all m subspaces: melt (sub, cl, subvec).
+      // The m×ksub literal-distance argmins are computed in UPSTREAM
+      // projections (one __ds/__cl column per subspace), NOT inline in
+      // the explode argument: Spark splits oversized expressions into
+      // methods for Project, but not inside Generate's consume path —
+      // a melt carrying all m·ksub sqdist literals in the struct array
+      // blows the generated method past janino's limit at m=8/ksub=16
+      // and silently drops the whole train pass to interpreted mode
+      // (the `ERROR CodeGenerator … generate_doConsume_0` fallback).
+      val withCl = v
+        .select(col("__e") +: (0 until m).map(j =>
+          argminDs(j).as(s"__ds$j")): _*)
+        .select(col("__e") +: (0 until m).map(j =>
+          (array_position(col(s"__ds$j"), array_min(col(s"__ds$j"))) - 1)
+            .cast("int").as(s"__cl$j")): _*)
       val structs = array((0 until m).map { j =>
-        val ds = argminDs(j)
-        struct(lit(j).as("sub"),
-          (array_position(ds, array_min(ds)) - 1).cast("int").as("cl"),
+        struct(lit(j).as("sub"), col(s"__cl$j").as("cl"),
           subCol(col("__e"), j, dsub).as("sv"))
       }: _*)
-      val stats = v.select(explode(structs).as("t"))
+      val stats = withCl.select(explode(structs).as("t"))
         .select(col("t.sub"), col("t.cl"),
           posexplode(col("t.sv")).as(Seq("__i", "__x")))
         .groupBy("sub", "cl", "__i")
