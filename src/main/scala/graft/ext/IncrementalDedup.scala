@@ -250,8 +250,11 @@ object IncrementalDedup {
     val spread = batch.repartition(
       batch.sparkSession.sparkContext.defaultParallelism)
     val newCoded = Dedup.pin(codedVecs(spread, id, vec, dim))
-    val newBands =
-      Dedup.bandedWords(newCoded.select("_id", "code"), dim, indexedH)
+    // pinned: consumed by BOTH the newKeys semi-join prune and the
+    // band join's probe side — unpinned, the k-way band explode would
+    // evaluate twice per batch
+    val newBands = Dedup.pin(
+      Dedup.bandedWords(newCoded.select("_id", "code"), dim, indexedH))
     // the band join enumerates |new_key|×|old_key| pairs per band key,
     // and band VALUES are heavily shared at near-dup-rich corpora (the
     // pigeonhole bands are deliberately coarse — k = budget+1 bands of

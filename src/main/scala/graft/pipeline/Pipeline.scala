@@ -548,8 +548,8 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
         val qt = s"${tableName}__quarantine"
         store.append(qt, frame
           .withColumn(Ids.DltLoadId, lit(loadId))
-          .withColumn("_drift_column", lit(dc.column))
-          .withColumn("_drift_psi", lit(psi)))
+          .withColumn(Pipeline.DriftColumnStamp, lit(dc.column))
+          .withColumn(Pipeline.DriftPsiStamp, lit(psi)))
         // package processed + a DEDICATED dead-letter ledger row
         // (status 2, own namespace so a multi-resource package's
         // status-0 row cannot shadow it) — monitoring sees quarantined
@@ -685,7 +685,8 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       // replay re-stamps its own batch id anyway. (drop of an absent
       // column is a no-op, so pipeline-quarantined tables are
       // unaffected.)
-      .drop(Ids.DltLoadId, "_drift_column", "_drift_psi", "_batch_id")
+      .drop(Ids.DltLoadId, Pipeline.DriftColumnStamp,
+        Pipeline.DriftPsiStamp, Pipeline.BatchIdColumn)
   }
 
   /** Retire quarantined rows after they were replayed (or discarded) —
@@ -852,4 +853,23 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     * resource (column `fp`) — anti-joined on load, rewritten on advance. */
   private def boundaryTable(table: String, cfg: Incremental.Config): String =
     s"_dlt_boundary__${table}__${cfg.cursorColumn.replaceAll("[^A-Za-z0-9_]", "_")}"
+}
+
+object Pipeline {
+  /** Dead-letter provenance stamp columns — ONE owner for the append
+    * sites (the pipeline drift quarantine here and
+    * [[graft.streaming.Streaming.curateInto]]'s) and
+    * [[Pipeline.replayQuarantine]]'s strip: `drop`-by-name is a SILENT
+    * no-op on a mismatch, so a renamed literal at any single site
+    * would leak provenance columns into the main table's schema — the
+    * exact failure the strip exists to prevent. */
+  val DriftColumnStamp = "_drift_column"
+  val DriftPsiStamp = "_drift_psi"
+
+  /** The streaming planes' replay-idempotence column: a DATA column on
+    * streamed tables (its per-segment max stat is the restart
+    * watermark), an extra provenance stamp on streaming dead-letters
+    * (stripped by [[Pipeline.replayQuarantine]] — a re-curated replay
+    * re-stamps its own). */
+  val BatchIdColumn = "_batch_id"
 }

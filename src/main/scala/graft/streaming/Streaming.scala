@@ -208,8 +208,8 @@ object Streaming {
       if (!batch.isEmpty && bid > maxWritten) {
         store.append(out, graft.write.VectorSink.topK(
             store, table, batch, id, vec, k, nprobe)
-          .withColumn("_batch_id", org.apache.spark.sql.functions.lit(bid)),
-          statsFor = Seq("_batch_id"))
+          .withColumn(Pipeline.BatchIdColumn, org.apache.spark.sql.functions.lit(bid)),
+          statsFor = Seq(Pipeline.BatchIdColumn))
         maxWritten = bid
       }
     }
@@ -267,13 +267,17 @@ object Streaming {
     * name (a restart cold-loads the newest refit), and scores every
     * later batch with the refreshed weights. When the drift gate is
     * active, the refit ALSO re-profiles: the persisted score histogram
-    * is recomputed from the CURRENT RAW batch under the NEW model (an
-    * unfiltered sample of the incoming population in the new score
-    * space — profiling the minScore survivors instead would drop the
-    * low-score mass every raw batch carries and systematically breach
-    * clean batches); a refreshed model with a stale profile would
-    * false-breach on its own shifted score scale the same way. NOTE:
-    * refit makes the kept set depend on
+    * is recomputed under the NEW model from the current RAW batch ∪
+    * the other landed survivors (the raw batch supplies the
+    * sub-threshold mass a survivor-only baseline would lose —
+    * systematically breaching clean batches; the landed history damps
+    * single-batch sampling variance). Model and profile are kept a
+    * consistent pair: a profile-save failure rolls the persisted model
+    * back and the stream continues on the previous pair (a hard crash
+    * between the two driver-file writes can still leave one refit's
+    * window inconsistent — the failure mode is recoverable
+    * false-quarantining, never data loss). NOTE: refit makes the kept
+    * set depend on
     * arrival ORDER by design (later batches meet a model trained on
     * earlier survivors) — this is the explicitly-ordered adaptation
     * mode; the default frozen-model path keeps the replayable
@@ -328,11 +332,11 @@ object Streaming {
             // batch counts as handled (watermark advances) — retrying a
             // drifted batch forever would stall the stream behind it
             store.append(s"${table}__quarantine", batch
-              .withColumn("_batch_id", lit(bid))
+              .withColumn(Pipeline.BatchIdColumn, lit(bid))
               .withColumn(graft.normalize.Ids.DltLoadId, lit(loadIdOf(bid)))
-              .withColumn("_drift_column", lit("__qc_score"))
-              .withColumn("_drift_psi", lit(psi)),
-              statsFor = Seq("_batch_id"))
+              .withColumn(Pipeline.DriftColumnStamp, lit("__qc_score"))
+              .withColumn(Pipeline.DriftPsiStamp, lit(psi)),
+              statsFor = Seq(Pipeline.BatchIdColumn))
             disp.recordLoad(loadIdOf(bid), s"$table#quarantine", status = 2)
             maxWritten = bid
           case None =>
@@ -358,38 +362,64 @@ object Streaming {
             // the batch's withPins.
             val kept = graft.ext.Dedup.pin(
               pinned.join(dups, Seq(id), "left_anti")
-                .withColumn("_batch_id",
+                .withColumn(Pipeline.BatchIdColumn,
                   org.apache.spark.sql.functions.lit(bid)))
             if (!kept.isEmpty) {
               disp.append(table, kept, loadIdOf(bid),
-                statsFor = Seq("_batch_id"))
+                statsFor = Seq(Pipeline.BatchIdColumn))
               maxWritten = bid
               landedBatches += 1
               refit.filter(rc => landedBatches % rc.every == 0)
                 .foreach { rc =>
-                  model = graft.ext.QualityClassifier.fit(
+                  val prev = model
+                  val fitted = graft.ext.QualityClassifier.fit(
                     store.read(table), text, rc.seed)
                   graft.ext.QualityClassifier.save(
-                    store, classifierName, model)
+                    store, classifierName, fitted)
                   // keep the drift gate honest against the NEW model:
-                  // re-profile from the CURRENT RAW batch's scores
-                  // under the refit weights — an unfiltered sample of
-                  // the incoming population in the new score space.
-                  // Profiling the landed SURVIVORS here would bias the
-                  // baseline: they passed minScore, so the low-score
-                  // mass every raw batch carries would be missing from
-                  // the histogram and clean batches would
-                  // systematically breach after the first refit (the
-                  // gate always compares WHOLE unfiltered batches).
-                  scoreProfile.foreach { p =>
-                    graft.operators.Drift.saveProfile(store, p,
-                      batch.select(graft.ext.QualityClassifier
-                        .score(model, org.apache.spark.sql.functions
-                          .col(text)).as("__qc_score")),
-                      "__qc_score",
-                      bins = profile.map(_.bins).getOrElse(10))
-                    profile = Some(
-                      graft.operators.Drift.loadProfile(store, p))
+                  // the re-profile source is the CURRENT RAW batch ∪
+                  // the OTHER landed survivors, all re-scored under the
+                  // refit weights. The raw batch contributes the
+                  // sub-threshold score mass a survivor-only baseline
+                  // loses (which would systematically breach every
+                  // later clean batch — the gate compares WHOLE
+                  // unfiltered batches); the landed history damps the
+                  // sampling variance a single small batch would bake
+                  // into the histogram. The batch's own landed rows are
+                  // anti-joined out of the history side so they are not
+                  // counted twice.
+                  try {
+                    scoreProfile.foreach { p =>
+                      val sc = graft.ext.QualityClassifier.score(fitted,
+                        org.apache.spark.sql.functions.col(text))
+                      val history = store.read(table)
+                        .join(batch.select(
+                          org.apache.spark.sql.functions.col(id)),
+                          Seq(id), "left_anti")
+                        .select(sc.as("__qc_score"))
+                      graft.operators.Drift.saveProfile(store, p,
+                        batch.select(sc.as("__qc_score"))
+                          .unionByName(history),
+                        "__qc_score",
+                        bins = profile.map(_.bins).getOrElse(10))
+                      profile = Some(
+                        graft.operators.Drift.loadProfile(store, p))
+                    }
+                    model = fitted
+                  } catch { case e: Exception =>
+                    // the model artifact saved but the matching profile
+                    // did not — a persisted new-model/stale-profile
+                    // pair would false-breach every batch after a
+                    // restart (new score scale vs the old histogram).
+                    // Roll the artifact back to the consistent previous
+                    // pair and keep streaming on it; the next cadence
+                    // point retries the refit.
+                    graft.ext.QualityClassifier.save(
+                      store, classifierName, prev)
+                    System.err.println(
+                      s"[curateInto] refit of '$classifierName' rolled " +
+                        s"back (profile save failed; retrying at the " +
+                        s"next cadence point): $e")
                   }
                 }
             }
@@ -405,7 +435,7 @@ object Streaming {
       table: String): Long = {
     guardManifestReads.incrementAndGet()
     if (!store.exists(table)) -1L
-    else store.segments(table).flatMap(_.stats.get("_batch_id"))
+    else store.segments(table).flatMap(_.stats.get(Pipeline.BatchIdColumn))
       .flatMap(s => scala.util.Try(BigDecimal(s.max).toLong).toOption)
       .foldLeft(-1L)(math.max)
   }
