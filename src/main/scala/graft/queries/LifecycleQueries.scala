@@ -213,6 +213,39 @@ object LifecycleQueries {
         .orderBy("event_id")
     },
 
+    // RETENTION RIDES THE LOAD (r15): the resource declares a keep-N
+    // policy and every load's commit sweeps — four appends under
+    // keep-2 leave exactly (pin + last two) snapshots with ZERO manual
+    // maintenance calls, the DATA accumulates all four loads, and the
+    // pre-sweep pin still time-travels; a control resource without the
+    // hook keeps all four snapshots (opt-in only). All outcomes ride
+    // the hash as literals hardcoded TRUE in the oracle.
+    "lifecycle_retain_on_load" -> q { c =>
+      val p = new Pipeline("rol", tmp("graft-rol"), c.spark)
+      val ev = c.t("events").select("event_id", "user_id")
+      def res(lo: Int, hi: Int) = Resource("t",
+        ev.filter(col("event_id") >= lo && col("event_id") < hi))
+        .withRetention(keepLast = 2)
+      p.run(Seq(res(0, 100)), "1")
+      p.run(Seq(res(100, 200)), "2")
+      val sPin = p.store.snapshots("t").last
+      p.store.pinSnapshot("t", sPin)
+      p.run(Seq(res(200, 300)), "3")
+      p.run(Seq(res(300, 400)), "4")
+      val snaps = p.store.snapshots("t")
+      val sweptToPolicy = snaps.size == 3 && snaps.contains(sPin)
+      val pinRows = p.store.readAt("t", sPin).count() ==
+        ev.filter(col("event_id") < 200).count()
+      (1 to 4).foreach(i => p.run(Seq(
+        Resource("u", ev.filter(col("event_id") < 10))), s"u$i"))
+      val controlKeeps = p.store.snapshots("u").size == 4
+      p.store.read("t").select(col("event_id"), col("user_id"))
+        .withColumn("swept_to_policy", lit(sweptToPolicy))
+        .withColumn("pin_time_travels", lit(pinRows))
+        .withColumn("control_unswept", lit(controlKeeps))
+        .orderBy("event_id")
+    },
+
     // CHANGE FEED between snapshots: updates surface as delete+insert
     // pairs of the same key; computed from the immutable snapshots
     // themselves (two anti-joins), no per-row version bookkeeping
@@ -304,6 +337,12 @@ object LifecycleQueries {
       """SELECT event_id, user_id,
         |  TRUE AS ttl_retains, TRUE AS mid_expired, TRUE AS ttl_expires
         |FROM events WHERE event_id < 100
+        |ORDER BY event_id""".stripMargin,
+    "lifecycle_retain_on_load" ->
+      """SELECT event_id, user_id,
+        |  TRUE AS swept_to_policy, TRUE AS pin_time_travels,
+        |  TRUE AS control_unswept
+        |FROM events WHERE event_id < 400
         |ORDER BY event_id""".stripMargin,
     "plane_table_dispatch" ->
       """SELECT event_id, event_type, user_id FROM events
