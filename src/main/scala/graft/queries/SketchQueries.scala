@@ -163,7 +163,8 @@ object SketchQueries {
       // single-corpus path: one tokenize+hash pass with the target flag
       // carried through the feature aggregation (identical math/output
       // to featurizing the two slices separately)
-      Dsir.selectByPredicate(c.t("documents"), "doc_id", "text",
+      Dsir.selectByPredicate(c.tw("documents", "doc_id", "lang", "text"),
+        "doc_id", "text",
         isTarget = col("lang") === "en", m = 1024, k = 100)
     },
 
@@ -175,7 +176,8 @@ object SketchQueries {
     // gram multiset between the engine's extractor and its SQL mirror
     // hash-fails.
     "text_dsir_custom" -> q { c =>
-      Dsir.selectByPredicate(c.t("documents"), "doc_id", "text",
+      Dsir.selectByPredicate(c.tw("documents", "doc_id", "lang", "text"),
+        "doc_id", "text",
         isTarget = col("lang") === "en", m = 1024, k = 100,
         space = Dsir.CharTrigrams)
     }
