@@ -119,14 +119,38 @@ object Drift {
   /** Persist a baseline profile as the tiny table `<table>` (bin, n,
     * mn, mx) — the drift twin of the classifier's model table. */
   def saveProfile(store: graft.write.TableStore, table: String,
-      df: DataFrame, value: String, bins: Int = 10): Unit = {
-    val h = histogram(df, value, bins)
-    val s = df.sparkSession
-    import s.implicits._
+      df: DataFrame, value: String, bins: Int = 10): Unit =
+    writeProfile(store, table, histogram(df, value, bins), df.sparkSession)
+
+  /** Persist an already-computed [[Histogram]] (the [[saveProfile]]
+    * layout) — the merge path writes merged counts without recomputing
+    * from a frame. */
+  def writeProfile(store: graft.write.TableStore, table: String,
+      h: Histogram, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
     store.overwrite(table,
       h.counts.toIndexedSeq.zipWithIndex
         .map { case (n, b) => (b, n, h.mn, h.mx) }
         .toDF("bin", "n", "mn", "mx"))
+  }
+
+  /** Fold `cur`'s values into an existing profile: bin under the
+    * profile's PINNED (mn, mx, bins) — out-of-range mass clamps to the
+    * edge bins exactly like [[psi]]'s current side (the documented
+    * streaming-profile trade: the bin range is fixed at seed time;
+    * re-seed with [[saveProfile]] to re-range) — and ADD the counts.
+    * One tiny aggregate over `cur` (≤ bins output rows); the rolling-
+    * baseline step of the O(batch) load-plane drift gate. */
+  def mergeIntoProfile(hist: Histogram, cur: DataFrame,
+      value: String): Histogram = {
+    val v = col(value).cast("double")
+    val rows = cur.where(v.isNotNull)
+      .select(binExpr(v, lit(hist.mn), lit(hist.mx), hist.bins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect()
+    val counts = hist.counts.clone()
+    rows.foreach(r => counts(r.getInt(0)) += r.getLong(1))
+    Histogram(hist.mn, hist.mx, counts)
   }
 
   /** Read back a [[saveProfile]] table. */

@@ -127,6 +127,27 @@ final case class Resource(
     copy(driftCheck = Some(
       Resource.DriftCheck(column, maxPsi, bins, quarantine)))
 
+  /** [[withDriftCheck]] against a PERSISTED ROLLING PROFILE instead of
+    * the live table — the O(batch) form for big tables: the plain gate
+    * re-scans the WHOLE current table as its baseline on every load
+    * (at lake scale that is a full-table scan per load); this variant
+    * compares the batch against `<table>__drift_profile` (≤ bins
+    * persisted counts riding the check as literals), seeds the profile
+    * from the FIRST load's gate column, and folds every PASSING load's
+    * values into it after the commit (breaching loads never pollute
+    * the baseline). The bin RANGE pins at seed time — later mass
+    * outside it clamps to the edge bins (visible as edge-bin growth;
+    * drop the profile table to re-seed after an intentional
+    * distribution change). Same raise/quarantine semantics, same
+    * empty-window/all-null handling, same PSI arithmetic
+    * ([[graft.operators.Drift.psiVsProfile]] shares the exact tail
+    * with the live-baseline path). */
+  def withDriftProfile(column: String, maxPsi: Double,
+      bins: Int = 10, quarantine: Boolean = false): Resource =
+    copy(driftCheck = Some(
+      Resource.DriftCheck(column, maxPsi, bins, quarantine,
+        profiled = true)))
+
   /** RETENTION RIDES THE LOAD: after this resource's tables commit,
     * sweep each landed table's snapshot history under a keep-N ∧ TTL
     * policy ([[graft.write.TableStore.applyRetention]] — pins and the
@@ -140,9 +161,11 @@ final case class Resource(
 }
 
 object Resource {
-  /** Config for [[Resource.withDriftCheck]]. */
+  /** Config for [[Resource.withDriftCheck]] /
+    * [[Resource.withDriftProfile]] (`profiled` = rolling persisted
+    * baseline instead of the live table). */
   final case class DriftCheck(column: String, maxPsi: Double, bins: Int = 10,
-      quarantine: Boolean = false)
+      quarantine: Boolean = false, profiled: Boolean = false)
 
   /** Config for [[Resource.withRetention]]. Validated EAGERLY: a bad
     * policy must fail at construction, not post-commit inside the load
@@ -513,11 +536,26 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     // persist — the success/discard unpersist paths never run on that
     // exit.
     val driftBreach: Option[Double] = r.driftCheck.flatMap { dc =>
-      store.readOption(tableName).flatMap { prev =>
-        val perBin = graft.operators.Drift.psi(
-            prev.select(dc.column), frame.select(dc.column),
-            dc.column, dc.bins)
-          .select("n_cur", "psi").collect() // ≤ bins rows by contract
+      // baseline: the live table snapshot (plain mode — one baseline
+      // scan per load) or the persisted rolling profile (profiled mode
+      // — ≤ bins literals, ZERO baseline scans; the lake-scale form).
+      // No baseline yet (first load / profile not seeded) passes
+      // trivially either way.
+      val perBinOpt =
+        if (dc.profiled) {
+          val pt = s"${tableName}__drift_profile"
+          if (!store.exists(pt)) None
+          else Some(graft.operators.Drift.psiVsProfile(
+              graft.operators.Drift.loadProfile(store, pt),
+              frame.select(dc.column), dc.column)
+            .select("n_cur", "psi").collect()) // ≤ bins rows by contract
+        } else store.readOption(tableName).map { prev =>
+          graft.operators.Drift.psi(
+              prev.select(dc.column), frame.select(dc.column),
+              dc.column, dc.bins)
+            .select("n_cur", "psi").collect() // ≤ bins rows by contract
+        }
+      perBinOpt.flatMap { perBin =>
         val curTotal = perBin.iterator.map(_.getAs[Long]("n_cur")).sum
         val psi = Some(perBin.head.getAs[Double]("psi")).filter(_ > dc.maxPsi)
         // Σ n_cur = 0 means either a genuinely empty window (idle poll:
@@ -644,6 +682,32 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     advanceState()
     fanoutPin.foreach(_.unpersist(blocking = false))
     recordMetrics()
+    // profiled drift gate: seed (first load) or fold this PASSING
+    // load's gate values into the rolling baseline — strictly AFTER
+    // the cursor advance, best-effort (same hazard analysis as the
+    // retention sweep below: a maintenance failure must never leave a
+    // committed load with an unadvanced cursor). Breaching loads
+    // never reach this point, so the baseline only ever absorbs
+    // accepted distributions. An all-null first window cannot seed
+    // (histogram refuses) — the next non-empty load seeds instead.
+    r.driftCheck.filter(_.profiled).foreach { dc =>
+      val pt = s"${tableName}__drift_profile"
+      try {
+        val gate = frame.select(dc.column)
+        if (!store.exists(pt))
+          graft.operators.Drift.saveProfile(store, pt, gate,
+            dc.column, dc.bins)
+        else graft.operators.Drift.writeProfile(store, pt,
+          graft.operators.Drift.mergeIntoProfile(
+            graft.operators.Drift.loadProfile(store, pt),
+            gate, dc.column), spark)
+      } catch { case e: Exception =>
+        System.err.println(
+          s"[pipeline] drift-profile update of '$pt' failed (load is " +
+            s"committed and the cursor advanced; the baseline simply " +
+            s"misses this load): $e")
+      }
+    }
     // retention rides the load (withRetention): sweep strictly AFTER
     // the commit AND the cursor advance — a sweep failure (IO error
     // during GC) must not leave a committed load with an unadvanced

@@ -253,6 +253,44 @@ object PlaneQueries {
           max(col("_dlt_load_id")).as("quarantine_load")))
     },
 
+    // the PROFILED drift gate (r15) — the O(batch) form for lake-scale
+    // tables: the baseline is a persisted rolling histogram (seeded by
+    // load 1, folded forward by every PASSING load) instead of a
+    // per-load full-table baseline scan. Load 1 seeds; load 2 (same
+    // distribution) passes AND merges; load 3 (values shifted far
+    // outside the seeded range) breaches against the MERGED profile and
+    // dead-letters. The oracle re-derives the stamped PSI with the bin
+    // range pinned at LOAD 1 (the profile semantics — merging never
+    // re-ranges; loads 1∪2 bin CLAMPED under it, exactly the engine's
+    // fold) through the shared bin/smooth/decimal-Σ fragment.
+    "plane_drift_profiled" -> q { c =>
+      val p = new Pipeline("dpp", Scratch.dir("graft-dpp"), c.spark)
+      val o = c.t("orders")
+      def slice(m: Int) = o.filter(pmod(col("o_orderkey"), lit(3)) === m)
+      val l1 = slice(0).select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("v"))
+      val l2 = slice(1).select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("v"))
+      val l3 = slice(2).select(col("o_orderkey"),
+        (col("o_totalprice").cast("double") * 3.0 + 100000.0).as("v"))
+      def res(df: org.apache.spark.sql.DataFrame) =
+        Resource("m", df).withDriftProfile("v", maxPsi = 0.25,
+          quarantine = true)
+      p.run(Seq(res(l1)), "1")
+      p.run(Seq(res(l2)), "2")
+      p.run(Seq(res(l3)), "3")
+      val qt = p.store.read("m__quarantine")
+      // profile state after the clean loads: counts cover loads 1∪2,
+      // range still load 1's — asserted via the row sum (driver-small)
+      val prof = graft.operators.Drift.loadProfile(
+        p.store, "m__drift_profile")
+      p.store.read("m").agg(count(lit(1)).as("main_rows")).crossJoin(
+        qt.agg(count(lit(1)).as("quarantine_rows"),
+          max(col("_drift_column")).as("drift_column"),
+          max(col("_drift_psi")).as("psi")))
+        .withColumn("profile_n", lit(prof.counts.sum))
+    },
+
     // the dead-letter cycle CLOSED end-to-end: the same breach fixture
     // as plane_drift_quarantine, then the OTHER half of the lifecycle —
     // replayQuarantine strips the provenance stamps, the replayed batch
@@ -392,6 +430,25 @@ object PlaneQueries {
          |  'v' AS drift_column,
          |  (SELECT psi FROM tot) AS psi,
          |  '2' AS quarantine_load""".stripMargin,
+
+    "plane_drift_profiled" ->
+      s"""WITH ${SketchQueries.psiOracleCtes(
+            baseSql = """SELECT o_totalprice::DOUBLE AS v FROM orders
+              |  WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+            curSql = """SELECT o_totalprice::DOUBLE * 3.0 + 100000.0 AS v
+              |  FROM orders WHERE o_orderkey % 3 = 2""".stripMargin,
+            bins = 10,
+            rangeSql = Some("""SELECT o_totalprice::DOUBLE AS v
+              |  FROM orders WHERE o_orderkey % 3 = 0""".stripMargin))}
+         |SELECT
+         |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 IN (0, 1))::BIGINT
+         |    AS main_rows,
+         |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 2)::BIGINT
+         |    AS quarantine_rows,
+         |  'v' AS drift_column,
+         |  (SELECT psi FROM tot) AS psi,
+         |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 IN (0, 1))::BIGINT
+         |    AS profile_n""".stripMargin,
 
     "plane_quarantine_replay" ->
       """SELECT count(*)::BIGINT AS main_rows,

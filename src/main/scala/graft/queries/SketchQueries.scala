@@ -191,8 +191,12 @@ object SketchQueries {
     * drift apart between oracles. Mirrors [[graft.operators.Drift.psi]]
     * exactly: clamp-before-cast binning, equality binning when
     * mx = mn, Laplace (cnt+0.5)/(n+0.5·bins), DECIMAL(28,12) Σ. */
+  /** `rangeSql` (optional): a separate `SELECT … AS v` source for the
+    * bin RANGE (mn/mx) — the PROFILED drift gate pins its range at
+    * seed time while counts keep folding in, so its oracle ranges over
+    * load 1 alone while binning loads 1∪2 (clamped, like the engine). */
   private[queries] def psiOracleCtes(baseSql: String, curSql: String,
-      bins: Int): String = {
+      bins: Int, rangeSql: Option[String] = None): String = {
     val top = bins - 1
     def binCte(name: String, from: String, cnt: String) =
       s"""$name AS (
@@ -204,7 +208,8 @@ object SketchQueries {
          |  FROM $from, st GROUP BY 1)""".stripMargin
     s"""b AS ($baseSql),
        |c AS ($curSql),
-       |st AS (SELECT min(v) AS mn, max(v) AS mx FROM b),
+       |st AS (SELECT min(v) AS mn, max(v) AS mx
+       |       FROM ${rangeSql.map(r => s"($r) rr").getOrElse("b")}),
        |${binCte("bb", "b", "n_base")},
        |${binCte("cb", "c", "n_cur")},
        |grid AS (SELECT unnest(generate_series(0, $top)) AS bin),

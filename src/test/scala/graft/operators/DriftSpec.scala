@@ -241,6 +241,52 @@ class DriftSpec extends SparkSpec {
     assert(shifted > 0.25, s"shifted=$shifted")
   }
 
+  test("mergeIntoProfile folds in-range counts exactly and clamps " +
+      "out-of-range mass to the edge bins under the pinned range") {
+    val h = Drift.histogram(base, "v", bins = 10) // range [0, 99]
+    // in-range fold ≡ recomputing over the union
+    val more = (1 to 500).map(i => (i % 100).toDouble).toDF("v")
+    val merged = Drift.mergeIntoProfile(h, more, "v")
+    val recomputed = Drift.histogram(base.unionByName(more), "v", bins = 10)
+    assert(merged.counts.toSeq === recomputed.counts.toSeq)
+    assert((merged.mn, merged.mx) === (h.mn, h.mx), "range stays pinned")
+    // out-of-range values clamp to the TOP bin (never re-range)
+    val far = Seq.fill(7)(1e6).toDF("v")
+    val clamped = Drift.mergeIntoProfile(h, far, "v")
+    assert(clamped.counts.last === h.counts.last + 7L)
+    assert(clamped.counts.init.toSeq === h.counts.init.toSeq)
+  }
+
+  test("profiled pipeline drift gate: seeds, folds passing loads, " +
+      "dead-letters a shifted load, never rescans a baseline table") {
+    import graft.pipeline.{Pipeline, Resource}
+    val p = new Pipeline("dpp",
+      java.nio.file.Files.createTempDirectory("graft-dpp").toString, spark)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      Resource("m", df).withDriftProfile("v", maxPsi = 0.25,
+        quarantine = true)
+    // load 1 seeds the profile
+    p.run(Seq(res(base)), "1")
+    val h1 = Drift.loadProfile(p.store, "m__drift_profile")
+    assert(h1.counts.sum === 2000L)
+    // load 2 (same distribution) passes and FOLDS into the baseline
+    p.run(Seq(res(base.limit(500))), "2")
+    val h2 = Drift.loadProfile(p.store, "m__drift_profile")
+    assert(h2.counts.sum === 2500L)
+    assert((h2.mn, h2.mx) === (h1.mn, h1.mx), "merging never re-ranges")
+    // load 3 (shifted) breaches against the MERGED profile and
+    // dead-letters; the baseline must NOT absorb it
+    val shifted = (1 to 300).map(i => (i % 100).toDouble + 500.0).toDF("v")
+    val loaded = p.run(Seq(res(shifted)), "3")
+    assert(loaded("m").contains("m__quarantine"), s"loaded=$loaded")
+    assert(p.store.read("m").count() === 2500L)
+    assert(Drift.loadProfile(p.store, "m__drift_profile").counts.sum
+      === 2500L, "a breaching load must never pollute the baseline")
+    // a later clean load still passes against the unpolluted profile
+    p.run(Seq(res(base.limit(100))), "4")
+    assert(p.store.read("m").count() === 2600L)
+  }
+
   test("histogram refuses an all-null or empty profile source") {
     val nulls = Seq[Option[Double]](None, None).toDF("v")
     val e = intercept[IllegalArgumentException] {
