@@ -149,15 +149,22 @@ object Streaming {
   def intoCollection(store: TableStore, source: DataFrame, table: String,
       id: String, vec: String, maxSkew: Double = 4.0,
       maxDeadFraction: Double = 0.5,
-      checkpoint: Option[String] = None): Unit = {
+      checkpoint: Option[String] = None,
+      retainLast: Option[Int] = None,
+      retainTtlMs: Option[Long] = None): Unit = {
     require(graft.write.VectorSink.readMeta(store, table).metric == "cosine",
       s"collection '$table' is quantized: streaming self-maintenance " +
         "needs the stored vectors — drain into VectorSink.append and " +
         "rebalance with fullVectors out of band")
+    // retainLast/TtlMs ride each batch's append (the unattended-stream
+    // generation-history bound — see [[graft.write.VectorSink
+    // .appendAndMaintain]]'s retention contract: pins survive,
+    // best-effort after the commit)
     drainAvailableNow(source, checkpoint) { (batch, _) =>
       if (!batch.isEmpty)
         graft.write.VectorSink.appendAndMaintain(store, table, batch,
-          id, vec, maxSkew = maxSkew, maxDeadFraction = maxDeadFraction)
+          id, vec, maxSkew = maxSkew, maxDeadFraction = maxDeadFraction,
+          retainLast = retainLast, retainTtlMs = retainTtlMs)
     }
   }
 

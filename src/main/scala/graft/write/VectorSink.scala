@@ -1545,7 +1545,9 @@ object VectorSink {
   def appendAndMaintain(store: TableStore, table: String, rows: DataFrame,
       id: String, vec: String, fullVectors: Option[DataFrame] = None,
       maxSkew: Double = 4.0,
-      maxDeadFraction: Double = 0.5): Boolean = store.exclusively(table) {
+      maxDeadFraction: Double = 0.5,
+      retainLast: Option[Int] = None,
+      retainTtlMs: Option[Long] = None): Boolean = store.exclusively(table) {
     // SELF-HEALING includes the interrupted-swap state: append would
     // refuse an orphaned corpus head, but rebalance — already composed
     // here, under the same lock — is the documented healer. Plain IVF
@@ -1565,7 +1567,25 @@ object VectorSink {
           "to finish it, then retry appendAndMaintain")
     }
     append(store, table, rows, id, vec)
-    rebalance(store, table, id, vec, fullVectors, maxSkew, maxDeadFraction)
+    val rebalanced =
+      rebalance(store, table, id, vec, fullVectors, maxSkew, maxDeadFraction)
+    // retention rides the append (the [[graft.pipeline.Resource
+    // .withRetention]] twin on the collection plane): sweep generation
+    // history under keep-N ∧ TTL strictly AFTER the append (and any
+    // rebalance) committed — pins always survive, driver-file + vacuum
+    // work only, so an unattended ingest stream bounds its generation
+    // history without a separate maintenance scheduler. Best-effort
+    // like the pipeline hook: a sweep failure must not fail the
+    // committed append; the next call retries.
+    retainLast.foreach { keep =>
+      try applyRetention(store, table, keep, retainTtlMs)
+      catch { case e: Exception =>
+        System.err.println(
+          s"[vectorsink] retention sweep of '$table' failed (append is " +
+            s"committed; the next call retries): $e")
+      }
+    }
+    rebalanced
   }
 
   /** MAINTENANCE: retrain-and-rewrite the collection when coarse-list

@@ -196,6 +196,34 @@ class VectorSinkSpec extends SparkSpec {
     assert(store.read("emb").count() === 134)
   }
 
+  test("appendAndMaintain retention rides the append: keep-N sweeps " +
+      "generation history, pins survive, opt-in only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsret").toString
+    val store = new TableStore(dir, spark)
+    VectorSink.writeIvf(store, "emb", corpus, "vec_id", "embedding",
+      nlist = 4)                                                  // gen 1
+    VectorSink.pinGeneration(store, "emb", 1L)
+    def more(lo: Long) = (lo until lo + 10L).map { i =>
+      (i, Seq.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    // three riding appends under keep-2: history stays pin + last 2
+    (0 to 2).foreach { k =>
+      VectorSink.appendAndMaintain(store, "emb", more(300 + 10 * k),
+        "vec_id", "embedding", maxSkew = 100.0, retainLast = Some(2))
+    }
+    val gens = VectorSink.generations(store, "emb")
+    assert(gens.size === 3, s"pin + last two, got $gens")
+    assert(gens.contains(1L), "the pinned generation must survive sweeps")
+    assert(store.read("emb").count() === 94L, "appends all landed")
+    // the pinned generation still time-travels after the riding sweeps
+    assert(VectorSink.generationAt(store, "emb", 1L).corpus.count() === 64L)
+    // no retention args -> no sweep (opt-in only)
+    VectorSink.writeIvf(store, "u", corpus, "vec_id", "embedding", nlist = 4)
+    (0 to 2).foreach(k => VectorSink.appendAndMaintain(store, "u",
+      more(300 + 10 * k), "vec_id", "embedding", maxSkew = 100.0))
+    assert(VectorSink.generations(store, "u").size === 4)
+  }
+
   test("appendAndMaintain self-heals an interrupted swap for plain IVF") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vsspec21").toString
     val store = new TableStore(dir, spark)
