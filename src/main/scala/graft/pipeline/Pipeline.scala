@@ -695,8 +695,13 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       try {
         val gate = frame.select(dc.column)
         if (!store.exists(pt))
-          graft.operators.Drift.saveProfile(store, pt, gate,
+          try graft.operators.Drift.saveProfile(store, pt, gate,
             dc.column, dc.bins)
+          catch { case _: IllegalArgumentException =>
+            // an all-null/empty first window cannot seed (histogram
+            // refuses by contract) — silently defer to the next
+            // non-empty load; an idle poll must not log errors
+          }
         else graft.operators.Drift.writeProfile(store, pt,
           graft.operators.Drift.mergeIntoProfile(
             graft.operators.Drift.loadProfile(store, pt),

@@ -265,6 +265,11 @@ class DriftSpec extends SparkSpec {
     def res(df: org.apache.spark.sql.DataFrame) =
       Resource("m", df).withDriftProfile("v", maxPsi = 0.25,
         quarantine = true)
+    // an all-null first load passes and silently DEFERS seeding (an
+    // idle poll must neither breach nor log; the next non-empty load
+    // seeds)
+    p.run(Seq(res(Seq[Option[Double]](None, None).toDF("v"))), "0")
+    assert(!p.store.exists("m__drift_profile"))
     // load 1 seeds the profile
     p.run(Seq(res(base)), "1")
     val h1 = Drift.loadProfile(p.store, "m__drift_profile")
@@ -279,12 +284,12 @@ class DriftSpec extends SparkSpec {
     val shifted = (1 to 300).map(i => (i % 100).toDouble + 500.0).toDF("v")
     val loaded = p.run(Seq(res(shifted)), "3")
     assert(loaded("m").contains("m__quarantine"), s"loaded=$loaded")
-    assert(p.store.read("m").count() === 2500L)
+    assert(p.store.read("m").count() === 2502L) // incl. the 2 null-v rows
     assert(Drift.loadProfile(p.store, "m__drift_profile").counts.sum
       === 2500L, "a breaching load must never pollute the baseline")
     // a later clean load still passes against the unpolluted profile
     p.run(Seq(res(base.limit(100))), "4")
-    assert(p.store.read("m").count() === 2600L)
+    assert(p.store.read("m").count() === 2602L)
   }
 
   test("histogram refuses an all-null or empty profile source") {
