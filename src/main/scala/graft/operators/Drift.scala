@@ -134,24 +134,35 @@ object Drift {
         .toDF("bin", "n", "mn", "mx"))
   }
 
-  /** Fold `cur`'s values into an existing profile: bin under the
-    * profile's PINNED (mn, mx, bins) — out-of-range mass clamps to the
-    * edge bins exactly like [[psi]]'s current side (the documented
-    * streaming-profile trade: the bin range is fixed at seed time;
-    * re-seed with [[saveProfile]] to re-range) — and ADD the counts.
-    * One tiny aggregate over `cur` (≤ bins output rows); the rolling-
-    * baseline step of the O(batch) load-plane drift gate. */
-  def mergeIntoProfile(hist: Histogram, cur: DataFrame,
-      value: String): Histogram = {
+  /** Bin counts of `cur` under the profile's PINNED (mn, mx, bins) —
+    * the batch-side (Spark) half of [[mergeIntoProfile]], exposed so a
+    * caller can run the aggregate while its source window is still
+    * pinned and fold the (pure driver-side) ADDITION later under a
+    * store lock: counts are commutative, so a lock-covered
+    * reload-add-write loses nothing even if another writer folded in
+    * between. Out-of-range mass clamps to the edge bins exactly like
+    * [[psi]]'s current side. One tiny aggregate (≤ bins output rows). */
+  def binCounts(hist: Histogram, cur: DataFrame,
+      value: String): Array[Long] = {
     val v = col(value).cast("double")
     val rows = cur.where(v.isNotNull)
       .select(binExpr(v, lit(hist.mn), lit(hist.mx), hist.bins).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
       .collect()
-    val counts = hist.counts.clone()
-    rows.foreach(r => counts(r.getInt(0)) += r.getLong(1))
-    Histogram(hist.mn, hist.mx, counts)
+    val counts = new Array[Long](hist.bins)
+    rows.foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    counts
   }
+
+  /** Fold `cur`'s values into an existing profile: [[binCounts]] under
+    * the profile's pinned range, then ADD (the documented
+    * streaming-profile trade: the bin range is fixed at seed time;
+    * re-seed with [[saveProfile]] to re-range). The rolling-baseline
+    * step of the O(batch) load-plane drift gate. */
+  def mergeIntoProfile(hist: Histogram, cur: DataFrame,
+      value: String): Histogram =
+    Histogram(hist.mn, hist.mx,
+      hist.counts.zip(binCounts(hist, cur, value)).map { case (a, b) => a + b })
 
   /** Read back a [[saveProfile]] table. */
   def loadProfile(store: graft.write.TableStore, table: String): Histogram = {

@@ -679,33 +679,81 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
       registry.evolve(t, df.schema)
       if (t == tableName) registry.register(t, registry.get(t).get._1, r.hints)
     }
+    // profiled drift gate: seed (first load) or fold this PASSING
+    // load's gate values into the rolling baseline, in two halves.
+    // The SPARK half (full histogram for a seed, [[Drift.binCounts]]
+    // under the existing profile's pinned range for a fold) runs HERE,
+    // while the incremental window's persist is still pinned — after
+    // advanceState() releases it, re-running the lazy `frame` plan
+    // against a live source (JDBC/REST) could see rows that were never
+    // part of this load and fold them into the baseline
+    // (double-counted when the next load lands them). The DRIVER half
+    // (the profile table write) happens after the cursor advance,
+    // under the profile table's store lock: counts are COMMUTATIVE, so
+    // the lock-covered reload-add-write loses nothing even if another
+    // writer folded in between (the read-fold-write would otherwise be
+    // a lost-update race under concurrent loads). BOTH halves are
+    // best-effort (same hazard analysis as the retention sweep below:
+    // a maintenance failure must never leave a committed load with an
+    // unadvanced cursor). Breaching loads never reach this point, so
+    // the baseline only ever absorbs accepted distributions. An
+    // all-null first window cannot seed (histogram refuses) — the
+    // next non-empty load seeds instead.
+    val pendingProfile
+        : Option[(String, Either[graft.operators.Drift.Histogram, Array[Long]])] =
+      r.driftCheck.filter(_.profiled).flatMap { dc =>
+        val pt = s"${tableName}__drift_profile"
+        try {
+          val gate = frame.select(dc.column)
+          if (!store.exists(pt))
+            try Some(pt -> Left(graft.operators.Drift.histogram(gate,
+              dc.column, dc.bins)))
+            catch { case _: IllegalArgumentException =>
+              // an all-null/empty first window cannot seed (histogram
+              // refuses by contract) — silently defer to the next
+              // non-empty load; an idle poll must not log errors
+              None
+            }
+          else {
+            val p = graft.operators.Drift.loadProfile(store, pt)
+            Some(pt -> Right(graft.operators.Drift.binCounts(p, gate, dc.column)))
+          }
+        } catch { case e: Exception =>
+          System.err.println(
+            s"[pipeline] drift-profile computation for '$pt' failed " +
+              s"(the load still commits and the cursor advances; the " +
+              s"baseline simply misses this load): $e")
+          None
+        }
+      }
     advanceState()
     fanoutPin.foreach(_.unpersist(blocking = false))
     recordMetrics()
-    // profiled drift gate: seed (first load) or fold this PASSING
-    // load's gate values into the rolling baseline — strictly AFTER
-    // the cursor advance, best-effort (same hazard analysis as the
-    // retention sweep below: a maintenance failure must never leave a
-    // committed load with an unadvanced cursor). Breaching loads
-    // never reach this point, so the baseline only ever absorbs
-    // accepted distributions. An all-null first window cannot seed
-    // (histogram refuses) — the next non-empty load seeds instead.
-    r.driftCheck.filter(_.profiled).foreach { dc =>
-      val pt = s"${tableName}__drift_profile"
-      try {
-        val gate = frame.select(dc.column)
-        if (!store.exists(pt))
-          try graft.operators.Drift.saveProfile(store, pt, gate,
-            dc.column, dc.bins)
-          catch { case _: IllegalArgumentException =>
-            // an all-null/empty first window cannot seed (histogram
-            // refuses by contract) — silently defer to the next
-            // non-empty load; an idle poll must not log errors
-          }
-        else graft.operators.Drift.writeProfile(store, pt,
-          graft.operators.Drift.mergeIntoProfile(
-            graft.operators.Drift.loadProfile(store, pt),
-            gate, dc.column), spark)
+    pendingProfile.foreach { case (pt, half) =>
+      try store.exclusively(pt) {
+        half match {
+          case Left(seed) =>
+            if (!store.exists(pt))
+              graft.operators.Drift.writeProfile(store, pt, seed, spark)
+            else
+              // another writer seeded between our check and this lock;
+              // our counts were binned under OUR range, not theirs —
+              // skip (one missed fold, benign) rather than mix ranges
+              System.err.println(
+                s"[pipeline] drift profile '$pt' was seeded concurrently; " +
+                  s"skipping this load's fold")
+          case Right(counts) =>
+            val p = graft.operators.Drift.loadProfile(store, pt)
+            if (p.bins == counts.length)
+              graft.operators.Drift.writeProfile(store, pt,
+                graft.operators.Drift.Histogram(p.mn, p.mx,
+                  p.counts.zip(counts).map { case (a, b) => a + b }), spark)
+            else
+              System.err.println(
+                s"[pipeline] drift profile '$pt' was re-seeded with " +
+                  s"${p.bins} bins (fold computed at ${counts.length}); " +
+                  s"skipping this load's fold")
+        }
       } catch { case e: Exception =>
         System.err.println(
           s"[pipeline] drift-profile update of '$pt' failed (load is " +

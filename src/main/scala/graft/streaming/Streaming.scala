@@ -314,7 +314,16 @@ object Streaming {
     // both are vars only for the refit path, which swaps them together
     var profile = scoreProfile.map(p =>
       graft.operators.Drift.loadProfile(store, p))
-    var landedBatches = 0L
+    // the refit cadence counts TOTAL landed batches, derived at startup
+    // from durable state (distinct `_batch_id` segment stats — one
+    // manifest read, no Spark job) rather than zero: a per-process
+    // counter would reset on every restart, so frequent restarts could
+    // postpone refits indefinitely while the landed table keeps
+    // growing, and the refit points would not replay deterministically.
+    // Caveat: an explicit compaction of the landed table can merge
+    // batch segments and lower the derived count — the cadence then
+    // re-anchors to the compacted census, still monotone from there.
+    var landedBatches = landedBatchCount(store, table)
     var maxWritten = math.max(maxBatchIdStat(store, table),
       maxBatchIdStat(store, s"${table}__quarantine"))
     drainAvailableNow(source, checkpoint) { (batch, bid) =>
@@ -379,10 +388,6 @@ object Streaming {
               refit.filter(rc => landedBatches % rc.every == 0)
                 .foreach { rc =>
                   val prev = model
-                  val fitted = graft.ext.QualityClassifier.fit(
-                    store.read(table), text, rc.seed)
-                  graft.ext.QualityClassifier.save(
-                    store, classifierName, fitted)
                   // keep the drift gate honest against the NEW model:
                   // the re-profile source is the CURRENT RAW batch ∪
                   // the OTHER landed survivors, all re-scored under the
@@ -395,7 +400,18 @@ object Streaming {
                   // into the histogram. The batch's own landed rows are
                   // anti-joined out of the history side so they are not
                   // counted twice.
+                  //
+                  // The FIT and the initial model save sit INSIDE the
+                  // rollback guard with the profile save: a fit failure
+                  // (e.g. the accumulated seed labels degenerate to one
+                  // class on some batch) must degrade to continuing on
+                  // the previous pair — the documented contract — not
+                  // propagate out of foreachBatch and kill the stream.
                   try {
+                    val fitted = graft.ext.QualityClassifier.fit(
+                      store.read(table), text, rc.seed)
+                    graft.ext.QualityClassifier.save(
+                      store, classifierName, fitted)
                     scoreProfile.foreach { p =>
                       val sc = graft.ext.QualityClassifier.score(fitted,
                         org.apache.spark.sql.functions.col(text))
@@ -414,18 +430,21 @@ object Streaming {
                     }
                     model = fitted
                   } catch { case e: Exception =>
-                    // the model artifact saved but the matching profile
-                    // did not — a persisted new-model/stale-profile
-                    // pair would false-breach every batch after a
-                    // restart (new score scale vs the old histogram).
-                    // Roll the artifact back to the consistent previous
-                    // pair and keep streaming on it; the next cadence
-                    // point retries the refit.
+                    // whatever failed — the fit itself, the model save,
+                    // or the profile save — the persisted state must end
+                    // up a CONSISTENT pair. A persisted new-model/
+                    // stale-profile split would false-breach every batch
+                    // after a restart (new score scale vs the old
+                    // histogram); a fit failure may have saved nothing.
+                    // Re-saving the previous model is idempotent in the
+                    // fit-failure case and the rollback in the split
+                    // case; the stream continues on the previous pair
+                    // and the next cadence point retries the refit.
                     graft.ext.QualityClassifier.save(
                       store, classifierName, prev)
                     System.err.println(
                       s"[curateInto] refit of '$classifierName' rolled " +
-                        s"back (profile save failed; retrying at the " +
+                        s"back (fit or save failed; retrying at the " +
                         s"next cadence point): $e")
                   }
                 }
@@ -434,6 +453,17 @@ object Streaming {
       }
     }
   }
+
+  /** Distinct `_batch_id` stat values across `table`'s committed
+    * segments (0 when absent) — the durable landed-batch census that
+    * seeds [[RefitConfig]]'s cadence counter across restarts. One
+    * manifest read, no Spark job, like [[maxBatchIdStat]]. */
+  private[streaming] def landedBatchCount(store: TableStore,
+      table: String): Long =
+    if (!store.exists(table)) 0L
+    else store.segments(table).flatMap(_.stats.get(Pipeline.BatchIdColumn))
+      .flatMap(s => scala.util.Try(BigDecimal(s.max).toLong).toOption)
+      .distinct.size.toLong
 
   /** Max `_batch_id` declared by any committed segment of `table` (−1
     * when the table is absent or carries no such stat): ONE manifest

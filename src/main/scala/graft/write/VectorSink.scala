@@ -1577,7 +1577,13 @@ object VectorSink {
     // history without a separate maintenance scheduler. Best-effort
     // like the pipeline hook: a sweep failure must not fail the
     // committed append; the next call retries.
-    retainLast.foreach { keep =>
+    // `retainTtlMs` ALONE is a live policy, not a no-op: the sweep runs
+    // with keepLast = 1 (the minimum [[applyRetention]] accepts — the
+    // live generation always survives), expiring every unpinned older
+    // generation that has aged past the TTL. Both given → keep-N ∧ TTL
+    // as documented on [[applyRetention]].
+    val keepOpt = retainLast.orElse(retainTtlMs.map(_ => 1))
+    keepOpt.foreach { keep =>
       try applyRetention(store, table, keep, retainTtlMs)
       catch { case e: Exception =>
         System.err.println(

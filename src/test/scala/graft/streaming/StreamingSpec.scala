@@ -547,4 +547,55 @@ class StreamingSpec extends SparkSpec {
     store.read("cur2").select("doc_id", "q").as[(Long, Double)].collect()
       .foreach { case (d, q) => assert(q === expect2(d)) }
   }
+
+  test("curateInto refit cadence is durable across restarts and a " +
+      "failing fit degrades to the previous model") {
+    import graft.ext.{IncrementalDedup, QualityClassifier}
+    def doc(i: Long) = (i, ("assorted plain words with varied lengths " +
+      "making scores spread around nicely ") * (1 + (i % 5).toInt))
+    val store = new TableStore(tmp("st-refit-dur"), spark)
+    IncrementalDedup.indexCorpus(store, "seed",
+      Seq((9000L, "totally disjoint seed vocabulary entry"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val corpus = (0L until 100L).map(doc).toDF("doc_id", "text")
+    val initial = QualityClassifier.fit(corpus, "text",
+      length(col("text")) >= lit(300))
+    QualityClassifier.save(store, "m2", initial)
+    // a TRUE restart shares the source and the checkpoint (batch ids
+    // keep increasing); a fresh checkpoint would restart ids at 0 and
+    // the replay guard would rightly skip the already-landed bid
+    val srcDir = tmp("st-refit-dur-src")
+    val ckpt = tmp("st-refit-dur-ckpt")
+    def runBatch(lo: Long, refit: Option[Streaming.RefitConfig]): Unit = {
+      (lo until lo + 30L).map(doc).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      Streaming.curateInto(store, Streaming.fileStream(spark, srcDir),
+        "cur3", "seed", "m2", "doc_id", "text", minScore = -1e9,
+        checkpoint = Some(ckpt), refit = refit)
+    }
+    val cadence2 = Some(Streaming.RefitConfig(
+      length(col("text")) >= lit(150), every = 2))
+    // run 1 (one batch, every = 2): no refit yet, census reads 1
+    runBatch(200L, cadence2)
+    assert(Streaming.landedBatchCount(store, "cur3") === 1L)
+    assert(QualityClassifier.load(store, "m2").weights.toSeq ===
+      initial.weights.toSeq, "cadence not reached: model unchanged")
+    // run 2 is a FRESH stream (a restart): the durable census seeds the
+    // counter at 1, so this run's landed batch is the 2nd and the
+    // refit fires — a per-process counter restarting at 0 would skip
+    // it indefinitely
+    runBatch(300L, cadence2)
+    assert(Streaming.landedBatchCount(store, "cur3") === 2L)
+    val refitted = QualityClassifier.load(store, "m2")
+    assert(refitted.weights.toSeq !== initial.weights.toSeq,
+      "restart must not reset the refit cadence")
+    // run 3: a refit whose fit CANNOT succeed (seed references a
+    // missing column) — the stream must keep draining on the previous
+    // pair (batch lands, model unchanged), not die inside foreachBatch
+    runBatch(400L, Some(Streaming.RefitConfig(
+      col("no_such_column") > lit(0), every = 1)))
+    assert(store.read("cur3").count() === 90L, "the batch still lands")
+    assert(QualityClassifier.load(store, "m2").weights.toSeq ===
+      refitted.weights.toSeq, "a failed fit rolls back to the previous model")
+  }
 }

@@ -222,6 +222,17 @@ class VectorSinkSpec extends SparkSpec {
     (0 to 2).foreach(k => VectorSink.appendAndMaintain(store, "u",
       more(300 + 10 * k), "vec_id", "embedding", maxSkew = 100.0))
     assert(VectorSink.generations(store, "u").size === 4)
+    // TTL ALONE is a live policy, not a silent no-op: keepLast defaults
+    // to 1, so with ttl = 0 only the live generation survives each
+    // riding sweep (every earlier generation is milliseconds old by
+    // sweep time — older than the zero cutoff)
+    VectorSink.writeIvf(store, "t", corpus, "vec_id", "embedding", nlist = 4)
+    (0 to 2).foreach(k => VectorSink.appendAndMaintain(store, "t",
+      more(300 + 10 * k), "vec_id", "embedding", maxSkew = 100.0,
+      retainTtlMs = Some(0L)))
+    assert(VectorSink.generations(store, "t").size === 1,
+      "retainTtlMs without retainLast must still sweep")
+    assert(store.read("t").count() === 94L, "the corpus itself is untouched")
   }
 
   test("appendAndMaintain self-heals an interrupted swap for plain IVF") {
