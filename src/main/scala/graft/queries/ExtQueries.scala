@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AudioFp, BpeTrainer, Clustering, Dedup, IncrementalDedup, Multimodal, Opq, Pca, Phash, Pq, Quantize, QualityClassifier, Similarity, TextOps}
+import graft.ext.{AudioFp, BpeTrainer, Clustering, Dedup, IncrementalDedup, Multimodal, Opq, Pca, Phash, Pq, Quantize, QualityClassifier, Similarity, TextOps, UnigramTrainer}
 
 /** Training-data extensions (SURVEY.md §7.8): text analysis, dedup
   * (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine),
@@ -14,7 +14,11 @@ import graft.ext.{AudioFp, BpeTrainer, Clustering, Dedup, IncrementalDedup, Mult
   * xxhash64-based strategies (MinHash, SimHash) verify candidates with
   * exact measures, so MinHash still matches the exact-Jaccard oracle:
   * with 16 bands × 2 rows, P(miss a pair at j ≥ 0.9) < 3·10⁻¹².
-  * SimHash and LSH-ANN outputs are hash-function-defined → rows-only.
+  * SimHash output is hash-function-defined → rows-only. The ANN gates
+  * (`sim_ivf_ann` / `sim_lsh_ann`) hash-gate their RECALL instead of
+  * their row-set: the measured ANN pairs ride into the stash oracle as
+  * literals and DuckDB recomputes the exact-top-k intersection
+  * independently ([[annRecallSummary]]).
   */
 object ExtQueries {
 
@@ -52,6 +56,67 @@ object ExtQueries {
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private val binaryRerankOracle: String = binaryRerankOracleOver("TRUE")
+
+  /** Shared tail of the ANN recall gates (`sim_ivf_ann` /
+    * `sim_lsh_ann`): per-query `(query_id, n_hits, k)` over the exact
+    * top-k (a fully-missed query keeps its row with n_hits = 0 — it
+    * cannot vanish from the average), the ≥ 0.9 overall self-gate, and
+    * the stash oracle that makes the recall VALUE hash-checkable: the
+    * measured ANN pairs ride into DuckDB as VALUES literals
+    * ([[annRecallOracleSql]]) while the exact top-k side is recomputed
+    * from `embeddings` independently (the same scored/ranked fragment
+    * as the `sim_ivf_exact` oracle), so the per-query intersection
+    * counts are derived twice by different engines — a wrong exact
+    * side, a wrong intersection, or a drifted recall all
+    * hash-mismatch. Output stays integer-only: no float-repr parity
+    * risk rides the gate. */
+  private def annRecallSummary(name: String, label: String,
+      approx: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = approx
+      .select(col("query_id").cast("long"), col("match_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    OracleStash.put(name, annRecallOracleSql(pairs, k))
+    val hits = exact.join(approx, Seq("query_id", "match_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val out = exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("k", lit(k.toLong))
+      .orderBy("query_id")
+    val rows = out.collect()
+    val overall = rows.iterator.map(_.getAs[Long]("n_hits")).sum.toDouble /
+      (k.toDouble * rows.length)
+    QueryMeta.put(name, s"recall_at_$k", overall)
+    require(overall >= 0.9,
+      f"$label recall@$k = $overall%.3f under the 0.9 gate")
+    out
+  }
+
+  /** The ANN recall oracle: measured ANN pairs as literals, exact
+    * top-k recomputed by DuckDB, intersected per query. */
+  private def annRecallOracleSql(pairs: Seq[(Long, Long)], k: Int): String = {
+    val values = pairs.map { case (q, m) => s"($q, $m)" }.mkString(", ")
+    s"""WITH ann AS (
+       |  SELECT q::BIGINT AS query_id, m::BIGINT AS match_id
+       |  FROM (VALUES $values) v(q, m)),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+       |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cs
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |topk AS (
+       |  SELECT query_id, match_id FROM (
+       |    SELECT query_id, match_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, match_id) AS rank
+       |    FROM scored) s
+       |  WHERE rank <= $k)
+       |SELECT t.query_id, count(a.match_id)::BIGINT AS n_hits, $k::BIGINT AS k
+       |FROM topk t LEFT JOIN ann a
+       |  ON a.query_id = t.query_id AND a.match_id = t.match_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+  }
 
   /** The shared dedup-on-ingest fixture (the cosine AND the binary
     * gate): evens indexed, batch = affine twins of the evens (near-dups
@@ -104,6 +169,15 @@ object ExtQueries {
        |FROM corpus ORDER BY vec_id""".stripMargin
 
   private val stopsSql = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Shared config of the four unigram-tokenizer gates (one definition
+    * so query and oracle params cannot diverge): 24 multi-char pieces
+    * pruned from a 96-piece substring seed over 2 rounds — sized to
+    * the fixture's 31-word vocabulary so the prune genuinely BITES
+    * (the seed is ~4× the target) while the unrolled oracle stays
+    * cheap. */
+  private val unigramCfg = UnigramTrainer.Config(vocabSize = 24,
+    seedSize = 96, maxPieceLen = 4, iters = 2)
 
   /** The `sh` CTE body: one row per distinct (doc, trigram shingle).
     * The UNION branch mirrors WordShingles' short-doc case (< n tokens →
@@ -571,6 +645,74 @@ object ExtQueries {
         // comma-joined ids: pandas-sortable scalars for the driver gate
         .withColumn("token_ids",
           array_join(col("token_ids").cast("array<string>"), ","))
+    },
+
+    // unigram (SentencePiece-style) tokenizer family — the second
+    // trainer beside BPE: substring seed → greedy-segmentation usage
+    // prune to the target vocabulary (the deterministic integer
+    // variant, [[graft.ext.UnigramTrainer]]). The oracle re-derives
+    // the ENTIRE training loop in SQL — seed counts, every prune
+    // round's segmentation sweep, the final vocabulary — with only
+    // LOOP BOUNDS (longest word, prune schedule) riding as literals,
+    // so the oracles deposit through the run-time OracleStash.
+    "text_unigram_train" -> q { c =>
+      val docs = c.t("documents")
+      val ms = UnigramTrainer.maxStepsOf(docs, "text")
+      OracleStash.put("text_unigram_train",
+        UnigramTrainer.oracleSql(unigramCfg, ms))
+      UnigramTrainer.train(docs, "text", unigramCfg).orderBy("tok_id")
+    },
+
+    // unigram APPLY: per-doc word/piece counts under the trained
+    // vocabulary — vocabulary-sized join, never corpus²
+    "text_unigram_segment" -> q { c =>
+      val docs = c.t("documents")
+      OracleStash.put("text_unigram_segment", UnigramTrainer
+        .segmentOracleSql(unigramCfg, UnigramTrainer.maxStepsOf(docs, "text")))
+      UnigramTrainer.segmentCounts(docs, "doc_id", "text", unigramCfg)
+    },
+
+    // unigram ENCODE: per-doc token-id sequences (the BPE encode tail
+    // over the unigram segmentation — ids are the dense byte-order
+    // rank of the USED pieces); comma-joined for the pandas-sortable
+    // driver gate, like text_bpe_encode
+    "text_unigram_encode" -> q { c =>
+      val docs = c.t("documents")
+      OracleStash.put("text_unigram_encode", UnigramTrainer
+        .encodeOracleSql(unigramCfg, UnigramTrainer.maxStepsOf(docs, "text")))
+      UnigramTrainer.encode(docs, "doc_id", "text", unigramCfg)
+        .withColumn("token_ids",
+          array_join(col("token_ids").cast("array<string>"), ","))
+    },
+
+    // unigram tokenizer as a PERSISTED artifact: train, commit pieces
+    // + segmented vocab through the lakehouse sink, encode from the
+    // COLD-read artifact — same oracle as the in-plan encode, so the
+    // store round-trip provably changes nothing (the text_bpe_persisted
+    // pattern)
+    "text_unigram_persisted" -> q { c =>
+      val store = new graft.write.TableStore(
+        Scratch.dir("graft-uni"), c.spark)
+      val docs = c.t("documents")
+      OracleStash.put("text_unigram_persisted", UnigramTrainer
+        .encodeOracleSql(unigramCfg, UnigramTrainer.maxStepsOf(docs, "text")))
+      graft.ext.UnigramStore.save(store, "tok", docs, "text", unigramCfg)
+      graft.ext.UnigramStore.encodeFrom(store, "tok", docs, "doc_id", "text")
+        .withColumn("token_ids",
+          array_join(col("token_ids").cast("array<string>"), ","))
+    },
+
+    // EXACT-substring decontamination: per train doc, the longest
+    // verbatim character span shared with the eval side (docs 0-24) —
+    // the long-overlap complement of the shingle screen below, via a
+    // broadcast generalized suffix automaton over the (bounded) eval
+    // corpus; capped at 64 (the cap is the operator contract, see
+    // SuffixContamination). STATIC suffix-adjacency oracle.
+    "text_contamination_exact" -> q { c =>
+      val docs = c.tw("documents", "doc_id", "text")
+      graft.ext.SuffixContamination.maxOverlap(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        "doc_id", "text")
     },
 
     // benchmark decontamination: docs 0-24 stand in for the eval set;
@@ -1509,9 +1651,15 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     },
 
-    // IVF (k-means inverted file) ANN — approximate, so no SQL oracle;
-    // instead the query SELF-GATES on recall@k against the exact top-k
-    // and carries per-query recall as a column
+    // IVF (k-means inverted file) ANN — the ANN ROW-SET is
+    // hash-function-defined (no SQL oracle can reproduce it), but its
+    // RECALL is hash-gated: the gate emits one (query_id, n_hits, k)
+    // row per query and deposits the measured ANN pairs as VALUES
+    // literals into a stash oracle ([[annRecallOracleSql]]) — DuckDB
+    // recomputes the exact top-k INDEPENDENTLY and intersects it with
+    // those literals, so a wrong exact side, a wrong intersection, or
+    // a drifted recall value all hash-mismatch. The ≥ 0.9 self-gate
+    // stays as the in-run floor; QueryMeta still records the value.
     "sim_ivf_ann" -> q { c =>
       val vecs = c.t("embeddings")
       val queries = vecs.filter(col("vec_id") < 10)
@@ -1524,18 +1672,10 @@ object ExtQueries {
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 12))
       val exact = Dedup.pin(Similarity.bruteForceTopK(vecs, queries,
         "vec_id", "embedding", k = 5))
-      val gated = Similarity.recallAtK(approx, exact, 5)
-      // overall recall measured over the EXACT result (a fully-missed
-      // query counts as 0, it cannot vanish from the average)
-      val hits = exact.join(approx, Seq("query_id", "match_id"), "left_semi").count()
-      val overall = hits.toDouble / exact.count()
-      QueryMeta.put("sim_ivf_ann", "recall_at_5", overall)
-      require(overall >= 0.9, f"IVF recall@5 = $overall%.3f under the 0.9 gate")
-      gated.withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
+      annRecallSummary("sim_ivf_ann", "IVF", approx, exact, k = 5)
     },
 
-    // LSH ANN — same recall@k self-gate as the IVF variant
+    // LSH ANN — same recall@k hash gate as the IVF variant
     "sim_lsh_ann" -> q { c =>
       val vecs = c.t("embeddings")
       val queries = vecs.filter(col("vec_id") < 10)
@@ -1547,13 +1687,7 @@ object ExtQueries {
         "vec_id", "embedding", k = 5, bits = 60, bands = 20))
       val exact = Dedup.pin(Similarity.bruteForceTopK(vecs, queries,
         "vec_id", "embedding", k = 5))
-      val gated = Similarity.recallAtK(approx, exact, 5)
-      val hits = exact.join(approx, Seq("query_id", "match_id"), "left_semi").count()
-      val overall = hits.toDouble / exact.count()
-      QueryMeta.put("sim_lsh_ann", "recall_at_5", overall)
-      require(overall >= 0.9, f"LSH recall@5 = $overall%.3f under the 0.9 gate")
-      gated.withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
+      annRecallSummary("sim_lsh_ann", "LSH", approx, exact, k = 5)
     },
 
     // ---- corpus assembly: the composed pipeline, oracle-gated ----------
@@ -1991,7 +2125,9 @@ object ExtQueries {
     staticOracles ++ OracleStash.entries("sim_pca_project", "sim_opq_adc",
       "sim_ivf_opq", "sim_opq_generation", "text_quality_classifier",
       "text_quality_persisted", "text_quality_custom",
-      "ops_corpus_assembly_v2")
+      "ops_corpus_assembly_v2", "sim_ivf_ann", "sim_lsh_ann",
+      "text_unigram_train", "text_unigram_segment", "text_unigram_encode",
+      "text_unigram_persisted")
 
   /** The composed corpus-assembly oracle: every stage re-derived with
     * the same SQL fragments that gate the standalone operators. ONE
@@ -2353,6 +2489,9 @@ object ExtQueries {
     "text_bpe_encode" -> BpeTrainer.encodeOracleSql(rounds = 8),
 
     "text_bpe_persisted" -> BpeTrainer.encodeOracleSql(rounds = 8),
+
+    "text_contamination_exact" ->
+      graft.ext.SuffixContamination.oracleSql(evalSplit = 25),
 
     "text_contamination" ->
       s"""WITH toks AS (
