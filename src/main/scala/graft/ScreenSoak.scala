@@ -57,18 +57,26 @@ object ScreenSoak {
     val nlist = if (args.length > 1) args(1).toInt
       else math.round(math.sqrt(nCorpus.toDouble)).toInt
     val nprobe = if (args.length > 2) args(2).toInt else 16
-    // the (s, spread) the screen will choose — screenSalt's formula
+    // r15's GLOBAL salt formula, for the record — the r16 screen
+    // tiles PER LIST from the census + probe counts (see
+    // VectorSink.tiledScreenJoin), so this is the value the old
+    // tiler would have used, not what runs
     val parts = cpus.toInt
     val s = math.max(1, math.min(64, (2 * parts) / math.max(1, nlist)))
     System.err.println(s"[screensoak] corpus=$nCorpus nlist=$nlist " +
-      s"nprobe=$nprobe s=$s parts=$parts")
+      s"nprobe=$nprobe s_r15_formula=$s parts=$parts")
 
     val store = new TableStore(queries.Scratch.dir("graft-ssoak"), spark)
     val tBuild0 = System.nanoTime()
     VectorSink.writeIvfPq(store, "emb", evens, "vec_id", "embedding",
       nlist = nlist, m = 8, ksub = 16, iters = 2)
     val buildWall = (System.nanoTime() - tBuild0) / 1e9
-    System.err.println(f"[screensoak] collection built in $buildWall%.1f s")
+    // max/mean coarse-list occupancy: at s = 1 the screen's
+    // parallelism granularity IS the list, so any straggler should be
+    // attributable to list-size skew, not to the (inactive) tiler
+    val skew = VectorSink.listSkew(store, "emb")
+    System.err.println(f"[screensoak] collection built in $buildWall%.1f s " +
+      f"list_skew=$skew%.2f")
 
     // the gate's batch shape at fixture scale: affine twins of every
     // even (near-dups by construction) + the untouched odds
@@ -88,7 +96,8 @@ object ScreenSoak {
     println(f"""{"query":"screen_prod_shape","wall_s":$wall%.1f,""" +
       f""""max_task_s":${maxTaskMs.get() / 1e3}%.1f,""" +
       s""""tasks":${nTasks.get()},"kept":$kept,"dropped":$dropped,""" +
-      s""""nlist":$nlist,"nprobe":$nprobe,"s":$s,"corpus":$nCorpus,""" +
+      s""""nlist":$nlist,"nprobe":$nprobe,"s_r15_formula":$s,""" +
+      f""""list_skew":$skew%.2f,"corpus":$nCorpus,""" +
       f""""build_wall_s":$buildWall%.1f}""")
     import scala.jdk.CollectionConverters._
     stageMax.asScala.toSeq.sortBy(-_._2).take(5).foreach { case (sid, ms) =>

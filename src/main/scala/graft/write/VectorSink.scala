@@ -1067,80 +1067,94 @@ object VectorSink {
       tiledScreenJoin(pinned, g.meta.nlist,
         probeLists(g.centroidMatrix, pinned, id, vec, nprobe),
         g.corpus.select(col(vec).as("__cv"), col("__list"),
-          col(id).as("__sid")))
+          col(id).as("__sid")),
+        manifestSizes(store, table))
         .filter(round(graft.ext.Dedup.cosine(col("__qv"), col("__cv")), 6)
           >= threshold)
         .select(col("query_id").as(id)).distinct()
     }
 
-  /** (salt width, partition count) for the screen's (__list)
-    * equi-join: without salting the join's parallelism is CAPPED AT
-    * nlist (every stored row of a list meets every probe of that list
-    * in one task — a 30 s single task at a 20k-batch × 10k-corpus soak
-    * with a fixture-scale nlist = 8). `s` splits each side into hash
-    * buckets; production-sized collections (nlist ≈ √corpus) already
-    * saturate a cluster, so s = 1 there and the tiling below is a
-    * no-op. The partition count spreads the s²·nlist tile keys over
-    * ~4× as many partitions: at ~2 keys/partition Poisson stacking
-    * puts 4-5 HEAVY keys in one task (measured: the 30× soak's ADC
-    * screen ran max_task 124 s vs stage mean 46 s purely from
-    * stacking); at ~0.25 mean occupancy stacking all but vanishes, and
-    * the extra partitions are empty-cheap (the stage is byte-light and
-    * compute-dense by construction — scheduling overhead only). */
-  private def screenSalt(batch: DataFrame, nlist: Int): (Int, Int) = {
-    val parts = batch.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
-    val s = math.max(1, math.min(64,
-      (2 * parts) / math.max(1, nlist)))
-    val spread =
-      if (s > 1) math.min(4096, math.max(parts, 4 * s * s * nlist))
-      else parts
-    (s, spread)
-  }
-
   /** The screens' BIPARTITE-TILED equi-join on the probed list
-    * (shared by the cosine / Hamming / ADC dedup-on-ingest screens):
-    * each list's pair space splits into an s×s grid of tiles — probes
-    * carry a FIXED `__psalt` (hash of query id) and replicate across
-    * the s corpus buckets; corpus rows carry a FIXED `__salt` (hash of
-    * stored id) and replicate across the s probe buckets — so EVERY
-    * tile is bounded by |probes_l|/s × |corpus_l|/s regardless of how
-    * either side distributes over lists. One-sided salting (r14) left
-    * the probe side unsplit per tile key: a DRIFTED batch concentrates
-    * its probes in one hot list and that list's s keys each carry the
-    * whole probe load (measured at the 30× soak: max_task 43 s vs
-    * stage mean 4 s). Two-sided tiling is skew-proof for ANY list
-    * distribution — the [[graft.ext.Dedup.embeddingCosinePairsTiled]]
-    * triangle argument, bipartite.
+    * (shared by the cosine / Hamming / ADC dedup-on-ingest screens),
+    * OCCUPANCY-AWARE per list (r16): each list `l` splits its pair
+    * space into an s_l×s_l grid of tiles — probes carry a FIXED
+    * `__psalt` (hash of query id mod s_l) and replicate across the
+    * s_l corpus buckets; corpus rows carry a FIXED `__salt` (hash of
+    * stored id mod s_l) and replicate across the s_l probe buckets —
+    * so every tile of list l is bounded by |probes_l|/s_l ×
+    * |corpus_l|/s_l regardless of how either side distributes.
+    * One-sided salting (r14) left a drifted batch's hot list unsplit
+    * on the probe side (30× soak: max_task 43 s vs stage mean 4 s);
+    * a GLOBAL s (r15) fixed that but was forced to 1 whenever
+    * nlist ≥ 2·partitions — and at the production √N operating point
+    * the screen kernel count of a list is |probes_l|·|corpus_l|,
+    * QUADRATIC in a hot list's size, so a λ× oversized list costs
+    * λ²× and still straggles (measured at the 30× production-shape
+    * soak: nlist 173, s = 1, k-means list skew 4.33 → max task 23 s
+    * vs stage mean 7 s). Now s_l derives from the MEASURED cost:
+    * corpus occupancy comes from the manifest census (zero scans —
+    * the [[listSkew]] source), probe occupancy from one O(batch)
+    * aggregate over the pinned probes, and s_l =
+    * ceil(√(cost_l / (Σcost / partitions))) clamped to [1, 64] —
+    * only lists whose pair space exceeds a fair task share tile at
+    * all, so the balanced production case keeps BOTH sides
+    * single-copy and the small-nlist fixture case reproduces the old
+    * global tiling.
     *
-    * Replication cost: probes ×s (byte-light), corpus ×s — corpus
-    * replication only exists in the small-nlist regime (s > 1 ⟺
-    * nlist < 2·partitions, where the per-list populations are exactly
-    * what needs splitting); at the production √N rule s = 1 and both
-    * sides stay single-copy. Both sides are EXPLICITLY repartitioned
-    * to a fixed count on the tile key: the stage is compute-dense but
-    * byte-LIGHT, so AQE's size-based coalescing would fold the salted
-    * shuffle back into a handful of tasks. SHUFFLE_HASH pins the join
-    * to the salted-key exchanges: the exploded frames' size estimates
-    * are garbage, and letting the planner broadcast a misestimated
-    * side collapses the kernel work onto the other side's (few) input
-    * tasks — the 30-180 s single-task soak pathology. Neither side
-    * broadcasts at the 100 TB operating point anyway.
+    * Both sides are EXPLICITLY repartitioned to a fixed count on the
+    * tile key: the stage is compute-dense but byte-LIGHT, so AQE's
+    * size-based coalescing would fold the salted shuffle back into a
+    * handful of tasks. SHUFFLE_HASH pins the join to the salted-key
+    * exchanges: the exploded frames' size estimates are garbage, and
+    * letting the planner broadcast a misestimated side collapses the
+    * kernel work onto the other side's (few) input tasks — the
+    * 30-180 s single-task soak pathology. Neither side broadcasts at
+    * the 100 TB operating point anyway.
     *
     * `probes` must carry (`query_id`, `__list`, payload); `corpus`
-    * (`__sid` = stored id, `__list`, payload). */
+    * (`__sid` = stored id, `__list`, payload); `census` the per-list
+    * PHYSICAL corpus occupancy (probe cost scans dead rows too).
+    * The probes are pinned here (the count pass and the join both
+    * consume them — unpinned, the centroid argmin would run twice per
+    * screen); [[screenedAppend]] scopes the pin's release. */
   private def tiledScreenJoin(batch: DataFrame, nlist: Int,
-      probes: DataFrame, corpus: DataFrame): DataFrame = {
-    val (s, parts) = screenSalt(batch, nlist)
-    val l = probes
-      .withColumn("__psalt", pmod(hash(col("query_id")), lit(s)))
-      .withColumn("__salt", explode(array((0 until s).map(lit): _*)))
-      .repartition(parts, col("__list"), col("__salt"), col("__psalt"))
-    val r = corpus
-      .withColumn("__salt", pmod(hash(col("__sid")), lit(s)))
+      probes: DataFrame, corpus: DataFrame,
+      census: Array[Long]): DataFrame = {
+    val spark = batch.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val pinnedProbes = graft.ext.Dedup.pin(probes)
+    val probeCounts = pinnedProbes.groupBy("__list")
+      .agg(count(lit(1)).as("__pn"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val costs = probeCounts.map { case (l, pn) =>
+      val occ = if (l >= 0 && l < census.length) census(l) else 0L
+      l -> pn.toDouble * math.max(1L, occ)
+    }
+    val target = math.max(1.0, costs.map(_._2).sum / parts)
+    val sByList = costs.map { case (l, c) =>
+      l -> math.min(64, math.max(1, math.ceil(math.sqrt(c / target)).toInt))
+    }
+    val tiled = sByList.filter(_._2 > 1)
+    val spread =
+      if (tiled.isEmpty) parts
+      else math.min(4096,
+        math.max(parts, 4 * (sByList.map(t => t._2 * t._2).sum)))
+    import spark.implicits._
+    val sFrame = broadcast(
+      sByList.toSeq.toDF("__list", "__s"))
+    val l = pinnedProbes.join(sFrame, Seq("__list"), "left")
+      .withColumn("__s", coalesce(col("__s"), lit(1)))
+      .withColumn("__psalt", pmod(hash(col("query_id")), col("__s")))
+      .withColumn("__salt", explode(expr("sequence(0, __s - 1)")))
+      .drop("__s")
+      .repartition(spread, col("__list"), col("__salt"), col("__psalt"))
+    val r = corpus.join(sFrame, Seq("__list"), "left")
+      .withColumn("__s", coalesce(col("__s"), lit(1)))
+      .withColumn("__salt", pmod(hash(col("__sid")), col("__s")))
       .drop("__sid")
-      .withColumn("__psalt", explode(array((0 until s).map(lit): _*)))
-      .repartition(parts, col("__list"), col("__salt"), col("__psalt"))
+      .withColumn("__psalt", explode(expr("sequence(0, __s - 1)")))
+      .drop("__s")
+      .repartition(spread, col("__list"), col("__salt"), col("__psalt"))
       .hint("shuffle_hash")
     l.join(r, Seq("__list", "__salt", "__psalt"))
   }
@@ -1156,7 +1170,7 @@ object VectorSink {
   private def screenedAppend(store: TableStore, table: String,
       batch: DataFrame, id: String, vec: String)
       (dupIds: DataFrame => DataFrame): (Long, Long) =
-    store.exclusively(table) {
+    store.exclusively(table) { graft.ext.Dedup.withPins {
       val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val d = pinned.agg(count(lit(1L)), count_distinct(col(id))).head()
@@ -1172,7 +1186,7 @@ object VectorSink {
           (nKept, d.getLong(0) - nKept)
         } finally kept.unpersist(blocking = false)
       } finally pinned.unpersist(blocking = false)
-    }
+    } }
 
   /** [[appendDeduped]] for BINARY collections: the screen is the
     * collection's own sign codes — batch rows whose code sits within
@@ -1203,7 +1217,8 @@ object VectorSink {
           .withColumn("__qcode",
             graft.functions.VectorFunctions.packSignBits(col("__qv"))),
         g.corpus.select(col("__list"), col("__code"),
-          col(id).as("__sid")))
+          col(id).as("__sid")),
+        manifestSizes(store, table))
         .filter(graft.functions.VectorFunctions.hammingDist(
           col("__qcode"), col("__code")) <= maxHamming)
         .select(col("query_id").as(id)).distinct()
@@ -1263,7 +1278,8 @@ object VectorSink {
       }
       tiledScreenJoin(pinned, g.meta.nlist,
         probeLists(g.centroidMatrix, queries, id, vec, nprobe),
-        deq.select(col("__cv"), col("__list"), col(id).as("__sid")))
+        deq.select(col("__cv"), col("__list"), col(id).as("__sid")),
+        manifestSizes(store, table))
         .filter(round(graft.ext.Dedup.cosine(col("__qv"), col("__cv")), 6)
           >= threshold)
         .select(col("query_id").as(id)).distinct()
