@@ -1,13 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 
 /** Job census for one query: per-job wall time + call site. */
 object JobCount {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val name = args(1)
+    val names = args.drop(1).toSeq
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -32,17 +32,38 @@ object JobCount {
           out.add(f"job ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e6}%8.1f ms  $site")
         }
       }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        if (record) {
+          val si = sc.stageInfo
+          val wall = (for (a <- si.completionTime; b <- si.submissionTime)
+            yield a - b).getOrElse(-1L)
+          out.add(f"stage ${si.stageId}%4d $wall%6d ms ${si.numTasks}%4d tasks  " +
+            si.name.take(120).replace("\n", " "))
+        }
+      }
     })
-    SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-    Thread.sleep(500)
-    record = true
-    val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-    val secs = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500)
-    record = false
-    out.forEach(s => println(s"[jobcount] $s"))
-    println(f"[jobcount] TOTAL $name: $secs%.2f s")
+    names.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+      graft.ext.Dedup.releasePins()
+      Thread.sleep(500)
+      record = true
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.ext.Dedup.releasePins()
+      Thread.sleep(500)
+      record = false
+      val jobs = out.size()
+      var sumMs = 0.0
+      out.forEach { s =>
+        if (s.startsWith("job"))
+          sumMs += s.split("\\s+").lift(2).flatMap(_.toDoubleOption).getOrElse(0.0)
+        println(s"[jobcount] $name $s")
+      }
+      out.clear()
+      graft.queries.Scratch.sweep()
+      println(f"[jobcount] TOTAL $name: $secs%.2f s, $jobs jobs, ${sumMs / 1e3}%.2f s in jobs")
+    }
     spark.stop()
   }
 }

@@ -122,12 +122,18 @@ object CorpusAssembly {
     try Dedup.withPins {
       val base = docs.select(col(id), col(domain), col(text).as("__text"))
 
-      // 1-2. language gate then quality bands — single-consumer stages
-      //    stay UNPINNED so both codegen kernel passes fuse into the
-      //    line-strip shuffle's map side (a boundary here would pay a
-      //    persist + an extra job for zero reuse)
+      // 1-2. language gate then quality bands. `lid` is single-consumer
+      //    (stays unpinned, fusing into qual's filter); `qual` is NOT:
+      //    stripDuplicateLines consumes it twice internally (its
+      //    exploded `lines` frame feeds both the boilerplate-frequency
+      //    aggregate and the join-back) and the domain join below reads
+      //    it a third time — unpinned, the langid + quality codegen
+      //    kernel pass over the corpus SCAN ran 3× per assembly (and a
+      //    4th time when the planner broadcast the join side). The
+      //    boundary pins doc-sized rows (pre-explode), so the kernels
+      //    and the scan run once at any corpus size.
       val lid = base.filter(TextOps.langId(col("__text")) === cfg.lang)
-      val qual = lid.filter(cfg.quality(col("__text")))
+      val qual = boundary(lid.filter(cfg.quality(col("__text"))))
 
       // 3. corpus-level boilerplate line strip; the cleaned text becomes
       //    THE text, and the token count is computed ONCE here and
