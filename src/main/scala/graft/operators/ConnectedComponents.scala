@@ -43,8 +43,14 @@ object ConnectedComponents {
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = snap(sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")))
+    // init = round 1's result directly: label₀ = min(id, neighbors).
+    // The previous identity init (label₀ = id) spent a whole
+    // join+checkpoint round computing exactly this aggregate — one
+    // groupBy over the symmetrized edges replaces it (every node
+    // appears as `a` by symmetry), so the loop starts one round ahead
+    // at any scale.
+    var labels = snap(sym.groupBy(col("a").as("id"))
+      .agg(least(col("a"), min(col("b"))).as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -54,11 +60,27 @@ object ConnectedComponents {
       // the PREVIOUS label rides along as `old`, so convergence needs no
       // second join over the labels — the checkpoint materializes the
       // propagation (the only shuffle of the round) and the convergence
-      // probe below is a plain scan of the checkpointed partitions
-      val next = snap(labels.join(neighborMin, Seq("id"), "left")
+      // probe below is a plain scan of the checkpointed partitions.
+      // POINTER JUMPING: after folding in the neighbor minimum, each
+      // node also adopts its candidate label's OWN label (labels are
+      // always ids inside the same component, so the hop stays inside
+      // it and monotonically decreases toward the component minimum) —
+      // label paths halve per round, so convergence needs O(log d)
+      // rounds instead of O(d) on diameter-d chains. One extra
+      // equi-join per round against the (checkpointed) label table buys
+      // a logarithmic cut in join+checkpoint rounds — the fixpoint
+      // (component = minimum member id) is unchanged, only reached in
+      // fewer rounds.
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          col("label").as("old")))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("cand"),
+          col("label").as("old"))
+      val next = snap(stepped
+        .join(labels.select(col("id").as("cand"), col("label").as("cl")),
+          Seq("cand"), "left")
+        .select(col("id"),
+          least(col("cand"), coalesce(col("cl"), col("cand"))).as("label"),
+          col("old")))
       converged = next.filter(col("label") =!= col("old")).isEmpty
       labels = next.select("id", "label")
       iter += 1
