@@ -384,20 +384,24 @@ object StreamQueries {
       }
       val src = Streaming.fileStream(ss, srcDir,
         options = Map("maxFilesPerTrigger" -> "1"))
+      // the production-monitor shape: the baseline's bin counts are
+      // computed ONCE before the stream (Drift.histogram — the same
+      // binExpr/psiTail arithmetic as the live-baseline psi, shared by
+      // construction), and every micro-batch compares against those ≤
+      // bins literals — the old per-batch Drift.psi re-scanned the
+      // WHOLE baseline table once per batch (3 full scans per run
+      // here; unbounded on a long-lived monitor). Plain numbers also
+      // compose across sessions, so the cross-session re-read goes too.
+      val baseHist = graft.operators.Drift.histogram(
+        c.t("events").filter(col("event_type") === "view"), "value", bins = 8)
       Streaming.drainAvailableNow(src) { (batch, _) =>
         if (!batch.isEmpty) {
           val s2 = batch.sparkSession
           import s2.implicits._
-          // baseline re-read in the batch's session (cross-session
-          // plans don't compose); a production monitor would persist
-          // the baseline's bin counts once instead
-          val baseline = graft.sources.Filesystem
-            .readParquet(s2, s"${c.dir}/events.parquet")
-            .filter(col("event_type") === "view")
           val key = batch.agg(min(pmod(col("event_id"), lit(3))))
             .head().getLong(0)
-          val psi = graft.operators.Drift.psi(baseline, batch, "value",
-            bins = 8).select("psi").head().getDouble(0)
+          val psi = graft.operators.Drift.psiVsProfile(baseHist, batch,
+            "value").select("psi").head().getDouble(0)
           store.append("monitor", Seq((key, psi)).toDF("batch_key", "psi"))
         }
       }
