@@ -91,10 +91,14 @@ object IncrementalDedup {
     val newSh = Dedup.pin(Dedup.shingleIndex(batch, id, text, n))
     val newBands = Dedup.bandedSig(newSh, perms, bands)
     val oldBands = store.read(s"${table}__minhash_bands")
-    val cand = newBands.as("a").join(oldBands.as("b"),
+    // pinned HERE, not just inside verifyJaccard: the old-doc semi-join
+    // below captures the raw candidate subtree, and the verify's
+    // shingle-array side re-executes it through oldSh — unpinned, the
+    // band-collision join ran twice per batch
+    val cand = Dedup.pin(newBands.as("a").join(oldBands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .distinct()
+      .distinct())
     // exact verify: re-shingle ONLY the colliding old docs
     val oldCandDocs = store.read(table)
       .join(cand.select(col("id_b").as("_id")).distinct(), Seq("_id"), "left_semi")
@@ -277,13 +281,17 @@ object IncrementalDedup {
       .join(newKeys, Seq("widx", "blk", "blk_val"), "left_semi")
       .join(store.read(table).select(col("_id"), col("code").as("__co")),
         Seq("_id"))
-    val cand = newBands.as("a").join(oldBands.as("b"),
+    // pinned: the old-vector semi-join and the final verify join both
+    // consume the candidate set — unpinned, the band join (including
+    // the in-join Hamming filter's code attach) executed twice per
+    // batch (the checkBatch double-compute, binary twin)
+    val cand = Dedup.pin(newBands.as("a").join(oldBands.as("b"),
         col("a.widx") === col("b.widx") && col("a.blk") === col("b.blk") &&
           col("a.blk_val") === col("b.blk_val"))
       .filter(graft.functions.VectorFunctions.hammingDist(
         col("a.code"), col("b.__co")) <= maxHamming)
       .select(col("a._id").as("new_id"), col("b._id").as("old_id"))
-      .distinct()
+      .distinct())
     // exact verify: read back ONLY the colliding old vectors
     val oldCand = store.read(table)
       .join(cand.select(col("old_id").as("_id")).distinct(),
