@@ -57,6 +57,33 @@ object PlanDump {
           .select(col("doc_id"), col("source"), col("clean_text").as("__text"))
           .withColumn("n_tokens", TextOps.bpeTokenCount(col("__text")))
         cleaned.explain("formatted")
+      case "incdedup_check" =>
+        // IncrementalDedup.checkBatch's returned plan, as the
+        // stream_incremental_dedup / curateInto screens consume it
+        import graft.write.TableStore
+        graft.ext.Dedup.withPins {
+          val store = new TableStore(graft.queries.Scratch.dir("graft-pdinc"), spark)
+          val docs = graft.queries.Ctx(spark, sfDir).tw("documents")
+          graft.ext.IncrementalDedup.indexCorpus(store, "corpus",
+            docs.filter(col("doc_id") < 250), "doc_id", "text")
+          graft.ext.IncrementalDedup.checkBatch(store, "corpus",
+            docs.filter(col("doc_id") >= 250), "doc_id", "text")
+            .explain("formatted")
+        }
+      case "vecdedup_check" =>
+        import graft.write.TableStore
+        graft.ext.Dedup.withPins {
+          val store = new TableStore(graft.queries.Scratch.dir("graft-pdvec"), spark)
+          val vecs = graft.queries.Ctx(spark, sfDir).t("embeddings")
+            .select("vec_id", "embedding")
+          graft.ext.IncrementalDedup.indexVectors(store, "corpus",
+            vecs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+            dim = 64, maxHamming = 8)
+          graft.ext.IncrementalDedup.checkVectorBatch(store, "corpus",
+            vecs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+            threshold = 0.98, maxHamming = 8)
+            .explain("formatted")
+        }
       case other => sys.error(s"unknown PlanDump case '$other'")
     }
     spark.stop()
