@@ -53,11 +53,13 @@ object JobCount {
       graft.ext.Dedup.releasePins()
       Thread.sleep(500)
       record = false
-      val jobs = out.size()
+      var jobs = 0
       var sumMs = 0.0
       out.forEach { s =>
-        if (s.startsWith("job"))
+        if (s.startsWith("job")) {
+          jobs += 1
           sumMs += s.split("\\s+").lift(2).flatMap(_.toDoubleOption).getOrElse(0.0)
+        }
         println(s"[jobcount] $name $s")
       }
       out.clear()

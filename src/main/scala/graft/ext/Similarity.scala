@@ -64,22 +64,11 @@ object Similarity {
         posexplode(array(bandSigs: _*)).as(Seq("band", "bucket")))
   }
 
-  /** Recall@k self-check for approximate search: measures, per query,
-    * the fraction of the EXACT top-k the approximate pass retrieved
-    * (a query the ANN missed entirely scores 0, not absent) and
-    * attaches it to the approximate result as `recall_at_k`. The gate
-    * an ANN variant carries in lieu of a SQL oracle — computed inside
-    * the job over O(queries · k) rows, with the tiny per-query recall
-    * table broadcast back onto the result. */
-  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
-    val perQuery = exact.select(col("query_id"), col("match_id"))
-      .join(approx.select(col("query_id"), col("match_id"))
-        .withColumn("__hit", lit(1)), Seq("query_id", "match_id"), "left")
-      .groupBy("query_id")
-      .agg((sum(coalesce(col("__hit"), lit(0))) / k.toDouble).as("recall_at_k"))
-    approx.join(broadcast(perQuery), Seq("query_id"), "left")
-      .withColumn("recall_at_k", coalesce(col("recall_at_k"), lit(0.0)))
-  }
+  // NOTE: the per-pair recall attachment helper (recallAtK) that
+  // backed the two recall-self-gated ANN queries until r15 was removed
+  // in r16 — both gates now emit a driver-hashable
+  // (query_id, n_hits, k) summary via ExtQueries.annRecallSummary, and
+  // no other caller remained.
 
   /** Exact top-k: broadcast `queries` (must be driver-small), score the
     * corpus in one pass, keep k best per query.

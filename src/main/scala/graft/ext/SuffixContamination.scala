@@ -99,9 +99,18 @@ object SuffixContamination {
        |        WHERE substr(s, 1, l.l) = substr(next_e, 1, l.l)
        |          AND length(s) >= l.l AND length(next_e) >= l.l), 0)
        |    ) AS lcp
-       |  FROM nb WHERE NOT is_eval)
-       |SELECT doc_id, max(lcp)::BIGINT AS overlap_len
-       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  FROM nb WHERE NOT is_eval),
+       |agg AS (
+       |  SELECT doc_id, max(lcp) AS ov FROM scored GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(agg.ov, 0)::BIGINT AS overlap_len
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= $evalSplit) d
+       |LEFT JOIN agg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  // ^ LEFT JOIN from the full train-doc list: a NULL/empty train text
+  // yields no suffix rows, but the engine's maxOverlap still reports
+  // (doc_id, 0) for it — the previous GROUP-BY-only shape dropped such
+  // docs and would hash-mismatch on an in-contract fixture (no
+  // current fixture has one; identical output on all of them).
 }
 
 /** Generalized suffix automaton (Blumer et al. 1985 construction as

@@ -94,6 +94,16 @@ object Drift {
   final case class Histogram(mn: Double, mx: Double, counts: Array[Long]) {
     require(counts.nonEmpty, "empty histogram")
     def bins: Int = counts.length
+    /** This histogram with `other`'s per-bin counts folded in — the
+      * ONE owner of profile-fold addition (mergeIntoProfile and the
+      * pipeline's locked reload-add-write both call it, so the
+      * arithmetic cannot drift between the two paths). `other` must be
+      * binned under THIS histogram's (mn, mx, bins). */
+    def plus(other: Array[Long]): Histogram = {
+      require(other.length == bins,
+        s"fold width ${other.length} != profile bins $bins")
+      Histogram(mn, mx, counts.zip(other).map { case (a, b) => a + b })
+    }
   }
 
   /** Histogram of `value` over `df` (nulls excluded — [[psi]]'s
@@ -161,8 +171,7 @@ object Drift {
     * step of the O(batch) load-plane drift gate. */
   def mergeIntoProfile(hist: Histogram, cur: DataFrame,
       value: String): Histogram =
-    Histogram(hist.mn, hist.mx,
-      hist.counts.zip(binCounts(hist, cur, value)).map { case (a, b) => a + b })
+    hist.plus(binCounts(hist, cur, value))
 
   /** Read back a [[saveProfile]] table. */
   def loadProfile(store: graft.write.TableStore, table: String): Histogram = {

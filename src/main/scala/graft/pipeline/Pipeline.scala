@@ -699,8 +699,9 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
     // the baseline only ever absorbs accepted distributions. An
     // all-null first window cannot seed (histogram refuses) — the
     // next non-empty load seeds instead.
-    val pendingProfile
-        : Option[(String, Either[graft.operators.Drift.Histogram, Array[Long]])] =
+    val pendingProfile: Option[(String,
+        Either[graft.operators.Drift.Histogram,
+          (graft.operators.Drift.Histogram, Array[Long])])] =
       r.driftCheck.filter(_.profiled).flatMap { dc =>
         val pt = s"${tableName}__drift_profile"
         try {
@@ -716,7 +717,10 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
             }
           else {
             val p = graft.operators.Drift.loadProfile(store, pt)
-            Some(pt -> Right(graft.operators.Drift.binCounts(p, gate, dc.column)))
+            // carry the profile the counts were binned UNDER: the
+            // locked fold below must verify range as well as bin count
+            Some(pt -> Right(
+              (p, graft.operators.Drift.binCounts(p, gate, dc.column))))
           }
         } catch { case e: Exception =>
           System.err.println(
@@ -742,16 +746,23 @@ final class Pipeline(val name: String, val root: String, val spark: SparkSession
               System.err.println(
                 s"[pipeline] drift profile '$pt' was seeded concurrently; " +
                   s"skipping this load's fold")
-          case Right(counts) =>
+          case Right((binnedUnder, counts)) =>
             val p = graft.operators.Drift.loadProfile(store, pt)
-            if (p.bins == counts.length)
+            // bins AND range must match the profile the counts were
+            // binned under: a concurrent re-seed with the SAME bin
+            // count but a new (mn, mx) would otherwise silently fold
+            // counts binned under the old range into the new profile —
+            // the exact range-mixing the seed branch's skip avoids
+            if (p.bins == counts.length &&
+                p.mn == binnedUnder.mn && p.mx == binnedUnder.mx)
               graft.operators.Drift.writeProfile(store, pt,
-                graft.operators.Drift.Histogram(p.mn, p.mx,
-                  p.counts.zip(counts).map { case (a, b) => a + b }), spark)
+                p.plus(counts), spark)
             else
               System.err.println(
-                s"[pipeline] drift profile '$pt' was re-seeded with " +
-                  s"${p.bins} bins (fold computed at ${counts.length}); " +
+                s"[pipeline] drift profile '$pt' was re-seeded " +
+                  s"(bins ${binnedUnder.bins}->${p.bins}, range " +
+                  s"[${binnedUnder.mn}, ${binnedUnder.mx}]->" +
+                  s"[${p.mn}, ${p.mx}]) since this fold was computed; " +
                   s"skipping this load's fold")
         }
       } catch { case e: Exception =>

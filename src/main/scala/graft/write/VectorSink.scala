@@ -1130,7 +1130,17 @@ object VectorSink {
       val occ = if (l >= 0 && l < census.length) census(l) else 0L
       l -> pn.toDouble * math.max(1L, occ)
     }
-    val target = math.max(1.0, costs.map(_._2).sum / parts)
+    // tile GRANULARITY: a quarter of the fair per-core share, not the
+    // share itself. With max tile ≈ the fair share, one late-scheduled
+    // tile sets the wall at up to ~2× the ideal sum/parts (the classic
+    // LPT tail; measured at the 100× production-shape soak: max task
+    // 49.4 s ≈ fair share 47 s, wall 90.5 s vs 47 s ideal). At T/4 the
+    // tail is bounded by ~1.25× ideal, and the extra cost is ≤ 2×
+    // replication on the lists that tile AT ALL (s_l doubles only for
+    // lists already past a quarter-share; balanced lists stay
+    // single-copy) — the screens are compute-dense and byte-light, so
+    // finer tiles trade kilobytes of replication for the tail.
+    val target = math.max(1.0, costs.map(_._2).sum / (4.0 * parts))
     val sByList = costs.map { case (l, c) =>
       l -> math.min(64, math.max(1, math.ceil(math.sqrt(c / target)).toInt))
     }
