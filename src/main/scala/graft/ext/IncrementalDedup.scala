@@ -88,7 +88,17 @@ object IncrementalDedup {
       id: String, text: String, n: Int = 3, threshold: Double = 0.9,
       perms: Int = 64, bands: Int = 16): DataFrame = {
     requireMeta(store, table, n, perms, bands)
-    val newSh = Dedup.pin(Dedup.shingleIndex(batch, id, text, n))
+    // re-spread the batch before the compute-dense shingling/banding —
+    // the [[checkVectorBatch]] discipline on the text plane: a
+    // micro-batch arrives as ONE file (one row group — one task), and
+    // in a streaming foreachBatch AQE is disabled, so without this the
+    // shingle + 64-perm signature map side serializes on a handful of
+    // cores (100× soak: 14 s 5-task stages inside every curate batch
+    // where 32-way runs ~2 s). The shuffle moves O(batch) text bytes
+    // once.
+    val spread = batch.repartition(
+      batch.sparkSession.sparkContext.defaultParallelism)
+    val newSh = Dedup.pin(Dedup.shingleIndex(spread, id, text, n))
     val newBands = Dedup.bandedSig(newSh, perms, bands)
     val oldBands = store.read(s"${table}__minhash_bands")
     // pinned HERE, not just inside verifyJaccard: the old-doc semi-join

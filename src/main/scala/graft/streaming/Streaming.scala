@@ -326,9 +326,28 @@ object Streaming {
     var landedBatches = landedBatchCount(store, table)
     var maxWritten = math.max(maxBatchIdStat(store, table),
       maxBatchIdStat(store, s"${table}__quarantine"))
-    drainAvailableNow(source, checkpoint) { (batch, bid) =>
-      if (!batch.isEmpty && bid > maxWritten) graft.ext.Dedup.withPins {
+    drainAvailableNow(source, checkpoint) { (rawBatch, bid) =>
+      if (!rawBatch.isEmpty && bid > maxWritten) graft.ext.Dedup.withPins {
         import org.apache.spark.sql.functions.lit
+        // re-spread BEFORE the classifier featurization: a micro-batch
+        // arrives at file-split parallelism (one file under
+        // maxFilesPerTrigger=1) and foreachBatch runs with AQE off, so
+        // the regex-kernel scoring pass — the per-batch compute hog —
+        // would serialize on the file's few splits (100× soak: 14.9 s
+        // 5-task stages per batch where session width runs ~2 s). The
+        // RDD round-trip is the [[graft.Tables.loadWide]] pushdown
+        // BARRIER: a bare repartition is not enough — the optimizer
+        // pushes the score FILTER below a round-robin exchange, putting
+        // the kernels right back in the file-split-bound scan stage
+        // (re-measured at the 100× soak: the 5-task stages survived a
+        // plain repartition). The shuffle moves O(batch) bytes once;
+        // every consumer below (PSI gate, scoring filter, screen,
+        // quarantine land) inherits full width. Row content is
+        // unchanged (append-disposition lands are orderless).
+        val spread0 = rawBatch.repartition(
+          rawBatch.sparkSession.sparkContext.defaultParallelism)
+        val batch = rawBatch.sparkSession.createDataFrame(
+          spread0.rdd, rawBatch.schema)
         val scoreCol = graft.ext.QualityClassifier.score(model,
           org.apache.spark.sql.functions.col(text))
         val breach = profile.flatMap { h =>
