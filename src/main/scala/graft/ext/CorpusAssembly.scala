@@ -114,8 +114,24 @@ object CorpusAssembly {
       dsirTarget: Option[DataFrame] = None)(
       consume: (DataFrame, StageCounts) => A): A = {
     val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // LINEAGE-TRUNCATING pin. A persist() boundary stops re-EXECUTION
+    // (consumers read the InMemoryRelation) but not re-ANALYSIS: cache
+    // substitution happens after analysis, so every consumer of a late
+    // stage re-analyzes the full upstream tree — and with eight-plus
+    // stacked boundaries (several self-consuming: the line strip, the
+    // candidate joins, the packing) the analyzed tree grows
+    // multiplicatively down the chain. Driver thread dumps during the
+    // v2 gate showed the main thread in Analyzer rules /
+    // TreeNode.argString (AQE plan-update events stringify every node)
+    // for ~40% of the warm wall (13.5 s in jobs vs 22.5-25.7 s wall,
+    // solo box). A lazy localCheckpoint materializes once like persist
+    // but roots every consumer at a LogicalRDD LEAF, so downstream
+    // analysis, optimization and AQE plan events are O(stage), not
+    // O(whole chain). Join-size stats are gone from the leaf — AQE
+    // re-picks broadcast joins from runtime shuffle sizes, which every
+    // session here enables.
     def boundary(df: DataFrame): DataFrame = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val p = df.localCheckpoint(false)
       pinned += p
       p
     }
@@ -254,7 +270,19 @@ object CorpusAssembly {
         Seq("mixed_capped" -> n(capped)),
         classifier = fitted)
       consume(packed, stages)
-    } finally pinned.foreach(_.unpersist(blocking = false))
+    } finally pinned.foreach { p =>
+      // free the checkpointed partitions deterministically (the
+      // ContextCleaner would reclaim them on GC, but a bench loop of
+      // assemblies must not depend on GC timing): the checkpointed RDD
+      // is the LogicalRDD leaf the lazy checkpoint planted. Nothing
+      // recomputes after the consuming action, so dropping local
+      // checkpoint data here is safe.
+      p.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
   }
 
   /** [[assemble]] landed through the WRITE PLANE: the packed (and
