@@ -83,6 +83,37 @@ final case class Tombstone(name: String, column: String, covered: Set[String])
   */
 final class TableStore(val root: String, val spark: SparkSession) {
 
+  /** Per-segment parquet schema memo, keyed by resolved segment path.
+    * `mergeSchema=true` reads launch a footer-merge Spark job over
+    * every segment file BEFORE the query proper (at 100 TB that job
+    * reads a footer per data file; at the bench fixture it is a fixed
+    * ~30-150 ms driver round-trip per `read()` — the composition gates
+    * pay it dozens of times per query). The store itself wrote nearly
+    * every segment it later reads, so [[writeLayout]] records the
+    * written schema (deep-nullable, matching what parquet inference
+    * returns) and [[readSegments]] passes it explicitly when EVERY
+    * requested segment is memoized with ONE identical schema — the
+    * same schema the footer merge would have produced. Any unknown or
+    * differing segment (foreign imports, schema evolution) falls back
+    * to the mergeSchema read, so evolution semantics are untouched.
+    * Metadata only — never row data — and scoped to this store
+    * instance, so a fresh process re-infers from the files. */
+  private val segmentSchemas =
+    new java.util.concurrent.ConcurrentHashMap[Path, StructType]()
+
+  /** What parquet inference returns for a written df schema: every
+    * field and container element nullable ("when reading Parquet
+    * files, all columns are automatically converted to be nullable"). */
+  private def deepNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      a.copy(elementType = deepNullable(a.elementType), containsNull = true)
+    case m: MapType => m.copy(keyType = deepNullable(m.keyType),
+      valueType = deepNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(t: String): Object =
@@ -287,11 +318,22 @@ final class TableStore(val root: String, val spark: SparkSession) {
   /** The live segments of `table` (with their pruning stats). */
   def segments(table: String): Seq[Segment] = currentSegments(table)
 
-  /** Read a subset of segments (merge reads only the touched ones). */
+  /** Read a subset of segments (merge reads only the touched ones).
+    * When every requested segment's written schema is memoized and
+    * identical (see [[segmentSchemas]]), that schema is passed
+    * explicitly — same result as the footer merge of same-schema
+    * files, minus the pre-query footer job; anything else keeps the
+    * mergeSchema read (widen-on-read evolution semantics). */
   def readSegments(table: String, segs: Seq[Segment]): DataFrame = {
     require(segs.nonEmpty, "readSegments needs at least one segment")
-    spark.read.option("mergeSchema", "true")
-      .parquet(segs.map(s => resolve(table, s.name).toString): _*)
+    val paths = segs.map(s => resolve(table, s.name))
+    val known = paths.map(p => Option(segmentSchemas.get(p)))
+    val distinctKnown = known.flatten.distinct
+    if (known.forall(_.isDefined) && distinctKnown.size == 1)
+      spark.read.schema(distinctKnown.head)
+        .parquet(paths.map(_.toString): _*)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(paths.map(_.toString): _*)
   }
 
   /** Append: write a new segment, commit old segments + new one.
@@ -379,7 +421,10 @@ final class TableStore(val root: String, val spark: SparkSession) {
       val segName = s"data/${UUID.randomUUID().toString.take(12)}"
       val dst = tableDir(to).resolve(segName)
       Files.createDirectories(dst.getParent)
-      Files.move(resolve(from, s.name), dst, StandardCopyOption.ATOMIC_MOVE)
+      val src = resolve(from, s.name)
+      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      // the bytes moved, the schema did not — carry the memo entry
+      Option(segmentSchemas.remove(src)).foreach(segmentSchemas.put(dst, _))
       s.copy(name = segName)
     }
     commit(to, moved)
@@ -428,6 +473,8 @@ final class TableStore(val root: String, val spark: SparkSession) {
           }
         } finally walk.close()
       }
+      // byte-for-byte copy: the source's memoized schema holds verbatim
+      Option(segmentSchemas.get(src)).foreach(segmentSchemas.put(dstDir, _))
       s.copy(name = segName)
     }
     commit(to, copied)
@@ -868,6 +915,8 @@ final class TableStore(val root: String, val spark: SparkSession) {
       (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
     writer.parquet(tableDir(table).resolve(seg).toString)
+    segmentSchemas.put(tableDir(table).resolve(seg),
+      deepNullable(layout.schema).asInstanceOf[StructType])
     val stats = obs.map { o =>
       val m = o.get
       cols.flatMap { c =>
