@@ -92,28 +92,11 @@ object PlanDump {
         // truncation): before, the tree below each stage repeats the
         // whole upstream chain; after, each boundary is a LogicalRDD
         // leaf.
-        import graft.ext.{AssemblyConfig, CorpusAssembly, TextOps}
-        val docs = graft.queries.Ctx(spark, sfDir)
-          .tw("documents", "doc_id", "source", "text")
-          .withColumn("ltext", replace(col("text"), lit(" table "), lit("\n")))
-        val corpus = docs.filter(col("doc_id") >= 25)
-          .select("doc_id", "source", "ltext")
-        val bench = docs.filter(col("doc_id") < 25).select("doc_id", "ltext")
-        val cfg = AssemblyConfig(
-          quality = t => {
-            import TextOps.Gopher._
-            val n = TextOps.tokenCount(t)
-            n >= MinWords && n <= MaxWords &&
-              TextOps.meanTokenLen(t) >= MinMeanWordLen &&
-              TextOps.meanTokenLen(t) <= MaxMeanWordLen &&
-              symbolRatio(t) <= MaxSymbolRatio &&
-              alphaWordRatio(t) >= MinAlphaWordRatio
-          },
-          lineMinDocs = 2, shingleN = 3, nearDupThreshold = 0.9,
-          maxContaminatedShare = 0.2, mixAlpha = 1.0, domainCap = 10,
-          packBudget = 512L, collectStageCounts = false)
+        import graft.ext.CorpusAssembly
+        val (corpus, bench) = graft.queries.AssemblyFixture
+          .corpusAndBench(graft.queries.Ctx(spark, sfDir))
         CorpusAssembly.assemble(corpus, "doc_id", "ltext", "source",
-          bench, cfg) { (packed, _) =>
+          bench, graft.queries.AssemblyFixture.baseCfg) { (packed, _) =>
           packed.orderBy("doc_id").explain("formatted")
         }
       case other => sys.error(s"unknown PlanDump case '$other'")

@@ -21,19 +21,32 @@ object Tables {
     * footer sweep per load of a many-file table). The testdata files
     * are static per process, so the FIRST load of each path infers and
     * memoizes; later loads supply the schema and skip inference. The
-    * memo is metadata only and session-independent (schemas carry no
-    * session state), so Verify's per-worker cloned sessions share it. */
+    * memo carries no session state, BUT parquet inference is
+    * conf-dependent (nanosAsLong flips TIMESTAMP(NANOS) to LongType),
+    * so the key includes the confs that change the inferred result —
+    * a session without the flag must hit its own entry (and fail
+    * loudly on the nanos file, as its own inference would), never one
+    * poisoned by a flagged session. */
   private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
 
+  private def memoKey(spark: SparkSession, path: String): String = {
+    // conf.get(key) resolves registered defaults; the two-arg form
+    // would TYPE-VALIDATE our placeholder default and throw
+    def c(k: String) = scala.util.Try(spark.conf.get(k)).getOrElse("?")
+    s"$path|${c("spark.sql.legacy.parquet.nanosAsLong")}" +
+      s"|${c("spark.sql.parquet.int96AsTimestamp")}" +
+      s"|${c("spark.sql.parquet.inferTimestampNTZ.enabled")}"
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val memo = schemaMemo.get(path)
+    val memo = schemaMemo.get(memoKey(spark, path))
     val df =
       if (memo != null) spark.read.schema(memo).parquet(path)
       else {
         val d = spark.read.parquet(path)
-        schemaMemo.put(path, d.schema)
+        schemaMemo.put(memoKey(spark, path), d.schema)
         d
       }
     nanosNormalize(df)

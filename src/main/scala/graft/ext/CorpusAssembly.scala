@@ -105,10 +105,14 @@ object CorpusAssembly {
   }
 
   /** Run the assembly and hand the packed result to `consume` while the
-    * stage pins are alive (loan pattern: the frames are lazy — consumed
-    * outside, they would recompute the whole chain unpinned). The
-    * packed frame carries (id, domain, n_tokens, tok_offset,
-    * first_chunk, last_chunk) plus the cleaned text. */
+    * stage pins are alive (loan pattern). The pins are lineage-TRUNCATING
+    * (lazy localCheckpoint, see [[assemble]]'s boundary): a frame
+    * escaping the consume block FAILS LOUDLY on its next action once the
+    * scope released the checkpoint blocks ("checkpoint block not found")
+    * — deliberately so, where the old persist pins would silently
+    * recompute the whole multi-stage chain unpinned. Consume the result
+    * inside the block. The packed frame carries (id, domain, n_tokens,
+    * tok_offset, first_chunk, last_chunk) plus the cleaned text. */
   def assemble[A](docs: DataFrame, id: String, text: String, domain: String,
       benchmark: DataFrame, cfg: AssemblyConfig = AssemblyConfig(),
       dsirTarget: Option[DataFrame] = None)(
@@ -129,7 +133,12 @@ object CorpusAssembly {
     // analysis, optimization and AQE plan events are O(stage), not
     // O(whole chain). Join-size stats are gone from the leaf — AQE
     // re-picks broadcast joins from runtime shuffle sizes, which every
-    // session here enables.
+    // session here enables. Known trade-off: localCheckpoint partitions
+    // cannot be recomputed from lineage, so an executor lost mid-assembly
+    // (cluster decommission, dynamic deallocation) fails the run instead
+    // of recomputing — acceptable for a batch pipeline whose unit of
+    // retry is the assembly itself; persist's recompute-on-loss came at
+    // the analysis cost above on EVERY healthy run.
     def boundary(df: DataFrame): DataFrame = {
       val p = df.localCheckpoint(false)
       pinned += p

@@ -1698,29 +1698,13 @@ object ExtQueries {
     // individual operators, composed). Quality = Gopher bands with the
     // stop-word floor lifted (the synthetic corpus has no English stop
     // words; bands are corpus-tuned in the published pipelines).
+    // Corpus/benchmark/config construction lives in [[AssemblyFixture]]
+    // — ONE owner shared by the three gates and the PlanDump evidence
+    // case, so the committed plan dumps cannot drift from the gates.
     "ops_corpus_assembly" -> q { c =>
-      import graft.ext.{AssemblyConfig, CorpusAssembly}
-      val docs = c.tw("documents", "doc_id", "source", "text")
-        .withColumn("ltext", replace(col("text"), lit(" table "), lit("\n")))
-      val corpus = docs.filter(col("doc_id") >= 25)
-        .select("doc_id", "source", "ltext")
-      val bench = docs.filter(col("doc_id") < 25).select("doc_id", "ltext")
-      val cfg = AssemblyConfig(
-        quality = t => {
-          import TextOps.Gopher._
-          val n = TextOps.tokenCount(t)
-          n >= MinWords && n <= MaxWords &&
-            TextOps.meanTokenLen(t) >= MinMeanWordLen &&
-            TextOps.meanTokenLen(t) <= MaxMeanWordLen &&
-            symbolRatio(t) <= MaxSymbolRatio &&
-            alphaWordRatio(t) >= MinAlphaWordRatio
-        },
-        lineMinDocs = 2, shingleN = 3, nearDupThreshold = 0.9,
-        maxContaminatedShare = 0.2, mixAlpha = 1.0, domainCap = 10,
-        packBudget = 512L,
-        // throughput path: boundaries materialize once, inside the
-        // final checkpoint, instead of one count action per stage
-        collectStageCounts = false)
+      import graft.ext.CorpusAssembly
+      val (corpus, bench) = AssemblyFixture.corpusAndBench(c)
+      val cfg = AssemblyFixture.baseCfg
       CorpusAssembly.assemble(corpus, "doc_id", "ltext", "source", bench, cfg) {
         (packed, _) =>
           // materialize while the stage pins are alive (loan contract)
@@ -1741,28 +1725,12 @@ object ExtQueries {
     // one status-0 ledger row, so a double-write or a missed ledger
     // commit hash-fails.
     "ops_corpus_assembly_persisted" -> q { c =>
-      import graft.ext.{AssemblyConfig, CorpusAssembly}
+      import graft.ext.CorpusAssembly
       import graft.write.{Dispositions, TableStore}
       val store = new TableStore(Scratch.dir("graft-cap"), c.spark)
       val disp = new Dispositions(store, c.spark)
-      val docs = c.tw("documents", "doc_id", "source", "text")
-        .withColumn("ltext", replace(col("text"), lit(" table "), lit("\n")))
-      val corpus = docs.filter(col("doc_id") >= 25)
-        .select("doc_id", "source", "ltext")
-      val bench = docs.filter(col("doc_id") < 25).select("doc_id", "ltext")
-      val cfg = AssemblyConfig(
-        quality = t => {
-          import TextOps.Gopher._
-          val n = TextOps.tokenCount(t)
-          n >= MinWords && n <= MaxWords &&
-            TextOps.meanTokenLen(t) >= MinMeanWordLen &&
-            TextOps.meanTokenLen(t) <= MaxMeanWordLen &&
-            symbolRatio(t) <= MaxSymbolRatio &&
-            alphaWordRatio(t) >= MinAlphaWordRatio
-        },
-        lineMinDocs = 2, shingleN = 3, nearDupThreshold = 0.9,
-        maxContaminatedShare = 0.2, mixAlpha = 1.0, domainCap = 10,
-        packBudget = 512L, collectStageCounts = false)
+      val (corpus, bench) = AssemblyFixture.corpusAndBench(c)
+      val cfg = AssemblyFixture.baseCfg
       val loadId = disp.newLoadId()
       CorpusAssembly.assembleTo(disp, "training_order", loadId,
         corpus, "doc_id", "ltext", "source", bench, cfg)
@@ -1794,30 +1762,13 @@ object ExtQueries {
     // decontaminate → classifier-keep → mix → cap → pack → shuffle,
     // end to end under a single hash.
     "ops_corpus_assembly_v2" -> q { c =>
-      import graft.ext.{AssemblyConfig, ClassifierStage, CorpusAssembly}
-      val docs = c.tw("documents", "doc_id", "source", "text")
-        .withColumn("ltext", replace(col("text"), lit(" table "), lit("\n")))
-      val corpus = docs.filter(col("doc_id") >= 25)
-        .select("doc_id", "source", "ltext")
-      val bench = docs.filter(col("doc_id") < 25).select("doc_id", "ltext")
-      val cfg = AssemblyConfig(
-        quality = t => {
-          import TextOps.Gopher._
-          val n = TextOps.tokenCount(t)
-          n >= MinWords && n <= MaxWords &&
-            TextOps.meanTokenLen(t) >= MinMeanWordLen &&
-            TextOps.meanTokenLen(t) <= MaxMeanWordLen &&
-            symbolRatio(t) <= MaxSymbolRatio &&
-            alphaWordRatio(t) >= MinAlphaWordRatio
-        },
-        lineMinDocs = 2, shingleN = 3, nearDupThreshold = 0.9,
-        maxContaminatedShare = 0.2, mixAlpha = 1.0, domainCap = 10,
-        packBudget = 512L,
+      import graft.ext.{ClassifierStage, CorpusAssembly}
+      val (corpus, bench) = AssemblyFixture.corpusAndBench(c)
+      val cfg = AssemblyFixture.baseCfg.copy(
         canonicalQuality = Some(t => TextOps.qualityScore(t)),
         classifier = Some(ClassifierStage(
           seed = t => length(t) >= 300, threshold = 0.5)),
-        shuffle = Some((42L, 1)),
-        collectStageCounts = false)
+        shuffle = Some((42L, 1)))
       CorpusAssembly.assemble(corpus, "doc_id", "ltext", "source", bench, cfg) {
         (packed, stages) =>
           OracleStash.put("ops_corpus_assembly_v2",
@@ -3387,4 +3338,41 @@ object ExtQueries {
         |WHERE bit_count(xor(a.sh, b.sh)) <= 7
         |ORDER BY id_a, id_b""".stripMargin
   )
+}
+
+/** The shared corpus/benchmark/config fixture of the three
+  * `ops_corpus_assembly*` gates AND the `assembly_packed` PlanDump
+  * evidence case — one owner, so the committed plan dumps can never
+  * capture a configuration the gates no longer run. The v2 gate layers
+  * its extra stages with `baseCfg.copy(...)`. */
+private[graft] object AssemblyFixture {
+  import graft.ext.{AssemblyConfig, TextOps}
+
+  /** (corpus, benchmark): docs ≥ 25 with the ' table '→newline line
+    * structure vs the sub-25 benchmark slice. */
+  def corpusAndBench(c: Ctx): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val docs = c.tw("documents", "doc_id", "source", "text")
+      .withColumn("ltext", replace(col("text"), lit(" table "), lit("\n")))
+    (docs.filter(col("doc_id") >= 25).select("doc_id", "source", "ltext"),
+      docs.filter(col("doc_id") < 25).select("doc_id", "ltext"))
+  }
+
+  /** Gopher bands with the stop-word floor lifted (corpus-tuned, see
+    * the gate comment) + the gates' dedup/decontamination/mix/pack
+    * knobs; throughput path — boundaries materialize inside the single
+    * consuming action, not one count per stage. */
+  def baseCfg: AssemblyConfig = AssemblyConfig(
+    quality = t => {
+      import TextOps.Gopher._
+      val n = TextOps.tokenCount(t)
+      n >= MinWords && n <= MaxWords &&
+        TextOps.meanTokenLen(t) >= MinMeanWordLen &&
+        TextOps.meanTokenLen(t) <= MaxMeanWordLen &&
+        symbolRatio(t) <= MaxSymbolRatio &&
+        alphaWordRatio(t) >= MinAlphaWordRatio
+    },
+    lineMinDocs = 2, shingleN = 3, nearDupThreshold = 0.9,
+    maxContaminatedShare = 0.2, mixAlpha = 1.0, domainCap = 10,
+    packBudget = 512L, collectStageCounts = false)
 }

@@ -736,6 +736,7 @@ final class TableStore(val root: String, val spark: SparkSession) {
           try w.sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(Files.delete)
           finally w.close()
+          segmentSchemas.remove(seg) // the files are gone; drop the memo
           deleted += 1
         }
       }
@@ -839,6 +840,9 @@ final class TableStore(val root: String, val spark: SparkSession) {
     if (Files.exists(dir)) {
       Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
+      // drop the dead schema memo entries with the files — a long-lived
+      // process creating and dropping tables must not accumulate them
+      segmentSchemas.keySet.removeIf(_.startsWith(dir))
     }
   }
 
