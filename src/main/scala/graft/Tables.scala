@@ -36,17 +36,20 @@ object Tables {
     def c(k: String) = scala.util.Try(spark.conf.get(k)).getOrElse("?")
     s"$path|${c("spark.sql.legacy.parquet.nanosAsLong")}" +
       s"|${c("spark.sql.parquet.int96AsTimestamp")}" +
-      s"|${c("spark.sql.parquet.inferTimestampNTZ.enabled")}"
+      s"|${c("spark.sql.parquet.inferTimestampNTZ.enabled")}" +
+      s"|${c("spark.sql.parquet.binaryAsString")}" +
+      s"|${c("spark.sql.parquet.fieldId.read.enabled")}"
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val memo = schemaMemo.get(memoKey(spark, path))
+    val key = memoKey(spark, path)
+    val memo = schemaMemo.get(key)
     val df =
       if (memo != null) spark.read.schema(memo).parquet(path)
       else {
         val d = spark.read.parquet(path)
-        schemaMemo.put(memoKey(spark, path), d.schema)
+        schemaMemo.put(key, d.schema)
         d
       }
     nanosNormalize(df)

@@ -107,12 +107,14 @@ object CorpusAssembly {
   /** Run the assembly and hand the packed result to `consume` while the
     * stage pins are alive (loan pattern). The pins are lineage-TRUNCATING
     * (lazy localCheckpoint, see [[assemble]]'s boundary): a frame
-    * escaping the consume block FAILS LOUDLY on its next action once the
-    * scope released the checkpoint blocks ("checkpoint block not found")
-    * — deliberately so, where the old persist pins would silently
-    * recompute the whole multi-stage chain unpinned. Consume the result
-    * inside the block. The packed frame carries (id, domain, n_tokens,
-    * tok_offset, first_chunk, last_chunk) plus the cleaned text. */
+    * escaping the consume block fails loudly ("checkpoint block not
+    * found") once the scope's ASYNCHRONOUS block release lands —
+    * typically the next action, not a guaranteed point — where the old
+    * persist pins would silently recompute the whole multi-stage chain
+    * unpinned. Either way an escaped frame is unusable: consume the
+    * result inside the block. The packed frame carries (id, domain,
+    * n_tokens, tok_offset, first_chunk, last_chunk) plus the cleaned
+    * text. */
   def assemble[A](docs: DataFrame, id: String, text: String, domain: String,
       benchmark: DataFrame, cfg: AssemblyConfig = AssemblyConfig(),
       dsirTarget: Option[DataFrame] = None)(
